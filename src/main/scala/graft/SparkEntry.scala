@@ -1,13 +1,198 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` has one entry per implemented operator family from
+  * SURVEY.md §2; `oracleSql` holds a DuckDB-equivalent for each, written
+  * so the two engines agree bit-for-bit (decimal-routed sums, explicit
+  * tie-breaks, epoch-millis timestamps for the ns-precision events table).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.aggPushdown(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pushdown"    -> (Relational.aggPushdown _),
+    "q02_filter_project"  -> (Relational.filterProject _),
+    "q03_join_broadcast"  -> (Relational.joinBroadcast _),
+    "q04_semi_join"       -> (Relational.semiJoin _),
+    "q05_anti_join"       -> (Relational.antiJoin _),
+    "q06_distinct_sort"   -> (Relational.distinctSort _),
+    "q07_union_distinct"  -> (Relational.unionDistinct _),
+    "q08_ordered_limit"   -> (Relational.orderedLimit _),
+    "q09_first_per_group" -> (Relational.firstPerGroup _),
+    "q10_window_baseline" -> (Relational.windowBaseline _),
+    "q11_nearest_asof"    -> (Relational.nearestAsof _),
+    "q12_group_collect"   -> (Relational.groupCollect _),
+    "q13_date_parts"      -> (Relational.dateParts _),
+    "q14_string_format"   -> (Relational.stringFormat _),
+    "q15_byte_codec"      -> (Relational.byteCodec _),
+    "q16_arithmetic"      -> (Relational.arithmetic _),
+    "q17_topk_per_group"  -> (Relational.topkPerGroup _),
+    "q18_rollup"          -> (Relational.rollupAgg _),
+    "q19_conditional_pivot" -> (Relational.conditionalPivot _),
+    "q20_range_filter_agg"  -> (Relational.rangeFilterAgg _),
+    "q21_tumbling_window"   -> (Relational.tumblingWindow _),
+    "q22_sessionize"        -> (Relational.sessionize _),
+    "q23_distinct_count"    -> (Relational.distinctCount _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS sum_base_price,
+         cast(sum(cast(l_extendedprice AS decimal(12,2)) * cast(1.0 - l_discount AS decimal(12,2))) AS double) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= timestamp '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate BETWEEN timestamp '1997-01-01' AND timestamp '1997-03-31'
+           AND l_quantity < 5""",
+    "q03_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+         cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS sum_totalprice
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "q06_distinct_sort" ->
+      """SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+         ORDER BY o_orderpriority, o_orderstatus""",
+    "q07_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    "q08_ordered_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q09_first_per_group" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC, o_orderkey ASC) = 1""",
+    "q10_window_baseline" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+           FROM events),
+         based AS (
+           SELECT user_id, event_id, value,
+             cast(sum(CASE WHEN rn <= 20 THEN cast(value AS decimal(18,6)) END)
+                  OVER (PARTITION BY user_id) AS double) AS base_sum,
+             count(CASE WHEN rn <= 20 THEN 1 END) OVER (PARTITION BY user_id) AS base_n
+           FROM ranked)
+         SELECT user_id, event_id, value - base_sum / base_n AS value_dc FROM based""",
+    "q11_nearest_asof" ->
+      """SELECT o_orderkey, l_linenumber AS nearest_linenumber, l_shipdate AS nearest_shipdate
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         QUALIFY row_number() OVER (
+           PARTITION BY o_orderkey
+           ORDER BY abs(epoch(l_shipdate) - epoch(o_orderdate)) ASC, l_linenumber ASC) = 1""",
+    "q12_group_collect" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+         string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+         FROM orders GROUP BY o_custkey""",
+    "q13_date_parts" ->
+      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+         count(*) AS n_orders,
+         cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS sum_totalprice
+         FROM orders GROUP BY 1, 2""",
+    "q14_string_format" ->
+      """SELECT p_partkey,
+         'P-' || lpad(cast(p_partkey AS varchar), 8, '0') AS part_code,
+         upper(substr(p_name, 1, 12)) AS name_prefix,
+         p_brand || '/' || p_type AS brand_type
+         FROM part""",
+    "q15_byte_codec" ->
+      """SELECT event_id,
+         (event_id // 1) % 256 AS b0,
+         (event_id // 256) % 256 AS b1,
+         (event_id // 65536) % 256 AS b2,
+         (event_id // 16777216) % 256 AS b3,
+         ((event_id // 1) % 256) + ((event_id // 256) % 256) * 256
+           + ((event_id // 65536) % 256) * 65536
+           + ((event_id // 16777216) % 256) * 16777216 AS decoded
+         FROM events""",
+    "q16_arithmetic" ->
+      """SELECT l_orderkey,
+         l_extendedprice * (1.0 - l_discount) AS revenue,
+         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+         abs(l_discount - 0.05) AS disc_dev,
+         sqrt(l_quantity) AS qty_sqrt,
+         cast(ceil(l_extendedprice / 100.0) AS bigint) AS price_bucket,
+         cast(floor(l_quantity / 7.0) AS bigint) AS qty_floor
+         FROM lineitem WHERE l_linenumber = 1""",
+    "q17_topk_per_group" ->
+      """SELECT l_suppkey,
+         row_number() OVER (PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rk,
+         l_orderkey, l_linenumber, l_extendedprice
+         FROM lineitem
+         QUALIFY rk <= 3""",
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q19_conditional_pivot" ->
+      """SELECT o_orderpriority,
+         cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bigint) AS n_f,
+         cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS bigint) AS n_o,
+         cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS bigint) AS n_p,
+         count(*) AS n_total
+         FROM orders GROUP BY o_orderpriority""",
+    "q20_range_filter_agg" ->
+      """SELECT event_type, max(value) AS max_value, min(value) AS min_value, count(*) AS n
+         FROM events
+         WHERE ts >= timestamp '2024-01-08 00:00:00' AND ts < timestamp '2024-01-15 00:00:00'
+           AND value BETWEEN 10.0 AND 100.0
+         GROUP BY event_type""",
+    "q21_tumbling_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+         count(*) AS n,
+         cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q22_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30*60*1000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sess AS (
+           SELECT user_id, ts,
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) AS session_end_ms
+         FROM sess GROUP BY user_id, session_id""",
+    "q23_distinct_count" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_suppkey""",
+  )
 }

@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Core relational operator library, Spark-first.
+  *
+  * Each method realizes one operator family from SURVEY.md §2 (the FDF
+  * reference's operator inventory, `/root/reference/fdf/factory.py` /
+  * `fdf_signal.py`) as an idiomatic Catalyst-optimizable DataFrame plan:
+  * filters and projections push to the parquet scan, small dimensions are
+  * broadcast, aggregates get map-side partial aggregation, and windowed
+  * operators declare explicit deterministic orderings.
+  *
+  * Determinism discipline (for the DuckDB differential oracle): sums over
+  * non-integral doubles go through `decimal` so the result is independent
+  * of partition/merge order; per-row double arithmetic is IEEE-exact in
+  * any engine; every ranking has a unique-key tie-break.
+  */
+object Relational {
+
+  /** Exact money arithmetic: double column -> decimal(12,2). Sum order
+    * then cannot perturb the result (a raw double sum is merge-order
+    * dependent and would diverge between engines/runs at scale). */
+  private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** TPC-H Q1-flavored scan+filter+aggregate (SURVEY §2.4 A1-A7 family).
+    * Filter pushes to parquet; partial aggregation happens map-side, so
+    * the shuffle carries only |groups| rows per partition — at 100 TB the
+    * shuffle is O(4 groups x partitions), not O(rows). */
+  def aggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum(money($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(money($"l_extendedprice") * money(lit(1.0) - $"l_discount"))
+          .cast("double").as("sum_disc_price"),
+        avg($"l_quantity").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Projection + predicate scan (SURVEY §2.2 P6-P8): both the filter and
+    * the 4-column projection reach the parquet reader (PushedFilters /
+    * ReadSchema), so a 100 TB table reads only matching row groups and
+    * only 5 of 11 columns. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate".between(
+        lit("1997-01-01").cast("timestamp"), lit("1997-03-31").cast("timestamp"))
+        && $"l_quantity" < 5)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+  }
+
+  /** Star join with broadcast dims (SURVEY §2.3 J2): region/nation/customer
+    * are tiny next to orders — broadcast them so the big fact table never
+    * shuffles. At 100 TB this is the difference between a map-side join
+    * and a full-fact-table exchange. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(money($"o_totalprice")).cast("double").as("sum_totalprice"))
+  }
+
+  /** Left-semi join = EXISTS (SURVEY §2.3; the reference only has lookup
+    * joins, Spark gives the full join algebra). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where($"o_totalprice" > 200000.0),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  /** Left-anti join = NOT EXISTS. Filter on the probe side keeps the
+    * result non-empty at every SF (a bare "customers with no orders"
+    * anti-join is vacuous on this data). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** DISTINCT + ORDER BY (SURVEY §2.4 A4, `np.unique` of shot lists,
+    * `fdf/factory.py:633`): hash-aggregate dedup, then sort. */
+  def distinctSort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderstatus")
+      .distinct()
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  /** Union of shot sources then unique (SURVEY §2.6 G1,
+    * `fdf/factory.py:232-242`: shotlist ∪ by-xp ∪ by-date → unique).
+    * One distributed job — not the reference's per-key query loop. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byOrder = Tables.orders(spark, dir)
+      .where($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("custkey"))
+    val byBalance = Tables.customer(spark, dir)
+      .where($"c_acctbal" > 9000.0).select($"c_custkey".as("custkey"))
+    val bySegment = Tables.customer(spark, dir)
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    byOrder.union(byBalance).union(bySegment).distinct()
+  }
+
+  /** Ordered retrieval + row cap (SURVEY §2.5 W1/W2, the logbook's
+    * `SET ROWCOUNT 500` + ORDER BY). TakeOrderedAndProject: each partition
+    * keeps a 100-row heap, the driver merges — no global sort at scale. */
+  def orderedLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .limit(100)
+  }
+
+  /** First-row-per-group (SURVEY §2.5 W3, earliest logbook entry wins,
+    * `fdf/factory.py:453-454`): window row_number with a total order
+    * (orderdate, orderkey) so ties are deterministic. */
+  def firstPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("first_orderkey"),
+        $"o_orderdate".as("first_orderdate"))
+  }
+
+  /** Leading-window DC-baseline removal (SURVEY §2.5 W4 / §2.4 A1 — the
+    * usxr `data - mean(data[0:1000])` postprocess,
+    * `/root/reference/fdf/modules/usxr/_postprocess.py:10-12`), re-expressed
+    * on the events table: per user, subtract the mean of the first 20
+    * samples (by ts) from every sample. The baseline sum goes through
+    * decimal so merge order can't perturb it. */
+  def windowBaseline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wAll = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("base_sum",
+        sum(when($"rn" <= 20, $"value".cast(DecimalType(18, 6)))).over(wAll))
+      .withColumn("base_n", count(when($"rn" <= 20, lit(1))).over(wAll))
+      .select($"user_id", $"event_id",
+        ($"value" - $"base_sum".cast("double") / $"base_n").as("value_dc"))
+  }
+
+  /** Nearest-sample lookup as a join (SURVEY §2.2 P5 / §2.4 A3 / §2.3 J4 —
+    * `argmin(abs(value - axis))`, `fdf/fdf_signal.py:296-299`): for each
+    * order, the lineitem whose shipdate is nearest to the order date.
+    * Tie-break = first minimum (numpy argmin semantics): smaller shipdate
+    * diff first, then linenumber. Equi-join on orderkey keeps it a local
+    * per-key argmin — no cross product. */
+  def nearestAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+    val diff = abs(unix_timestamp($"l_shipdate") - unix_timestamp($"o_orderdate"))
+    val w = Window.partitionBy($"o_orderkey").orderBy(diff.asc, $"l_linenumber".asc)
+    o.join(li, $"o_orderkey" === $"l_orderkey")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"o_orderkey", $"l_linenumber".as("nearest_linenumber"),
+        $"l_shipdate".as("nearest_shipdate"))
+  }
+
+  /** Grouped set collection (SURVEY §2.4 A5, `np.unique(xplist)` per shot,
+    * `fdf/factory.py:446`): sorted-distinct set rendered as a string so the
+    * oracle compare is representation-stable. */
+  def groupCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        array_join(array_sort(collect_set($"o_orderstatus")), ",").as("statuses"),
+        array_join(array_sort(collect_set($"o_orderpriority")), ",").as("priorities"))
+  }
+
+  /** Date-part decode (SURVEY §2.7 F2, YYYYMMDD decode
+    * `fdf/factory.py:589-593`). */
+  def dateParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(money($"o_totalprice")).cast("double").as("sum_totalprice"))
+  }
+
+  /** String formatting (SURVEY §2.7 F3, zero-padded channel names
+    * `fdf/factory.py:951-959`). */
+  def stringFormat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        concat(lit("P-"), lpad($"p_partkey".cast("string"), 8, "0")).as("part_code"),
+        upper(substring($"p_name", 1, 12)).as("name_prefix"),
+        concat_ws("/", $"p_brand", $"p_type").as("brand_type"))
+  }
+
+  /** Base-256 byte encode/decode roundtrip (SURVEY §2.7 F4, the MDS event
+    * shot codec `fdf/factory.py:298-302,316-317`): event_id -> 4 bytes ->
+    * weighted sum back. Pure integer arithmetic. */
+  def byteCodec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_id")
+    val b = (i: Int) => (expr(s"event_id DIV ${1L << (8 * i)}") % 256).cast("long")
+    e.select(
+      $"event_id",
+      b(0).as("b0"), b(1).as("b1"), b(2).as("b2"), b(3).as("b3"))
+      .withColumn("decoded",
+        $"b0" + $"b1" * 256L + $"b2" * 65536L + $"b3" * 16777216L)
+  }
+
+  /** Per-row arithmetic expression surface (SURVEY §2.7 F1/F5 — the ufunc
+    * algebra of `fdf_signal.py:172-179`): all IEEE-exact per-row ops, fused
+    * into one whole-stage-codegen projection. */
+  def arithmetic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .where($"l_linenumber" === 1)
+      .select(
+        $"l_orderkey",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("charge"),
+        abs($"l_discount" - 0.05).as("disc_dev"),
+        sqrt($"l_quantity").as("qty_sqrt"),
+        ceil($"l_extendedprice" / 100.0).as("price_bucket"),
+        floor($"l_quantity" / 7.0).as("qty_floor"))
+  }
+
+  /** Top-k per group (SURVEY §2.5 ranking): 3 highest-value lineitems per
+    * supplier, deterministic tie-break on full key. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    Tables.lineitem(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"l_suppkey", $"rk", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+  }
+
+  /** ROLLUP grouping sets (Spark built-in; beyond the reference's surface
+    * but part of the engine's SQL-completeness). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+  }
+
+  /** Conditional aggregation / manual pivot (SURVEY §2.6 G4 multi-series
+    * split): order-status counts fanned out to columns per priority. */
+  def conditionalPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when($"o_orderstatus" === "P", 1L).otherwise(0L)).as("n_p"),
+        count(lit(1)).as("n_total"))
+  }
+
+  /** Range predicate + block aggregate (SURVEY §2.2 P9 + §2.4 A2: the
+    * mpts contour sub-block `t>0.1 && 30<r<135 -> max`). min/max of
+    * doubles are order-independent, so no decimal detour needed. */
+  def rangeFilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .where($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp")
+        && $"ts" < lit("2024-01-15 00:00:00").cast("timestamp")
+        && $"value".between(10.0, 100.0))
+      .groupBy($"event_type")
+      .agg(
+        max($"value").as("max_value"),
+        min($"value").as("min_value"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Tumbling-window aggregation (SURVEY §2.8 — batch twin of the
+    * Structured Streaming windowed agg in graft.streaming; same `window()`
+    * expression works under readStream). Event timestamps are parquet-ns:
+    * emit epoch millis so engines agree on representation. */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(unix_millis($"w.start").as("window_start_ms"), $"event_type", $"n", $"sum_value")
+  }
+
+  /** Gap-based sessionization (SURVEY §2.8 stateful streaming twin,
+    * batch form): new session when >30 min since the previous event of
+    * the same user; emits per-session stats. lag + running sum — the
+    * standard islands pattern; in streaming this is
+    * flatMapGroupsWithState (see graft.streaming.Sessionize). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull
+          || unix_millis($"ts") - unix_millis($"prev_ts") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min($"ts")).as("session_start_ms"),
+        unix_millis(max($"ts")).as("session_end_ms"))
+  }
+
+  /** Exact per-group distinct count (SURVEY §2.4; approx_count_distinct is
+    * the scale path, exact is the oracle-checkable path). */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed star-schema catalog over the driver-generated test data
+  * (TESTDATA.md). Mirrors the reference's source surface: the logbook /
+  * signal scans of FDF (`fdf/factory.py:169-202,537-542` in the reference)
+  * become plain columnar parquet scans here — Catalyst handles predicate
+  * pushdown, column pruning and partition pruning that the reference
+  * hand-rolled into SQL strings.
+  *
+  * At 100 TB these tables would be partitioned (e.g. by date / shot) and
+  * the loaders below would pick up partition directories transparently;
+  * nothing in the query layer assumes single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  /** The events table is written with parquet TIMESTAMP(NANOS), which the
+    * vectorized reader rejects. Read the nanos as long (legacy conf) and
+    * rebuild a microsecond TIMESTAMP — truncation matches what any
+    * µs-precision engine sees. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

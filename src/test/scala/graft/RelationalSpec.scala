@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for every relational operator in SparkEntry.queries.
+  * The DuckDB differential oracle (driver-run, tools/check_oracle.py) is
+  * the exact-value gate; these specs assert structural invariants cheaply
+  * so `sbt test` catches regressions without the oracle in the loop.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("every declared query runs and has matching oracle SQL") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).limit(1).count() === 1L, s"$name returned 0 rows")
+    }
+  }
+
+  test("q01 aggregates match a recomputation") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q01_agg_pushdown")(spark, sfDir)
+      .agg(sum($"count_order")).as[Long].head()
+    val n = graft.sources.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp")).count()
+    assert(r === n)
+  }
+
+  test("q08 ordered limit is sorted desc with deterministic tie-break") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q08_ordered_limit")(spark, sfDir)
+      .select($"o_totalprice").as[Double].collect()
+    assert(rows.length === 100)
+    assert(rows.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("q15 byte codec roundtrips") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("q15_byte_codec")(spark, sfDir)
+      .where($"decoded" =!= $"event_id").count()
+    assert(bad === 0)
+  }
+
+  test("q17 top-k keeps at most 3 per group") {
+    import spark.implicits._
+    val over = SparkEntry.queries("q17_topk_per_group")(spark, sfDir)
+      .groupBy($"l_suppkey").count().where($"count" > 3).count()
+    assert(over === 0)
+  }
+
+  test("q11 nearest-asof picks the global per-key minimum abs-diff") {
+    import spark.implicits._
+    // recompute the min abs(shipdate-orderdate) per order and compare
+    val o = graft.sources.Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate")
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+    val joined = o.join(li, $"o_orderkey" === $"l_orderkey")
+      .withColumn("diff", abs(unix_timestamp($"l_shipdate") - unix_timestamp($"o_orderdate")))
+    val minDiff = joined.groupBy($"o_orderkey".as("k")).agg(min($"diff").as("mind"))
+    val got = SparkEntry.queries("q11_nearest_asof")(spark, sfDir)
+      .join(li.withColumnRenamed("l_orderkey", "lo"),
+        $"o_orderkey" === $"lo" && $"nearest_linenumber" === $"l_linenumber" &&
+          $"nearest_shipdate" === $"l_shipdate")
+      .join(o.withColumnRenamed("o_orderkey", "oo").withColumnRenamed("o_orderdate", "od"),
+        $"o_orderkey" === $"oo")
+      .withColumn("gotdiff", abs(unix_timestamp($"nearest_shipdate") - unix_timestamp($"od")))
+    val mismatched = got.join(minDiff, $"o_orderkey" === $"k")
+      .where($"gotdiff" =!= $"mind").count()
+    assert(mismatched === 0)
+  }
+
+  test("q22 sessions have start <= end and positive counts") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("q22_sessionize")(spark, sfDir)
+      .where($"session_start_ms" > $"session_end_ms" || $"n_events" < 1).count()
+    assert(bad === 0)
+  }
+}
