@@ -41,6 +41,18 @@ object SparkEntry {
     "q21_tumbling_window"   -> (Relational.tumblingWindow _),
     "q22_sessionize"        -> (Relational.sessionize _),
     "q23_distinct_count"    -> (Relational.distinctCount _),
+    "q24_dedup_exact"       -> (Dedup.exactDedup _),
+    "q25_ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "q26_minhash_lsh"       -> (Dedup.minhashLsh _),
+    "q27_simhash"           -> (Dedup.simhash _),
+    "q28_simhash_pairs"     -> (Dedup.simhashPairs _),
+    "q29_ann_brute"         -> (Similarity.annBrute _),
+    "q30_lsh_ann"           -> (Similarity.lshAnn _),
+    "q31_langid"            -> (TextAnalysis.langid _),
+    "q32_quality_score"     -> (TextAnalysis.qualityScore _),
+    "q33_token_count"       -> (TextAnalysis.tokenCount _),
+    "q34_fingerprint"       -> (TextAnalysis.fingerprint _),
+    "q35_blob_meta"         -> (Multimodal.blobMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -194,5 +206,202 @@ object SparkEntry {
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY l_suppkey""",
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q25_ngram_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         shared AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                       JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+           GROUP BY 1, 2)
+         SELECT s.doc_a, s.doc_b, s.n_shared,
+                s.n_shared / (ca.n + cb.n - s.n_shared) AS jaccard
+         FROM shared s JOIN card ca ON ca.doc_id = s.doc_a
+                       JOIN card cb ON cb.doc_id = s.doc_b
+         WHERE s.n_shared / (ca.n + cb.n - s.n_shared) >= 0.6""",
+    "q26_minhash_lsh" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         mh AS (SELECT s.doc_id, sd.seed, min(md5(sd.seed || ':' || s.shingle)) AS mh
+                FROM sh s, range(12) sd(seed) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          string_agg(mh, ',' ORDER BY seed) AS sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                       JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+           GROUP BY 1, 2)
+         SELECT s.doc_a, s.doc_b,
+                s.n_shared / (ca.n + cb.n - s.n_shared) AS jaccard
+         FROM shared s JOIN card ca ON ca.doc_id = s.doc_a
+                       JOIN card cb ON cb.doc_id = s.doc_b
+         WHERE s.n_shared / (ca.n + cb.n - s.n_shared) >= 0.5""",
+    "q27_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                  AS simhash
+         FROM bits GROUP BY 1""",
+    "q28_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b.band,
+                           (simhash // (1::BIGINT << (b.band * 8))) % 256 AS byte
+                    FROM sh, range(4) b(band)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                         b.doc_id AS doc_b, b.simhash AS sh_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1""",
+    "q29_ann_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b))
+                        AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM n
+               WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
+                              (a, b) -> a + b) / (q.qnrm * c.nrm) AS cos
+           FROM n c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT query_id, vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored) WHERE rank <= 5""",
+    "q30_lsh_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b))
+                        AS nrm
+               FROM e),
+         proj AS (
+           SELECT vec_id, p.p,
+                  list_reduce(list_transform(emb, (x, i) ->
+                    x * CASE WHEN substr(md5(p.p || ':' || i), 1, 1) >= '8'
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
+                    (a, b) -> a + b) AS proj
+           FROM n, range(8) p(p)),
+         bucket AS (SELECT vec_id,
+                           CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p)
+                                    ELSE 0 END) AS BIGINT) AS bucket
+                    FROM proj GROUP BY 1),
+         b AS (SELECT n.vec_id, bucket, emb, nrm FROM n JOIN bucket USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, bucket AS qbucket, emb AS qemb, nrm AS qnrm
+               FROM b WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
+                              (a, b) -> a + b) / (q.qnrm * c.nrm) AS cos
+           FROM b c, q WHERE c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT query_id, vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored) WHERE rank <= 3""",
+    "q31_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'nd ', ''))) / 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, 'der', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ein', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'sch', ''))) / 3 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, 'le ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'es ', ''))) / 3 AS BIGINT) AS score_fr,
+             CAST((length(text) - length(replace(text, 'de ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'la ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'os ', ''))) / 3 AS BIGINT) AS score_es
+           FROM documents)
+         SELECT doc_id, score_en, score_de, score_fr, score_es,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                WHEN score_fr >= score_es THEN 'fr'
+                ELSE 'es' END AS predicted
+         FROM s""",
+    "q32_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(list_sum(list_transform(toks, x ->
+                        CASE WHEN x IN ('the','a','of','and','to','in','is','it')
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop
+               FROM t)
+         SELECT doc_id, n_tokens,
+                length(text) / n_tokens AS avg_token_len,
+                n_stop / n_tokens AS stopword_ratio,
+                least(n_tokens / 100.0, CAST(1.0 AS DOUBLE)) * 0.5
+                  + least(n_stop / n_tokens * 5.0, CAST(1.0 AS DOUBLE)) * 0.5 AS quality
+         FROM s""",
+    "q33_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+         FROM documents""",
+    "q34_fingerprint" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents)
+         SELECT doc_id,
+           CAST(sum(((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 2147483647)
+                     * ((i * 2654435761) % 2147483647)) % 2147483647)
+                % 2147483647 AS BIGINT) AS fingerprint
+         FROM tok GROUP BY 1""",
+    "q35_blob_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(CAST(text AS BLOB)) % 64 + 1 AS BIGINT) AS width,
+         CAST(octet_length(CAST(text AS BLOB))
+              // (octet_length(CAST(text AS BLOB)) % 64 + 1) AS BIGINT) AS height,
+         CAST(list_sum(list_transform(string_split(substr(text, 1, 32), ''),
+              c -> ord(c))) AS BIGINT) AS checksum32
+         FROM documents""",
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data curation over `documents`:
+  * language-ID (character-trigram profiles), quality scoring, token
+  * counting (whitespace + subword estimate), and document fingerprinting
+  * (positional hash). All pure Catalyst expressions — single-pass
+  * projections or one partial-aggregated groupBy, no UDFs, so at 100 TB
+  * each is a map-only scan (or one narrow shuffle) over the corpus.
+  */
+object TextAnalysis {
+
+  /** Occurrences of a literal substring: (len(text)-len(remove(text)))/len(pat)
+    * — portable to any SQL engine, no regex dialect in play. */
+  private def occurrences(text: Column, pat: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), "")))
+      ./(lit(pat.length)).cast("long")
+
+  /** Character-trigram language profiles. The scoring machinery is the
+    * operator; profiles are swappable per corpus. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", "nd "),
+    "de" -> Seq("der", "ein", "sch"),
+    "fr" -> Seq("le ", "ent", "es "),
+    "es" -> Seq("de ", "la ", "os "))
+
+  /** Language-ID by trigram-profile hit counts: score_l = total occurrences
+    * of l's profile trigrams; predicted = argmax with fixed precedence
+    * (en > de > fr > es) on ties. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = profiles.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (l, tgs)) =>
+        df.withColumn(s"score_$l",
+          tgs.map(occurrences($"text", _)).reduce(_ + _))
+    }
+    val Seq(en, de, fr, es) = profiles.map { case (l, _) => col(s"score_$l") }
+    scored.select($"doc_id", en.as("score_en"), de.as("score_de"),
+      fr.as("score_fr"), es.as("score_es"),
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("predicted"))
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio, and
+    * a bounded composite score — the length/stopword heuristics of corpus
+    * filtering, as one codegen'd projection. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val t = TextOps.toks($"text")
+    val nTok = size(t).cast("long")
+    val nStop = aggregate(
+      transform(t, x => when(x.isin(stop: _*), 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      nTok.as("n_tokens"),
+      (length($"text") / nTok).as("avg_token_len"),
+      (nStop / nTok).as("stopword_ratio"),
+      (least(nTok / lit(100.0), lit(1.0)) * 0.5
+        + least(nStop / nTok * 5.0, lit(1.0)) * 0.5).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens plus a subword (BPE-flavored)
+    * estimate of ceil(len/4) pieces per token. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(t).cast("long").as("n_tokens"),
+      aggregate(transform(t, x => ceil(length(x) / 4.0)), lit(0L), (acc, x) => acc + x)
+        .as("n_subwords"))
+  }
+
+  /** Positional document fingerprint: fp = sum_i (h(tok_i) mod P) * w_i
+    * mod P with h = first 8 md5 hex digits as int, w_i = (i * 2654435761)
+    * mod P, P = 2^31-1 — a rolling-hash-style order-sensitive signature
+    * (permuted docs get different fingerprints, unlike bag-of-words
+    * hashes). One narrow groupBy(doc_id) with partial aggregation. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val P = 2147483647L
+    Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(TextOps.toks($"text")).as(Seq("pos", "tok")))
+      .withColumn("term",
+        (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % P)
+          * ((($"pos" + 1) * lit(2654435761L)) % P) % P)
+      .groupBy($"doc_id")
+      .agg((sum($"term") % P).as("fingerprint"))
+  }
+}
