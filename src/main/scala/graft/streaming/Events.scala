@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.util.concurrent.TimeoutException
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming twin of the event system (SURVEY §2.8; reference
+  * `fdf/factory.py:295-320` setevent/wfevent over MDSplus events).
+  *
+  * The batch operators q21/q22 share these exact expressions — the same
+  * `window()`/session logic runs under `readStream` unchanged, which is
+  * the Spark-native answer to the reference's one-off pub/sub: declare the
+  * transform once, run it over bounded or unbounded input.
+  *
+  * Scale: watermarks bound state; aggregation state is partitioned by
+  * (window, event_type) / (user_id) keys, so a 1000-executor cluster
+  * shards state naturally. No driver-side state anywhere.
+  */
+object Events {
+
+  /** The events stream from a parquet source (file-source streaming).
+    * Schema must be supplied for readStream; ts arrives as parquet-nanos
+    * long (see Tables.events) and is rebuilt to a microsecond timestamp.
+    * Spark's file stream source wants a directory: a bare events.parquet
+    * file is staged into a temp dir once (in production the source would
+    * already be a directory of part files). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = new java.io.File(s"$dir/events.parquet")
+    val streamDir =
+      if (src.isDirectory) src.getPath
+      else {
+        val staged = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_stream_${Integer.toHexString(dir.hashCode)}")
+        val target = new java.io.File(staged, "events.parquet")
+        if (!target.exists()) {
+          staged.mkdirs()
+          java.nio.file.Files.copy(src.toPath, target.toPath)
+        }
+        staged.getPath
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums with a 1-hour watermark —
+    * the streaming form of q21_tumbling_window. */
+  def windowedAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(unix_millis($"w.start").as("window_start_ms"), $"event_type", $"n",
+        $"sum_value")
+  }
+
+  /** Gap-based session aggregation via the built-in session_window —
+    * the streaming form of q22_sessionize (30-minute gap). */
+  def sessionAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_millis($"w.start").as("session_start_ms"),
+        unix_millis($"w.end").as("session_end_ms"), $"n_events")
+  }
+
+  case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  case class UserStats(user_id: Long, n: Long, max_value: Double)
+
+  /** Custom keyed state (the KeyValueGroupedDataset path): running
+    * per-user count and max, emitted on every update. The pattern a
+    * shot-registry upsert ("shots are added as referenced") needs. */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, Double.MinValue))
+          val next = rows.foldLeft(prev)((s, e) =>
+            UserStats(uid, s.n + 1, math.max(s.max_value, e.value)))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Event payload codec (reference `fdf/factory.py:296-317`): shot id as
+    * 4 little-endian base-256 bytes + utf8 payload, as one BinaryType
+    * column. Pure column exprs (hex -> to_binary), so it runs identically
+    * in batch and streaming and stays in codegen. */
+  def encodeEvent(shot: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val byteHex = (i: Int) =>
+      lpad(hex(shiftright(shot.cast("long"), 8 * i) % 256), 2, "0")
+    concat(
+      to_binary(concat(byteHex(0), byteHex(1), byteHex(2), byteHex(3)), lit("hex")),
+      payload.cast("binary"))
+  }
+
+  /** Inverse of encodeEvent: little-endian base-256 weighted sum of the
+    * first 4 bytes (the `sum(bytes * 256**arange(4))` decode). */
+  def decodeShot(event: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(substring(event, 1, 4)) // 8 hex chars, big-endian per byte
+    val byteAt = (i: Int) => conv(substring(h, 2 * i + 1, 2), 16, 10).cast("long")
+    byteAt(0) + byteAt(1) * 256L + byteAt(2) * 65536L + byteAt(3) * 16777216L
+  }
+
+  /** Payload text after the 4-byte shot header. */
+  def decodePayload(event: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(event, 5, Int.MaxValue).cast("string")
+
+
+  /** wfevent semantics (reference `fdf/factory.py:307-320`): wait up to
+    * timeoutMs for the first micro-batch of a filtered event stream;
+    * return the matched rows, or throw on timeout like the reference's
+    * FdfError timeout path. */
+  def waitForEvent(spark: SparkSession, stream: DataFrame, eventType: String,
+      timeoutMs: Long): Array[org.apache.spark.sql.Row] = {
+    val name = s"wfevent_${System.nanoTime()}"
+    val q = stream.where(col("event_type") === eventType)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        if (rows.isEmpty) Thread.sleep(50)
+      }
+      if (rows.isEmpty) throw new TimeoutException(s"no '$eventType' event within ${timeoutMs}ms")
+      rows
+    } finally q.stop()
+  }
+}

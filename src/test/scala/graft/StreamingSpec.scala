@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Events
+
+/** Streaming semantics checks: the streaming transforms must agree with
+  * their batch twins over the same bounded input (run with AvailableNow
+  * against the events parquet), the custom-state path must fold correctly,
+  * and the event codec must roundtrip. */
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming windowed agg equals batch q21 on bounded input") {
+    import spark.implicits._
+    val stream = Events.readEventStream(spark, sfDir)
+    runToMemory(Events.windowedAgg(stream), "win_agg", "complete")
+    val streamed = spark.table("win_agg")
+    val batch = SparkEntry.queries("q21_tumbling_window")(spark, sfDir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("streaming session windows match batch q22 session stats") {
+    import spark.implicits._
+    val stream = Events.readEventStream(spark, sfDir)
+    runToMemory(Events.sessionAgg(stream), "sess_agg", "complete")
+    val streamed = spark.table("sess_agg")
+      .select($"user_id", $"session_start_ms", $"n_events")
+    val batch = SparkEntry.queries("q22_sessionize")(spark, sfDir)
+      .select($"user_id", $"session_start_ms", $"n_events")
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("flatMapGroupsWithState keeps running per-user stats") {
+    import spark.implicits._
+    val stream = Events.readEventStream(spark, sfDir)
+      .select($"user_id", $"event_id", $"value").as[Events.UserEvent]
+    runToMemory(Events.runningUserStats(stream).toDF(), "user_stats", "update")
+    // last update per user must equal the batch count/max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n".desc)
+    val finalStats = spark.table("user_stats")
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("bn"), max($"value").as("bmax"))
+    val joined = finalStats.join(batch, "user_id")
+    assert(joined.where($"n" =!= $"bn" || $"max_value" =!= $"bmax").count() === 0)
+  }
+
+  test("event codec roundtrips shot + payload") {
+    import spark.implicits._
+    val df = Seq((141000L, "plasma current ramp"), (0L, ""), (16777217L, "x"))
+      .toDF("shot", "payload")
+      .withColumn("event", Events.encodeEvent($"shot", $"payload"))
+      .withColumn("shot2", Events.decodeShot($"event"))
+      .withColumn("payload2", Events.decodePayload($"event"))
+    assert(df.where($"shot" =!= $"shot2").count() === 0)
+    assert(df.where($"payload" =!= $"payload2").count() === 0)
+  }
+
+  test("waitForEvent returns matching events within timeout and times out otherwise") {
+    import spark.implicits._
+    val stream = Events.readEventStream(spark, sfDir)
+    val rows = Events.waitForEvent(spark, stream, "click", timeoutMs = 60000)
+    assert(rows.nonEmpty)
+    intercept[java.util.concurrent.TimeoutException] {
+      Events.waitForEvent(spark, stream, "no_such_event_type", timeoutMs = 3000)
+    }
+  }
+}
