@@ -53,6 +53,8 @@ object SparkEntry {
     "q33_token_count"       -> (TextAnalysis.tokenCount _),
     "q34_fingerprint"       -> (TextAnalysis.fingerprint _),
     "q35_blob_meta"         -> (Multimodal.blobMeta _),
+    // no oracle entry (libm trig is not bit-portable): driver rows-only check
+    "q36_fft_power"         -> (Spectral.fftPower _),
   )
 
   def oracleSql: Map[String, String] = Map(

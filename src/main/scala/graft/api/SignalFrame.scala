@@ -1,0 +1,115 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{SignalCatalog, SignalMeta}
+import graft.operators.AsOf
+
+/** The engine's user-facing verbs (SURVEY §7.1 step 3) — the FDF access
+  * idiom `nstx.s141000.mpts.te(time=(0.2,0.4))` re-expressed over long-
+  * format signal tables `(shot, time, axis…, value[, value_err])`.
+  *
+  * Everything composes lazily into one Catalyst plan; axis-coordinate
+  * coherence (SURVEY §2.2 P4 — slicing data slices axes) is free because
+  * axes are columns of the same rows. Partition pruning on `shot` replaces
+  * the reference's per-shot connection fan-out.
+  */
+final case class Machine(spark: SparkSession, catalog: SignalCatalog,
+    dataDir: String, logbook: Option[DataFrame] = None) {
+
+  def shot(n: Int): ShotView = ShotView(this, n)
+
+  /** Shot discovery (reference `get_shotlist`, `factory.py:596-633`):
+    * one distributed union+distinct job, not a per-key query loop. */
+  def shotlist(xps: Seq[Int] = Nil, dates: Seq[java.sql.Date] = Nil): DataFrame = {
+    val lb = logbook.getOrElse(
+      throw new IllegalStateException("machine has no logbook"))
+    val live = lb.where(col("voided").isNull)
+    val byXp = if (xps.nonEmpty) live.where(col("xp").isin(xps: _*)) else live.limit(0)
+    val byDate = if (dates.nonEmpty) live.where(col("rundate").isin(dates: _*)) else live.limit(0)
+    byXp.union(byDate).select(col("shot")).distinct().orderBy(col("shot"))
+  }
+
+  /** Per-shot metadata (reference `factory.py:438-455`): xp set and the
+    * rundate of the earliest entry. */
+  def shotMeta: DataFrame = {
+    val lb = logbook.getOrElse(
+      throw new IllegalStateException("machine has no logbook"))
+    lb.where(col("voided").isNull)
+      .groupBy(col("shot"))
+      .agg(
+        array_sort(collect_set(col("xp"))).as("xps"),
+        min(struct(col("entered"), col("rundate"))).getField("rundate").as("date"))
+  }
+
+  private[api] def table(meta: SignalMeta): DataFrame =
+    spark.read.parquet(s"$dataDir/${meta.qualifiedName.replace('.', '_')}.parquet")
+}
+
+final case class ShotView(machine: Machine, shotNo: Int) {
+  def signal(qualifiedName: String): SignalFrame = {
+    val meta = machine.catalog.signal(qualifiedName)
+    SignalFrame(meta,
+      machine.table(meta).where(col("shot") === shotNo))
+  }
+}
+
+/** A lazily-composed view of one signal's samples. All verbs return new
+  * SignalFrames over the same plan; `.df` escapes to the raw DataFrame. */
+final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
+
+  private def chain(d: DataFrame): SignalFrame = copy(df = d)
+
+  /** Range slice on an axis — `sig(time=(lo, hi))` (SURVEY P5/P9). */
+  def slice(axis: String, lo: Double, hi: Double): SignalFrame =
+    chain(df.where(col(axis).between(lo, hi)))
+
+  /** Point slice at the nearest sample — `sig(time=0.25)` with numpy
+    * first-minimum tie-break (SURVEY P5/A3). */
+  def at(axis: String, value: Double): SignalFrame =
+    chain(AsOf.nearest(df, axis, value, Seq("shot")))
+
+  /** Channel subset (SURVEY G2 fan-out becomes a predicate). */
+  def channels(ch: Seq[Int]): SignalFrame =
+    chain(df.where(col("channel").isin(ch: _*)))
+
+  /** Unit transform: value -> value * k (the `_postprocess` scaling
+    * family, e.g. cm->m `/100`). Error column scales with it. */
+  def scaled(k: Double): SignalFrame = {
+    val scaledErr =
+      if (df.columns.contains("value_err"))
+        Seq((col("value_err") * k).as("value_err"))
+      else Nil
+    val others = df.columns.filterNot(c => c == "value" || c == "value_err").map(col)
+    chain(df.select(others ++ Seq((col("value") * k).as("value")) ++ scaledErr: _*))
+  }
+
+  /** DC-baseline removal: subtract the mean of the first n samples per
+    * (shot[, channel]) trace — the usxr postprocess (SURVEY A1/W4). */
+  def dcRemoved(n: Int): SignalFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("shot") ++ (if (df.columns.contains("channel")) Seq("channel") else Nil)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("time").asc)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val based = df
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__base",
+        avg(when(col("__rn") <= n, col("value"))).over(wAll))
+    chain(based
+      .withColumn("value", col("value") - col("__base"))
+      .drop("__rn", "__base"))
+  }
+
+  /** Aggregate over the current slice (SURVEY A2: sub-block max etc.). */
+  def aggValue(f: Column => Column): DataFrame =
+    df.agg(f(col("value")).as("agg"))
+
+  /** Bounded collect of one trace to the driver — the plot-sink boundary
+    * (SURVEY S11): the engine computes, the client renders. */
+  def collectTrace(maxRows: Int = 1000000): Array[org.apache.spark.sql.Row] = {
+    val n = df.count()
+    require(n <= maxRows, s"trace has $n rows; refusing driver collect > $maxRows")
+    df.orderBy(meta.axes.map(col): _*).collect()
+  }
+}

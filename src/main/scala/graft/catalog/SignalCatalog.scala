@@ -1,0 +1,191 @@
+package graft.catalog
+
+import scala.xml.{Elem, Node, XML}
+
+import org.apache.spark.sql.types._
+
+/** Metadata-driven signal catalog (SURVEY §1.3-1.4): the engine's
+  * replacement for the reference's runtime-synthesized container tree
+  * (`/root/reference/fdf/factory.py:654-791`). XML files declare a
+  * container hierarchy of signals/axes/nodes; this parser resolves the
+  * same inheritance semantics into flat, immutable `SignalMeta` rows that
+  * drive schemas, ingest normalization, and the SignalFrame API:
+  *
+  *  - tree defaults from the enclosing container, overridable per element
+  *    (reference `factory.py:1055-1059`)
+  *  - path prefixes join container path + element node
+  *    (`factory.py:1030-1052`)
+  *  - units inherit from the container when absent (`factory.py:1002-1009`)
+  *  - time-first canonical axis order, recording the transpose permutation
+  *    to apply at ingest (`factory.py:970-987,194-195`)
+  *  - channel range fan-out `range="1,16[,pad]"` -> ch01..ch16 with
+  *    explicit or ceil(log10) zero-padding (`factory.py:935-966`)
+  *  - `[template]` string substitution instantiating one container per
+  *    discovered run (`modules/equilibria/_preprocess.py:19-42`)
+  *  - per-signal error node (`factory.py:1012-1024`) and `dim_of`
+  *    time-base indirection (`factory.py:188-189`)
+  *
+  * Unlike the reference, each signal keeps its own axis bindings — the
+  * filterscope per-signal-time-base *intent* (SURVEY §1.5), which the long
+  * data format makes free.
+  */
+final case class AxisMeta(name: String, path: String, units: Option[String])
+
+final case class SignalMeta(
+    qualifiedName: String,
+    diagnostic: String,
+    tree: String,
+    path: String,
+    units: Option[String],
+    declaredAxes: Seq[String],
+    axes: Seq[String], // canonical: time first
+    transpose: Option[Seq[Int]], // permutation declared -> canonical, if any
+    axisMeta: Seq[AxisMeta],
+    errorPath: Option[String],
+    dimOf: Option[Int]) {
+  /** Long-format schema for this signal's table: (shot, time-first axes…,
+    * value[, value_err]) with units carried as column metadata. */
+  def schema: StructType = {
+    val unitsMeta = (u: Option[String]) =>
+      u.map(v => new MetadataBuilder().putString("units", v).build())
+        .getOrElse(Metadata.empty)
+    val axisFields = axes.map { a =>
+      val am = axisMeta.find(_.name == a)
+      StructField(a, DoubleType, nullable = false, unitsMeta(am.flatMap(_.units)))
+    }
+    StructType(
+      (StructField("shot", IntegerType, nullable = false) +:
+        axisFields :+
+        StructField("value", DoubleType, nullable = false, unitsMeta(units)) :+
+        StructField("value_err", DoubleType, nullable = true))
+        .filter(f => f.name != "value_err" || errorPath.isDefined))
+  }
+}
+
+final case class SignalCatalog(signals: Seq[SignalMeta]) {
+  private lazy val byName = signals.map(s => s.qualifiedName -> s).toMap
+  def signal(qualifiedName: String): SignalMeta = byName(qualifiedName)
+  def get(qualifiedName: String): Option[SignalMeta] = byName.get(qualifiedName)
+  def diagnostics: Seq[String] = signals.map(_.diagnostic).distinct
+  def forDiagnostic(d: String): Seq[SignalMeta] = signals.filter(_.diagnostic == d)
+  def ++(other: SignalCatalog): SignalCatalog = SignalCatalog(signals ++ other.signals)
+}
+
+object SignalCatalog {
+
+  /** Parse one diagnostic XML; `templates` instantiates `[name]`
+    * placeholders once per value (empty seq = no templating applied). */
+  def fromXml(xml: Elem, templates: Map[String, Seq[String]] = Map.empty): SignalCatalog = {
+    val expansions: Seq[String => String] =
+      templates.toSeq.sortBy(_._1) match {
+        case Seq() => Seq(identity[String] _)
+        case kvs =>
+          kvs.foldLeft(Seq(identity[String] _)) { case (acc, (key, values)) =>
+            for (f <- acc; v <- values) yield (s: String) => f(s).replace(s"[$key]", v)
+          }
+      }
+    SignalCatalog(expansions.flatMap(sub => parseContainer(xml, Context.root(sub))))
+  }
+
+  def fromFile(path: String, templates: Map[String, Seq[String]] = Map.empty): SignalCatalog =
+    fromXml(XML.loadFile(path), templates)
+
+  private case class Context(
+      sub: String => String,
+      namePrefix: String,
+      diagnostic: String,
+      tree: String,
+      path: String,
+      units: Option[String],
+      axes: Map[String, AxisMeta])
+
+  private object Context {
+    def root(sub: String => String): Context =
+      Context(sub, "", "", "", "", None, Map.empty)
+  }
+
+  private def attr(n: Node, a: String): Option[String] =
+    n.attribute(a).map(_.text).filter(_.nonEmpty)
+
+  /** Join a container path and an element node: absolute nodes (leading
+    * backslash) replace the prefix, relative ones append. */
+  private def joinPath(prefix: String, node: String): String =
+    if (node.startsWith("\\")) node
+    else if (prefix.isEmpty) node
+    else prefix + node
+
+  private def parseContainer(e: Node, parent: Context): Seq[SignalMeta] = {
+    val name = parent.sub(attr(e, "name").getOrElse(""))
+    val qualified =
+      if (parent.namePrefix.isEmpty) name else s"${parent.namePrefix}.$name"
+    val ctx0 = parent.copy(
+      namePrefix = qualified,
+      diagnostic = if (parent.diagnostic.isEmpty) name else parent.diagnostic,
+      tree = parent.sub(attr(e, "tree").getOrElse(parent.tree)),
+      path = joinPath(parent.path, parent.sub(attr(e, "path").getOrElse(""))),
+      units = attr(e, "units").orElse(parent.units))
+    // axes first: signals in this container reference them by name; an axis
+    // redeclared deeper shadows the outer one (each signal binds the axes
+    // visible at its own scope — the per-signal-time-base intent)
+    val ctx = e.child.filter(_.label == "axis").foldLeft(ctx0) { (c, a) =>
+      val an = attr(a, "name").get
+      c.copy(axes = c.axes + (an -> AxisMeta(
+        an,
+        joinPath(c.path, c.sub(attr(a, "node").getOrElse(""))),
+        attr(a, "units").orElse(c.units))))
+    }
+    val here = e.child.filter(_.label == "signal").flatMap(parseSignal(_, ctx))
+    val nested = e.child.filter(_.label == "container")
+      .flatMap(parseContainer(_, ctx))
+    here ++ nested
+  }
+
+  private def parseSignal(s: Node, ctx: Context): Seq[SignalMeta] = {
+    val baseName = ctx.sub(attr(s, "name").get)
+    val node = ctx.sub(attr(s, "node").getOrElse(""))
+    val declaredAxes = attr(s, "axes").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // canonical order: time first, remaining axes in declared order
+    val canonical =
+      if (declaredAxes.contains("time"))
+        "time" +: declaredAxes.filterNot(_ == "time")
+      else declaredAxes
+    val transpose =
+      if (canonical == declaredAxes) None
+      else Some(canonical.map(declaredAxes.indexOf(_)))
+    val units = attr(s, "units").orElse(ctx.units)
+    val err = attr(s, "error").map(er => joinPath(ctx.path, ctx.sub(er)))
+    val dimOf = attr(s, "dim_of").map(_.toInt)
+    val axisMeta = canonical.flatMap(ctx.axes.get)
+
+    def meta(name: String, nodeStr: String): SignalMeta = SignalMeta(
+      qualifiedName = s"${ctx.namePrefix}.$name",
+      diagnostic = ctx.diagnostic,
+      tree = ctx.tree,
+      path = joinPath(ctx.path, nodeStr),
+      units = units,
+      declaredAxes = declaredAxes,
+      axes = canonical,
+      transpose = transpose,
+      axisMeta = axisMeta,
+      errorPath = err,
+      dimOf = dimOf)
+
+    attr(s, "range") match {
+      case None => Seq(meta(baseName, node))
+      case Some(r) =>
+        val parts = r.split(",").map(_.trim)
+        val (start, end) = (parts(0).toInt, parts(1).toInt)
+        val pad =
+          if (parts.length > 2) parts(2).toInt
+          else math.ceil(math.log10(end + 1)).toInt
+        (start to end).map { ch =>
+          val chs = s"%0${pad}d".format(ch)
+          meta(baseName.replace("{}", chs) match {
+            case n if n == baseName => s"$baseName$chs" // no placeholder: suffix
+            case n => n
+          }, node.replace("{}", chs))
+        }
+    }
+  }
+}

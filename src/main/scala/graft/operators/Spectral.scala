@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fft
+import graft.sources.Tables
+
+/** Spectral analysis over per-key traces (SURVEY §2.7 F7): assemble a
+  * bounded trace per user from the events table and run the native FFT
+  * expression on it. Not DuckDB-oracle-checkable (libm cos/sin are not
+  * bit-portable across engines) — correctness is gated by FftSpec's
+  * DFT/analytic oracles instead.
+  *
+  * Plan shape at scale: one shuffle to group traces (bounded length — the
+  * collect_list is capped), then a map-only FFT per row; spectra never
+  * leave the executors.
+  */
+object Spectral {
+
+  /** Power spectrum of each user's first 8 samples (by ts): one row per
+    * (user_id, bin). */
+  def fftPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val traces = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 8)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"rn", $"value"))).as("s"))
+      .where(size($"s") === 8)
+      .select($"user_id", transform($"s", x => x.getField("value")).as("trace"))
+    traces
+      .select($"user_id", posexplode(Fft.powerSpectrum($"trace")).as(Seq("bin", "power")))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import scala.xml.XML
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{Machine, SignalFrame}
+import graft.catalog.SignalCatalog
+import graft.operators.AsOf
+
+/** SignalFrame API semantics over a synthesized long-format signal table:
+  * slicing, nearest-point (numpy first-min tie-break), channels, unit
+  * scaling, DC removal, shot discovery. */
+class ApiSpec extends SparkSpec {
+
+  private lazy val dataDir = {
+    import spark.implicits._
+    val dir = "target/api_test"
+    val rows = for {
+      shot <- Seq(1, 2)
+      ti <- 0 until 10
+      ri <- 0 until 5
+    } yield (shot, ti / 10.0, 10.0 + ri, shot * 1000.0 + ti + ri / 10.0, 0.5)
+    rows.toDF("shot", "time", "radius", "value", "value_err")
+      .write.mode("overwrite").parquet(s"$dir/mpts_te.parquet")
+    val chRows = for {
+      shot <- Seq(1)
+      ch <- 1 to 4
+      ti <- 0 until 8
+    } yield (shot, ch, ti * 1.0, (if (ti < 2) 5.0 else 10.0) + ch)
+    chRows.toDF("shot", "channel", "time", "value")
+      .write.mode("overwrite").parquet(s"$dir/bes_ch.parquet")
+    dir
+  }
+
+  private lazy val cat = SignalCatalog.fromXml(XML.loadString(
+    """<container name="root" tree="t" path="\TOP">
+      |  <container name="mpts" path=".MPTS">
+      |    <axis name="time" node=".T"/>
+      |    <axis name="radius" node=".R"/>
+      |    <signal name="te" node=".TE" units="keV" axes="radius, time" error=".E"/>
+      |  </container>
+      |  <container name="bes" path=".BES">
+      |    <axis name="time" node=".T"/>
+      |    <signal name="ch" node=".CH" axes="time"/>
+      |  </container>
+      |</container>""".stripMargin))
+
+  // catalog names are root-prefixed; strip to match table naming
+  private lazy val machine = {
+    val renamed = cat.signals.map(s =>
+      s.copy(qualifiedName = s.qualifiedName.stripPrefix("root.")))
+    Machine(spark, SignalCatalog(renamed), dataDir)
+  }
+
+  test("range slice keeps axes coherent (P4/P5): rows filtered on time only") {
+    val sf = machine.shot(1).signal("mpts.te").slice("time", 0.2, 0.4)
+    assert(sf.df.count() === 3 * 5) // times .2 .3 .4, all radii
+    assert(sf.df.agg(min("time")).head().getDouble(0) === 0.2)
+    assert(sf.df.agg(max("time")).head().getDouble(0) === 0.4)
+  }
+
+  test("at() picks the nearest sample, full profile at that time") {
+    val sf = machine.shot(1).signal("mpts.te").at("time", 0.26)
+    val times = sf.df.select("time").distinct().collect().map(_.getDouble(0))
+    assert(times.toSeq === Seq(0.3))
+    assert(sf.df.count() === 5) // all radii at the nearest time
+  }
+
+  test("at() ties break to the first (smallest) sample like np.argmin") {
+    import spark.implicits._
+    val df = Seq((1, 1.0, 10.0), (1, 2.0, 20.0)).toDF("shot", "time", "value")
+    val near = AsOf.nearest(df, "time", 1.5, Seq("shot"))
+    assert(near.select("time").head().getDouble(0) === 1.0)
+  }
+
+  test("channels subsets the fan-out; scaled() transforms value and error") {
+    val sf = machine.shot(1).signal("bes.ch").channels(Seq(1, 3))
+    assert(sf.df.select("channel").distinct().count() === 2)
+    val te = machine.shot(1).signal("mpts.te").scaled(0.01)
+    val r = te.df.agg(max("value"), max("value_err")).head()
+    assert(r.getDouble(0) === (1000.0 + 9 + 0.4) * 0.01)
+    assert(r.getDouble(1) === 0.5 * 0.01)
+  }
+
+  test("dcRemoved subtracts the leading-window mean per trace") {
+    val sf = machine.shot(1).signal("bes.ch").dcRemoved(2)
+    // first 2 samples are 5+ch -> baseline = 5+ch; later samples 10+ch -> 5
+    val late = sf.df.where(col("time") >= 2.0).select("value").distinct().collect()
+    assert(late.map(_.getDouble(0)).toSeq === Seq(5.0))
+  }
+
+  test("asofJoin directions and tolerance") {
+    import spark.implicits._
+    val probes = Seq((1, 1.45), (1, 3.0)).toDF("shot", "t")
+    val samples = Seq((1, 1.0, "a"), (1, 2.0, "b"), (1, 2.9, "c"))
+      .toDF("shot", "ts", "tag")
+    def tags(dir: String, tol: Option[Double] = None) =
+      AsOf.asofJoin(probes, samples, "t", "ts", Seq("shot"), dir, tol)
+        .orderBy("t").select("tag").collect().map(_.getString(0)).toSeq
+    assert(tags("nearest") === Seq("a", "c")) // 1.45->1.0 (tie? .45 vs .55), 3.0->2.9
+    assert(tags("backward") === Seq("a", "c"))
+    assert(tags("forward") === Seq("b"))      // no sample >= 3.0 -> dropped
+    assert(tags("nearest", Some(0.2)) === Seq("c"))
+  }
+
+  test("shotlist unions xp and date predicates, distinct, ordered (S4/G1)") {
+    import spark.implicits._
+    val lb = Seq(
+      (101, 7, Date.valueOf("2024-01-01"), Timestamp.valueOf("2024-01-01 08:00:00"), null.asInstanceOf[String]),
+      (102, 7, Date.valueOf("2024-01-02"), Timestamp.valueOf("2024-01-02 08:00:00"), null.asInstanceOf[String]),
+      (103, 8, Date.valueOf("2024-01-01"), Timestamp.valueOf("2024-01-01 09:00:00"), null.asInstanceOf[String]),
+      (104, 9, Date.valueOf("2024-02-01"), Timestamp.valueOf("2024-02-01 08:00:00"), "void"))
+      .toDF("shot", "xp", "rundate", "entered", "voided")
+    val m = machine.copy(logbook = Some(lb))
+    val shots = m.shotlist(xps = Seq(7), dates = Seq(Date.valueOf("2024-01-01")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(shots === Seq(101, 102, 103))
+    val meta = m.shotMeta.where(col("shot") === 101).head()
+    assert(meta.getAs[Seq[Int]]("xps") === Seq(7))
+    assert(meta.getAs[Date]("date") === Date.valueOf("2024-01-01"))
+  }
+
+  test("collectTrace refuses unbounded driver collects") {
+    val sf = machine.shot(1).signal("mpts.te")
+    intercept[IllegalArgumentException] { sf.collectTrace(maxRows = 10) }
+    assert(sf.collectTrace().length === 50)
+  }
+}

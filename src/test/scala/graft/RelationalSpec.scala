@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
 
   test("every declared query runs and has matching oracle SQL") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // only explicitly non-SQL-expressible ops may lack an oracle
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set("q36_fft_power"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty, s"$name has no columns")
