@@ -26,5 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: on this VM an adaptive G1 young gen grew
+  // into cold (never-faulted) memory and young collections took seconds
+  // (measured YGCT 3-5 s/collection at 28g) — pre-touching and capping
+  // the heap keeps GC pauses in the millisecond range and removes the
+  // 4-30x run-to-run variance it caused.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
+  "-XX:+AlwaysPreTouch",
+  // Spark's per-query generated classes fill the default 240 MB code
+  // cache over a long run; once full the JIT disables itself and
+  // everything drops to interpreter speed.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scratch timing harness (not part of the driver contract). */
+object DebugTime {
+
+  class StageLog extends SparkListener {
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val m = si.taskMetrics
+      val wall = for {
+        s <- si.submissionTime; c <- si.completionTime
+      } yield (c - s) / 1000.0
+      println(f"    stage ${si.stageId}%3d ${si.numTasks}%4d tasks " +
+        f"wall=${wall.getOrElse(-1.0)}%7.2fs cpu=${m.executorRunTime / 1000.0}%8.2fs " +
+        f"gc=${m.jvmGCTime / 1000.0}%7.2fs " +
+        f"shuffleR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+        f"shuffleW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB  ${si.name.takeWhile(_ != '(')}")
+    }
+  }
+
+  def time(label: String)(f: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    f.write.format("noop").mode("overwrite").save()
+    println(f"== $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_STAGE_LOG"))
+      spark.sparkContext.addSparkListener(new StageLog)
+    names.foreach { n =>
+      time(n)(SparkEntry.queries(n)(spark, dir))
+    }
+    spark.stop()
+  }
+}

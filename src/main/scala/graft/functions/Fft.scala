@@ -153,5 +153,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fft"),
       new ExpressionInfo(classOf[FftExpr].getName, "graft_fft"),
       (exprs: Seq[Expression]) => FftExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[NormExpr].getName, "graft_norm"),
+      (exprs: Seq[Expression]) => NormExpr(exprs.head)))
   }
 }

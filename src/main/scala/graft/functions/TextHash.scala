@@ -1,0 +1,262 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text-hash kernels for the dedup family.
+  *
+  * SimHash and MinHash signatures are per-document functions of the token
+  * array — expressing them relationally (explode tokens x bits/seeds, then
+  * groupBy doc) shuffles millions of intermediate rows for what is a
+  * map-only computation. These expressions do the whole signature in one
+  * tight loop per row: at 100 TB that turns the signature stage of dedup
+  * from a full-corpus shuffle into an embarrassingly parallel projection,
+  * and only the tiny (doc, band) table ever reaches a join.
+  *
+  * Hash discipline: everything derives from md5 hex strings exactly as the
+  * DuckDB oracle computes them (`md5(seed || ':' || shingle)` ordered
+  * lexicographically, `substr(md5(tok), j+1, 1) >= '8'` for sign bits), so
+  * results stay bit-identical across engines. CodegenFallback is fine
+  * here: per-row work (dozens of md5 calls) dwarfs the virtual call.
+  */
+object TextHash {
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex md5 of a UTF-8 string — byte-identical to SQL md5(). */
+  private[functions] def md5hex(s: String): String = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def requireStringArray(dt: DataType, name: String): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<string>, got ${other.sql}")
+  }
+
+  private def tokenStrings(input: Any): Array[String] = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      out(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingles (space-joined, first-occurrence order)
+    * from a token array. Docs with fewer than n tokens yield an empty
+    * array. */
+  case class ShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "graft_shingles")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenStrings(input)
+      if (toks.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        val sb = new java.lang.StringBuilder(64)
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_shingles"
+  }
+
+  /** k min-hashes of a shingle array: element s = the lexicographic min
+    * over shingles of md5("s:" + shingle), exactly the oracle's salted-md5
+    * min-wise family. Empty input -> null (the doc simply has no
+    * signature, mirroring a group that never forms in SQL). */
+  case class MinHashExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "graft_minhash")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val shingles = tokenStrings(input)
+      if (shingles.isEmpty) null
+      else {
+        val mins = new Array[String](k)
+        var i = 0
+        while (i < shingles.length) {
+          var s = 0
+          while (s < k) {
+            val h = md5hex(s.toString + ":" + shingles(i))
+            if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+            s += 1
+          }
+          i += 1
+        }
+        new GenericArrayData(mins.map(UTF8String.fromString): Array[Any])
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_minhash"
+  }
+
+  /** LSH band signatures straight from the shingle set: the k min-hashes
+    * grouped into k/r bands of r, each band joined ',' in seed order.
+    * One expression so the whole signature is a single per-row eval —
+    * computing min-hashes and slicing bands in separate projections lets
+    * CollapseProject inline the (expensive) min-hash computation into the
+    * band lambda, re-evaluating it once per band. */
+  case class MinHashBandsExpr(child: Expression, k: Int, r: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "graft_minhash_bands")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val shingles = tokenStrings(input)
+      if (shingles.isEmpty) null
+      else {
+        val mins = new Array[String](k)
+        var i = 0
+        while (i < shingles.length) {
+          var s = 0
+          while (s < k) {
+            val h = md5hex(s.toString + ":" + shingles(i))
+            if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+            s += 1
+          }
+          i += 1
+        }
+        val nBands = k / r
+        val out = new Array[Any](nBands)
+        var b = 0
+        while (b < nBands) {
+          val sb = new java.lang.StringBuilder(r * 33)
+          var j = 0
+          while (j < r) {
+            if (j > 0) sb.append(',')
+            sb.append(mins(b * r + j))
+            j += 1
+          }
+          out(b) = UTF8String.fromString(sb.toString)
+          b += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_minhash_bands"
+  }
+
+  /** 32-bit tf-weighted SimHash of a token array: bit j is set iff
+    * sum over distinct tokens of tf * (+1 if md5(tok) hex digit j >= '8'
+    * else -1) is positive. Single pass, no shuffle. */
+  case class SimHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "graft_simhash")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenStrings(input)
+      val tf = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i < toks.length) {
+        tf.merge(toks(i), 1, Integer.sum)
+        i += 1
+      }
+      val s = new Array[Long](32)
+      val it = tf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val h = md5hex(e.getKey)
+        val w = e.getValue.toLong
+        var j = 0
+        while (j < 32) {
+          if (h.charAt(j) >= '8') s(j) += w else s(j) -= w
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 32) {
+        if (s(j) > 0) out |= 1L << j
+        j += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_simhash"
+  }
+
+  def shingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), n))
+
+  def minhash(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingles), k))
+
+  def minhashBands(shingles: Column, k: Int, r: Int): Column =
+    ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(shingles), k, r))
+
+  def simhash(toks: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(toks)))
+}

@@ -32,40 +32,58 @@ object Dedup {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Near-dup pairs by word-3-gram Jaccard >= 0.6. Candidate generation is
-    * a shingle-equality self-join (blocking on shared shingles), so only
-    * docs sharing content ever meet. */
+  /** Near-dup pairs by word-3-gram Jaccard >= 0.6. One shingle-equality
+    * self-join produces candidate pairs AND their intersection size in the
+    * same pass (shingles are distinct per doc, so the per-pair match count
+    * IS |A∩B|) — no candidate set is ever re-joined against the shingle
+    * table, which at sf0.1 avoided a 58M-row intermediate. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = TextOps.shingled(spark, dir, 3)
-    val cand = sh.as("a").join(sh.as("b"),
+    val shared = sh.as("a").join(sh.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    TextOps.jaccardFor(cand, sh).where($"jaccard" >= 0.6)
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val card = TextOps.shingleCard(sh)
+    shared
+      .join(card.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(card.as("cb"), $"doc_b" === $"cb.doc_id")
+      .select($"doc_a", $"doc_b", $"n_shared",
+        ($"n_shared" / ($"ca.n" + $"cb.n" - $"n_shared")).as("jaccard"))
+      .where($"jaccard" >= 0.6)
   }
 
   /** MinHash + LSH banding: k=12 salted-md5 min-hashes per doc, 4 bands of
     * r=3; docs sharing any band signature are candidates, then verified
     * with exact Jaccard >= 0.5. The candidate set is sublinear in doc
-    * pairs — this is the 100 TB-scale dedup path. */
+    * pairs — this is the 100 TB-scale dedup path.
+    *
+    * The whole signature is one map-only projection (native
+    * TextHash.minhash over the shingle set — no explode, no crossJoin
+    * with seeds, no groupBy); the only shuffled relation is the tiny
+    * (doc, band, sig) table, and the Jaccard verify touches shingle SETS
+    * (array_intersect per candidate pair) rather than re-joining an
+    * exploded shingle table. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = TextOps.shingled(spark, dir, 3)
-    val seeds = spark.range(12).select($"id".cast("int").as("seed"))
-    // min over shingles of md5(seed:shingle) == one min-hash per (doc, seed)
-    val mh = sh.crossJoin(broadcast(seeds))
-      .groupBy($"doc_id", $"seed")
-      .agg(min(md5(concat($"seed".cast("string"), lit(":"), $"shingle"))).as("mh"))
-    // band signature: the r=3 min-hashes of the band, in seed order
-    val bands = mh
-      .groupBy($"doc_id", expr("seed div 3").as("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct($"seed", $"mh"))), x => x.getField("mh")),
-        ",").as("sig"))
-    val cand = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+    val docSh = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
+      .where(size($"sh") > 0)
+    // band b = min-hashes [3b, 3b+3), joined ',' in seed order; the banded
+    // relation stays narrow (doc_id, band, sig_band) through the shuffle
+    val banded = docSh.select($"doc_id",
+        posexplode(graft.functions.TextHash.minhashBands($"sh", 12, 3))
+          .as(Seq("band", "sig_band")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.sig_band" === $"b.sig_band" &&
+          $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    TextOps.jaccardFor(cand, sh)
+    cand
+      .join(docSh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(docSh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("n_shared", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("jaccard",
+        $"n_shared" / (size($"sh_a").cast("long") + size($"sh_b").cast("long") - $"n_shared"))
       .where($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"jaccard")
   }
@@ -73,19 +91,16 @@ object Dedup {
   /** 32-bit SimHash fingerprint per document, from term frequencies.
     * Bit j is set iff sum over tokens of tf * (+1 if hex digit j of
     * md5(token) >= '8' else -1) is positive — the hex-digit high bit is a
-    * portable 1-bit projection both engines compute identically. */
+    * portable 1-bit projection both engines compute identically.
+    *
+    * One native single-pass expression per document (TextHash.simhash):
+    * map-only, zero shuffle — the relational formulation (explode tokens
+    * x 32 bits, two groupBys) shuffled ~1700 intermediate rows per doc. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
-      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-    tf.select($"doc_id", $"tf", $"tok", explode(sequence(lit(0), lit(31))).as("j"))
-      .withColumn("contrib",
-        $"tf" * when(expr("substring(md5(tok), j + 1, 1)") >= "8", 1L).otherwise(-1L))
-      .groupBy($"doc_id", $"j").agg(sum($"contrib").as("s"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-        .as("simhash"))
+    TextOps.docsParallel(spark, dir)
+      .select($"doc_id",
+        graft.functions.TextHash.simhash(TextOps.toks($"text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance <= 1, candidates blocked on
@@ -102,14 +117,14 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("byte",
         expr("(simhash div shiftleft(CAST(1 AS BIGINT), band * 8)) % 256"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // hamming filter BEFORE the dedup shuffle: the per-row filter is free
+    // and cuts the distinct's input from all band collisions to the few
+    // true near-dups (distinct∘filter == filter∘distinct here)
+    banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.byte" === $"b.byte" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"a.simhash".as("sh_a"),
-        $"b.doc_id".as("doc_b"), $"b.simhash".as("sh_b"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .where($"hamming" <= 1)
-      .select($"doc_a", $"doc_b", $"hamming")
+      .distinct()
   }
 }

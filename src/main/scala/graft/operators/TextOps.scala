@@ -19,23 +19,31 @@ object TextOps {
     * tokens on repeated spaces. */
   def toks(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles per document. Guarded so docs shorter
-    * than n tokens yield an empty set (sequence() would otherwise produce
-    * a descending range). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = toks(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles of a token-array column — native
+    * single-pass expression (graft.functions.TextHash). The interpreted
+    * higher-order equivalent (transform+slice+concat_ws) re-evaluated its
+    * argument once per shingle per row — measured 20-100x slower. */
+  def shingles(tokens: Column, n: Int): Column =
+    graft.functions.TextHash.shingles(tokens, n)
+
+  /** Documents spread across all cores BEFORE tokenize/explode. The
+    * shingle explode multiplies rows ~50x, so repartitioning the raw docs
+    * moves 50x fewer bytes than repartitioning after — and a single-file
+    * parquet scan would otherwise pin the whole dedup family to one task.
+    * At cluster scale the scan has many splits and AQE coalesces the tiny
+    * exchange away. */
+  def docsParallel(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
   /** (doc_id, shingle) long table — the base relation for all shingle
-    * dedup operators. Distinct-per-doc by construction. */
+    * dedup operators. Distinct-per-doc by construction. Tokenizes in its
+    * own projection so the shingle lambda reads a materialized array. */
   def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(shingles($"text", n)).as("shingle"))
+    docsParallel(spark, dir)
+      .select($"doc_id", toks($"text").as("toks"))
+      .select($"doc_id", explode(shingles($"toks", n)).as("shingle"))
   }
 
   /** Per-doc distinct-shingle cardinality. */
