@@ -55,6 +55,10 @@ object SparkEntry {
     "q35_blob_meta"         -> (Multimodal.blobMeta _),
     // no oracle entry (libm trig is not bit-portable): driver rows-only check
     "q36_fft_power"         -> (Spectral.fftPower _),
+    "q37_cosine_neardup"    -> (Similarity.cosineNearDup _),
+    "q38_ivf_ann"           -> (Similarity.ivfAnn _),
+    "q39_frame_sample"      -> (Multimodal.frameSample _),
+    "q40_blob_features"     -> (Multimodal.blobFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -405,5 +409,78 @@ object SparkEntry {
          CAST(list_sum(list_transform(string_split(substr(text, 1, 32), ''),
               c -> ord(c))) AS BIGINT) AS checksum32
          FROM documents""",
+    "q37_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         proj AS (SELECT vec_id, p.p,
+                list_reduce(list_transform(emb, (x, i) ->
+                  x * CASE WHEN substr(md5(p.p || ':' || i), 1, 1) >= '8'
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
+                  (a, b) -> a + b) AS proj
+              FROM n, range(8) p(p)),
+         bits AS (SELECT vec_id, p // 2 AS band,
+                  CAST(sum(CASE WHEN proj > 0
+                           THEN (1::BIGINT << CAST(p % 2 AS INT)) ELSE 0 END) AS BIGINT) AS bits
+                  FROM proj GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM bits a JOIN bits b
+                    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+         SELECT c.vec_a, c.vec_b,
+           list_reduce(list_transform(na.emb, (x,i) -> x * nb.emb[i]), (a,b)->a+b)
+             / (na.nrm*nb.nrm) AS cos
+         FROM cand c JOIN n na ON na.vec_id = c.vec_a JOIN n nb ON nb.vec_id = c.vec_b
+         WHERE list_reduce(list_transform(na.emb, (x,i) -> x * nb.emb[i]), (a,b)->a+b)
+             / (na.nrm*nb.nrm) >= 0.4""",
+    "q38_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, cent_id, ccos,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]), (a,b)->a+b)
+                     / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+                    WHERE crk <= 2 AND vec_id < 10),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             list_reduce(list_transform(q.emb, (x,i) -> x * t.emb[i]), (a2,b2)->a2+b2)
+               / (q.nrm*t.nrm) AS cos
+           FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+                JOIN n q ON q.vec_id = p.query_id JOIN n t ON t.vec_id = a.vec_id)
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT query_id, vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored) WHERE rank <= 3""",
+    "q39_frame_sample" ->
+      """SELECT d.doc_id, f.f AS frame_idx,
+         CAST(least(64, octet_length(CAST(d.text AS BLOB)) - f.f*64) AS BIGINT) AS frame_len,
+         CAST(list_sum(list_transform(
+              string_split(substr(d.text, CAST(f.f*64+1 AS INT), 64), ''),
+              c -> ord(c))) AS BIGINT) AS frame_sum
+         FROM documents d, range(1024) f(f)
+         WHERE f.f*64 < octet_length(CAST(d.text AS BLOB)) AND f.f % 2 = 0""",
+    "q40_blob_features" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text,'')) AS ch,
+                           generate_subscripts(string_split(text,''),1) AS i FROM documents)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN (i-1)%8=0 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f0,
+           CAST(sum(CASE WHEN (i-1)%8=1 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN (i-1)%8=2 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f2,
+           CAST(sum(CASE WHEN (i-1)%8=3 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f3,
+           CAST(sum(CASE WHEN (i-1)%8=4 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f4,
+           CAST(sum(CASE WHEN (i-1)%8=5 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f5,
+           CAST(sum(CASE WHEN (i-1)%8=6 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f6,
+           CAST(sum(CASE WHEN (i-1)%8=7 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f7
+         FROM c GROUP BY 1""",
   )
 }

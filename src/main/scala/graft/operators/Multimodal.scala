@@ -53,4 +53,54 @@ object Multimodal {
       it.map(decodeStub)
     }.toDF()
   }
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long, frame_sum: Long)
+
+  /** Frame sampling: treat the payload as fixed 64-byte frames and keep
+    * every 2nd (a video keyframe/stride sample). STUB "decode": frame
+    * metadata is deterministic arithmetic on the raw bytes so the oracle
+    * reproduces it. flatMap per blob — a row multiplier that stays map-only
+    * (no shuffle), exactly how a real frame extractor runs at scale. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[Blob] = Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("bytes"))
+      .as[Blob]
+    blobs.flatMap { b =>
+      val nFrames = (b.bytes.length + 63) / 64
+      (0 until nFrames).iterator
+        .filter(_ % 2 == 0)
+        .map { f =>
+          val start = f * 64
+          val end = math.min(start + 64, b.bytes.length)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += b.bytes(i) & 0xff; i += 1 }
+          Frame(b.doc_id, f.toLong, (end - start).toLong, sum)
+        }
+    }.toDF()
+  }
+
+  case class Features(doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long,
+      f4: Long, f5: Long, f6: Long, f7: Long)
+
+  /** Feature extraction: an 8-bin byte histogram-by-position-class
+    * (byte value summed into bin = position mod 8) — the STUB stand-in for
+    * an embedding/feature model over decoded media. Per-partition batching
+    * via mapPartitions (one model instance per partition), map-only. */
+  def blobFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[Blob] = Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("bytes"))
+      .as[Blob]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val bins = new Array[Long](8)
+        var i = 0
+        while (i < b.bytes.length) { bins(i % 8) += b.bytes(i) & 0xff; i += 1 }
+        Features(b.doc_id, bins(0), bins(1), bins(2), bins(3),
+          bins(4), bins(5), bins(6), bins(7))
+      }
+    }.toDF()
+  }
 }

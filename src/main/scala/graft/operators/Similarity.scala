@@ -62,6 +62,65 @@ object Similarity {
     }
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding family):
+    * candidates are blocked on banded sign-LSH — the 8 hyperplanes split
+    * into 4 bands of 2 bits, and a pair is a candidate iff it agrees on
+    * ALL bits of at least one band (OR-of-ANDs banding, the same
+    * amplification as MinHash LSH) — then verified with exact cosine >=
+    * 0.4. No all-pairs product ever forms: each band join is an equality
+    * join on (band, 2-bit signature), partitionable at any scale. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val signs = signMatrix(8, 64)
+    val e = Tables.embeddings(spark, dir).select(
+      $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    // band b uses planes 2b and 2b+1; banded rows stay narrow
+    val banded = e.select($"vec_id",
+      posexplode(array((0 until 4).map(b =>
+        (when(VectorOps.dot($"embedding", lit(signs(2 * b))) > 0.0, 1L).otherwise(0L) +
+         when(VectorOps.dot($"embedding", lit(signs(2 * b + 1))) > 0.0, 2L).otherwise(0L))): _*))
+        .as(Seq("band", "bits")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b")).distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b")), "vec_b")
+      .withColumn("cos", VectorOps.dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .where($"cos" >= 0.4)
+      .select($"vec_a", $"vec_b", $"cos")
+  }
+
+  /** IVF (inverted-file) ANN — the codebook-partitioned scale path: a
+    * coarse codebook of 8 centroids (deterministically the first 8
+    * vectors, so the DuckDB oracle reproduces the assignment exactly; a
+    * production build would drop in k-means centroids without changing
+    * the plan), every vector assigned to its nearest centroid by cosine
+    * (map-only: the codebook is broadcast), queries probe their nprobe=2
+    * nearest cells, and only vectors in probed cells are scored. At scale
+    * the collection is partitioned by cell, so a probe touches 2/8 of the
+    * data instead of all of it. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(
+      $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"), $"nrm".as("cnrm"))
+    val rankedCells = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos", VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+    val assigned = rankedCells.where($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell"))
+    val probes = rankedCells.where($"crk" <= 2 && $"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"), $"nrm".as("qnrm"),
+        $"cent_id".as("cell"))
+    val scored = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && $"vec_id" =!= $"query_id")
+      .withColumn("cos", VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
+    topk(scored, 3)
+  }
+
   /** Signed-random-projection LSH ANN: 8 fixed hyperplanes give an 8-bit
     * bucket per vector in a single codegen'd projection (8 native dot
     * products against literal sign vectors — no crossJoin, no explode, no

@@ -116,4 +116,48 @@ class PipelineSpec extends SparkSpec {
     assert(joined.where($"checksum32" =!= $"checksum2").count() === 0)
     assert(joined.where($"width" * $"height" > $"n_bytes").count() === 0)
   }
+
+  test("cosine near-dup pairs are ordered and thresholded") {
+    import spark.implicits._
+    val p = Similarity.cosineNearDup(spark, sfDir)
+    assert(p.where($"vec_a" >= $"vec_b").count() === 0)
+    assert(p.where($"cos" < 0.4).count() === 0)
+  }
+
+  test("IVF ANN returns dense ranks <= 3, no self-matches") {
+    import spark.implicits._
+    val r = Similarity.ivfAnn(spark, sfDir)
+    assert(r.where($"rank" > 3 || $"rank" < 1).count() === 0)
+    assert(r.where($"query_id" === $"neighbor_id").count() === 0)
+    // dense ranks per query: n rows for a query == its max rank
+    val perQ = r.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+    assert(perQ.where($"n" =!= $"mx").count() === 0)
+  }
+
+  test("frame sample covers every 2nd 64-byte frame, sums match blob total") {
+    import spark.implicits._
+    val f = Multimodal.frameSample(spark, sfDir)
+    assert(f.where($"frame_idx" % 2 =!= 0).count() === 0)
+    assert(f.where($"frame_len" < 1 || $"frame_len" > 64).count() === 0)
+    // a doc's sampled frames are a prefix-stride of its byte length
+    val meta = Multimodal.blobMeta(spark, sfDir).select($"doc_id", $"n_bytes")
+    val counts = f.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(meta, "doc_id")
+    assert(counts.where(
+      $"n_frames" =!= ceil((ceil($"n_bytes" / 64.0) / 2.0))).count() === 0)
+  }
+
+  test("blob feature bins sum to the total byte sum") {
+    import spark.implicits._
+    val feats = Multimodal.blobFeatures(spark, sfDir)
+      .withColumn("bin_total",
+        $"f0" + $"f1" + $"f2" + $"f3" + $"f4" + $"f5" + $"f6" + $"f7")
+    val totals = Tables.documents(spark, sfDir).select($"doc_id",
+      aggregate(transform(split($"text", ""),
+        c => when(length(c) > 0, ascii(c).cast("long")).otherwise(0L)),
+        lit(0L), (a, x) => a + x).as("byte_total"))
+    val j = feats.join(totals, "doc_id")
+    assert(j.where($"bin_total" =!= $"byte_total").count() === 0)
+  }
 }
