@@ -59,6 +59,7 @@ object SparkEntry {
     "q38_ivf_ann"           -> (Similarity.ivfAnn _),
     "q39_frame_sample"      -> (Multimodal.frameSample _),
     "q40_blob_features"     -> (Multimodal.blobFeatures _),
+    "q41_asof_merge"        -> (Relational.asofMergeCustom _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -482,5 +483,12 @@ object SparkEntry {
            CAST(sum(CASE WHEN (i-1)%8=6 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f6,
            CAST(sum(CASE WHEN (i-1)%8=7 THEN ord(ch) ELSE 0 END) AS BIGINT) AS f7
          FROM c GROUP BY 1""",
+    "q41_asof_merge" ->
+      """SELECT o_orderkey, l_linenumber AS nearest_linenumber, l_shipdate AS nearest_shipdate
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         QUALIFY row_number() OVER (
+           PARTITION BY o_orderkey
+           ORDER BY abs(epoch(l_shipdate) - epoch(o_orderdate)) ASC,
+                    l_shipdate ASC, l_linenumber ASC) = 1""",
   )
 }

@@ -173,6 +173,24 @@ object Relational {
     * Tie-break = first minimum (numpy argmin semantics): smaller shipdate
     * diff first, then linenumber. Equi-join on orderkey keeps it a local
     * per-key argmin — no cross product. */
+  /** The same nearest-time alignment as q11, but through the CUSTOM
+    * whole-operator path (graft.plans.AsOfJoin: logical node + strategy +
+    * merge exec, SURVEY §4 item 1) instead of join+window — one O(n+m)
+    * merge pass per key group, no per-group sort of the joined product.
+    * Tie-break is numpy-first-minimum: |diff|, then earlier shipdate,
+    * then linenumber. */
+  def asofMergeCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+    graft.plans.GraftPlans.asofMergeJoin(o, li,
+        Seq("o_orderkey" -> "l_orderkey"), "o_orderdate", "l_shipdate",
+        rightTie = Seq("l_linenumber"))
+      .select($"o_orderkey", $"l_linenumber".as("nearest_linenumber"),
+        $"l_shipdate".as("nearest_shipdate"))
+  }
+
   def nearestAsof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
