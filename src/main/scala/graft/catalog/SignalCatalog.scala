@@ -107,12 +107,22 @@ object SignalCatalog {
   private def attr(n: Node, a: String): Option[String] =
     n.attribute(a).map(_.text).filter(_.nonEmpty)
 
+  /** First present of several attribute spellings — accepts both this
+    * engine's dialect (tree/path/node) and the reference's MDSplus one
+    * (mdstree/mdspath/mdsnode, `factory.py:1030-1060`), so the catalog
+    * loads the reference's own module XML unchanged. */
+  private def attrA(n: Node, names: String*): Option[String] =
+    names.iterator.flatMap(attr(n, _)).nextOption()
+
   /** Join a container path and an element node: absolute nodes (leading
-    * backslash) replace the prefix, relative ones append. */
+    * backslash) replace the prefix; a leading dot concatenates verbatim;
+    * otherwise dot-join like the reference's `'.'.join([mdspath, node])`
+    * (`factory.py:1047`). */
   private def joinPath(prefix: String, node: String): String =
-    if (node.startsWith("\\")) node
-    else if (prefix.isEmpty) node
-    else prefix + node
+    if (node.startsWith("\\") || prefix.isEmpty) node
+    else if (node.isEmpty) prefix
+    else if (node.startsWith(".")) prefix + node
+    else prefix + "." + node
 
   private def parseContainer(e: Node, parent: Context): Seq[SignalMeta] = {
     val name = parent.sub(attr(e, "name").getOrElse(""))
@@ -121,28 +131,34 @@ object SignalCatalog {
     val ctx0 = parent.copy(
       namePrefix = qualified,
       diagnostic = if (parent.diagnostic.isEmpty) name else parent.diagnostic,
-      tree = parent.sub(attr(e, "tree").getOrElse(parent.tree)),
-      path = joinPath(parent.path, parent.sub(attr(e, "path").getOrElse(""))),
+      tree = parent.sub(attrA(e, "tree", "mdstree").getOrElse(parent.tree)),
+      path = joinPath(parent.path, parent.sub(attrA(e, "path", "mdspath").getOrElse(""))),
       units = attr(e, "units").orElse(parent.units))
-    // axes first: signals in this container reference them by name; an axis
-    // redeclared deeper shadows the outer one (each signal binds the axes
-    // visible at its own scope — the per-signal-time-base intent)
-    val ctx = e.child.filter(_.label == "axis").foldLeft(ctx0) { (c, a) =>
-      val an = attr(a, "name").get
-      c.copy(axes = c.axes + (an -> AxisMeta(
-        an,
-        joinPath(c.path, c.sub(attr(a, "node").getOrElse(""))),
-        attr(a, "units").orElse(c.units))))
+    // DOCUMENT ORDER: an axis declaration shadows the previous same-named
+    // axis for the signals that FOLLOW it (each signal binds the axes
+    // visible at its position — the per-signal-time-base intent of the
+    // reference's filterscopes, SURVEY §1.5, which its parser loses by
+    // binding every signal to the last-parsed axis)
+    val (_, out) = e.child.foldLeft((ctx0, Vector.empty[SignalMeta])) {
+      case ((c, acc), child) => child.label match {
+        case "axis" =>
+          val an = attr(child, "name").get
+          val c2 = c.copy(axes = c.axes + (an -> AxisMeta(
+            an,
+            joinPath(c.path, c.sub(attrA(child, "node", "mdsnode").getOrElse(""))),
+            attr(child, "units").orElse(c.units))))
+          (c2, acc)
+        case "signal" => (c, acc ++ parseSignal(child, c))
+        case "container" => (c, acc ++ parseContainer(child, c))
+        case _ => (c, acc)
+      }
     }
-    val here = e.child.filter(_.label == "signal").flatMap(parseSignal(_, ctx))
-    val nested = e.child.filter(_.label == "container")
-      .flatMap(parseContainer(_, ctx))
-    here ++ nested
+    out
   }
 
   private def parseSignal(s: Node, ctx: Context): Seq[SignalMeta] = {
     val baseName = ctx.sub(attr(s, "name").get)
-    val node = ctx.sub(attr(s, "node").getOrElse(""))
+    val node = ctx.sub(attrA(s, "node", "mdsnode").getOrElse(""))
     val declaredAxes = attr(s, "axes").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     // canonical order: time first, remaining axes in declared order
@@ -174,12 +190,17 @@ object SignalCatalog {
     attr(s, "range") match {
       case None => Seq(meta(baseName, node))
       case Some(r) =>
+        // reference semantics (`factory.py:936-950`): 1 field = 0 until v;
+        // 2 fields = inclusive; 3rd field = explicit zero-pad digits,
+        // default ceil(log10(endExclusive - 1))
         val parts = r.split(",").map(_.trim)
-        val (start, end) = (parts(0).toInt, parts(1).toInt)
+        val (start, endExcl) =
+          if (parts.length == 1) (0, parts(0).toInt)
+          else (parts(0).toInt, parts(1).toInt + 1)
         val pad =
           if (parts.length > 2) parts(2).toInt
-          else math.ceil(math.log10(end + 1)).toInt
-        (start to end).map { ch =>
+          else math.ceil(math.log10((endExcl - 1).toDouble)).toInt
+        (start until endExcl).map { ch =>
           val chs = s"%0${pad}d".format(ch)
           meta(baseName.replace("{}", chs) match {
             case n if n == baseName => s"$baseName$chs" // no placeholder: suffix

@@ -93,4 +93,90 @@ class CatalogSpec extends SparkSpec {
     val noErr = cat.signal("mpts.ne").schema
     assert(!noErr.fieldNames.contains("value_err"))
   }
+
+  // ---- fidelity: the catalog loads the REFERENCE'S OWN module XML ----
+  // (mdstree/mdsnode/mdspath dialect, reference range semantics). Facts
+  // below are the SURVEY §1.4/§6 citations, checked against the real files.
+
+  private val refModules = "/root/reference/fdf/modules"
+  private def loadable(m: String) = s"$refModules/$m/$m.xml"
+
+  test("reference bes.xml: 32 zero-padded channels on one shared time base") {
+    val c = SignalCatalog.fromFile(loadable("bes"))
+    val chans = c.signals
+    assert(chans.length === 32)
+    assert(chans.head.qualifiedName === "bes.ch01")
+    assert(chans.last.qualifiedName === "bes.ch32")
+    assert(chans.head.tree === "activesp_raw")
+    assert(chans.head.path === "\\TOP.BES.RAWDATA:BE_DT32_01:INPUT_01")
+    assert(chans.forall(_.units === Some("V")))
+  }
+
+  test("reference usxr.xml: 3 arrays x 16 channels, 1-field range counts from 0") {
+    val c = SignalCatalog.fromFile(loadable("usxr"))
+    assert(c.signals.length === 48)
+    val v0 = c.signal("usxr.vtop.vtop00")
+    assert(v0.path === "\\usxr_vtop_00.raw")
+    assert(c.get("usxr.hup.hup15").nonEmpty)
+    assert(c.get("usxr.hup.hup16").isEmpty)
+  }
+
+  test("reference magnetics.xml: tree override per subcontainer, pad-1 range") {
+    val c = SignalCatalog.fromFile(loadable("magnetics"))
+    assert(c.signal("magnetics.highf").tree === "ops_pc")
+    assert(c.signal("magnetics.filtered.lowf_oddn").tree === "operations")
+    assert(c.signal("magnetics.highn.highn_1").path === "\\bdot_l1dmivvhn1_raw")
+    assert(c.signal("magnetics.highn.highn_16").path === "\\bdot_l1dmivvhn16_raw")
+    assert(c.signals.length === 1 + 4 + 16)
+  }
+
+  test("reference mpts.xml: path join, error nodes, time-major transpose") {
+    val c = SignalCatalog.fromFile(loadable("mpts"))
+    val te = c.signal("mpts.te")
+    assert(te.tree === "activespec")
+    assert(te.path === "\\top.mpts.output_data.best.fit_te")
+    assert(te.errorPath === Some("\\top.mpts.output_data.best.fit_te_err"))
+    assert(te.declaredAxes === Seq("radius", "time"))
+    assert(te.axes === Seq("time", "radius"))
+    assert(te.transpose === Some(Seq(1, 0)))
+    // spline subcontainer: shadowed radius axis, inherited time axis
+    val spl = c.signal("mpts.spline.te")
+    assert(spl.path === "\\top.mpts.output_data.best.spline_te")
+    assert(spl.axisMeta.find(_.name == "radius").get.path
+      === "\\top.mpts.output_data.best.spline_radii")
+    assert(spl.axisMeta.find(_.name == "time").get.path
+      === "\\top.mpts.output_data.best.ts_times")
+  }
+
+  test("reference filterscopes.xml: each signal binds ITS OWN time base (the intent)") {
+    val c = SignalCatalog.fromFile(loadable("filterscopes"))
+    assert(c.signals.length === 5)
+    def timePath(sig: String) =
+      c.signal(s"filterscopes.$sig").axisMeta.find(_.name == "time").get.path
+    assert(timePath("bayg_dalpha_eies") === "dim_of(\\bayg_dalpha_eies)")
+    assert(timePath("bayi_opipe_dalpha") === "dim_of(\\bayi_opipe_dalpha)")
+    assert(timePath("bayi_dalpha_eies") === "dim_of(\\bayi_dalpha_eies)")
+  }
+
+  test("reference ip.xml: dim_of time-base indirection and ms units") {
+    val c = SignalCatalog.fromFile(loadable("ip"))
+    val t = c.signal("ip.time")
+    assert(t.dimOf === Some(0))
+    assert(t.path === "\\top.wf.ip")
+    assert(t.units === Some("ms"))
+    val d = c.signal("ip.data")
+    assert(d.units === Some("kA"))
+    assert(d.axes === Seq("time"))
+  }
+
+  test("reference efit.xml: [efit] template instantiates one branch per run") {
+    val c = SignalCatalog.fromFile(s"$refModules/equilibria/efit.xml",
+      Map("efit" -> Seq("efit01", "lrdfit01")))
+    assert(c.signals.length === 6)
+    val q = c.signal("efit01.qpsi")
+    assert(q.axes === Seq("time", "psin"))
+    assert(q.transpose === None)
+    val p = c.signal("lrdfit01.psirz")
+    assert(p.axes === Seq("time", "R", "z")) // already time-major, rank 3
+  }
 }
