@@ -80,15 +80,23 @@ object Similarity {
         (when(VectorOps.dot($"embedding", lit(signs(2 * b))) > 0.0, 1L).otherwise(0L) +
          when(VectorOps.dot($"embedding", lit(signs(2 * b + 1))) > 0.0, 2L).otherwise(0L))): _*))
         .as(Seq("band", "bits")))
-    val cand = banded.as("a").join(banded.as("b"),
+    // score candidates AS the band join emits them (native dot is cheaper
+    // than a shuffle): duplicates from multi-band agreement carry identical
+    // cos, so the dedup runs on the few post-threshold survivors instead
+    // of the full candidate set
+    scoreBandCandidates(e, banded)
+  }
+
+  private def scoreBandCandidates(e: DataFrame, banded: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val withEmb = banded.join(e, "vec_id")
+    withEmb.as("a").join(withEmb.as("b"),
         $"a.band" === $"b.band" && $"a.bits" === $"b.bits" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b")).distinct()
-    cand
-      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a")), "vec_a")
-      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b")), "vec_b")
-      .withColumn("cos", VectorOps.dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b"))
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        (VectorOps.dot($"a.embedding", $"b.embedding")
+          / ($"a.nrm" * $"b.nrm")).as("cos"))
       .where($"cos" >= 0.4)
-      .select($"vec_a", $"vec_b", $"cos")
+      .distinct()
   }
 
   /** IVF (inverted-file) ANN — the codebook-partitioned scale path: a
