@@ -60,6 +60,8 @@ object SparkEntry {
     "q39_frame_sample"      -> (Multimodal.frameSample _),
     "q40_blob_features"     -> (Multimodal.blobFeatures _),
     "q41_asof_merge"        -> (Relational.asofMergeCustom _),
+    "q42_quantiles"         -> (Relational.quantiles _),
+    "q43_cube"              -> (Relational.cubeAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -490,5 +492,15 @@ object SparkEntry {
            PARTITION BY o_orderkey
            ORDER BY abs(epoch(l_shipdate) - epoch(o_orderdate)) ASC,
                     l_shipdate ASC, l_linenumber ASC) = 1""",
+    "q42_quantiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS q25,
+         quantile_cont(l_quantity, 0.5) AS median,
+         quantile_cont(l_quantity, 0.9) AS q90,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
   )
 }

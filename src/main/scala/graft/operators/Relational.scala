@@ -361,6 +361,32 @@ object Relational {
 
   /** Exact per-group distinct count (SURVEY §2.4; approx_count_distinct is
     * the scale path, exact is the oracle-checkable path). */
+  /** Exact quantiles per group (beyond-reference A-family: profile
+    * percentiles for signal analytics). Computed over the integer-valued
+    * l_quantity so the sort-and-interpolate result is exact in FP and
+    * engine-portable (massive duplicate plateaus make interpolation
+    * degenerate). Exact percentile is a sort-based aggregate — at scale
+    * prefer approx_percentile; this is the oracle-checkable exact twin. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.9)").as("q90"),
+        count(lit(1)).as("n"))
+  }
+
+  /** CUBE grouping (all 4 grouping-set combinations) — the grouping-sets
+    * family Spark provides beyond the reference's plain GROUP BY. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+  }
+
   def distinctCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
