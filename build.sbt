@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from sbt stdout. With the
+// default LoggedOutput strategy every forked-process line is prefixed
+// "[info] ", which broke the round-1 parse (BENCH_r01.json parsed:null).
+// StdoutOutput passes the forked JVM's stdout/stderr through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -403,6 +403,13 @@ object SparkEntry {
                      * ((i * 2654435761) % 2147483647)) % 2147483647)
                 % 2147483647 AS BIGINT) AS fingerprint
          FROM tok GROUP BY 1""",
+    // PRECONDITION (q35/q39/q40): these oracles compare character
+    // codepoints/offsets (ord, substr on text) against Spark's unsigned
+    // bytes and byte offsets, and q39 caps frame offsets at range(1024).
+    // They agree because the generated documents corpus is pure ASCII and
+    // every doc is <64 KiB (both verified against the testdata); a
+    // non-ASCII or >64 KiB corpus would need the oracle rewritten over
+    // CAST(text AS BLOB) bytes.
     "q35_blob_meta" ->
       """SELECT doc_id,
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

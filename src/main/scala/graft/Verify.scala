@@ -1,8 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * oracle_sql.json is written FIRST: in round 1 it was written after all
+  * queries, so a driver-side timeout mid-run left no oracle file at all and
+  * the whole round's correctness came back empty. Queries then run on a
+  * thread pool — cold-JVM JIT/janino compilation is the dominant per-query
+  * cost at sf0.01 (up to ~40 s each, <1 s warm) and compiles fine in
+  * parallel, so wall time drops roughly by the pool width. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -11,17 +19,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,6 +39,28 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(s"[verify] wrote oracle_sql.json (${SparkEntry.oracleSql.size} oracles)")
+    val pool = Executors.newFixedThreadPool(
+      math.min(8, Runtime.getRuntime.availableProcessors))
+    val failures = new ConcurrentLinkedQueue[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(s"[verify] $name ok")
+          } catch { case e: Throwable =>
+            failures.add(name)
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(2, TimeUnit.HOURS)
+    System.err.println(
+      s"[verify] done: ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} ok" +
+        (if (failures.isEmpty) "" else s"; failed: ${String.join(",", failures)}"))
     spark.stop()
   }
 }

@@ -21,13 +21,17 @@ object AsOf {
 
   /** For each left row, attach the right row whose `rightOn` is nearest
     * to `leftOn`, matching per equality `keys`. direction: "nearest",
-    * "backward" (right <= left), or "forward" (right >= left). */
+    * "backward" (right <= left), or "forward" (right >= left).
+    * `rightTie` (when given) breaks ties among right rows sharing the same
+    * `rightOn` value — without it the pick among exact duplicates is
+    * plan-dependent. */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftOn: String, rightOn: String,
       keys: Seq[String],
       direction: String = "nearest",
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      rightTie: Option[String] = None): DataFrame = {
     // one window partition per LEFT ROW (not per key): each probe picks its
     // own nearest match even when probes share keys
     val l = keys.foldLeft(left.withColumn("__lid", monotonically_increasing_id()))(
@@ -43,7 +47,8 @@ object AsOf {
     }
     val bounded = tolerance.fold(directed)(t => directed.where(abs(diff) <= t))
     val w = Window.partitionBy(col("__lid"))
-      .orderBy(abs(diff).asc, right(rightOn).asc)
+      .orderBy(Seq(abs(diff).asc, right(rightOn).asc) ++
+        rightTie.map(t => right(t).asc): _*)
     val picked = bounded.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
     keys.foldLeft(picked.drop("__rn", "__lid"))((df, k) =>
       df.drop(right(k)).withColumnRenamed(s"__k_$k", k))

@@ -31,8 +31,18 @@ object Tables {
   /** The events table is written with parquet TIMESTAMP(NANOS), which the
     * vectorized reader rejects. Read the nanos as long (legacy conf) and
     * rebuild a microsecond TIMESTAMP — truncation matches what any
-    * µs-precision engine sees. */
+    * µs-precision engine sees.
+    *
+    * The nanosAsLong conf is session-global and must stay set while the
+    * plan executes (it is captured at physical planning, not here), so it
+    * cannot be set/restored around this call. Our own entry points
+    * (Bench/Verify/tests) set it at session construction; for sessions we
+    * don't build (the driver's smoke session) we set it once here, loudly,
+    * only if the caller hasn't chosen a value. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      System.err.println("[graft] enabling spark.sql.legacy.parquet.nanosAsLong " +
+        "session-wide for TIMESTAMP(NANOS) parquet (events table)")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

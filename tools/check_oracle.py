@@ -38,7 +38,8 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            scols, sn, sh, srecs = canon(con, f"SELECT * FROM '{files[0]}'", "spark")
+            # read ALL part files — a >1-partition output must not lose rows
+            scols, sn, sh, srecs = canon(con, f"SELECT * FROM '{res_dir}/*.parquet'", "spark")
             ocols, on, oh, orecs = canon(con, oracles[name], "oracle")
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}"); n_fail += 1; continue
