@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local[32] analogue of cluster defaults: AQE's byte-based coalescing
+      // assumes ~1MB of shuffle bytes is "one core's worth"; text/hash
+      // stages here are CPU-dense at tiny byte sizes, so keep them wide.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

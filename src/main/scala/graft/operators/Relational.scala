@@ -387,9 +387,17 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
   }
 
+  /** Multi-column distinct count. The explicit-N key repartition fixes the
+    * Expand-stage parallelism: a low-row-group input (the local single-file
+    * layout; one straggler file at cluster scale) would otherwise push the
+    * 2x-expanded rows through a single partial-aggregate task. The explicit
+    * partition count matters: a bare repartition(col) shuffle is AQE-
+    * coalescible, and byte-based coalescing collapses this small-bytes but
+    * CPU-dense stage back to a handful of tasks. */
   def distinctCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_partkey", $"l_orderkey")
       .groupBy($"l_suppkey")
       .agg(
         countDistinct($"l_partkey").as("n_parts"),
