@@ -62,6 +62,9 @@ object SparkEntry {
     "q41_asof_merge"        -> (Relational.asofMergeCustom _),
     "q42_quantiles"         -> (Relational.quantiles _),
     "q43_cube"              -> (Relational.cubeAgg _),
+    "q44_range_join"        -> (RangeJoin.priceBandAgg _),
+    "q45_interpolate"       -> (Interp.gridInterp _),
+    "q46_lag_delta"         -> (Relational.lagDelta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -509,5 +512,31 @@ object SparkEntry {
     "q43_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q44_range_join" ->
+      """SELECT p_partkey, count(*) AS n_matches, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN part
+           ON l_extendedprice / l_quantity BETWEEN p_retailprice - 2 AND p_retailprice + 2
+         GROUP BY 1""",
+    "q45_interpolate" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, min(value) AS v
+                     FROM events GROUP BY 1, 2),
+         users AS (SELECT DISTINCT user_id FROM ev),
+         probes AS (SELECT u.user_id, g.t FROM users u,
+                    generate_series(1704067200000, 1706745600000, 21600000) g(t)),
+         prev AS (SELECT p.user_id, p.t, e.tms AS t0, e.v AS v0 FROM probes p
+                  ASOF JOIN ev e ON p.user_id = e.user_id AND e.tms <= p.t),
+         nxt AS (SELECT p.user_id, p.t, e.tms AS t1, e.v AS v1 FROM probes p
+                 ASOF JOIN ev e ON p.user_id = e.user_id AND e.tms >= p.t)
+         SELECT p.user_id, p.t AS t_ms,
+           CASE WHEN n.t1 = p.t0 THEN p.v0
+                ELSE p.v0 + (n.v1 - p.v0) * CAST(p.t - p.t0 AS DOUBLE)
+                     / CAST(n.t1 - p.t0 AS DOUBLE) END AS value_interp
+         FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.t = n.t""",
+    "q46_lag_delta" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS delta_ms,
+         ntile(4) OVER w AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)""",
   )
 }

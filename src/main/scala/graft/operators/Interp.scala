@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Linear interpolation of an irregular per-key time series onto probe
+  * timestamps — the resampling counterpart of the reference's value-based
+  * slicing (`sig(time=t)` nearest-sample, `fdf/fdf_signal.py:283-302`):
+  * instead of snapping to the nearest sample, blend the two bracketing
+  * samples.
+  *
+  * Implementation is the scalable single-sort pattern, not a join: union
+  * samples and probes, one window sort per key, and carry the last/next
+  * sample across probe rows with `last(..., ignoreNulls)` over forward and
+  * reverse orderings. One shuffle (by key), two in-partition sorts, zero
+  * join fan-out — at 100 TB this is shuffle-bound on exactly the data +
+  * probe volume, with no as-of join's per-probe candidate set.
+  *
+  * A probe exactly on a sample returns that sample's value; probes outside
+  * the sampled range (no bracketing pair) are dropped.
+  */
+object Interp {
+
+  /** @param samples (key, t, v) rows — duplicate (key, t) must be
+    *                pre-deduplicated by the caller for determinism
+    * @param probes  (key, t) rows
+    * @return (key, t, v) with v linearly interpolated */
+  def linear(samples: DataFrame, probes: DataFrame,
+      key: String, t: String, v: String): DataFrame = {
+    val all = samples.select(col(key), col(t).as("__t"), col(v).as("__v"),
+        lit(0).as("__m"))
+      .unionByName(probes.select(col(key), col(t).as("__t"),
+        lit(null).cast("double").as("__v"), lit(1).as("__m")))
+    val isSample = col("__m") === 0
+    // at one timestamp, sample rows sort before probe rows in BOTH window
+    // directions (__m asc is direction-independent), so a probe sitting
+    // exactly on a sample sees it as its prev AND next bracket
+    // (t1 == t0 -> exact sample value)
+    val wPrev = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: Column, w: WindowSpec) =
+      last(when(isSample, c), ignoreNulls = true).over(w)
+    all
+      .withColumn("__t0", carry(col("__t"), wPrev))
+      .withColumn("__v0", carry(col("__v"), wPrev))
+      .withColumn("__t1", carry(col("__t"), wNext))
+      .withColumn("__v1", carry(col("__v"), wNext))
+      .where(col("__m") === 1 &&
+        col("__t0").isNotNull && col("__t1").isNotNull)
+      .select(col(key), col("__t").as(t),
+        when(col("__t1") === col("__t0"), col("__v0"))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0")) *
+            (col("__t") - col("__t0")).cast("double") /
+            (col("__t1") - col("__t0")).cast("double"))
+          .as(v))
+  }
+
+  /** q45: every user's event series resampled onto a fixed 6-hour grid
+    * over January 2024 (epoch-ms). Events are deduplicated to one sample
+    * per (user, ms) first — interpolation between duplicate timestamps is
+    * undefined. */
+  def gridInterp(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t_ms"), $"value")
+      .groupBy($"user_id", $"t_ms").agg(min($"value").as("value_interp"))
+    val probes = ev.select($"user_id").distinct()
+      .select($"user_id", explode(sequence(
+        lit(1704067200000L), lit(1706745600000L), lit(21600000L))).as("t_ms"))
+    linear(ev, probes, "user_id", "t_ms", "value_interp")
+  }
+}

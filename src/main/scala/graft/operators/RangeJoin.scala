@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: match point rows to interval rows with
+  * `lo <= p <= hi` and no equality key.
+  *
+  * Spark's built-in planning for a pure inequality join is a nested-loop
+  * (broadcast or cartesian) — quadratic work at scale. Bucketing makes it
+  * an equi-join: intervals are exploded to every fixed-width bucket they
+  * overlap, points map to exactly one bucket, and the join runs as a hash
+  * join on the bucket id with the exact predicate re-checked after. Work
+  * is linear in points + intervals x (span/width); `width` trades interval
+  * replication (small width) against per-bucket candidate fan-in (large
+  * width) — pick it near the typical interval span.
+  *
+  * At 100 TB both sides shuffle/broadcast only by bucket id, AQE handles
+  * hot buckets via skew-join split, and a small interval side broadcasts.
+  * (The reference has no range join; this generalizes its value-based
+  * axis slicing, `fdf/fdf_signal.py:283-302`, to data-driven bounds.)
+  */
+object RangeJoin {
+
+  /** `points(pCol)` in `[intervals(loCol), intervals(hiCol)]`, both
+    * inclusive. Column names must be disjoint across the two inputs. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pCol: String, loCol: String, hiCol: String, width: Double): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / width).cast("long"),
+        floor(col(hiCol) / width).cast("long"))))
+    points.withColumn("__bucket", floor(col(pCol) / width).cast("long"))
+      .join(iv, "__bucket")
+      .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
+  /** q44: lineitem unit prices range-joined into ±2 price bands around
+    * each part's retail price, aggregated per part. The interval side is
+    * small → Spark broadcasts the exploded buckets; the point side never
+    * shuffles. */
+  def priceBandAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Tables
+    val pts = Tables.lineitem(spark, dir).select($"l_orderkey",
+      ($"l_extendedprice" / $"l_quantity").as("unit_price"), $"l_quantity")
+    val iv = Tables.part(spark, dir).select($"p_partkey",
+      ($"p_retailprice" - 2).as("lo"), ($"p_retailprice" + 2).as("hi"))
+    pointInInterval(pts, iv, "unit_price", "lo", "hi", width = 4.0)
+      .groupBy($"p_partkey")
+      .agg(count(lit(1)).as("n_matches"), sum($"l_quantity").as("sum_qty"))
+  }
+}

@@ -403,4 +403,16 @@ object Relational {
         countDistinct($"l_partkey").as("n_parts"),
         countDistinct($"l_orderkey").as("n_orders"))
   }
+
+  /** Ordered-window family beyond q22's lag flag: inter-event arrival
+    * delta (lag) and within-user quartile position (ntile), one window
+    * sort per user (SURVEY §2.5). */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_ms".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("t_ms"))
+      .withColumn("delta_ms", $"t_ms" - lag($"t_ms", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+  }
 }
