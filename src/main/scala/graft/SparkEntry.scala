@@ -65,6 +65,11 @@ object SparkEntry {
     "q44_range_join"        -> (RangeJoin.priceBandAgg _),
     "q45_interpolate"       -> (Interp.gridInterp _),
     "q46_lag_delta"         -> (Relational.lagDelta _),
+    "q47_stratified_sample" -> (Sampling.langStratified _),
+    "q48_hash_split"        -> (Sampling.trainValTest _),
+    "q49_seq_pack"          -> (Sampling.seqPack _),
+    "q50_salted_agg"        -> (Skew.saltedAggQuery _),
+    "q51_salted_join"       -> (Skew.saltedJoinQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -538,5 +543,37 @@ object SparkEntry {
          ntile(4) OVER w AS quartile
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)""",
+    "q47_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               / 4294967296.0
+             < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.6 WHEN 'es' THEN 0.5
+                         WHEN 'fr' THEN 0.4 WHEN 'zh' THEN 0.3 ELSE 0.2 END""",
+    "q48_hash_split" ->
+      """SELECT doc_id,
+         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 / 4294967296.0 AS u
+               FROM documents)""",
+    "q49_seq_pack" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard
+           FROM documents),
+         s AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_tok
+           FROM d)
+         SELECT doc_id, shard, start_tok // 2048 AS pack_id, n_tokens, start_tok FROM s""",
+    "q50_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity, count(*) AS n,
+         min(l_extendedprice) AS min_l_extendedprice,
+         max(l_extendedprice) AS max_l_extendedprice
+         FROM lineitem GROUP BY 1""",
+    "q51_salted_join" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2""",
   )
 }

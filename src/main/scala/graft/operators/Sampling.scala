@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic sampling / splitting / packing for training-data
+  * pipelines.
+  *
+  * All randomness is content-hash-derived (md5 of a salt + stable id), not
+  * `rand()`: the sample is reproducible across runs, stable under
+  * repartitioning and resharding, and re-derivable row-by-row — the
+  * properties a 100 TB corpus pipeline needs (a re-run after adding one
+  * shard must not reshuffle every split assignment). Everything is a
+  * map-only projection/filter: no shuffle, no state.
+  *
+  * (Beyond the reference's surface — the training-data mandate. The
+  * reference's only sampling is its fixed first-1000-samples baseline,
+  * `fdf/modules/usxr/_postprocess.py:11`.)
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) hash of (salt, id): first 32 bits of md5, divided by
+    * 2^32. md5+hex is bit-portable across engines (unlike rand or
+    * xxhash64 seeds), so a DuckDB/Presto/Spark pipeline mix agrees on
+    * every row's draw. */
+  def hashUniform(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Keep each row with probability `rate(row)` — rate is a Column so
+    * strata (language, source, quality band) can set their own rates. */
+  def stratifiedSample(df: DataFrame, idCol: String, salt: String,
+      rate: Column): DataFrame =
+    df.where(hashUniform(salt, col(idCol)) < rate)
+
+  /** Assign each row to a named split by cumulative threshold, e.g.
+    * Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)). */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val u = hashUniform(salt, col(idCol))
+    val assigned = splits.init.foldRight(lit(splits.last._1): Column) {
+      case ((name, hi), elseCol) => when(u < hi, name).otherwise(elseCol)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** q47: language-stratified corpus sampling — per-language keep rates
+    * rebalance the en-heavy mix. */
+  def langStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = when($"lang" === "en", 0.9).when($"lang" === "de", 0.6)
+      .when($"lang" === "es", 0.5).when($"lang" === "fr", 0.4)
+      .when($"lang" === "zh", 0.3).otherwise(0.2)
+    stratifiedSample(Tables.documents(spark, dir), "doc_id", "samp", rate)
+      .select($"doc_id", $"lang", $"source")
+  }
+
+  /** q48: deterministic 80/10/10 train/val/test split. */
+  def trainValTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hashSplit(Tables.documents(spark, dir), "doc_id", "split",
+        Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+      .select($"doc_id", $"split")
+  }
+
+  /** q49: sequence packing ("concat then chunk"): docs are hashed into
+    * independent pack shards, ordered within a shard, and assigned the
+    * pack (context window) their running token offset lands in. The
+    * window runs per shard — shard count scales with the cluster, no
+    * global sort. Capacity 2048 whitespace tokens. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"),
+      (conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 8).as("shard"))
+    val w = Window.partitionBy($"shard").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("pack_id", floor($"start_tok" / 2048L))
+      .select($"doc_id", $"shard", $"pack_id", $"n_tokens", $"start_tok")
+  }
+}
