@@ -70,6 +70,9 @@ object SparkEntry {
     "q49_seq_pack"          -> (Sampling.seqPack _),
     "q50_salted_agg"        -> (Skew.saltedAggQuery _),
     "q51_salted_join"       -> (Skew.saltedJoinQuery _),
+    "q52_sliding_window"    -> (Relational.slidingWindow _),
+    "q53_vocab_topk"        -> (TextAnalysis.vocabTopK _),
+    "q54_group_sample"      -> (Sampling.perGroupSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -575,5 +578,31 @@ object SparkEntry {
     "q51_salted_join" ->
       """SELECT s_suppkey, s_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2""",
+    // Sliding 1h/30min windows: each event belongs to exactly the two
+    // epoch-aligned 30-min starts at floor(t/30min) and one slide earlier.
+    "q52_sliding_window" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS tms, event_type, value FROM events),
+         w AS (SELECT tms, event_type, value,
+                 unnest([(tms // 1800000) * 1800000,
+                         (tms // 1800000) * 1800000 - 1800000]) AS ws
+               FROM e)
+         SELECT ws AS window_start_ms, event_type, count(*) AS n,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+         FROM w WHERE tms >= ws AND tms < ws + 3600000
+         GROUP BY 1, 2""",
+    "q53_vocab_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         a AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+               FROM t GROUP BY 1)
+         SELECT tok, tf, df, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rk
+         FROM a QUALIFY rk <= 200""",
+    "q54_group_sample" ->
+      """SELECT source, rk, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY
+               CAST('0x' || substr(md5('pick:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 / 4294967296.0 ASC, doc_id ASC) AS rk
+           FROM documents)
+         WHERE rk <= 3""",
   )
 }

@@ -404,6 +404,21 @@ object Relational {
         countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** Sliding (hopping) time windows — 1 h width every 30 min, so each
+    * event lands in two overlapping windows (SURVEY §2.8; the batch twin
+    * of the streaming sliding-window agg). Spark's `window()` generator
+    * expands the instances map-side; aggregation shuffles once on
+    * (window, type). Decimal-routed sum for oracle exactness. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_millis($"window.start").as("window_start_ms"),
+        $"event_type", $"n", $"sum_value")
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

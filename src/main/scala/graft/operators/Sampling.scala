@@ -84,4 +84,18 @@ object Sampling {
       .withColumn("pack_id", floor($"start_tok" / 2048L))
       .select($"doc_id", $"shard", $"pack_id", $"n_tokens", $"start_tok")
   }
+
+  /** q54: deterministic k-per-group sampling — "3 random docs per source",
+    * where random is the reproducible content-hash draw, realized as a
+    * per-group top-k window (shuffles once on the group key; no rand()
+    * and no global sort). */
+  def perGroupSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = hashUniform("pick", $"doc_id")
+    val w = Window.partitionBy($"source").orderBy(u.asc, $"doc_id".asc)
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"source", $"rk", $"doc_id")
+  }
 }

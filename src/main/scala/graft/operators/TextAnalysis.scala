@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -94,5 +95,22 @@ object TextAnalysis {
           * ((($"pos" + 1) * lit(2654435761L)) % P) % P)
       .groupBy($"doc_id")
       .agg((sum($"term") % P).as("fingerprint"))
+  }
+
+  /** q53: vocabulary building — corpus-wide term frequency + document
+    * frequency, top 200 terms. The top-k is `orderBy(...).limit(n)`
+    * (TakeOrderedAndProject: per-partition partial top-k, tiny driver
+    * merge — no global sort, no single-partition window over the full
+    * vocabulary); ranks are then numbered over the 200 survivors only. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val top = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"tok".asc)
+      .limit(200)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy($"tf".desc, $"tok".asc)))
   }
 }
