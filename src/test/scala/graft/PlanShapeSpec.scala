@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-import graft.operators.{Relational, Similarity}
+import graft.operators.{RangeJoin, Relational, Sampling, Similarity}
 
 /** Physical-plan shape assertions: the scale properties the operators
   * claim (scan pushdown, column pruning, broadcast joins, partial
@@ -87,5 +87,24 @@ class PlanShapeSpec extends SparkSpec {
       case s: SortAggregateExec => s
     }
     assert(aggs.isEmpty, s"simhash should be a pure projection, found: $aggs")
+  }
+
+  test("q44 bucketed range join plans a hash join, not a nested loop") {
+    val plan = finalPlan(RangeJoin.priceBandAgg(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  test("q47/q48 hash sampling and splitting are map-only: no shuffle at all") {
+    for (df <- Seq(Sampling.langStratified(spark, sfDir),
+                   Sampling.trainValTest(spark, sfDir))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
+  test("q53 vocabulary top-k uses distributed partial top-k, no global sort") {
+    val plan = finalPlan(graft.operators.TextAnalysis.vocabTopK(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 }
