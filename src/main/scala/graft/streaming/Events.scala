@@ -73,6 +73,37 @@ object Events {
         unix_millis($"w.end").as("session_end_ms"), $"n_events")
   }
 
+  /** Stream-stream interval join with watermarks on both sides: attribute
+    * each `probe`-type event to the `cause`-type events of the same user
+    * in the preceding `windowMinutes`. Watermarks bound both join-state
+    * buffers, so state is O(window x rate) per key shard — the canonical
+    * unbounded-join shape at cluster scale. Runs identically on bounded
+    * input (the spec checks it against a batch join). */
+  def attributedJoin(events: DataFrame, causeType: String, probeType: String,
+      windowMinutes: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val cause = events.where($"event_type" === causeType)
+      .select($"user_id".as("c_user"), $"event_id".as("cause_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val probe = events.where($"event_type" === probeType)
+      .select($"user_id".as("p_user"), $"event_id".as("probe_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    probe.join(cause,
+      $"p_user" === $"c_user" &&
+        $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select($"p_user".as("user_id"), $"probe_id", $"cause_id",
+        unix_millis($"p_ts").as("probe_ms"), unix_millis($"c_ts").as("cause_ms"))
+  }
+
+  /** Streaming exact dedup: first event wins per (user_id, event_type)
+    * within the watermark horizon — `dropDuplicatesWithinWatermark` keys
+    * state by the dedup columns and expires it at the watermark, the
+    * streaming twin of q24's hash-groupBy dedup. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, max_value: Double)
 

@@ -59,6 +59,38 @@ class StreamingSpec extends SparkSpec {
     assert(joined.where($"n" =!= $"bn" || $"max_value" =!= $"bmax").count() === 0)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import spark.implicits._
+    val stream = Events.readEventStream(spark, sfDir)
+    runToMemory(Events.attributedJoin(stream, "view", "click", 30),
+      "attr_join", "append")
+    val streamed = spark.table("attr_join")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val cause = ev.where($"event_type" === "view")
+      .select($"user_id".as("c_user"), $"event_id".as("cause_id"), $"ts".as("c_ts"))
+    val probe = ev.where($"event_type" === "click")
+      .select($"user_id".as("p_user"), $"event_id".as("probe_id"), $"ts".as("p_ts"))
+    val batch = probe.join(cause,
+        $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"p_user".as("user_id"), $"probe_id", $"cause_id",
+        unix_millis($"p_ts").as("probe_ms"), unix_millis($"c_ts").as("cause_ms"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("streaming dedup keeps one event per (user, type)") {
+    import spark.implicits._
+    val stream = Events.readEventStream(spark, sfDir)
+    runToMemory(Events.dedupStream(stream), "dedup_stream", "append")
+    val streamed = spark.table("dedup_stream")
+    val nKeys = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct().count()
+    assert(streamed.count() === nKeys)
+    assert(streamed.select($"user_id", $"event_type").distinct().count() === nKeys)
+  }
+
   test("event codec roundtrips shot + payload") {
     import spark.implicits._
     val df = Seq((141000L, "plasma current ramp"), (0L, ""), (16777217L, "x"))
