@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.{SignalCatalog, SignalMeta}
-import graft.operators.AsOf
+import graft.operators.{AsOf, Interp}
 
 /** The engine's user-facing verbs (SURVEY §7.1 step 3) — the FDF access
   * idiom `nstx.s141000.mpts.te(time=(0.2,0.4))` re-expressed over long-
@@ -99,6 +99,33 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
     chain(based
       .withColumn("value", col("value") - col("__base"))
       .drop("__rn", "__base"))
+  }
+
+  /** Resample the signal onto an evenly spaced grid `[lo, hi]` step
+    * `step` by linear interpolation between bracketing samples — the
+    * continuous counterpart of `at()`'s nearest-sample snap. Grid points
+    * outside the sampled range are dropped. One shuffle by shot
+    * (Interp.linear's union+window pattern), no join fan-out. */
+  def resample(axis: String, lo: Double, hi: Double, step: Double): SignalFrame = {
+    val keys = Seq("shot") ++ (if (df.columns.contains("channel")) Seq("channel") else Nil)
+    val key = keys.head // Interp.linear is single-key; compose channel into shot-key if present
+    val samples =
+      if (keys.size == 1) df.select(col(key), col(axis), col("value"))
+      else df.select(concat_ws("#", keys.map(c => col(c).cast("string")): _*).as("__k"),
+        col(axis), col("value"))
+    val k = if (keys.size == 1) key else "__k"
+    // sequence() is integral-only: generate grid indices, then lo + i*step
+    val nSteps = math.floor((hi - lo) / step + 1e-9).toLong
+    val probes = samples.select(col(k)).distinct()
+      .select(col(k), explode(sequence(lit(0L), lit(nSteps))).as("__i"))
+      .select(col(k), (lit(lo) + col("__i") * step).as(axis))
+    val out = Interp.linear(samples, probes, k, axis, "value")
+    val restored =
+      if (keys.size == 1) out
+      else keys.zipWithIndex.foldLeft(out) { case (d, (kn, i)) =>
+        d.withColumn(kn, split(col("__k"), "#").getItem(i).cast(df.schema(kn).dataType))
+      }.drop("__k")
+    chain(restored)
   }
 
   /** Aggregate over the current slice (SURVEY A2: sub-block max etc.). */

@@ -69,6 +69,20 @@ class ApiSpec extends SparkSpec {
     assert(sf.df.count() === 5) // all radii at the nearest time
   }
 
+  test("resample lerps onto an even grid, channels kept separate") {
+    import spark.implicits._
+    val sf = machine.shot(1).signal("bes.ch").resample("time", 0.0, 7.0, 0.5)
+    assert(sf.df.count() === 15 * 4) // 15 grid points x 4 channels
+    val byChT = sf.df.select($"channel".cast("int"), $"time", $"value")
+      .as[(Int, Double, Double)].collect()
+      .map { case (ch, t, v) => (ch, t) -> v }.toMap
+    // bes.ch: value = 5+ch for t<2, 10+ch after -> lerp ramps between t=1 and t=2
+    assert(byChT((1, 0.5)) === 6.0)  // flat segment
+    assert(byChT((1, 1.5)) === 8.5)  // midpoint of 6 -> 11
+    assert(byChT((3, 1.5)) === 10.5) // midpoint of 8 -> 13
+    assert(byChT((2, 3.0)) === 12.0) // exact sample
+  }
+
   test("at() ties break to the first (smallest) sample like np.argmin") {
     import spark.implicits._
     val df = Seq((1, 1.0, 10.0), (1, 2.0, 20.0)).toDF("shot", "time", "value")
