@@ -161,5 +161,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[NormExpr].getName, "graft_norm"),
       (exprs: Seq[Expression]) => NormExpr(exprs.head)))
+    // bucketed range-join rewrite (active only when
+    // spark.graft.rangeJoin.bucketWidth > 0)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }
