@@ -73,6 +73,7 @@ object SparkEntry {
     "q52_sliding_window"    -> (Relational.slidingWindow _),
     "q53_vocab_topk"        -> (TextAnalysis.vocabTopK _),
     "q54_group_sample"      -> (Sampling.perGroupSample _),
+    "q55_revenue_rollup"    -> (Relational.revenueRollup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -604,5 +605,17 @@ object SparkEntry {
                  / 4294967296.0 ASC, doc_id ASC) AS rk
            FROM documents)
          WHERE rk <= 3""",
+    "q55_revenue_rollup" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+         cast(sum(cast(l_extendedprice AS decimal(12,2))
+                  * cast(1.0 - l_discount AS decimal(12,2))) AS double) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1, 2""",
   )
 }

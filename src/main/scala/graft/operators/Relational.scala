@@ -404,6 +404,33 @@ object Relational {
         countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** Deep multi-join rollup (TPC-H Q5 flavor): fact table joined through
+    * a snowflake of dimensions with a region filter, revenue per nation
+    * per year. The dimension chain (customer -> nation -> region) stays
+    * broadcast end-to-end, so the only shuffle is the lineitem->orders
+    * join and the final aggregation; the region predicate prunes the
+    * broadcast side before it ships. Decimal-routed revenue for oracle
+    * exactness. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val dims = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir).where($"r_name" === "ASIA")
+        .select($"r_regionkey")), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name", year($"o_orderdate").as("o_year"))
+      .agg(sum(($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1.0) - $"l_discount").cast("decimal(12,2)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Sliding (hopping) time windows — 1 h width every 30 min, so each
     * event lands in two overlapping windows (SURVEY §2.8; the batch twin
     * of the streaming sliding-window agg). Spark's `window()` generator

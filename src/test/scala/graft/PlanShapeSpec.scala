@@ -103,6 +103,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q55 snowflake rollup broadcasts the dimension chain") {
+    val plan = finalPlan(Relational.revenueRollup(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("q53 vocabulary top-k uses distributed partial top-k, no global sort") {
     val plan = finalPlan(graft.operators.TextAnalysis.vocabTopK(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
