@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -24,6 +25,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    exactly like the reference's per-signal lazy fetch, but parallel.
   *  - `SupportsPushDownRequiredColumns`: readers emit only projected
   *    columns (a time-only or value-only scan does not compute the rest).
+  *  - `SupportsPushDownAggregates` (partial) on COUNT(*) / MIN(time) /
+  *    MAX(time) grouped by shot/channel: each partition answers from
+  *    trace METADATA (point count, dt) without generating a single
+  *    sample — the "server computes the summary" shape that turns a
+  *    100 TB trace-count query into one row per trace over the wire.
+  *    Spark merges the per-partition partials (sum of counts, min of
+  *    mins), so grouping sets that span partitions stay correct.
   *
   * Trace model (deterministic, unit-testable): value(shot, ch, i) =
   * sin(2π·f·i·dt) scaled by channel, f = 5 + (shot mod 7), plus a linear
@@ -68,12 +76,46 @@ class SignalTable(options: CaseInsensitiveStringMap)
 
 class SignalScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = SignalSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[PushedSignalAgg] = None
 
-  override def pruneColumns(s: StructType): Unit = requiredSchema = s
+  override def pruneColumns(s: StructType): Unit =
+    if (pushedAgg.isEmpty) requiredSchema = s
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  /** Accept COUNT(*) / MIN(time) / MAX(time) / MIN|MAX(shot|channel)
+    * grouped by any subset of (shot, channel): every accepted aggregate is
+    * answerable from trace metadata alone. Partial pushdown only — groups
+    * can span input partitions, Spark merges. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groups = agg.groupByExpressions.toSeq.map(refName)
+    if (groups.exists(g => !g.exists(Set("shot", "channel")))) return false
+    val aggs: Seq[Option[PushedAggCol]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarCol)
+      case m: Min => refName(m.column).collect {
+        case "time" => MinTimeCol
+        case "shot" => MinKeyCol("shot")
+        case "channel" => MinKeyCol("channel") }
+      case m: Max => refName(m.column).collect {
+        case "time" => MaxTimeCol
+        case "shot" => MaxKeyCol("shot")
+        case "channel" => MaxKeyCol("channel") }
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) return false
+    val p = PushedSignalAgg(groups.map(_.get), aggs.map(_.get))
+    pushedAgg = Some(p)
+    requiredSchema = p.schema
+    true
+  }
 
   // accept shot/channel predicates (they prune partitions); everything
   // else stays in Spark's post-scan Filter
@@ -93,18 +135,42 @@ class SignalScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SignalScan(options, requiredSchema, pushed)
+  override def build(): Scan =
+    new SignalScan(options, requiredSchema, pushed, pushedAgg)
+}
+
+/** One accepted pushed aggregate column. */
+sealed trait PushedAggCol { def field: StructField }
+case object CountStarCol extends PushedAggCol {
+  val field = StructField("agg_count", LongType, nullable = false) }
+case object MinTimeCol extends PushedAggCol {
+  val field = StructField("agg_min_time", DoubleType, nullable = false) }
+case object MaxTimeCol extends PushedAggCol {
+  val field = StructField("agg_max_time", DoubleType, nullable = false) }
+case class MinKeyCol(key: String) extends PushedAggCol {
+  val field = StructField(s"agg_min_$key", IntegerType, nullable = false) }
+case class MaxKeyCol(key: String) extends PushedAggCol {
+  val field = StructField(s"agg_max_$key", IntegerType, nullable = false) }
+
+case class PushedSignalAgg(groupCols: Seq[String], aggCols: Seq[PushedAggCol]) {
+  def schema: StructType = StructType(
+    groupCols.map(g => SignalSource.schema(g)) ++ aggCols.map(_.field))
 }
 
 case class SignalInputPartition(shot: Int, channel: Int, points: Int,
     dt: Double) extends InputPartition
 
 class SignalScan(options: CaseInsensitiveStringMap,
-    requiredSchema: StructType, pushed: Array[Filter])
+    requiredSchema: StructType, pushed: Array[Filter],
+    pushedAgg: Option[PushedSignalAgg] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_signals PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
+      pushedAgg.fold("")(a => s", PushedAggregation: groupBy=${a.groupCols
+        .mkString(",")} aggs=${a.aggCols.map(_.field.name).mkString(",")}")
 
   private def keep(col: String, v: Int): Boolean = pushed.forall {
     case EqualTo(a, x) if a == col => x.asInstanceOf[Number].intValue == v
@@ -130,7 +196,36 @@ class SignalScan(options: CaseInsensitiveStringMap,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SignalReaderFactory(requiredSchema)
+    pushedAgg match {
+      case Some(a) => new SignalAggReaderFactory(a)
+      case None => new SignalReaderFactory(requiredSchema)
+    }
+}
+
+/** Aggregate-pushdown reader: one pre-aggregated row per (shot, channel)
+  * partition, computed from trace metadata — no samples generated. */
+class SignalAggReaderFactory(agg: PushedSignalAgg)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SignalInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        def key(k: String): Int = if (k == "shot") sp.shot else sp.channel
+        val groups: Seq[Any] = agg.groupCols.map(key)
+        val aggs: Seq[Any] = agg.aggCols.map {
+          case CountStarCol => sp.points.toLong
+          case MinTimeCol => 0.0
+          case MaxTimeCol => (sp.points - 1) * sp.dt
+          case MinKeyCol(k) => key(k)
+          case MaxKeyCol(k) => key(k)
+        }
+        InternalRow.fromSeq((groups ++ aggs).toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SignalReaderFactory(requiredSchema: StructType)

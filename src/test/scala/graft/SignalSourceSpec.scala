@@ -49,4 +49,40 @@ class SignalSourceSpec extends SparkSpec {
     val scan = df.queryExecution.executedPlan.collectLeaves().head
     assert(scan.schema.fieldNames.toSeq === Seq("time"))
   }
+
+  test("count/min/max aggregates push into the scan and answer from metadata") {
+    val df = read("shots" -> "100:102", "channels" -> "2", "points" -> "50",
+        "dt" -> "0.1")
+      .groupBy(col("shot"))
+      .agg(count(lit(1)).as("n"), min(col("time")).as("t0"),
+        max(col("time")).as("t1"))
+    val rows = df.orderBy("shot").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === 2L * 50)      // 2 channels x 50 points
+      assert(r.getAs[Double]("t0") === 0.0)
+      assert(r.getAs[Double]("t1") === 49 * 0.1)
+    }
+    // the pushed aggregation is visible on the scan: it reads 1 row per
+    // trace, not points x channels
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+  }
+
+  test("aggregate pushdown composes with partition-pruning filters") {
+    val df = read("shots" -> "1:50", "channels" -> "4", "points" -> "7")
+      .where(col("shot") === 9)
+      .groupBy(col("channel")).agg(count(lit(1)).as("n"))
+    val rows = df.orderBy("channel").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(7L, 7L, 7L, 7L))
+  }
+
+  test("unsupported aggregates (sum/avg of value) fall back to a row scan") {
+    val df = read("shots" -> "100:100", "channels" -> "1", "points" -> "10",
+        "dt" -> "0.5")
+      .groupBy(col("shot")).agg(sum(col("value")).as("s"))
+    val expected = (0 until 10).map(SignalSource.value(100, 1, _, 0.5)).sum
+    assert(math.abs(df.head().getAs[Double]("s") - expected) < 1e-9)
+    assert(!df.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+  }
 }
