@@ -76,11 +76,21 @@ class SignalTable(options: CaseInsensitiveStringMap)
 
 class SignalScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = SignalSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[PushedSignalAgg] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT n caps every partition's emitted rows at n (the global limit
+    * still applies post-scan; this stops each trace read after n samples
+    * instead of materializing the full trace). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isEmpty) pushedLimit = Some(limit)
+    pushedLimit.isDefined
+  }
 
   override def pruneColumns(s: StructType): Unit =
     if (pushedAgg.isEmpty) requiredSchema = s
@@ -136,7 +146,7 @@ class SignalScanBuilder(options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SignalScan(options, requiredSchema, pushed, pushedAgg)
+    new SignalScan(options, requiredSchema, pushed, pushedAgg, pushedLimit)
 }
 
 /** One accepted pushed aggregate column. */
@@ -162,7 +172,8 @@ case class SignalInputPartition(shot: Int, channel: Int, points: Int,
 
 class SignalScan(options: CaseInsensitiveStringMap,
     requiredSchema: StructType, pushed: Array[Filter],
-    pushedAgg: Option[PushedSignalAgg] = None)
+    pushedAgg: Option[PushedSignalAgg] = None,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -188,11 +199,13 @@ class SignalScan(options: CaseInsensitiveStringMap,
     val points = options.getOrDefault("points", "1000").toInt
     val dt = options.getOrDefault("dt", "0.001").toDouble
     // one partition per (shot, channel): pushed filters prune HERE, so an
-    // unselected trace is never generated/fetched
+    // unselected trace is never generated/fetched; a pushed LIMIT caps the
+    // per-trace sample count at the source
+    val cap = pushedLimit.fold(points)(math.min(points, _))
     (for {
       shot <- lo to hi if keep("shot", shot)
       ch <- 1 to channels if keep("channel", ch)
-    } yield SignalInputPartition(shot, ch, points, dt): InputPartition).toArray
+    } yield SignalInputPartition(shot, ch, cap, dt): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

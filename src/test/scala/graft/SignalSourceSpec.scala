@@ -77,6 +77,17 @@ class SignalSourceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(7L, 7L, 7L, 7L))
   }
 
+  test("limit pushes into the scan: per-trace sample cap at the source") {
+    val df = read("shots" -> "100:101", "channels" -> "2", "points" -> "100000")
+      .limit(5)
+    assert(df.count() === 5)
+    // the reader was capped: a full-trace scan would emit 400k rows; the
+    // capped plan emits at most limit rows per (shot, channel) partition
+    val leaf = df.queryExecution.executedPlan.collectLeaves().head
+    val emitted = leaf.execute().count()
+    assert(emitted <= 5L * 4, s"expected <=20 source rows, got $emitted")
+  }
+
   test("unsupported aggregates (sum/avg of value) fall back to a row scan") {
     val df = read("shots" -> "100:100", "channels" -> "1", "points" -> "10",
         "dt" -> "0.5")
