@@ -74,6 +74,8 @@ object SparkEntry {
     "q53_vocab_topk"        -> (TextAnalysis.vocabTopK _),
     "q54_group_sample"      -> (Sampling.perGroupSample _),
     "q55_revenue_rollup"    -> (Relational.revenueRollup _),
+    "q56_json_extract"      -> (Relational.jsonExtract _),
+    "q57_set_ops"           -> (Relational.setOps _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -617,5 +619,20 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY 1, 2""",
+    "q56_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1""",
+    "q57_set_ops" ->
+      """SELECT 'both' AS tag, c_custkey AS custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT 'building_only' AS tag, c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
   )
 }

@@ -404,6 +404,33 @@ object Relational {
         countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** Semi-structured extraction: pull a typed field out of the JSON props
+    * column and aggregate — `get_json_object` is a codegen'd expression,
+    * so the parse stays inside the scan's whole-stage-codegen span
+    * (map-side), and only the tiny (type, partials) table shuffles. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+  }
+
+  /** Set algebra beyond union (SURVEY §2.6 G1): INTERSECT / EXCEPT over
+    * two derived key sets, tagged and unioned into one result. Spark plans
+    * both as hash left-semi / left-anti joins over the distinct sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, dir)
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .where($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("custkey"))
+    building.intersect(urgent).select(lit("both").as("tag"), $"custkey")
+      .unionByName(
+        building.except(urgent).select(lit("building_only").as("tag"), $"custkey"))
+  }
+
   /** Deep multi-join rollup (TPC-H Q5 flavor): fact table joined through
     * a snowflake of dimensions with a region filter, revenue per nation
     * per year. The dimension chain (customer -> nation -> region) stays
