@@ -69,6 +69,29 @@ class ApiSpec extends SparkSpec {
     assert(sf.df.count() === 5) // all radii at the nearest time
   }
 
+  test("3-D signal with time-varying secondary axis stays coherent (SURVEY §7.4)") {
+    // EFIT qpsi(time, psin) where the psin grid itself changes per time
+    // step: in long format the axis VALUE is a column materialized per
+    // row, so value-based slicing works with no index bookkeeping — the
+    // representation decision SURVEY §7.4 calls out.
+    import spark.implicits._
+    val rows = for {
+      shot <- Seq(1); ti <- 0 until 4; pi <- 0 until 5
+    } yield (shot, ti / 10.0,
+      pi * (0.2 + ti * 0.01),            // psin grid stretches over time
+      1.0 + ti + pi * 0.5)               // qpsi value
+    val df = rows.toDF("shot", "time", "psin", "qpsi")
+    // slice by psin VALUE range: picks different index sets per time step
+    val sliced = df.where($"psin".between(0.35, 0.65))
+    val byTime = sliced.groupBy($"time").count().as[(Double, Long)]
+      .collect().toMap
+    // t=0.0: psin grid 0,.2,.4,.6,.8 -> {0.4, 0.6}; t=0.3: 0,.23,.46,.69,.92 -> {0.46}
+    assert(byTime(0.0) === 2)
+    assert(byTime(0.3) === 1)
+    // axis-coherence: every surviving row's psin is inside the slice
+    assert(sliced.where(!$"psin".between(0.35, 0.65)).count() === 0)
+  }
+
   test("resample lerps onto an even grid, channels kept separate") {
     import spark.implicits._
     val sf = machine.shot(1).signal("bes.ch").resample("time", 0.0, 7.0, 0.5)
