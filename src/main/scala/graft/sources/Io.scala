@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats beyond the canonical parquet tables, plus the
+  * partitioned-directory layout that turns shot predicates into directory
+  * pruning.
+  *
+  * The reference's storage boundary is one MDSplus tree per shot
+  * (`fdf/factory.py:169-202`) — `writePartitioned(df, path, "shot")` is
+  * that layout in a Spark warehouse: a `WHERE shot = n` never lists, let
+  * alone reads, any other shot's files (`PartitionFilters` in the scan).
+  * CSV/JSON exist for interchange at the edges (logbook exports, event
+  * dumps); ORC as the alternate columnar store. All readers take explicit
+  * schemas — schema inference is an extra full pass at 100 TB.
+  */
+object Io {
+
+  /** Hive-style partitioned parquet: one directory per distinct value of
+    * `cols`; equality/IN predicates on them prune at file-listing time. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+}
