@@ -144,7 +144,8 @@ object SparkEntry {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          QUALIFY row_number() OVER (
            PARTITION BY o_orderkey
-           ORDER BY abs(epoch(l_shipdate) - epoch(o_orderdate)) ASC, l_linenumber ASC) = 1""",
+           ORDER BY abs(epoch(l_shipdate) - epoch(o_orderdate)) ASC,
+                    l_linenumber ASC, l_shipdate ASC) = 1""",
     "q12_group_collect" ->
       """SELECT o_custkey, count(*) AS n_orders,
          string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,

@@ -197,7 +197,12 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
     val diff = abs(unix_timestamp($"l_shipdate") - unix_timestamp($"o_orderdate"))
-    val w = Window.partitionBy($"o_orderkey").orderBy(diff.asc, $"l_linenumber".asc)
+    // l_linenumber is NOT unique per order in the generated data (sf0.1
+    // has duplicate linenumbers with equal |diff|): l_shipdate completes
+    // the tie-break; rows still tied after it are identical in every
+    // output column, so the pick is output-deterministic
+    val w = Window.partitionBy($"o_orderkey")
+      .orderBy(diff.asc, $"l_linenumber".asc, $"l_shipdate".asc)
     o.join(li, $"o_orderkey" === $"l_orderkey")
       .withColumn("rn", row_number().over(w))
       .where($"rn" === 1)
