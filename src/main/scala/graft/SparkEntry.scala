@@ -76,6 +76,7 @@ object SparkEntry {
     "q55_revenue_rollup"    -> (Relational.revenueRollup _),
     "q56_json_extract"      -> (Relational.jsonExtract _),
     "q57_set_ops"           -> (Relational.setOps _),
+    "q58_contamination"     -> (Dedup.contamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -635,5 +636,22 @@ object SparkEntry {
            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
            EXCEPT
            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+    "q58_contamination" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 11 = 0),
+         train AS (SELECT * FROM sh WHERE doc_id % 11 != 0),
+         shared AS (SELECT t.doc_id, count(*) AS n_shared
+                    FROM train t JOIN bench USING (shingle) GROUP BY 1),
+         card AS (SELECT doc_id, count(*) AS n_total FROM train GROUP BY 1)
+         SELECT s.doc_id, s.n_shared, c.n_total,
+                s.n_shared / c.n_total AS contamination
+         FROM shared s JOIN card c USING (doc_id)""",
   )
 }

@@ -37,6 +37,28 @@ object Dedup {
     * same pass (shingles are distinct per doc, so the per-pair match count
     * IS |A∩B|) — no candidate set is ever re-joined against the shingle
     * table, which at sf0.1 avoided a 58M-row intermediate. */
+  /** q58: benchmark-contamination screening — the eval-leakage check a
+    * training corpus needs before a model trains on it. A held-out
+    * "benchmark" partition (doc_id % 11 == 0 stands in for the eval set)
+    * contributes its distinct shingles; every training doc is scored by
+    * the fraction of its shingles that appear in the benchmark set. The
+    * benchmark side is small by construction -> broadcast hash join; the
+    * corpus side stays map-local, no corpus-wide shuffle before the
+    * per-doc aggregation. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = TextOps.shingled(spark, dir, 3)
+    val bench = sh.where($"doc_id" % 11 === 0)
+      .select($"shingle").distinct()
+    val train = sh.where($"doc_id" % 11 =!= 0)
+    val shared = train.join(broadcast(bench), "shingle")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    val card = TextOps.shingleCard(train).withColumnRenamed("n", "n_total")
+    shared.join(card, "doc_id")
+      .select($"doc_id", $"n_shared", $"n_total",
+        ($"n_shared" / $"n_total").as("contamination"))
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = TextOps.shingled(spark, dir, 3)
