@@ -77,6 +77,7 @@ object SparkEntry {
     "q56_json_extract"      -> (Relational.jsonExtract _),
     "q57_set_ops"           -> (Relational.setOps _),
     "q58_contamination"     -> (Dedup.contamination _),
+    "q59_blob_resize"       -> (Multimodal.blobResize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -653,5 +654,14 @@ object SparkEntry {
          SELECT s.doc_id, s.n_shared, c.n_total,
                 s.n_shared / c.n_total AS contamination
          FROM shared s JOIN card c USING (doc_id)""",
+    // stride-4 byte subsample; ASCII/size precondition as q35/q39/q40
+    "q59_blob_resize" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text,'')) AS ch,
+                           generate_subscripts(string_split(text,''),1) AS i FROM documents)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(count(*) FILTER ((i-1) % 4 = 0) AS BIGINT) AS n_out,
+           CAST(sum(CASE WHEN (i-1) % 4 = 0 THEN ord(ch) ELSE 0 END) AS BIGINT) AS out_sum
+         FROM c GROUP BY 1""",
   )
 }

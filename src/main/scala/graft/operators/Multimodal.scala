@@ -81,6 +81,27 @@ object Multimodal {
     }.toDF()
   }
 
+  case class Resized(doc_id: Long, n_in: Long, n_out: Long, out_sum: Long)
+
+  /** q59: resize/downsample — keep every 4th byte (the stride-subsample
+    * stand-in for image resampling; a real kernel swaps the stride loop
+    * for bilinear weights). mapPartitions batch shape like the other
+    * decode stages; map-only, no shuffle. Output metadata is
+    * deterministic arithmetic the oracle reproduces. */
+  def blobResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[Blob] = Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("bytes"))
+      .as[Blob]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        var i = 0; var sum = 0L; var n = 0L
+        while (i < b.bytes.length) { sum += b.bytes(i) & 0xff; n += 1; i += 4 }
+        Resized(b.doc_id, b.bytes.length.toLong, n, sum)
+      }
+    }.toDF()
+  }
+
   case class Features(doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long,
       f4: Long, f5: Long, f6: Long, f7: Long)
 
