@@ -248,6 +248,41 @@ object TextHash {
     override def prettyName: String = "graft_simhash"
   }
 
+  /** Positional rolling-hash document fingerprint of a token array:
+    * sum_i (md5_32(tok_i) mod P) * ((i+1) * 2654435761 mod P) mod P,
+    * P = 2^31-1 — order-sensitive (permuted docs differ), single pass,
+    * map-only. Bit-identical to the q34 oracle's per-token SQL: each term
+    * is < P, the running sum of a bounded doc fits a long, and the final
+    * mod matches SQL's sum-then-mod. */
+  case class FingerprintExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    private val P = 2147483647L
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "graft_fingerprint")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenStrings(input)
+      var acc = 0L
+      var i = 0
+      while (i < toks.length) {
+        val h = java.lang.Long.parseLong(md5hex(toks(i)).substring(0, 8), 16) % P
+        val w = ((i + 1).toLong * 2654435761L) % P
+        acc += (h * w) % P
+        i += 1
+      }
+      acc % P
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_fingerprint"
+  }
+
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), n))
 
@@ -259,4 +294,7 @@ object TextHash {
 
   def simhash(toks: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(toks)))
+
+  def fingerprint(toks: Column): Column =
+    ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(toks)))
 }

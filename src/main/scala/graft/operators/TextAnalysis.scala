@@ -87,14 +87,13 @@ object TextAnalysis {
     * hashes). One narrow groupBy(doc_id) with partial aggregation. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val P = 2147483647L
-    Tables.documents(spark, dir)
-      .select($"doc_id", posexplode(TextOps.toks($"text")).as(Seq("pos", "tok")))
-      .withColumn("term",
-        (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % P)
-          * ((($"pos" + 1) * lit(2654435761L)) % P) % P)
-      .groupBy($"doc_id")
-      .agg((sum($"term") % P).as("fingerprint"))
+    // native single-pass expression: the posexplode+groupBy formulation
+    // shuffled ~100 exploded rows per doc; this is map-only (pitfall #4:
+    // per-document signatures must be map-only native expressions)
+    TextOps.docsParallel(spark, dir)
+      .select($"doc_id",
+        graft.functions.TextHash.fingerprint(TextOps.toks($"text"))
+          .as("fingerprint"))
   }
 
   /** q53: vocabulary building — corpus-wide term frequency + document

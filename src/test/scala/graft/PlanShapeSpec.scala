@@ -73,20 +73,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q26 signature stage is map-only: no aggregate before the band join") {
+  test("q26/q34 signature stages are map-only: no aggregate, no explode-shuffle") {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    val df = graft.operators.Dedup.simhash(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    val p = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    for (df <- Seq(graft.operators.Dedup.simhash(spark, sfDir),
+                   graft.operators.TextAnalysis.fingerprint(spark, sfDir))) {
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val aggs = p.collect {
+        case h: HashAggregateExec => h
+        case o: ObjectHashAggregateExec => o
+        case s: SortAggregateExec => s
+      }
+      assert(aggs.isEmpty, s"signature should be a pure projection, found: $aggs")
     }
-    val aggs = p.collect {
-      case h: HashAggregateExec => h
-      case o: ObjectHashAggregateExec => o
-      case s: SortAggregateExec => s
-    }
-    assert(aggs.isEmpty, s"simhash should be a pure projection, found: $aggs")
   }
 
   test("q44 bucketed range join plans a hash join, not a nested loop") {
