@@ -161,6 +161,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[NormExpr].getName, "graft_norm"),
       (exprs: Seq[Expression]) => NormExpr(exprs.head)))
+    // text-hash kernels for the SQL surface; integer args must be literals
+    def lit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what expects a literal int, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[TextHash.ShinglesExpr].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) =>
+        TextHash.ShinglesExpr(exprs.head, lit(exprs(1), "graft_shingles n"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[TextHash.MinHashExpr].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) =>
+        TextHash.MinHashExpr(exprs.head, lit(exprs(1), "graft_minhash k"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[TextHash.SimHashExpr].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => TextHash.SimHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[TextHash.FingerprintExpr].getName, "graft_fingerprint"),
+      (exprs: Seq[Expression]) => TextHash.FingerprintExpr(exprs.head)))
     // bucketed range-join rewrite (active only when
     // spark.graft.rangeJoin.bucketWidth > 0)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** Direct kernel checks for the TextHash expressions (the oracle gate
+  * covers them end-to-end; these pin the per-row contracts). */
+class TextHashSpec extends SparkSpec {
+
+  private def md5_32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("fingerprint equals the positional rolling-hash model and is order-sensitive") {
+    import spark.implicits._
+    val P = 2147483647L
+    def model(toks: Seq[String]): Long =
+      toks.zipWithIndex.map { case (t, i) =>
+        ((md5_32(t) % P) * (((i + 1).toLong * 2654435761L) % P)) % P
+      }.sum % P
+    val docs = Seq("alpha beta gamma", "beta alpha gamma", "alpha", "")
+    val got = docs.toDF("text")
+      .select(TextHash.fingerprint(split($"text", " ")).as("fp"))
+      .as[Long].collect()
+    docs.zip(got).foreach { case (d, fp) =>
+      assert(fp === model(d.split(" ", -1).toSeq), s"doc '$d'")
+    }
+    // order sensitivity: permuted docs differ
+    assert(got(0) !== got(1))
+  }
+
+  test("kernels are callable from SQL after register()") {
+    TextHash.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fingerprint(split('a b c', ' ')) AS fp,
+                graft_simhash(split('a b c', ' ')) AS sh,
+                size(graft_shingles(split('a b c d', ' '), 2)) AS nsh,
+                size(graft_minhash(graft_shingles(split('a b c d', ' '), 2), 4)) AS nmh
+      """).head()
+    assert(r.getAs[Long]("fp") > 0)
+    assert(r.getAs[Int]("nsh") === 3)
+    assert(r.getAs[Int]("nmh") === 4)
+  }
+}
