@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke harness (not part of the driver contract): replicate
+  * lineitem Nx with remapped keys into a MULTI-FILE parquet layout, then
+  * time the lineitem-only queries at 1x vs Nx in one JVM.
+  *
+  * Two things this demonstrates that the fixed sf0.1 bench cannot:
+  *  - wall time scales sub-linearly with data (the plans parallelize:
+  *    partial aggregation, distributed top-k, AQE);
+  *  - the single-file testdata layout (1 row group = 1 scan task) is a
+  *    LAYOUT property, not a plan property — given a real multi-file
+  *    table, the same plans go wide from the scan on.
+  *
+  * Usage: runMain graft.ScaleSmoke [factor] (default 10 = sf1-equivalent,
+  * 6M lineitem rows).
+  */
+object ScaleSmoke {
+
+  // lineitem-only queries (the replica table stands alone)
+  private val QUERIES = Seq("q01_agg_pushdown", "q02_filter_project",
+    "q16_arithmetic", "q17_topk_per_group", "q18_rollup",
+    "q23_distinct_count", "q42_quantiles", "q43_cube")
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val base = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft_scale_x$n"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+      // replicate with remapped keys so key cardinalities scale with the
+      // data (a pure copy would inflate group sizes, not group counts)
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("l_orderkey", $"l_orderkey" * n + $"r")
+        .withColumn("l_partkey", $"l_partkey" * n + $"r")
+        .withColumn("l_suppkey", $"l_suppkey" * n + $"r")
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    }
+
+    def time(dir: String, q: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths, then measure best-of-2
+    for (q <- QUERIES; d <- Seq(base, big)) time(d, q)
+    println(f"${"query"}%-22s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")
+    var tot1 = 0.0; var totN = 0.0
+    for (q <- QUERIES) {
+      val a = math.min(time(base, q), time(base, q))
+      val b = math.min(time(big, q), time(big, q))
+      tot1 += a; totN += b
+      println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f")
+    }
+    println(f"${"TOTAL"}%-22s $tot1%8.2f $totN%8.2f  ${totN / tot1}%5.1f")
+    spark.stop()
+  }
+}
