@@ -78,6 +78,7 @@ object SparkEntry {
     "q57_set_ops"           -> (Relational.setOps _),
     "q58_contamination"     -> (Dedup.contamination _),
     "q59_blob_resize"       -> (Multimodal.blobResize _),
+    "q60_stats_profile"     -> (Relational.statsProfile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -663,5 +664,23 @@ object SparkEntry {
            CAST(count(*) FILTER ((i-1) % 4 = 0) AS BIGINT) AS n_out,
            CAST(sum(CASE WHEN (i-1) % 4 = 0 THEN ord(ch) ELSE 0 END) AS BIGINT) AS out_sum
          FROM c GROUP BY 1""",
+    "q60_stats_profile" ->
+      """WITH b AS (
+           SELECT event_type,
+             CAST(value AS decimal(18,6)) AS xd,
+             CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS decimal(18,6)) AS yd
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(xd) AS double) AS sx, CAST(sum(yd) AS double) AS sy,
+             CAST(floor(sum(xd*xd) * 100) AS BIGINT) / 100.0 AS sxx,
+             CAST(floor(sum(yd*yd) * 100) AS BIGINT) / 100.0 AS syy,
+             CAST(floor(sum(xd*yd) * 100) AS BIGINT) / 100.0 AS sxy
+           FROM b GROUP BY 1)
+         SELECT event_type, n, sx / n AS mean_value,
+           (sxx - sx*sx/n) / (n-1) AS var_value,
+           sqrt((sxx - sx*sx/n) / (n-1)) AS std_value,
+           (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr_vk
+         FROM s""",
   )
 }

@@ -409,6 +409,41 @@ object Relational {
         countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** Statistical profile per group: mean, sample variance/stddev, and
+    * correlation — derived from decimal-routed EXACT sums (sum x, sum x^2,
+    * sum xy) with the closed-form formulas applied identically in the
+    * final projection on both engines. The built-in var_samp/corr
+    * aggregates accumulate in merge-order-dependent floating point and
+    * cannot hash-match a serial engine; exact partial sums + one final
+    * double formula can (IEEE sqrt is correctly rounded and portable,
+    * unlike libm trig). One partial-aggregated shuffle, like any sum. */
+  def statsProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = Tables.events(spark, dir).select($"event_type",
+      $"value".cast("decimal(18,6)").as("xd"),
+      get_json_object($"props", "$.k").cast("long").cast("decimal(18,6)").as("yd"))
+    // product sums are truncated to 2 decimals via floor(x*100) BEFORE the
+    // double cast: a decimal(38,12) -> double conversion differs in the
+    // last ulp between engines, and decimal RESCALING rounds differently
+    // too — floor of the exact decimal is unambiguous, and the resulting
+    // <=15-significant-digit value converts to double exactly
+    def exact2(c: org.apache.spark.sql.Column) =
+      (floor(c * 100).cast("long") / 100.0)
+    val s = b.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"xd").cast("double").as("sx"), sum($"yd").cast("double").as("sy"),
+      exact2(sum($"xd" * $"xd")).as("sxx"),
+      exact2(sum($"yd" * $"yd")).as("syy"),
+      exact2(sum($"xd" * $"yd")).as("sxy"))
+    val ssx = $"sxx" - $"sx" * $"sx" / $"n"
+    val ssy = $"syy" - $"sy" * $"sy" / $"n"
+    s.select($"event_type", $"n",
+      ($"sx" / $"n").as("mean_value"),
+      (ssx / ($"n" - 1)).as("var_value"),
+      sqrt(ssx / ($"n" - 1)).as("std_value"),
+      (($"sxy" - $"sx" * $"sy" / $"n") / (sqrt(ssx) * sqrt(ssy))).as("corr_vk"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON props
     * column and aggregate — `get_json_object` is a codegen'd expression,
     * so the parse stays inside the scan's whole-stage-codegen span
