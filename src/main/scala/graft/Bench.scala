@@ -36,7 +36,13 @@ object Bench {
         pool.submit(new Runnable { def run(): Unit = { runOne(dir, name, fn); () } })
       }
       pool.shutdown()
-      pool.awaitTermination(1, TimeUnit.HOURS)
+      if (!pool.awaitTermination(1, TimeUnit.HOURS)) {
+        // don't let straggling warm-up jobs contaminate the timed passes
+        System.err.println("[bench] warm-up timed out; cancelling in-flight jobs")
+        pool.shutdownNow()
+        spark.sparkContext.cancelAllJobs()
+        pool.awaitTermination(5, TimeUnit.MINUTES)
+      }
     }
     // Warm-up scale: the smallest sibling SF dir if present (cheap janino/
     // JIT warm), else the target dir itself — no literal string surgery on

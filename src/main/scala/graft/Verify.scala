@@ -58,7 +58,18 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(2, TimeUnit.HOURS)
+    if (!pool.awaitTermination(2, TimeUnit.HOURS)) {
+      // queries still queued/running after the timeout produced no output
+      // — record them as failures instead of silently over-reporting "ok"
+      System.err.println("[verify] TIMED OUT; cancelling in-flight queries")
+      pool.shutdownNow()
+      spark.sparkContext.cancelAllJobs()
+      SparkEntry.queries.keys.foreach { name =>
+        if (!java.nio.file.Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
+            && !failures.contains(name))
+          failures.add(name)
+      }
+    }
     System.err.println(
       s"[verify] done: ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} ok" +
         (if (failures.isEmpty) "" else s"; failed: ${String.join(",", failures)}"))

@@ -162,21 +162,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormExpr].getName, "graft_norm"),
       (exprs: Seq[Expression]) => NormExpr(exprs.head)))
     // text-hash kernels for the SQL surface; integer args must be literals
-    def lit(e: Expression, what: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"$what expects a literal int, got $other")
-    }
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[TextHash.ShinglesExpr].getName, "graft_shingles"),
       (exprs: Seq[Expression]) =>
-        TextHash.ShinglesExpr(exprs.head, lit(exprs(1), "graft_shingles n"))))
+        TextHash.ShinglesExpr(exprs.head, TextHash.litInt(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[TextHash.MinHashExpr].getName, "graft_minhash"),
       (exprs: Seq[Expression]) =>
-        TextHash.MinHashExpr(exprs.head, lit(exprs(1), "graft_minhash k"))))
+        TextHash.MinHashExpr(exprs.head, TextHash.litInt(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[TextHash.SimHashExpr].getName, "graft_simhash"),

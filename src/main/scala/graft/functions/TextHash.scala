@@ -298,14 +298,17 @@ object TextHash {
   def fingerprint(toks: Column): Column =
     ColumnBridge.column(FingerprintExpr(ColumnBridge.expression(toks)))
 
+  /** Literal-int extraction for SQL function builders (shared by
+    * register() and GraftExtensions — one canonical implementation). */
+  def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"expected literal int, got $other")
+  }
+
   /** Register the kernels on an existing session (tests / REPL — the
     * config-file path is GraftExtensions). Integer args must be literal. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def litInt(e: Expression): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(s"expected literal int, got $other")
-    }
     reg.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -32,7 +32,10 @@ object Interp {
         lit(0).as("__m"))
       .unionByName(probes.select(col(key), col(t).as("__t"),
         lit(null).cast("double").as("__v"), lit(1).as("__m")))
-    val isSample = col("__m") === 0
+    // null-valued samples are not interpolation brackets; carrying (t, v)
+    // as ONE struct (not two independent carries) keeps the pair aligned
+    // when such rows are skipped
+    val isBracket = col("__m") === 0 && col("__v").isNotNull
     // at one timestamp, sample rows sort before probe rows in BOTH window
     // directions (__m asc is direction-independent), so a probe sitting
     // exactly on a sample sees it as its prev AND next bracket
@@ -43,13 +46,14 @@ object Interp {
     val wNext = Window.partitionBy(col(key))
       .orderBy(col("__t").desc, col("__m").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def carry(c: Column, w: WindowSpec) =
-      last(when(isSample, c), ignoreNulls = true).over(w)
+    def carry(w: WindowSpec) =
+      last(when(isBracket, struct(col("__t"), col("__v"))),
+        ignoreNulls = true).over(w)
     all
-      .withColumn("__t0", carry(col("__t"), wPrev))
-      .withColumn("__v0", carry(col("__v"), wPrev))
-      .withColumn("__t1", carry(col("__t"), wNext))
-      .withColumn("__v1", carry(col("__v"), wNext))
+      .withColumn("__p", carry(wPrev))
+      .withColumn("__n", carry(wNext))
+      .withColumn("__t0", col("__p.__t")).withColumn("__v0", col("__p.__v"))
+      .withColumn("__t1", col("__n.__t")).withColumn("__v1", col("__n.__v"))
       .where(col("__m") === 1 &&
         col("__t0").isNotNull && col("__t1").isNotNull)
       .select(col(key), col("__t").as(t),

@@ -27,9 +27,15 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pCol: String, loCol: String, hiCol: String, width: Double): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    // guard inverted/null intervals: sequence(a, b) with a > b generates a
+    // DESCENDING sequence (a single malformed row would explode into
+    // |a-b| candidate buckets that can never match); a null sequence
+    // explodes to zero rows, matching the cheap no-match of the plain
+    // inequality join
     val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / width).cast("long"),
-        floor(col(hiCol) / width).cast("long"))))
+      explode(when(col(loCol) <= col(hiCol),
+        sequence(floor(col(loCol) / width).cast("long"),
+          floor(col(hiCol) / width).cast("long")))))
     points.withColumn("__bucket", floor(col(pCol) / width).cast("long"))
       .join(iv, "__bucket")
       .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))

@@ -392,13 +392,13 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
   }
 
-  /** Multi-column distinct count. The explicit-N key repartition fixes the
-    * Expand-stage parallelism: a low-row-group input (the local single-file
-    * layout; one straggler file at cluster scale) would otherwise push the
-    * 2x-expanded rows through a single partial-aggregate task. The explicit
-    * partition count matters: a bare repartition(col) shuffle is AQE-
-    * coalescible, and byte-based coalescing collapses this small-bytes but
-    * CPU-dense stage back to a handful of tasks. */
+  /** Multi-column distinct count (Expand-based: one scan, 2x expansion,
+    * two-phase distinct aggregation). A pre-aggregation key repartition
+    * was measured SLOWER here — it adds a shuffle without satisfying the
+    * distinct phase's (key, value, gid) distribution — so the plan is
+    * left as Catalyst produces it; on a low-row-group input layout the
+    * scan-side stage runs narrow (a layout bound, see graft.ScaleSmoke:
+    * the same plan goes wide on a multi-file table). */
   def distinctCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)

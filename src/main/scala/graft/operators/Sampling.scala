@@ -27,8 +27,14 @@ object Sampling {
     * xxhash64 seeds), so a DuckDB/Presto/Spark pipeline mix agrees on
     * every row's draw. */
   def hashUniform(salt: String, id: Column): Column =
+    hash32(salt, id) / lit(4294967296.0)
+
+  /** The raw 32-bit draw behind hashUniform, for integer uses (shard
+    * assignment etc.) — ONE canonical md5-substring-conv implementation
+    * so the Scala and oracle-SQL surfaces cannot silently diverge. */
+  def hash32(salt: String, id: Column): Column =
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long") / lit(4294967296.0)
+      .cast("long")
 
   /** Keep each row with probability `rate(row)` — rate is a Column so
     * strata (language, source, quality band) can set their own rates. */
@@ -75,8 +81,7 @@ object Sampling {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id",
       size(split($"text", " ")).cast("long").as("n_tokens"),
-      (conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 8).as("shard"))
+      (hash32("pack", $"doc_id") % 8).as("shard"))
     val w = Window.partitionBy($"shard").orderBy($"doc_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

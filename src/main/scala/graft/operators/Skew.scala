@@ -24,7 +24,11 @@ object Skew {
       sums: Seq[String] = Nil, withCount: Boolean = false,
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+    // position-derived salt, NOT a row-content hash: the canonical skew
+    // case is a hot key whose rows are duplicates, and content-hashed
+    // duplicates would all land on one (key, salt) reducer again. The
+    // salt is layout-only — any assignment yields identical results.
+    val salt = pmod(monotonically_increasing_id(), lit(salts.toLong))
     val p1Aggs =
       sums.map(c => sum(col(c)).as(s"__sum_$c")) ++
       (if (withCount) Seq(count(lit(1)).as("__cnt")) else Nil) ++
@@ -51,8 +55,9 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {
     require(salts > 0)
+    // position-derived salt for the same duplicate-row reason as saltedAgg
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

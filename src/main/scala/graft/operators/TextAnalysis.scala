@@ -89,8 +89,11 @@ object TextAnalysis {
     import spark.implicits._
     // native single-pass expression: the posexplode+groupBy formulation
     // shuffled ~100 exploded rows per doc; this is map-only (pitfall #4:
-    // per-document signatures must be map-only native expressions)
+    // per-document signatures must be map-only native expressions).
+    // null-text docs are dropped, matching the explode-based formulation
+    // and the oracle's unnest (which emit no row for a null token array)
     TextOps.docsParallel(spark, dir)
+      .where($"text".isNotNull)
       .select($"doc_id",
         graft.functions.TextHash.fingerprint(TextOps.toks($"text"))
           .as("fingerprint"))

@@ -99,13 +99,20 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val genAttr = AttributeReference("__graft_bucket_iv", LongType)()
       def withBucket(point: LogicalPlan): LogicalPlan =
         Project(point.output :+ pB, point)
-      def withBuckets(iv: LogicalPlan): LogicalPlan =
+      def withBuckets(iv: LogicalPlan): LogicalPlan = {
         // Sequence is TimeZoneAwareExpression: without an explicit zone it
-        // stays unresolved even for integral sequences
-        Generate(Explode(Sequence(bucket(lo), bucket(hi), None,
-            Some(conf.sessionLocalTimeZone))),
+        // stays unresolved even for integral sequences. The lo <= hi guard
+        // keeps an inverted interval row from exploding into a descending
+        // bucket sequence (null array -> zero generated rows, matching the
+        // original join's cheap no-match).
+        val seq = If(
+          LessThanOrEqual(Cast(lo, DoubleType), Cast(hi, DoubleType)),
+          Sequence(bucket(lo), bucket(hi), None, Some(conf.sessionLocalTimeZone)),
+          Literal.create(null, org.apache.spark.sql.types.ArrayType(LongType)))
+        Generate(Explode(seq),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(genAttr), iv)
+      }
       val (newLeft, newRight) =
         if (pointOnLeft) (withBucket(left), withBuckets(right))
         else (withBuckets(left), withBucket(right))

@@ -21,13 +21,6 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session shuffle parallelism — use as the explicit count in
-    * `repartition(n, col)` calls that exist to parallelize CPU-dense work:
-    * explicit-N repartition shuffles are exempt from AQE coalescing, which
-    * would otherwise merge small-byte/high-CPU partitions back together. */
-  def par(spark: SparkSession): Int =
-    spark.conf.get("spark.sql.shuffle.partitions").toInt
-
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")

@@ -32,6 +32,26 @@ class InterpRangeSpec extends SparkSpec {
     assert(out.count() === 1L)
   }
 
+  test("range join: inverted interval matches nothing (and does not explode)") {
+    import spark.implicits._
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val iv = Seq((10L, 1e9, 0.0), (20L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", 4.0)
+    assert(out.select("iid").as[Long].collect().toSeq === Seq(20L))
+  }
+
+  test("null-valued samples are not interpolation brackets") {
+    import spark.implicits._
+    val samples = Seq((1L, 0L, Some(1.0)), (1L, 10L, None), (1L, 20L, Some(3.0)))
+      .toDF("k", "t", "v")
+    val probes = Seq((1L, 15L)).toDF("k", "t")
+    val out = Interp.linear(samples, probes, "k", "t", "v")
+      .as[(Long, Long, Double)].collect()
+    // bracket over NON-NULL samples: 1.0 + (3.0-1.0)*15/20 = 2.5 (a naive
+    // independent carry would mispair t0=10 with v0=1.0 and yield 2.0)
+    assert(out.toSeq === Seq((1L, 15L, 2.5)))
+  }
+
   test("linear interpolation brackets, hits samples exactly, drops out-of-range") {
     import spark.implicits._
     val samples = Seq((1L, 0L, 10.0), (1L, 10L, 20.0), (1L, 20L, 0.0),
