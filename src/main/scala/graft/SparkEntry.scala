@@ -79,6 +79,7 @@ object SparkEntry {
     "q58_contamination"     -> (Dedup.contamination _),
     "q59_blob_resize"       -> (Multimodal.blobResize _),
     "q60_stats_profile"     -> (Relational.statsProfile _),
+    "q61_moving_agg"        -> (Relational.movingAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -682,5 +683,14 @@ object SparkEntry {
            sqrt((sxx - sx*sx/n) / (n-1)) AS std_value,
            (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)) AS corr_vk
          FROM s""",
+    "q61_moving_agg" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+         CAST(sum(CAST(value AS decimal(18,6))) OVER frame AS double)
+           / count(*) OVER frame AS ma5,
+         CAST(sum(CAST(value AS decimal(18,6))) OVER cum AS double) AS running_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC),
+           frame AS (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           cum AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
   )
 }

@@ -409,6 +409,25 @@ object Relational {
         countDistinct($"l_orderkey").as("n_orders"))
   }
 
+  /** Moving-window smoothing + running total per series (SURVEY §2.5 /
+    * W4's frame family — the reference's baseline correction generalized
+    * to rolling frames): 5-row trailing average and cumulative sum, one
+    * window sort per user. Decimal-routed frame sums keep the oracle
+    * exact; the division by the frame count happens once in double. */
+  def movingAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_ms".asc, $"event_id".asc)
+    val frame = w.rowsBetween(-4, Window.currentRow)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("t_ms"),
+        $"value".cast("decimal(18,6)").as("vd"))
+      .select($"user_id", $"event_id", $"t_ms",
+        (sum($"vd").over(frame).cast("double") / count(lit(1)).over(frame))
+          .as("ma5"),
+        sum($"vd").over(cum).cast("double").as("running_sum"))
+  }
+
   /** Statistical profile per group: mean, sample variance/stddev, and
     * correlation — derived from decimal-routed EXACT sums (sum x, sum x^2,
     * sum xy) with the closed-form formulas applied identically in the
