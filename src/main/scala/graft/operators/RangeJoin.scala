@@ -49,8 +49,13 @@ object RangeJoin {
   def priceBandAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.sources.Tables
-    val pts = Tables.lineitem(spark, dir).select($"l_orderkey",
-      ($"l_extendedprice" / $"l_quantity").as("unit_price"), $"l_quantity")
+    // widen the point side off the narrow scan: the broadcast bucket join
+    // + band re-check + partial agg are all map-side and would otherwise
+    // serialize in the single scan task
+    val pts = Tables.rebalance(spark, dir, "lineitem",
+      Tables.lineitem(spark, dir).select($"l_orderkey",
+        ($"l_extendedprice" / $"l_quantity").as("unit_price"), $"l_quantity"),
+      $"l_orderkey")
     val iv = Tables.part(spark, dir).select($"p_partkey",
       ($"p_retailprice" - 2).as("lo"), ($"p_retailprice" + 2).as("hi"))
     pointInInterval(pts, iv, "unit_price", "lo", "hi", width = 4.0)

@@ -65,7 +65,11 @@ object Relational {
     * and a full-fact-table exchange. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, dir)
+    // the fact side never shuffles for the joins (all dims broadcast);
+    // rebalance only widens the narrow-layout scan so the three join
+    // probes + partial agg run on all cores
+    val orders = Tables.rebalance(spark, dir, "orders",
+      Tables.orders(spark, dir), col("o_custkey"))
     val customer = Tables.customer(spark, dir)
     val nation = Tables.nation(spark, dir)
     val region = Tables.region(spark, dir)
@@ -215,7 +219,9 @@ object Relational {
     * oracle compare is representation-stable. */
   def groupCollect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, dir)
+    // rebalance on the group key: collect_set partials otherwise build in
+    // the narrow scan task; hash(o_custkey) doubles as the agg distribution
+    Tables.rebalance(spark, dir, "orders", Tables.orders(spark, dir), $"o_custkey")
       .groupBy($"o_custkey")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -283,7 +289,11 @@ object Relational {
     import spark.implicits._
     val w = Window.partitionBy($"l_suppkey")
       .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
-    Tables.lineitem(spark, dir)
+    // rebalance on the window key: Spark's map-side WindowGroupLimit (the
+    // per-partition top-k pre-filter) otherwise sorts the whole table in
+    // the narrow scan task; the hash exchange also satisfies the window's
+    // required distribution, so no second shuffle appears
+    Tables.rebalance(spark, dir, "lineitem", Tables.lineitem(spark, dir), $"l_suppkey")
       .withColumn("rk", row_number().over(w))
       .where($"rk" <= 3)
       .select($"l_suppkey", $"rk", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
@@ -401,8 +411,13 @@ object Relational {
     * the same plan goes wide on a multi-file table). */
   def distinctCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .select($"l_suppkey", $"l_partkey", $"l_orderkey")
+    // rebalance BEFORE the distinct aggregation: the Expand (2x row
+    // multiplication) and the partial dedup otherwise run inside the
+    // narrow scan stage (Tables.rebalance scaladoc); hashing on the group
+    // key spreads without a determinism sort
+    Tables.rebalance(spark, dir, "lineitem",
+        Tables.lineitem(spark, dir).select($"l_suppkey", $"l_partkey", $"l_orderkey"),
+        $"l_suppkey")
       .groupBy($"l_suppkey")
       .agg(
         countDistinct($"l_partkey").as("n_parts"),

@@ -34,7 +34,9 @@ object TextAnalysis {
     * (en > de > fr > es) on ties. */
   def langid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = profiles.foldLeft(Tables.documents(spark, dir)) {
+    // trigram scoring is 12 regexp_replaces over ~2 KB of text per row —
+    // spread docs across cores first (no-op on an already-wide layout)
+    val scored = profiles.foldLeft(TextOps.docsParallel(spark, dir)) {
       case (df, (l, tgs)) =>
         df.withColumn(s"score_$l",
           tgs.map(occurrences($"text", _)).reduce(_ + _))
@@ -59,7 +61,9 @@ object TextAnalysis {
     val nStop = aggregate(
       transform(t, x => when(x.isin(stop: _*), 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
-    Tables.documents(spark, dir).select(
+    // higher-order lambdas evaluate interpreted (outside codegen): widen
+    // the doc scan so the per-token fold runs on all cores
+    TextOps.docsParallel(spark, dir).select(
       $"doc_id",
       nTok.as("n_tokens"),
       (length($"text") / nTok).as("avg_token_len"),
@@ -73,7 +77,8 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = TextOps.toks($"text")
-    Tables.documents(spark, dir).select(
+    // interpreted per-token fold — widen as in qualityScore
+    TextOps.docsParallel(spark, dir).select(
       $"doc_id",
       size(t).cast("long").as("n_tokens"),
       aggregate(transform(t, x => ceil(length(x) / 4.0)), lit(0L), (acc, x) => acc + x)

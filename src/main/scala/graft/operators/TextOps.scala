@@ -33,8 +33,8 @@ object TextOps {
     * At cluster scale the scan has many splits and AQE coalesces the tiny
     * exchange away. */
   def docsParallel(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.rebalance(spark, dir, "documents",
+      Tables.documents(spark, dir), col("doc_id"))
 
   /** (doc_id, shingle) long table — the base relation for all shingle
     * dedup operators. Distinct-per-doc by construction. Tokenizes in its

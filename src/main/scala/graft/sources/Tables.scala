@@ -21,6 +21,35 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** True iff the parquet source at `dir/name` scans with fewer splits
+    * than the cluster has cores. A single-row-group file (like the test
+    * driver's one-file-per-table layout) decodes as ONE task no matter how
+    * it is byte-split, so any CPU-dense map-side work behind it — expand,
+    * decimal partial aggregation, regex scoring, window group-limits —
+    * serializes on one core. Cached per path; the probe plans a bare scan
+    * (no job runs). */
+  private val splitCounts = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def narrowScan(spark: SparkSession, dir: String, name: String): Boolean = {
+    val path = s"$dir/$name.parquet"
+    val n = splitCounts.getOrElseUpdate(path, load(spark, dir, name).rdd.getNumPartitions)
+    n < spark.sparkContext.defaultParallelism
+  }
+
+  /** Spread `df` (typically a pruned/filtered projection of `dir/name`)
+    * across all cores when — and only when — the underlying scan is
+    * narrower than the cluster: hash-partitioned on `by` when given
+    * (pick a high-cardinality key, or the downstream shuffle key so the
+    * exchange also satisfies that distribution), round-robin otherwise.
+    * On any real at-scale layout (many files / many row groups) the scan
+    * is already wide and this is a no-op, so cluster plans are unchanged;
+    * on a narrow layout it converts "decode + compute on one core" into
+    * "decode + small exchange, compute on all cores". */
+  def rebalance(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, by: org.apache.spark.sql.Column*): DataFrame =
+    if (!narrowScan(spark, dir, name)) df
+    else if (by.isEmpty) df.repartition(spark.sparkContext.defaultParallelism)
+    else df.repartition(spark.sparkContext.defaultParallelism, by: _*)
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
