@@ -80,6 +80,14 @@ object SparkEntry {
     "q59_blob_resize"       -> (Multimodal.blobResize _),
     "q60_stats_profile"     -> (Relational.statsProfile _),
     "q61_moving_agg"        -> (Relational.movingAgg _),
+    "q62_dup_clusters"      -> (Graph.dupClusters _),
+    "q63_locf_gapfill"      -> (Interp.gridLocf _),
+    "q64_pii_redact"        -> (Curation.piiRedact _),
+    "q65_repetition"        -> (Curation.repetitionStats _),
+    "q66_url_canon"         -> (Curation.urlCanon _),
+    "q67_embed_quant"       -> (Quantize.embedQuant _),
+    "q68_kmeans_step"       -> (Quantize.kmeansStep _),
+    "q69_ohlc_downsample"   -> (Relational.ohlcDownsample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -692,5 +700,154 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC),
            frame AS (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
            cum AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // connected components of the q28 simhash near-dup pair graph:
+    // cluster_id = min doc_id reachable (the oracle takes the transitive
+    // closure; the engine label-propagates to the same fixpoint)
+    "q62_dup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b.band,
+                           (simhash // (1::BIGINT << (b.band * 8))) % 256 AS byte
+                    FROM sh, range(4) b(band)),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM banded a JOIN banded b
+                     ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         mn AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY 1)
+         SELECT doc.doc_id, least(doc.doc_id, coalesce(mn.mn, doc.doc_id)) AS cluster_id
+         FROM documents doc LEFT JOIN mn USING (doc_id)""",
+    "q63_locf_gapfill" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, min(value) AS v
+                     FROM events GROUP BY 1, 2),
+         users AS (SELECT DISTINCT user_id FROM ev),
+         probes AS (SELECT u.user_id, g.t FROM users u,
+                    generate_series(1704067200000, 1706745600000, 21600000) g(t)),
+         prev AS (SELECT p.user_id, p.t, e.tms AS t0, e.v AS v0 FROM probes p
+                  ASOF JOIN ev e ON p.user_id = e.user_id AND e.tms <= p.t)
+         SELECT user_id, t AS t_ms, v0 AS value_ff, t - t0 AS staleness FROM prev""",
+    // synthesized contact strings (the corpus has none); patterns stay in
+    // the RE2 n java.util.regex common subset
+    "q64_pii_redact" ->
+      """WITH a AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+           FROM documents),
+         r AS (
+           SELECT doc_id, aug,
+             regexp_replace(regexp_replace(aug,
+               '[a-z0-9]+@[a-z][a-z.]*[a-z]', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red
+           FROM a)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z][a-z.]*[a-z]')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(red) AS redacted_md5,
+           CAST(length(red) AS BIGINT) AS redacted_len
+         FROM r""",
+    "q65_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+                        generate_subscripts(toks, 1) AS i FROM t),
+         bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         big AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                        CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1),
+         tg AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS tri
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                           JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         tri AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                        CAST(count(DISTINCT tri) AS BIGINT) AS n_trigrams_distinct
+                 FROM tg GROUP BY 1)
+         SELECT big.doc_id, n_bigrams, top_bigram_n,
+                top_bigram_n / n_bigrams AS top_bigram_frac,
+                n_trigrams, n_trigrams_distinct,
+                1.0 - n_trigrams_distinct / n_trigrams AS dup_trigram_frac
+         FROM big JOIN tri USING (doc_id)""",
+    "q66_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+           || source || '.example.com/' || lang || '/item'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0
+               THEN '/?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+               ELSE '' END) AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '^https?://', ''), '^www\.', ''), '\?.*$', ''),
+             '/$', '') AS canon_url
+           FROM u)
+         SELECT canon_url, count(*) AS n_urls, min(doc_id) AS keep_id
+         FROM c GROUP BY 1""",
+    "q67_embed_quant" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         r AS (SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi FROM e),
+         s AS (SELECT vec_id, emb, lo, hi, (hi - lo) / 255.0 AS scale FROM r),
+         q AS (SELECT vec_id, emb, lo, hi, scale,
+                 list_transform(emb, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                   ELSE least(CAST(255 AS BIGINT), CAST(floor((x - lo) / scale) AS BIGINT)) END)
+                   AS codes
+               FROM s)
+         SELECT vec_id, lo, hi,
+           CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS q_sum,
+           list_reduce(list_transform(emb, (x, i) ->
+             abs(x - (lo + codes[i] * scale))), (a, b) -> greatest(a, b)) AS err_max
+         FROM q""",
+    "q68_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]), (a,b)->a+b)
+                     / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+         comp AS (SELECT a.cell, generate_subscripts(e2.emb, 1) - 1 AS dim,
+                         unnest(e2.emb) AS x
+                  FROM assigned a JOIN n e2 ON e2.vec_id = a.vec_id)
+         SELECT cell, CAST(dim AS BIGINT) AS dim, count(*) AS n_members,
+           CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 / count(*)
+             AS centroid
+         FROM comp GROUP BY 1, 2""",
+    "q69_ohlc_downsample" ->
+      """WITH e AS (SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+                           epoch_ms(ts) AS tms, event_id, value FROM events),
+         o AS (SELECT user_id, bucket_ms, value AS open FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, bucket_ms
+                 ORDER BY tms ASC, event_id ASC) = 1),
+         c AS (SELECT user_id, bucket_ms, value AS close FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, bucket_ms
+                 ORDER BY tms DESC, event_id DESC) = 1),
+         a AS (SELECT user_id, bucket_ms, max(value) AS high, min(value) AS low,
+                      count(*) AS n FROM e GROUP BY 1, 2)
+         SELECT a.user_id, a.bucket_ms, o.open, a.high, a.low, c.close, a.n
+         FROM a JOIN o USING (user_id, bucket_ms) JOIN c USING (user_id, bucket_ms)""",
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and packing: PII masking, boilerplate/repetition scoring (the Gopher
+  * repetition filters), and URL canonicalization for source-level dedup.
+  * All pure Catalyst expressions — regex and array ops stay map-side, the
+  * only shuffles are the per-doc aggregations that need them.
+  *
+  * The synthetic `documents` corpus contains no contact strings or URLs,
+  * so q64/q66 first weave deterministic ones from existing columns
+  * (doc_id, source, lang) — the MASKING/CANONICALIZATION machinery is the
+  * operator under test, and the DuckDB oracle builds the identical input
+  * from the same columns.
+  */
+object Curation {
+
+  /** q64: PII masking — count and redact email addresses and phone
+    * numbers. Patterns are in the RE2 ⋂ java.util.regex common subset so
+    * the oracle's regex engine agrees: character classes, +, bounded
+    * repeats; no lookaround, no backrefs. At scale this is a map-only
+    * projection (regexp_count/regexp_replace are codegen'd). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val email = "[a-z0-9]+@[a-z][a-z.]*[a-z]"
+    val phone = "\\+1-555-[0-9]{4}"
+    val aug = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@mail.example or +1-555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    TextOps.docsParallel(spark, dir)
+      .select($"doc_id", aug.as("aug"))
+      .select(
+        $"doc_id",
+        regexp_count($"aug", lit(email)).cast("long").as("n_emails"),
+        regexp_count($"aug", lit(phone)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace($"aug", email, "<EMAIL>"),
+          phone, "<PHONE>")).as("redacted_md5"),
+        length(regexp_replace(regexp_replace($"aug", email, "<EMAIL>"),
+          phone, "<PHONE>")).cast("long").as("redacted_len"))
+  }
+
+  /** q65: repetition/boilerplate scoring (the Gopher-style filters):
+    * fraction of bigram occurrences taken by the single most frequent
+    * bigram, and fraction of 3-gram occurrences that are repeats of an
+    * earlier 3-gram. Bigram counting is the one shuffle (explode +
+    * two-level agg, partial map-side); the 3-gram dup fraction needs no
+    * shuffle at all — TextHash.shingles is distinct-per-doc by
+    * construction, so distinct/total falls out of two array lengths. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", TextOps.toks($"text").as("t"))
+      .where(size($"t") >= 3)
+    val n = size($"t")
+    // consecutive pairs via a shifted zip; zip_with pads the shorter side
+    // with null, so cut both slices to exactly n-1 elements
+    val bigrams = zip_with(
+      slice($"t", lit(1), n - 1), slice($"t", lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val big = docs
+      .select($"doc_id", explode(bigrams).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_bigrams"),
+        max($"c").as("top_bigram_n"))
+      .select($"doc_id", $"n_bigrams", $"top_bigram_n",
+        ($"top_bigram_n" / $"n_bigrams").as("top_bigram_frac"))
+    val tri = docs.select(
+      $"doc_id",
+      (n - 2).cast("long").as("n_trigrams"),
+      size(TextOps.shingles($"t", 3)).cast("long").as("n_trigrams_distinct"))
+      .select($"doc_id", $"n_trigrams", $"n_trigrams_distinct",
+        (lit(1.0) - $"n_trigrams_distinct" / $"n_trigrams").as("dup_trigram_frac"))
+    big.join(tri, "doc_id")
+  }
+
+  /** q66: URL canonicalization + dedup — lowercase, strip scheme and
+    * leading `www.`, drop the query string, drop one trailing slash, then
+    * group identical canonical URLs (keeper = min doc_id). The canonical
+    * form is a map-side projection; the dedup is one partial-aggregated
+    * shuffle on the canonical string. */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // deterministic synthetic URL with case noise, an optional query
+    // string, and an optional trailing slash, all keyed off doc_id
+    val url = concat(
+      when($"doc_id" % 3 === 0, "HTTPS://WWW.").otherwise("https://www."),
+      $"source", lit(".example.com/"), $"lang",
+      lit("/item"), ($"doc_id" % 50).cast("string"),
+      when($"doc_id" % 2 === 0,
+        concat(lit("/?utm_source=feed&ref="), $"doc_id".cast("string")))
+        .otherwise(lit("")))
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "^https?://", ""),
+            "^www\\.", ""),
+          "\\?.*$", ""),
+        "/$", "")
+    TextOps.docsParallel(spark, dir)
+      .select($"doc_id", canon.as("canon_url"))
+      .groupBy($"canon_url")
+      .agg(count(lit(1)).as("n_urls"), min($"doc_id").as("keep_id"))
+  }
+}

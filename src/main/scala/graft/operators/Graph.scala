@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators for dedup pipelines.
+  *
+  * Near-duplicate detection (q25-q28, q37) emits PAIRS; an actual dedup
+  * pass needs CLUSTERS — pick one keeper per connected component of the
+  * near-dup graph. This is the grouping step every large-scale corpus
+  * dedup (MinHash or SimHash based) runs after candidate verification.
+  *
+  * Implementation is min-label propagation to a fixpoint: every node
+  * starts labeled with itself; each round replaces a node's label by the
+  * minimum label in its closed neighborhood; converged when no label
+  * changes. Rounds are whole-stage relational jobs (join + groupBy), so
+  * the work is O(edges) per round and O(graph diameter) rounds — the
+  * standard distributable CC (HashToMin); near-dup components are
+  * shallow (duplicates of one document), so the loop ends in a handful
+  * of rounds. The driver only sees the per-round convergence COUNT,
+  * never the data. At very large diameters one would switch to the
+  * large-star/small-star contraction (same join-agg building blocks,
+  * O(log d) rounds).
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list.
+    *
+    * @param edges two integral columns, one row per edge (direction
+    *              ignored, self-loops and duplicates fine)
+    * @param nodes one integral column: the node universe (isolated nodes
+    *              keep their own id as component)
+    * @return (node, component) with component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    // symmetric closure once, so each round is a single join direction
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint (not cache) per round: caching alone leaves each
+    // round's LOGICAL plan nested inside the next — the analyzer re-walks
+    // a plan that doubles per iteration and the driver heap dies long
+    // before the data does; checkpointing truncates the lineage so every
+    // round optimizes a constant-size plan. Only edge-incident nodes
+    // iterate; isolated nodes are their own component by definition and
+    // join back in at the end.
+    val touched = sym.select($"src".as("node")).distinct()
+    var labels = touched
+      .select($"node", $"node".as("comp"))
+      .localCheckpoint()
+    // convergence probe: labels only ever decrease, so ANY change strictly
+    // decreases sum(comp) — one agg action per round materializes the
+    // (lazy) checkpoint AND answers "did anything move", with no second
+    // join-and-count job
+    var prevSum = BigDecimal(-1)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // min label over the closed neighborhood: own label U neighbors'
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select($"src".as("node"), $"comp")
+      // checkpointed so the pointer-jump self-join below joins a LEAF
+      // relation (a plan reused on both sides of a join trips Catalyst's
+      // union-constraint attribute dedup); LAZY, so the whole round —
+      // neighborhood min, jump, convergence sum — is ONE job (the loop is
+      // scheduling-latency-bound: every stage is milliseconds of data)
+      val nbrMin = labels.select($"node", $"comp")
+        .union(viaEdges)
+        .groupBy($"node").agg(min($"comp").as("comp"))
+        .localCheckpoint(false)
+      // pointer jump (path halving): follow the label's own label, so a
+      // depth-d chain collapses in O(log d) rounds instead of O(d) — the
+      // difference between 4 and 15 rounds on a 3k-node near-dup blob.
+      // Every label IS a node id (labels are minima over node ids), so
+      // the self-join is total; label monotonicity keeps it exact.
+      val next = nbrMin.as("x")
+        .join(nbrMin.select($"node".as("comp"), $"comp".as("comp2")).as("m"), "comp")
+        .select($"node", $"comp2".as("comp"))
+        .localCheckpoint(false)
+      val s = BigDecimal(
+        next.agg(sum($"comp").cast("decimal(38,0)")).head.getDecimal(0))
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    sym.unpersist()
+    nodes.toDF("node").distinct()
+      .join(labels.withColumnRenamed("comp", "__c"), Seq("node"), "left")
+      .select($"node", coalesce($"__c", $"node").as("comp"))
+  }
+
+  /** q62: near-duplicate clusters — connected components over the q28
+    * SimHash pair graph (hamming <= 1), every document labeled with its
+    * cluster keeper (= min doc_id in the component; singletons keep
+    * themselves). The downstream dedup filter is `doc_id === comp`. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(spark, dir).select($"doc_a", $"doc_b")
+    val docs = graft.operators.TextOps.docsParallel(spark, dir).select($"doc_id")
+    connectedComponents(pairs, docs)
+      .select($"node".as("doc_id"), $"comp".as("cluster_id"))
+  }
+}

@@ -64,6 +64,54 @@ object Interp {
           .as(v))
   }
 
+  /** Forward-fill (LOCF — last observation carried forward) onto probe
+    * timestamps: each probe takes the latest sample at-or-before it; a
+    * probe with no prior sample is dropped. The gap-fill half of `linear`
+    * (same union + single window-carry pattern: one shuffle by key, one
+    * in-partition sort, no join fan-out), plus a staleness column — how
+    * far the carried value is behind the probe — which downstream
+    * freshness filters cut on.
+    *
+    * @param samples (key, t, v) rows, (key, t) unique
+    * @param probes  (key, t) rows
+    * @return (key, t, v, staleness = t - t_sample) */
+  def locf(samples: DataFrame, probes: DataFrame,
+      key: String, t: String, v: String): DataFrame = {
+    val all = samples.select(col(key), col(t).as("__t"), col(v).as("__v"),
+        lit(0).as("__m"))
+      .unionByName(probes.select(col(key), col(t).as("__t"),
+        lit(null).cast("double").as("__v"), lit(1).as("__m")))
+    val isSample = col("__m") === 0 && col("__v").isNotNull
+    // samples sort before probes at equal timestamps (__m asc), so a
+    // probe exactly on a sample carries that sample with staleness 0
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn("__p",
+        last(when(isSample, struct(col("__t"), col("__v"))), ignoreNulls = true).over(w))
+      .where(col("__m") === 1 && col("__p").isNotNull)
+      .select(col(key), col("__t").as(t),
+        col("__p.__v").as(v),
+        (col("__t") - col("__p.__t")).as("staleness"))
+  }
+
+  /** q63: every user's event series forward-filled onto the same 6-hour
+    * January 2024 grid q45 interpolates onto — grid points before a
+    * user's first event are dropped, all others carry the latest earlier
+    * value and report its staleness in ms. */
+  def gridLocf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t_ms"), $"value")
+      .groupBy($"user_id", $"t_ms").agg(min($"value").as("value_ff"))
+    val probes = ev.select($"user_id").distinct()
+      .select($"user_id", explode(sequence(
+        lit(1704067200000L), lit(1706745600000L), lit(21600000L))).as("t_ms"))
+    locf(ev, probes, "user_id", "t_ms", "value_ff")
+  }
+
   /** q45: every user's event series resampled onto a fixed 6-hour grid
     * over January 2024 (epoch-ms). Events are deduplicated to one sample
     * per (user, ms) first — interpolation between duplicate timestamps is

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Embedding compression + codebook operators — the storage-side
+  * counterparts of the similarity search family (Similarity.scala): int8
+  * scalar quantization (what a 100 TB vector store actually persists) and
+  * a k-means codebook refinement step (how the IVF coarse quantizer in
+  * Similarity.ivfAnn would actually be trained).
+  */
+object Quantize {
+
+  /** q67: per-vector int8 scalar quantization and its reconstruction
+    * error. Each vector maps to 64 codes in [0,255] on its own [lo, hi]
+    * range; the output reports the code checksum and the max absolute
+    * dequantization error. Map-only — every row is independent, nothing
+    * shuffles; the per-element folds are the same left-to-right order as
+    * the oracle's list_reduce, so the doubles agree bit-for-bit. */
+  def embedQuant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = transform($"embedding", x => x.cast("double"))
+    val e = Tables.embeddings(spark, dir).select($"vec_id", emb.as("emb"))
+      .select($"vec_id", $"emb",
+        array_min($"emb").as("lo"), array_max($"emb").as("hi"))
+      .select($"vec_id", $"emb", $"lo", $"hi",
+        (($"hi" - $"lo") / 255.0).as("scale"))
+    val codes = transform($"emb", x =>
+      when($"scale" === 0.0, lit(0L))
+        .otherwise(least(lit(255L), floor(((x - $"lo") / $"scale")).cast("long"))))
+    e.select($"vec_id", $"emb", $"lo", $"hi", $"scale", codes.as("codes"))
+      .select(
+        $"vec_id", $"lo", $"hi",
+        aggregate($"codes", lit(0L), (acc, q) => acc + q).as("q_sum"),
+        aggregate(
+          zip_with($"emb", $"codes", (x, q) => abs(x - ($"lo" + q * $"scale"))),
+          lit(0.0), (acc, d) => greatest(acc, d)).as("err_max"))
+  }
+
+  /** q68: one k-means (Lloyd) refinement step for the IVF codebook —
+    * assign every vector to its nearest current centroid by cosine (the
+    * 8 seed centroids and tie-break match Similarity.ivfAnn exactly),
+    * then recompute each centroid component as the member mean. The
+    * codebook is broadcast, so assignment is map-only; the recompute is
+    * one partial-aggregated shuffle of (cell, dim) partials — at 100 TB
+    * this is the canonical broadcast-assign / narrow-reduce iteration,
+    * run once per Lloyd round.
+    *
+    * Component sums quantize to exact integers (floor(x * 1e6), the q60
+    * trick) so the merge-order-sensitive double sum becomes a portable
+    * exact long sum; the mean divides back out in double once. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = transform($"embedding", x => x.cast("double"))
+    val e = Tables.embeddings(spark, dir).select($"vec_id", emb.as("emb"),
+      VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos", VectorOps.dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+      .where($"crk" === 1)
+      .select($"vec_id", $"cent_id".as("cell"), $"emb")
+    assigned
+      .select($"cell", posexplode($"emb").as(Seq("dim", "x")))
+      .groupBy($"cell", $"dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor($"x" * 1e6).cast("long")).as("xq_sum"))
+      .select($"cell", $"dim".cast("long").as("dim"), $"n_members",
+        ($"xq_sum" / 1e6 / $"n_members").as("centroid"))
+  }
+}

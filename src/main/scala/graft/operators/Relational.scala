@@ -547,6 +547,30 @@ object Relational {
         $"event_type", $"n", $"sum_value")
   }
 
+  /** q69: OHLC downsampling — compress each user's event stream to one
+    * row per hour bucket carrying open/high/low/close/count (the classic
+    * time-series decimation a plotting or monitoring layer reads instead
+    * of raw samples; the reference's plot path pulls full traces to the
+    * client, `fdf/modules/mpts/plot.py:35-37` — this is the bounded
+    * server-side reduction that replaces it at scale). open/close are
+    * min/max over (ts, event_id, value) structs — a pure partial
+    * aggregate with the unique (ts, event_id) prefix deciding order, so
+    * NO window sort: one shuffle of per-bucket partials, nothing else. */
+  def ohlcDownsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select(
+      $"user_id",
+      unix_millis(date_trunc("hour", $"ts")).as("bucket_ms"),
+      unix_millis($"ts").as("tms"), $"event_id", $"value")
+    e.groupBy($"user_id", $"bucket_ms")
+      .agg(
+        min(struct($"tms", $"event_id", $"value")).getField("value").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(struct($"tms", $"event_id", $"value")).getField("value").as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

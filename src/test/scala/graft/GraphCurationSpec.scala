@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Graph, Interp, Quantize, Relational}
+import graft.sources.Tables
+
+/** Specs for the round-3 curation operators: connected-component dedup
+  * clusters, LOCF gap-fill, PII masking, repetition scoring, URL
+  * canonicalization, embedding quantization, k-means refinement, OHLC
+  * downsampling. Brute-force models run on collected sf0.001 data.
+  */
+class GraphCurationSpec extends SparkSpec {
+
+  test("connectedComponents matches a union-find model on a handcrafted graph") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12 with extra edge, self-loop 20,
+    // isolated 30, duplicate + reversed edges
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 20L), (3L, 2L), (2L, 3L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 30L).toDF("node")
+    val got = Graph.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
+  }
+
+  test("dupClusters labels every document and agrees with a union-find over the pair graph") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id").as[Long].collect().sorted
+    val pairs = Dedup.simhashPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    // driver-side union-find model
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = docs.map(d => d -> find(d)).toMap
+    val got = Graph.dupClusters(spark, sfDir).as[(Long, Long)].collect().toMap
+    assert(got.size === docs.length)
+    assert(got === expect)
+  }
+
+  test("locf carries the last sample forward, staleness 0 on exact hits, drops leading probes") {
+    import spark.implicits._
+    val samples = Seq((1, 10L, 1.0), (1, 20L, 2.0), (2, 15L, 9.0))
+      .toDF("k", "t", "v")
+    val probes = Seq((1, 5L), (1, 10L), (1, 14L), (1, 25L), (2, 30L))
+      .toDF("k", "t")
+    val got = Interp.locf(samples, probes, "k", "t", "v")
+      .as[(Int, Long, Double, Long)].collect().toSet
+    assert(got === Set((1, 10L, 1.0, 0L), (1, 14L, 1.0, 4L),
+      (1, 25L, 2.0, 5L), (2, 30L, 9.0, 15L)))
+  }
+
+  test("piiRedact finds the planted contacts and the redacted text drops them") {
+    import spark.implicits._
+    val r = Curation.piiRedact(spark, sfDir)
+    assert(r.where($"n_emails" < 1 || $"n_phones" < 1).count() === 0)
+    // masking shortens: '<EMAIL>' is shorter than any planted address
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(r.count() === docs)
+  }
+
+  test("repetition fractions are bounded and consistent") {
+    import spark.implicits._
+    val r = Curation.repetitionStats(spark, sfDir)
+    assert(r.where($"top_bigram_n" > $"n_bigrams").count() === 0)
+    assert(r.where($"top_bigram_frac" <= 0 || $"top_bigram_frac" > 1).count() === 0)
+    assert(r.where($"dup_trigram_frac" < 0 || $"dup_trigram_frac" >= 1).count() === 0)
+    assert(r.where($"n_trigrams_distinct" > $"n_trigrams").count() === 0)
+    // n_bigrams = n_trigrams + 1 = tokens - 1, by construction
+    assert(r.where($"n_bigrams" =!= $"n_trigrams" + 1).count() === 0)
+  }
+
+  test("urlCanon strips scheme, www, query and trailing slash; counts partition the corpus") {
+    import spark.implicits._
+    val r = Curation.urlCanon(spark, sfDir)
+    assert(r.where($"canon_url".rlike("^https?://|^www\\.|\\?|/$")).count() === 0)
+    assert(r.agg(sum($"n_urls")).head.getLong(0) ===
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("embedQuant reconstruction error stays under one quantization step") {
+    import spark.implicits._
+    val r = Quantize.embedQuant(spark, sfDir)
+      .withColumn("step", ($"hi" - $"lo") / 255.0)
+    assert(r.where($"err_max" > $"step" + 1e-12).count() === 0)
+    assert(r.where($"q_sum" < 0 || $"q_sum" > 255L * 64).count() === 0)
+    assert(r.count() === Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("kmeansStep emits a full codebook whose members partition the collection") {
+    import spark.implicits._
+    val r = Quantize.kmeansStep(spark, sfDir)
+    assert(r.select($"cell").distinct().count() === 8)
+    assert(r.count() === 8 * 64)
+    val total = Tables.embeddings(spark, sfDir).count()
+    // every vector lands in exactly one cell -> per-dim member counts sum to N
+    assert(r.where($"dim" === 0).agg(sum($"n_members")).head.getLong(0) === total)
+    // each centroid component is within the member value range
+    assert(r.where(abs($"centroid") > 10).count() === 0)
+  }
+
+  test("ohlcDownsample matches a window-ordered brute force") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).select(
+      $"user_id", unix_millis(date_trunc("hour", $"ts")).as("bucket_ms"),
+      unix_millis($"ts").as("tms"), $"event_id", $"value")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val expect = e.groupBy(r => (r._1, r._2)).map { case ((u, b), rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      (u, b, sorted.head._5, rows.map(_._5).max, rows.map(_._5).min,
+        sorted.last._5, rows.size.toLong)
+    }.toSet
+    val got = Relational.ohlcDownsample(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double, Double, Long)].collect().toSet
+    assert(got === expect)
+  }
+}
