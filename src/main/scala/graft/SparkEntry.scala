@@ -88,6 +88,9 @@ object SparkEntry {
     "q67_embed_quant"       -> (Quantize.embedQuant _),
     "q68_kmeans_step"       -> (Quantize.kmeansStep _),
     "q69_ohlc_downsample"   -> (Relational.ohlcDownsample _),
+    "q70_token_ids"         -> (TextAnalysis.tokenIds _),
+    "q71_keep_latest"       -> (Relational.keepLatest _),
+    "q72_winsorize"         -> (Relational.winsorize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -849,5 +852,50 @@ object SparkEntry {
                       count(*) AS n FROM e GROUP BY 1, 2)
          SELECT a.user_id, a.bucket_ms, o.open, a.high, a.low, c.close, a.n
          FROM a JOIN o USING (user_id, bucket_ms) JOIN c USING (user_id, bucket_ms)""",
+    // encode against the q53 vocabulary: id = rank-1 (top-200 by tf), OOV -> -1;
+    // checksum weights ids by 1-based token position
+    "q70_token_ids" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         a AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
+         v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) - 1 AS BIGINT)
+                 AS tok_id
+               FROM a QUALIFY row_number() OVER (ORDER BY tf DESC, tok ASC) <= 200),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                        generate_subscripts(string_split(text, ' '), 1) AS i
+                 FROM documents),
+         enc AS (SELECT tok.doc_id, tok.i, coalesce(v.tok_id, -1) AS id
+                 FROM tok LEFT JOIN v USING (tok))
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(id * i) AS BIGINT) AS ids_checksum
+         FROM enc GROUP BY 1""",
+    "q71_keep_latest" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id, value
+                    FROM events),
+         latest AS (SELECT user_id, event_type, tms AS last_ms,
+                           event_id AS last_event_id, value AS last_value
+                    FROM e QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY tms DESC, event_id DESC, value DESC) = 1),
+         c AS (SELECT user_id, event_type, count(*) - 1 AS n_superseded
+               FROM e GROUP BY 1, 2)
+         SELECT l.user_id, l.event_type, l.last_ms, l.last_event_id, l.last_value,
+                c.n_superseded
+         FROM latest l JOIN c USING (user_id, event_type)""",
+    "q72_winsorize" ->
+      """WITH th AS (SELECT l_returnflag,
+                            quantile_cont(l_quantity, 0.1) AS p10,
+                            quantile_cont(l_quantity, 0.9) AS p90
+                     FROM lineitem GROUP BY 1),
+         c AS (SELECT l.l_returnflag,
+                 least(greatest(l.l_quantity, th.p10), th.p90) AS clip,
+                 CASE WHEN l.l_quantity < th.p10 THEN 1 ELSE 0 END AS lo,
+                 CASE WHEN l.l_quantity > th.p90 THEN 1 ELSE 0 END AS hi
+               FROM lineitem l JOIN th USING (l_returnflag))
+         SELECT l_returnflag,
+           cast(sum(cast(clip AS decimal(18,6))) AS double) AS sum_clipped,
+           CAST(sum(lo) AS BIGINT) AS n_clipped_low,
+           CAST(sum(hi) AS BIGINT) AS n_clipped_high,
+           count(*) AS n
+         FROM c GROUP BY 1""",
   )
 }

@@ -571,6 +571,53 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** q71: keep-latest compaction — collapse each (user, event_type)
+    * stream to its most recent event (the upsert/CDC-compaction
+    * semantics a mutable-state view over an append-only log needs).
+    * Latest = max over (ts, event_id, payload) structs, so like q69 it
+    * is a pure partial aggregate — per-partition candidates combine
+    * map-side, NO window sort, no row_number; at 100 TB this shuffles
+    * one candidate row per key per partition. */
+  def keepLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("tms"),
+        $"event_id", $"value")
+      .groupBy($"user_id", $"event_type")
+      .agg(max(struct($"tms", $"event_id", $"value")).as("latest"),
+        count(lit(1)).as("n_superseded"))
+      .select($"user_id", $"event_type",
+        $"latest.tms".as("last_ms"), $"latest.event_id".as("last_event_id"),
+        $"latest.value".as("last_value"), ($"n_superseded" - 1).as("n_superseded"))
+  }
+
+  /** q72: winsorization — clip a measure at per-group percentile
+    * thresholds before aggregating (the outlier-robust feature-scaling
+    * pass of a stats pipeline). Two-phase: the exact p10/p90 thresholds
+    * per group (integer-valued quantity, so interpolation is FP-exact
+    * and engine-portable, as q42), broadcast back over the fact scan,
+    * clip map-side, then one partial-agged decimal sum. The threshold
+    * table is |groups| rows — the second pass never shuffles the fact. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val th = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.1)").as("p10"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+    val clipped = Tables.lineitem(spark, dir)
+      .join(broadcast(th), "l_returnflag")
+      .select($"l_returnflag",
+        least(greatest($"l_quantity", $"p10"), $"p90").as("clip"),
+        when($"l_quantity" < $"p10", 1L).otherwise(0L).as("lo"),
+        when($"l_quantity" > $"p90", 1L).otherwise(0L).as("hi"))
+    clipped.groupBy($"l_returnflag")
+      .agg(
+        sum($"clip".cast(DecimalType(18, 6))).cast("double").as("sum_clipped"),
+        sum($"lo").as("n_clipped_low"),
+        sum($"hi").as("n_clipped_high"),
+        count(lit(1)).as("n"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

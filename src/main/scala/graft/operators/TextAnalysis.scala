@@ -109,6 +109,28 @@ object TextAnalysis {
     * (TakeOrderedAndProject: per-partition partial top-k, tiny driver
     * merge — no global sort, no single-partition window over the full
     * vocabulary); ranks are then numbered over the 200 survivors only. */
+  /** q70: tokenize the corpus against the learned vocabulary — the
+    * encode step between vocab building (q53) and sequence packing
+    * (q49). Each token maps to its vocab id (top-200 by tf; OOV -> -1);
+    * per doc: token count, OOV count, and a position-weighted id
+    * checksum standing in for the id sequence (order-sensitive, exact
+    * long arithmetic). The vocab is tiny by construction -> broadcast;
+    * the only shuffle is the per-doc re-aggregation. */
+  def tokenIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = vocabTopK(spark, dir)
+      .select($"tok", ($"rk" - 1).cast("long").as("tok_id"))
+    val toks = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", posexplode(TextOps.toks($"text")).as(Seq("pos", "tok")))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce($"tok_id", lit(-1L)))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"id" === -1L, 1L).otherwise(0L)).as("n_oov"),
+        sum($"id" * ($"pos" + 1)).as("ids_checksum"))
+  }
+
   def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val top = TextOps.docsParallel(spark, dir)

@@ -103,6 +103,43 @@ class GraphCurationSpec extends SparkSpec {
     assert(r.where(abs($"centroid") > 10).count() === 0)
   }
 
+  test("keepLatest picks the row a descending sort would and counts the rest") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).select(
+      $"user_id", $"event_type", unix_millis($"ts").as("tms"), $"event_id", $"value")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val expect = e.groupBy(r => (r._1, r._2)).map { case ((u, t), rows) =>
+      val last = rows.maxBy(r => (r._3, r._4))
+      (u, t, last._3, last._4, last._5, rows.size.toLong - 1)
+    }.toSet
+    val got = Relational.keepLatest(spark, sfDir)
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("winsorize clips into [p10, p90] and never loses rows") {
+    import spark.implicits._
+    val r = Relational.winsorize(spark, sfDir)
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(r.agg(sum($"n")).head.getLong(0) === total)
+    // clipping is bounded: at most 10% below p10 and 10% above p90
+    assert(r.where($"n_clipped_low" > $"n" * 0.1 + 1).count() === 0)
+    assert(r.where($"n_clipped_high" > $"n" * 0.1 + 1).count() === 0)
+    assert(r.where($"sum_clipped" <= 0).count() === 0)
+  }
+
+  test("tokenIds encodes in-vocab tokens and flags OOV, totals consistent with q33") {
+    import spark.implicits._
+    val r = graft.operators.TextAnalysis.tokenIds(spark, sfDir)
+    assert(r.where($"n_oov" > $"n_tokens").count() === 0)
+    // token totals must agree with the token-count operator
+    val tc = graft.operators.TextAnalysis.tokenCount(spark, sfDir)
+      .select($"doc_id", $"n_tokens".as("tc_n"))
+    assert(r.join(tc, "doc_id").where($"n_tokens" =!= $"tc_n").count() === 0)
+    // a tiny corpus vocabulary covers most tokens: some docs fully in-vocab
+    assert(r.where($"n_oov" === 0).count() > 0)
+  }
+
   test("ohlcDownsample matches a window-ordered brute force") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir).select(
