@@ -116,4 +116,43 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlan(graft.operators.TextAnalysis.vocabTopK(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q17 rank filter plants a map-side window group limit") {
+    val plan = finalPlan(Relational.topkPerGroup(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q69/q71 struct-extrema downsampling runs as pure aggregation — no window sort") {
+    for (df <- Seq(Relational.ohlcDownsample(spark, sfDir),
+                   Relational.keepLatest(spark, sfDir))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("partial_"), plan)
+    }
+  }
+
+  test("q70/q72 broadcast the derived small side (vocab / thresholds) over the fact") {
+    for (df <- Seq(graft.operators.TextAnalysis.tokenIds(spark, sfDir),
+                   Relational.winsorize(spark, sfDir))) {
+      val plan = finalPlan(df)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
+  test("rebalance is a no-op on a wide multi-split layout, active on the narrow one") {
+    import graft.sources.Tables
+    val wideDir = java.nio.file.Files.createTempDirectory("graft-wide").toString
+    Tables.lineitem(spark, sfDir).repartition(8)
+      .write.mode("overwrite").parquet(s"$wideDir/lineitem.parquet")
+    val wide = Tables.lineitem(spark, wideDir)
+    // 8 splits >= 4 cores: the SAME DataFrame comes back, no exchange added
+    assert(Tables.rebalance(spark, wideDir, "lineitem", wide) eq wide)
+    // single-file single-row-group source: rebalance inserts the repartition
+    val narrow = Tables.lineitem(spark, sfDir)
+    val rb = Tables.rebalance(spark, sfDir, "lineitem", narrow)
+    assert(!(rb eq narrow))
+    assert(rb.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      rb.queryExecution.optimizedPlan.toString)
+  }
 }
