@@ -104,6 +104,23 @@ object Events {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming keep-latest (q71's twin): the most recent event per
+    * (user_id, event_type), maintained incrementally — the upsert view a
+    * mutable key-value table over an append-only stream needs (the
+    * reference's "shots are added as referenced" registry,
+    * `docs/source/usage_examples.rst:31-33`, generalized). Struct-max
+    * aggregation state is O(1) per key; at scale state shards by the
+    * grouping key like any streaming agg. */
+  def latestState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy($"user_id", $"event_type")
+      .agg(max(struct(unix_millis($"ts").as("tms"), $"event_id", $"value"))
+        .as("latest"))
+      .select($"user_id", $"event_type", $"latest.tms".as("last_ms"),
+        $"latest.event_id".as("last_event_id"), $"latest.value".as("last_value"))
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, max_value: Double)
 

@@ -42,6 +42,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming keep-latest state equals batch q71 on bounded input") {
+    import spark.implicits._
+    val stream = Events.readEventStream(spark, sfDir)
+    runToMemory(Events.latestState(stream), "latest_state", "complete")
+    val streamed = spark.table("latest_state")
+    val batch = SparkEntry.queries("q71_keep_latest")(spark, sfDir)
+      .drop("n_superseded")
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("flatMapGroupsWithState keeps running per-user stats") {
     import spark.implicits._
     val stream = Events.readEventStream(spark, sfDir)
