@@ -140,6 +140,27 @@ class GraphCurationSpec extends SparkSpec {
     assert(r.where($"n_oov" === 0).count() > 0)
   }
 
+  test("approx twins track the exact aggregates (the q23/q42 scale path)") {
+    import spark.implicits._
+    // exact two-column distinct (q23) vs HLL: the documented 100 TB path —
+    // constant-size partials instead of an Expand over every row
+    val exact = Relational.distinctCount(spark, sfDir)
+      .select($"l_suppkey", $"n_parts".as("exact_n"))
+    val approx = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey")
+      .agg(approx_count_distinct($"l_partkey").as("approx_n"))
+    val off = exact.join(approx, "l_suppkey")
+      .where(abs($"approx_n" - $"exact_n") > $"exact_n" * 0.1)
+    assert(off.count() === 0, "HLL estimate drifted >10% from exact")
+    // exact percentile (q42) vs t-digest approx_percentile
+    val q = Relational.quantiles(spark, sfDir).select($"l_returnflag", $"median")
+    val aq = Tables.lineitem(spark, sfDir).groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5)").as("amedian"))
+    val qoff = q.join(aq, "l_returnflag")
+      .where(abs($"amedian" - $"median") > 2.0)
+    assert(qoff.count() === 0, "approx_percentile drifted from exact median")
+  }
+
   test("ohlcDownsample matches a window-ordered brute force") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir).select(
