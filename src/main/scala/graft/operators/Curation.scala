@@ -60,21 +60,24 @@ object Curation {
     val bigrams = zip_with(
       slice($"t", lit(1), n - 1), slice($"t", lit(2), n - 1),
       (a, b) => concat_ws(" ", a, b))
-    val big = docs
-      .select($"doc_id", explode(bigrams).as("bigram"))
-      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+    // the trigram stats are per-row map-only values — ride them through
+    // the bigram aggregation (min() of a per-doc constant) instead of a
+    // second documents scan + join
+    docs
+      .select($"doc_id", explode(bigrams).as("bigram"),
+        (n - 2).cast("long").as("n_tri"),
+        size(TextOps.shingles($"t", 3)).cast("long").as("n_tri_d"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("c"), min($"n_tri").as("n_tri"), min($"n_tri_d").as("n_tri_d"))
       .groupBy($"doc_id").agg(
         sum($"c").as("n_bigrams"),
-        max($"c").as("top_bigram_n"))
+        max($"c").as("top_bigram_n"),
+        min($"n_tri").as("n_trigrams"),
+        min($"n_tri_d").as("n_trigrams_distinct"))
       .select($"doc_id", $"n_bigrams", $"top_bigram_n",
-        ($"top_bigram_n" / $"n_bigrams").as("top_bigram_frac"))
-    val tri = docs.select(
-      $"doc_id",
-      (n - 2).cast("long").as("n_trigrams"),
-      size(TextOps.shingles($"t", 3)).cast("long").as("n_trigrams_distinct"))
-      .select($"doc_id", $"n_trigrams", $"n_trigrams_distinct",
+        ($"top_bigram_n" / $"n_bigrams").as("top_bigram_frac"),
+        $"n_trigrams", $"n_trigrams_distinct",
         (lit(1.0) - $"n_trigrams_distinct" / $"n_trigrams").as("dup_trigram_frac"))
-    big.join(tri, "doc_id")
   }
 
   /** q66: URL canonicalization + dedup — lowercase, strip scheme and

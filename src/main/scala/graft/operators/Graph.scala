@@ -82,8 +82,17 @@ object Graph {
         .join(nbrMin.select($"node".as("comp"), $"comp".as("comp2")).as("m"), "comp")
         .select($"node", $"comp2".as("comp"))
         .localCheckpoint(false)
+      // per-row decimal BEFORE the sum (a long sum could overflow first —
+      // 1e9+ nodes with wide ids exceed Long.MaxValue); coalesce covers
+      // the empty-graph case (sum over zero rows is null)
       val s = BigDecimal(
-        next.agg(sum($"comp").cast("decimal(38,0)")).head.getDecimal(0))
+        next.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head.getDecimal(0))
+      // previous rounds' checkpointed blocks are dead once `next` has
+      // materialized — release them, or every run pins rounds x |nodes|
+      // label rows in block storage for the session lifetime
+      labels.unpersist()
+      nbrMin.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s

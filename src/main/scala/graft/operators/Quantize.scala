@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -45,10 +44,11 @@ object Quantize {
     * assign every vector to its nearest current centroid by cosine (the
     * 8 seed centroids and tie-break match Similarity.ivfAnn exactly),
     * then recompute each centroid component as the member mean. The
-    * codebook is broadcast, so assignment is map-only; the recompute is
-    * one partial-aggregated shuffle of (cell, dim) partials — at 100 TB
-    * this is the canonical broadcast-assign / narrow-reduce iteration,
-    * run once per Lloyd round.
+    * k-row codebook ships as literals (collected once on the driver —
+    * bounded by k, like Similarity's LSH sign matrix), so assignment is
+    * map-only; the recompute is one partial-aggregated shuffle of
+    * (cell, dim) partials — at 100 TB this is the canonical
+    * literal-codebook-assign / narrow-reduce iteration per Lloyd round.
     *
     * Component sums quantize to exact integers (floor(x * 1e6), the q60
     * trick) so the merge-order-sensitive double sum becomes a portable
@@ -58,14 +58,25 @@ object Quantize {
     val emb = transform($"embedding", x => x.cast("double"))
     val e = Tables.embeddings(spark, dir).select($"vec_id", emb.as("emb"),
       VectorOps.l2norm($"embedding").as("nrm"))
-    val cent = e.where($"vec_id" < 8)
-      .select($"vec_id".as("cent_id"), $"emb".as("cemb"), $"nrm".as("cnrm"))
-    val assigned = e.join(broadcast(cent), lit(true))
-      .withColumn("ccos", VectorOps.dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
-      .where($"crk" === 1)
-      .select($"vec_id", $"cent_id".as("cell"), $"emb")
+    // the codebook is k=8 rows — collect it to the driver (bounded, the
+    // same pattern as Similarity's LSH sign matrix) and ship the
+    // centroids as literals, so the assignment is a genuinely map-only
+    // projection: 8 codegen'd dot products per row, an array argmax, and
+    // NO window / NO shuffle of the collection before the (cell, dim)
+    // partial aggregation
+    val cents: Array[(Long, Array[Double], Double)] =
+      e.where($"vec_id" < 8)
+        .select($"vec_id", $"emb", $"nrm")
+        .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    // argmax by cosine with the min-cent_id tie-break of the oracle's
+    // (ccos DESC, cent_id ASC) ranking: struct max compares cosine first,
+    // then the NEGATED id (max(-id) == min(id))
+    val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
+      struct((VectorOps.dot($"emb", lit(cemb)) / ($"nrm" * cnrm)).as("c"),
+        lit(-id).as("nid"))
+    }: _*)
+    val assigned = e.select($"vec_id", $"emb",
+      (-array_max(scoredCells).getField("nid")).as("cell"))
     assigned
       .select($"cell", posexplode($"emb").as(Seq("dim", "x")))
       .groupBy($"cell", $"dim")

@@ -26,8 +26,10 @@ object Tables {
     * driver's one-file-per-table layout) decodes as ONE task no matter how
     * it is byte-split, so any CPU-dense map-side work behind it — expand,
     * decimal partial aggregation, regex scoring, window group-limits —
-    * serializes on one core. Cached per path; the probe plans a bare scan
-    * (no job runs). */
+    * serializes on one core. Cached per path — the probe plans a bare
+    * scan once per session (no job runs); the cache assumes source
+    * layouts are immutable within a session (true for the read-only
+    * testdata and any write-once warehouse layout). */
   private val splitCounts = scala.collection.concurrent.TrieMap.empty[String, Int]
   private def narrowScan(spark: SparkSession, dir: String, name: String): Boolean = {
     val path = s"$dir/$name.parquet"
