@@ -91,6 +91,7 @@ object SparkEntry {
     "q70_token_ids"         -> (TextAnalysis.tokenIds _),
     "q71_keep_latest"       -> (Relational.keepLatest _),
     "q72_winsorize"         -> (Relational.winsorize _),
+    "q73_zscore"            -> (Relational.zscore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -897,5 +898,17 @@ object SparkEntry {
            CAST(sum(hi) AS BIGINT) AS n_clipped_high,
            count(*) AS n
          FROM c GROUP BY 1""",
+    // mean/std from exact decimal sums (the q60 machinery) so both
+    // engines normalize with identical doubles
+    "q73_zscore" ->
+      """WITH b AS (SELECT event_type, event_id, value,
+                           CAST(value AS decimal(18,6)) AS xd FROM events),
+         s AS (SELECT event_type, count(*) AS n, CAST(sum(xd) AS double) AS sx,
+                      CAST(floor(sum(xd*xd) * 100) AS BIGINT) / 100.0 AS sxx
+               FROM b GROUP BY 1),
+         t AS (SELECT event_type, sx / n AS mean,
+                      sqrt((sxx - sx*sx/n) / (n-1)) AS std FROM s)
+         SELECT b.event_id, b.event_type, (b.value - t.mean) / t.std AS z
+         FROM b JOIN t USING (event_type)""",
   )
 }

@@ -618,6 +618,31 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** q73: per-group z-score standardization — subtract the group mean,
+    * divide by the group stddev (the feature-normalization pass between
+    * q72's clipping and model ingestion). Two-phase like winsorize: the
+    * |groups|-row stats table derives from exact decimal sums (the q60
+    * machinery, so both engines see identical mean/std doubles) and
+    * broadcasts back over the fact scan; the normalization itself is
+    * map-only. */
+  def zscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def exact2(c: Column) = (floor(c * 100).cast("long") / 100.0)
+    val b = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value")
+    val stats = b
+      .select($"event_type", $"value".cast(DecimalType(18, 6)).as("xd"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"xd").cast("double").as("sx"),
+        exact2(sum($"xd" * $"xd")).as("sxx"))
+      .select($"event_type", ($"sx" / $"n").as("mean"),
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std"))
+    b.join(broadcast(stats), "event_type")
+      .select($"event_id", $"event_type",
+        (($"value" - $"mean") / $"std").as("z"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

@@ -161,6 +161,22 @@ class GraphCurationSpec extends SparkSpec {
     assert(qoff.count() === 0, "approx_percentile drifted from exact median")
   }
 
+  test("zscore standardizes each group to ~zero mean, ~unit variance") {
+    import spark.implicits._
+    val stats = Relational.zscore(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(avg($"z").as("m"), stddev($"z").as("s"), count(lit(1)).as("n"))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-6, r)
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3, r)
+    }
+    // row-preserving: one z per input event
+    assert(Relational.zscore(spark, sfDir).count() ===
+      Tables.events(spark, sfDir).count())
+  }
+
   test("ohlcDownsample matches a window-ordered brute force") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir).select(
