@@ -24,10 +24,16 @@ object ScaleSmoke {
     "q16_arithmetic", "q17_topk_per_group", "q18_rollup",
     "q23_distinct_count", "q42_quantiles", "q43_cube")
 
+  // documents-only queries for the text/dedup pipeline scale check
+  private val DOC_QUERIES = Seq("q24_dedup_exact", "q26_minhash_lsh",
+    "q27_simhash", "q31_langid", "q33_token_count", "q47_stratified_sample",
+    "q53_vocab_topk", "q65_repetition", "q66_url_canon", "q70_token_ids")
+
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val docsMode = args.contains("docs")
+    val n = args.filterNot(_ == "docs").headOption.map(_.toInt).getOrElse(10)
     val base = "/root/testdata/sf0.1"
-    val big = s"/tmp/graft_scale_x$n"
+    val big = s"/tmp/graft_scale_${if (docsMode) "docs_" else ""}x$n"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -37,17 +43,30 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+    val table = if (docsMode) "documents" else "lineitem"
+    if (!new java.io.File(s"$big/$table.parquet").exists()) {
       // replicate with remapped keys so key cardinalities scale with the
       // data (a pure copy would inflate group sizes, not group counts)
-      spark.read.parquet(s"$base/lineitem.parquet")
-        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
-        .withColumn("l_orderkey", $"l_orderkey" * n + $"r")
-        .withColumn("l_partkey", $"l_partkey" * n + $"r")
-        .withColumn("l_suppkey", $"l_suppkey" * n + $"r")
-        .drop("r")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+      val replicated =
+        if (docsMode)
+          // each replica keeps the text but gets a distinct doc_id and a
+          // replica marker token appended: replicas become NEAR-dups of
+          // each other (realistic dedup input: big minhash/simhash
+          // candidate families), not byte-identical copies
+          spark.read.parquet(s"$base/documents.parquet")
+            .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+            .withColumn("doc_id", $"doc_id" * n + $"r")
+            .withColumn("text", concat($"text", lit(" rep"), $"r".cast("string")))
+            .drop("r")
+        else
+          spark.read.parquet(s"$base/lineitem.parquet")
+            .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+            .withColumn("l_orderkey", $"l_orderkey" * n + $"r")
+            .withColumn("l_partkey", $"l_partkey" * n + $"r")
+            .withColumn("l_suppkey", $"l_suppkey" * n + $"r")
+            .drop("r")
+      replicated.repartition(32)
+        .write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
 
     def time(dir: String, q: String): Double = {
@@ -55,11 +74,12 @@ object ScaleSmoke {
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val queries = if (docsMode) DOC_QUERIES else QUERIES
     // warm both paths, then measure best-of-2
-    for (q <- QUERIES; d <- Seq(base, big)) time(d, q)
+    for (q <- queries; d <- Seq(base, big)) time(d, q)
     println(f"${"query"}%-22s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")
     var tot1 = 0.0; var totN = 0.0
-    for (q <- QUERIES) {
+    for (q <- queries) {
       val a = math.min(time(base, q), time(base, q))
       val b = math.min(time(big, q), time(big, q))
       tot1 += a; totN += b
