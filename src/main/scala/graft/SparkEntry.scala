@@ -92,6 +92,7 @@ object SparkEntry {
     "q71_keep_latest"       -> (Relational.keepLatest _),
     "q72_winsorize"         -> (Relational.winsorize _),
     "q73_zscore"            -> (Relational.zscore _),
+    "q74_linear_trend"      -> (Relational.linearTrend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,5 +911,25 @@ object SparkEntry {
                       sqrt((sxx - sx*sx/n) / (n-1)) AS std FROM s)
          SELECT b.event_id, b.event_type, (b.value - t.mean) / t.std AS z
          FROM b JOIN t USING (event_type)""",
+    // least-squares per user from exact decimal sums (q60 machinery);
+    // time rebased to seconds from the corpus epoch. The xd products are
+    // upcast to decimal(28,6) first: DuckDB computes width<=18 decimal
+    // multiplications in int64, and epoch-second offsets squared overflow
+    // it (the upcast routes through int128; the exact value is identical)
+    "q74_linear_trend" ->
+      """WITH b AS (SELECT user_id,
+                           CAST((epoch_ms(ts) - 1704067200000) / 1000.0
+                                AS decimal(18,6)) AS xd,
+                           CAST(value AS decimal(18,6)) AS yd
+                    FROM events),
+         s AS (SELECT user_id, count(*) AS n,
+                      CAST(sum(xd) AS double) AS sx, CAST(sum(yd) AS double) AS sy,
+                      CAST(floor(sum(CAST(xd AS decimal(28,6)) * xd) * 100) AS BIGINT) / 100.0 AS sxx,
+                      CAST(floor(sum(CAST(xd AS decimal(28,6)) * yd) * 100) AS BIGINT) / 100.0 AS sxy
+               FROM b GROUP BY 1)
+         SELECT user_id, n,
+           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+           (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+         FROM s WHERE n >= 2 AND (n*sxx - sx*sx) <> 0.0""",
   )
 }

@@ -32,11 +32,6 @@ object Dedup {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Near-dup pairs by word-3-gram Jaccard >= 0.6. One shingle-equality
-    * self-join produces candidate pairs AND their intersection size in the
-    * same pass (shingles are distinct per doc, so the per-pair match count
-    * IS |A∩B|) — no candidate set is ever re-joined against the shingle
-    * table, which at sf0.1 avoided a 58M-row intermediate. */
   /** q58: benchmark-contamination screening — the eval-leakage check a
     * training corpus needs before a model trains on it. A held-out
     * "benchmark" partition (doc_id % 11 == 0 stands in for the eval set)
@@ -59,6 +54,11 @@ object Dedup {
         ($"n_shared" / $"n_total").as("contamination"))
   }
 
+  /** Near-dup pairs by word-3-gram Jaccard >= 0.6. One shingle-equality
+    * self-join produces candidate pairs AND their intersection size in the
+    * same pass (shingles are distinct per doc, so the per-pair match count
+    * IS |A∩B|) — no candidate set is ever re-joined against the shingle
+    * table, which at sf0.1 avoided a 58M-row intermediate. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = TextOps.shingled(spark, dir, 3)

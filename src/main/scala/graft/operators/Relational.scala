@@ -643,6 +643,38 @@ object Relational {
         (($"value" - $"mean") / $"std").as("z"))
   }
 
+  /** q74: per-key linear trend — least-squares slope/intercept of value
+    * over time for every user (the drift/trend extraction a time-series
+    * diagnostic runs per signal; the reference plots traces, this fits
+    * them). Closed-form from exact decimal sums (q60 machinery): one
+    * partial-aggregated shuffle of (n, sx, sy, sxx, sxy) per key, then
+    * the slope formula once in double — identical arithmetic on both
+    * engines. Time is rebased to seconds from the corpus epoch so the
+    * decimal products stay well inside decimal(38) exactness. */
+  def linearTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def exact2(c: Column) = (floor(c * 100).cast("long") / 100.0)
+    val b = Tables.events(spark, dir).select(
+      $"user_id",
+      ((unix_millis($"ts") - 1704067200000L) / 1000.0)
+        .cast(DecimalType(18, 6)).as("xd"),
+      $"value".cast(DecimalType(18, 6)).as("yd"))
+    val s = b.groupBy($"user_id").agg(
+      count(lit(1)).as("n"),
+      sum($"xd").cast("double").as("sx"),
+      sum($"yd").cast("double").as("sy"),
+      exact2(sum($"xd" * $"xd")).as("sxx"),
+      exact2(sum($"xd" * $"yd")).as("sxy"))
+    val det = $"n" * $"sxx" - $"sx" * $"sx"
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / det
+    // det == 0 (all samples at one timestamp) has no defined slope; the
+    // explicit guard also keeps div-by-zero semantics out of the
+    // cross-engine compare
+    s.where($"n" >= 2 && det =!= 0.0)
+      .select($"user_id", $"n", slope.as("slope"),
+        (($"sy" - slope * $"sx") / $"n").as("intercept"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

@@ -177,6 +177,30 @@ class GraphCurationSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
+  test("linearTrend matches a driver-side least-squares fit") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir).select(
+      $"user_id", unix_millis($"ts"), $"value")
+      .as[(Long, Long, Double)].collect()
+    val expect = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val xs = rs.map(r => (r._2 - 1704067200000L) / 1000.0)
+      val ys = rs.map(_._3)
+      val n = rs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val det = n * sxx - sx * sx
+      if (rs.length < 2 || det == 0) None
+      else Some(u -> ((n * sxy - sx * sy) / det))
+    }
+    val got = Relational.linearTrend(spark, sfDir)
+      .select($"user_id", $"slope").as[(Long, Double)].collect().toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (u, s) =>
+      assert(math.abs(s - expect(u)) < 1e-6 * (1 + math.abs(expect(u))), s"user $u")
+    }
+  }
+
   test("ohlcDownsample matches a window-ordered brute force") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir).select(
