@@ -374,11 +374,15 @@ object SparkEntry {
          b AS (SELECT n.vec_id, bucket, emb, nrm FROM n JOIN bucket USING (vec_id)),
          q AS (SELECT vec_id AS query_id, bucket AS qbucket, emb AS qemb, nrm AS qnrm
                FROM b WHERE vec_id < 10),
+         probes AS (SELECT query_id, qemb, qnrm,
+                    CASE WHEN p.p = 8 THEN qbucket
+                         ELSE xor(qbucket, (1::BIGINT << p.p)) END AS probe
+                    FROM q, range(9) p(p)),
          scored AS (
            SELECT q.query_id, c.vec_id,
                   list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
                               (a, b) -> a + b) / (q.qnrm * c.nrm) AS cos
-           FROM b c, q WHERE c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+           FROM b c, probes q WHERE c.bucket = q.probe AND c.vec_id <> q.query_id)
          SELECT query_id, rank, neighbor_id FROM (
            SELECT query_id, vec_id AS neighbor_id,
                   row_number() OVER (PARTITION BY query_id

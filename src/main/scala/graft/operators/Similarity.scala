@@ -129,13 +129,18 @@ object Similarity {
     topk(scored, 3)
   }
 
-  /** Signed-random-projection LSH ANN: 8 fixed hyperplanes give an 8-bit
-    * bucket per vector in a single codegen'd projection (8 native dot
-    * products against literal sign vectors — no crossJoin, no explode, no
-    * runtime hashing); neighbors are searched only within the query's
-    * bucket (equality join — at scale, a bucket-partitioned co-located
-    * join), ranked by exact cosine, top-3. Recall trades off against the
-    * 1/256 candidate reduction; multi-probe or more tables would raise it
+  /** Signed-random-projection LSH ANN with MULTI-PROBE: 8 fixed
+    * hyperplanes give an 8-bit bucket per vector in a single codegen'd
+    * projection (8 native dot products against literal sign vectors — no
+    * crossJoin, no explode, no runtime hashing). Each query probes its
+    * own bucket plus the 8 buckets at hamming distance 1 (one flipped
+    * hyperplane) — the standard recall lever: a true neighbor lands in a
+    * probed bucket whenever at most one of the 8 planes disagrees. The
+    * DATA side still carries exactly one bucket per vector (that is what
+    * partitions at scale); only the tiny query relation fans out 9x, so
+    * the probe remains an equality join on the bucket — a
+    * bucket-partitioned co-located join at 100 TB — ranked by exact
+    * cosine, top-3. More probes / more tables raise recall further
     * without changing the plan shape. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -148,11 +153,15 @@ object Similarity {
       $"vec_id", $"embedding",
       VectorOps.l2norm($"embedding").as("nrm"),
       bucketCol.as("bucket"))
+    // probe set: the bucket itself + hamming-1 neighbors (flip each bit)
     val q = e.where($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"bucket".as("qbucket"),
         $"embedding".as("qemb"), $"nrm".as("qnrm"))
+      .select($"query_id", $"qemb", $"qnrm",
+        explode(array(($"qbucket" +: signs.indices.map(p =>
+          $"qbucket".bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
     val scored = e.join(broadcast(q),
-        $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
       .withColumn("cos", VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
     topk(scored, 3)
   }

@@ -201,6 +201,26 @@ class GraphCurationSpec extends SparkSpec {
     }
   }
 
+  test("ANN recall against the brute-force ground truth: IVF high, multi-probe LSH nonzero") {
+    import spark.implicits._
+    val truth = graft.operators.Similarity.annBrute(spark, sfDir)
+      .where($"rank" <= 3).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    // deterministic corpus (seeded) -> stable recall values; floors sit
+    // under the measured 0.90 (IVF) / 0.13 (multi-probe LSH; was 0.0
+    // single-bucket). Random synthetic embeddings are the LSH worst case —
+    // 8 hyperplanes bound it; clustered real embeddings score far higher.
+    assert(recall(graft.operators.Similarity.ivfAnn(spark, sfDir)) >= 0.6)
+    assert(recall(graft.operators.Similarity.lshAnn(spark, sfDir)) >= 0.05)
+  }
+
   test("ohlcDownsample matches a window-ordered brute force") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir).select(
