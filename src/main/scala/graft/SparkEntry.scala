@@ -93,6 +93,7 @@ object SparkEntry {
     "q72_winsorize"         -> (Relational.winsorize _),
     "q73_zscore"            -> (Relational.zscore _),
     "q74_linear_trend"      -> (Relational.linearTrend _),
+    "q75_wht_power"         -> (Spectral.whtPower _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -935,5 +936,21 @@ object SparkEntry {
            (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
            (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
          FROM s WHERE n >= 2 AND (n*sxx - sx*sx) <> 0.0""",
+    // Walsh-Hadamard: H(k,j) = (-1)^popcount(k&j) is integer-exact, so
+    // the spectral sum is an exact decimal — the oracle-checkable twin of
+    // the rows-only FFT (q36)
+    "q75_wht_power" ->
+      """WITH ranked AS (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS j
+           FROM events QUALIFY j <= 7),
+         full8 AS (SELECT user_id FROM ranked GROUP BY 1 HAVING count(*) = 8),
+         terms AS (SELECT r.user_id, k.k,
+             CASE WHEN bit_count(k.k & r.j) % 2 = 0
+                  THEN CAST(r.value AS decimal(18,6))
+                  ELSE -CAST(r.value AS decimal(18,6)) END AS term
+           FROM ranked r JOIN full8 USING (user_id), range(8) k(k))
+         SELECT user_id, CAST(k AS BIGINT) AS k, CAST(sum(term) AS double) AS coef
+         FROM terms GROUP BY 1, 2""",
   )
 }

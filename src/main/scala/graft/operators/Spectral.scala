@@ -19,6 +19,31 @@ import graft.sources.Tables
   */
 object Spectral {
 
+  /** q75: Walsh-Hadamard transform of each user's first 8 samples — the
+    * spectral decomposition that IS cross-engine exact: H(k,j) =
+    * (-1)^popcount(k AND j) is integer, so each coefficient is a signed
+    * decimal sum (one partial-aggregated shuffle), unlike the FFT's
+    * libm-bound twiddle factors (q36 is rows-only for that reason; this
+    * one hash-matches the DuckDB oracle). Sequency-ordered coefficients
+    * serve the same trend/oscillation screening as low-order Fourier
+    * bins. */
+  def whtPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val samples = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 8)
+      .withColumn("n8", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .where($"n8" === 8)
+      .select($"user_id", ($"rn" - 1).as("j"), $"value".cast("decimal(18,6)").as("vd"))
+    val signed = samples
+      .select($"user_id", $"j", $"vd", explode(sequence(lit(0), lit(7))).as("k"))
+      .select($"user_id", $"k",
+        (when(expr("bit_count(k & j) % 2") === 0, $"vd").otherwise(-$"vd")).as("term"))
+    signed.groupBy($"user_id", $"k".cast("long").as("k"))
+      .agg(sum($"term").cast("double").as("coef"))
+  }
+
   /** Power spectrum of each user's first 8 samples (by ts): one row per
     * (user_id, bin). */
   def fftPower(spark: SparkSession, dir: String): DataFrame = {

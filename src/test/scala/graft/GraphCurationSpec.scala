@@ -221,6 +221,29 @@ class GraphCurationSpec extends SparkSpec {
     assert(recall(graft.operators.Similarity.lshAnn(spark, sfDir)) >= 0.05)
   }
 
+  test("whtPower matches a driver-side Walsh-Hadamard transform and inverts") {
+    import spark.implicits._
+    val got = graft.operators.Spectral.whtPower(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // model: first 8 samples per user in (ts, event_id) order
+    val samples = Tables.events(spark, sfDir)
+      .select($"user_id", unix_millis($"ts"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3)).take(8).map(_._4)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (u, coefs) =>
+      val v = samples(u)
+      assert(v.length === 8)
+      val expect = (0 until 8).map(k =>
+        (0 until 8).map(j => (if (Integer.bitCount(k & j) % 2 == 0) 1 else -1) * v(j)).sum)
+      coefs.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+      // WHT is self-inverse up to 1/8: reconstruct sample 0
+      val recon = coefs.sum / 8.0
+      assert(math.abs(recon - v(0)) < 1e-9)
+    }
+  }
+
   test("ohlcDownsample matches a window-ordered brute force") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir).select(
