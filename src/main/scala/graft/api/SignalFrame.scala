@@ -128,6 +128,43 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
     chain(restored)
   }
 
+  /** Resample by forward-fill (LOCF) instead of interpolation: each grid
+    * point carries the latest sample at-or-before it plus a `staleness`
+    * column — the gap-fill verb for step-like signals (valve states,
+    * mode flags) where interpolation would invent values. Grid points
+    * before the first sample are dropped. Same single-sort pattern. */
+  def fillForward(axis: String, lo: Double, hi: Double, step: Double): SignalFrame = {
+    val samples = df.select(col("shot"), col(axis), col("value"))
+    val nSteps = math.floor((hi - lo) / step + 1e-9).toLong
+    val probes = samples.select(col("shot")).distinct()
+      .select(col("shot"), explode(sequence(lit(0L), lit(nSteps))).as("__i"))
+      .select(col("shot"), (lit(lo) + col("__i") * step).as(axis))
+    chain(Interp.locf(samples, probes, "shot", axis, "value"))
+  }
+
+  /** Least-squares linear trend of `value` over `axis` per shot — the
+    * drift/ramp-rate extraction verb (slope in value-units per
+    * axis-unit). Delegates to the exact-sum closed form; one
+    * partial-aggregated shuffle. */
+  def trend(axis: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def exact2(c: Column) = (floor(c * 100).cast("long") / 100.0)
+    val b = df.select(col("shot"),
+      col(axis).cast(DecimalType(18, 6)).as("xd"),
+      col("value").cast(DecimalType(18, 6)).as("yd"))
+    val s = b.groupBy(col("shot")).agg(
+      count(lit(1)).as("n"),
+      sum(col("xd")).cast("double").as("sx"),
+      sum(col("yd")).cast("double").as("sy"),
+      exact2(sum(col("xd") * col("xd"))).as("sxx"),
+      exact2(sum(col("xd") * col("yd"))).as("sxy"))
+    val det = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
+    s.where(col("n") >= 2 && det =!= 0.0)
+      .select(col("shot"), col("n"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
   /** Aggregate over the current slice (SURVEY A2: sub-block max etc.). */
   def aggValue(f: Column => Column): DataFrame =
     df.agg(f(col("value")).as("agg"))

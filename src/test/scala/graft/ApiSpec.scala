@@ -106,6 +106,32 @@ class ApiSpec extends SparkSpec {
     assert(byChT((2, 3.0)) === 12.0) // exact sample
   }
 
+  test("fillForward carries the last sample with staleness; trend fits the ramp") {
+    import spark.implicits._
+    // bes ch1 (single channel slice): value 6 for t in {0,1}, 11 for t in 2..7
+    val sf = machine.shot(1).signal("bes.ch").channels(Seq(1))
+    val ff = sf.fillForward("time", 0.0, 7.0, 0.5)
+    val byT = ff.df.select($"time", $"value", $"staleness")
+      .as[(Double, Double, Double)].collect()
+      .map { case (t, v, s) => t -> ((v, s)) }.toMap
+    assert(byT(0.5) === ((6.0, 0.5)))  // carried from t=0, half a unit stale
+    assert(byT(1.5) === ((6.0, 0.5)))  // step not yet visible (vs lerp's 8.5)
+    assert(byT(2.0) === ((11.0, 0.0))) // exact sample
+    assert(byT(6.5) === ((11.0, 0.5)))
+    // mpts te at one radius is value = 1000*shot + 10*time + const: exact
+    // slope 10 per time unit for shot 1 (and 2)
+    val fit = machine.shot(1).signal("mpts.te")
+      .slice("radius", 10.0, 10.0)
+      .trend("time")
+      .select($"n", $"slope", $"intercept")
+      .as[(Long, Double, Double)].collect()
+    assert(fit.length === 1)
+    val (n, slope, intercept) = fit.head
+    assert(n === 10)
+    assert(math.abs(slope - 10.0) < 1e-9)
+    assert(math.abs(intercept - 1000.0) < 1e-9)
+  }
+
   test("at() ties break to the first (smallest) sample like np.argmin") {
     import spark.implicits._
     val df = Seq((1, 1.0, 10.0), (1, 2.0, 20.0)).toDF("shot", "time", "value")
