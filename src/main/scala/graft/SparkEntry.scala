@@ -456,6 +456,30 @@ object SparkEntry {
          CAST(list_sum(list_transform(string_split(substr(text, 1, 32), ''),
               c -> ord(c))) AS BIGINT) AS checksum32
          FROM documents""",
+    // q36: naive trig DFT in DuckDB vs the radix-2 FFT expression in Spark.
+    // Raw |X_k|^2 doubles are not bit-portable (libm vs JVM trig, sum
+    // order), but the two engines agree to ~1e-7 absolute at these
+    // magnitudes, so unit quantization with a 1/3 offset on BOTH sides
+    // makes the hash exact. The offset matters: even-bin powers are exact
+    // lattice rationals m/10000 that land exactly on integer AND
+    // half-integer boundaries, but never within 1e-7 of k - 1/3 (see
+    // Spectral.fftPower). Sign of the sin term is irrelevant to power.
+    "q36_fft_power" ->
+      """WITH ranked AS (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS t
+           FROM events QUALIFY t <= 7),
+         full8 AS (SELECT user_id FROM ranked GROUP BY 1 HAVING count(*) = 8),
+         terms AS (
+           SELECT r.user_id, k.k,
+             r.value * cos(2*pi()*k.k*r.t/8) AS c,
+             r.value * sin(2*pi()*k.k*r.t/8) AS s
+           FROM ranked r JOIN full8 USING (user_id), range(8) k(k)),
+         spec AS (SELECT user_id, k, sum(c) AS re, sum(s) AS im
+                  FROM terms GROUP BY 1, 2)
+         SELECT user_id, CAST(k AS BIGINT) AS bin,
+           CAST(floor(re*re + im*im + 0.3333333333333333) AS BIGINT) AS qpower
+         FROM spec""",
     "q37_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                     FROM embeddings),

@@ -13,7 +13,10 @@ import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
   * parallel, so wall time drops roughly by the pool width. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: restrict to these query names (local debugging;
+    // the driver always calls with exactly two args = full run)
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,7 +47,10 @@ object Verify {
     val pool = Executors.newFixedThreadPool(
       math.min(8, Runtime.getRuntime.availableProcessors))
     val failures = new ConcurrentLinkedQueue[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try {
@@ -64,14 +70,14 @@ object Verify {
       System.err.println("[verify] TIMED OUT; cancelling in-flight queries")
       pool.shutdownNow()
       spark.sparkContext.cancelAllJobs()
-      SparkEntry.queries.keys.foreach { name =>
+      selected.keys.foreach { name =>
         if (!java.nio.file.Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
             && !failures.contains(name))
           failures.add(name)
       }
     }
     System.err.println(
-      s"[verify] done: ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} ok" +
+      s"[verify] done: ${selected.size - failures.size}/${selected.size} ok" +
         (if (failures.isEmpty) "" else s"; failed: ${String.join(",", failures)}"))
     spark.stop()
   }

@@ -45,7 +45,22 @@ object Spectral {
   }
 
   /** Power spectrum of each user's first 8 samples (by ts): one row per
-    * (user_id, bin). */
+    * (user_id, bin). The power is emitted unit-quantized with a 1/3 offset
+    * (`qpower = floor(|X_k|^2 + 0.3333333333333333)`): the radix-2 FFT
+    * here and the oracle's naive trig DFT agree to ~1e-7 absolute at these
+    * magnitudes (inputs < 500, n = 8), so a quantum of 1 is ~1e7x coarser
+    * than the cross-engine libm/summation divergence while still
+    * discriminating every bin. The 1/3 offset is load-bearing: bins
+    * 0/2/4/6 have rational twiddles (0, +-1), so with 2-decimal inputs
+    * their powers are exact lattice rationals m/10000 that DO land exactly
+    * on floor boundaries (m = 10000k) and on half-integer boundaries
+    * (p^2 + q^2 = 5000 mod 10000 is solvable, e.g. 50^2 + 50^2) — both
+    * quantizers flip coins there. A boundary at k - 1/3 is unreachable:
+    * |m * 10^12 + 333333333333| < 10^9 has no integer solution, so no
+    * rational-bin power is within 1e-7 of it; irrational bins (odd k,
+    * sqrt(2)/2 twiddles) are generic reals with ~1e-7 boundary mass. The
+    * same double literal is used in the DuckDB oracle, making the hash
+    * exact where raw doubles are not bit-portable. */
   def fftPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
@@ -58,5 +73,7 @@ object Spectral {
       .select($"user_id", transform($"s", x => x.getField("value")).as("trace"))
     traces
       .select($"user_id", posexplode(Fft.powerSpectrum($"trace")).as(Seq("bin", "power")))
+      .select($"user_id", $"bin".cast("long").as("bin"),
+        floor($"power" + lit(0.3333333333333333)).cast("long").as("qpower"))
   }
 }

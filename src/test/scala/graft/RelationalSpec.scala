@@ -11,8 +11,9 @@ class RelationalSpec extends SparkSpec {
 
   test("every declared query runs and has matching oracle SQL") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // only explicitly non-SQL-expressible ops may lack an oracle
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set("q36_fft_power"))
+    // every query is oracle-gated (q36 joined the set in round 4 via
+    // unit-lattice power quantization)
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set.empty[String])
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty, s"$name has no columns")
