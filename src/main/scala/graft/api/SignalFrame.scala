@@ -101,68 +101,92 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
       .drop("__rn", "__base"))
   }
 
+  /** Series identity for per-trace verbs: shot, plus channel when the
+    * frame has one — a multi-channel frame must never mix channels into
+    * one series (Interp's (key, t)-unique contract). Returns the keyed
+    * 3-column sample projection, the key column name, and a restore
+    * function that splits the composite key back into typed columns. */
+  private def seriesKey(axis: String): (DataFrame, String, DataFrame => DataFrame) = {
+    val keys = Seq("shot") ++ (if (df.columns.contains("channel")) Seq("channel") else Nil)
+    if (keys.size == 1)
+      (df.select(col("shot"), col(axis), col("value")), "shot", identity[DataFrame])
+    else {
+      val samples = df.select(
+        concat_ws("#", keys.map(c => col(c).cast("string")): _*).as("__k"),
+        col(axis), col("value"))
+      val restore = (out: DataFrame) => keys.zipWithIndex.foldLeft(out) {
+        case (d, (kn, i)) =>
+          d.withColumn(kn, split(col("__k"), "#").getItem(i).cast(df.schema(kn).dataType))
+      }.drop("__k")
+      (samples, "__k", restore)
+    }
+  }
+
   /** Resample the signal onto an evenly spaced grid `[lo, hi]` step
     * `step` by linear interpolation between bracketing samples — the
     * continuous counterpart of `at()`'s nearest-sample snap. Grid points
-    * outside the sampled range are dropped. One shuffle by shot
+    * outside the sampled range are dropped. One shuffle by series key
     * (Interp.linear's union+window pattern), no join fan-out. */
   def resample(axis: String, lo: Double, hi: Double, step: Double): SignalFrame = {
-    val keys = Seq("shot") ++ (if (df.columns.contains("channel")) Seq("channel") else Nil)
-    val key = keys.head // Interp.linear is single-key; compose channel into shot-key if present
-    val samples =
-      if (keys.size == 1) df.select(col(key), col(axis), col("value"))
-      else df.select(concat_ws("#", keys.map(c => col(c).cast("string")): _*).as("__k"),
-        col(axis), col("value"))
-    val k = if (keys.size == 1) key else "__k"
+    val (samples, k, restore) = seriesKey(axis)
     // sequence() is integral-only: generate grid indices, then lo + i*step
     val nSteps = math.floor((hi - lo) / step + 1e-9).toLong
     val probes = samples.select(col(k)).distinct()
       .select(col(k), explode(sequence(lit(0L), lit(nSteps))).as("__i"))
       .select(col(k), (lit(lo) + col("__i") * step).as(axis))
-    val out = Interp.linear(samples, probes, k, axis, "value")
-    val restored =
-      if (keys.size == 1) out
-      else keys.zipWithIndex.foldLeft(out) { case (d, (kn, i)) =>
-        d.withColumn(kn, split(col("__k"), "#").getItem(i).cast(df.schema(kn).dataType))
-      }.drop("__k")
-    chain(restored)
+    chain(restore(Interp.linear(samples, probes, k, axis, "value")))
   }
 
   /** Resample by forward-fill (LOCF) instead of interpolation: each grid
     * point carries the latest sample at-or-before it plus a `staleness`
     * column — the gap-fill verb for step-like signals (valve states,
     * mode flags) where interpolation would invent values. Grid points
-    * before the first sample are dropped. Same single-sort pattern. */
+    * before the first sample are dropped. Same single-sort pattern,
+    * same per-(shot, channel) series identity as resample. */
   def fillForward(axis: String, lo: Double, hi: Double, step: Double): SignalFrame = {
-    val samples = df.select(col("shot"), col(axis), col("value"))
+    val (samples, k, restore) = seriesKey(axis)
     val nSteps = math.floor((hi - lo) / step + 1e-9).toLong
-    val probes = samples.select(col("shot")).distinct()
-      .select(col("shot"), explode(sequence(lit(0L), lit(nSteps))).as("__i"))
-      .select(col("shot"), (lit(lo) + col("__i") * step).as(axis))
-    chain(Interp.locf(samples, probes, "shot", axis, "value"))
+    val probes = samples.select(col(k)).distinct()
+      .select(col(k), explode(sequence(lit(0L), lit(nSteps))).as("__i"))
+      .select(col(k), (lit(lo) + col("__i") * step).as(axis))
+    chain(restore(Interp.locf(samples, probes, k, axis, "value")))
   }
 
-  /** Least-squares linear trend of `value` over `axis` per shot — the
-    * drift/ramp-rate extraction verb (slope in value-units per
-    * axis-unit). Delegates to the exact-sum closed form; one
-    * partial-aggregated shuffle. */
+  /** Least-squares linear trend of `value` over `axis` per (shot[,
+    * channel]) — the drift/ramp-rate extraction verb (slope in
+    * value-units per axis-unit). The axis is rebased to its per-series
+    * minimum before the decimal cast, so large-magnitude axes (e.g. an
+    * epoch-ms time base, ~1e12) stay inside decimal(18,6)'s domain
+    * instead of silently nulling out of the sums; the intercept is
+    * shifted back so it remains the value at axis = 0. Two-phase shape:
+    * a |series|-row min agg broadcast back onto the fact, then one
+    * partial-aggregated shuffle — the fact table streams twice but never
+    * re-shuffles raw rows (the q72/q73 stats-broadcast pattern). */
   def trend(axis: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def exact2(c: Column) = (floor(c * 100).cast("long") / 100.0)
-    val b = df.select(col("shot"),
-      col(axis).cast(DecimalType(18, 6)).as("xd"),
-      col("value").cast(DecimalType(18, 6)).as("yd"))
-    val s = b.groupBy(col("shot")).agg(
+    val keys = Seq("shot") ++ (if (df.columns.contains("channel")) Seq("channel") else Nil)
+    val kc = keys.map(col)
+    val raw = df.select(kc :+ col(axis).as("__x") :+ col("value").as("__y"): _*)
+    val mins = raw.groupBy(kc: _*).agg(min(col("__x")).as("__x0"))
+    val b = raw.join(broadcast(mins), keys)
+      .select(kc ++ Seq(
+        (col("__x") - col("__x0")).cast(DecimalType(18, 6)).as("xd"),
+        col("__y").cast(DecimalType(18, 6)).as("yd"),
+        col("__x0").cast("double").as("x0")): _*)
+    val s = b.groupBy(kc: _*).agg(
       count(lit(1)).as("n"),
       sum(col("xd")).cast("double").as("sx"),
       sum(col("yd")).cast("double").as("sy"),
       exact2(sum(col("xd") * col("xd"))).as("sxx"),
-      exact2(sum(col("xd") * col("yd"))).as("sxy"))
+      exact2(sum(col("xd") * col("yd"))).as("sxy"),
+      first(col("x0")).as("x0"))
     val det = col("n") * col("sxx") - col("sx") * col("sx")
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
+    val interceptAtX0 = (col("sy") - slope * col("sx")) / col("n")
     s.where(col("n") >= 2 && det =!= 0.0)
-      .select(col("shot"), col("n"), slope.as("slope"),
-        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+      .select(kc ++ Seq(col("n"), slope.as("slope"),
+        (interceptAtX0 - slope * col("x0")).as("intercept")): _*)
   }
 
   /** Aggregate over the current slice (SURVEY A2: sub-block max etc.). */

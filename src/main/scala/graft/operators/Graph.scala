@@ -98,6 +98,13 @@ object Graph {
       prevSum = s
       round += 1
     }
+    // exiting via the cap means the labels are NOT a fixed point — wrong
+    // components with no other signal. Practically unreachable with path
+    // halving (O(log d) rounds), so make it loud rather than silent.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds; " +
+          "labels are not a fixed point (raise maxRounds)")
     sym.unpersist()
     nodes.toDF("node").distinct()
       .join(labels.withColumnRenamed("comp", "__c"), Seq("node"), "left")

@@ -132,6 +132,42 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(intercept - 1000.0) < 1e-9)
   }
 
+  test("fillForward and trend keep channels separate (series key = shot#channel)") {
+    import spark.implicits._
+    // all 4 bes channels at once: LOCF must carry per channel, never mix
+    val ff = machine.shot(1).signal("bes.ch").fillForward("time", 0.0, 7.0, 0.5)
+    assert(ff.df.count() === 15 * 4)
+    val byChT = ff.df.select($"channel".cast("int"), $"time", $"value")
+      .as[(Int, Double, Double)].collect()
+      .map { case (ch, t, v) => (ch, t) -> v }.toMap
+    assert(byChT((1, 1.5)) === 6.0)  // ch1 carries 6, not another channel's 8/9
+    assert(byChT((4, 1.5)) === 9.0)  // ch4 carries 9
+    assert(byChT((2, 3.0)) === 12.0) // exact sample
+    // trend: per-channel fit — value = (5|10)+ch is a step, but per
+    // channel the slope is identical while intercepts differ by ch
+    val fits = machine.shot(1).signal("bes.ch").trend("time")
+      .select($"channel".cast("int"), $"slope", $"intercept")
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(fits.size === 4)
+    val slopes = fits.map(_._2).distinct
+    assert(slopes.size === 1) // same shape per channel
+    val intercepts = fits.sortBy(_._1).map(_._3)
+    // intercept_{ch+1} - intercept_ch = 1 exactly (the channel offset)
+    intercepts.sliding(2).foreach { case Seq(a, b) => assert(math.abs(b - a - 1.0) < 1e-9) }
+  }
+
+  test("trend survives an epoch-ms-scale axis (rebased before decimal cast)") {
+    import spark.implicits._
+    // axis ~1.7e12 overflows decimal(18,6) un-rebased; slope must be exact
+    val t0 = 1.7e12
+    val rows = (0 until 10).map(i => (7, t0 + i * 1000.0, 42.0 + i * 3.0))
+    val sf = SignalFrame(cat.signal("root.bes.ch"), rows.toDF("shot", "time", "value"))
+    val fit = sf.trend("time").select($"n", $"slope").as[(Long, Double)].collect()
+    assert(fit.length === 1)
+    assert(fit.head._1 === 10)
+    assert(math.abs(fit.head._2 - 3.0 / 1000.0) < 1e-12)
+  }
+
   test("at() ties break to the first (smallest) sample like np.argmin") {
     import spark.implicits._
     val df = Seq((1, 1.0, 10.0), (1, 2.0, 20.0)).toDF("shot", "time", "value")
