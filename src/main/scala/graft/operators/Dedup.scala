@@ -14,12 +14,11 @@ import graft.sources.Tables
   * of seed-salted md5 — a valid min-wise family that needs no engine-
   * specific 64-bit hash.
   *
-  * Scale notes (100 TB): every pairing step is blocked — by shared
-  * shingle (q25), LSH band (q26), or simhash byte-band (q28) — so no
-  * all-pairs product ever forms. Aggregations are partial map-side; the
-  * shingle explode is the only row multiplier and is bounded by document
-  * length. At petabyte scale the q25 shingle join is the one to replace
-  * with q26's banding (same verify stage, sublinear candidate set).
+  * Scale notes (100 TB): every pairing step is blocked — by df-ordered
+  * prefix shingle (q25, PPJoin), LSH band (q26), or simhash byte-band
+  * (q28) — so no all-pairs product ever forms and no hot key makes a
+  * block quadratic. Aggregations are partial map-side; the shingle
+  * explode is the only row multiplier and is bounded by document length.
   */
 object Dedup {
 
@@ -54,25 +53,62 @@ object Dedup {
         ($"n_shared" / $"n_total").as("contamination"))
   }
 
-  /** Near-dup pairs by word-3-gram Jaccard >= 0.6. One shingle-equality
-    * self-join produces candidate pairs AND their intersection size in the
-    * same pass (shingles are distinct per doc, so the per-pair match count
-    * IS |A∩B|) — no candidate set is ever re-joined against the shingle
-    * table, which at sf0.1 avoided a 58M-row intermediate. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sh = TextOps.shingled(spark, dir, 3)
-    val shared = sh.as("a").join(sh.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    val card = TextOps.shingleCard(sh)
-    shared
-      .join(card.as("ca"), $"doc_a" === $"ca.doc_id")
-      .join(card.as("cb"), $"doc_b" === $"cb.doc_id")
-      .select($"doc_a", $"doc_b", $"n_shared",
-        ($"n_shared" / ($"ca.n" + $"cb.n" - $"n_shared")).as("jaccard"))
-      .where($"jaccard" >= 0.6)
+  /** Near-dup pairs by word-3-gram Jaccard >= 0.6, PPJoin-style prefix
+    * filtering (Xiao et al., WWW'08 — a PRUNING, not an approximation:
+    * output is identical to the naive all-shingle self-join).
+    *
+    * Shingles get a global canonical order (document frequency asc, then
+    * shingle asc); each doc joins only on its PREFIX — the first
+    * `|d| - ceil(t*|d|) + 1` shingles in that order. Completeness: for a
+    * qualifying pair the smallest common element x cannot sit in either
+    * suffix — a suffix holds `ceil(t*|d|) - 1` elements and every common
+    * element is >= x in the order, so |A∩B| <= ceil(t*|d|) - 1 <
+    * ceil(t*|d|) <= |A∩B|, contradiction; hence x is in BOTH prefixes and
+    * the prefix equality join finds the pair.
+    *
+    * Scale: a stopword trigram appearing in 80% of docs has maximal df,
+    * ranks LAST, and never enters a prefix (prefix covers ~40% of a doc's
+    * rarest shingles) — the hot-shingle quadratic blowup of the naive join
+    * cannot form. The df join and per-doc ranking window are linear
+    * shuffles; candidate verification touches shingle SETS per surviving
+    * pair (array_intersect), never re-exploding the corpus. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(TextOps.docsParallel(spark, dir), 0.6)
+
+  /** Testable core over any `(doc_id, text)` relation. */
+  private[graft] def ngramJaccardOn(docs: DataFrame, t: Double): DataFrame = {
+    val docSh = docs
+      .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val prefix = prefixShingles(docSh, t)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_shared") /
+          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_shared")))
+      .where(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** The df-ordered prefix relation `(doc_id, shingle)`: each doc's first
+    * `|d| - ceil(t*|d|) + 1` shingles in (global df asc, shingle asc)
+    * order. Exposed for the skew spec, which asserts a corpus-wide
+    * stopword shingle never enters any multi-shingle doc's prefix. */
+  private[graft] def prefixShingles(docSh: DataFrame, t: Double): DataFrame = {
+    val sh = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    val wCard = Window.partitionBy(col("doc_id"))
+    sh.join(dfreq, "shingle")
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wCard))
+      .where(col("__rk") <= col("__n") - ceil(col("__n") * t) + 1)
+      .select(col("doc_id"), col("shingle"))
   }
 
   /** MinHash + LSH banding: k=12 salted-md5 min-hashes per doc, 4 bands of

@@ -61,6 +61,45 @@ class SamplingSkewSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("PPJoin jaccard: identical to brute force; hot stopword shingle never in a prefix") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 50 docs; 80% open with the same stopword phrase so the trigram
+    // "the quick fox" has df=40 (the naive self-join's quadratic hot key);
+    // consecutive (2i, 2i+1) docs differ in one trailing word -> true
+    // near-dups at J = 5/7 ~ 0.714
+    def body(i: Int) = { val p = i / 2; val tail = if (i % 2 == 0) s"e$p" else s"f$p"
+      s"a$p b$p c$p d$p $tail" }
+    val texts = (0 until 50).map { i =>
+      val head = if (i % 5 == 0) s"odd opener u$i" else "the quick fox"
+      (i.toLong, s"$head ${body(i)}")
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val result = Dedup.ngramJaccardOn(docs, 0.6)
+      .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    // driver-side brute force over all pairs
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = texts.map { case (id, t) => id -> sh(t) }.toMap
+    val ids = texts.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sets(a) intersect sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter) if j >= 0.6
+    } yield (a, b, inter.toLong)).toSet
+    assert(expected.nonEmpty) // the test must actually exercise pairs
+    assert(result === expected)
+    // the scale property: the df-max shingle is excluded from every
+    // prefix, so no quadratic hot-key block can form in the candidate join
+    val docSh = docs.select($"doc_id",
+      graft.operators.TextOps.shingles(graft.operators.TextOps.toks($"text"), 3).as("sh"))
+    val prefix = Dedup.prefixShingles(docSh, 0.6)
+    assert(prefix.where($"shingle" === "the quick fox").count() === 0)
+    // and prefixes are genuinely partial (~40% of each doc's shingles)
+    val maxPrefix = prefix.groupBy($"doc_id").count().agg(max($"count")).head().getLong(0)
+    assert(maxPrefix <= 3) // docs have 6 shingles; 6 - ceil(3.6) + 1 = 3
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val salted = Skew.saltedJoinQuery(spark, sfDir)
