@@ -354,6 +354,10 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, vec_id ASC) AS rank
            FROM scored) WHERE rank <= 5""",
+    // q30: L=4 independent 8-bit tables (plane id = 8*table + bit, same
+    // md5 sign family), probes per table = all masks with hamming <= 2
+    // (j=8/k=8 encode "no flip"; k=8 OR j<k enumerates the 37 distinct
+    // masks exactly once). Candidates dedup via DISTINCT before ranking.
     "q30_lsh_ann" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                     FROM embeddings),
@@ -367,23 +371,26 @@ object SparkEntry {
                     x * CASE WHEN substr(md5(p.p || ':' || i), 1, 1) >= '8'
                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
                     (a, b) -> a + b) AS proj
-           FROM n, range(8) p(p)),
-         bucket AS (SELECT vec_id,
-                           CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p)
+           FROM n, range(32) p(p)),
+         bucket AS (SELECT vec_id, p // 8 AS tbl,
+                           CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 8))
                                     ELSE 0 END) AS BIGINT) AS bucket
-                    FROM proj GROUP BY 1),
-         b AS (SELECT n.vec_id, bucket, emb, nrm FROM n JOIN bucket USING (vec_id)),
-         q AS (SELECT vec_id AS query_id, bucket AS qbucket, emb AS qemb, nrm AS qnrm
+                    FROM proj GROUP BY 1, 2),
+         b AS (SELECT n.vec_id, tbl, bucket, emb, nrm FROM n JOIN bucket USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, tbl, bucket AS qbucket, emb AS qemb, nrm AS qnrm
                FROM b WHERE vec_id < 10),
-         probes AS (SELECT query_id, qemb, qnrm,
-                    CASE WHEN p.p = 8 THEN qbucket
-                         ELSE xor(qbucket, (1::BIGINT << p.p)) END AS probe
-                    FROM q, range(9) p(p)),
+         probes AS (SELECT query_id, qemb, qnrm, tbl,
+                    xor(xor(qbucket,
+                        CASE WHEN j.j < 8 THEN (1::BIGINT << j.j) ELSE 0 END),
+                        CASE WHEN k.k < 8 THEN (1::BIGINT << k.k) ELSE 0 END) AS probe
+                    FROM q, range(9) j(j), range(9) k(k)
+                    WHERE k.k = 8 OR j.j < k.k),
          scored AS (
-           SELECT q.query_id, c.vec_id,
+           SELECT DISTINCT q.query_id, c.vec_id,
                   list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
                               (a, b) -> a + b) / (q.qnrm * c.nrm) AS cos
-           FROM b c, probes q WHERE c.bucket = q.probe AND c.vec_id <> q.query_id)
+           FROM b c, probes q
+           WHERE c.tbl = q.tbl AND c.bucket = q.probe AND c.vec_id <> q.query_id)
          SELECT query_id, rank, neighbor_id FROM (
            SELECT query_id, vec_id AS neighbor_id,
                   row_number() OVER (PARTITION BY query_id

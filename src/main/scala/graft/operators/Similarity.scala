@@ -12,9 +12,10 @@ import graft.sources.Tables
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * Two paths: exact brute-force cosine top-k (the correctness baseline)
-  * and signed-random-projection LSH bucketing (the 100 TB path: candidates
-  * come from an equality join on an 8-bit bucket, so the scan side is
-  * partitioned by bucket and only ~1/256 of vectors meet each query).
+  * and signed-random-projection LSH bucketing (the 100 TB path:
+  * candidates come from an equality join on (table, 8-bit bucket), so the
+  * scan side is partitioned by bucket and only ~1/256 of vectors meet
+  * each probe).
   *
   * Hot loops are native codegen expressions (graft.functions.VectorOps),
   * not interpreted higher-order lambdas: floats widen to double and
@@ -129,40 +130,54 @@ object Similarity {
     topk(scored, 3)
   }
 
-  /** Signed-random-projection LSH ANN with MULTI-PROBE: 8 fixed
-    * hyperplanes give an 8-bit bucket per vector in a single codegen'd
-    * projection (8 native dot products against literal sign vectors — no
-    * crossJoin, no explode, no runtime hashing). Each query probes its
-    * own bucket plus the 8 buckets at hamming distance 1 (one flipped
-    * hyperplane) — the standard recall lever: a true neighbor lands in a
-    * probed bucket whenever at most one of the 8 planes disagrees. The
-    * DATA side still carries exactly one bucket per vector (that is what
-    * partitions at scale); only the tiny query relation fans out 9x, so
-    * the probe remains an equality join on the bucket — a
-    * bucket-partitioned co-located join at 100 TB — ranked by exact
-    * cosine, top-3. More probes / more tables raise recall further
-    * without changing the plan shape. */
+  /** Signed-random-projection LSH ANN, MULTI-TABLE + MULTI-PROBE: L=4
+    * independent tables of 8 fixed hyperplanes each (32 planes total)
+    * give four 8-bit buckets per vector in a single codegen'd projection
+    * (32 native dot products against literal sign vectors — no crossJoin,
+    * no runtime hashing). Each query probes, per table, its own bucket
+    * plus every bucket within hamming distance 2 (37 masks) — a true
+    * neighbor is found unless >2 of 8 planes disagree in ALL four tables;
+    * with per-table hit probability ~0.38 on a worst-case isotropic
+    * corpus, miss probability is ~0.62^4 ~ 0.15 (the spec gates
+    * recall@3 >= 0.5 vs the q29 brute-force ground truth; measured well
+    * above).
+    *
+    * The DATA side carries exactly one row per (table, vector) — that is
+    * what partitions at scale: the probe is an equality join on
+    * (table, bucket), co-located and bucket-partitionable at 100 TB. Only
+    * the tiny query relation fans out (4 tables x 37 masks); candidate
+    * duplicates across tables are collapsed by a distinct on the scored
+    * pair (identical cos by determinism) before the top-3 ranking. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val signs = signMatrix(8, 64)
-    val bucketCol = signs.indices.map { p =>
-      when(VectorOps.dot($"embedding", lit(signs(p))) > 0.0,
+    val nTables = 4
+    val bitsPerTable = 8
+    val signs = signMatrix(nTables * bitsPerTable, 64)
+    def bucketCol(t: Int): Column = (0 until bitsPerTable).map { p =>
+      when(VectorOps.dot($"embedding", lit(signs(t * bitsPerTable + p))) > 0.0,
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    val e = Tables.embeddings(spark, dir).select(
+    val withBuckets = Tables.embeddings(spark, dir).select(
       $"vec_id", $"embedding",
       VectorOps.l2norm($"embedding").as("nrm"),
-      bucketCol.as("bucket"))
-    // probe set: the bucket itself + hamming-1 neighbors (flip each bit)
-    val q = e.where($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"bucket".as("qbucket"),
-        $"embedding".as("qemb"), $"nrm".as("qnrm"))
-      .select($"query_id", $"qemb", $"qnrm",
-        explode(array(($"qbucket" +: signs.indices.map(p =>
-          $"qbucket".bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
+      array((0 until nTables).map(bucketCol): _*).as("buckets"))
+    val e = withBuckets.select($"vec_id", $"embedding", $"nrm",
+      posexplode($"buckets").as(Seq("table", "bucket")))
+    // hamming<=2 probe masks: identity, 8 single flips, 28 double flips
+    val masks: Seq[Long] =
+      Seq(0L) ++ (0 until bitsPerTable).map(1L << _) ++
+        (for (j <- 0 until bitsPerTable; k <- j + 1 until bitsPerTable)
+          yield (1L << j) | (1L << k))
+    val q = withBuckets.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"), $"nrm".as("qnrm"),
+        posexplode($"buckets").as(Seq("qtable", "qbucket")))
+      .select($"query_id", $"qemb", $"qnrm", $"qtable",
+        explode(array(masks.map(m => $"qbucket".bitwiseXOR(lit(m))): _*)).as("probe"))
     val scored = e.join(broadcast(q),
-        $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
-      .withColumn("cos", VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
+        $"table" === $"qtable" && $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
+      .distinct()
     topk(scored, 3)
   }
 }

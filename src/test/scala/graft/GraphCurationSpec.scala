@@ -201,7 +201,7 @@ class GraphCurationSpec extends SparkSpec {
     }
   }
 
-  test("ANN recall against the brute-force ground truth: IVF high, multi-probe LSH nonzero") {
+  test("ANN recall against the brute-force ground truth: IVF and multi-table LSH >= 0.5") {
     import spark.implicits._
     val truth = graft.operators.Similarity.annBrute(spark, sfDir)
       .where($"rank" <= 3).select($"query_id", $"neighbor_id")
@@ -214,11 +214,12 @@ class GraphCurationSpec extends SparkSpec {
       }.sum / truth.size
     }
     // deterministic corpus (seeded) -> stable recall values; floors sit
-    // under the measured 0.90 (IVF) / 0.13 (multi-probe LSH; was 0.0
-    // single-bucket). Random synthetic embeddings are the LSH worst case —
-    // 8 hyperplanes bound it; clustered real embeddings score far higher.
+    // under the measured 0.90 (IVF) / ~0.9 (L=4 tables x hamming<=2
+    // multi-probe LSH; was 0.13 with one table). Random synthetic
+    // embeddings are the LSH worst case — clustered real embeddings score
+    // higher still.
     assert(recall(graft.operators.Similarity.ivfAnn(spark, sfDir)) >= 0.6)
-    assert(recall(graft.operators.Similarity.lshAnn(spark, sfDir)) >= 0.05)
+    assert(recall(graft.operators.Similarity.lshAnn(spark, sfDir)) >= 0.5)
   }
 
   test("whtPower matches a driver-side Walsh-Hadamard transform and inverts") {
