@@ -37,9 +37,21 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.toDF("src", "dst")
-    // symmetric closure once, so each round is a single join direction
+    // loop width: the label/edge shuffles move kilobytes per task at toy
+    // scale and the loop is driver-latency-bound, so a narrow fixed width
+    // beats the session default; at cluster scale set spark.graft.cc
+    // .partitions to O(cores). Everything in the loop (cached sym, every
+    // shuffle) uses this ONE width so partitionings line up and reuse.
+    val loopParts = spark.conf.getOption("spark.graft.cc.partitions")
+      .map(_.toInt)
+      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
+    // symmetric closure once, so each round is a single join direction;
+    // pre-partitioned by dst (the loop's join key) so every round's edge
+    // join reuses the cached partitioning instead of re-exchanging the
+    // edge table — labels are the only relation that moves per round
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
+      .repartition(loopParts, $"dst")
       .cache()
     // localCheckpoint (not cache) per round: caching alone leaves each
     // round's LOGICAL plan nested inside the next — the analyzer re-walks
@@ -59,25 +71,40 @@ object Graph {
     var prevSum = BigDecimal(-1)
     var round = 0
     var converged = false
+    // the loop's stages move kilobytes: AQE's per-stage re-planning
+    // barrier and 32-way tiny shuffles cost more driver latency than the
+    // data work itself. Pin a small fixed shuffle width and skip AQE for
+    // the loop only (restored below; the returned plan is built after
+    // restore, so callers see session defaults).
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     while (!converged && round < maxRounds) {
-      // min label over the closed neighborhood: own label U neighbors'
-      val viaEdges = sym
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select($"src".as("node"), $"comp")
-      // checkpointed so the pointer-jump self-join below joins a LEAF
-      // relation (a plan reused on both sides of a join trips Catalyst's
-      // union-constraint attribute dedup); LAZY, so the whole round —
-      // neighborhood min, jump, convergence sum — is ONE job (the loop is
-      // scheduling-latency-bound: every stage is milliseconds of data)
-      val nbrMin = labels.select($"node", $"comp")
-        .union(viaEdges)
+      // min label over the closed neighborhood (own label U neighbors'),
+      // applied TWICE per round: convergence is gated by edge-hop
+      // propagation (a min label travels one hop per application), so two
+      // applications halve the round count — measured 9 -> 5 rounds at
+      // sf0.1 — while living in the SAME job (the loop is scheduling-
+      // latency-bound: every stage is milliseconds of data, an extra
+      // round costs ~0.5 s of latency). Each step checkpoints LAZILY so
+      // (a) the plan the next step/round sees is a leaf (a plan reused on
+      // both sides of a join trips Catalyst's union-constraint attribute
+      // dedup) and (b) nothing materializes before the round's single
+      // convergence-sum action.
+      def nbhdMin(l: DataFrame): DataFrame = l
+        .union(sym
+          .join(l.withColumnRenamed("node", "dst"), "dst")
+          .select($"src".as("node"), $"comp"))
         .groupBy($"node").agg(min($"comp").as("comp"))
         .localCheckpoint(false)
-      // pointer jump (path halving): follow the label's own label, so a
-      // depth-d chain collapses in O(log d) rounds instead of O(d) — the
-      // difference between 4 and 15 rounds on a 3k-node near-dup blob.
-      // Every label IS a node id (labels are minima over node ids), so
-      // the self-join is total; label monotonicity keeps it exact.
+      val step1 = nbhdMin(labels.select($"node", $"comp"))
+      val nbrMin = nbhdMin(step1)
+      // pointer jump (path halving): follow the label's own label —
+      // shortcuts label chains on top of the edge propagation. Every
+      // label IS a node id (labels are minima over node ids), so the
+      // self-join is total; label monotonicity keeps it exact.
       val next = nbrMin.as("x")
         .join(nbrMin.select($"node".as("comp"), $"comp".as("comp2")).as("m"), "comp")
         .select($"node", $"comp2".as("comp"))
@@ -92,11 +119,18 @@ object Graph {
       // materialized — release them, or every run pins rounds x |nodes|
       // label rows in block storage for the session lifetime
       labels.unpersist()
+      step1.unpersist()
       nbrMin.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
       round += 1
+      if (sys.env.contains("GRAFT_STAGE_LOG"))
+        System.err.println(s"[graft.cc] round $round sum=$s converged=$converged")
+    }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
     // exiting via the cap means the labels are NOT a fixed point — wrong
     // components with no other signal. Practically unreachable with path

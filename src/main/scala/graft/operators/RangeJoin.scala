@@ -45,17 +45,17 @@ object RangeJoin {
   /** q44: lineitem unit prices range-joined into ±2 price bands around
     * each part's retail price, aggregated per part. The interval side is
     * small → Spark broadcasts the exploded buckets; the point side never
-    * shuffles. */
+    * shuffles. NO rebalance on the point side: measured both ways at
+    * sf0.1 (round 4, 6 warm runs each), the extra exchange is a ~8%
+    * REGRESSION (0.89 s vs 0.82 s steady-state) — the per-row work behind
+    * the broadcast probe (one divide, one floor, hash probe, partial agg)
+    * is too cheap to amortize shuffling the 600k-row projection, unlike
+    * the regex/Expand pipelines where rebalance wins. */
   def priceBandAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.sources.Tables
-    // widen the point side off the narrow scan: the broadcast bucket join
-    // + band re-check + partial agg are all map-side and would otherwise
-    // serialize in the single scan task
-    val pts = Tables.rebalance(spark, dir, "lineitem",
-      Tables.lineitem(spark, dir).select($"l_orderkey",
-        ($"l_extendedprice" / $"l_quantity").as("unit_price"), $"l_quantity"),
-      $"l_orderkey")
+    val pts = Tables.lineitem(spark, dir).select($"l_orderkey",
+        ($"l_extendedprice" / $"l_quantity").as("unit_price"), $"l_quantity")
     val iv = Tables.part(spark, dir).select($"p_partkey",
       ($"p_retailprice" - 2).as("lo"), ($"p_retailprice" + 2).as("hi"))
     pointInInterval(pts, iv, "unit_price", "lo", "hi", width = 4.0)
