@@ -94,6 +94,7 @@ object SparkEntry {
     "q73_zscore"            -> (Relational.zscore _),
     "q74_linear_trend"      -> (Relational.linearTrend _),
     "q75_wht_power"         -> (Spectral.whtPower _),
+    "q76_psi_slice_max3d"   -> (Relational.psiSliceMax3d _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -983,5 +984,24 @@ object SparkEntry {
            FROM ranked r JOIN full8 USING (user_id), range(8) k(k))
          SELECT user_id, CAST(k AS BIGINT) AS k, CAST(sum(term) AS double) AS coef
          FROM terms GROUP BY 1, 2""",
+    // q76: 3-D contour path — grid cells derive from lineitem DOUBLEs with
+    // exact dyadic arithmetic; max over doubles is order-independent, so
+    // no quantization is needed
+    "q76_psi_slice_max3d" ->
+      """WITH cells AS (
+           SELECT CAST(l_orderkey % 20 AS BIGINT) AS t,
+                  10.0 + l_linenumber * 0.5 AS rv,
+                  (l_suppkey % 10) * 0.25 AS zv,
+                  max(l_extendedprice / 100.0) AS psi
+           FROM lineitem GROUP BY 1, 2, 3),
+         sliced AS (SELECT * FROM cells
+                    WHERE rv BETWEEN 10.5 AND 12.5 AND zv BETWEEN 0.5 AND 2.0),
+         ranked AS (SELECT t, rv, zv, psi,
+             row_number() OVER (PARTITION BY t ORDER BY psi DESC, rv ASC, zv ASC) AS rn,
+             count(*) OVER (PARTITION BY t) AS n_cells
+           FROM sliced)
+         SELECT t, CAST(n_cells AS BIGINT) AS n_cells,
+                rv AS r_at_max, zv AS z_at_max, psi AS max_psi
+         FROM ranked WHERE rn = 1""",
   )
 }

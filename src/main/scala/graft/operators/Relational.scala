@@ -675,6 +675,43 @@ object Relational {
         (($"sy" - slope * $"sx") / $"n").as("intercept"))
   }
 
+  /** q76 — the 3-D signal contour path (SURVEY §3.3 at rank 3, the EFIT
+    * `psirz(time, R, z)` shape from the reference's equilibria module,
+    * `fdf/modules/equilibria/efit.xml:10`): a long-format 3-D grid is
+    * value-sliced on BOTH spatial axes (the §2.2 P5 semantics, one
+    * predicate — no index bookkeeping at rank 3), then each time slice
+    * reports its sub-block cell count, max, and the (R, z) location of
+    * the max (ties broken by smallest R then z, numpy argmax order).
+    *
+    * The grid derives deterministically from lineitem so the DuckDB
+    * oracle rebuilds it bit-for-bit (l_extendedprice is DOUBLE in the
+    * parquet; /100 and the dyadic axis arithmetic are exact IEEE in both
+    * engines; max over doubles is order-independent).
+    *
+    * Scale shape: one partial-agged shuffle to canonicalize cells, one
+    * window sort per time slice over the SLICED sub-block only (the
+    * value predicates prune before any shuffle) — at 100 TB the slice is
+    * what keeps the window input bounded, exactly like the 2-D q20. */
+  def psiSliceMax3d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.lineitem(spark, dir)
+      .select(
+        ($"l_orderkey" % 20).cast("long").as("t"),
+        (lit(10.0) + $"l_linenumber" * 0.5).as("rv"),
+        (($"l_suppkey" % 10) * 0.25).as("zv"),
+        ($"l_extendedprice" / 100.0).as("psi"))
+      .groupBy($"t", $"rv", $"zv").agg(max($"psi").as("psi"))
+    val sliced = cells.where($"rv".between(10.5, 12.5) && $"zv".between(0.5, 2.0))
+    val wOrd = Window.partitionBy($"t").orderBy($"psi".desc, $"rv".asc, $"zv".asc)
+    val wAll = Window.partitionBy($"t")
+    sliced
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("n_cells", count(lit(1)).over(wAll))
+      .where($"__rn" === 1)
+      .select($"t", $"n_cells", $"rv".as("r_at_max"), $"zv".as("z_at_max"),
+        $"psi".as("max_psi"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

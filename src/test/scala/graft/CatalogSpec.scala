@@ -179,4 +179,33 @@ class CatalogSpec extends SparkSpec {
     val p = c.signal("lrdfit01.psirz")
     assert(p.axes === Seq("time", "R", "z")) // already time-major, rank 3
   }
+
+  test("reference efit.xml psirz: 3-axis declaration drives the rank-3 contour path end-to-end") {
+    // the q76 semantics (slice two spatial axes, per-time sub-block max)
+    // expressed through the GENERIC SignalFrame verbs on a table whose
+    // schema comes straight from the reference's 3-axis declaration
+    // (equilibria/efit.xml:10: axes = 'time, R, z')
+    import org.apache.spark.sql.functions._
+    val meta = SignalCatalog.fromFile(s"$refModules/equilibria/efit.xml",
+      Map("efit" -> Seq("efit01"))).signal("efit01.psirz")
+    assert(meta.schema.fieldNames.take(5).toSeq === Seq("shot", "time", "R", "z", "value"))
+    import spark.implicits._
+    val rows = for {
+      ti <- 0 until 4; ri <- 0 until 5; zi <- 0 until 5
+    } yield (141000, ti / 10.0, 0.2 + ri * 0.3, -0.6 + zi * 0.3,
+      // peak at (ri=2, zi=2), drifting up with time
+      10.0 * ti - (ri - 2) * (ri - 2) - (zi - 2) * (zi - 2))
+    val df = rows.toDF("shot", "time", "R", "z", "value")
+    val sub = graft.api.SignalFrame(meta, df)
+      .slice("R", 0.5, 1.1)    // ri in {1, 2, 3}
+      .slice("z", -0.3, 0.3)   // zi in {1, 2, 3}
+    // axis coherence at rank 3: every surviving row is inside BOTH slices
+    assert(sub.df.where(!$"R".between(0.5, 1.1) || !$"z".between(-0.3, 0.3)).count() === 0)
+    val perTime = sub.df.groupBy($"time").agg(max($"value").as("m"), count(lit(1)).as("n"))
+      .as[(Double, Double, Long)].collect().sortBy(_._1)
+    assert(perTime.map(_._1).toSeq === Seq(0.0, 0.1, 0.2, 0.3))
+    assert(perTime.forall(_._3 === 9)) // 3x3 sub-block per time slice
+    // the sub-block max is the undisturbed peak value 10*ti at (2,2)
+    perTime.zipWithIndex.foreach { case ((_, m, _), ti) => assert(m === 10.0 * ti) }
+  }
 }
