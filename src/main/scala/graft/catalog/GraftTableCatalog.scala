@@ -1,0 +1,161 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 `TableCatalog` over the XML signal catalog — the SQL
+  * address path the reference exposes through its attribute-chain factory
+  * (`nstx.mpts.te`, `fdf/factory.py:654-686`), re-expressed so plain SQL
+  * resolves signals by their catalog-qualified name:
+  *
+  * {{{
+  * spark.conf:
+  *   spark.sql.catalog.graft         = graft.catalog.GraftTableCatalog
+  *   spark.sql.catalog.graft.xml     = /path/to/machine.xml   (file or dir)
+  *   spark.sql.catalog.graft.dataDir = /path/to/warehouse
+  * sql:
+  *   SELECT time, value FROM graft.mpts.te WHERE shot = 141000
+  * }}}
+  *
+  * A signal `mpts.te` becomes table `te` in namespace `mpts` (container
+  * nesting = namespace nesting); its data is the long-format parquet at
+  * `dataDir/mpts_te.parquet` — the same layout `api.Machine` reads. The
+  * returned table is Spark's own DSv2 `ParquetTable`, so EVERYTHING the
+  * native scan does comes for free at any scale: filter pushdown to row
+  * groups, column pruning, and — when the layout is hive-partitioned by
+  * shot — partition PRUNING on shot predicates (PlanShapeSpec pins that
+  * plan shape). The catalog itself only resolves names; it holds no data
+  * path state beyond the warehouse root.
+  *
+  * Options:
+  *  - `xml`          (required) catalog XML file, or a directory whose
+  *                   *.xml files are merged (a module tree like the
+  *                   reference's `fdf/modules/`)
+  *  - `dataDir`      (required) warehouse root holding one parquet
+  *                   file/dir per signal, named `<qualified>_<name>`
+  *  - `stripPrefix`  optional qualified-name prefix to drop (e.g. a
+  *                   synthetic root container), so `root.mpts.te` is
+  *                   addressed as `mpts.te`
+  *  - `template.K=v1,v2` instantiates `[K]` template containers per run
+  *                   (the EFIT pattern), one branch per value
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var dataDir: String = _
+  private var cat: SignalCatalog = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    dataDir = Option(options.get("dataDir")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name: dataDir option is required"))
+    val xml = Option(options.get("xml")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name: xml option is required"))
+    val templates: Map[String, Seq[String]] = options.asScala.toMap.collect {
+      case (k, v) if k.startsWith("template.") =>
+        k.stripPrefix("template.") -> v.split(",").map(_.trim).toSeq
+    }
+    val f = new java.io.File(xml)
+    val merged =
+      if (f.isDirectory)
+        f.listFiles((_, n) => n.endsWith(".xml")).sortBy(_.getName)
+          .map(x => SignalCatalog.fromFile(x.getPath, templates))
+          .reduceOption(_ ++ _)
+          .getOrElse(SignalCatalog(Nil))
+      else SignalCatalog.fromFile(xml, templates)
+    val prefix = Option(options.get("stripPrefix")).map(p =>
+      if (p.endsWith(".")) p else p + ".")
+    cat = prefix.fold(merged)(p =>
+      SignalCatalog(merged.signals.map(s =>
+        s.copy(qualifiedName = s.qualifiedName.stripPrefix(p)))))
+  }
+
+  private def qualified(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.mkString(".")
+    val under = cat.signals.filter(_.qualifiedName.startsWith(if (ns.isEmpty) "" else ns + "."))
+    if (under.isEmpty && namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    under.map { s =>
+      val parts = s.qualifiedName.split('.')
+      Identifier.of(parts.init, parts.last)
+    }.toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    cat.get(qualified(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val qn = qualified(ident)
+    if (cat.get(qn).isEmpty) throw new NoSuchTableException(ident)
+    val path = s"$dataDir/${qn.replace('.', '_')}.parquet"
+    // schema inferred from the files (the XML declares axis NAMES; column
+    // presence like value_err is per-layout) — ParquetTable discovers
+    // hive-style partition columns from the directory structure
+    ParquetTable(qn, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      Seq(path), None, classOf[ParquetFileFormat])
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
+
+  // ---- namespaces: every qualified-name prefix is a namespace ----
+
+  private def allNamespaces: Seq[Seq[String]] =
+    cat.signals.flatMap { s =>
+      val parts = s.qualifiedName.split('.').init
+      (1 to parts.length).map(parts.take(_).toSeq)
+    }.distinct
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces.filter(_.length == 1).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    allNamespaces.filter(ns =>
+      ns.length == namespace.length + 1 && ns.startsWith(namespace.toSeq))
+      .map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    allNamespaces.contains(namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftTableCatalog
+
+/** SQL-surface catalog (SURVEY §2.1 S5/S6 at the SQL layer): XML-declared
+  * signals resolve as `SELECT … FROM graft.<container>.<signal>` through a
+  * DSv2 TableCatalog, with shot-partition pruning in the plan — the SQL
+  * twin of the reference's attribute-chain factory addressing. */
+class CatalogSqlSpec extends SparkSpec {
+
+  private lazy val warehouse = {
+    import spark.implicits._
+    val dir = "target/catalog_sql_test"
+    val rows = for {
+      shot <- Seq(1, 2, 3)
+      ti <- 0 until 10
+      ri <- 0 until 5
+    } yield (shot, ti / 10.0, 10.0 + ri, shot * 1000.0 + ti + ri / 10.0)
+    // hive-partitioned by shot: shot predicates must prune DIRECTORIES
+    rows.toDF("shot", "time", "radius", "value")
+      .write.mode("overwrite").partitionBy("shot")
+      .parquet(s"$dir/mpts_te.parquet")
+    val chRows = for {
+      shot <- Seq(1); ch <- 1 to 4; ti <- 0 until 8
+    } yield (shot, ch, ti * 1.0, (if (ti < 2) 5.0 else 10.0) + ch)
+    chRows.toDF("shot", "channel", "time", "value")
+      .write.mode("overwrite").parquet(s"$dir/bes_ch.parquet")
+    Files.writeString(Paths.get(s"$dir/machine.xml"),
+      """<container name="root" tree="t" path="\TOP">
+        |  <container name="mpts" path=".MPTS">
+        |    <axis name="time" node=".T"/>
+        |    <axis name="radius" node=".R"/>
+        |    <signal name="te" node=".TE" units="keV" axes="radius, time"/>
+        |  </container>
+        |  <container name="bes" path=".BES">
+        |    <axis name="time" node=".T"/>
+        |    <signal name="ch" node=".CH" axes="time"/>
+        |  </container>
+        |</container>""".stripMargin)
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.xml", s"$dir/machine.xml")
+    spark.conf.set("spark.sql.catalog.graft.dataDir", dir)
+    spark.conf.set("spark.sql.catalog.graft.stripPrefix", "root")
+    dir
+  }
+
+  test("XML-declared signal resolves through plain SQL with correct rows") {
+    warehouse
+    val df = spark.sql(
+      "SELECT time, value FROM graft.mpts.te WHERE shot = 2 AND radius = 10.0")
+    assert(df.count() === 10)
+    assert(df.agg(min("value")).head().getDouble(0) === 2000.0)
+    // multi-channel signal too, and the catalog-qualified name is stable
+    assert(spark.sql("SELECT * FROM graft.bes.ch WHERE channel = 3").count() === 8)
+  }
+
+  test("shot predicate PRUNES partitions in the SQL path (PlanShape)") {
+    warehouse
+    val df = spark.sql("SELECT time, value FROM graft.mpts.te WHERE shot = 1")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan")
+    val fs = scans.head.asInstanceOf[FileScan]
+    // the shot=1 predicate must land in partitionFilters (directory
+    // pruning), not survive as a post-scan filter on data
+    assert(fs.partitionFilters.map(_.sql).exists(_.contains("shot")),
+      s"shot filter not pushed to partition pruning: ${fs.partitionFilters}")
+    // and the pruned scan reads exactly the one shot directory (of 3)
+    assert(fs.fileIndex.listFiles(fs.partitionFilters, fs.dataFilters).size === 1)
+  }
+
+  test("listTables / namespaces / missing-table errors") {
+    warehouse
+    val tables = spark.sql("SHOW TABLES IN graft.mpts").collect().map(_.getString(1))
+    assert(tables.toSeq === Seq("te"))
+    val nss = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    assert(nss.sorted.toSeq === Seq("bes", "mpts"))
+    val err = intercept[Exception](spark.sql("SELECT * FROM graft.mpts.nope"))
+    assert(err.getMessage.toLowerCase.contains("table") ||
+      err.getMessage.contains("nope"))
+  }
+}
