@@ -32,6 +32,25 @@ object StreamDemo {
     println(s"session_agg rows: ${run(Events.sessionAgg(stream), "d_sess", "complete")}")
     val rows = Events.waitForEvent(spark, stream, "click", timeoutMs = 60000)
     println(s"wfevent(click) first batch: ${rows.length} events")
+
+    // the unbounded path: wait on a rate-source stream that never ends
+    // (live micro-batches, not AvailableNow), decode the event bytes
+    import org.apache.spark.sql.functions.col
+    val live = Events.rateEventStream(spark, rowsPerSecond = 200)
+      .withColumn("shot", Events.decodeShot(col("event")))
+      .withColumn("payload", Events.decodePayload(col("event")))
+    val fired = Events.waitForEvent(spark, live, "purchase", timeoutMs = 60000,
+      trigger = Trigger.ProcessingTime(0))
+    println(s"wfevent(purchase) on unbounded rate stream: ${fired.length} events, " +
+      s"first shot=${fired.head.getAs[Long]("shot")} payload=${fired.head.getAs[String]("payload")}")
+    try {
+      Events.waitForEvent(spark, live.where(col("seq") < 0), "purchase",
+        timeoutMs = 2000, trigger = Trigger.ProcessingTime(0))
+      println("wfevent timeout path: UNEXPECTED fire")
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        println("wfevent timeout path: timed out as expected")
+    }
     spark.stop()
   }
 }

@@ -168,25 +168,55 @@ object Events {
 
 
   /** wfevent semantics (reference `fdf/factory.py:307-320`): wait up to
-    * timeoutMs for the first micro-batch of a filtered event stream;
-    * return the matched rows, or throw on timeout like the reference's
-    * FdfError timeout path. */
+    * timeoutMs for the first matching rows of a filtered event stream;
+    * return them, or throw on timeout like the reference's FdfError
+    * timeout path.
+    *
+    * The default AvailableNow trigger serves bounded (file/memory)
+    * streams; pass a continuous trigger (e.g. `Trigger.ProcessingTime(0)`)
+    * to wait on an UNBOUNDED source — the query keeps running micro-
+    * batches and this blocks until a match lands or the deadline passes,
+    * which is the reference's actual live-connection wait. The query is
+    * always stopped on exit (fired, timed out, or failed). */
   def waitForEvent(spark: SparkSession, stream: DataFrame, eventType: String,
-      timeoutMs: Long): Array[org.apache.spark.sql.Row] = {
+      timeoutMs: Long,
+      trigger: Trigger = Trigger.AvailableNow()): Array[org.apache.spark.sql.Row] = {
     val name = s"wfevent_${System.nanoTime()}"
+    val availableNow = trigger == Trigger.AvailableNow()
     val q = stream.where(col("event_type") === eventType)
       .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").trigger(trigger).start()
     try {
       val deadline = System.currentTimeMillis() + timeoutMs
       var rows = Array.empty[org.apache.spark.sql.Row]
       while (rows.isEmpty && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable()
+        // AvailableNow drains deterministically; a continuous trigger is
+        // polled — processAllAvailable would block forever on a source
+        // that never goes idle
+        if (availableNow) q.processAllAvailable()
         rows = spark.table(name).collect()
         if (rows.isEmpty) Thread.sleep(50)
       }
       if (rows.isEmpty) throw new TimeoutException(s"no '$eventType' event within ${timeoutMs}ms")
       rows
     } finally q.stop()
+  }
+
+  /** An unbounded demo event stream from the rate source: one event per
+    * tick, event_type cycling over 5 values, and the event BYTES built
+    * with the reference's codec (4-byte little-endian shot header + utf8
+    * payload) so a wfevent round-trip can assert decode parity against a
+    * stream that never ends. */
+  def rateEventStream(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame = {
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("timestamp"),
+        col("value").as("seq"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase"), lit("login"), lit("logout")),
+          (col("value") % 5 + 1).cast("int")).as("event_type"),
+        encodeEvent((col("value") % 100000) + 140000, concat(lit("payload-"), col("value")))
+          .as("event"))
   }
 }

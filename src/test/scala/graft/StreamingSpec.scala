@@ -122,4 +122,35 @@ class StreamingSpec extends SparkSpec {
       Events.waitForEvent(spark, stream, "no_such_event_type", timeoutMs = 3000)
     }
   }
+
+  test("wfevent against an UNBOUNDED rate stream: fired and timed-out paths, decode parity") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // a stream that never ends: AvailableNow would be wrong here — the
+    // wait must poll live micro-batches, match, and stop the query
+    val live = Events.rateEventStream(spark, rowsPerSecond = 200)
+      .withColumn("shot", Events.decodeShot($"event"))
+      .withColumn("payload", Events.decodePayload($"event"))
+    val rows = Events.waitForEvent(spark, live, "purchase",
+      timeoutMs = 60000, trigger = Trigger.ProcessingTime(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seq = r.getAs[Long]("seq")
+      // event_type cycles value % 5: 'purchase' is residue 2
+      assert(seq % 5 === 2)
+      // byte-codec parity against the live stream (factory.py:316-319
+      // semantics): 4-byte little-endian shot header + utf8 payload
+      assert(r.getAs[Long]("shot") === (seq % 100000) + 140000)
+      assert(r.getAs[String]("payload") === s"payload-$seq")
+    }
+    // timed-out path on the same unbounded source: the type never occurs,
+    // the deadline must fire while micro-batches keep arriving, and the
+    // query must be stopped (no active query leak)
+    val before = spark.streams.active.length
+    intercept[java.util.concurrent.TimeoutException] {
+      Events.waitForEvent(spark, live.where($"seq" < 0), "purchase",
+        timeoutMs = 2500, trigger = Trigger.ProcessingTime(0))
+    }
+    assert(spark.streams.active.length === before)
+  }
 }
