@@ -77,12 +77,20 @@ object Dedup {
 
   /** Testable core over any `(doc_id, text)` relation. */
   private[graft] def ngramJaccardOn(docs: DataFrame, t: Double): DataFrame = {
+    // one shingle pass, checkpointed: the relation feeds FOUR subtrees
+    // (document frequency, prefix ranking, and both verify sides) — left
+    // nested, each would re-scan and re-shingle the corpus
     val docSh = docs
       .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
       .where(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val prefix = prefixShingles(docSh, t)
+    // PPJoin length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t, so
+    // size-incompatible pairs are dropped inside the candidate join (35%
+    // of candidates at sf0.1) before the exact verify pays for them
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.__n") >= ceil(col("a.__n") * t) && col("b.__n") * t <= col("a.__n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -100,15 +108,15 @@ object Dedup {
     * order. Exposed for the skew spec, which asserts a corpus-wide
     * stopword shingle never enters any multi-shingle doc's prefix. */
   private[graft] def prefixShingles(docSh: DataFrame, t: Double): DataFrame = {
-    val sh = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // per-doc cardinality comes free from the array (one window, not two)
+    val sh = docSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"),
+      explode(col("sh")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
-    val wCard = Window.partitionBy(col("doc_id"))
     sh.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(wRank))
-      .withColumn("__n", count(lit(1)).over(wCard))
       .where(col("__rk") <= col("__n") - ceil(col("__n") * t) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("__n"))
   }
 
   /** MinHash + LSH banding: k=12 salted-md5 min-hashes per doc, 4 bands of

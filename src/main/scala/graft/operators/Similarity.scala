@@ -157,10 +157,15 @@ object Similarity {
       when(VectorOps.dot($"embedding", lit(signs(t * bitsPerTable + p))) > 0.0,
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    val withBuckets = Tables.embeddings(spark, dir).select(
-      $"vec_id", $"embedding",
-      VectorOps.l2norm($"embedding").as("nrm"),
-      array((0 until nTables).map(bucketCol): _*).as("buckets"))
+    // 32 native dot products per row is heavy map work: widen a narrow
+    // (single-row-group) scan across cores BEFORE projecting buckets, or
+    // the whole signature pass serializes on one task
+    val withBuckets = Tables.rebalance(spark, dir, "embeddings",
+        Tables.embeddings(spark, dir), $"vec_id")
+      .select(
+        $"vec_id", $"embedding",
+        VectorOps.l2norm($"embedding").as("nrm"),
+        array((0 until nTables).map(bucketCol): _*).as("buckets"))
     val e = withBuckets.select($"vec_id", $"embedding", $"nrm",
       posexplode($"buckets").as(Seq("table", "bucket")))
     // hamming<=2 probe masks: identity, 8 single flips, 28 double flips
