@@ -95,6 +95,7 @@ object SparkEntry {
     "q74_linear_trend"      -> (Relational.linearTrend _),
     "q75_wht_power"         -> (Spectral.whtPower _),
     "q76_psi_slice_max3d"   -> (Relational.psiSliceMax3d _),
+    "q77_mixture_sample"    -> (Sampling.mixtureSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1003,5 +1004,22 @@ object SparkEntry {
          SELECT t, CAST(n_cells AS BIGINT) AS n_cells,
                 rv AS r_at_max, zv AS z_at_max, psi AS max_psi
          FROM ranked WHERE rn = 1""",
+    // q77: the per-language thresholds repeat the Spark arithmetic term
+    // for term (left-associative, sqrt not pow); the +1/3 offset makes
+    // the integer thresholds immune to the renormalization sum's
+    // engine-order 1-ulp wobble
+    "q77_mixture_sample" ->
+      """WITH s AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+         e AS (SELECT lang, n_l,
+                 CAST(sum(n_l) OVER () AS BIGINT) AS n_total,
+                 sqrt(CAST(n_l AS DOUBLE) / CAST(sum(n_l) OVER () AS BIGINT)) AS w
+               FROM s),
+         t AS (SELECT lang,
+                 CAST(floor(least(1.0, w / sum(w) OVER () * 0.5 * n_total / n_l)
+                      * 4294967296.0 + 1.0/3) AS BIGINT) AS thr
+               FROM e)
+         SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+         WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               < t.thr""",
   )
 }

@@ -64,6 +64,34 @@ object Sampling {
       .select($"doc_id", $"lang", $"source")
   }
 
+  /** q77: temperature-flattened language mixture (the mT5/XLM-R corpus
+    * recipe): target share of language l is p_l ∝ (n_l / N)^(1/T) with
+    * T = 2 (i.e. sqrt — flattens the en-heavy head, boosts the tail),
+    * drawing a budget of N/2 documents, capped at rate 1. Rates become
+    * integer thresholds on the canonical 32-bit content-hash draw, so the
+    * sample is deterministic, reshard-stable, and engine-portable; the
+    * +1/3 threshold offset absorbs the 1-ulp wobble of the 5-term
+    * renormalization sum whose order neither engine pins.
+    *
+    * Two-phase scale shape: a |languages|-row stats agg broadcast back
+    * onto the corpus; the corpus itself is filtered map-only — no
+    * shuffle, no rand(). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val wAll = Window.partitionBy(lit(1))
+    val thr = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("n_total", sum($"n_l").over(wAll))
+      .withColumn("w", sqrt($"n_l".cast("double") / $"n_total"))
+      .withColumn("rate",
+        least(lit(1.0), $"w" / sum($"w").over(wAll) * 0.5 * $"n_total" / $"n_l"))
+      .withColumn("thr", floor($"rate" * 4294967296.0 + lit(1.0 / 3)).cast("long"))
+      .select($"lang", $"thr")
+    docs.join(broadcast(thr), "lang")
+      .where(hash32("mix", $"doc_id") < $"thr")
+      .select($"doc_id", $"lang")
+  }
+
   /** q48: deterministic 80/10/10 train/val/test split. */
   def trainValTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -100,6 +100,26 @@ class SamplingSkewSpec extends SparkSpec {
     assert(maxPrefix <= 3) // docs have 6 shingles; 6 - ceil(3.6) + 1 = 3
   }
 
+  test("mixture sample flattens the language head, is deterministic, near budget") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    val corpus = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val a = Sampling.mixtureSample(spark, sfDir).as[(Long, String)].collect()
+    val b = Sampling.mixtureSample(spark, sfDir).as[(Long, String)].collect()
+    assert(a.toSet === b.toSet) // content-hash draws: reproducible
+    val kept = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // temperature flattening: the dominant language is sampled at a lower
+    // RATE than every tail language
+    val rates = corpus.map { case (l, n) => l -> kept.getOrElse(l, 0L).toDouble / n }
+    val (headLang, _) = corpus.maxBy(_._2)
+    rates.foreach { case (l, r) =>
+      if (l != headLang) assert(rates(headLang) < r, s"$headLang rate !< $l rate")
+    }
+    // total stays near the N/2 budget (hash draws are binomial around it)
+    val total = corpus.values.sum.toDouble
+    assert(math.abs(a.length - 0.5 * total) / total < 0.1)
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val salted = Skew.saltedJoinQuery(spark, sfDir)
