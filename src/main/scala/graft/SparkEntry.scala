@@ -96,6 +96,7 @@ object SparkEntry {
     "q75_wht_power"         -> (Spectral.whtPower _),
     "q76_psi_slice_max3d"   -> (Relational.psiSliceMax3d _),
     "q77_mixture_sample"    -> (Sampling.mixtureSample _),
+    "q78_salient_terms"     -> (TextAnalysis.salientTerms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1021,5 +1022,21 @@ object SparkEntry {
          SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
          WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                < t.thr""",
+    // q78: salience = tf/df on exact longs — the double division is the
+    // identical IEEE value in both engines, so the ranking is exact with
+    // no quantization (unlike ln-based tf-idf)
+    "q78_salient_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2),
+         dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+         ranked AS (
+           SELECT doc_id, tok, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE) / df DESC, tok ASC) AS rk
+           FROM tfc JOIN dfc USING (tok))
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df
+         FROM ranked WHERE rk <= 3""",
   )
 }

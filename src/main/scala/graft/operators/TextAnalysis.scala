@@ -142,4 +142,30 @@ object TextAnalysis {
     top.withColumn("rk", row_number().over(
       Window.orderBy($"tf".desc, $"tok".asc)))
   }
+
+  /** q78: per-document salient terms — the tf-idf keyword extraction of
+    * a curation pipeline, made engine-exact by ranking on the RATIONAL
+    * salience tf/df instead of tf*ln(N/df): tf and df are exact longs, so
+    * the double division is the identical IEEE value in every engine and
+    * the ranking needs no quantization (ln is libm-bound; the ordering it
+    * induces differs from tf/df only in how it weights the tail, which a
+    * keyword top-3 does not care about).
+    *
+    * Scale shape: one (doc, token) tf aggregation (partial map-side), a
+    * token-df aggregation off it, df joined back by token (sort-merge at
+    * vocabulary scale), one per-doc window for the top-3 — no global
+    * sort, no driver state. */
+  def salientTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"tok".asc)
+    tf.join(df, "tok")
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"tok", $"tf", $"df")
+  }
 }

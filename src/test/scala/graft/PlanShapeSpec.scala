@@ -155,4 +155,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(rb.queryExecution.optimizedPlan.toString.contains("Repartition"),
       rb.queryExecution.optimizedPlan.toString)
   }
+
+  test("q76 3-D contour: value slices prune before the window sort") {
+    val plan = finalPlan(Relational.psiSliceMax3d(spark, sfDir))
+    // both spatial-axis range predicates reach the scan as pushed filters
+    assert(plan.contains("PushedFilters"), plan)
+    // exactly one window sort (per time slice), over the sliced sub-block
+    assert("(?s)Window".r.findAllIn(plan).size >= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q77 mixture thresholds broadcast; corpus filter stays map-side") {
+    val plan = finalPlan(Sampling.mixtureSample(spark, sfDir))
+    // the |languages|-row threshold table is the broadcast side; the
+    // corpus is never shuffled for the join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q25 PPJoin plans equality hash joins only — no nested loop anywhere") {
+    val plan = finalPlan(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
