@@ -139,8 +139,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
       .orderBy($"tf".desc, $"tok".asc)
       .limit(200)
+    // constant partition key: same single-partition ranking over the 200
+    // survivors, but explicit — an empty partitionSpec makes WindowExec
+    // log a move-all-data warning on every run
     top.withColumn("rk", row_number().over(
-      Window.orderBy($"tf".desc, $"tok".asc)))
+      Window.partitionBy(lit(1)).orderBy($"tf".desc, $"tok".asc)))
   }
 
   /** q78: per-document salient terms — the tf-idf keyword extraction of
