@@ -53,7 +53,8 @@ object SparkEntry {
     "q33_token_count"       -> (TextAnalysis.tokenCount _),
     "q34_fingerprint"       -> (TextAnalysis.fingerprint _),
     "q35_blob_meta"         -> (Multimodal.blobMeta _),
-    // no oracle entry (libm trig is not bit-portable): driver rows-only check
+    // hash-gated since round 4: offset-quantized power absorbs libm
+    // non-portability (see the q36 oracle below and Spectral.fftPower)
     "q36_fft_power"         -> (Spectral.fftPower _),
     "q37_cosine_neardup"    -> (Similarity.cosineNearDup _),
     "q38_ivf_ann"           -> (Similarity.ivfAnn _),

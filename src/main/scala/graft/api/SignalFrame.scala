@@ -154,11 +154,13 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
 
   /** Least-squares linear trend of `value` over `axis` per (shot[,
     * channel]) — the drift/ramp-rate extraction verb (slope in
-    * value-units per axis-unit). The axis is rebased to its per-series
-    * minimum before the decimal cast, so large-magnitude axes (e.g. an
-    * epoch-ms time base, ~1e12) stay inside decimal(18,6)'s domain
-    * instead of silently nulling out of the sums; the intercept is
-    * shifted back so it remains the value at axis = 0. Two-phase shape:
+    * value-units per axis-unit). BOTH the axis and the value are rebased
+    * to their per-series minima before the decimal cast, so
+    * large-magnitude inputs (an epoch-ms time base or a raw-counter
+    * value, ~1e12) stay inside decimal(18,6)'s domain instead of
+    * silently nulling out of the sums while count() still counts them
+    * (slope is shift-invariant in both coordinates; the intercept is
+    * shifted back so it remains the value at axis = 0). Two-phase shape:
     * a |series|-row min agg broadcast back onto the fact, then one
     * partial-aggregated shuffle — the fact table streams twice but never
     * re-shuffles raw rows (the q72/q73 stats-broadcast pattern). */
@@ -168,25 +170,29 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
     val keys = Seq("shot") ++ (if (df.columns.contains("channel")) Seq("channel") else Nil)
     val kc = keys.map(col)
     val raw = df.select(kc :+ col(axis).as("__x") :+ col("value").as("__y"): _*)
-    val mins = raw.groupBy(kc: _*).agg(min(col("__x")).as("__x0"))
+    val mins = raw.groupBy(kc: _*)
+      .agg(min(col("__x")).as("__x0"), min(col("__y")).as("__y0"))
     val b = raw.join(broadcast(mins), keys)
       .select(kc ++ Seq(
         (col("__x") - col("__x0")).cast(DecimalType(18, 6)).as("xd"),
-        col("__y").cast(DecimalType(18, 6)).as("yd"),
-        col("__x0").cast("double").as("x0")): _*)
+        (col("__y") - col("__y0")).cast(DecimalType(18, 6)).as("yd"),
+        col("__x0").cast("double").as("x0"),
+        col("__y0").cast("double").as("y0")): _*)
     val s = b.groupBy(kc: _*).agg(
       count(lit(1)).as("n"),
       sum(col("xd")).cast("double").as("sx"),
       sum(col("yd")).cast("double").as("sy"),
       exact2(sum(col("xd") * col("xd"))).as("sxx"),
       exact2(sum(col("xd") * col("yd"))).as("sxy"),
-      first(col("x0")).as("x0"))
+      first(col("x0")).as("x0"),
+      first(col("y0")).as("y0"))
     val det = col("n") * col("sxx") - col("sx") * col("sx")
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / det
-    val interceptAtX0 = (col("sy") - slope * col("sx")) / col("n")
+    // fit is in (x - x0, y - y0) coordinates; undo both shifts at axis = 0
+    val interceptShifted = (col("sy") - slope * col("sx")) / col("n")
     s.where(col("n") >= 2 && det =!= 0.0)
       .select(kc ++ Seq(col("n"), slope.as("slope"),
-        (interceptAtX0 - slope * col("x0")).as("intercept")): _*)
+        (interceptShifted - slope * col("x0") + col("y0")).as("intercept")): _*)
   }
 
   /** Aggregate over the current slice (SURVEY A2: sub-block max etc.). */

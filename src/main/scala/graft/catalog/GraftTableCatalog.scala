@@ -86,13 +86,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace() :+ ident.name()).mkString(".")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val ns = namespace.mkString(".")
-    val under = cat.signals.filter(_.qualifiedName.startsWith(if (ns.isEmpty) "" else ns + "."))
-    if (under.isEmpty && namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    under.map { s =>
-      val parts = s.qualifiedName.split('.')
-      Identifier.of(parts.init, parts.last)
-    }.toArray
+    // DIRECT children only (Spark's per-level enumeration convention —
+    // nested containers surface through listNamespaces, not here)
+    val direct = cat.signals.map(_.qualifiedName.split('.'))
+      .filter(parts => parts.init.toSeq == namespace.toSeq)
+    if (direct.isEmpty && namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    direct.map(parts => Identifier.of(parts.init, parts.last)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -123,8 +123,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft catalog is read-only (XML-declared)")
 
   // ---- namespaces: every qualified-name prefix is a namespace ----
-
-  private def allNamespaces: Seq[Seq[String]] =
+  // computed once per initialize (the catalog is immutable after load);
+  // every SQL resolution touches this, some twice
+  private lazy val allNamespaces: Seq[Seq[String]] =
     cat.signals.flatMap { s =>
       val parts = s.qualifiedName.split('.').init
       (1 to parts.length).map(parts.take(_).toSeq)

@@ -79,7 +79,10 @@ object Dedup {
   private[graft] def ngramJaccardOn(docs: DataFrame, t: Double): DataFrame = {
     // one shingle pass, checkpointed: the relation feeds FOUR subtrees
     // (document frequency, prefix ranking, and both verify sides) — left
-    // nested, each would re-scan and re-shingle the corpus
+    // nested, each would re-scan and re-shingle the corpus. The blocks
+    // live until the returned plan is dropped by the caller and the
+    // ContextCleaner reclaims the RDD — an operator returning a lazy
+    // DataFrame has no later hook to unpersist eagerly.
     val docSh = docs
       .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
       .where(size(col("sh")) > 0)

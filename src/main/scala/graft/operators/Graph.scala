@@ -34,9 +34,19 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxRounds: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
+    val caller = edges.sparkSession
+    // the loop wants its own SQL conf (AQE off, narrow shuffles — its
+    // stages move kilobytes and AQE's per-stage re-planning barrier is
+    // pure driver latency at that size). Mutating the session conf would
+    // race with concurrently planned queries on a shared session (Verify
+    // runs a thread pool), so the loop runs on a CLONED session instead:
+    // same SparkContext, shared cache manager, isolated conf. Input and
+    // output plans are re-bound across sessions via DatasetBridge.
+    val spark = caller.newSession()
     import spark.implicits._
-    val e = edges.toDF("src", "dst")
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    val e = rebind(edges, spark).toDF("src", "dst")
     // loop width: the label/edge shuffles move kilobytes per task at toy
     // scale and the loop is driver-latency-bound, so a narrow fixed width
     // beats the session default; at cluster scale set spark.graft.cc
@@ -71,13 +81,8 @@ object Graph {
     var prevSum = BigDecimal(-1)
     var round = 0
     var converged = false
-    // the loop's stages move kilobytes: AQE's per-stage re-planning
-    // barrier and 32-way tiny shuffles cost more driver latency than the
-    // data work itself. Pin a small fixed shuffle width and skip AQE for
-    // the loop only (restored below; the returned plan is built after
-    // restore, so callers see session defaults).
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // loop confs live on the CLONED session only — the caller's session
+    // and any query it is concurrently planning are untouched
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
@@ -129,8 +134,10 @@ object Graph {
         System.err.println(s"[graft.cc] round $round sum=$s converged=$converged")
     }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      // the cached edge closure must not outlive the loop on ANY exit
+      // path (normal, the non-convergence throw below, or a failure
+      // inside the loop)
+      sym.unpersist()
     }
     // exiting via the cap means the labels are NOT a fixed point — wrong
     // components with no other signal. Practically unreachable with path
@@ -139,10 +146,12 @@ object Graph {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds; " +
           "labels are not a fixed point (raise maxRounds)")
-    sym.unpersist()
-    nodes.toDF("node").distinct()
+    val out = rebind(nodes, spark).toDF("node").distinct()
       .join(labels.withColumnRenamed("comp", "__c"), Seq("node"), "left")
       .select($"node", coalesce($"__c", $"node").as("comp"))
+    // hand the result back on the CALLER's session: downstream planning
+    // must see the caller's confs, not the loop clone's
+    rebind(out, caller)
   }
 
   /** q62: near-duplicate clusters — connected components over the q28

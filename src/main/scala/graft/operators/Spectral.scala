@@ -9,9 +9,10 @@ import graft.sources.Tables
 
 /** Spectral analysis over per-key traces (SURVEY §2.7 F7): assemble a
   * bounded trace per user from the events table and run the native FFT
-  * expression on it. Not DuckDB-oracle-checkable (libm cos/sin are not
-  * bit-portable across engines) — correctness is gated by FftSpec's
-  * DFT/analytic oracles instead.
+  * expression on it. Raw spectra are not bit-portable across engines
+  * (libm cos/sin) — q36 is DuckDB-hash-gated anyway via offset-quantized
+  * power (see fftPower), with FftSpec's DFT/analytic oracles gating the
+  * expression itself at full precision.
   *
   * Plan shape at scale: one shuffle to group traces (bounded length — the
   * collect_list is capped), then a map-only FFT per row; spectra never
@@ -23,8 +24,9 @@ object Spectral {
     * spectral decomposition that IS cross-engine exact: H(k,j) =
     * (-1)^popcount(k AND j) is integer, so each coefficient is a signed
     * decimal sum (one partial-aggregated shuffle), unlike the FFT's
-    * libm-bound twiddle factors (q36 is rows-only for that reason; this
-    * one hash-matches the DuckDB oracle). Sequency-ordered coefficients
+    * libm-bound twiddle factors (q36 needs quantization to hash-gate;
+    * this one matches the oracle at FULL precision, no quantization).
+    * Sequency-ordered coefficients
     * serve the same trend/oscillation screening as low-order Fourier
     * bins. */
   def whtPower(spark: SparkSession, dir: String): DataFrame = {

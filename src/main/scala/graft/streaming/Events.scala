@@ -192,8 +192,11 @@ object Events {
       while (rows.isEmpty && System.currentTimeMillis() < deadline) {
         // AvailableNow drains deterministically; a continuous trigger is
         // polled — processAllAvailable would block forever on a source
-        // that never goes idle
+        // that never goes idle. Either way a FAILED query must surface
+        // its real error now, not a TimeoutException after the full wait
+        // (processAllAvailable rethrows; the polled path must check).
         if (availableNow) q.processAllAvailable()
+        q.exception.foreach(throw _)
         rows = spark.table(name).collect()
         if (rows.isEmpty) Thread.sleep(50)
       }
