@@ -98,6 +98,7 @@ object SparkEntry {
     "q76_psi_slice_max3d"   -> (Relational.psiSliceMax3d _),
     "q77_mixture_sample"    -> (Sampling.mixtureSample _),
     "q78_salient_terms"     -> (TextAnalysis.salientTerms _),
+    "q79_cluster_keepers"   -> (Graph.clusterKeepers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1039,5 +1040,58 @@ object SparkEntry {
            FROM tfc JOIN dfc USING (tok))
          SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df
          FROM ranked WHERE rk <= 3""",
+    // q79: q62's recursive-CTE cluster closure composed with q32's
+    // quality expression; keeper = highest quality, doc_id asc on ties
+    "q79_cluster_keepers" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b.band,
+                           (simhash // (1::BIGINT << (b.band * 8))) % 256 AS byte
+                    FROM sh, range(4) b(band)),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM banded a JOIN banded b
+                     ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         mn AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY 1),
+         clusters AS (
+           SELECT doc.doc_id, least(doc.doc_id, coalesce(mn.mn, doc.doc_id)) AS cluster_id
+           FROM documents doc LEFT JOIN mn USING (doc_id)),
+         qt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         qs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(list_sum(list_transform(toks, x ->
+                         CASE WHEN x IN ('the','a','of','and','to','in','is','it')
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop
+                FROM qt),
+         q AS (SELECT doc_id,
+                 least(n_tokens / 100.0, CAST(1.0 AS DOUBLE)) * 0.5
+                   + least(n_stop / n_tokens * 5.0, CAST(1.0 AS DOUBLE)) * 0.5 AS quality
+               FROM qs),
+         j AS (SELECT c.doc_id, c.cluster_id, q.quality
+               FROM clusters c JOIN q USING (doc_id)),
+         k AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+                 SELECT cluster_id, doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY quality DESC, doc_id ASC) AS rn
+                 FROM j) WHERE rn = 1),
+         n AS (SELECT cluster_id, count(*) AS n_docs FROM j GROUP BY 1)
+         SELECT j.doc_id, j.cluster_id, k.keeper_id,
+                j.doc_id = k.keeper_id AS is_keeper, n.n_docs
+         FROM j JOIN k USING (cluster_id) JOIN n USING (cluster_id)""",
   )
 }

@@ -165,4 +165,31 @@ object Graph {
     connectedComponents(pairs, docs)
       .select($"node".as("doc_id"), $"comp".as("cluster_id"))
   }
+
+  /** q79: the dedup DECISION step — q62's clusters composed with q32's
+    * quality score to pick each cluster's keeper by HIGHEST quality
+    * (doc_id asc on ties), not lowest id: real pipelines keep the best
+    * duplicate, not the first-crawled one. Emits every document with its
+    * cluster, the cluster's keeper, the retention verdict, and cluster
+    * size; the downstream filter is `is_keeper`.
+    *
+    * Scale shape: cluster labels and per-doc quality join on doc_id
+    * (map-side vs the cluster output's partitioning); the keeper argmax
+    * is one struct-max aggregation per cluster (partial map-side, no
+    * window sort), joined back on cluster_id. */
+  def clusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = dupClusters(spark, dir)
+    val quality = TextAnalysis.qualityScore(spark, dir).select($"doc_id", $"quality")
+    val joined = clusters.join(quality, "doc_id")
+    // argmax(quality) with min-doc_id tie-break via one struct max:
+    // (quality, -doc_id) orders ties toward the SMALLEST id
+    val keepers = joined.groupBy($"cluster_id")
+      .agg(max(struct($"quality", (-$"doc_id").as("neg"))).as("m"),
+        count(lit(1)).as("n_docs"))
+      .select($"cluster_id", (-$"m.neg").as("keeper_id"), $"n_docs")
+    joined.join(keepers, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"keeper_id",
+        ($"doc_id" === $"keeper_id").as("is_keeper"), $"n_docs")
+  }
 }

@@ -42,6 +42,29 @@ class GraphCurationSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("clusterKeepers: one keeper per cluster, keeper is the quality argmax, singletons keep themselves") {
+    import spark.implicits._
+    val rows = Graph.clusterKeepers(spark, sfDir)
+      .select($"doc_id", $"cluster_id", $"keeper_id", $"is_keeper", $"n_docs")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    // every document appears exactly once, flagged consistently
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (d, _, k, isK, _) => assert(isK === (d == k)) }
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      // exactly one keeper, the keeper is a member, n_docs is the size
+      assert(members.count(_._4) === 1, s"cluster $c")
+      val keeper = members.find(_._4).get._1
+      assert(members.forall(_._3 === keeper))
+      assert(members.forall(_._5 === members.length))
+      // argmax quality with doc_id-asc tie-break
+      val best = members.map(_._1).minBy(d => (-quality(d), d))
+      assert(keeper === best, s"cluster $c")
+      if (members.length == 1) assert(keeper === c || members.head._1 === keeper)
+    }
+  }
+
   test("locf carries the last sample forward, staleness 0 on exact hits, drops leading probes") {
     import spark.implicits._
     val samples = Seq((1, 10L, 1.0), (1, 20L, 2.0), (2, 15L, 9.0))
