@@ -195,6 +195,28 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
         (interceptShifted - slope * col("x0") + col("y0")).as("intercept")): _*)
   }
 
+  /** Power spectrum of each series' first `n` samples in `axis` order —
+    * the reference's per-signal FFT method surface (`fdf/modules/bes/
+    * fft.py:3-9`) as a frame verb: one row per (series, bin), |X_k|^2
+    * from the native radix-2 FFT expression. Series shorter than `n`
+    * are dropped (a partial window would alias). One shuffle to gather
+    * bounded traces; the transform itself is map-only per row. */
+  def spectrum(axis: String, n: Int): SignalFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (samples, k, restore) = seriesKey(axis)
+    val w = Window.partitionBy(col(k)).orderBy(col(axis).asc)
+    val traces = samples
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .groupBy(col(k))
+      .agg(array_sort(collect_list(struct(col("__rn"), col("value")))).as("__s"))
+      .where(size(col("__s")) === n)
+      .select(col(k), transform(col("__s"), x => x.getField("value")).as("__trace"))
+    chain(restore(traces.select(col(k),
+      posexplode(graft.functions.Fft.powerSpectrum(col("__trace")))
+        .as(Seq("bin", "power")))))
+  }
+
   /** Aggregate over the current slice (SURVEY A2: sub-block max etc.). */
   def aggValue(f: Column => Column): DataFrame =
     df.agg(f(col("value")).as("agg"))

@@ -168,6 +168,23 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(fit.head._2 - 3.0 / 1000.0) < 1e-12)
   }
 
+  test("spectrum: per-channel power spectra; DC bin equals the squared sum") {
+    import spark.implicits._
+    val sp = machine.shot(1).signal("bes.ch").spectrum("time", 8)
+    assert(sp.df.count() === 8 * 4) // 8 bins x 4 channels, no channel mixing
+    val dc = sp.df.where($"bin" === 0)
+      .select($"channel".cast("int"), $"power").as[(Int, Double)].collect().toMap
+    // bes ch: value = (5+ch, 5+ch, then 6x 10+ch); |X_0|^2 = (sum)^2
+    (1 to 4).foreach { ch =>
+      val s = 2.0 * (5 + ch) + 6.0 * (10 + ch)
+      assert(math.abs(dc(ch) - s * s) < 1e-9, s"ch $ch")
+    }
+    // Parseval: sum of power = n * sum of squares (real input, unnormalized DFT)
+    val total = sp.df.where($"channel" === 1).agg(sum($"power")).head().getDouble(0)
+    val sq = Seq.fill(2)(6.0).map(v => v * v).sum + Seq.fill(6)(11.0).map(v => v * v).sum
+    assert(math.abs(total - 8.0 * sq) < 1e-6)
+  }
+
   test("at() ties break to the first (smallest) sample like np.argmin") {
     import spark.implicits._
     val df = Seq((1, 1.0, 10.0), (1, 2.0, 20.0)).toDF("shot", "time", "value")
