@@ -81,10 +81,18 @@ object Bench {
     val total = ok.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
-    println(line)
-    // File fallback in case stdout gets log-mangled by the harness.
+    // Full-precision record goes to the file; stdout gets ONE compact line
+    // as the LAST output. The driver tail-captures stdout and the 79-query
+    // full-precision map outgrew it (BENCH_r03/r04 read "parsed": null) —
+    // total-first field order + millisecond-rounded per-query values keep
+    // the whole line inside the capture window.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case _: Throwable => () }
+    def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qsC = ok.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${ms3(v)}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"failed":$fs,"queries":$qsC}""")
     spark.stop()
   }
 }

@@ -35,11 +35,23 @@ object ScaleSmoke {
     "q66_url_canon", "q70_token_ids", "q77_mixture_sample",
     "q78_salient_terms")
 
+  // embeddings-only queries for the similarity/ANN family scale check.
+  // q29 (brute) is the deliberate linear-scan baseline — its time should
+  // grow ~linearly with the collection while q30/q38's bucketed probes
+  // grow sub-linearly; q37's OUTPUT is inherently quadratic in the
+  // replica family size (perturbed replicas are true near-dups of each
+  // other, cos ~ 1), so its ratio reads as pair volume, not plan shape
+  private val EMB_QUERIES = Seq("q29_ann_brute", "q30_lsh_ann",
+    "q37_cosine_neardup", "q38_ivf_ann", "q67_embed_quant", "q68_kmeans_step")
+
   def main(args: Array[String]): Unit = {
     val docsMode = args.contains("docs")
-    val n = args.filterNot(_ == "docs").headOption.map(_.toInt).getOrElse(10)
+    val embMode = args.contains("emb")
+    val n = args.filterNot(a => a == "docs" || a == "emb")
+      .headOption.map(_.toInt).getOrElse(10)
     val base = "/root/testdata/sf0.1"
-    val big = s"/tmp/graft_scale_${if (docsMode) "docs_" else ""}x$n"
+    val mode = if (docsMode) "docs_" else if (embMode) "emb_" else ""
+    val big = s"/tmp/graft_scale_${mode}x$n"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -49,12 +61,23 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val table = if (docsMode) "documents" else "lineitem"
+    val table = if (docsMode) "documents" else if (embMode) "embeddings" else "lineitem"
     if (!new java.io.File(s"$big/$table.parquet").exists()) {
       // replicate with remapped keys so key cardinalities scale with the
       // data (a pure copy would inflate group sizes, not group counts)
       val replicated =
-        if (docsMode)
+        if (embMode)
+          // replicas get distinct vec_ids and a small deterministic
+          // perturbation (no rand(): reproducible runs): vectors become
+          // NEAR-dup families — the realistic ANN/dedup input — while the
+          // query/centroid prefixes (vec_id < 10 / < 8) keep their size
+          spark.read.parquet(s"$base/embeddings.parquet")
+            .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+            .withColumn("vec_id", $"vec_id" * n + $"r")
+            .withColumn("embedding", transform($"embedding",
+              (x, i) => (x + sin($"vec_id" * 131 + i * 17) * 0.01).cast("float")))
+            .drop("r")
+        else if (docsMode)
           // each replica keeps the text but gets a distinct doc_id and a
           // replica marker token appended: replicas become NEAR-dups of
           // each other (realistic dedup input: big minhash/simhash
@@ -80,7 +103,8 @@ object ScaleSmoke {
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val queries = if (docsMode) DOC_QUERIES else QUERIES
+    val queries =
+      if (docsMode) DOC_QUERIES else if (embMode) EMB_QUERIES else QUERIES
     // warm both paths, then measure best-of-2
     for (q <- queries; d <- Seq(base, big)) time(d, q)
     println(f"${"query"}%-22s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")

@@ -43,8 +43,12 @@ final case class Machine(spark: SparkSession, catalog: SignalCatalog,
         min(struct(col("entered"), col("rundate"))).getField("rundate").as("date"))
   }
 
+  /** Storage resolution for the hot path: the shot-partitioned directory
+    * layout when present (so `shot(n).signal(...)` prunes DIRECTORIES at
+    * file-listing time — at 100 TB the hot path must never list other
+    * shots' files), flat `<name>.parquet` as the fallback. */
   private[api] def table(meta: SignalMeta): DataFrame =
-    spark.read.parquet(s"$dataDir/${meta.qualifiedName.replace('.', '_')}.parquet")
+    spark.read.parquet(graft.sources.Io.signalPath(dataDir, meta.qualifiedName))
 }
 
 final case class ShotView(machine: Machine, shotNo: Int) {
@@ -111,12 +115,14 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
     if (keys.size == 1)
       (df.select(col("shot"), col(axis), col("value")), "shot", identity[DataFrame])
     else {
+      // a STRUCT key, not a delimited string: a delimiter character
+      // occurring inside a channel/shot value would mis-split on restore
+      // and corrupt the key columns — struct fields round-trip values and
+      // types exactly, and group/window on a struct is native
       val samples = df.select(
-        concat_ws("#", keys.map(c => col(c).cast("string")): _*).as("__k"),
-        col(axis), col("value"))
-      val restore = (out: DataFrame) => keys.zipWithIndex.foldLeft(out) {
-        case (d, (kn, i)) =>
-          d.withColumn(kn, split(col("__k"), "#").getItem(i).cast(df.schema(kn).dataType))
+        struct(keys.map(col): _*).as("__k"), col(axis), col("value"))
+      val restore = (out: DataFrame) => keys.foldLeft(out) {
+        (d, kn) => d.withColumn(kn, col(s"__k.$kn"))
       }.drop("__k")
       (samples, "__k", restore)
     }
@@ -197,10 +203,14 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
 
   /** Power spectrum of each series' first `n` samples in `axis` order —
     * the reference's per-signal FFT method surface (`fdf/modules/bes/
-    * fft.py:3-9`) as a frame verb: one row per (series, bin), |X_k|^2
-    * from the native radix-2 FFT expression. Series shorter than `n`
-    * are dropped (a partial window would alias). One shuffle to gather
-    * bounded traces; the transform itself is map-only per row. */
+    * fft.py:3-9`, which transforms against the signal's time base) as a
+    * frame verb: one row per (series, bin), |X_k|^2 from the native
+    * radix-2 FFT expression, PLUS the physical frequency axis
+    * `freq = bin / (n * dt)` where dt is the series' median sample
+    * spacing (median, not mean: robust to a few dropped samples in an
+    * otherwise uniform trace). Series shorter than `n` are dropped (a
+    * partial window would alias). One shuffle to gather bounded traces;
+    * the transform itself is map-only per row. */
   def spectrum(axis: String, n: Int): SignalFrame = {
     import org.apache.spark.sql.expressions.Window
     val (samples, k, restore) = seriesKey(axis)
@@ -209,12 +219,22 @@ final case class SignalFrame(meta: SignalMeta, df: DataFrame) {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .groupBy(col(k))
-      .agg(array_sort(collect_list(struct(col("__rn"), col("value")))).as("__s"))
+      .agg(array_sort(collect_list(struct(col("__rn"), col(axis).as("__t"),
+        col("value")))).as("__s"))
       .where(size(col("__s")) === n)
-      .select(col(k), transform(col("__s"), x => x.getField("value")).as("__trace"))
-    chain(restore(traces.select(col(k),
-      posexplode(graft.functions.Fft.powerSpectrum(col("__trace")))
-        .as(Seq("bin", "power")))))
+      .select(col(k),
+        transform(col("__s"), x => x.getField("value")).as("__trace"),
+        transform(col("__s"), x => x.getField("__t")).as("__ax"))
+    // median of the n-1 consecutive axis deltas (1-based lower median)
+    val deltas = array_sort(transform(sequence(lit(1), lit(n - 1)),
+      i => element_at(col("__ax"), i + 1) - element_at(col("__ax"), i)))
+    chain(restore(traces
+      .withColumn("__dt", element_at(deltas, n / 2))
+      .select(col(k), col("__dt"),
+        posexplode(graft.functions.Fft.powerSpectrum(col("__trace")))
+          .as(Seq("bin", "power")))
+      .select(col(k), col("bin"),
+        (col("bin") / (col("__dt") * n)).as("freq"), col("power"))))
   }
 
   /** Aggregate over the current slice (SURVEY A2: sub-block max etc.). */

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{Metadata, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 `TableCatalog` over the XML signal catalog — the SQL
@@ -70,7 +70,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     val f = new java.io.File(xml)
     val merged =
       if (f.isDirectory)
-        f.listFiles((_, n) => n.endsWith(".xml")).sortBy(_.getName)
+        // listFiles returns null on I/O error / permission failure — that
+        // must be a clear config error, not an NPE mid-initialize
+        Option(f.listFiles((_, n) => n.endsWith(".xml"))).getOrElse(
+            throw new IllegalArgumentException(
+              s"catalog $name: cannot list xml dir $xml")).sortBy(_.getName)
           .map(x => SignalCatalog.fromFile(x.getPath, templates))
           .reduceOption(_ ++ _)
           .getOrElse(SignalCatalog(Nil))
@@ -100,13 +104,37 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val qn = qualified(ident)
-    if (cat.get(qn).isEmpty) throw new NoSuchTableException(ident)
-    val path = s"$dataDir/${qn.replace('.', '_')}.parquet"
-    // schema inferred from the files (the XML declares axis NAMES; column
-    // presence like value_err is per-layout) — ParquetTable discovers
-    // hive-style partition columns from the directory structure
+    val meta = cat.get(qn).getOrElse(throw new NoSuchTableException(ident))
+    // same layout resolution as api.Machine: shot-partitioned directory
+    // preferred (directory pruning), flat file fallback
+    val path = graft.sources.Io.signalPath(dataDir, qn)
+    // column TYPES and presence come from the files (the XML declares axis
+    // NAMES; value_err is per-layout) — but the XML-declared units/title
+    // metadata must ride along, so an FDF user's `DESCRIBE graft.chers.ti`
+    // carries 'keV' the way the API path's StructField metadata does
+    // (reference parse_units, factory.py:1002-1009). Infer the file schema
+    // once, then re-attach declared per-column metadata by name.
+    val inferred = ParquetTable(qn, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(path), None, classOf[ParquetFileFormat])
+    val declared = meta.schema
+    val merged = StructType(inferred.schema.fields.map { f =>
+      declared.fields.find(_.name == f.name)
+        .filter(_.metadata != Metadata.empty)
+        .map { d =>
+          // DESCRIBE renders only the comment — surface "title [units]"
+          // there so plain SQL users see what the API path's StructField
+          // metadata carries
+          val label = Seq(
+            if (d.metadata.contains("title")) Some(d.metadata.getString("title")) else None,
+            if (d.metadata.contains("units")) Some(s"[${d.metadata.getString("units")}]") else None
+          ).flatten.mkString(" ")
+          val withMeta = f.copy(metadata = d.metadata)
+          if (label.nonEmpty) withMeta.withComment(label) else withMeta
+        }
+        .getOrElse(f)
+    })
     ParquetTable(qn, SparkSession.active, CaseInsensitiveStringMap.empty(),
-      Seq(path), None, classOf[ParquetFileFormat])
+      Seq(path), Some(merged), classOf[ParquetFileFormat])
   }
 
   override def createTable(ident: Identifier, schema: StructType,

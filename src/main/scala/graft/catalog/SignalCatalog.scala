@@ -42,21 +42,31 @@ final case class SignalMeta(
     transpose: Option[Seq[Int]], // permutation declared -> canonical, if any
     axisMeta: Seq[AxisMeta],
     errorPath: Option[String],
-    dimOf: Option[Int]) {
+    dimOf: Option[Int],
+    title: Option[String] = None, // display title (reference factory.py:925,952-954)
+    desc: Option[String] = None) {
   /** Long-format schema for this signal's table: (shot, time-first axes…,
-    * value[, value_err]) with units carried as column metadata. */
+    * value[, value_err]) with units/title/desc carried as column
+    * metadata — the reference's per-signal display metadata
+    * (`factory.py:925,1002-1009`) in its Spark-native home. */
   def schema: StructType = {
-    val unitsMeta = (u: Option[String]) =>
-      u.map(v => new MetadataBuilder().putString("units", v).build())
-        .getOrElse(Metadata.empty)
+    def fieldMeta(u: Option[String], t: Option[String] = None,
+        d: Option[String] = None): Metadata = {
+      val b = new MetadataBuilder()
+      u.foreach(b.putString("units", _))
+      t.foreach(b.putString("title", _))
+      d.foreach(b.putString("desc", _))
+      b.build()
+    }
     val axisFields = axes.map { a =>
       val am = axisMeta.find(_.name == a)
-      StructField(a, DoubleType, nullable = false, unitsMeta(am.flatMap(_.units)))
+      StructField(a, DoubleType, nullable = false, fieldMeta(am.flatMap(_.units)))
     }
     StructType(
       (StructField("shot", IntegerType, nullable = false) +:
         axisFields :+
-        StructField("value", DoubleType, nullable = false, unitsMeta(units)) :+
+        StructField("value", DoubleType, nullable = false,
+          fieldMeta(units, title, desc)) :+
         StructField("value_err", DoubleType, nullable = true))
         .filter(f => f.name != "value_err" || errorPath.isDefined))
   }
@@ -173,19 +183,24 @@ object SignalCatalog {
     val err = attr(s, "error").map(er => joinPath(ctx.path, ctx.sub(er)))
     val dimOf = attr(s, "dim_of").map(_.toInt)
     val axisMeta = canonical.flatMap(ctx.axes.get)
+    val title = attr(s, "title").map(ctx.sub)
+    val desc = attr(s, "desc").map(ctx.sub)
 
-    def meta(name: String, nodeStr: String): SignalMeta = SignalMeta(
-      qualifiedName = s"${ctx.namePrefix}.$name",
-      diagnostic = ctx.diagnostic,
-      tree = ctx.tree,
-      path = joinPath(ctx.path, nodeStr),
-      units = units,
-      declaredAxes = declaredAxes,
-      axes = canonical,
-      transpose = transpose,
-      axisMeta = axisMeta,
-      errorPath = err,
-      dimOf = dimOf)
+    def meta(name: String, nodeStr: String, t: Option[String] = title): SignalMeta =
+      SignalMeta(
+        qualifiedName = s"${ctx.namePrefix}.$name",
+        diagnostic = ctx.diagnostic,
+        tree = ctx.tree,
+        path = joinPath(ctx.path, nodeStr),
+        units = units,
+        declaredAxes = declaredAxes,
+        axes = canonical,
+        transpose = transpose,
+        axisMeta = axisMeta,
+        errorPath = err,
+        dimOf = dimOf,
+        title = t,
+        desc = desc)
 
     attr(s, "range") match {
       case None => Seq(meta(baseName, node))
@@ -202,10 +217,12 @@ object SignalCatalog {
           else math.ceil(math.log10((endExcl - 1).toDouble)).toInt
         (start until endExcl).map { ch =>
           val chs = s"%0${pad}d".format(ch)
+          // title carries the channel index too — the reference formats
+          // `title.format(str(index).zfill(digits))` (factory.py:952-954)
           meta(baseName.replace("{}", chs) match {
             case n if n == baseName => s"$baseName$chs" // no placeholder: suffix
             case n => n
-          }, node.replace("{}", chs))
+          }, node.replace("{}", chs), title.map(_.replace("{}", chs)))
         }
     }
   }

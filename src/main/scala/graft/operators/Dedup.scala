@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,10 +90,14 @@ object Dedup {
     val prefix = prefixShingles(docSh, t)
     // PPJoin length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t, so
     // size-incompatible pairs are dropped inside the candidate join (35%
-    // of candidates at sf0.1) before the exact verify pays for them
+    // of candidates at sf0.1) before the exact verify pays for them.
+    // ceilT (not bare ceil): when t*n is an exact integer whose double
+    // product rounds UP (t=0.6 is safe; the method is parameterized), bare
+    // ceil would overshoot by 1 and over-tighten the filter — the epsilon
+    // makes the bound conservative, which only admits extra candidates.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.__n") >= ceil(col("a.__n") * t) && col("b.__n") * t <= col("a.__n"))
+          col("b.__n") >= ceilT(col("a.__n"), t) && col("b.__n") * t <= col("a.__n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -105,6 +109,16 @@ object Dedup {
       .where(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
   }
+
+  /** Conservative `ceil(n * t)`: subtract an epsilon before ceil so a
+    * double product that lands a hair ABOVE an exact-integer t*n cannot
+    * overshoot the exact rational by 1 (which would shorten prefixes /
+    * over-tighten the length filter and silently drop true pairs). An
+    * under-estimate only lengthens prefixes and loosens the filter —
+    * pruning stays exact. The epsilon is safe while t*n's true value is
+    * not within 1e-9 of the NEXT lower integer, i.e. for any real-world
+    * t and document length. */
+  private def ceilT(n: Column, t: Double): Column = ceil(n * t - lit(1e-9))
 
   /** The df-ordered prefix relation `(doc_id, shingle)`: each doc's first
     * `|d| - ceil(t*|d|) + 1` shingles in (global df asc, shingle asc)
@@ -118,7 +132,7 @@ object Dedup {
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
     sh.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(wRank))
-      .where(col("__rk") <= col("__n") - ceil(col("__n") * t) + 1)
+      .where(col("__rk") <= col("__n") - ceilT(col("__n"), t) + 1)
       .select(col("doc_id"), col("shingle"), col("__n"))
   }
 

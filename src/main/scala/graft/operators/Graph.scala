@@ -154,16 +154,46 @@ object Graph {
     rebind(out, caller)
   }
 
+  /** Pipeline-reuse form of q62: clusters from PRECOMPUTED near-dup pairs
+    * — any pair source (q25 Jaccard, q26 MinHash, q28 SimHash) plugs in,
+    * and a pipeline that also needs keeper selection computes CC once.
+    *
+    * @param pairs (doc_a, doc_b) candidate-verified near-dup pairs
+    * @param docs  (doc_id) the document universe (singletons keep selves)
+    */
+  def dupClustersFrom(pairs: DataFrame, docs: DataFrame): DataFrame =
+    connectedComponents(pairs.select(col("doc_a"), col("doc_b")),
+        docs.select(col("doc_id")))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+
   /** q62: near-duplicate clusters — connected components over the q28
     * SimHash pair graph (hamming <= 1), every document labeled with its
     * cluster keeper (= min doc_id in the component; singletons keep
     * themselves). The downstream dedup filter is `doc_id === comp`. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val pairs = Dedup.simhashPairs(spark, dir).select($"doc_a", $"doc_b")
-    val docs = graft.operators.TextOps.docsParallel(spark, dir).select($"doc_id")
-    connectedComponents(pairs, docs)
-      .select($"node".as("doc_id"), $"comp".as("cluster_id"))
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersFrom(Dedup.simhashPairs(spark, dir),
+      graft.operators.TextOps.docsParallel(spark, dir))
+
+  /** Pipeline-reuse form of q79: keeper selection over PRECOMPUTED
+    * clusters and quality scores — a real pipeline runs the CC fixpoint
+    * once and feeds its output here, instead of re-deriving pairs+CC
+    * (which the standalone q79 oracle query must do to stand alone).
+    *
+    * @param clusters (doc_id, cluster_id)
+    * @param quality  (doc_id, quality)
+    */
+  def clusterKeepersFrom(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val joined = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+    // argmax(quality) with min-doc_id tie-break via one struct max:
+    // (quality, -doc_id) orders ties toward the SMALLEST id
+    val keepers = joined.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("m"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), (-col("m.neg")).as("keeper_id"), col("n_docs"))
+    joined.join(keepers, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"), col("n_docs"))
   }
 
   /** q79: the dedup DECISION step — q62's clusters composed with q32's
@@ -177,19 +207,7 @@ object Graph {
     * (map-side vs the cluster output's partitioning); the keeper argmax
     * is one struct-max aggregation per cluster (partial map-side, no
     * window sort), joined back on cluster_id. */
-  def clusterKeepers(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val clusters = dupClusters(spark, dir)
-    val quality = TextAnalysis.qualityScore(spark, dir).select($"doc_id", $"quality")
-    val joined = clusters.join(quality, "doc_id")
-    // argmax(quality) with min-doc_id tie-break via one struct max:
-    // (quality, -doc_id) orders ties toward the SMALLEST id
-    val keepers = joined.groupBy($"cluster_id")
-      .agg(max(struct($"quality", (-$"doc_id").as("neg"))).as("m"),
-        count(lit(1)).as("n_docs"))
-      .select($"cluster_id", (-$"m.neg").as("keeper_id"), $"n_docs")
-    joined.join(keepers, "cluster_id")
-      .select($"doc_id", $"cluster_id", $"keeper_id",
-        ($"doc_id" === $"keeper_id").as("is_keeper"), $"n_docs")
-  }
+  def clusterKeepers(spark: SparkSession, dir: String): DataFrame =
+    clusterKeepersFrom(dupClusters(spark, dir),
+      TextAnalysis.qualityScore(spark, dir))
 }

@@ -75,16 +75,21 @@ object Sampling {
     *
     * Two-phase scale shape: a |languages|-row stats agg broadcast back
     * onto the corpus; the corpus itself is filtered map-only — no
-    * shuffle, no rand(). */
+    * shuffle, no rand(). The corpus-wide totals (n_total, sum of weights)
+    * are ONE-ROW aggregates cross-joined back as broadcasts — never a
+    * single-partition global window, which would serialize on one task if
+    * it ever saw a non-aggregated input. */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"lang")
-    val wAll = Window.partitionBy(lit(1))
-    val thr = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
-      .withColumn("n_total", sum($"n_l").over(wAll))
+    val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val withW = byLang
+      .crossJoin(broadcast(byLang.agg(sum($"n_l").as("n_total"))))
       .withColumn("w", sqrt($"n_l".cast("double") / $"n_total"))
+    val thr = withW
+      .crossJoin(broadcast(withW.agg(sum($"w").as("sw"))))
       .withColumn("rate",
-        least(lit(1.0), $"w" / sum($"w").over(wAll) * 0.5 * $"n_total" / $"n_l"))
+        least(lit(1.0), $"w" / $"sw" * 0.5 * $"n_total" / $"n_l"))
       .withColumn("thr", floor($"rate" * 4294967296.0 + lit(1.0 / 3)).cast("long"))
       .select($"lang", $"thr")
     docs.join(broadcast(thr), "lang")

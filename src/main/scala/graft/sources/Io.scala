@@ -22,6 +22,24 @@ object Io {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Resolve a signal's storage under a warehouse root. The PREFERRED
+    * layout is the shot-partitioned directory `<root>/<qualified_name>/`
+    * (hive dirs `shot=N/…` — the Spark form of the reference's one-tree-
+    * per-shot granularity, `fdf/factory.py:169-202`): a `shot = n`
+    * predicate then prunes at file-LISTING time, which is what the hot
+    * path needs at 100 TB — row-group stats on a flat file still list and
+    * open every file. Falls back to the flat single-file
+    * `<root>/<qualified_name>.parquet` when no directory exists. */
+  def signalPath(dataDir: String, qualifiedName: String): String = {
+    val base = s"$dataDir/${qualifiedName.replace('.', '_')}"
+    if (new java.io.File(base).isDirectory) base else s"$base.parquet"
+  }
+
+  /** Write a signal table in the preferred shot-partitioned layout at the
+    * path `signalPath` resolves first. */
+  def writeSignal(df: DataFrame, dataDir: String, qualifiedName: String): Unit =
+    writePartitioned(df, s"$dataDir/${qualifiedName.replace('.', '_')}", "shot")
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

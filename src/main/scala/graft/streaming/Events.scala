@@ -121,6 +121,28 @@ object Events {
         $"latest.event_id".as("last_event_id"), $"latest.value".as("last_value"))
   }
 
+  /** Streaming dedup SINK — closes the pipeline source-to-table: the
+    * keep-latest state (q71's twin) maintained as a queryable parquet
+    * table via `foreachBatch`. Exactly-once: the checkpoint replays a
+    * failed micro-batch at-least-once, and the batch body is IDEMPOTENT —
+    * complete-mode state is a deterministic function of the input seen so
+    * far, and the overwrite rewrites the whole table — so a replay
+    * produces byte-identical contents. At 100 TB the same body would
+    * MERGE update-mode deltas into a transactional table (Delta/Iceberg)
+    * keyed on (user_id, event_type) instead of rewriting; the streaming
+    * plan above it is unchanged. */
+  def latestStateSink(events: DataFrame, target: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val upsert: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => batch.write.mode("overwrite").parquet(target)
+    latestState(events).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(upsert)
+      .start()
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, max_value: Double)
 
@@ -198,6 +220,20 @@ object Events {
         if (availableNow) q.processAllAvailable()
         q.exception.foreach(throw _)
         rows = spark.table(name).collect()
+        // a drained AvailableNow query can never produce another row —
+        // once it has terminated with zero matches, waiting out the rest
+        // of the timeout is pure dead time (a 60 s timeout on an empty
+        // bounded stream would sleep the full 60 s). Fail fast instead.
+        if (rows.isEmpty && availableNow) {
+          q.awaitTermination(200)
+          if (!q.isActive) {
+            rows = spark.table(name).collect() // final drain-race check
+            if (rows.isEmpty)
+              throw new TimeoutException(
+                s"no '$eventType' event in drained bounded stream " +
+                  s"(timeout ${timeoutMs}ms not waited out)")
+          }
+        }
         if (rows.isEmpty) Thread.sleep(50)
       }
       if (rows.isEmpty) throw new TimeoutException(s"no '$eventType' event within ${timeoutMs}ms")

@@ -183,6 +183,45 @@ class ApiSpec extends SparkSpec {
     val total = sp.df.where($"channel" === 1).agg(sum($"power")).head().getDouble(0)
     val sq = Seq.fill(2)(6.0).map(v => v * v).sum + Seq.fill(6)(11.0).map(v => v * v).sum
     assert(math.abs(total - 8.0 * sq) < 1e-6)
+    // physical frequency axis: bes.ch samples at dt=1 -> freq_k = k / (8*1)
+    val freqs = sp.df.where($"channel" === 1).orderBy($"bin")
+      .select($"freq").as[Double].collect().toSeq
+    assert(freqs === (0 until 8).map(_ / 8.0))
+  }
+
+  test("spectrum freq axis uses the series' real sample rate (1 kHz trace)") {
+    import spark.implicits._
+    // 8 samples at dt = 0.001 s: bin 1 must label as 1/(8*0.001) = 125 Hz
+    val rows = (0 until 8).map(i => (3, i * 0.001, math.sin(i.toDouble)))
+    val sf = SignalFrame(cat.signal("root.bes.ch"), rows.toDF("shot", "time", "value"))
+    val freqs = sf.spectrum("time", 8).df.orderBy($"bin")
+      .select($"freq").as[Double].collect().toSeq
+    freqs.zipWithIndex.foreach { case (f, k) =>
+      assert(math.abs(f - k * 125.0) < 1e-6, s"bin $k") }
+  }
+
+  test("machine hot path prunes shot DIRECTORIES when the partitioned layout exists") {
+    import spark.implicits._
+    // same rows as the flat fixture, but in the preferred shot-partitioned
+    // layout — machine.shot(n).signal(...) must resolve it and prune
+    val dir2 = "target/api_test_part"
+    val rows = for { shot <- Seq(1, 2, 3); ti <- 0 until 10; ri <- 0 until 5 }
+      yield (shot, ti / 10.0, 10.0 + ri, shot * 1000.0 + ti + ri / 10.0, 0.5)
+    graft.sources.Io.writeSignal(
+      rows.toDF("shot", "time", "radius", "value", "value_err"), dir2, "mpts.te")
+    val m = machine.copy(dataDir = dir2)
+    val sf = m.shot(2).signal("mpts.te")
+    assert(sf.df.count() === 50)
+    assert(sf.df.agg(min($"value")).head().getDouble(0) === 2000.0)
+    // the shot predicate lands in PartitionFilters: 1 of 3 directories read
+    val files = sf.df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(files.contains(1), s"expected 1 selected shot directory, got $files; " +
+      sf.df.queryExecution.executedPlan.toString)
+    // flat fallback still works: the original dataDir has no directory
+    assert(machine.shot(2).signal("mpts.te").df.count() === 50)
   }
 
   test("at() ties break to the first (smallest) sample like np.argmin") {

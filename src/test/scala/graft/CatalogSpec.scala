@@ -119,6 +119,10 @@ class CatalogSpec extends SparkSpec {
     assert(v0.path === "\\usxr_vtop_00.raw")
     assert(c.get("usxr.hup.hup15").nonEmpty)
     assert(c.get("usxr.hup.hup16").isEmpty)
+    // titles parse and channel-format like the reference's
+    // title.format(str(index).zfill(digits)) (factory.py:952-954)
+    assert(v0.title === Some("Vertical Top Channel 00"))
+    assert(v0.units === Some("DN"))
   }
 
   test("reference magnetics.xml: tree override per subcontainer, pad-1 range") {

@@ -35,7 +35,7 @@ class CatalogSqlSpec extends SparkSpec {
         |  <container name="mpts" path=".MPTS">
         |    <axis name="time" node=".T"/>
         |    <axis name="radius" node=".R"/>
-        |    <signal name="te" node=".TE" units="keV" axes="radius, time"/>
+        |    <signal name="te" node=".TE" units="keV" title="Electron Temperature" axes="radius, time"/>
         |  </container>
         |  <container name="bes" path=".BES">
         |    <axis name="time" node=".T"/>
@@ -73,6 +73,26 @@ class CatalogSqlSpec extends SparkSpec {
       s"shot filter not pushed to partition pruning: ${fs.partitionFilters}")
     // and the pruned scan reads exactly the one shot directory (of 3)
     assert(fs.fileIndex.listFiles(fs.partitionFilters, fs.dataFilters).size === 1)
+  }
+
+  test("XML-declared units ride through the SQL path as column metadata") {
+    warehouse
+    // the API path carries units in StructField metadata; the SQL path
+    // must too — an FDF user asking about graft.mpts.te sees 'keV'
+    val schema = spark.table("graft.mpts.te").schema
+    assert(schema("value").metadata.contains("units"), schema("value").metadata.json)
+    assert(schema("value").metadata.getString("units") === "keV")
+    // and it survives query planning, not just table resolution
+    val q = spark.sql("SELECT value FROM graft.mpts.te WHERE shot = 1")
+    assert(q.schema("value").metadata.getString("units") === "keV")
+    // undeclared columns keep empty metadata rather than failing
+    assert(!schema("shot").metadata.contains("units"))
+    // title rides along too, and DESCRIBE (which renders only comments)
+    // shows "title [units]" to plain SQL users
+    assert(schema("value").metadata.getString("title") === "Electron Temperature")
+    val described = spark.sql("DESCRIBE graft.mpts.te").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(described("value") === "Electron Temperature [keV]")
   }
 
   test("listTables / namespaces / missing-table errors") {

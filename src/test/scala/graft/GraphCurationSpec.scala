@@ -65,6 +65,26 @@ class GraphCurationSpec extends SparkSpec {
     }
   }
 
+  test("clusterKeepersFrom on precomputed clusters is identical to the standalone q79 pipeline") {
+    import spark.implicits._
+    // the pipeline-reuse contract: CC runs ONCE, its output feeds keeper
+    // selection — output must match the standalone operator exactly
+    val clusters = Graph.dupClusters(spark, sfDir).localCheckpoint()
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
+    val reused = Graph.clusterKeepersFrom(clusters, quality)
+      .as[(Long, Long, Long, Boolean, Long)].collect().toSet
+    val standalone = Graph.clusterKeepers(spark, sfDir)
+      .as[(Long, Long, Long, Boolean, Long)].collect().toSet
+    assert(reused === standalone)
+    // dupClustersFrom accepts any pair source: feeding the same simhash
+    // pairs reproduces dupClusters
+    val viaPairs = Graph.dupClustersFrom(
+      Dedup.simhashPairs(spark, sfDir),
+      Tables.documents(spark, sfDir).select($"doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaPairs === clusters.as[(Long, Long)].collect().toSet)
+  }
+
   test("locf carries the last sample forward, staleness 0 on exact hits, drops leading probes") {
     import spark.implicits._
     val samples = Seq((1, 10L, 1.0), (1, 20L, 2.0), (2, 15L, 9.0))

@@ -118,6 +118,14 @@ class SamplingSkewSpec extends SparkSpec {
     // total stays near the N/2 budget (hash draws are binomial around it)
     val total = corpus.values.sum.toDouble
     assert(math.abs(a.length - 0.5 * total) / total < 0.1)
+    // scale invariant, pinned: the corpus-wide totals are ONE-ROW broadcast
+    // aggregates, never a single-partition global window — no Window
+    // operator may appear anywhere in the plan (a partitionBy(lit(1))
+    // window would serialize on one task if it ever saw the corpus)
+    val plan = Sampling.mixtureSample(spark, sfDir).queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "mixtureSample must not contain a global window")
   }
 
   test("salted join equals the plain join") {

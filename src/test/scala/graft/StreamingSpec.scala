@@ -53,6 +53,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("foreachBatch keep-latest sink: parquet target equals the q71 batch twin") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_latest_sink_${System.nanoTime()}")
+    val stream = Events.readEventStream(spark, sfDir)
+    val q = Events.latestStateSink(stream,
+      new java.io.File(base, "table").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(new java.io.File(base, "table").getPath)
+    val batch = SparkEntry.queries("q71_keep_latest")(spark, sfDir)
+      .drop("n_superseded")
+    assert(table.count() > 0)
+    assert(table.except(batch).count() === 0)
+    assert(batch.except(table).count() === 0)
+  }
+
   test("flatMapGroupsWithState keeps running per-user stats") {
     import spark.implicits._
     val stream = Events.readEventStream(spark, sfDir)
