@@ -99,6 +99,8 @@ object SparkEntry {
     "q77_mixture_sample"    -> (Sampling.mixtureSample _),
     "q78_salient_terms"     -> (TextAnalysis.salientTerms _),
     "q79_cluster_keepers"   -> (Graph.clusterKeepers _),
+    "q80_bm25_score"        -> (TextAnalysis.bm25Score _),
+    "q81_length_histogram"  -> (Relational.lengthHistogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1093,5 +1095,44 @@ object SparkEntry {
          SELECT j.doc_id, j.cluster_id, k.keeper_id,
                 j.doc_id = k.keeper_id AS is_keeper, n.n_docs
          FROM j JOIN k USING (cluster_id) JOIN n USING (cluster_id)""",
+    // q80: BM25 with every formula input exact (integer tf/dl/df/N; avgdl
+    // = exact long sum / count), per-term contributions added in FIXED
+    // literal order, and ln()'s 1-ulp libm wobble absorbed by the q36-
+    // style offset quantization floor(x*1e4 + 1/3)
+    "q80_bm25_score" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_spark,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'query')) AS BIGINT) AS tf_query
+           FROM documents),
+         stats AS (
+           SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+             sum(CASE WHEN tf_join  > 0 THEN 1 ELSE 0 END) AS df_join,
+             sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query
+           FROM base)
+         SELECT doc_id, tf_spark, tf_join, tf_query,
+           CAST(floor((
+               ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                 * (CAST(tf_spark AS DOUBLE) * 2.2)
+                 / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                 * (CAST(tf_join AS DOUBLE) * 2.2)
+                 / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df_query + 0.5) / (df_query + 0.5) + 1.0)
+                 * (CAST(tf_query AS DOUBLE) * 2.2)
+                 / (CAST(tf_query AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ) * 10000 + 1.0/3) AS BIGINT) AS score_q
+         FROM base, stats""",
+    // q81: integer-exact equal-width binning — no float edges to wobble
+    "q81_length_histogram" ->
+      """WITH bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+         SELECT ((n_chars - mn) * 16) // (mx + 1 - mn) AS bin,
+           count(*) AS n, min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+         FROM documents, bounds
+         GROUP BY 1""",
   )
 }

@@ -712,6 +712,24 @@ object Relational {
         $"psi".as("max_psi"))
   }
 
+  /** q81: equal-width histogram of document lengths — the distribution
+    * profiling primitive (data-quality dashboards, length-filter tuning)
+    * done integer-exact: bin = ((x - min) * 16) div (max + 1 - min) is
+    * pure long arithmetic, so every engine buckets identically with no
+    * float edge wobble. Two-phase scale shape: the (min, max) bounds are
+    * a ONE-ROW aggregate broadcast back over the fact; binning is
+    * map-only and the final shuffle carries 16 partial-agged groups. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"n_chars")
+    val bounds = docs.agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("((n_chars - mn) * 16) div (mx + 1 - mn)"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"n_chars").as("lo_chars"), max($"n_chars").as("hi_chars"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

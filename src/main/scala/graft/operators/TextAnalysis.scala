@@ -158,6 +158,47 @@ object TextAnalysis {
     * token-df aggregation off it, df joined back by token (sort-merge at
     * vocabulary scale), one per-doc window for the top-3 — no global
     * sort, no driver state. */
+  /** q80: BM25 relevance scoring of every document against a fixed query
+    * term set — the retrieval/selection step a curation pipeline runs to
+    * pull topical training data (k1 = 1.2, b = 0.75, the Robertson/
+    * Sparck-Jones idf with the +1 floor).
+    *
+    * Engine portability: every input to the formula is an exact integer
+    * (tf, dl, df, N — and avgdl = exact integer sum / count, one IEEE
+    * division), the per-term contributions are summed in FIXED left-to-
+    * right literal order (a column expression, never an unordered
+    * aggregate over terms), and the only libm call is ln(), whose 1-ulp
+    * engine wobble the q36-style offset quantization floor(x*1e4 + 1/3)
+    * absorbs.
+    *
+    * Scale shape: the corpus stats are a ONE-ROW aggregate cross-joined
+    * back as a broadcast; per-doc tf/dl are map-only array ops (no token
+    * explode, no shuffle) — the corpus is scored in a single map pass. */
+  def bm25Score(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("spark", "join", "query")
+    val toks = split($"text", " ")
+    val base = TextOps.docsParallel(spark, dir).select(
+      ($"doc_id" +: size(toks).cast("long").as("dl") +:
+        terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t"))): _*)
+    val aggs =
+      count(lit(1)).as("n_docs") +:
+        (sum($"dl").cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    def contrib(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(($"n_docs" - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+    }
+    val score = terms.map(contrib).reduce(_ + _) // literal order: spark, join, query
+    base.crossJoin(broadcast(stats))
+      .select($"doc_id", $"tf_spark", $"tf_join", $"tf_query",
+        floor(score * 10000 + lit(1.0 / 3)).cast("long").as("score_q"))
+  }
+
   def salientTerms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tf = TextOps.docsParallel(spark, dir)
