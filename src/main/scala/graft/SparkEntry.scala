@@ -101,6 +101,8 @@ object SparkEntry {
     "q79_cluster_keepers"   -> (Graph.clusterKeepers _),
     "q80_bm25_score"        -> (TextAnalysis.bm25Score _),
     "q81_length_histogram"  -> (Relational.lengthHistogram _),
+    "q82_curation_pipeline" -> (Curation.curationPipeline _),
+    "q83_bloom_semijoin"    -> (Relational.bloomSemiJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1127,6 +1129,56 @@ object SparkEntry {
                  / (CAST(tf_query AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
              ) * 10000 + 1.0/3) AS BIGINT) AS score_q
          FROM base, stats""",
+    // q82: the composed curation verdict — langid (q31 scoring) +
+    // quality (q32 formula) + exact-dedup keeper (q24 fingerprint), one
+    // row per document. quality's IEEE ops are order-identical to q32's
+    // (hash-proven there), so the >= 0.5 verdict agrees bit-for-bit.
+    "q82_curation_pipeline" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'nd ', ''))) / 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, 'der', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ein', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'sch', ''))) / 3 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, 'le ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'es ', ''))) / 3 AS BIGINT) AS score_fr,
+             CAST((length(text) - length(replace(text, 'de ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'la ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'os ', ''))) / 3 AS BIGINT) AS score_es,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(string_split(text, ' '), x ->
+               CASE WHEN x IN ('the','a','of','and','to','in','is','it')
+               THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+           FROM documents),
+         v AS (
+           SELECT doc_id,
+             CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                  WHEN score_fr >= score_es THEN 'fr'
+                  ELSE 'es' END AS predicted,
+             n_tokens,
+             least(n_tokens / 100.0, CAST(1.0 AS DOUBLE)) * 0.5
+               + least(n_stop / n_tokens * 5.0, CAST(1.0 AS DOUBLE)) * 0.5 AS quality,
+             is_keeper
+           FROM s)
+         SELECT doc_id, predicted, n_tokens, quality, is_keeper,
+                is_keeper AND quality >= 0.5 AS kept
+         FROM v""",
+    // q83: the bloom prefilter is a pure pruning step — the exact semi
+    // join guarantees the result equals the plain semi join, so the
+    // oracle is the plain form
+    "q83_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+           sum(l_quantity) AS sum_qty,
+           cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS sum_price
+         FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey AND o_totalprice > 150000.0)
+         GROUP BY 1""",
     // q81: integer-exact equal-width binning — no float edges to wobble
     "q81_length_histogram" ->
       """WITH bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)

@@ -109,4 +109,54 @@ object Curation {
       .groupBy($"canon_url")
       .agg(count(lit(1)).as("n_urls"), min($"doc_id").as("keep_id"))
   }
+
+  /** q82: the end-to-end curation decision — language-ID, quality
+    * scoring, and exact-dedup keeper selection composed into ONE
+    * declarative plan, the per-document verdict a real preprocessing
+    * pipeline materializes before sampling/packing.
+    *
+    * Scale shape: all text-derived columns (trigram scores, token stats,
+    * content fingerprint) are computed in a single map-side projection
+    * over ONE corpus scan, and `text` is dropped before the only shuffle
+    * — the window by fingerprint moves ~50-byte rows, not documents.
+    * Keeper = min doc_id per fingerprint via an unordered partition
+    * window (no window sort). The final verdict is a map-side boolean.
+    * Contrast with joining q31⋈q32⋈q24 outputs on doc_id: that re-scans
+    * the corpus three times and shuffles it twice; composition in one
+    * projection is the form a 100 TB pipeline wants.
+    *
+    * Mirrors the reference's derived-quantity chaining (signals composed
+    * into new signals, /root/reference/fdf/factory.py:380-420) applied to
+    * the curation domain. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scores = TextAnalysis.profiles.map { case (l, tgs) =>
+      tgs.map(TextAnalysis.occurrences($"text", _)).reduce(_ + _).as(s"score_$l")
+    }
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val t = TextOps.toks($"text")
+    val nTok = size(t).cast("long")
+    val nStop = aggregate(
+      transform(t, x => when(x.isin(stop: _*), 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val quality = least(nTok / lit(100.0), lit(1.0)) * 0.5 +
+      least(nStop / nTok * 5.0, lit(1.0)) * 0.5
+    val scored = TextOps.docsParallel(spark, dir).select(
+      ($"doc_id" +: scores) ++ Seq(
+        nTok.as("n_tokens"), quality.as("quality"),
+        md5($"text").as("fp")): _*)
+    val Seq(en, de, fr, es) =
+      TextAnalysis.profiles.map { case (l, _) => col(s"score_$l") }
+    val predicted =
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    val isKeeper = $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp"))
+    scored
+      .select($"doc_id", predicted.as("predicted"), $"n_tokens", $"quality",
+        isKeeper.as("is_keeper"))
+      .withColumn("kept", $"is_keeper" && $"quality" >= 0.5)
+  }
 }

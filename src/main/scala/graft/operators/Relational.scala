@@ -93,6 +93,34 @@ object Relational {
       .select($"c_custkey", $"c_name", $"c_acctbal")
   }
 
+  /** q83: bloom-prefiltered semi join — the membership-filter plan for a
+    * build side too big to broadcast-hash-join but whose ~1 byte/key
+    * bloom still fits beside a task. The fact side is pruned MAP-SIDE by
+    * `might_contain` before any shuffle (PlanShapeSpec pins the filter
+    * below the exchange), then the exact semi join removes the fpp tail,
+    * so the result is IDENTICAL to the plain semi join (the oracle) —
+    * the bloom only changes how many rows reach the shuffle. At 100 TB:
+    * shuffle O(matching + fpp x rows) instead of O(rows). The build is
+    * one partial-agged job returning a driver-held binary (same
+    * footprint class as a broadcast; Spark's InjectRuntimeFilter does
+    * this same dance automatically inside its size thresholds). */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hi = Tables.orders(spark, dir)
+      .where($"o_totalprice" > 150000.0).select($"o_orderkey")
+    // capacity: generous upper bound on |build| keys; at real scale pass
+    // the catalog row-count estimate (over-sizing only wastes bits,
+    // under-sizing only raises fpp — correctness is join-guaranteed)
+    val bloom = graft.functions.Bloom.buildBloom(hi, "o_orderkey", 1L << 20)
+    Tables.lineitem(spark, dir)
+      .where(graft.functions.Bloom.mightContain(bloom, $"l_orderkey"))
+      .join(hi, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity").as("sum_qty"),
+        sum(money($"l_extendedprice")).cast("double").as("sum_price"))
+  }
+
   /** Left-anti join = NOT EXISTS. Filter on the probe side keeps the
     * result non-empty at every SF (a bare "customers with no orders"
     * anti-join is vacuous on this data). */

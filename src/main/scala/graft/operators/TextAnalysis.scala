@@ -17,13 +17,13 @@ object TextAnalysis {
 
   /** Occurrences of a literal substring: (len(text)-len(remove(text)))/len(pat)
     * — portable to any SQL engine, no regex dialect in play. */
-  private def occurrences(text: Column, pat: String): Column =
+  private[graft] def occurrences(text: Column, pat: String): Column =
     (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), "")))
       ./(lit(pat.length)).cast("long")
 
   /** Character-trigram language profiles. The scoring machinery is the
     * operator; profiles are swappable per corpus. */
-  private val profiles: Seq[(String, Seq[String])] = Seq(
+  private[graft] val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "he ", "nd "),
     "de" -> Seq("der", "ein", "sch"),
     "fr" -> Seq("le ", "ent", "es "),

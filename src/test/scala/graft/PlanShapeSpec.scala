@@ -178,4 +178,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q80 BM25: one-row stats broadcast back; no token explode") {
+    val plan = finalPlan(graft.operators.TextAnalysis.bm25Score(spark, sfDir))
+    // phase-2 rejoins the ONE-ROW stats via a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // tf/dl come from array ops in the projection — no row multiplier
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("q81 histogram: bounds broadcast; binning aggregates partially") {
+    val plan = finalPlan(Relational.lengthHistogram(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q82 curation pipeline composes in ONE corpus scan with zero joins") {
+    val plan = finalPlan(graft.operators.Curation.curationPipeline(spark, sfDir))
+    // single-scan composition: langid + quality + dedup fingerprint are
+    // one projection, NOT a q31⋈q32⋈q24 join of three corpus scans
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    // keeper selection = unordered window by fingerprint (one shuffle)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q83 bloom prefilter probes scan-side, before the semi join") {
+    val plan = finalPlan(Relational.bloomSemiJoin(spark, sfDir))
+    assert(plan.contains("might_contain"), plan)
+    // the exact semi join then removes the fpp tail
+    assert(plan.contains("LeftSemi"), plan)
+    // probe is a codegen'd Filter in the scan stage: it must appear in
+    // the same plan fragment as the lineitem scan, below any exchange —
+    // textually, the Filter(might_contain) line sits above "Scan parquet"
+    val lines = plan.linesIterator.toSeq
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("might_contain"))
+    val si = lines.indexWhere(l => l.contains("Scan parquet"), fi)
+    assert(fi >= 0 && si > fi, plan)
+    assert(!lines.slice(fi, si).exists(_.contains("Exchange")), plan)
+  }
 }
