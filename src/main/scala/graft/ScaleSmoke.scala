@@ -44,10 +44,20 @@ object ScaleSmoke {
   private val EMB_QUERIES = Seq("q29_ann_brute", "q30_lsh_ann",
     "q37_cosine_neardup", "q38_ivf_ann", "q67_embed_quant", "q68_kmeans_step")
 
+  // graph/CC family over the docs replicas: each replica family is one
+  // near-dup cluster, so cluster COUNT scales with the factor while
+  // cluster diameter stays ~constant — the claim under test is that the
+  // CC fixpoint's round count stays flat and wall time grows ~linearly
+  // in cluster volume (pairs within a family are quadratic in family
+  // size, which is the factor — read q28's ratio as candidate volume)
+  private val GRAPH_QUERIES = Seq("q28_simhash_pairs", "q62_dup_clusters",
+    "q79_cluster_keepers")
+
   def main(args: Array[String]): Unit = {
-    val docsMode = args.contains("docs")
+    val graphMode = args.contains("graph")
+    val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
-    val n = args.filterNot(a => a == "docs" || a == "emb")
+    val n = args.filterNot(a => a == "docs" || a == "emb" || a == "graph")
       .headOption.map(_.toInt).getOrElse(10)
     val base = "/root/testdata/sf0.1"
     val mode = if (docsMode) "docs_" else if (embMode) "emb_" else ""
@@ -104,7 +114,9 @@ object ScaleSmoke {
       (System.nanoTime() - t0) / 1e9
     }
     val queries =
-      if (docsMode) DOC_QUERIES else if (embMode) EMB_QUERIES else QUERIES
+      if (graphMode) GRAPH_QUERIES
+      else if (docsMode) DOC_QUERIES
+      else if (embMode) EMB_QUERIES else QUERIES
     // warm both paths, then measure best-of-2
     for (q <- queries; d <- Seq(base, big)) time(d, q)
     println(f"${"query"}%-22s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")

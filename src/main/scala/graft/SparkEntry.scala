@@ -103,6 +103,9 @@ object SparkEntry {
     "q81_length_histogram"  -> (Relational.lengthHistogram _),
     "q82_curation_pipeline" -> (Curation.curationPipeline _),
     "q83_bloom_semijoin"    -> (Relational.bloomSemiJoin _),
+    "q84_boilerplate"       -> (Curation.boilerplate _),
+    "q85_bpe_pairs"         -> (TextAnalysis.bpePairs _),
+    "q86_edit_verify"       -> (Dedup.editVerify _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1179,6 +1182,71 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_orderkey = l_orderkey AND o_totalprice > 150000.0)
          GROUP BY 1""",
+    // q84: boilerplate synthesis mirrors the Spark side (q64 pattern);
+    // line identity via md5 on both engines; 5%-of-corpus threshold
+    "q84_boilerplate" ->
+      """WITH a AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 3 = 0 THEN ' | subscribe to our newsletter for daily updates' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' | all rights reserved contact us for details' ELSE '' END AS aug
+           FROM documents),
+         l0 AS (SELECT doc_id, unnest(string_split(aug, ' | ')) AS line FROM a),
+         l AS (SELECT doc_id, md5(line) AS lh FROM l0),
+         d AS (SELECT lh, count(DISTINCT doc_id) AS line_df FROM l GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         g AS (
+           SELECT doc_id, count(*) AS n_lines,
+             CAST(sum(CASE WHEN line_df >= n_docs * 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+           FROM l JOIN d USING (lh), n
+           GROUP BY doc_id)
+         SELECT doc_id, n_lines, n_boiler,
+           n_boiler / n_lines AS boiler_frac,
+           n_boiler / n_lines <= 0.5 AS kept
+         FROM g""",
+    // q86: q28's candidate chain + exact Levenshtein verify on the
+    // 200-char prefix (both engines implement standard Levenshtein;
+    // norm_sim's single int/int division is IEEE-identical)
+    "q86_edit_verify" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b.band,
+                           (simhash // (1::BIGINT << (b.band * 8))) % 256 AS byte
+                    FROM sh, range(4) b(band)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                         b.doc_id AS doc_b, b.simhash AS sh_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id),
+         p AS (SELECT doc_a, doc_b,
+                      CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+               FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1)
+         SELECT doc_a, doc_b, hamming,
+           CAST(levenshtein(substring(da.text, 1, 200), substring(db.text, 1, 200)) AS BIGINT) AS edit_dist,
+           1.0 - levenshtein(substring(da.text, 1, 200), substring(db.text, 1, 200))
+                 / greatest(length(substring(da.text, 1, 200)), length(substring(db.text, 1, 200))) AS norm_sim
+         FROM p
+         JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id""",
+    // q85: BPE pair counting — integer counts, deterministic tie-break
+    // by pair text so the LIMIT cut agrees on every engine
+    "q85_bpe_pairs" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, length(tok)),
+             i -> substring(tok, CAST(i AS INT), 2))) AS pair
+           FROM toks)
+         SELECT pair, count(*) AS n FROM pairs
+         GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
     // q81: integer-exact equal-width binning — no float edges to wobble
     "q81_length_histogram" ->
       """WITH bounds AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)

@@ -110,6 +110,43 @@ object Curation {
       .agg(count(lit(1)).as("n_urls"), min($"doc_id").as("keep_id"))
   }
 
+  /** q84: boilerplate-line detection — the C4/RefinedWeb cleaning step
+    * that drops lines repeated across many documents (nav bars, cookie
+    * banners, "all rights reserved"). A line is boilerplate when it
+    * appears in >= 5% of the corpus; each document reports its line
+    * count, boilerplate count/fraction, and a keep verdict.
+    *
+    * The corpus has no line structure, so (q64-style) deterministic
+    * boilerplate suffixes are woven onto `' | '`-separated lines keyed
+    * off doc_id; the oracle builds the identical input. The DETECTION
+    * machinery is the operator: lines keyed by md5 (join keys stay 32
+    * bytes however long the line), line-df via two-phase distinct agg,
+    * the corpus size a one-row broadcast, verdicts map-side. Shuffles:
+    * by line-hash (df + rejoin) and by doc (final agg) — both carry
+    * hashes, never text. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aug = concat($"text",
+      when($"doc_id" % 3 === 0,
+        lit(" | subscribe to our newsletter for daily updates")).otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        lit(" | all rights reserved contact us for details")).otherwise(lit("")))
+    val lines = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(split(aug, " \\| ")).as("line"))
+      .select($"doc_id", md5($"line").as("lh"))
+    val lineDf = lines.groupBy($"lh")
+      .agg(countDistinct($"doc_id").as("line_df"))
+    val total = TextOps.docsParallel(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    lines.join(lineDf, "lh")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"line_df" >= $"n_docs" * 0.05, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac", $"n_boiler" / $"n_lines")
+      .withColumn("kept", $"boiler_frac" <= 0.5)
+  }
+
   /** q82: the end-to-end curation decision — language-ID, quality
     * scoring, and exact-dedup keeper selection composed into ONE
     * declarative plan, the per-document verdict a real preprocessing

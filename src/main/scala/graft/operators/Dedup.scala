@@ -210,4 +210,28 @@ object Dedup {
       .where($"hamming" <= 1)
       .distinct()
   }
+
+  /** q86: exact edit-distance verification of the simhash survivors —
+    * the last stage of the blocked-dedup funnel (block -> cheap hamming
+    * filter -> exact verify on the few survivors). Levenshtein is O(nm)
+    * per pair, affordable ONLY because the candidate set is already
+    * band-blocked and hamming-filtered; it runs on the 200-char prefix
+    * (the verify budget), and the normalized similarity feeds the final
+    * keep/merge decision. Scale shape: the pair relation is tiny
+    * relative to the corpus, so the two text-fetch joins hash on doc_id
+    * and the DP runs map-side on the joined rows — no pair explosion,
+    * no corpus shuffle. */
+  def editVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = simhashPairs(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 200).as("t"))
+    pairs
+      .join(docs.as("da"), $"doc_a" === $"da.doc_id")
+      .join(docs.as("db"), $"doc_b" === $"db.doc_id")
+      .select($"doc_a", $"doc_b", $"hamming",
+        levenshtein($"da.t", $"db.t").cast("long").as("edit_dist"),
+        (lit(1.0) - levenshtein($"da.t", $"db.t") /
+          greatest(length($"da.t"), length($"db.t"))).as("norm_sim"))
+  }
 }

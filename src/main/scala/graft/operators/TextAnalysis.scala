@@ -199,6 +199,32 @@ object TextAnalysis {
         floor(score * 10000 + lit(1.0 / 3)).cast("long").as("score_q"))
   }
 
+  /** q85: adjacent-symbol pair counting — the inner loop of BPE tokenizer
+    * training (count all within-token character bigrams over the corpus,
+    * rank by frequency; the top pair is the next merge). At 100 TB the
+    * pair space is bounded by alphabet² regardless of corpus size, so the
+    * shuffle after map-side partial aggregation is tiny and the top-k is
+    * a distributed TakeOrderedAndProject — per-partition heaps, the
+    * driver merges k rows, no global sort. Ties broken by pair text so
+    * the cut at k is deterministic on every engine. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextOps.docsParallel(spark, dir)
+      .select(explode(TextOps.toks($"text")).as("tok"))
+    toks
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      // 1-char tokens: sequence(1, 0) DESCENDS in Spark, emitting the
+      // lone char twice — the length guard drops those (DuckDB's
+      // range(1,1) is empty, so both engines agree: no pair)
+      .where(length($"pair") === 2)
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
   def salientTerms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tf = TextOps.docsParallel(spark, dir)
