@@ -106,6 +106,8 @@ object SparkEntry {
     "q84_boilerplate"       -> (Curation.boilerplate _),
     "q85_bpe_pairs"         -> (TextAnalysis.bpePairs _),
     "q86_edit_verify"       -> (Dedup.editVerify _),
+    "q87_unigram_surprisal" -> (TextAnalysis.unigramSurprisal _),
+    "q88_source_overlap"    -> (Dedup.sourceOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1236,6 +1238,41 @@ object SparkEntry {
          FROM p
          JOIN documents da ON p.doc_a = da.doc_id
          JOIN documents db ON p.doc_b = db.doc_id""",
+    // q88: q26's seed-keyed md5 minhash construction, aggregated per
+    // SOURCE; string mins are engine-exact (hex md5 compares as ASCII)
+    "q88_source_overlap" ->
+      """WITH tok AS (
+           SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         mh AS (SELECT s.source, sd.seed, min(md5(sd.seed || ':' || s.shingle)) AS mh
+                FROM sh s, range(12) sd(seed) GROUP BY 1, 2),
+         g AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           FROM mh a JOIN mh b ON a.seed = b.seed AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, n_match, n_match / 12 AS est_jaccard FROM g""",
+    // q87: per-token surprisal quantized to LONG before the per-doc sum
+    // — sum-of-longs is order-free, so shuffle order can't perturb the
+    // hash; only the mean's single long/long division stays IEEE
+    "q87_unigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         v AS (SELECT tok, count(*) AS n_t FROM t GROUP BY 1),
+         s AS (SELECT sum(n_t) AS n_total FROM v),
+         g AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CAST(floor(ln(n_total / n_t) * 10000 + 1.0/3) AS BIGINT)) AS BIGINT)
+               AS surprisal_q
+           FROM t JOIN v USING (tok), s
+           GROUP BY doc_id)
+         SELECT doc_id, n_tokens, surprisal_q,
+                surprisal_q / n_tokens AS mean_surprisal_q
+         FROM g""",
     // q85: BPE pair counting — integer counts, deterministic tie-break
     // by pair text so the LIMIT cut agrees on every engine
     "q85_bpe_pairs" ->

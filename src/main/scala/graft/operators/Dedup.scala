@@ -211,6 +211,33 @@ object Dedup {
       .distinct()
   }
 
+  /** q88: source-pair overlap matrix — cross-source leakage screening
+    * (is one crawl a mirror of another? does a source overlap the eval
+    * set's provenance?) via per-SOURCE minhash sketches: the same
+    * seed-keyed md5 min construction as q26, aggregated over each
+    * source's distinct shingle set instead of each doc's. The corpus
+    * reduces to |sources| x 12 hashes in ONE partial-agged shuffle;
+    * the pairwise compare runs on a |sources|-row relation (the tiny
+    * self-join is the q29-class bounded baseline, not a corpus product).
+    * est_jaccard = matching components / 12 — the standard minhash
+    * estimator, so precision grows with the seed count, not the data. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ss = TextOps.docsParallel(spark, dir)
+      .select($"source", explode(TextOps.shingles(TextOps.toks($"text"), 3)).as("shingle"))
+      .distinct()
+    val seeds = 0 until 12
+    val aggs = seeds.map(s => min(md5(concat(lit(s + ":"), $"shingle"))).as(s"h$s"))
+    val hashed = ss.groupBy($"source").agg(aggs.head, aggs.tail: _*)
+    val nMatch = seeds
+      .map(s => when(col(s"a.h$s") === col(s"b.h$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    hashed.as("a").join(hashed.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        nMatch.as("n_match"))
+      .withColumn("est_jaccard", $"n_match" / lit(12))
+  }
+
   /** q86: exact edit-distance verification of the simhash survivors —
     * the last stage of the blocked-dedup funnel (block -> cheap hamming
     * filter -> exact verify on the few survivors). Levenshtein is O(nm)

@@ -199,6 +199,38 @@ object TextAnalysis {
         floor(score * 10000 + lit(1.0 / 3)).cast("long").as("score_q"))
   }
 
+  /** q87: unigram-surprisal scoring — the perplexity-filter step (CCNet
+    * and successors): train a unigram LM on the corpus itself, score
+    * each document by total/mean token surprisal -ln p(t); outliers are
+    * boilerplate (too predictable) or garbage (too surprising).
+    *
+    * Engine portability: a per-DOC sum of ln's would be order-sensitive
+    * (IEEE addition isn't associative and the token order under shuffle
+    * isn't stable), so each token's surprisal ln(total/n_t) is
+    * offset-quantized to a LONG first — floor(x*1e4 + 1/3), the q36/q80
+    * argument — and the per-doc SUM OF LONGS is exact in any order on
+    * any engine. The mean stays a rational of exact integers.
+    *
+    * Scale shape: vocab = one token-keyed partial-agged shuffle; the
+    * corpus total is a one-row broadcast; tokens rejoin the vocab by
+    * token key (sort-merge at vocabulary scale, broadcast when the vocab
+    * fits); the final per-doc agg is the only other shuffle. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n_t"))
+    val total = vocab.agg(sum($"n_t").as("n_total"))
+    val tokenQ = floor(log($"n_total" / $"n_t") * 10000 + lit(1.0 / 3))
+      .cast("long")
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(tokenQ).as("surprisal_q"))
+      .withColumn("mean_surprisal_q", $"surprisal_q" / $"n_tokens")
+  }
+
   /** q85: adjacent-symbol pair counting — the inner loop of BPE tokenizer
     * training (count all within-token character bigrams over the corpus,
     * rank by frequency; the top pair is the next merge). At 100 TB the
