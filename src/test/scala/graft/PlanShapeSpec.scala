@@ -205,6 +205,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("q85 BPE top-k is distributed TakeOrdered, never a global sort") {
+    val plan = finalPlan(graft.operators.TextAnalysis.bpePairs(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q87 surprisal: one-row total broadcast; vocab join has no nested loop") {
+    val plan = finalPlan(graft.operators.TextAnalysis.unigramSurprisal(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row total
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q88 source sketches: pairwise estimator joins the aggregated relation only") {
+    val plan = finalPlan(graft.operators.Dedup.sourceOverlap(spark, sfDir))
+    // the corpus-sized relation is reduced by partial agg before ANY join:
+    // every join input is the |sources|-row sketch table
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q83 bloom prefilter probes scan-side, before the semi join") {
     val plan = finalPlan(Relational.bloomSemiJoin(spark, sfDir))
     assert(plan.contains("might_contain"), plan)
