@@ -108,6 +108,7 @@ object SparkEntry {
     "q86_edit_verify"       -> (Dedup.editVerify _),
     "q87_unigram_surprisal" -> (TextAnalysis.unigramSurprisal _),
     "q88_source_overlap"    -> (Dedup.sourceOverlap _),
+    "q89_winnow_overlap"    -> (Dedup.winnowOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1238,6 +1239,35 @@ object SparkEntry {
          FROM p
          JOIN documents da ON p.doc_a = da.doc_id
          JOIN documents db ON p.doc_b = db.doc_id""",
+    // q89: winnowing — positional 8-shingle md5s, sliding 4-window min
+    // (identical frame semantics both engines), distinct fingerprints,
+    // equality-joined pairs with a >= 3 shared-fp floor
+    "q89_winnow_overlap" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(text || CASE WHEN doc_id % 53 = 0
+               THEN ' winnow shared passage marker alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+               ELSE '' END, ' ') AS toks
+           FROM documents),
+         w AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         sh AS (
+           SELECT doc_id,
+             unnest(range(1, len(toks) - 6)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+           FROM w),
+         m AS (
+           SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM sh),
+         f AS (SELECT DISTINCT doc_id, fp FROM m),
+         g AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_fp
+           FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared_fp FROM g WHERE n_shared_fp >= 3""",
     // q88: q26's seed-keyed md5 minhash construction, aggregated per
     // SOURCE; string mins are engine-exact (hex md5 compares as ASCII)
     "q88_source_overlap" ->

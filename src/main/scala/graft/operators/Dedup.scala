@@ -211,6 +211,47 @@ object Dedup {
       .distinct()
   }
 
+  /** q89: winnowing fingerprints — SUBSTRING-level overlap detection
+    * (shared passages, quotations, partial mirrors), the capability
+    * whole-doc dedup can't express: two documents that share only a
+    * 16-token passage still collide on a fingerprint. Classic winnowing
+    * (Schleimer/Wilkerson/Aiken): hash every positional 8-token shingle,
+    * keep the MIN hash of each sliding 4-window — any shared run of
+    * >= 11 tokens is guaranteed to surface a common fingerprint,
+    * while only ~1/4 of shingles survive as fingerprints.
+    *
+    * The synthetic corpus has no natural shared passages, so (q64-style)
+    * a deterministic 16-token passage is woven onto doc_id % 53 == 0
+    * docs; the oracle builds the identical input. Scale shape: the
+    * sliding min is a per-doc window (one shuffle by doc, in-partition
+    * sort by position); fingerprints join by equality (blocked, never
+    * all-pairs); the pair aggregation is partial-agged. The >= 3 shared-
+    * fingerprint floor keeps noise out of the verdict. */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val passage = " winnow shared passage marker alpha beta gamma delta" +
+      " epsilon zeta eta theta iota kappa lambda mu"
+    val aug = concat($"text",
+      when($"doc_id" % 53 === 0, lit(passage)).otherwise(lit("")))
+    val toked = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", TextOps.toks(aug).as("toks"))
+      .where(size($"toks") >= 8)
+    val sh = toked.select($"doc_id",
+      posexplode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> md5(array_join(slice(toks, i, 8), ' ')))"))
+        .as(Seq("pos", "h")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, 3)
+    val fp = sh.select($"doc_id", min($"h").over(w).as("fp")).distinct()
+    fp.as("a").join(fp.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where($"n_shared_fp" >= 3)
+  }
+
   /** q88: source-pair overlap matrix — cross-source leakage screening
     * (is one crawl a mirror of another? does a source overlap the eval
     * set's provenance?) via per-SOURCE minhash sketches: the same
