@@ -235,21 +235,30 @@ object Dedup {
       when($"doc_id" % 53 === 0, lit(passage)).otherwise(lit("")))
     val toked = TextOps.docsParallel(spark, dir)
       .select($"doc_id", TextOps.toks(aug).as("toks"))
-      .where(size($"toks") >= 8)
-    val sh = toked.select($"doc_id",
-      posexplode(expr(
-        "transform(sequence(1, size(toks) - 7)," +
-          " i -> md5(array_join(slice(toks, i, 8), ' ')))"))
-        .as(Seq("pos", "h")))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(Window.currentRow, 3)
-    val fp = sh.select($"doc_id", min($"h").over(w).as("fp")).distinct()
+    val fp = winnowFingerprints(toked)
     fp.as("a").join(fp.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared_fp"))
       .where($"n_shared_fp" >= 3)
+  }
+
+  /** The winnowing fingerprint stage of q89: (doc_id, toks) -> distinct
+    * (doc_id, fp). Window w = 8 tokens, guarantee window k = 4, so any
+    * shared token run of length >= w + k - 1 = 11 yields a common
+    * fingerprint REGARDLESS of its offset in either document — the
+    * offset-independence a block-aligned min would not have
+    * (WinnowPropertySpec proves it on randomly placed passages). */
+  private[graft] def winnowFingerprints(toked: DataFrame): DataFrame = {
+    val sh = toked.where(size(col("toks")) >= 8).select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> md5(array_join(slice(toks, i, 8), ' ')))"))
+        .as(Seq("pos", "h")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    sh.select(col("doc_id"), min(col("h")).over(w).as("fp")).distinct()
   }
 
   /** q88: source-pair overlap matrix — cross-source leakage screening
