@@ -28,12 +28,12 @@ object ScaleSmoke {
   // q25 joined in round 4 (PPJoin): note its OUTPUT is inherently
   // quadratic in the replica family size — every replica pair of a doc
   // is a true near-dup — so its ratio reads as pair volume, not plan
-  // degradation
+  // degradation. q90 (tf-cosine pairs, round 5) has the same caveat.
   private val DOC_QUERIES = Seq("q24_dedup_exact", "q25_ngram_jaccard",
     "q26_minhash_lsh", "q27_simhash", "q31_langid", "q33_token_count",
     "q47_stratified_sample", "q53_vocab_topk", "q65_repetition",
     "q66_url_canon", "q70_token_ids", "q77_mixture_sample",
-    "q78_salient_terms")
+    "q78_salient_terms", "q90_tf_cosine", "q91_chunk_windows")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should

@@ -109,6 +109,8 @@ object SparkEntry {
     "q87_unigram_surprisal" -> (TextAnalysis.unigramSurprisal _),
     "q88_source_overlap"    -> (Dedup.sourceOverlap _),
     "q89_winnow_overlap"    -> (Dedup.winnowOverlap _),
+    "q90_tf_cosine"         -> (Dedup.tfCosinePairs _),
+    "q91_chunk_windows"     -> (Sampling.chunkDocs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1268,6 +1270,52 @@ object SparkEntry {
            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT doc_a, doc_b, n_shared_fp FROM g WHERE n_shared_fp >= 3""",
+    // q90: inverted-index tf-cosine over positional 3-shingles — all
+    // arithmetic on BIGINT counts; the cos >= 4/5 test is cross-
+    // multiplied (25·dot² >= 16·|a|²·|b|²) so neither engine touches
+    // sqrt/division
+    "q90_tf_cosine" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh0 AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM t WHERE len(toks) >= 3),
+         tf AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf
+                FROM sh0 GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         keptt AS (SELECT sh FROM tf, nd GROUP BY sh, n_docs
+                   HAVING count(*) * 4 <= n_docs),
+         kept AS (SELECT tf.* FROM tf JOIN keptt USING (sh)),
+         nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nrm2
+                 FROM kept GROUP BY 1),
+         d AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(sum(a.tf * b.tf) AS BIGINT) AS dot,
+                  CAST(count(*) AS BIGINT) AS n_shared_terms
+           FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared_terms, dot,
+                na.nrm2 AS nrm2_a, nb.nrm2 AS nrm2_b
+         FROM d
+         JOIN nrm na ON na.doc_id = d.doc_a
+         JOIN nrm nb ON nb.doc_id = d.doc_b
+         WHERE dot * dot * 25 >= na.nrm2 * nb.nrm2 * 16""",
+    // q91: chunk count ceil(max(n-16,1)/48) = greatest((n+31)//48, 1);
+    // both engines' list slices truncate past the end, so the tail
+    // chunk hashes identically
+    "q91_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+         c AS (SELECT doc_id, toks, n_toks,
+                 unnest(range(0, greatest((n_toks + 31) // 48, 1))) AS k
+               FROM n)
+         SELECT doc_id, n_toks,
+           CAST(k + 1 AS BIGINT) AS chunk_id,
+           CAST(k * 48 + 1 AS BIGINT) AS start_tok,
+           CAST(least(64, n_toks - k * 48) AS BIGINT) AS n_chunk_toks,
+           md5(array_to_string(toks[CAST(k*48+1 AS INT) : CAST(k*48+64 AS INT)], ' ')) AS chunk_hash
+         FROM c""",
     // q88: q26's seed-keyed md5 minhash construction, aggregated per
     // SOURCE; string mins are engine-exact (hex md5 compares as ASCII)
     "q88_source_overlap" ->

@@ -112,6 +112,48 @@ object TextHash {
     override def prettyName: String = "graft_shingles"
   }
 
+  /** ALL positional n-gram shingles, in order, WITH multiplicity — the
+    * single-pass counterpart of ShinglesExpr for operators that need
+    * term frequencies (q90) or positions (q89): element i is
+    * toks[i..i+n-1] joined by ' '. The interpreted
+    * transform(sequence…slice…array_join) equivalent re-evaluates its
+    * lambda per position outside codegen; this walks the array once. */
+  case class PosShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "graft_pos_shingles")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenStrings(input)
+      if (toks.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PosShinglesExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_pos_shingles"
+  }
+
   /** k min-hashes of a shingle array: element s = the lexicographic min
     * over shingles of md5("s:" + shingle), exactly the oracle's salted-md5
     * min-wise family. Empty input -> null (the doc simply has no
@@ -285,6 +327,9 @@ object TextHash {
 
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), n))
+
+  def posShingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(PosShinglesExpr(ColumnBridge.expression(toks), n))
 
   def minhash(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingles), k))

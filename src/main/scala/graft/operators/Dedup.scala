@@ -251,11 +251,14 @@ object Dedup {
     * offset-independence a block-aligned min would not have
     * (WinnowPropertySpec proves it on randomly placed passages). */
   private[graft] def winnowFingerprints(toked: DataFrame): DataFrame = {
-    val sh = toked.where(size(col("toks")) >= 8).select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(1, size(toks) - 7)," +
-          " i -> md5(array_join(slice(toks, i, 8), ' ')))"))
-        .as(Seq("pos", "h")))
+    // positional shingles from the single-pass native expression; the
+    // md5 then runs codegen'd on the exploded column — same hash input
+    // (tokens joined by ' ') as the interpreted lambda it replaced
+    val sh = toked.where(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHash.posShingles(col("toks"), 8))
+          .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
     sh.select(col("doc_id"), min(col("h")).over(w).as("fp")).distinct()
@@ -286,6 +289,71 @@ object Dedup {
       .select($"a.source".as("src_a"), $"b.source".as("src_b"),
         nMatch.as("n_match"))
       .withColumn("est_jaccard", $"n_match" / lit(12))
+  }
+
+  /** q90: all-pairs TF-cosine similarity via an inverted-index join —
+    * the term-at-a-time sparse-vector counterpart of q37's embedding
+    * LSH, and a different measure from q25's set-Jaccard: features are
+    * positional 3-token shingles WITH MULTIPLICITY (tf), so repeated
+    * passages weigh more, and candidate pairs come from SHARED TERMS
+    * (an equality join on the shingle hash), never from a doc×doc
+    * product. A document-frequency cut (df·4 <= N: features in more
+    * than a quarter of the corpus are dropped) removes boilerplate-
+    * class features first; they contribute least to cosine contrast
+    * and their posting lists are exactly the ones whose self-join
+    * would explode quadratically — the common-term bound from the
+    * all-pairs similarity literature. At 100 TB the surviving posting
+    * lists are rare-feature-sized, the dot products partial-agg on
+    * (doc_a, doc_b), and the df/N relation is a one-row broadcast;
+    * for web-scale corpora this composes downstream of a blocking
+    * prefilter (q27/q37) as the exact-verify stage.
+    *
+    * The cosine threshold is INTEGER-exact: cos >= 4/5 is tested as
+    * 25·dot² >= 16·|a|²·|b|² on BIGINT tf sums — no sqrt, no division,
+    * no libm, so the DuckDB oracle agrees bit-for-bit. Magnitudes are
+    * safe in 64 bits: dot² and |a|²·|b|² are bounded by (Σtf)⁴ ≈ 1e15
+    * at the corpus' document lengths (shingle tf is ~1 outside
+    * repeated passages). */
+  def tfCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    tfCosinePairsOn(TextOps.docsParallel(spark, dir))
+
+  /** Testable core over any `(doc_id, text)` relation. */
+  private[graft] def tfCosinePairsOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // raw 3-gram strings as feature keys (they're SHORTER than an md5
+    // hex), produced by the single-pass native expression — the
+    // interpreted transform+slice lambda was the CPU hot spot
+    val tf = docs
+      .select($"doc_id", TextOps.toks($"text").as("toks"))
+      .where(size($"toks") >= 3)
+      .select($"doc_id",
+        explode(graft.functions.TextHash.posShingles($"toks", 3)).as("sh"))
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val keptTerms = tf.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where($"df" * 4 <= $"n_docs")
+      .select($"sh")
+    // ‖·‖² rides along as a window sum over the posting rows instead of
+    // a separate norm relation joined back onto the pairs twice — one
+    // doc_id shuffle replaces two joins. Checkpointed because the
+    // relation still feeds both sides of the self-join (left nested,
+    // each would re-shingle the corpus and re-run the df cut).
+    val w = Window.partitionBy($"doc_id")
+    val kept = tf.join(keptTerms, "sh")
+      .withColumn("nrm2", sum($"tf" * $"tf").over(w))
+      .localCheckpoint(false)
+    kept.as("a").join(kept.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        ($"a.tf" * $"b.tf").as("p"),
+        $"a.nrm2".as("na"), $"b.nrm2".as("nb"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"p").as("dot"), count(lit(1)).as("n_shared_terms"),
+        max($"na").as("nrm2_a"), max($"nb").as("nrm2_b"))
+      .where($"dot" * $"dot" * 25 >= $"nrm2_a" * $"nrm2_b" * 16)
+      .select($"doc_a", $"doc_b", $"n_shared_terms", $"dot",
+        $"nrm2_a", $"nrm2_b")
   }
 
   /** q86: exact edit-distance verification of the simhash survivors —

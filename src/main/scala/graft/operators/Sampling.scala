@@ -123,6 +123,37 @@ object Sampling {
       .select($"doc_id", $"shard", $"pack_id", $"n_tokens", $"start_tok")
   }
 
+  /** q91: sliding-window chunking with stride — the context-window prep
+    * step every embedding/pretraining pipeline runs (HF
+    * `return_overflowing_tokens` semantics): windows of W = 64 tokens
+    * at stride S = 48 (16-token overlap), chunk count
+    * ceil(max(n - overlap, 1) / S) so every token is covered, the last
+    * chunk may run short, and no chunk is fully contained in its
+    * predecessor. Everything is integer arithmetic on token counts
+    * plus an md5 content hash of each chunk, so the oracle agrees
+    * bit-for-bit.
+    *
+    * Scale shape: map-only — tokenize, a bounded explode (fan-out
+    * n/S per doc, proportional to output size), slice + hash per
+    * chunk. No shuffle at all; at 100 TB this is embarrassingly
+    * parallel and the output partitioning inherits the scan's. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toked = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", TextOps.toks($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("n_toks"))
+    toked
+      .select($"doc_id", $"toks", $"n_toks",
+        explode(sequence(lit(0L),
+          greatest(expr("(n_toks + 31) div 48"), lit(1L)) - 1L)).as("k"))
+      .select($"doc_id", $"n_toks",
+        ($"k" + 1L).as("chunk_id"),
+        ($"k" * 48L + 1L).as("start_tok"),
+        least(lit(64L), $"n_toks" - ($"k" * 48L)).as("n_chunk_toks"),
+        md5(array_join(expr("slice(toks, CAST(k * 48 + 1 AS INT), 64)"),
+          " ")).as("chunk_hash"))
+  }
+
   /** q54: deterministic k-per-group sampling — "3 random docs per source",
     * where random is the reproducible content-hash draw, realized as a
     * per-group top-k window (shuffles once on the group key; no rand()

@@ -239,4 +239,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(fi >= 0 && si > fi, plan)
     assert(!lines.slice(fi, si).exists(_.contains("Exchange")), plan)
   }
+
+  test("q90 tf-cosine: posting join is an equality hash join; only the 1-row n_docs broadcasts") {
+    val plan = finalPlan(graft.operators.Dedup.tfCosinePairs(spark, sfDir))
+    // candidate pairs come from the shingle-equality self-join — never
+    // a doc×doc product; the only nested-loop (the one-row corpus count
+    // broadcast) lives behind the checkpointed kept-tf relation, so at
+    // most one may surface here
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    // dot products partial-agg before the (doc_a, doc_b) shuffle
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q91 chunking is map-only after the scan: no operator shuffle") {
+    val plan = finalPlan(graft.operators.Sampling.chunkDocs(spark, sfDir))
+    // tokenize → bounded explode → slice+hash: the operator itself never
+    // shuffles (no agg, no join, no window). The only Exchange allowed
+    // is the conditional scan rebalance (docsParallel) that spreads a
+    // narrow single-split scan across cores BEFORE the fan-out — absent
+    // at cluster scale where the scan has many splits
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
 }

@@ -128,6 +128,35 @@ class SamplingSkewSpec extends SparkSpec {
     }.isEmpty, "mixtureSample must not contain a global window")
   }
 
+  test("q91 chunking covers every token exactly; no chunk swallowed by its predecessor") {
+    import spark.implicits._
+    val chunks = Sampling.chunkDocs(spark, sfDir)
+      .select($"doc_id", $"n_toks", $"chunk_id", $"start_tok", $"n_chunk_toks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(chunks.nonEmpty)
+    chunks.values.foreach { rows =>
+      val n = rows.head._2
+      val sorted = rows.sortBy(_._3)
+      // chunk ids are 1..k dense; starts step by the 48-token stride
+      assert(sorted.map(_._3).toSeq === (1L to rows.size))
+      sorted.foreach { case (_, _, cid, start, len) =>
+        assert(start === (cid - 1) * 48 + 1)
+        assert(len === math.min(64L, n - start + 1))
+        assert(len > 0)
+      }
+      // full coverage: the last chunk reaches token n, the first starts at 1
+      assert(sorted.last._4 + sorted.last._5 - 1 === n)
+      // every chunk past the first contributes NEW tokens (not contained
+      // in its predecessor's 64-token window)
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        val (_, _, _, s1, l1) = w(0)
+        val (_, _, _, s2, l2) = w(1)
+        assert(s2 + l2 - 1 > s1 + l1 - 1)
+      }
+    }
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val salted = Skew.saltedJoinQuery(spark, sfDir)
