@@ -111,6 +111,8 @@ object SparkEntry {
     "q89_winnow_overlap"    -> (Dedup.winnowOverlap _),
     "q90_tf_cosine"         -> (Dedup.tfCosinePairs _),
     "q91_chunk_windows"     -> (Sampling.chunkDocs _),
+    "q92_embed_gram"        -> (Quantize.embedGram _),
+    "q93_token_budget"      -> (Sampling.tokenBudgetSelect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1301,6 +1303,60 @@ object SparkEntry {
          JOIN nrm na ON na.doc_id = d.doc_a
          JOIN nrm nb ON nb.doc_id = d.doc_b
          WHERE dot * dot * 25 >= na.nrm2 * nb.nrm2 * 16""",
+    // q93: q32's quality, quantized to a 1e-6 integer grid, drives a
+    // histogram-cumsum cutoff at budget = total_tokens div 4; the
+    // boundary bucket resolves by doc_id running sum — all integer
+    // comparisons, so the kept set is engine-exact
+    "q93_token_budget" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(list_sum(list_transform(toks, x ->
+                        CASE WHEN x IN ('the','a','of','and','to','in','is','it')
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop
+               FROM t),
+         scored AS (SELECT doc_id, n_tokens,
+           CAST(floor((least(n_tokens / 100.0, CAST(1.0 AS DOUBLE)) * 0.5
+             + least(n_stop / n_tokens * 5.0, CAST(1.0 AS DOUBLE)) * 0.5)
+             * 1000000 + 1.0/3) AS BIGINT) AS score_q
+           FROM s),
+         tot AS (SELECT sum(n_tokens) // 4 AS budget FROM scored),
+         h AS (SELECT score_q, sum(n_tokens) AS tok_s FROM scored GROUP BY 1),
+         cum AS (SELECT score_q, tok_s,
+                   sum(tok_s) OVER (ORDER BY score_q DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+                 FROM h),
+         cum2 AS (SELECT score_q, cum_incl, cum_incl - tok_s AS cum_before, budget
+                  FROM cum, tot),
+         full_k AS (SELECT scored.doc_id, scored.n_tokens, scored.score_q
+                    FROM scored JOIN cum2 USING (score_q)
+                    WHERE cum_incl <= budget),
+         bnd AS (SELECT scored.doc_id, scored.n_tokens, scored.score_q,
+                   cum_before, budget,
+                   sum(scored.n_tokens) OVER (PARTITION BY scored.score_q
+                     ORDER BY scored.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS doc_cum
+                 FROM scored JOIN cum2 USING (score_q)
+                 WHERE cum_incl > budget AND cum_before < budget)
+         SELECT doc_id, n_tokens, score_q FROM full_k
+         UNION ALL
+         SELECT doc_id, n_tokens, score_q FROM bnd
+         WHERE cum_before + doc_cum <= budget""",
+    // q92: upper-triangle Gram matrix; products offset-quantized to
+    // BIGINT before the sum (sum-of-longs is shuffle-order-free; the
+    // doubles themselves are identical IEEE on both engines)
+    "q92_embed_gram" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         x AS (SELECT vec_id,
+                 generate_subscripts(emb, 1) - 1 AS i,
+                 unnest(emb) AS vi
+               FROM e)
+         SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(a.vi * b.vi * 1000000 + 1.0/3) AS BIGINT)) AS BIGINT) AS gram_q
+         FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+         GROUP BY 1, 2""",
     // q91: chunk count ceil(max(n-16,1)/48) = greatest((n+31)//48, 1);
     // both engines' list slices truncate past the end, so the tail
     // chunk hashes identically

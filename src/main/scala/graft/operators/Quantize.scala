@@ -85,4 +85,32 @@ object Quantize {
       .select($"cell", $"dim".cast("long").as("dim"), $"n_members",
         ($"xq_sum" / 1e6 / $"n_members").as("centroid"))
   }
+
+  /** q92: the d×d Gram matrix XᵀX over the embedding collection — the
+    * second-moment statistics an embedding pipeline computes before
+    * whitening / PCA (which in turn trains the IVF coarse quantizer and
+    * the OPQ rotation for q38/q67). Upper triangle only (the matrix is
+    * symmetric): d(d+1)/2 = 2080 cells at d = 64.
+    *
+    * Scale shape: the per-row fan-out is d²/2 (a bounded explode), and
+    * map-side partial aggregation collapses every partition to at most
+    * 2080 rows before the one tiny shuffle — at 100 TB the reduce input
+    * is |partitions|·2080 rows, independent of the collection size.
+    * Each product is offset-quantized to a LONG before summing
+    * (identical IEEE doubles on both engines, and sum-of-longs is
+    * shuffle-order-free); at collections past ~10¹² rows the partial
+    * sums should route through decimal(38,0) instead of BIGINT. */
+  def embedGram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir), $"vec_id")
+    e.select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+      .select($"emb", posexplode($"emb").as(Seq("i", "vi")))
+      .select($"i", $"vi", posexplode($"emb").as(Seq("j", "vj")))
+      .where($"j" >= $"i")
+      .select($"i".cast("long").as("i"), $"j".cast("long").as("j"),
+        floor($"vi" * $"vj" * 1e6 + lit(1.0 / 3)).cast("long").as("pq"))
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"pq").as("gram_q"))
+  }
 }

@@ -154,6 +154,51 @@ object Sampling {
           " ")).as("chunk_hash"))
   }
 
+  /** q93: token-budget data selection — keep the highest-quality
+    * documents until a token budget (here corpus_tokens/4) is spent:
+    * the selection step of quality-threshold curation (CCNet buckets,
+    * FineWeb-style filtering) done WITHOUT a global sort of the corpus.
+    *
+    * Two-phase: (1) a per-score token histogram — the score is q32's
+    * quality quantized to a 1e-6 grid, so the histogram is BOUNDED at
+    * 1,000,001 rows no matter the corpus size; (2) a cumulative sum
+    * over that small relation (the one global window here runs on the
+    * bounded histogram, NEVER the corpus — same invariant as
+    * mixtureSample) picks the fully-kept score buckets and the single
+    * boundary bucket, which then resolves per-doc by a window
+    * partitioned on that one score value, ordered by doc_id. The
+    * corpus itself is touched by broadcast joins and one boundary
+    * window only. At extreme scale the boundary bucket is the only
+    * skew point (all-tied scores); salt it or accept the one-bucket
+    * sort — it holds a budget-bounded token mass by construction. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"n_tokens",
+        floor($"quality" * 1e6 + lit(1.0 / 3)).cast("long").as("score_q"))
+    val total = scored.agg(sum($"n_tokens").as("tot"))
+    val h = scored.groupBy($"score_q").agg(sum($"n_tokens").as("tok_s"))
+    val wH = Window.orderBy($"score_q".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum_incl", sum($"tok_s").over(wH))
+      .withColumn("cum_before", $"cum_incl" - $"tok_s")
+      .crossJoin(broadcast(total))
+      .withColumn("budget", expr("tot div 4"))
+    val fullBuckets = cum.where($"cum_incl" <= $"budget").select($"score_q")
+    val boundary = cum
+      .where($"cum_incl" > $"budget" && $"cum_before" < $"budget")
+      .select($"score_q", $"cum_before", $"budget")
+    val wB = Window.partitionBy($"score_q").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = scored.join(broadcast(boundary), "score_q")
+      .withColumn("doc_cum", sum($"n_tokens").over(wB))
+      .where($"cum_before" + $"doc_cum" <= $"budget")
+      .select($"doc_id", $"n_tokens", $"score_q")
+    scored.join(broadcast(fullBuckets), "score_q")
+      .select($"doc_id", $"n_tokens", $"score_q")
+      .unionByName(keptBoundary)
+  }
+
   /** q54: deterministic k-per-group sampling — "3 random docs per source",
     * where random is the reproducible content-hash draw, realized as a
     * per-group top-k window (shuffles once on the group key; no rand()

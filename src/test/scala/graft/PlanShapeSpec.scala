@@ -252,6 +252,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("q92 Gram matrix partial-aggs the d²/2 fan-out before its one shuffle") {
+    val plan = finalPlan(graft.operators.Quantize.embedGram(spark, sfDir))
+    // the explode×explode product is collapsed map-side: reduce input is
+    // |partitions|·2080 rows regardless of collection size
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan) // rebalance + agg
+  }
+
   test("q91 chunking is map-only after the scan: no operator shuffle") {
     val plan = finalPlan(graft.operators.Sampling.chunkDocs(spark, sfDir))
     // tokenize → bounded explode → slice+hash: the operator itself never

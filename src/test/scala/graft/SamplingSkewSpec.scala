@@ -157,6 +157,34 @@ class SamplingSkewSpec extends SparkSpec {
     }
   }
 
+  test("q93 token budget: spend <= budget, greedy-maximal, priority-closed") {
+    import spark.implicits._
+    val scored = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
+      .select($"doc_id", $"n_tokens",
+        floor($"quality" * 1e6 + lit(1.0 / 3)).cast("long").as("score_q"))
+      .as[(Long, Long, Long)].collect()
+    val budget = scored.map(_._2).sum / 4
+    val kept = Sampling.tokenBudgetSelect(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"score_q")
+      .as[(Long, Long, Long)].collect()
+    val keptIds = kept.map(_._1).toSet
+    // never overspends
+    assert(kept.map(_._2).sum <= budget)
+    // equals the strict greedy prefix of the (score desc, doc_id asc)
+    // order (stop at the first doc that doesn't fit) — the sequential
+    // algorithm the distributed two-phase must match
+    val greedy = scala.collection.mutable.Set[Long]()
+    var spent = 0L
+    var stopped = false
+    scored.sortBy { case (id, _, s) => (-s, id) }.foreach { case (id, n, _) =>
+      if (!stopped) {
+        if (spent + n <= budget) { spent += n; greedy += id }
+        else stopped = true
+      }
+    }
+    assert(keptIds === greedy.toSet)
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val salted = Skew.saltedJoinQuery(spark, sfDir)
