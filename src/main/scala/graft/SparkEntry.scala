@@ -113,6 +113,11 @@ object SparkEntry {
     "q91_chunk_windows"     -> (Sampling.chunkDocs _),
     "q92_embed_gram"        -> (Quantize.embedGram _),
     "q93_token_budget"      -> (Sampling.tokenBudgetSelect _),
+    "q94_semantic_dedup"    -> (Similarity.semanticDedup _),
+    "q95_hash_classifier"   -> (TextAnalysis.hashClassifier _),
+    "q96_source_kl"         -> (TextAnalysis.sourceKl _),
+    "q97_bigram_stats"      -> (TextAnalysis.bigramStats _),
+    "q98_pq_encode"         -> (Quantize.pqEncode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1425,5 +1430,103 @@ object SparkEntry {
            count(*) AS n, min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
          FROM documents, bounds
          GROUP BY 1""",
+    // q94: SemDeDup — cell assignment identical to q38/q68 (argmax by
+    // cosine, min-cent_id tie); within-cell cosines are the same
+    // left-to-right IEEE sums on both engines, so the >= 0.35 verdict
+    // needs no quantization — only the reported max cos is quantized
+    "q94_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]), (a,b)->a+b)
+                     / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         assigned AS (SELECT r.vec_id, r.cent_id AS cell, n.emb, n.nrm
+                      FROM ranked r JOIN n USING (vec_id) WHERE crk = 1),
+         d AS (
+           SELECT b.vec_id, count(*) AS n_earlier_dups,
+             CAST(floor(max(cos) * 1000000 + 1.0/3) AS BIGINT) AS max_cos_q
+           FROM (SELECT a.vec_id AS va, b.vec_id,
+                   list_reduce(list_transform(a.emb, (x,i) -> x * b.emb[i]), (a2,b2)->a2+b2)
+                     / (a.nrm*b.nrm) AS cos
+                 FROM assigned a JOIN assigned b
+                   ON a.cell = b.cell AND a.vec_id < b.vec_id) b
+           WHERE cos >= 0.35
+           GROUP BY 1)
+         SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+                CAST(coalesce(d.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups,
+                CAST(coalesce(d.max_cos_q, -2000000) AS BIGINT) AS max_cos_q,
+                d.n_earlier_dups IS NULL AS kept
+         FROM assigned a LEFT JOIN d USING (vec_id)""",
+    // q95: hashing-trick linear classifier — all-integer weights from
+    // md5, so the margin matches bit-for-bit with no quantization
+    "q95_hash_classifier" ->
+      """SELECT doc_id, n_tokens, margin, margin > 0 AS keep FROM (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+               t -> (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 201) - 100)), 0)
+               AS BIGINT) AS margin
+           FROM documents)""",
+    // q96: KL numerator as a sum of longs — each term's ln is offset-
+    // quantized BEFORE the per-source sum (the q87 associativity dodge);
+    // the ln argument is one IEEE division of exact-long products
+    "q96_source_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st FROM t GROUP BY 1, 2),
+         tt AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+         srct AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM tt)
+         SELECT source, max(n_s) AS n_tokens, count(*) AS n_distinct_toks,
+           CAST(sum(n_st * CAST(floor(
+             ln(CAST(n_st * n_total AS DOUBLE) / (n_t * n_s)) * 10000 + 1.0/3)
+             AS BIGINT)) AS BIGINT) AS kl_q
+         FROM st JOIN tt USING (tok) JOIN srct USING (source), tot
+         GROUP BY source""",
+    // q97: bigrams from adjacent-position self-join (the oracle twin of
+    // the engine's array-tail zip); counts and KN continuation counts are
+    // exact integers, p_cont is one long/long IEEE division
+    "q97_bigram_stats" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         p AS (SELECT a.tok AS w1, b.tok AS w2
+               FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         counts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+         fert AS (SELECT w1, CAST(count(*) AS BIGINT) AS fert_w1 FROM counts GROUP BY 1),
+         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont_w2 FROM counts GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM counts),
+         top AS (SELECT * FROM counts ORDER BY c DESC, w1, w2 LIMIT 30)
+         SELECT w1, w2, c, fert_w1, cont_w2, cont_w2 / n_bigrams AS p_cont
+         FROM top JOIN fert USING (w1) JOIN cont USING (w2), tot""",
+    // q98: PQ encode — sub-distances are fixed-order IEEE sums (argmin
+    // needs no quantization, ties break to the min code); only the
+    // reported distance is offset-quantized
+    "q98_pq_encode" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         cb AS (SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 8),
+         sd AS (
+           SELECT e.vec_id, s.s AS sub, cb.code,
+             list_reduce(list_transform(range(0, 8), d ->
+               (e.emb[CAST(s.s*8 + d + 1 AS INT)] - cb.cemb[CAST(s.s*8 + d + 1 AS INT)])
+               * (e.emb[CAST(s.s*8 + d + 1 AS INT)] - cb.cemb[CAST(s.s*8 + d + 1 AS INT)])),
+               (a, b) -> a + b) AS dist
+           FROM e, range(8) s(s), cb),
+         r AS (SELECT vec_id, sub, code, dist,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist ASC, code ASC) AS rk
+               FROM sd)
+         SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+           CAST(floor(dist * 1000000 + 1.0/3) AS BIGINT) AS dist_q
+         FROM r WHERE rk = 1""",
   )
 }

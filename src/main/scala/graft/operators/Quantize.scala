@@ -86,6 +86,53 @@ object Quantize {
         ($"xq_sum" / 1e6 / $"n_members").as("centroid"))
   }
 
+  /** q98: product-quantization (PQ) encoding — the storage format of an
+    * IVF-PQ vector index (the q38 coarse quantizer's residual stage): the
+    * 64-dim vector splits into m = 8 subspaces of 8 dims; each sub-vector
+    * maps to the nearest of 8 codebook entries (sub-vectors of the first
+    * 8 collection vectors — deterministic, so the oracle reproduces them;
+    * production swaps in per-subspace k-means codes without changing the
+    * plan). 64 floats become 8 3-bit codes; asymmetric-distance search
+    * then scans codes with per-subspace lookup tables instead of raw
+    * vectors.
+    *
+    * Engine portability: each sub-distance is a FIXED left-to-right sum
+    * of 8 squared diffs of exact float->double widenings — bit-identical
+    * IEEE doubles on both engines — so the argmin (min-code tie-break)
+    * needs no quantization; only the REPORTED distance is offset-
+    * quantized (floor(x·1e6 + 1/3)).
+    *
+    * Scale shape: the codebook is m·8 literal sub-vectors (collected once,
+    * k-bounded like kmeansStep); encoding is one map-only projection —
+    * zero shuffles, output one row per (vector, subspace). */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 8; val subDim = 8; val k = 8
+    val e = Tables.rebalance(spark, dir, "embeddings",
+        Tables.embeddings(spark, dir), $"vec_id")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+    val codebook: Array[(Long, Array[Double])] =
+      e.where($"vec_id" < k).as[(Long, Array[Double])].collect().sortBy(_._1)
+    // per (subspace, code): distance = ((x_0-c_0)² + x_1... left-to-right;
+    // argmin via array_min over struct(dist, code) — smallest dist, then
+    // smallest code id on exact ties
+    def subDist(s: Int, cemb: Array[Double]): Column =
+      (0 until subDim).map { d =>
+        val i = s * subDim + d
+        val diff = $"emb".getItem(i) - cemb(i)
+        diff * diff
+      }.reduce(_ + _)
+    val rows = (0 until m).map { s =>
+      val best = array_min(array(codebook.map { case (id, cemb) =>
+        struct(subDist(s, cemb).as("dist"), lit(id).as("code"))
+      }: _*))
+      struct(lit(s.toLong).as("sub"), best.getField("code").as("code"),
+        floor(best.getField("dist") * 1e6 + lit(1.0 / 3)).cast("long").as("dist_q"))
+    }
+    e.select($"vec_id", explode(array(rows: _*)).as("r"))
+      .select($"vec_id", $"r.sub".as("sub"), $"r.code".as("code"), $"r.dist_q".as("dist_q"))
+  }
+
   /** q92: the d×d Gram matrix XᵀX over the embedding collection — the
     * second-moment statistics an embedding pipeline computes before
     * whitening / PCA (which in turn trains the IVF coarse quantizer and

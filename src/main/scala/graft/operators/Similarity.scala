@@ -130,6 +130,49 @@ object Similarity {
     topk(scored, 3)
   }
 
+  /** q94: SemDeDup-style semantic deduplication — cluster the embedding
+    * collection with a coarse codebook, then mark a vector a duplicate iff
+    * an EARLIER (lower vec_id) vector in the SAME cell has cosine >= 0.35.
+    * The greedy-by-id rule is the published SemDeDup decision (keep one
+    * representative per semantic neighborhood) and, unlike the q62 CC
+    * fixpoint, needs no iteration: the verdict is a single within-cell
+    * semi-aggregation.
+    *
+    * Scale shape: assignment is map-only (the codebook ships as literals,
+    * argmax = one struct-max over k codegen'd dots — kmeansStep's
+    * pattern); pair enumeration is an equality join on `cell`, so work is
+    * sum(cell²) not corpus² — at 100 TB the codebook grows (k ~ sqrt(N))
+    * so cells stay bounded, and the cell join partitions cleanly.
+    * Per-vector verdict = one partial-agged groupBy on the later id. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.rebalance(spark, dir, "embeddings",
+        Tables.embeddings(spark, dir), $"vec_id")
+      .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val cents: Array[(Long, Array[Float], Double)] =
+      e.where($"vec_id" < 8).as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    // argmax by cosine, min-cent_id tie-break: max over struct(cos, -id)
+    val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
+      struct((VectorOps.dot($"embedding", lit(cemb.map(_.toDouble))) / ($"nrm" * cnrm)).as("c"),
+        lit(-id).as("nid"))
+    }: _*)
+    val assigned = e.select($"vec_id", $"embedding", $"nrm",
+      (-array_max(scoredCells).getField("nid")).as("cell"))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .select($"b.vec_id".as("vec_id"),
+        (VectorOps.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .where($"cos" >= 0.35)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_earlier_dups"),
+        floor(max($"cos") * 1e6 + lit(1.0 / 3)).cast("long").as("max_cos_q"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        coalesce($"n_earlier_dups", lit(0L)).as("n_earlier_dups"),
+        coalesce($"max_cos_q", lit(-2000000L)).as("max_cos_q"),
+        $"n_earlier_dups".isNull.as("kept"))
+  }
+
   /** Signed-random-projection LSH ANN, MULTI-TABLE + MULTI-PROBE: L=4
     * independent tables of 8 fixed hyperplanes each (32 planes total)
     * give four 8-bit buckets per vector in a single codegen'd projection

@@ -231,6 +231,103 @@ object TextAnalysis {
       .withColumn("mean_surprisal_q", $"surprisal_q" / $"n_tokens")
   }
 
+  /** q95: hashed-feature linear quality classifier — the model-based
+    * filter step (fastText-style) of a curation pipeline, with the
+    * hashing trick standing in for a learned vocabulary: each token maps
+    * straight to an integer weight w(t) = (int(md5(t)[0:8]) mod 201) - 100
+    * and the document's margin is the sum of its token weights. A real
+    * deployment drops in trained weights keyed by the same hash buckets
+    * WITHOUT changing the plan — the operator is the plumbing (feature
+    * hashing + broadcast-free linear scoring), not the model.
+    *
+    * Scale shape: margin is a per-row fold over the token array — ZERO
+    * shuffles, the corpus is scored in one map pass. All-integer
+    * arithmetic: no quantization gate needed, the oracle matches
+    * bit-for-bit. */
+  def hashClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val w = (c: Column) =>
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 201 - 100
+    // interpreted per-token fold (md5 per token) — widen the doc scan
+    TextOps.docsParallel(spark, dir).select(
+      $"doc_id",
+      size(t).cast("long").as("n_tokens"),
+      aggregate(transform(t, w), lit(0L), (acc, x) => acc + x).as("margin"))
+      .withColumn("keep", $"margin" > 0)
+  }
+
+  /** q96: per-source token-distribution divergence — the data-mixing
+    * diagnostic that flags a source whose unigram distribution drifts
+    * from the corpus: KL(P_source || P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)).
+    *
+    * Engine portability: every probability is an exact integer ratio, the
+    * ln argument is ONE IEEE division of exact-long products (bounded:
+    * n_st·N <= N² ~ 10¹² at sf0.1, far inside long), the ln is
+    * offset-quantized to a long per TERM (floor(x·1e4 + 1/3), the
+    * q36/q87 argument) and the reported divergence numerator
+    * Σ n_st·lnq_t is a SUM OF LONGS — exact under any shuffle order.
+    * kl_q ≈ KL · N_s · 1e4.
+    *
+    * Scale shape: one (source, token) partial-agged shuffle; corpus token
+    * totals derive FROM that relation (second, vocabulary-sized shuffle);
+    * the one-row corpus total broadcasts; the final agg outputs
+    * |sources| rows. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = TextOps.docsParallel(spark, dir)
+      .select($"source", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n_st"))
+    val tokTot = st.groupBy($"tok").agg(sum($"n_st").as("n_t"))
+    val srcTot = st.groupBy($"source").agg(sum($"n_st").as("n_s"))
+    val total = tokTot.agg(sum($"n_t").as("n_total"))
+    val lnq = floor(
+      log(($"n_st" * $"n_total").cast("double") / ($"n_t" * $"n_s"))
+        * 10000 + lit(1.0 / 3)).cast("long")
+    st.join(tokTot, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(total))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"),
+        count(lit(1)).as("n_distinct_toks"),
+        sum($"n_st" * lnq).as("kl_q"))
+  }
+
+  /** q97: bigram statistics with Kneser-Ney continuation counts — the
+    * count pass of n-gram LM estimation / tokenizer-merge scoring: for the
+    * top-30 word bigrams, the raw count c(w1,w2), the fertility
+    * N1+(w1,·) (distinct successors of w1), the continuation count
+    * N1+(·,w2) (distinct predecessors of w2 — KN's replacement for raw
+    * unigram counts), and the continuation probability
+    * p_cont(w2) = N1+(·,w2) / |distinct bigrams|.
+    *
+    * Scale shape: bigrams come from a zip of the token array with its
+    * own tail (map-side, no positional self-join); one (w1,w2)
+    * partial-agged shuffle bounded by the distinct-bigram space; fertility
+    * and continuation are vocabulary-sized aggs OVER that relation; the
+    * top-30 is a TakeOrderedAndProject and the stat joins probe it with
+    * broadcasts. p_cont is long/long -> one IEEE division, exact. */
+  def bigramStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val pairs = TextOps.docsParallel(spark, dir)
+      .select(explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val counts = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val fert = counts.groupBy($"w1").agg(count(lit(1)).as("fert_w1"))
+    val cont = counts.groupBy($"w2").agg(count(lit(1)).as("cont_w2"))
+    val totalBigrams = counts.agg(count(lit(1)).as("n_bigrams"))
+    counts.orderBy($"c".desc, $"w1".asc, $"w2".asc).limit(30)
+      .join(broadcast(fert), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(totalBigrams))
+      .select($"w1", $"w2", $"c", $"fert_w1", $"cont_w2",
+        ($"cont_w2" / $"n_bigrams").as("p_cont"))
+  }
+
   /** q85: adjacent-symbol pair counting — the inner loop of BPE tokenizer
     * training (count all within-token character bigrams over the corpus,
     * rank by frequency; the top pair is the next merge). At 100 TB the

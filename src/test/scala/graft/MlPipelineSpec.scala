@@ -1,0 +1,142 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantize, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Specs for the round-5 ML-pipeline operators: SemDeDup semantic
+  * deduplication (q94), hashed-feature linear classification (q95),
+  * per-source KL divergence (q96), Kneser-Ney bigram statistics (q97),
+  * and product-quantization encoding (q98). Brute-force driver-side
+  * models run on collected sf0.001 data (500 docs / 500 vectors).
+  */
+class MlPipelineSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // driver-side model of the embedding collection: (id, emb, nrm)
+  private lazy val vectors: Array[(Long, Array[Double], Double)] = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        val d = e.map(_.toDouble)
+        var acc = 0.0; var i = 0
+        while (i < d.length) { acc += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(acc))
+      }.sortBy(_._1)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  test("q94 semanticDedup matches the brute-force greedy-by-id SemDeDup model") {
+    import spark.implicits._
+    val cents = vectors.filter(_._1 < 8)
+    // model: cell = cosine argmax (min cent_id on exact ties)
+    val cellOf = vectors.map { case (id, e, n) =>
+      val best = cents.map { case (cid, ce, cn) => (dot(e, ce) / (n * cn), cid) }
+        .reduceLeft((x, y) => if (y._1 > x._1) y else x) // strict: first max wins = min id
+      id -> best._2
+    }.toMap
+    val byId = vectors.map(v => v._1 -> v).toMap
+    val model = vectors.map { case (id, e, n) =>
+      val earlier = vectors.filter(v => v._1 < id && cellOf(v._1) == cellOf(id))
+        .map { case (_, ae, an) => dot(ae, e) / (an * n) }
+        .filter(_ >= 0.35)
+      (id, cellOf(id), earlier.length.toLong, earlier.isEmpty)
+    }.toSeq
+    val got = Similarity.semanticDedup(spark, sfDir)
+      .select($"vec_id", $"cell", $"n_earlier_dups", $"kept")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === model)
+    // the collection must not be trivially all-kept at this threshold
+    assert(got.count(!_._4) > 0)
+  }
+
+  test("q95 hashClassifier margin matches the md5-weight model on every doc") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val model = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1) // Spark split keeps trailing empties
+      val m = toks.map(t =>
+        java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) % 201 - 100).sum
+      id -> m
+    }.toMap
+    val got = TextAnalysis.hashClassifier(spark, sfDir)
+      .select($"doc_id", $"margin", $"keep").as[(Long, Long, Boolean)].collect()
+    assert(got.length === docs.length)
+    got.foreach { case (id, m, k) =>
+      assert(m === model(id), s"doc $id")
+      assert(k === (m > 0))
+    }
+  }
+
+  test("q96 sourceKl: token totals partition the corpus; quantized KL respects Gibbs' bound") {
+    import spark.implicits._
+    val rows = TextAnalysis.sourceKl(spark, sfDir)
+      .select($"source", $"n_tokens", $"n_distinct_toks", $"kl_q")
+      .as[(String, Long, Long, Long)].collect()
+    val corpusTokens = Tables.documents(spark, sfDir)
+      .select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(rows.map(_._2).sum === corpusTokens)
+    rows.foreach { case (src, nTok, nDist, klq) =>
+      assert(nDist > 0 && nDist <= nTok, src)
+      // KL >= 0 exactly; each term's floor-quantization subtracts < 1,
+      // scaled by n_st, so the long numerator stays above -n_tokens
+      assert(klq > -nTok, s"$src kl_q=$klq")
+    }
+  }
+
+  test("q97 bigramStats matches the brute-force bigram/continuation model") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"text").as[String].collect()
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { text =>
+      val t = text.split(" ", -1)
+      var i = 0
+      while (i < t.length - 1) {
+        counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + 1
+        i += 1
+      }
+    }
+    val fert = counts.keys.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+    val cont = counts.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val total = counts.size.toLong
+    val expect = counts.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(30)
+      .map { case ((w1, w2), c) =>
+        (w1, w2, c, fert(w1), cont(w2), cont(w2).toDouble / total)
+      }
+    val got = TextAnalysis.bigramStats(spark, sfDir)
+      .select($"w1", $"w2", $"c", $"fert_w1", $"cont_w2", $"p_cont")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .sortBy { case (w1, w2, c, _, _, _) => (-c, w1, w2) }.toSeq
+    assert(got === expect)
+  }
+
+  test("q98 pqEncode: codebook vectors are fixed points; one code per (vector, subspace)") {
+    import spark.implicits._
+    val rows = Quantize.pqEncode(spark, sfDir)
+      .select($"vec_id", $"sub", $"code", $"dist_q")
+      .as[(Long, Long, Long, Long)].collect()
+    val nVec = vectors.length
+    assert(rows.length === nVec * 8)
+    assert(rows.map(r => (r._1, r._2)).distinct.length === nVec * 8)
+    rows.foreach { case (v, s, c, dq) =>
+      assert(s >= 0 && s < 8 && c >= 0 && c < 8, s"vec $v")
+      assert(dq >= 0, s"vec $v sub $s") // squared distance can't go negative
+      if (v < 8) assert(c === v && dq === 0L, s"codebook vec $v sub $s -> code $c dist $dq")
+    }
+  }
+}

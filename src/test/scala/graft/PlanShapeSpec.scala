@@ -274,4 +274,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("HashAggregate"), plan)
   }
+
+  test("q95 hash-classifier scoring is map-only: no join, no agg shuffle") {
+    val plan = finalPlan(graft.operators.TextAnalysis.hashClassifier(spark, sfDir))
+    // margin = per-row fold over the token array; the only Exchange
+    // allowed is the conditional docsParallel scan rebalance
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q94 semantic dedup blocks on cell equality: hash join, never a nested-loop product") {
+    val plan = finalPlan(graft.operators.Similarity.semanticDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // codebook assignment is literal-argmax map work — no join for it
+    assert(plan.contains("graft_dot"), plan)
+  }
+
+  test("q98 PQ encoding is map-only off literal codebooks") {
+    val plan = finalPlan(graft.operators.Quantize.pqEncode(spark, sfDir))
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan) // scan rebalance only
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
