@@ -1507,19 +1507,26 @@ object SparkEntry {
          top AS (SELECT * FROM counts ORDER BY c DESC, w1, w2 LIMIT 30)
          SELECT w1, w2, c, fert_w1, cont_w2, cont_w2 / n_bigrams AS p_cont
          FROM top JOIN fert USING (w1) JOIN cont USING (w2), tot""",
-    // q98: PQ encode — sub-distances are fixed-order IEEE sums (argmin
-    // needs no quantization, ties break to the min code); only the
-    // reported distance is offset-quantized
+    // q98: PQ encode — dist = (‖x‖² − 2·x·c) + ‖c‖², every term a fixed
+    // left-to-right IEEE sum matching the engine's native dot kernel
+    // (argmin needs no quantization, ties break to the min code); only
+    // the reported distance is offset-quantized
     "q98_pq_encode" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                     FROM embeddings),
          cb AS (SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 8),
          sd AS (
            SELECT e.vec_id, s.s AS sub, cb.code,
-             list_reduce(list_transform(range(0, 8), d ->
-               (e.emb[CAST(s.s*8 + d + 1 AS INT)] - cb.cemb[CAST(s.s*8 + d + 1 AS INT)])
-               * (e.emb[CAST(s.s*8 + d + 1 AS INT)] - cb.cemb[CAST(s.s*8 + d + 1 AS INT)])),
-               (a, b) -> a + b) AS dist
+             (list_reduce(list_transform(
+                 e.emb[CAST(s.s*8+1 AS INT):CAST(s.s*8+8 AS INT)], x -> x*x),
+                 (a, b) -> a + b)
+              - 2.0 * list_reduce(list_transform(
+                  e.emb[CAST(s.s*8+1 AS INT):CAST(s.s*8+8 AS INT)],
+                  (x, i) -> x * cb.cemb[CAST(s.s*8 + i AS INT)]),
+                  (a, b) -> a + b))
+             + list_reduce(list_transform(
+                 cb.cemb[CAST(s.s*8+1 AS INT):CAST(s.s*8+8 AS INT)], x -> x*x),
+                 (a, b) -> a + b) AS dist
            FROM e, range(8) s(s), cb),
          r AS (SELECT vec_id, sub, code, dist,
                  row_number() OVER (PARTITION BY vec_id, sub

@@ -96,11 +96,16 @@ object Quantize {
     * then scans codes with per-subspace lookup tables instead of raw
     * vectors.
     *
-    * Engine portability: each sub-distance is a FIXED left-to-right sum
-    * of 8 squared diffs of exact float->double widenings — bit-identical
-    * IEEE doubles on both engines — so the argmin (min-code tie-break)
-    * needs no quantization; only the REPORTED distance is offset-
-    * quantized (floor(x·1e6 + 1/3)).
+    * Engine portability: the sub-distance is computed as
+    * (‖x‖² − 2·x·c) + ‖c‖² — three fixed-order dot products (the native
+    * codegen'd kernel on the subspace slice; a per-dimension (x−c)²
+    * expansion was a ~2,500-node expression tree that blew the codegen
+    * method limit and fell back to slow interpreted eval). Every term is
+    * the same left-to-right IEEE sum on both engines, so the argmin
+    * (min-code tie-break) needs no quantization; only the REPORTED
+    * distance is offset-quantized (floor(x·1e6 + 1/3)). A codebook
+    * sub-vector encodes to itself at exactly 0.0: its x·c and ‖c‖² are
+    * the SAME left-to-right sum as ‖x‖², so the algebra cancels exactly.
     *
     * Scale shape: the codebook is m·8 literal sub-vectors (collected once,
     * k-bounded like kmeansStep); encoding is one map-only projection —
@@ -110,27 +115,30 @@ object Quantize {
     val m = 8; val subDim = 8; val k = 8
     val e = Tables.rebalance(spark, dir, "embeddings",
         Tables.embeddings(spark, dir), $"vec_id")
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+      .select($"vec_id", $"embedding")
     val codebook: Array[(Long, Array[Double])] =
-      e.where($"vec_id" < k).as[(Long, Array[Double])].collect().sortBy(_._1)
-    // per (subspace, code): distance = ((x_0-c_0)² + x_1... left-to-right;
-    // argmin via array_min over struct(dist, code) — smallest dist, then
-    // smallest code id on exact ties
-    def subDist(s: Int, cemb: Array[Double]): Column =
-      (0 until subDim).map { d =>
-        val i = s * subDim + d
-        val diff = $"emb".getItem(i) - cemb(i)
-        diff * diff
-      }.reduce(_ + _)
-    val rows = (0 until m).map { s =>
-      val best = array_min(array(codebook.map { case (id, cemb) =>
-        struct(subDist(s, cemb).as("dist"), lit(id).as("code"))
-      }: _*))
-      struct(lit(s.toLong).as("sub"), best.getField("code").as("code"),
+      e.where($"vec_id" < k).as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, a) => (id, a.map(_.toDouble)) }
+    // explode the 8 subspace slices FIRST, then score each (vector, sub)
+    // row with ONE ‖x‖² dot + k codebook dots against nested-literal
+    // sub-vectors — the flat per-sub form repeated the ‖x‖² subtree k·m
+    // times (a ~2,500-node tree, codegen fell back to interpreted eval)
+    val withSub = e.select($"vec_id",
+      posexplode(array((0 until m).map(s =>
+        slice($"embedding", s * subDim + 1, subDim)): _*)).as(Seq("sub", "sl")))
+    val sxx = VectorOps.dot($"sl", $"sl")
+    val best = array_min(array(codebook.map { case (id, cemb) =>
+      val subs: Seq[Seq[Double]] =
+        (0 until m).map(s => cemb.slice(s * subDim, s * subDim + subDim).toSeq)
+      // ‖c_s‖² per subspace, summed left-to-right (the oracle's order)
+      val sccs: Seq[Double] = subs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+      val dist = (sxx - lit(2.0) * VectorOps.dot($"sl", element_at(typedLit(subs), $"sub" + 1)))
+        .+(element_at(typedLit(sccs), $"sub" + 1))
+      struct(dist.as("dist"), lit(id).as("code"))
+    }: _*))
+    withSub.select($"vec_id", $"sub".cast("long").as("sub"),
+        best.getField("code").as("code"),
         floor(best.getField("dist") * 1e6 + lit(1.0 / 3)).cast("long").as("dist_q"))
-    }
-    e.select($"vec_id", explode(array(rows: _*)).as("r"))
-      .select($"vec_id", $"r.sub".as("sub"), $"r.code".as("code"), $"r.dist_q".as("dist_q"))
   }
 
   /** q92: the d×d Gram matrix XᵀX over the embedding collection — the
