@@ -118,6 +118,7 @@ object SparkEntry {
     "q96_source_kl"         -> (TextAnalysis.sourceKl _),
     "q97_bigram_stats"      -> (TextAnalysis.bigramStats _),
     "q98_pq_encode"         -> (Quantize.pqEncode _),
+    "q99_pca_project"       -> (Quantize.pcaProject _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1535,5 +1536,50 @@ object SparkEntry {
          SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
            CAST(floor(dist * 1000000 + 1.0/3) AS BIGINT) AS dist_q
          FROM r WHERE rk = 1""",
+    // q99: integer-exact end to end — q92's quantized Gram, 4 power
+    // steps renormalized to the 1e6 grid with trunc-toward-zero (the
+    // CASE emulates trunc over // floor division; sums promote to
+    // HUGEINT so nothing overflows), long projection sums
+    "q99_pca_project" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         x AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS vi
+               FROM e),
+         g0 AS (SELECT a.i AS i, b.i AS j,
+                  CAST(sum(CAST(floor(a.vi * b.vi * 1000000 + 1.0/3) AS BIGINT)) AS BIGINT) AS g
+                FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+                GROUP BY 1, 2),
+         g AS (SELECT i, j, g FROM g0
+               UNION ALL
+               SELECT j AS i, i AS j, g FROM g0 WHERE i < j),
+         w0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS w FROM g),
+         v1 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * w0.w) AS v
+                FROM g JOIN w0 ON w0.i = g.j GROUP BY g.i),
+         m1 AS (SELECT max(abs(v)) AS mx FROM v1),
+         w1 AS (SELECT i, CAST(CASE WHEN v >= 0 THEN (v * 1000000) // mx
+                                    ELSE -(((-v) * 1000000) // mx) END AS BIGINT) AS w
+                FROM v1, m1),
+         v2 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * w1.w) AS v
+                FROM g JOIN w1 ON w1.i = g.j GROUP BY g.i),
+         m2 AS (SELECT max(abs(v)) AS mx FROM v2),
+         w2 AS (SELECT i, CAST(CASE WHEN v >= 0 THEN (v * 1000000) // mx
+                                    ELSE -(((-v) * 1000000) // mx) END AS BIGINT) AS w
+                FROM v2, m2),
+         v3 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * w2.w) AS v
+                FROM g JOIN w2 ON w2.i = g.j GROUP BY g.i),
+         m3 AS (SELECT max(abs(v)) AS mx FROM v3),
+         w3 AS (SELECT i, CAST(CASE WHEN v >= 0 THEN (v * 1000000) // mx
+                                    ELSE -(((-v) * 1000000) // mx) END AS BIGINT) AS w
+                FROM v3, m3),
+         v4 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * w3.w) AS v
+                FROM g JOIN w3 ON w3.i = g.j GROUP BY g.i),
+         m4 AS (SELECT max(abs(v)) AS mx FROM v4),
+         w4 AS (SELECT i, CAST(CASE WHEN v >= 0 THEN (v * 1000000) // mx
+                                    ELSE -(((-v) * 1000000) // mx) END AS BIGINT) AS w
+                FROM v4, m4),
+         xq AS (SELECT vec_id, i, CAST(floor(vi * 1000000) AS BIGINT) AS xq FROM x)
+         SELECT vec_id, CAST(sum(xq.xq * w4.w) AS BIGINT) AS proj_q
+         FROM xq JOIN w4 USING (i)
+         GROUP BY 1""",
   )
 }

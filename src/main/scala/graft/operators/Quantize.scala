@@ -141,6 +141,57 @@ object Quantize {
         floor(best.getField("dist") * 1e6 + lit(1.0 / 3)).cast("long").as("dist_q"))
   }
 
+  /** q99: leading-component projection — the whitening/PCA step that
+    * CONSUMES q92's Gram matrix: K = 4 power-iteration steps on the PSD
+    * second-moment matrix, renormalized to a 1e6 integer grid between
+    * steps, then every vector projects onto the resulting direction. The
+    * dimensionality-reduction front door of an embedding pipeline (OPQ
+    * rotations, PCA-before-IVF, energy compaction diagnostics); each
+    * step provably increases the direction's Rayleigh quotient, and the
+    * convergence RATE is the data's spectral gap — a production run
+    * picks K accordingly (the synthetic corpus is near-isotropic, so K
+    * here demonstrates the mechanism, which is what the spec gates).
+    *
+    * Engine portability: integer-exact end to end — the Gram is q92's
+    * offset-quantized longs, each iteration is Σ G_ij·w_j in exact
+    * integers (≤ 10¹⁷ at sf0.1, inside BIGINT; the 1e6 renorm runs in
+    * 128-bit), the grid renorm truncates toward zero (BigInt `/`; the
+    * oracle emulates trunc with a sign CASE around `//` floor division),
+    * and the projection Σ floor(xᵢ·1e6)·wᵢ is a sum of longs, order-free
+    * under shuffle.
+    *
+    * Scale shape: the Gram collect is d(d+1)/2 rows — bounded by the
+    * DIMENSION, never the collection (the codebook-collect pattern of
+    * kmeansStep/pqEncode); the iteration is O(K·d²) driver math; the
+    * projection is one map-only pass with the direction as a literal.
+    * At 100 TB only the Gram aggregation (already partial-agged, q92)
+    * touches the data. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gramRows = embedGram(spark, dir)
+      .select($"i", $"j", $"gram_q").as[(Long, Long, Long)].collect()
+    val d = gramRows.iterator.map(_._2).max.toInt + 1
+    val g = Array.ofDim[Long](d, d)
+    gramRows.foreach { case (i, j, v) => g(i.toInt)(j.toInt) = v; g(j.toInt)(i.toInt) = v }
+    // w_0 = ones on the 1e6 grid; K renormalized integer power steps
+    var w: Array[BigInt] = Array.fill(d)(BigInt(1000000))
+    (0 until 4).foreach { _ =>
+      val v = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(BigInt(0))((a, j) => a + BigInt(g(i)(j)) * w(j)))
+      val mx = v.map(_.abs).max
+      require(mx.signum > 0, "degenerate Gram matrix: zero second moment")
+      w = v.map(x => (x * 1000000) / mx) // BigInt / truncates toward zero
+    }
+    val wLit: Seq[Long] = w.map(_.toLong).toSeq
+    Tables.rebalance(spark, dir, "embeddings",
+        Tables.embeddings(spark, dir), $"vec_id")
+      .select($"vec_id",
+        aggregate(
+          zip_with($"embedding", typedLit(wLit),
+            (x, wi) => floor(x.cast("double") * 1e6).cast("long") * wi),
+          lit(0L), (acc, p) => acc + p).as("proj_q"))
+  }
+
   /** q92: the d×d Gram matrix XᵀX over the embedding collection — the
     * second-moment statistics an embedding pipeline computes before
     * whitening / PCA (which in turn trains the IVF coarse quantizer and

@@ -125,6 +125,47 @@ class MlPipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q99 pcaProject: integer pipeline tracks the double model; Rayleigh quotient rises") {
+    import spark.implicits._
+    // independent double-precision model of the SAME K=4 renormalized
+    // power iterations on the raw (unquantized) Gram matrix — verifies
+    // the integer/quantization discipline, which is the operator's
+    // engineering content (convergence RATE is the data's spectral gap;
+    // this synthetic corpus is near-isotropic)
+    val d = vectors.head._2.length
+    val gram = Array.ofDim[Double](d, d)
+    vectors.foreach { case (_, e, _) =>
+      var i = 0
+      while (i < d) { var j = 0; while (j < d) { gram(i)(j) += e(i) * e(j); j += 1 }; i += 1 }
+    }
+    def step(u: Array[Double]): Array[Double] = {
+      val nu = Array.tabulate(d)(i => (0 until d).map(j => gram(i)(j) * u(j)).sum)
+      val mx = nu.map(math.abs).max
+      nu.map(_ / mx)
+    }
+    def rayleigh(u: Array[Double]): Double = {
+      val gu = Array.tabulate(d)(i => (0 until d).map(j => gram(i)(j) * u(j)).sum)
+      (0 until d).map(i => u(i) * gu(i)).sum / (0 until d).map(i => u(i) * u(i)).sum
+    }
+    val w0 = Array.fill(d)(1.0)
+    val w4 = (0 until 4).foldLeft(w0)((u, _) => step(u))
+    val expected = vectors.map { case (id, e, _) => id -> dot(e, w4) }.toMap
+    val got = Quantize.pcaProject(spark, sfDir)
+      .select($"vec_id", $"proj_q").as[(Long, Long)].collect()
+    assert(got.length === vectors.length)
+    val xs = got.map(_._2.toDouble)
+    val ys = got.map(r => expected(r._1))
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum * b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    assert(math.abs(corr(xs, ys)) > 0.999, s"corr=${corr(xs, ys)}")
+    // power iteration provably increases the Rayleigh quotient on a PSD
+    // matrix — guaranteed regardless of the spectrum
+    assert(rayleigh(w4) > rayleigh(w0), s"R4=${rayleigh(w4)} R0=${rayleigh(w0)}")
+  }
+
   test("q98 pqEncode: codebook vectors are fixed points; one code per (vector, subspace)") {
     import spark.implicits._
     val rows = Quantize.pqEncode(spark, sfDir)

@@ -300,4 +300,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q99 PCA projection is map-only off the literal eigenvector") {
+    // the Gram aggregation runs eagerly (d²-bounded collect); the
+    // RETURNED plan — what touches the corpus again — must be one
+    // map pass with w as a literal
+    val plan = finalPlan(graft.operators.Quantize.pcaProject(spark, sfDir))
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan) // scan rebalance only
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
