@@ -43,7 +43,7 @@ object ScaleSmoke {
   // other, cos ~ 1), so its ratio reads as pair volume, not plan shape
   private val EMB_QUERIES = Seq("q29_ann_brute", "q30_lsh_ann",
     "q37_cosine_neardup", "q38_ivf_ann", "q67_embed_quant", "q68_kmeans_step",
-    "q92_embed_gram")
+    "q92_embed_gram", "q94_semantic_dedup", "q98_pq_encode", "q99_pca_project")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while
