@@ -119,6 +119,8 @@ object SparkEntry {
     "q97_bigram_stats"      -> (TextAnalysis.bigramStats _),
     "q98_pq_encode"         -> (Quantize.pqEncode _),
     "q99_pca_project"       -> (Quantize.pcaProject _),
+    "q100_dup_spans"        -> (Dedup.dupSpans _),
+    "q101_priority_sample"  -> (Sampling.prioritySample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1581,5 +1583,43 @@ object SparkEntry {
          SELECT vec_id, CAST(sum(xq.xq * w4.w) AS BIGINT) AS proj_q
          FROM xq JOIN w4 USING (i)
          GROUP BY 1""",
+    // q100: duplicate-substring spans — 5-token windows present in >= 2
+    // distinct docs, merged per doc into maximal spans (gaps-and-islands
+    // on 1-based window positions). All integer arithmetic.
+    "q100_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(range(1, len(toks) - 3)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 3),
+               i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           FROM t WHERE len(toks) >= 5),
+         dup AS (SELECT sh FROM sh GROUP BY sh
+                 HAVING count(DISTINCT doc_id) >= 2),
+         hit AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (sh)),
+         isl AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+           FROM hit),
+         g AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM isl)
+         SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 4 AS span_end,
+           max(pos) + 5 - min(pos) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_windows
+         FROM g GROUP BY doc_id, grp""",
+    // q101: priority sampling (weighted, without replacement): priority
+    // u/w from the canonical md5 draw over doc length; k = 100 smallest
+    // win. int/int division IEEE-rounds identically in both engines.
+    "q101_priority_sample" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS draw
+         FROM documents
+         ORDER BY CAST(draw AS DOUBLE) / n_chars ASC, doc_id ASC
+         LIMIT 100""",
   )
 }

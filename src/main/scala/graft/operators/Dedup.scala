@@ -356,6 +356,58 @@ object Dedup {
         $"nrm2_a", $"nrm2_b")
   }
 
+  /** q100: exact duplicate-substring spans — the token-level counterpart
+    * of document-level dedup (the "dedup the substring, keep the doc"
+    * strategy for boilerplate and recycled passages). A 5-token window
+    * is DUPLICATED when its shingle occurs in >= 2 distinct documents;
+    * per document, overlapping-or-adjacent duplicated windows merge into
+    * maximal spans (gaps-and-islands: a window starting more than L
+    * tokens after its predecessor starts a new span). Output is the cut
+    * list `(doc_id, span_start, span_end)` in 1-based token coordinates
+    * — exactly what a removal pass consumes.
+    *
+    * Scale shape: the window relation is |tokens|-sized (bounded row
+    * multiplier, like every shingle op here); duplicated-shingle
+    * detection is a two-phase partial agg on (shingle, doc) rows; the
+    * hit join is a shuffle equi-join against the DISTINCT duplicated-
+    * shingle set (no fan-out — one match per posting row); span merging
+    * is one doc_id-partitioned window. No pairing step exists at all,
+    * so unlike similarity ops this is safe on pathologically repetitive
+    * corpora — cost stays linear in corpus tokens. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOn(TextOps.docsParallel(spark, dir), 5)
+
+  /** Testable core over any `(doc_id, text)` relation. */
+  private[graft] def dupSpansOn(docs: DataFrame, win: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pos = docs
+      .select($"doc_id", TextOps.toks($"text").as("toks"))
+      .where(size($"toks") >= win)
+      .select($"doc_id",
+        posexplode(graft.functions.TextHash.posShingles($"toks", win))
+          .as(Seq("pos0", "sh")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"sh")
+    val dup = pos.groupBy($"sh")
+      .agg(count_distinct($"doc_id").as("n_docs"))
+      .where($"n_docs" >= 2)
+      .select($"sh")
+    val hits = pos.join(dup, "sh").select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(w) <= win, 0L).otherwise(1L))
+      .withColumn("grp", sum($"brk").over(
+        Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (win - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_tokens"),
+        $"n_dup_windows")
+  }
+
   /** q86: exact edit-distance verification of the simhash survivors —
     * the last stage of the blocked-dedup funnel (block -> cheap hamming
     * filter -> exact verify on the few survivors). Levenshtein is O(nm)

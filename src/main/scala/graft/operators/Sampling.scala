@@ -199,6 +199,30 @@ object Sampling {
       .unionByName(keptBoundary)
   }
 
+  /** q101: weighted sampling without replacement via priority sampling
+    * (Duffield/Lund/Thorup): each doc draws priority u_i / w_i with
+    * u_i the canonical 32-bit content-hash draw and w_i = n_chars; the
+    * k = 100 SMALLEST priorities win, so inclusion probability is
+    * proportional to document length — the "sample tokens, not docs"
+    * correction every corpus subsampler needs. The draw is
+    * deterministic and reshard-stable (no rand()); the priority is one
+    * int/int division, which IEEE-rounds identically in every engine,
+    * and ties break on doc_id. Output columns are all integers.
+    *
+    * Scale shape: map-only scoring + a global top-k that compiles to
+    * TakeOrderedAndProject (per-partition k-heaps, k rows to the
+    * driver-side merge) — no global sort, no shuffle of the corpus. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        hash32("prio", $"doc_id").as("draw"))
+      .withColumn("priority", $"draw".cast("double") / $"n_chars")
+      .orderBy($"priority".asc, $"doc_id".asc)
+      .limit(100)
+      .select($"doc_id", $"lang", $"n_chars", $"draw")
+  }
+
   /** q54: deterministic k-per-group sampling — "3 random docs per source",
     * where random is the reproducible content-hash draw, realized as a
     * per-group top-k window (shuffles once on the group key; no rand()
