@@ -121,6 +121,8 @@ object SparkEntry {
     "q99_pca_project"       -> (Quantize.pcaProject _),
     "q100_dup_spans"        -> (Dedup.dupSpans _),
     "q101_priority_sample"  -> (Sampling.prioritySample _),
+    "q102_cms_heavy"        -> (TextAnalysis.cmsHeavyHitters _),
+    "q103_pagerank"         -> (Graph.pageRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1621,5 +1623,71 @@ object SparkEntry {
          FROM documents
          ORDER BY CAST(draw AS DOUBLE) / n_chars ASC, doc_id ASC
          LIMIT 100""",
+    // q102: count-min sketch (d=4, w=256) from fixed md5 seeds — the
+    // deterministic sketch, so estimates are engine-exact integers.
+    // Heavy = estimate clears total/200 (integer cross-multiply).
+    "q102_cms_heavy" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+         cm AS (
+           SELECT tok, cnt, j.j,
+             CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '#cms:' || tok), 1, 8)
+               AS BIGINT) % 256 AS cell
+           FROM tf, range(4) j(j)),
+         sk AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS c FROM cm GROUP BY 1, 2),
+         est AS (
+           SELECT cm.tok, min(sk.c) AS est, max(cm.cnt) AS true_cnt
+           FROM cm JOIN sk ON sk.j = cm.j AND sk.cell = cm.cell
+           GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS tot FROM tf)
+         SELECT tok, est, true_cnt FROM est, tot WHERE est * 200 >= tot""",
+    // q103: 5 unrolled PageRank rounds over the symmetrized q28 near-dup
+    // graph, all integer on a 1e6 scale: contribution r//deg, damping
+    // (85*s)//100 — identical longs in every engine.
+    "q103_pagerank" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b.band,
+                           (simhash // (1::BIGINT << (b.band * 8))) % 256 AS byte
+                    FROM sh, range(4) b(band)),
+         p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         r1 AS (SELECT e.dst AS node,
+                       CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                GROUP BY e.dst),
+         r2 AS (SELECT e.dst AS node,
+                       CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                GROUP BY e.dst),
+         r3 AS (SELECT e.dst AS node,
+                       CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                GROUP BY e.dst),
+         r4 AS (SELECT e.dst AS node,
+                       CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM e JOIN r3 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                GROUP BY e.dst),
+         r5 AS (SELECT e.dst AS node,
+                       CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM e JOIN r4 r ON r.node = e.src JOIN deg d ON d.src = e.src
+                GROUP BY e.dst)
+         SELECT node AS doc_id, r AS rank_q FROM r5""",
   )
 }

@@ -210,4 +210,48 @@ object Graph {
   def clusterKeepers(spark: SparkSession, dir: String): DataFrame =
     clusterKeepersFrom(dupClusters(spark, dir),
       TextAnalysis.qualityScore(spark, dir))
+
+  /** q103: PageRank over the near-dup graph — centrality as a dedup /
+    * curation signal (the most-connected member of a duplicate
+    * neighborhood is the canonical one; fringe members are candidates
+    * for dropping). Five fixed iterations of
+    * `r' = 0.15 + 0.85 * sum(r(u)/deg(u))`, computed ENTIRELY in
+    * integers on a 1e6 scale: per-node contribution is `r div deg`,
+    * damping is `(85 * s) div 100`, so every engine lands on identical
+    * longs — no float sum-order divergence, which is what normally
+    * makes iterative float algorithms un-gateable across engines.
+    *
+    * Scale shape: the edge list (symmetrized near-dup pairs) is
+    * computed once and localCheckpointed — the five rank joins reuse
+    * the materialized relation instead of re-running the simhash
+    * pipeline per round. Each round is one hash join (ranks ⋈ edges on
+    * src — ranks is |V|-sized, edges pre-shuffled) plus one partial-
+    * agged sum by dst. Rank state never exceeds one row per node. For
+    * web-scale graphs the loop would adopt q62's machinery (AQE-off
+    * cloned session, pointer-state checkpoint cadence); five rounds on
+    * a near-dup graph doesn't need it. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOn(Dedup.simhashPairs(spark, dir).select(
+      col("doc_a"), col("doc_b")))
+
+  /** Testable core over any undirected `(doc_a, doc_b)` pair relation. */
+  private[graft] def pageRankOn(pairs0: DataFrame): DataFrame = {
+    val spark = pairs0.sparkSession
+    import spark.implicits._
+    val pairs = pairs0
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint(false)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+    var ranks = deg.select($"src".as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      ranks = withDeg.join(ranks, $"node" === $"src")
+        .select($"dst", expr("r div deg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+        .select($"dst".as("node"),
+          expr("150000 + (85 * s) div 100").as("r"))
+    }
+    ranks.select($"node".as("doc_id"), $"r".as("rank_q"))
+  }
 }

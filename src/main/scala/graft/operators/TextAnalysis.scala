@@ -367,4 +367,40 @@ object TextAnalysis {
       .where($"rk" <= 3)
       .select($"doc_id", $"rk".cast("long").as("rk"), $"tok", $"tf", $"df")
   }
+
+  /** q102: count-min-sketch heavy hitters — the sketch family's
+    * deterministic member (unlike HLL, a CMS built from fixed hash
+    * seeds is bit-reproducible, so it oracle-gates exactly). A d=4 x
+    * w=256 sketch is built over the token stream; a token is reported
+    * heavy when its CMS ESTIMATE (min over the 4 row cells) clears
+    * total/200. True counts ride along to exhibit the one-sided error
+    * (est >= true always; the spec asserts it).
+    *
+    * Scale shape: the sketch is a partial-agged groupBy onto d*w = 1024
+    * cells — constant-size state per executor, then a 1024-row relation
+    * broadcast back to score candidates. At 100 TB the candidate set
+    * comes from a per-partition local top-k instead of the full vocab;
+    * here the vocab is small enough to score wholesale, which also
+    * makes the overestimate property checkable. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // row-j cell index of a token: first 32 md5 bits of "j#cms:tok" mod w
+    def cell(j: Column, tok: Column): Column =
+      conv(substring(md5(concat(j.cast("string"), lit("#cms:"), tok)), 1, 8),
+        16, 10).cast("long") % 256
+    val tf = TextOps.docsParallel(spark, dir)
+      .select(explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val cellMap = tf
+      .select($"tok", $"cnt", explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("cell", cell($"j", $"tok"))
+    val sketch = cellMap.groupBy($"j", $"cell").agg(sum($"cnt").as("c"))
+    val total = tf.agg(sum($"cnt").as("tot"))
+    cellMap.join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy($"tok")
+      .agg(min($"c").as("est"), max($"cnt").as("true_cnt"))
+      .crossJoin(broadcast(total))
+      .where($"est" * 200 >= $"tot")
+      .select($"tok", $"est", $"true_cnt")
+  }
 }
