@@ -123,6 +123,9 @@ object SparkEntry {
     "q101_priority_sample"  -> (Sampling.prioritySample _),
     "q102_cms_heavy"        -> (TextAnalysis.cmsHeavyHitters _),
     "q103_pagerank"         -> (Graph.pageRank _),
+    "q104_zorder_layout"    -> (Layout.zorderKeys _),
+    "q105_mad_outliers"     -> (Relational.madOutliers _),
+    "q106_margin_mining"    -> (Similarity.marginMining _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1689,5 +1692,78 @@ object SparkEntry {
                 FROM e JOIN r4 r ON r.node = e.src JOIN deg d ON d.src = e.src
                 GROUP BY e.dst)
          SELECT node AS doc_id, r AS rank_q FROM r5""",
+    // q104: 16-bit Morton interleave of (length band, hashed lang) —
+    // pure integer arithmetic, identical keys in every engine.
+    "q104_zorder_layout" ->
+      """WITH d AS (
+           SELECT doc_id,
+             least(n_chars // 4, 255) AS d_len,
+             CAST('0x' || substr(md5('zlang:' || lang), 1, 8) AS BIGINT) % 256 AS d_lang
+           FROM documents)
+         SELECT doc_id, d_len, d_lang,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             ((d_len // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1)) +
+             ((d_lang // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))))
+             AS BIGINT) AS zkey,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             ((d_len // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1)) +
+             ((d_lang // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))))
+             AS BIGINT) // 1024 AS file_id
+         FROM d""",
+    // q105: per-lang lower-median + MAD outliers — rank-select medians
+    // with doc_id tie-break, all integer comparisons.
+    "q105_mad_outliers" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+         r1 AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+                FROM d),
+         med AS (SELECT lang, n_chars AS med FROM r1 WHERE rn = (n + 1) // 2),
+         dev AS (SELECT d.doc_id, d.lang, d.n_chars, med.med,
+                   abs(d.n_chars - med.med) AS abs_dev
+                 FROM d JOIN med USING (lang)),
+         r2 AS (SELECT lang, abs_dev,
+                  row_number() OVER (PARTITION BY lang ORDER BY abs_dev, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+                FROM dev),
+         mad AS (SELECT lang, abs_dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad, dev.abs_dev
+         FROM dev JOIN mad USING (lang)
+         WHERE dev.abs_dev > mad.mad * 2""",
+    // q106: margin-criterion pair mining label-0 -> label-1; cosines
+    // accumulate left-to-right exactly as the native expressions, the
+    // margin combines rank-pivoted values in fixed order, then the
+    // offset-quantized floor.
+    "q106_margin_mining" ->
+      """WITH e AS (SELECT vec_id, label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, label, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b))
+                        AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM n
+               WHERE label = 0),
+         c AS (SELECT vec_id, emb, nrm FROM n WHERE label = 1),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
+                              (a, b) -> a + b) / (q.qnrm * c.nrm) AS cos
+           FROM c, q WHERE c.vec_id <> q.query_id),
+         rk AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rk
+                FROM scored),
+         p AS (SELECT query_id,
+                 max(CASE WHEN rk = 1 THEN vec_id END) AS neighbor_id,
+                 max(CASE WHEN rk = 1 THEN cos END) AS c1,
+                 max(CASE WHEN rk = 2 THEN cos END) AS c2,
+                 max(CASE WHEN rk = 3 THEN cos END) AS c3,
+                 max(CASE WHEN rk = 4 THEN cos END) AS c4
+               FROM rk WHERE rk <= 4 GROUP BY 1)
+         SELECT query_id, neighbor_id,
+           CAST(floor((c1 - (c2 + c3 + c4) / 3) * 10000 + 1.0/3) AS BIGINT) AS margin_q,
+           CAST(floor(c1 * 10000 + 1.0/3) AS BIGINT) AS cos_q
+         FROM p""",
   )
 }

@@ -758,6 +758,43 @@ object Relational {
         min($"n_chars").as("lo_chars"), max($"n_chars").as("hi_chars"))
   }
 
+  /** q105: robust outlier flags via median/MAD — the heavy-tail-safe
+    * alternative to q73's z-score (mean/std are dragged by the very
+    * outliers they're supposed to flag; the median absolute deviation
+    * is not). LOWER medians (element at rank (n+1) div 2 under a total
+    * order with doc_id tie-break), so every quantity is an INTEGER from
+    * the data — no interpolation, no floats, engine-exact. A doc is an
+    * outlier when |x - med| > 2 * MAD (integer cross-compare; 2x rather
+    * than the textbook 3x because integer MAD on a fairly uniform
+    * length distribution is wide — the multiplier is the caller's
+    * calibration knob, the machinery is the operator).
+    *
+    * Scale shape: two rank-select passes over the per-lang partitions
+    * (window sort by (value, doc_id), pick one row per group) — each is
+    * one shuffle on lang; the |langs|-row median tables broadcast back.
+    * An exact median fundamentally needs a per-group order; at extreme
+    * group sizes swap rank-select for a fixed-grid histogram median
+    * (the q93 bounded-histogram trick) without changing the contract. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy($"lang").orderBy(col(valueCol).asc, $"doc_id".asc)
+      val wn = Window.partitionBy($"lang")
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .where($"__rn" === expr("(__n + 1) div 2"))
+        .select($"lang", col(valueCol).as(outCol))
+    }
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"n_chars")
+    val med = lowerMedian(docs, "n_chars", "med")
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("abs_dev", abs($"n_chars" - $"med"))
+    val mad = lowerMedian(dev, "abs_dev", "mad")
+    dev.join(broadcast(mad), "lang")
+      .where($"abs_dev" > $"mad" * 2)
+      .select($"doc_id", $"lang", $"n_chars", $"med", $"mad", $"abs_dev")
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

@@ -228,4 +228,48 @@ object Similarity {
       .distinct()
     topk(scored, 3)
   }
+
+  /** q106: margin-based cross-collection pair mining (the bitext-mining
+    * scoring rule from the public margin-criterion literature: a match
+    * is trusted when its cosine clears the LOCAL neighborhood level,
+    * not an absolute threshold — absolute cosine is miscalibrated
+    * across queries). For each label-0 vector, the top-1 label-1
+    * neighbor is scored by `margin = cos1 - (cos2+cos3+cos4)/3`; high
+    * margin = the match stands out from the runner-ups, near-zero = a
+    * dense neighborhood where the top hit is not special.
+    *
+    * Every float lands identically in both engines: per-pair cosines
+    * accumulate strictly left-to-right (native VectorOps), ranks order
+    * by (cos desc, vec_id) with integer ties, and the margin combines
+    * the rank-pivoted values in one fixed literal order before the
+    * offset-quantized floor. Scale shape: queries broadcast against the
+    * candidate scan (the q29 pattern — at scale the candidate side
+    * routes through the q30/q38 blocked index first); the rank window
+    * partitions by query; the pivot is a partial-agged groupBy. */
+  def marginMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding",
+        VectorOps.l2norm($"embedding").as("nrm"))
+    val q = e.where($"label" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"), $"nrm".as("qnrm"))
+    val cands = e.where($"label" === 1)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    cands.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 4)
+      .groupBy($"query_id")
+      .agg(
+        max(when($"rk" === 1, $"vec_id")).as("neighbor_id"),
+        max(when($"rk" === 1, $"cos")).as("c1"),
+        max(when($"rk" === 2, $"cos")).as("c2"),
+        max(when($"rk" === 3, $"cos")).as("c3"),
+        max(when($"rk" === 4, $"cos")).as("c4"))
+      .select($"query_id", $"neighbor_id",
+        floor(($"c1" - ($"c2" + $"c3" + $"c4") / 3) * 10000 + lit(1.0 / 3))
+          .cast("long").as("margin_q"),
+        floor($"c1" * 10000 + lit(1.0 / 3)).cast("long").as("cos_q"))
+  }
 }
