@@ -33,7 +33,9 @@ object ScaleSmoke {
     "q26_minhash_lsh", "q27_simhash", "q31_langid", "q33_token_count",
     "q47_stratified_sample", "q53_vocab_topk", "q65_repetition",
     "q66_url_canon", "q70_token_ids", "q77_mixture_sample",
-    "q78_salient_terms", "q90_tf_cosine", "q91_chunk_windows")
+    "q78_salient_terms", "q90_tf_cosine", "q91_chunk_windows",
+    "q100_dup_spans", "q101_priority_sample", "q102_cms_heavy",
+    "q104_zorder_layout", "q105_mad_outliers")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -43,7 +45,8 @@ object ScaleSmoke {
   // other, cos ~ 1), so its ratio reads as pair volume, not plan shape
   private val EMB_QUERIES = Seq("q29_ann_brute", "q30_lsh_ann",
     "q37_cosine_neardup", "q38_ivf_ann", "q67_embed_quant", "q68_kmeans_step",
-    "q92_embed_gram", "q94_semantic_dedup", "q98_pq_encode", "q99_pca_project")
+    "q92_embed_gram", "q94_semantic_dedup", "q98_pq_encode", "q99_pca_project",
+    "q106_margin_mining")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while
@@ -52,7 +55,7 @@ object ScaleSmoke {
   // in cluster volume (pairs within a family are quadratic in family
   // size, which is the factor — read q28's ratio as candidate volume)
   private val GRAPH_QUERIES = Seq("q28_simhash_pairs", "q62_dup_clusters",
-    "q79_cluster_keepers")
+    "q79_cluster_keepers", "q103_pagerank")
 
   def main(args: Array[String]): Unit = {
     val graphMode = args.contains("graph")
