@@ -126,6 +126,8 @@ object SparkEntry {
     "q104_zorder_layout"    -> (Layout.zorderKeys _),
     "q105_mad_outliers"     -> (Relational.madOutliers _),
     "q106_margin_mining"    -> (Similarity.marginMining _),
+    "q107_cluster_terms"    -> (Quantize.clusterTerms _),
+    "q108_vocab_coverage"   -> (TextAnalysis.vocabCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1765,5 +1767,54 @@ object SparkEntry {
            CAST(floor((c1 - (c2 + c3 + c4) / 3) * 10000 + 1.0/3) AS BIGINT) AS margin_q,
            CAST(floor(c1 * 10000 + 1.0/3) AS BIGINT) AS cos_q
          FROM p""",
+    // q107: q68's cosine cluster assignment joined to documents; top-3
+    // tokens per cluster by tf/df salience (int/int double, tok tie).
+    "q107_cluster_terms" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]), (a,b)->a+b)
+                     / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+         tok AS (SELECT d.doc_id, a.cell, unnest(string_split(d.text, ' ')) AS tok
+                 FROM documents d JOIN assigned a ON d.doc_id = a.vec_id),
+         tf AS (SELECT cell, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+                   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents) GROUP BY 1)
+         SELECT cell, CAST(rk AS BIGINT) AS rk, tok, tf, df FROM (
+           SELECT tf.cell, tf.tok, tf.tf, dfr.df,
+                  row_number() OVER (PARTITION BY tf.cell
+                    ORDER BY CAST(tf.tf AS DOUBLE) / dfr.df DESC, tf.tok ASC) AS rk
+           FROM tf JOIN dfr USING (tok))
+         WHERE rk <= 3""",
+    // q108: OOV tokens/types/ppm per language against the q70 top-200
+    // vocabulary — rate by pure integer division.
+    "q108_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         a AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
+         v AS (SELECT tok FROM a
+               QUALIFY row_number() OVER (ORDER BY tf DESC, tok ASC) <= 200),
+         tagged AS (
+           SELECT d.lang, s.tok, v.tok IS NULL AS oov
+           FROM documents d, unnest(string_split(d.text, ' ')) AS s(tok)
+           LEFT JOIN v ON v.tok = s.tok),
+         counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                    FROM tagged GROUP BY 1),
+         types AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_oov_types
+                   FROM tagged WHERE oov GROUP BY 1)
+         SELECT c.lang, c.n_tokens, c.n_oov,
+           coalesce(t2.n_oov_types, 0) AS n_oov_types,
+           (c.n_oov * 1000000) // c.n_tokens AS oov_ppm
+         FROM counts c LEFT JOIN types t2 USING (lang)""",
   )
 }

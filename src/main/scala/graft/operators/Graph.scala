@@ -234,16 +234,37 @@ object Graph {
     pageRankOn(Dedup.simhashPairs(spark, dir).select(
       col("doc_a"), col("doc_b")))
 
-  /** Testable core over any undirected `(doc_a, doc_b)` pair relation. */
+  /** Testable core over any undirected `(doc_a, doc_b)` pair relation.
+    *
+    * The five rounds run AQE-off on a CLONED session (q62's loop
+    * discipline: the round stages move kilobytes, and AQE's per-stage
+    * re-plan barrier is pure driver latency at that size; a shared-
+    * session conf mutation would race Verify's concurrent planning).
+    * Unlike CC there is no convergence probe, so the rounds need NO
+    * per-round action or checkpoint: the whole recurrence is ONE lazy
+    * plan over the once-materialized edge relation, executed as a
+    * single job — fixed 5-round unrolling is what makes that safe
+    * (plan depth is constant, not data-dependent). */
   private[graft] def pageRankOn(pairs0: DataFrame): DataFrame = {
-    val spark = pairs0.sparkSession
+    val caller = pairs0.sparkSession
+    val spark = caller.newSession()
     import spark.implicits._
-    val pairs = pairs0
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    val loopParts = spark.conf.getOption("spark.graft.cc.partitions")
+      .map(_.toInt)
+      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val pairs = rebind(pairs0, spark)
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .localCheckpoint(false)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // pre-partitioned on the per-round join key so the five rank joins
+    // reuse one exchange of the edge relation
+    val withDeg = edges.join(deg, "src").repartition(loopParts, $"src")
+      .localCheckpoint(false)
     var ranks = deg.select($"src".as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       ranks = withDeg.join(ranks, $"node" === $"src")
@@ -252,6 +273,6 @@ object Graph {
         .select($"dst".as("node"),
           expr("150000 + (85 * s) div 100").as("r"))
     }
-    ranks.select($"node".as("doc_id"), $"r".as("rank_q"))
+    rebind(ranks.select($"node".as("doc_id"), $"r".as("rank_q")), caller)
   }
 }

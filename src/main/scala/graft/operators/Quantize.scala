@@ -219,4 +219,49 @@ object Quantize {
       .groupBy($"i", $"j")
       .agg(count(lit(1)).as("n"), sum($"pq").as("gram_q"))
   }
+
+  /** q107: cluster-salient terms — label embedding clusters with the
+    * vocabulary that distinguishes them (topic naming for corpus maps /
+    * data-mixture dashboards). The first cross-MODALITY operator:
+    * embedding-space structure (q68's literal-codebook cosine
+    * assignment, same centroids and tie-break) joined back to the text
+    * it embeds (doc_id = vec_id), then per cluster the top-3 tokens by
+    * tf/df salience (q78's engine-exact rational: ordered by the
+    * int/int division double, tie-broken by token).
+    *
+    * Scale shape: assignment is map-only (8 codegen'd dot products per
+    * row, codebook as literals); the docs join hashes on doc_id; tf and
+    * df are partial-agged; the ranking window partitions by cell over a
+    * vocab-bounded relation (never the corpus). */
+  def clusterTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = transform($"embedding", x => x.cast("double"))
+    val e = Tables.embeddings(spark, dir).select($"vec_id", emb.as("emb"),
+      VectorOps.l2norm($"embedding").as("nrm"))
+    val cents: Array[(Long, Array[Double], Double)] =
+      e.where($"vec_id" < 8)
+        .select($"vec_id", $"emb", $"nrm")
+        .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
+      struct((VectorOps.dot($"emb", lit(cemb)) / ($"nrm" * cnrm)).as("c"),
+        lit(-id).as("nid"))
+    }: _*)
+    val assigned = e.select($"vec_id",
+      (-array_max(scoredCells).getField("nid")).as("cell"))
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.join(assigned, $"doc_id" === $"vec_id")
+      .select($"cell", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"cell", $"tok").agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
+      .distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"cell")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"tok".asc)
+    tf.join(df, "tok")
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"cell", $"rk".cast("long").as("rk"), $"tok", $"tf", $"df")
+  }
 }

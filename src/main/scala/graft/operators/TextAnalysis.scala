@@ -131,6 +131,37 @@ object TextAnalysis {
         sum($"id" * ($"pos" + 1)).as("ids_checksum"))
   }
 
+  /** q108: per-language vocabulary coverage — the OOV-rate diagnostic a
+    * tokenizer/vocab choice is judged by (a vocab trained on the corpus
+    * head under-serves tail languages; this measures exactly that, per
+    * language): token OOV count and rate against the q70 vocabulary
+    * (top-200 by tf), plus the count of distinct OOV types. The rate is
+    * parts-per-million by pure INTEGER division, so every engine lands
+    * on identical longs.
+    *
+    * Scale shape: the vocab is a 200-row broadcast (one TakeOrdered
+    * job); the scan side is map-only tagging + one partial-agged
+    * groupBy on lang; distinct OOV types add one (lang, tok) dedup
+    * shuffle bounded by vocabulary size per language. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = vocabTopK(spark, dir).select($"tok", lit(1).as("__in"))
+    val tagged = TextOps.docsParallel(spark, dir)
+      .select($"lang", explode(TextOps.toks($"text")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select($"lang", $"tok", $"__in".isNull.as("oov"))
+    val counts = tagged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"oov", 1L).otherwise(0L)).as("n_oov"))
+    val types = tagged.where($"oov")
+      .select($"lang", $"tok").distinct()
+      .groupBy($"lang").agg(count(lit(1)).as("n_oov_types"))
+    counts.join(types, Seq("lang"), "left")
+      .select($"lang", $"n_tokens", $"n_oov",
+        coalesce($"n_oov_types", lit(0L)).as("n_oov_types"),
+        expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+  }
+
   def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val top = TextOps.docsParallel(spark, dir)

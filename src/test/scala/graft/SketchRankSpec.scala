@@ -48,6 +48,34 @@ class SketchRankSpec extends SparkSpec {
     assert(got == model(pairs))
   }
 
+  test("cluster terms: 3 ranks per populated cell, salience monotone within cell") {
+    import spark.implicits._
+    val out = graft.operators.Quantize.clusterTerms(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq == (1L to byRk.length).toSeq)
+      // tf/df salience non-increasing down the ranks
+      val ratios = byRk.map(r => r._4.toDouble / r._5)
+      assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("vocab coverage: per-lang totals partition the corpus, ppm is the integer ratio") {
+    import spark.implicits._
+    val out = TextAnalysis.vocabCoverage(spark, sfDir).collect()
+    val corpusToks = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " "))).count()
+    assert(out.map(_.getLong(1)).sum == corpusToks)
+    out.foreach { r =>
+      val (n, oov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(oov <= n)
+      assert(ppm == oov * 1000000L / n)
+    }
+  }
+
   test("star graph: hub accumulates rank; spokes agree with the integer model") {
     val pairs = Seq(10L -> 1L, 10L -> 2L, 10L -> 3L, 10L -> 4L)
     val got = run(pairs)
