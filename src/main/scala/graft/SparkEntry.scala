@@ -128,6 +128,8 @@ object SparkEntry {
     "q106_margin_mining"    -> (Similarity.marginMining _),
     "q107_cluster_terms"    -> (Quantize.clusterTerms _),
     "q108_vocab_coverage"   -> (TextAnalysis.vocabCoverage _),
+    "q109_delta_dedup"      -> (Dedup.deltaDedup _),
+    "q110_event_trigrams"   -> (Relational.eventTrigrams _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1816,5 +1818,50 @@ object SparkEntry {
            coalesce(t2.n_oov_types, 0) AS n_oov_types,
            (c.n_oov * 1000000) // c.n_tokens AS oov_ppm
          FROM counts c LEFT JOIN types t2 USING (lang)""",
+    // q109: q26's minhash-band machinery with a delta/corpus split —
+    // new batch (doc_id % 5 = 0) screened against the indexed rest.
+    "q109_delta_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         mh AS (SELECT s.doc_id, sd.seed, min(md5(sd.seed || ':' || s.shingle)) AS mh
+                FROM sh s, range(12) sd(seed) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          string_agg(mh, ',' ORDER BY seed) AS sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig
+                  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT c.new_doc, c.corpus_doc, CAST(count(*) AS BIGINT) AS n_shared
+           FROM cand c JOIN sh sa ON sa.doc_id = c.new_doc
+                       JOIN sh sb ON sb.doc_id = c.corpus_doc
+                         AND sa.shingle = sb.shingle
+           GROUP BY 1, 2)
+         SELECT s.new_doc, s.corpus_doc, s.n_shared,
+                s.n_shared / (ca.n + cb.n - s.n_shared) AS jaccard
+         FROM shared s JOIN card ca ON ca.doc_id = s.new_doc
+                       JOIN card cb ON cb.doc_id = s.corpus_doc
+         WHERE s.n_shared / (ca.n + cb.n - s.n_shared) >= 0.5""",
+    // q110: frequent event-type trigrams per user stream, (ts, event_id)
+    // ordered; support 5 floor. All integer counts.
+    "q110_event_trigrams" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id
+                    FROM events),
+         s AS (SELECT user_id, event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
+         SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_occurrences,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM s WHERE e3 IS NOT NULL
+         GROUP BY 1, 2, 3 HAVING count(*) >= 5""",
   )
 }

@@ -171,6 +171,59 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
+  /** q109: incremental (delta) dedup — the ingestion-time shape of q26:
+    * a NEW batch (doc_id % 5 == 0 stands in for today's crawl) is
+    * screened against the already-indexed corpus (the rest) by MinHash
+    * band collision, then exact-Jaccard verified (>= 0.5). The
+    * asymmetry is the operator: band signatures for the INDEXED side
+    * are what a production pipeline persists once and re-joins every
+    * batch — only the delta is re-signed per run, so per-batch cost is
+    * O(delta + collisions), never O(corpus). Output keeps the batch
+    * doc, its matched corpus doc, and the verified jaccard — the
+    * admit/reject decision for the ingest gate.
+    *
+    * Scale shape: identical to q26's (narrow (doc, band, sig) shuffle,
+    * set-intersect verify on candidate pairs only) with the delta side
+    * small by construction; the band join hash-partitions on (band,
+    * sig), so the corpus index streams once per batch. */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSh = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
+      .where(size($"sh") > 0)
+    deltaDedupOn(docSh.where($"doc_id" % 5 === 0),
+      docSh.where($"doc_id" % 5 =!= 0))
+  }
+
+  /** Shingle projection shared by the batch and streaming ingest paths. */
+  private[graft] def docShingles(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
+      .where(size($"sh") > 0)
+  }
+
+  /** Core over two `(doc_id, sh)` relations: matches of `delta` docs
+    * against `corpus` docs. The corpus band index (`bandsOf(corpus)`)
+    * is the artifact a production pipeline persists once. */
+  private[graft] def deltaDedupOn(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    import delta.sparkSession.implicits._
+    def bandsOf(d: DataFrame): DataFrame = d.select($"doc_id",
+      posexplode(graft.functions.TextHash.minhashBands($"sh", 12, 3))
+        .as(Seq("band", "sig_band")))
+    val cand = bandsOf(delta).as("a").join(bandsOf(corpus).as("b"),
+        $"a.band" === $"b.band" && $"a.sig_band" === $"b.sig_band")
+      .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"))
+      .distinct()
+    cand
+      .join(delta.select($"doc_id".as("new_doc"), $"sh".as("sh_a")), "new_doc")
+      .join(corpus.select($"doc_id".as("corpus_doc"), $"sh".as("sh_b")), "corpus_doc")
+      .withColumn("n_shared", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("jaccard",
+        $"n_shared" / (size($"sh_a").cast("long") + size($"sh_b").cast("long") - $"n_shared"))
+      .where($"jaccard" >= 0.5)
+      .select($"new_doc", $"corpus_doc", $"n_shared", $"jaccard")
+  }
+
   /** 32-bit SimHash fingerprint per document, from term frequencies.
     * Bit j is set iff sum over tokens of tf * (+1 if hex digit j of
     * md5(token) >= '8' else -1) is positive — the hex-digit high bit is a

@@ -795,6 +795,35 @@ object Relational {
       .select($"doc_id", $"lang", $"n_chars", $"med", $"mad", $"abs_dev")
   }
 
+  /** q110: sequential-pattern mining over the event log — frequent
+    * event-type trigrams (the behavioral n-gram that session-replay /
+    * funnel analyses start from: "view -> add -> buy happened 400 times
+    * across 80 users"). Each user's stream is ordered by (ts, event_id)
+    * — the deterministic tie-break every ordered op here uses — and
+    * windows of 3 consecutive types count occurrences and distinct-user
+    * support; patterns below support 5 are noise and dropped.
+    *
+    * Scale shape: one window sort per user partition (the q22/q46
+    * family's shuffle), then a partial-agged groupBy on the pattern —
+    * the pattern space is |types|³-bounded, so the final shuffle is
+    * tiny regardless of corpus size. The two-level agg (count +
+    * count_distinct) expands per-user partials map-side. */
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_ms".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("t_ms"), $"event_id")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .where($"e3".isNotNull)
+      .groupBy($"event_type", $"e2", $"e3")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"user_id").as("n_users"))
+      .where($"n_occurrences" >= 5)
+      .select($"event_type".as("e1"), $"e2", $"e3",
+        $"n_occurrences", $"n_users")
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

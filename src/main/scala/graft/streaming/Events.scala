@@ -143,6 +143,46 @@ object Events {
       .start()
   }
 
+  /** Streaming dedup INGEST GATE — the q109 delta-dedup screen run at
+    * ingestion time: each micro-batch of arriving documents is
+    * band-joined against the STATIC corpus shingle index, and only docs
+    * with no verified near-dup (Jaccard >= 0.5) are appended to the
+    * admitted table; rejected docs land in a quarantine table with
+    * their matched corpus doc. Exactly-once: appends are
+    * checkpoint-guarded (a replayed batch re-appends only after a crash
+    * BEFORE checkpoint commit, and downstream exact dedup by doc_id —
+    * q24 — absorbs that at-least-once tail; a transactional sink makes
+    * it exact, the screen logic is unchanged).
+    *
+    * Scale shape: per batch O(delta + collisions) — the corpus index is
+    * the persisted artifact (at 100 TB a bucketed table on (band,
+    * sig)); only the arriving batch is re-signed. */
+  def dedupIngestGate(newDocs: DataFrame, corpus: DataFrame,
+      admittedTarget: String, rejectedTarget: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val corpusSh = graft.operators.Dedup.docShingles(corpus)
+    val gate: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      import batch.sparkSession.implicits._
+      val b = batch.localCheckpoint(true)
+      val matches = graft.operators.Dedup
+        .deltaDedupOn(graft.operators.Dedup.docShingles(b), corpusSh)
+        .localCheckpoint(true)
+      b.join(matches.select($"new_doc".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(admittedTarget)
+      b.join(matches.groupBy($"new_doc".as("doc_id"))
+            .agg(min($"corpus_doc").as("dup_of"), max($"jaccard").as("max_jaccard")),
+          Seq("doc_id"), "inner")
+        .write.mode("append").parquet(rejectedTarget)
+    }
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(gate)
+      .start()
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, max_value: Double)
 

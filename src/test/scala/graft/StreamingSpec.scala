@@ -171,4 +171,35 @@ class StreamingSpec extends SparkSpec {
     }
     assert(spark.streams.active.length === before)
   }
+
+  test("dedup ingest gate: streamed delta partitions into admitted/rejected matching q109") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ingest_gate_${System.nanoTime()}")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = docs.where($"doc_id" % 5 =!= 0)
+    // stage the "arriving" batch as a file-stream source directory
+    val deltaDir = new java.io.File(base, "arriving").getPath
+    docs.where($"doc_id" % 5 === 0).write.parquet(deltaDir)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(deltaDir)
+    val q = Events.dedupIngestGate(stream, corpus,
+      new java.io.File(base, "admitted").getPath,
+      new java.io.File(base, "rejected").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(new java.io.File(base, "admitted").getPath)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val rejected = spark.read.parquet(new java.io.File(base, "rejected").getPath)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val deltaIds = docs.where($"doc_id" % 5 === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchRejects = SparkEntry.queries("q109_delta_dedup")(spark, sfDir)
+      .select($"new_doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(admitted.intersect(rejected).isEmpty)
+    assert(admitted.union(rejected) == deltaIds)
+    assert(rejected == batchRejects)
+  }
 }
