@@ -311,4 +311,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q101 priority sample is a distributed top-k, not a global sort") {
+    val plan = finalPlan(Sampling.prioritySample(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort "), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("q104 z-order keys are map-only: no shuffle, no join, no window") {
+    val plan = finalPlan(graft.operators.Layout.zorderKeys(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("q102 CMS: sketch and total re-join as broadcasts; counts aggregate partially") {
+    val plan = finalPlan(graft.operators.TextAnalysis.cmsHeavyHitters(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // one-row total
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q100 dup spans: no self-join pairing — only the dedup-set equi-join") {
+    val plan = finalPlan(graft.operators.Dedup.dupSpans(spark, sfDir))
+    // exactly one join in the whole plan (hits vs duplicated-shingle set)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
 }
