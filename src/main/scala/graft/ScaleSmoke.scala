@@ -35,7 +35,7 @@ object ScaleSmoke {
     "q66_url_canon", "q70_token_ids", "q77_mixture_sample",
     "q78_salient_terms", "q90_tf_cosine", "q91_chunk_windows",
     "q100_dup_spans", "q101_priority_sample", "q102_cms_heavy",
-    "q104_zorder_layout", "q105_mad_outliers")
+    "q104_zorder_layout", "q105_mad_outliers", "q111_pmi_collocations")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should

@@ -130,6 +130,8 @@ object SparkEntry {
     "q108_vocab_coverage"   -> (TextAnalysis.vocabCoverage _),
     "q109_delta_dedup"      -> (Dedup.deltaDedup _),
     "q110_event_trigrams"   -> (Relational.eventTrigrams _),
+    "q111_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
+    "q112_decayed_score"    -> (Relational.decayedEngagement _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1863,5 +1865,39 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM s WHERE e3 IS NOT NULL
          GROUP BY 1, 2, 3 HAVING count(*) >= 5""",
+    // q111: PMI of adjacent token pairs — ln of an exact integer ratio,
+    // offset-quantized to 1e-4 (the q87 recipe); joint floor 5,
+    // positive PMI only.
+    "q111_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         bg AS (
+           SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                  unnest(toks[2:len(toks)]) AS w2
+           FROM t WHERE len(toks) >= 2),
+         joint AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                   FROM bg GROUP BY 1, 2),
+         l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM joint GROUP BY 1),
+         r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM joint GROUP BY 1),
+         tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bg FROM joint)
+         SELECT j.w1, j.w2, j.c12, l.c1, r.c2,
+           CAST(floor(ln(CAST(j.c12 AS DOUBLE) * n_bg / (c1 * c2)) * 10000
+             + 1.0/3) AS BIGINT) AS pmi_q
+         FROM joint j JOIN l USING (w1) JOIN r USING (w2), tot
+         WHERE j.c12 >= 5
+           AND CAST(floor(ln(CAST(j.c12 AS DOUBLE) * n_bg / (c1 * c2)) * 10000
+             + 1.0/3) AS BIGINT) > 0""",
+    // q112: 1-day half-life decay as an EXACT integer power of two
+    // (1 << age), per-term offset-quantized to longs before the sum.
+    "q112_decayed_score" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
+         h AS (SELECT max(tms) AS t_max FROM e),
+         terms AS (
+           SELECT user_id,
+             CAST(floor(value / (1::BIGINT << CAST(least((t_max - tms) // 86400000, 62)
+               AS INT)) * 1000000 + 1.0/3) AS BIGINT) AS term_q
+           FROM e, h)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(term_q) AS BIGINT) AS decayed_q
+         FROM terms GROUP BY 1""",
   )
 }

@@ -824,6 +824,34 @@ object Relational {
         $"n_occurrences", $"n_users")
   }
 
+  /** q112: half-life-decayed engagement score — exponential time decay
+    * (1-day half-life) of event values per user, the recency weighting
+    * every freshness-aware ranking/retention metric uses. The decay
+    * factor 2^-age_days is computed as `1 / (1 << age)` — an EXACT
+    * power of two by integer shift, no libm pow — so the per-event
+    * product is one correctly-rounded multiplication in any engine;
+    * each term then offset-quantizes to a long BEFORE the sum (q87's
+    * associativity dodge: an unordered double sum would hash-diverge).
+    * Ages cap at 62 days (the shift bound; contributions beyond
+    * quantize to 0 anyway).
+    *
+    * Scale shape: the corpus max-ts is a one-row broadcast; scoring is
+    * map-only; one partial-agged groupBy per user. */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("tms"), $"value")
+    val horizon = e.agg(max($"tms").as("t_max"))
+    e.crossJoin(broadcast(horizon))
+      .withColumn("age",
+        least(expr("(t_max - tms) div 86400000"), lit(62L)).cast("int"))
+      .select($"user_id",
+        floor(($"value" / expr("shiftleft(CAST(1 AS BIGINT), age)")) * 1e6
+          + lit(1.0 / 3)).cast("long").as("term_q"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"term_q").as("decayed_q"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */

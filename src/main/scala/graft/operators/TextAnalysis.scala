@@ -359,6 +359,44 @@ object TextAnalysis {
         ($"cont_w2" / $"n_bigrams").as("p_cont"))
   }
 
+  /** q111: PMI collocations — pointwise mutual information of adjacent
+    * token pairs, the classic collocation detector ("new york" scores
+    * high because its joint count beats the independence prediction;
+    * "of the" scores low despite its raw frequency). PMI =
+    * ln(c12·N / (c1·c2)) where c1/c2 are the pair's LEFT/RIGHT marginal
+    * occurrence counts over all bigram positions — an exact integer
+    * ratio, so the single libm ln offset-quantizes portably (the q87
+    * recipe). Pairs below joint count 5 are noise and dropped; positive
+    * PMI only (collocations, not anti-collocations).
+    *
+    * Scale shape: the bigram zip is map-side (no positional self-join);
+    * joint and marginal counts partial-agg; marginals and the one-row
+    * total re-join as broadcasts onto the |pairs|-bounded relation —
+    * the corpus is touched once. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val pairs = TextOps.docsParallel(spark, dir)
+      .select(explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val joint = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val left = joint.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val right = joint.groupBy($"w2").agg(sum($"c12").as("c2"))
+    val total = joint.agg(sum($"c12").as("n_bg"))
+    joint.where($"c12" >= 5)
+      .join(broadcast(left), "w1")
+      .join(broadcast(right), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_q",
+        floor(log($"c12" * $"n_bg" / ($"c1" * $"c2")) * 10000 + lit(1.0 / 3))
+          .cast("long"))
+      .where($"pmi_q" > 0)
+      .select($"w1", $"w2", $"c12", $"c1", $"c2", $"pmi_q")
+  }
+
   /** q85: adjacent-symbol pair counting — the inner loop of BPE tokenizer
     * training (count all within-token character bigrams over the corpus,
     * rank by frequency; the top pair is the next merge). At 100 TB the
