@@ -132,6 +132,9 @@ object SparkEntry {
     "q110_event_trigrams"   -> (Relational.eventTrigrams _),
     "q111_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
     "q112_decayed_score"    -> (Relational.decayedEngagement _),
+    "q113_lag_xcorr"        -> (Relational.lagCrossCorr _),
+    "q114_funnel"           -> (Relational.funnelSteps _),
+    "q115_quantile_norm"    -> (Relational.quantileNormalize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1899,5 +1902,47 @@ object SparkEntry {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(term_q) AS BIGINT) AS decayed_q
          FROM terms GROUP BY 1""",
+    // q113: hourly click/purchase series (offset-quantized longs),
+    // xcorr(l) = Σ a(h)·b(h+l) for l = 0..5 — all integer.
+    "q113_lag_xcorr" ->
+      """WITH e AS (
+           SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+                  CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         hourly AS (SELECT event_type, h, CAST(sum(vq) AS BIGINT) AS s
+                    FROM e GROUP BY 1, 2),
+         a AS (SELECT h, s AS sa FROM hourly WHERE event_type = 'click'),
+         b AS (SELECT h AS hb, s AS sb FROM hourly WHERE event_type = 'purchase'),
+         lags AS (SELECT unnest(range(0, 6)) AS lag)
+         SELECT lag, CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(sum(sa * sb) AS BIGINT) AS xcorr_q
+         FROM a, lags JOIN b ON hb = h + lag
+         GROUP BY lag""",
+    // q114: strictly-ordered view -> click -> purchase funnel; ppm by
+    // integer division against step-1 reach.
+    "q114_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+         s1 AS (SELECT user_id, min(tms) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(tms) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND tms > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(tms) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND tms > t2 GROUP BY 1),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS b FROM s1),
+         n AS (SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+               UNION ALL SELECT 2, count(*) FROM s2
+               UNION ALL SELECT 3, count(*) FROM s3)
+         SELECT CAST(step AS BIGINT) AS step, n_users,
+                (n_users * 1000000) // b AS conv_ppm
+         FROM n, base""",
+    // q115: empirical-CDF rank transform per event_type, (value,
+    // event_id)-ordered; ppm by integer division.
+    "q115_quantile_norm" ->
+      """SELECT event_id, event_type,
+           CAST(row_number() OVER w AS BIGINT) AS rk,
+           ((CAST(row_number() OVER w AS BIGINT) - 1) * 1000000)
+             // (count(*) OVER (PARTITION BY event_type) - 1) AS qnorm_ppm
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
   )
 }

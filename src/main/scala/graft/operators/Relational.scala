@@ -852,6 +852,90 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), sum($"term_q").as("decayed_q"))
   }
 
+  /** q113: lagged cross-correlation of two event streams — "does a
+    * click surge predict a purchase surge h hours later?" (the lead/lag
+    * diagnostic between any two time series; for signals it's the
+    * time-delay estimation the reference's overlays eyeball). Hourly
+    * buckets, per-event values offset-quantized to longs, then
+    * xcorr(l) = Σ_h a(h)·b(h+l) for l = 0..5 — pure integer products
+    * and sums (magnitudes bounded: hourly quantized sums < ~2³², lag
+    * products summed over hours stay far inside int64).
+    *
+    * Scale shape: ONE partial-agged groupBy reduces the corpus to the
+    * bounded (type, hour) relation; the lag join and products run on
+    * that small series — at any corpus scale the post-agg work is
+    * constant-bounded by the time range. */
+  def lagCrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"event_type",
+        expr("unix_millis(ts) div 3600000").as("h"),
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .groupBy($"event_type", $"h").agg(sum($"vq").as("s"))
+    val a = hourly.where($"event_type" === "click").select($"h", $"s".as("sa"))
+    val b = hourly.where($"event_type" === "purchase").select($"h".as("hb"), $"s".as("sb"))
+    val lags = spark.range(0, 6).select($"id".as("lag"))
+    a.crossJoin(broadcast(lags))
+      .join(b, $"hb" === $"h" + $"lag")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_hours"), sum($"sa" * $"sb").as("xcorr_q"))
+  }
+
+  /** q114: ordered funnel — users progressing view -> click -> purchase
+    * with each step STRICTLY AFTER the previous one (the conversion
+    * metric; naive per-type counts overstate it by ignoring order).
+    * Step k's timestamp is the earliest qualifying event after step
+    * k-1; output is one row per step with reached-user counts and ppm
+    * conversion vs step 1 — all integer.
+    *
+    * Scale shape: three per-user partial-agged mins, each chained
+    * through a hash join on user_id (the |users|-row step relation,
+    * broadcastable when small); the event scan is filtered to the
+    * funnel types before any shuffle. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("tms"))
+    val s1 = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tms").as("t1"))
+    val s2 = ev.where($"event_type" === "click")
+      .join(s1, "user_id").where($"tms" > $"t1")
+      .groupBy($"user_id").agg(min($"tms").as("t2"))
+    val s3 = ev.where($"event_type" === "purchase")
+      .join(s2, "user_id").where($"tms" > $"t2")
+      .groupBy($"user_id").agg(min($"tms").as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n")).select(lit(1L).as("step"), $"n")
+    val n2 = s2.agg(count(lit(1)).as("n")).select(lit(2L).as("step"), $"n")
+    val n3 = s3.agg(count(lit(1)).as("n")).select(lit(3L).as("step"), $"n")
+    n1.unionByName(n2).unionByName(n3)
+      .crossJoin(broadcast(s1.agg(count(lit(1)).as("base"))))
+      .select($"step", $"n".as("n_users"),
+        expr("(n * 1000000) div base").as("conv_ppm"))
+  }
+
+  /** q115: quantile normalization — map each value to its empirical CDF
+    * position within its event_type (the rank-based feature transform
+    * that's robust to any marginal distribution; ties broken by
+    * event_id so the map is a bijection). qnorm = (rank-1)·1e6 div
+    * (n-1), pure integers.
+    *
+    * Scale shape: one window sort per type partition — the same
+    * per-group order every exact rank transform needs; at extreme group
+    * sizes the q93 bounded-histogram CDF approximates it without
+    * changing the contract. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".asc, $"event_id".asc)
+    val wn = Window.partitionBy($"event_type")
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select($"event_id", $"event_type", $"rk",
+        expr("((rk - 1) * 1000000) div (n - 1)").as("qnorm_ppm"))
+  }
+
   /** Ordered-window family beyond q22's lag flag: inter-event arrival
     * delta (lag) and within-user quartile position (ntile), one window
     * sort per user (SURVEY §2.5). */
