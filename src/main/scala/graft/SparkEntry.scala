@@ -135,6 +135,7 @@ object SparkEntry {
     "q113_lag_xcorr"        -> (Relational.lagCrossCorr _),
     "q114_funnel"           -> (Relational.funnelSteps _),
     "q115_quantile_norm"    -> (Relational.quantileNormalize _),
+    "q116_spectrogram"      -> (Spectral.spectrogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1944,5 +1945,26 @@ object SparkEntry {
              // (count(*) OVER (PARTITION BY event_type) - 1) AS qnorm_ppm
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+    // q116: STFT — q36's quantized-power DFT per non-overlapping 8-sample
+    // frame (first 16 samples -> frames 0 and 1); same 1/3-offset gate.
+    "q116_spectrogram" ->
+      """WITH ranked AS (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS rn0
+           FROM events QUALIFY rn0 <= 15),
+         framed AS (SELECT user_id, rn0 // 8 AS frame, rn0 % 8 AS t, value
+                    FROM ranked),
+         full8 AS (SELECT user_id, frame FROM framed GROUP BY 1, 2
+                   HAVING count(*) = 8),
+         terms AS (
+           SELECT f.user_id, f.frame, k.k,
+             f.value * cos(2*pi()*k.k*f.t/8) AS c,
+             f.value * sin(2*pi()*k.k*f.t/8) AS s
+           FROM framed f JOIN full8 USING (user_id, frame), range(8) k(k)),
+         spec AS (SELECT user_id, frame, k, sum(c) AS re, sum(s) AS im
+                  FROM terms GROUP BY 1, 2, 3)
+         SELECT user_id, CAST(frame AS BIGINT) AS frame, CAST(k AS BIGINT) AS bin,
+           CAST(floor(re*re + im*im + 0.3333333333333333) AS BIGINT) AS qpower
+         FROM spec""",
   )
 }

@@ -78,4 +78,38 @@ object Spectral {
       .select($"user_id", $"bin".cast("long").as("bin"),
         floor($"power" + lit(0.3333333333333333)).cast("long").as("qpower"))
   }
+
+  /** q116: spectrogram (short-time Fourier transform) — q36's power
+    * spectrum per FRAME instead of per trace: each user's first 16
+    * samples split into two non-overlapping 8-sample frames, FFT per
+    * frame, offset-quantized power per (frame, bin). This is the
+    * time-frequency picture the reference's fft module exists to feed
+    * (`/root/reference/fdf/modules/bes/fft.py` — per-window transforms
+    * over a long BES trace); the same 1/3-offset boundary argument as
+    * q36 makes it hash-gateable.
+    *
+    * Scale shape: identical to q36 — one shuffle to assemble bounded
+    * frames (the window ranks then groups by (user, frame)), then the
+    * transform is map-only per frame row; hop/width are parameters of
+    * the rank arithmetic, not the plan. A real spectrogram over a long
+    * signal emits |trace|/hop frames — output-proportional, never
+    * quadratic. */
+  def spectrogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val frames = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 16)
+      .withColumn("frame", expr("(rn - 1) div 8"))
+      .groupBy($"user_id", $"frame")
+      .agg(array_sort(collect_list(struct($"rn", $"value"))).as("s"))
+      .where(size($"s") === 8)
+      .select($"user_id", $"frame".cast("long").as("frame"),
+        transform($"s", x => x.getField("value")).as("trace"))
+    frames
+      .select($"user_id", $"frame",
+        posexplode(Fft.powerSpectrum($"trace")).as(Seq("bin", "power")))
+      .select($"user_id", $"frame", $"bin".cast("long").as("bin"),
+        floor($"power" + lit(0.3333333333333333)).cast("long").as("qpower"))
+  }
 }

@@ -56,6 +56,22 @@ class EventOpsSpec extends SparkSpec {
     assert(got(3L)._2 == t3.size.toLong * 1000000L / t1.size)
   }
 
+  test("spectrogram frame 0 equals the whole-trace q36 power spectrum") {
+    import spark.implicits._
+    val frame0 = graft.operators.Spectral.spectrogram(spark, sfDir)
+      .where($"frame" === 0)
+      .select($"user_id", $"bin", $"qpower").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val q36 = graft.operators.Spectral.fftPower(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(frame0 == q36)
+    // and frame 1 exists for users with >= 16 samples, with 8 bins each
+    val f1 = graft.operators.Spectral.spectrogram(spark, sfDir)
+      .where($"frame" === 1).groupBy($"user_id").count().collect()
+    assert(f1.nonEmpty)
+    assert(f1.forall(_.getLong(1) == 8L))
+  }
+
   test("quantile normalization is a 0..1e6 bijection per type") {
     import spark.implicits._
     val out = Relational.quantileNormalize(spark, sfDir).collect()
