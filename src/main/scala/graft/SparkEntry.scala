@@ -136,6 +136,7 @@ object SparkEntry {
     "q114_funnel"           -> (Relational.funnelSteps _),
     "q115_quantile_norm"    -> (Relational.quantileNormalize _),
     "q116_spectrogram"      -> (Spectral.spectrogram _),
+    "q117_benford"          -> (Relational.benfordAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1966,5 +1967,25 @@ object SparkEntry {
          SELECT user_id, CAST(frame AS BIGINT) AS frame, CAST(k AS BIGINT) AS bin,
            CAST(floor(re*re + im*im + 0.3333333333333333) AS BIGINT) AS qpower
          FROM spec""",
+    // q117: per-type first-digit histogram vs Benford's law; shares by
+    // integer division, the expectation log10 offset-quantized per digit.
+    "q117_benford" ->
+      """WITH d AS (
+           SELECT event_type,
+             CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+               AS BIGINT) AS digit
+           FROM events WHERE value >= 1.0),
+         h AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_d
+               FROM d GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n
+               FROM h GROUP BY 1)
+         SELECT h.event_type, h.digit, h.n_d,
+           (h.n_d * 1000000) // t.n AS share_ppm,
+           CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 1.0/3) AS BIGINT)
+             AS benford_ppm,
+           abs((h.n_d * 1000000) // t.n
+             - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 1.0/3) AS BIGINT))
+             AS dev_ppm
+         FROM h JOIN t USING (event_type)""",
   )
 }

@@ -914,6 +914,36 @@ object Relational {
         expr("(n * 1000000) div base").as("conv_ppm"))
   }
 
+  /** q117: Benford first-digit audit — the classic fabricated-data /
+    * instrumentation-fault screen: naturally occurring positive values
+    * follow P(d) = log10(1 + 1/d); a per-type digit histogram compared
+    * against that law (deviation in ppm) flags streams worth
+    * inspecting. Digit extraction is string-free integer-safe (first
+    * char of the value's integer part); shares are ppm by integer
+    * division; the Benford expectation is log10 of an exact rational,
+    * offset-quantized once per digit (9 literals, the q87 recipe).
+    *
+    * Scale shape: map-only digit tag, one partial-agged (type, digit)
+    * groupBy (bounded at |types| x 9 rows), per-type totals broadcast
+    * back onto that tiny relation. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.events(spark, dir)
+      .where($"value" >= 1.0)
+      .select($"event_type",
+        substring(floor($"value").cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy($"event_type", $"digit").agg(count(lit(1)).as("n_d"))
+    val totals = digits.groupBy($"event_type").agg(sum($"n_d").as("n"))
+    digits.join(broadcast(totals), "event_type")
+      .withColumn("share_ppm", expr("(n_d * 1000000) div n"))
+      .withColumn("benford_ppm",
+        floor(log10(lit(1.0) + lit(1.0) / $"digit") * 1e6 + lit(1.0 / 3))
+          .cast("long"))
+      .select($"event_type", $"digit", $"n_d", $"share_ppm", $"benford_ppm",
+        abs($"share_ppm" - $"benford_ppm").as("dev_ppm"))
+  }
+
   /** q115: quantile normalization — map each value to its empirical CDF
     * position within its event_type (the rank-based feature transform
     * that's robust to any marginal distribution; ties broken by
