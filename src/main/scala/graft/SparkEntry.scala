@@ -137,6 +137,10 @@ object SparkEntry {
     "q115_quantile_norm"    -> (Relational.quantileNormalize _),
     "q116_spectrogram"      -> (Spectral.spectrogram _),
     "q117_benford"          -> (Relational.benfordAudit _),
+    "q118_cusum"            -> (Timeseries.cusumChangePoint _),
+    "q119_hampel"           -> (Timeseries.hampelDespike _),
+    "q120_auc"              -> (Evaluate.aucBySource _),
+    "q121_calibration"      -> (Evaluate.calibrationBins _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1987,5 +1991,83 @@ object SparkEntry {
              - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 1.0/3) AS BIGINT))
              AS dev_ppm
          FROM h JOIN t USING (event_type)""",
+    // q118: CUSUM change-point; integer scale-by-n deviation, argmax by
+    // (|cusum| desc, event_id) rank — identical tie-break both engines.
+    "q118_cusum" ->
+      """WITH v AS (
+           SELECT event_type, event_id, epoch_ms(ts) AS tms,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         s AS (SELECT event_type, CAST(sum(vq) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM v GROUP BY 1),
+         c AS (SELECT v.event_type, event_id, tms, n,
+             n * CAST(sum(vq) OVER w AS BIGINT)
+               - CAST(row_number() OVER w AS BIGINT) * s AS cusum
+           FROM v JOIN s USING (event_type)
+           WINDOW w AS (PARTITION BY v.event_type ORDER BY tms, event_id
+                        ROWS UNBOUNDED PRECEDING)),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY event_type
+                  ORDER BY abs(cusum) DESC, event_id) AS rk
+               FROM c)
+         SELECT event_type, event_id AS cp_event_id, tms AS cp_tms,
+           abs(cusum) AS max_abs_cusum, n
+         FROM r WHERE rk = 1""",
+    // q119: Hampel despike; x2/x4 integer scales keep edge-window
+    // (even-k) medians exact; spike test 2*|2vq-med2| > 3*mad4.
+    "q119_hampel" ->
+      """WITH v AS (
+           SELECT event_type, event_id, epoch_ms(ts) AS tms,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         w AS (SELECT event_type, event_id, tms, vq,
+             list_sort(list(vq) OVER win) AS a
+           FROM v
+           WINDOW win AS (PARTITION BY event_type ORDER BY tms, event_id
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         m AS (SELECT *, a[CAST((len(a)+1)//2 AS INT)]
+                 + a[CAST(len(a)//2 + 1 AS INT)] AS med2 FROM w),
+         d AS (SELECT *,
+             list_sort(list_transform(a, x -> abs(x*2 - med2))) AS b
+           FROM m),
+         f AS (SELECT *, b[CAST((len(b)+1)//2 AS INT)]
+                 + b[CAST(len(b)//2 + 1 AS INT)] AS mad4 FROM d)
+         SELECT event_type, event_id, tms, vq, med2, mad4,
+           CAST(CASE WHEN abs(vq*2 - med2)*2 > mad4*3 THEN 1 ELSE 0 END
+             AS BIGINT) AS is_spike,
+           CASE WHEN abs(vq*2 - med2)*2 > mad4*3 THEN med2 ELSE vq*2 END
+             AS clean2
+         FROM f""",
+    // q120: tie-correct Mann-Whitney AUC per source; the cumulative
+    // window runs on the (source, n_chars) aggregate, not the corpus.
+    "q120_auc" ->
+      """WITH g AS (
+           SELECT source, n_chars,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS q
+           FROM documents GROUP BY 1, 2),
+         c AS (SELECT *, COALESCE(CAST(sum(q) OVER
+                 (PARTITION BY source ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS cq
+               FROM g),
+         t AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+                 CAST(sum(q) AS BIGINT) AS n_neg,
+                 CAST(sum(p*cq*2 + p*q) AS BIGINT) AS num2
+               FROM c GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           (num2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
+         FROM t WHERE n_pos > 0 AND n_neg > 0""",
+    // q121: reliability table over fixed 100-char bins; all-integer
+    // ppm rates and floor means.
+    "q121_calibration" ->
+      """SELECT n_chars // 100 AS bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) AS pos_ppm,
+           CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars
+         FROM documents GROUP BY 1""",
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Model-evaluation metrics over corpus features — the measurement side
+  * of a data-curation loop (how well does a cheap feature predict the
+  * expensive label?). Both metrics are rank/count-based and integer-
+  * exact, so they hash-gate against the DuckDB oracle with no float
+  * tolerance. */
+object Evaluate {
+
+  /** q120: per-source AUC (Mann–Whitney) of the document-length feature
+    * predicting lang='en'. Tie-correct: with P positives and Q
+    * negatives at each distinct score s, and cq = negatives strictly
+    * below s, the doubled pair count is 2·Σ P·cq + Σ P·Q (each tie
+    * counts 1/2), so auc_ppm = num2·1e6 div (2·n1·n0) — all integer.
+    *
+    * Scale shape: the corpus reduces via ONE partial-agged groupBy to
+    * the (source, score) relation — bounded by |sources|×|distinct
+    * scores| — and the cumulative window + final rollup run on that
+    * small aggregate, never on the corpus. No global rank over raw
+    * rows (the naive rank-sum formulation is a single-partition sort at
+    * scale; this one isn't). Sources with a single class are dropped
+    * (AUC undefined). */
+  def aucBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .groupBy($"source", $"n_chars")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("p"),
+        sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("q"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cq", coalesce(sum($"q").over(w), lit(0L)))
+      .groupBy($"source")
+      .agg(sum($"p").as("n_pos"), sum($"q").as("n_neg"),
+        sum($"p" * $"cq" * 2 + $"p" * $"q").as("num2"))
+      .where($"n_pos" > 0 && $"n_neg" > 0)
+      .select($"source", $"n_pos", $"n_neg",
+        expr("(num2 * 1000000) div (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  /** q121: calibration / reliability table — documents bucketed by the
+    * length feature (fixed 100-char bins), per bin the empirical
+    * positive rate (lang='en') and mean feature value, both in exact
+    * integer ppm / floor-mean form. A well-calibrated score tracks the
+    * positive rate across bins; this is the table a curation loop reads
+    * before trusting a cheap filter.
+    *
+    * Scale shape: map-only bin tag + one partial-agged groupBy bounded
+    * at |bins| rows — nothing else. */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(expr("n_chars div 100").as("bin"), $"n_chars",
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        sum($"n_chars").as("sum_chars"))
+      .select($"bin", $"n", $"n_pos",
+        expr("(n_pos * 1000000) div n").as("pos_ppm"),
+        expr("sum_chars div n").as("mean_chars"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-series screening operators over the event stream: change-point
+  * localization (CUSUM) and spike repair (Hampel filter) — the two
+  * standard pre-training sanity passes over instrumented metrics
+  * (reference analog: the per-signal despike/baseline passes the fdf
+  * modules run before physics analysis, e.g. fdf/modules/bes/fft.py's
+  * windowed pre-conditioning).
+  *
+  * Both stay integer-exact end-to-end: values are offset-quantized once
+  * (`floor(v*1000 + 1/3)`, the q36 recipe) and every downstream stat is
+  * integer arithmetic, so the DuckDB differential gates on hash. */
+object Timeseries {
+
+  /** q118: CUSUM change-point — for each event_type, the row where the
+    * cumulative deviation from the series mean peaks. To stay integer
+    * we scale by n: cusum_k = n·Σ_{i≤k} vq_i − k·Σ vq  (= n·Σ(vq_i−μ)).
+    * Magnitudes: vq ≤ ~5.6e5, n ≤ 2e4/type at sf0.1 → |cusum| ≤ ~2e14,
+    * far inside int64.
+    *
+    * Scale shape: the prefix sum is a per-type ordered window — fine
+    * while |types| bounds the parallelism; at 100 TB segment the series
+    * (type, day), partial-sum segments, then prefix-sum the bounded
+    * segment-total relation and rebase each segment (two-phase scan —
+    * same output, no single-partition sort). The argmax is a
+    * WindowGroupLimit (rank ≤ 1), not a global sort. */
+  def cusumChangePoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", unix_millis($"ts").as("tms"),
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+    val stats = v.groupBy($"event_type")
+      .agg(sum($"vq").as("s"), count(lit(1)).as("n"))
+    val ord = Window.partitionBy($"event_type").orderBy($"tms", $"event_id")
+    val cum = v.join(broadcast(stats), "event_type")
+      .withColumn("cusum",
+        $"n" * sum($"vq").over(ord.rowsBetween(Window.unboundedPreceding, 0))
+          - row_number().over(ord).cast("long") * $"s")
+    val best = Window.partitionBy($"event_type")
+      .orderBy(abs($"cusum").desc, $"event_id")
+    cum.withColumn("rk", row_number().over(best))
+      .where($"rk" === 1)
+      .select($"event_type", $"event_id".as("cp_event_id"),
+        $"tms".as("cp_tms"), abs($"cusum").as("max_abs_cusum"), $"n")
+  }
+
+  /** q119: Hampel despike — per event_type, a centered 5-row window
+    * (±2) rolling median and MAD; a point deviating from the window
+    * median by more than 3×MAD is a spike and is replaced by the
+    * median. All stats ride a ×2 integer scale so half-integer medians
+    * of even-sized edge windows stay exact: for the sorted window a of
+    * size k, med2 = a[(k+1)/2] + a[k/2+1] (1-based) = 2×median, and
+    * mad4 = med2 of |2·vq_i − med2| = 4×MAD; the spike test
+    * |x−med| > 3·MAD becomes 2·|2·vq − med2| > 3·mad4.
+    *
+    * Scale shape: one per-type ordered window pass, constant ±2 frame —
+    * map-side cost per row is O(5 log 5); same (type, day) segmenting
+    * note as [[cusumChangePoint]] applies at extreme per-type volume
+    * (the ±2 frame only needs 2 rows of cross-segment overlap). */
+  def hampelDespike(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", unix_millis($"ts").as("tms"),
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+    val w = Window.partitionBy($"event_type").orderBy($"tms", $"event_id")
+      .rowsBetween(-2, 2)
+    val mid1 = ((size($"a") + 1) / 2).cast("int")
+    val mid2 = (size($"a") / 2 + 1).cast("int")
+    v.withColumn("a", array_sort(collect_list($"vq").over(w)))
+      .withColumn("med2", element_at($"a", mid1) + element_at($"a", mid2))
+      .withColumn("b",
+        array_sort(transform($"a", x => abs(x * 2 - $"med2"))))
+      .withColumn("mad4", element_at($"b", mid1) + element_at($"b", mid2))
+      .withColumn("is_spike",
+        when(abs($"vq" * 2 - $"med2") * 2 > $"mad4" * 3, 1L).otherwise(0L))
+      .withColumn("clean2",
+        when($"is_spike" === 1, $"med2").otherwise($"vq" * 2))
+      .select($"event_type", $"event_id", $"tms", $"vq",
+        $"med2", $"mad4", $"is_spike", $"clean2")
+  }
+}
