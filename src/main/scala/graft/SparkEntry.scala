@@ -141,6 +141,9 @@ object SparkEntry {
     "q119_hampel"           -> (Timeseries.hampelDespike _),
     "q120_auc"              -> (Evaluate.aucBySource _),
     "q121_calibration"      -> (Evaluate.calibrationBins _),
+    "q122_char_entropy"     -> (TextAnalysis.charEntropy _),
+    "q123_weak_labels"      -> (Curation.weakLabels _),
+    "q124_lf_agreement"     -> (Curation.lfAgreement _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2069,5 +2072,79 @@ object SparkEntry {
              * 1000000) // count(*) AS pos_ppm,
            CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars
          FROM documents GROUP BY 1""",
+    // q122: per-doc Shannon entropy over codepoints; each -p*ln(p) term
+    // quantized to a long BEFORE the per-doc sum (q87 recipe) so the
+    // unordered sum is associative. ln inputs are exact int/int ratios.
+    "q122_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n_c
+               FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         l AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS len,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+               FROM c GROUP BY 1),
+         t AS (SELECT c.doc_id, len, n_distinct,
+             CAST(floor((-(n_c / len)) * ln(n_c / len) * 10000 + 1.0/3)
+               AS BIGINT) AS term_q
+           FROM c JOIN l USING (doc_id))
+         SELECT doc_id, max(len) AS len, max(n_distinct) AS n_distinct,
+           CAST(sum(term_q) AS BIGINT) AS entropy_q,
+           CAST(CASE WHEN sum(term_q) < 25000 THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_low
+         FROM t GROUP BY 1""",
+    // q123: weak-supervision majority vote over 4 labeling functions.
+    // DuckDB regexp_replace needs 'g' to match Spark's replace-all.
+    "q123_weak_labels" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
+               AS BIGINT) AS lf_len,
+             CAST(CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0
+               END AS BIGINT) AS lf_stop,
+             CAST(CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[.!?,;]', '', 'g'))) * 20
+                 >= length(text) THEN 1 ELSE 0 END AS BIGINT) AS lf_punct,
+             CAST(CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[0-9]', '', 'g'))) * 50
+                 <= length(text) THEN 1 ELSE 0 END AS BIGINT) AS lf_digit
+           FROM documents)
+         SELECT doc_id, lf_len, lf_stop, lf_punct, lf_digit,
+           lf_len + lf_stop + lf_punct + lf_digit AS n_votes,
+           CAST(CASE WHEN lf_len + lf_stop + lf_punct + lf_digit >= 3
+             THEN 1 ELSE 0 END AS BIGINT) AS majority
+         FROM f""",
+    // q124: per-LF vote rate and majority-agreement rate (unpivot of
+    // the q123 relation, |LFs|-row output).
+    "q124_lf_agreement" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
+               AS BIGINT) AS lf_len,
+             CAST(CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0
+               END AS BIGINT) AS lf_stop,
+             CAST(CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[.!?,;]', '', 'g'))) * 20
+                 >= length(text) THEN 1 ELSE 0 END AS BIGINT) AS lf_punct,
+             CAST(CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[0-9]', '', 'g'))) * 50
+                 <= length(text) THEN 1 ELSE 0 END AS BIGINT) AS lf_digit
+           FROM documents),
+         m AS (SELECT *, CAST(CASE WHEN lf_len + lf_stop + lf_punct
+                 + lf_digit >= 3 THEN 1 ELSE 0 END AS BIGINT) AS majority
+               FROM f),
+         u AS (
+           SELECT 'lf_len' AS lf, lf_len AS v, majority FROM m
+           UNION ALL
+           SELECT 'lf_stop', lf_stop, majority FROM m
+           UNION ALL
+           SELECT 'lf_punct', lf_punct, majority FROM m
+           UNION ALL
+           SELECT 'lf_digit', lf_digit, majority FROM m)
+         SELECT lf, CAST(sum(v) AS BIGINT) AS n_vote,
+           (CAST(sum(v) AS BIGINT) * 1000000) // count(*) AS vote_ppm,
+           (CAST(sum(CASE WHEN v = majority THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) AS agree_ppm
+         FROM u GROUP BY 1""",
   )
 }

@@ -196,4 +196,62 @@ object Curation {
         isKeeper.as("is_keeper"))
       .withColumn("kept", $"is_keeper" && $"quality" >= 0.5)
   }
+
+  /** Four cheap labeling functions over a document (the Snorkel-style
+    * weak-supervision pattern: many noisy heuristics, one denoised
+    * label). Shared by q123 (per-doc votes) and q124 (per-LF agreement)
+    * so the two queries can never drift. All integer/boolean built-ins
+    * with exact DuckDB twins (`regexp_replace` needs the 'g' flag
+    * there; Spark replaces all matches by default). */
+  private def labelFns(text: Column): Seq[(String, Column)] = {
+    val nc = length(text)
+    val punct = nc - length(regexp_replace(text, "[.!?,;]", ""))
+    val digits = nc - length(regexp_replace(text, "[0-9]", ""))
+    Seq(
+      "lf_len"   -> when(nc >= 200, 1L).otherwise(0L),
+      "lf_stop"  -> when(instr(lower(text), " the ") > 0, 1L).otherwise(0L),
+      "lf_punct" -> when(punct * 20 >= nc, 1L).otherwise(0L),
+      "lf_digit" -> when(digits * 50 <= nc, 1L).otherwise(0L))
+  }
+
+  /** q123: weak-supervision label model (majority vote) — each doc gets
+    * the four LF votes, the vote count, and the majority label
+    * (≥3 of 4; the tie at 2-2 abstains to 0, standard for an even LF
+    * panel).
+    *
+    * Scale shape: map-only — four codegen'd predicates per row, no
+    * shuffle at all. */
+  def weakLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lfs = labelFns($"text")
+    val votes = lfs.map(_._2).reduce(_ + _)
+    graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"doc_id" +: lfs.map { case (n, c) => c.as(n) } :+
+        votes.as("n_votes"): _*)
+      .withColumn("majority", when($"n_votes" >= 3, 1L).otherwise(0L))
+  }
+
+  /** q124: labeling-function agreement audit — for each LF, how often
+    * it votes and how often it agrees with the majority label (the
+    * table a practitioner reads to spot a broken heuristic before it
+    * poisons the label model).
+    *
+    * Scale shape: the per-doc vote relation unpivots via `stack` (a
+    * generator, no shuffle) then ONE partial-agged groupBy bounded at
+    * |LFs| = 4 rows. */
+  def lfAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    weakLabels(spark, dir)
+      .select(expr(
+        """stack(4, 'lf_len', lf_len, 'lf_stop', lf_stop,
+                    'lf_punct', lf_punct, 'lf_digit', lf_digit)
+           AS (lf, v)"""), $"majority")
+      .groupBy($"lf")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"v").as("n_vote"),
+        sum(when($"v" === $"majority", 1L).otherwise(0L)).as("n_agree"))
+      .select($"lf", $"n_vote",
+        expr("(n_vote * 1000000) div n_docs").as("vote_ppm"),
+        expr("(n_agree * 1000000) div n_docs").as("agree_ppm"))
+  }
 }

@@ -472,4 +472,36 @@ object TextAnalysis {
       .where($"est" * 200 >= $"tot")
       .select($"tok", $"est", $"true_cnt")
   }
+
+  /** q122: character-entropy gibberish screen — per-doc Shannon entropy
+    * of the codepoint distribution (nats), the cheap filter that flags
+    * binary junk / repeated-char spam (low H) without tokenization.
+    * Hash-gated via the q87 surprisal recipe: every ln input is an
+    * exact integer ratio n_c/len (int/int `/` → the same double in
+    * both engines), each term −(n_c/len)·ln(n_c/len) is offset-
+    * quantized to a long FIRST (floor(x·1e4 + 1/3)) so the unordered
+    * shuffle sum stays associative.
+    *
+    * Scale shape: explode → one partial-agged (doc, char) groupBy
+    * (alphabet-bounded per doc), per-doc totals joined back on the
+    * already-small relation, one final per-doc sum. All map-side
+    * combinable. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chars = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .where($"ch" =!= "")
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("n_c"))
+    val lens = chars.groupBy($"doc_id")
+      .agg(sum($"n_c").as("len"), count(lit(1)).as("n_distinct"))
+    chars.join(lens, "doc_id")
+      .withColumn("term_q",
+        floor((-($"n_c" / $"len")) * log($"n_c" / $"len") * 10000
+          + lit(1.0 / 3)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(max($"len").as("len"), max($"n_distinct").as("n_distinct"),
+        sum($"term_q").as("entropy_q"))
+      .withColumn("flag_low",
+        when($"entropy_q" < 25000, 1L).otherwise(0L))
+  }
 }
