@@ -144,6 +144,11 @@ object SparkEntry {
     "q122_char_entropy"     -> (TextAnalysis.charEntropy _),
     "q123_weak_labels"      -> (Curation.weakLabels _),
     "q124_lf_agreement"     -> (Curation.lfAgreement _),
+    "q125_containment"      -> (Dedup.containmentPairs _),
+    "q126_bradley_terry"    -> (Preference.bradleyTerry _),
+    "q127_triangles"        -> (Graph.supplierTriangles _),
+    "q128_retention"        -> (Relational.retentionCohorts _),
+    "q129_vocab_nucleus"    -> (TextAnalysis.vocabNucleus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2146,5 +2151,138 @@ object SparkEntry {
            (CAST(sum(CASE WHEN v = majority THEN 1 ELSE 0 END) AS BIGINT)
              * 1000000) // count(*) AS agree_ppm
          FROM u GROUP BY 1""",
+    // q125: asymmetric containment |A∩B|/|A| >= 0.8 with A the smaller
+    // set (canonical direction). The oracle joins all shingles naively —
+    // the Spark side's prefix filter is a pruning, output identical.
+    "q125_containment" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+           JOIN card ca ON ca.doc_id = sa.doc_id
+           JOIN card cb ON cb.doc_id = sb.doc_id
+           WHERE ca.n < cb.n OR (ca.n = cb.n AND sa.doc_id < sb.doc_id)
+           GROUP BY 1, 2)
+         SELECT s.doc_a, s.doc_b, ca.n AS n_a, cb.n AS n_b, s.n_shared,
+           (s.n_shared * 1000000) // ca.n AS cont_ppm
+         FROM shared s JOIN card ca ON ca.doc_id = s.doc_a
+                       JOIN card cb ON cb.doc_id = s.doc_b
+         WHERE (s.n_shared * 1000000) // ca.n >= 800000""",
+    // q126: Bradley-Terry MM, 3 iterations unrolled; every step integer
+    // (per-term // then sums, max-rescale to 1e6) — identical algebra to
+    // the Spark loop, GREATEST guard on the strength-pair divisor.
+    "q126_bradley_terry" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, p_brand AS brand, l_quantity AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         m AS (
+           SELECT a.brand AS bi, b.brand AS bj,
+             CAST(CASE WHEN a.qty > b.qty THEN 1 ELSE 0 END AS BIGINT) AS wi
+           FROM li a JOIN li b
+             ON a.ok = b.ok AND a.brand < b.brand AND a.qty <> b.qty),
+         pair AS (SELECT bi, bj, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(wi) AS BIGINT) AS w
+                  FROM m GROUP BY 1, 2),
+         directed AS (SELECT bi AS i, bj AS j, n FROM pair
+                      UNION ALL SELECT bj, bi, n FROM pair),
+         wins AS (SELECT i, CAST(sum(ww) AS BIGINT) AS n_wins FROM
+                    (SELECT bi AS i, w AS ww FROM pair
+                     UNION ALL SELECT bj, n - w FROM pair)
+                  GROUP BY 1),
+         nm AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_matches
+                FROM directed GROUP BY 1),
+         w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM wins),
+         d1 AS (SELECT d.i, CAST(sum((d.n * 1000000000000)
+                  // GREATEST(wi.s + wj.s, 1)) AS BIGINT) AS denom
+                FROM directed d JOIN w0 wi ON d.i = wi.i
+                                JOIN w0 wj ON d.j = wj.i GROUP BY 1),
+         r1 AS (SELECT w.i, (w.n_wins * 1000000000000) // d.denom AS r
+                FROM wins w JOIN d1 d ON w.i = d.i),
+         w1 AS (SELECT i, (r * 1000000) // (SELECT max(r) FROM r1) AS s
+                FROM r1),
+         d2 AS (SELECT d.i, CAST(sum((d.n * 1000000000000)
+                  // GREATEST(wi.s + wj.s, 1)) AS BIGINT) AS denom
+                FROM directed d JOIN w1 wi ON d.i = wi.i
+                                JOIN w1 wj ON d.j = wj.i GROUP BY 1),
+         r2 AS (SELECT w.i, (w.n_wins * 1000000000000) // d.denom AS r
+                FROM wins w JOIN d2 d ON w.i = d.i),
+         w2 AS (SELECT i, (r * 1000000) // (SELECT max(r) FROM r2) AS s
+                FROM r2),
+         d3 AS (SELECT d.i, CAST(sum((d.n * 1000000000000)
+                  // GREATEST(wi.s + wj.s, 1)) AS BIGINT) AS denom
+                FROM directed d JOIN w2 wi ON d.i = wi.i
+                                JOIN w2 wj ON d.j = wj.i GROUP BY 1),
+         r3 AS (SELECT w.i, (w.n_wins * 1000000000000) // d.denom AS r
+                FROM wins w JOIN d3 d ON w.i = d.i),
+         w3 AS (SELECT i, (r * 1000000) // (SELECT max(r) FROM r3) AS s
+                FROM r3)
+         SELECT w.i AS brand, w.n_wins, nm.n_matches, w3.s AS strength_ppm
+         FROM wins w JOIN nm ON nm.i = w.i JOIN w3 ON w3.i = w.i""",
+    // q127: ordered-wedge triangle enumeration (x<y<z once each) over
+    // the >=3-shared-orders supplier graph; per-node counts by corner
+    // union — orientation-invariant, matches the Spark degree-note.
+    "q127_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+         e AS (SELECT a.sk AS u, b.sk AS v
+               FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (SELECT x AS supp FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri)
+         SELECT supp, CAST(count(*) AS BIGINT) AS n_tri
+         FROM corners GROUP BY 1""",
+    // q128: retention cohorts on the tz-free order DATE; month index
+    // year*12+month subtracts exactly in both engines.
+    "q128_retention" ->
+      """WITH cm AS (SELECT DISTINCT o_custkey,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                    AS ym
+                FROM orders),
+         f AS (SELECT o_custkey, min(ym) AS cohort FROM cm GROUP BY 1),
+         sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+                   FROM f GROUP BY 1),
+         act AS (SELECT cohort, ym - cohort AS offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+                 FROM cm JOIN f USING (o_custkey) GROUP BY 1, 2)
+         SELECT a.cohort, a.offset, a.n_active, s.cohort_n,
+           (a.n_active * 1000000) // s.cohort_n AS retained_ppm
+         FROM act a JOIN sizes s ON a.cohort = s.cohort""",
+    // q129: nucleus (top-p) vocab mass at 90%; integer cross-multiply
+    // test, rank ties broken (n desc, tok asc) identically.
+    "q129_vocab_nucleus" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+               FROM t GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab
+                 FROM c GROUP BY 1),
+         cum AS (SELECT lang, tok, n,
+             CAST(row_number() OVER w AS BIGINT) AS rk,
+             CAST(sum(n) OVER w AS BIGINT) AS cum
+           FROM c
+           WINDOW w AS (PARTITION BY lang ORDER BY n DESC, tok ASC
+                        ROWS UNBOUNDED PRECEDING)),
+         k AS (SELECT cum.lang, min(rk) AS k_nucleus
+               FROM cum JOIN tot USING (lang)
+               WHERE cum * 10 >= total_tokens * 9 GROUP BY 1)
+         SELECT k.lang, tot.total_tokens, tot.vocab, k.k_nucleus,
+           cum.cum AS cum_at_k,
+           (k.k_nucleus * 1000000) // tot.vocab AS nucleus_ppm
+         FROM k JOIN cum ON cum.lang = k.lang AND cum.rk = k.k_nucleus
+                JOIN tot ON tot.lang = k.lang""",
   )
 }

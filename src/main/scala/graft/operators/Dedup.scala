@@ -110,6 +110,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** q125: asymmetric containment dedup — |A∩B| / |A| >= t with A the
+    * smaller shingle set. Catches the pair class symmetric Jaccard (q25)
+    * misses: a short doc wholly quoted inside a much longer one has
+    * Jaccard |A|/|B| ≈ 0 but containment ≈ 1; a curation pipeline drops
+    * the contained doc. Direction is canonical: n_a < n_b, ties broken
+    * by doc_id, so each unordered pair appears once with A = contained.
+    *
+    * Pruning reuses the PPJoin prefix machinery and stays EXACT: if
+    * C(A,B) >= t then |A∩B| >= ceil(t*|A|), so among A's first
+    * `|A| - ceil(t*|A|) + 1` shingles in the global (df asc, shingle)
+    * order at least one lies in B (a miss would cap the intersection at
+    * ceil(t*|A|) - 1). Only the A side is prefix-restricted — the
+    * container B can share ANY of its shingles — so B joins its full
+    * posting list. The df-ordered prefix keeps A's probe shingles the
+    * rarest ones, which is what bounds the candidate volume at scale;
+    * the per-shingle posting list on the B side is the residual hot
+    * spot, mitigated exactly as an inverted index is (df-ascending
+    * probes + the n_a <= n_b direction filter inside the join).
+    *
+    * Scale shape: same linear df/rank shuffles as q25; the candidate
+    * join is prefix(A) x postings(B) on shingle equality — no all-pairs
+    * product; verify touches shingle SETS per surviving pair. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentOn(TextOps.docsParallel(spark, dir), 0.8)
+
+  /** Testable core over any `(doc_id, text)` relation. */
+  private[graft] def containmentOn(docs: DataFrame, t: Double): DataFrame = {
+    // one shingle pass feeding prefix ranking, the B-side postings and
+    // both verify sides (same checkpoint rationale as ngramJaccardOn)
+    val docSh = docs
+      .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint(false)
+    val prefix = prefixShingles(docSh, t)
+    val postings = docSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"),
+      explode(col("sh")).as("shingle"))
+    val cand = prefix.as("a").join(postings.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          (col("a.__n") < col("b.__n") ||
+            (col("a.__n") === col("b.__n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"))
+      .withColumn("cont_ppm", expr("(n_shared * 1000000) div n_a"))
+      .where(col("cont_ppm") >= math.round(t * 1000000))
+  }
+
   /** Conservative `ceil(n * t)`: subtract an epsilon before ceil so a
     * double product that lands a hair ABOVE an exact-integer t*n cannot
     * overshoot the exact rational by 1 (which would shorten prefixes /

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** Iterative graph operators for dedup pipelines.
   *
   * Near-duplicate detection (q25-q28, q37) emits PAIRS; an actual dedup
@@ -274,5 +276,43 @@ object Graph {
           expr("150000 + (85 * s) div 100").as("r"))
     }
     rebind(ranks.select($"node".as("doc_id"), $"r".as("rank_q")), caller)
+  }
+
+  /** q127: triangle count per node over the supplier co-occurrence graph
+    * (suppliers sharing >= 3 distinct orders are adjacent) — the classic
+    * distributed graph kernel for community density, here the "vendors
+    * that ship together" structure of the star schema.
+    *
+    * Enumeration is the ordered-wedge algorithm: with edges canonical
+    * (u < v), wedge (x<y<z) closes iff (x,z) is an edge — each triangle
+    * is generated exactly once, and per-node counts come from exploding
+    * the 3 corners (orientation-invariant, so the oracle may enumerate
+    * any way it likes). At 100 TB the id-order orientation is replaced
+    * by DEGREE order (rank by (deg, id)): every edge then points from
+    * the lower-degree endpoint, bounding wedge fan-out by arboricity
+    * (Suri & Vassilvitskii, WWW'11) instead of by the hottest vertex;
+    * same output, and the closure join stays an equality hash join.
+    *
+    * Scale shape: the corpus-sized work is one distinct + self-join on
+    * orderkey with per-order fan-out bounded by items-per-order; the
+    * wedge/closure joins run on the filtered EDGE relation (>= 3 shared
+    * orders), which is orders of magnitude smaller. */
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val e = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
+      .agg(count(lit(1)).as("n_ord"))
+      .where($"n_ord" >= 3)
+      .select($"u", $"v")
+      // feeds three join legs — materialize the small edge list once
+      .localCheckpoint(false)
+    val tri = e.as("e1").join(e.as("e2"), $"e1.v" === $"e2.u")
+      .select($"e1.u".as("x"), $"e1.v".as("y"), $"e2.v".as("z"))
+      .join(e.as("e3"), $"x" === $"e3.u" && $"z" === $"e3.v")
+      .select($"x", $"y", $"z")
+    tri.select(explode(array($"x", $"y", $"z")).as("supp"))
+      .groupBy($"supp").agg(count(lit(1)).as("n_tri"))
   }
 }

@@ -977,4 +977,31 @@ object Relational {
       .withColumn("delta_ms", $"t_ms" - lag($"t_ms", 1).over(w))
       .withColumn("quartile", ntile(4).over(w))
   }
+
+  /** q128: retention cohort table — customers cohorted by first-order
+    * month, a cell per (cohort, month offset) with the active-customer
+    * count and the retention rate vs cohort size. The month key is the
+    * integer index `year*12 + month` of the tz-free o_orderdate DATE, so
+    * offsets subtract exactly in both engines (no interval arithmetic,
+    * no timezone).
+    *
+    * Scale shape: one distinct to (customer, month) — partial-agged —
+    * then a min-per-customer agg, a cohort join shuffled on custkey, and
+    * a final groupBy bounded at |months|² cells. No window, no sort; the
+    * cohort-size join is a broadcast of the |months|-row relation. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cm = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long").as("ym"))
+      .distinct()
+    val first = cm.groupBy($"o_custkey").agg(min($"ym").as("cohort"))
+    val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("cohort_n"))
+    cm.join(first, "o_custkey")
+      .groupBy($"cohort", ($"ym" - $"cohort").as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select($"cohort", $"offset", $"n_active", $"cohort_n",
+        expr("(n_active * 1000000) div cohort_n").as("retained_ppm"))
+  }
 }

@@ -504,4 +504,39 @@ object TextAnalysis {
       .withColumn("flag_low",
         when($"entropy_q" < 25000, 1L).otherwise(0L))
   }
+
+  /** q129: nucleus (top-p) vocabulary mass — per language, the smallest
+    * head of the frequency-sorted vocabulary whose cumulative token mass
+    * reaches 90%. The size of that nucleus relative to the vocabulary is
+    * the concentration diagnostic a tokenizer/mixture design reads (a
+    * tiny nucleus = a corpus dominated by few types). The 90% test is
+    * exact integer cross-multiplication (cum*10 >= total*9), no floats.
+    *
+    * Scale shape: the corpus reduces via one partial-agged groupBy to
+    * the (lang, token, n) vocabulary; the rank/cumsum window runs on
+    * that aggregate, bounded by vocab size, never the corpus. At
+    * extreme vocab the window segments by count-bucket two-phase
+    * (partial sums per bucket, prefix over the bucket totals) — the
+    * [[graft.operators.Timeseries.cusumChangePoint]] note. */
+  def vocabNucleus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = TextOps.docsParallel(spark, dir)
+      .select($"lang", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy($"lang")
+      .agg(sum($"n").as("total_tokens"), count(lit(1)).as("vocab"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok".asc)
+    val cum = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val k = cum.join(tot, "lang")
+      .where($"cum" * 10 >= $"total_tokens" * 9)
+      .groupBy($"lang").agg(min($"rk").as("k_nucleus"))
+    k.join(cum.select($"lang".as("__lang"), $"rk", $"cum"),
+        $"lang" === $"__lang" && $"k_nucleus" === $"rk")
+      .select($"lang", $"k_nucleus", $"cum".as("cum_at_k"))
+      .join(tot, "lang")
+      .select($"lang", $"total_tokens", $"vocab", $"k_nucleus", $"cum_at_k",
+        expr("(k_nucleus * 1000000) div vocab").as("nucleus_ppm"))
+  }
 }
