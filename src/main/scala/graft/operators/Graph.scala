@@ -301,18 +301,68 @@ object Graph {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    val e = li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+    trianglesOn(li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
       .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
       .agg(count(lit(1)).as("n_ord"))
       .where($"n_ord" >= 3)
-      .select($"u", $"v")
-      // feeds three join legs — materialize the small edge list once
+      .select($"u", $"v"))
+  }
+
+  /** Wedge + closure enumeration over a canonical (u < v) edge list.
+    *
+    * Runs AQE-off on a cloned session at FULL shuffle width: the edge
+    * relation is kilobytes, so AQE coalesces its exchanges down to a
+    * handful of partitions — correct by bytes, wrong for a join whose
+    * OUTPUT explodes (wedges are quadratic in degree). Measured at
+    * sf0.1: the wedge stage ran 12s of CPU on 6 AQE-coalesced tasks
+    * (2.1s wall); at width 32 the same CPU spreads to ~0.5s. Unlike
+    * the CC/PageRank loops this clone WIDENS rather than narrows —
+    * same isolation discipline, opposite knob. */
+  private[graft] def trianglesOn(edges0: DataFrame): DataFrame = {
+    val caller = edges0.sparkSession
+    val spark = caller.newSession()
+    import spark.implicits._
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString)
+    // feeds the adjacency build and the per-edge probe — materialize once
+    val e = rebind(edges0, spark).localCheckpoint(false)
+    // EDGE-ITERATOR enumeration (Chiba–Nishizeki shape), not wedge-join:
+    // a wedge join materializes every OPEN wedge (~10M rows / 62s CPU at
+    // sf0.1) only to discard the unclosed ones. Instead each edge (u,v)
+    // intersects the two forward-adjacency lists — common neighbor w ⇒
+    // triangle u<v<w found exactly once, at its lowest edge — so the
+    // only exploded rows are actual triangles. The adjacency relation is
+    // |nodes| rows (broadcast); per-edge work is O(d_u + d_v). At web
+    // scale the broadcast becomes a shuffled co-partitioned join on u
+    // (and a degree-ordered orientation bounds list length by
+    // arboricity); the per-edge intersection algebra is unchanged.
+    // |nodes| rows; checkpointed so the TWO broadcast legs below don't
+    // each re-run the adjacency aggregation
+    val adj = e.groupBy($"u").agg(sort_array(collect_list($"v")).as("nb"))
       .localCheckpoint(false)
-    val tri = e.as("e1").join(e.as("e2"), $"e1.v" === $"e2.u")
-      .select($"e1.u".as("x"), $"e1.v".as("y"), $"e2.v".as("z"))
-      .join(e.as("e3"), $"x" === $"e3.u" && $"z" === $"e3.v")
-      .select($"x", $"y", $"z")
-    tri.select(explode(array($"x", $"y", $"z")).as("supp"))
-      .groupBy($"supp").agg(count(lit(1)).as("n_tri"))
+    val probe = e
+      .join(broadcast(adj.select($"u".as("__u"), $"nb".as("nb_u"))), $"u" === $"__u")
+      .join(broadcast(adj.select($"u".as("__v"), $"nb".as("nb_v"))), $"v" === $"__v", "left")
+      .select($"u", $"v",
+        array_intersect($"nb_u", coalesce($"nb_v", array().cast("array<bigint>")))
+          .as("common"))
+    // corner credit: u and v get one per common neighbor, each w gets 1
+    val corners = probe
+      .select(explode(concat(
+        array(struct($"u".as("n"), size($"common").cast("long").as("c")),
+          struct($"v".as("n"), size($"common").cast("long").as("c"))),
+        transform($"common", w => struct(w.as("n"), lit(1L).as("c"))))).as("s"))
+      .select($"s.n".as("supp"), $"s.c".as("c"))
+    val counts = corners.groupBy($"supp").agg(sum($"c").as("n_tri"))
+      .where($"n_tri" > 0)
+      // EAGER checkpoint: the enumeration job must run on THIS session
+      // (AQE off, full width) — a lazy plan rebound to the caller would
+      // re-plan under the caller's AQE and re-coalesce the kilobyte
+      // exchanges below the width the probe stage's CPU needs
+      .localCheckpoint()
+    rebind(counts, caller)
   }
 }
