@@ -149,6 +149,11 @@ object SparkEntry {
     "q127_triangles"        -> (Graph.supplierTriangles _),
     "q128_retention"        -> (Relational.retentionCohorts _),
     "q129_vocab_nucleus"    -> (TextAnalysis.vocabNucleus _),
+    "q130_canon_dedup"      -> (Curation.canonDedup _),
+    "q131_novelty"          -> (Dedup.ngramNovelty _),
+    "q132_cohen_kappa"      -> (Curation.cohenKappa _),
+    "q133_minhash_audit"    -> (Dedup.minhashEstAudit _),
+    "q134_survival"         -> (Timeseries.survivalCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2284,5 +2289,143 @@ object SparkEntry {
            (k.k_nucleus * 1000000) // tot.vocab AS nucleus_ppm
          FROM k JOIN cum ON cum.lang = k.lang AND cum.rk = k.k_nucleus
                 JOIN tot ON tot.lang = k.lang""",
+    // q130: canonical-form dedup (lower / punct->space / collapse /
+    // trim); DuckDB regexp_replace needs 'g' for replace-all.
+    "q130_canon_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_forms
+         FROM documents GROUP BY 1""",
+    // q131: per-doc fraction of corpus-unique (df=1) shingles, ppm.
+    "q131_novelty" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+                FROM sh GROUP BY 1)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           (CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // CAST(count(*) AS BIGINT) AS novelty_ppm
+         FROM sh s JOIN df USING (shingle) GROUP BY 1""",
+    // q132: pairwise Cohen's kappa over the q123 LFs; all-integer
+    // chance correction, signed ppm truncates identically both engines.
+    "q132_cohen_kappa" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
+               AS BIGINT) AS lf_len,
+             CAST(CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0
+               END AS BIGINT) AS lf_stop,
+             CAST(CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[.!?,;]', '', 'g'))) * 20
+                 >= length(text) THEN 1 ELSE 0 END AS BIGINT) AS lf_punct,
+             CAST(CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[0-9]', '', 'g'))) * 50
+                 <= length(text) THEN 1 ELSE 0 END AS BIGINT) AS lf_digit
+           FROM documents),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lf_len) AS BIGINT) AS s_len,
+             CAST(sum(lf_stop) AS BIGINT) AS s_stop,
+             CAST(sum(lf_punct) AS BIGINT) AS s_punct,
+             CAST(sum(lf_digit) AS BIGINT) AS s_digit,
+             CAST(sum(CASE WHEN lf_len = lf_stop THEN 1 ELSE 0 END) AS BIGINT) AS ag_ls,
+             CAST(sum(CASE WHEN lf_len = lf_punct THEN 1 ELSE 0 END) AS BIGINT) AS ag_lp,
+             CAST(sum(CASE WHEN lf_len = lf_digit THEN 1 ELSE 0 END) AS BIGINT) AS ag_ld,
+             CAST(sum(CASE WHEN lf_stop = lf_punct THEN 1 ELSE 0 END) AS BIGINT) AS ag_sp,
+             CAST(sum(CASE WHEN lf_stop = lf_digit THEN 1 ELSE 0 END) AS BIGINT) AS ag_sd,
+             CAST(sum(CASE WHEN lf_punct = lf_digit THEN 1 ELSE 0 END) AS BIGINT) AS ag_pd
+           FROM f),
+         p AS (
+           SELECT 'lf_len' AS lf_a, 'lf_stop' AS lf_b, ag_ls AS agree,
+                  s_len AS a1, s_stop AS b1, n FROM a
+           UNION ALL SELECT 'lf_len', 'lf_punct', ag_lp, s_len, s_punct, n FROM a
+           UNION ALL SELECT 'lf_len', 'lf_digit', ag_ld, s_len, s_digit, n FROM a
+           UNION ALL SELECT 'lf_stop', 'lf_punct', ag_sp, s_stop, s_punct, n FROM a
+           UNION ALL SELECT 'lf_stop', 'lf_digit', ag_sd, s_stop, s_digit, n FROM a
+           UNION ALL SELECT 'lf_punct', 'lf_digit', ag_pd, s_punct, s_digit, n FROM a)
+         SELECT lf_a, lf_b, n, agree,
+           agree * n - (a1*b1 + (n-a1)*(n-b1)) AS kappa_num,
+           n * n - (a1*b1 + (n-a1)*(n-b1)) AS kappa_den,
+           ((agree * n - (a1*b1 + (n-a1)*(n-b1))) * 1000000)
+             // (n * n - (a1*b1 + (n-a1)*(n-b1))) AS kappa_ppm
+         FROM p""",
+    // q133: MinHash estimator audit on q26's band-collision candidates;
+    // per-seed signature match fraction vs exact set Jaccard, ppm.
+    "q133_minhash_audit" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         mh AS (SELECT s.doc_id, sd.seed, min(md5(sd.seed || ':' || s.shingle)) AS mh
+                FROM sh s, range(12) sd(seed) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          string_agg(mh, ',' ORDER BY seed) AS sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id),
+         est AS (SELECT c.doc_a, c.doc_b,
+                   CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                     AS BIGINT) AS est12
+                 FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a
+                             JOIN mh mb ON mb.doc_id = c.doc_b
+                                       AND mb.seed = ma.seed
+                 GROUP BY 1, 2),
+         shared AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+                    FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                                JOIN sh sb ON sb.doc_id = c.doc_b
+                                          AND sa.shingle = sb.shingle
+                    GROUP BY 1, 2)
+         SELECT e.doc_a, e.doc_b, e.est12,
+           (e.est12 * 1000000) // 12 AS est_ppm,
+           (s.n_shared * 1000000) // (ca.n + cb.n - s.n_shared) AS exact_ppm,
+           abs((e.est12 * 1000000) // 12
+             - (s.n_shared * 1000000) // (ca.n + cb.n - s.n_shared)) AS err_ppm
+         FROM est e
+         JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+         JOIN card ca ON ca.doc_id = e.doc_a
+         JOIN card cb ON cb.doc_id = e.doc_b""",
+    // q134: Kaplan-Meier over user lifetimes; per-term ln quantized to
+    // a long (q87 recipe), cumsum in the deterministic duration order;
+    // d = n_risk rows (S = 0) excluded identically by both engines.
+    "q134_survival" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+         u AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax
+               FROM ev GROUP BY 1),
+         durs AS (SELECT (tmax - tmin) // 3600000 AS dur_h,
+             CASE WHEN (SELECT max(t) FROM ev) - tmax < 259200000
+               THEN 1 ELSE 0 END AS cens
+           FROM u),
+         byt AS (SELECT dur_h, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(1 - cens) AS BIGINT) AS d,
+             CAST(sum(cens) AS BIGINT) AS c
+           FROM durs GROUP BY 1),
+         r AS (SELECT *, CAST((SELECT sum(m) FROM byt) AS BIGINT)
+             - COALESCE(CAST(sum(m) OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS n_risk
+           FROM byt),
+         f AS (SELECT dur_h, n_risk, d, c,
+             CAST(floor(ln((n_risk - d) / n_risk) * 1000000 + 1.0/3)
+               AS BIGINT) AS term_q
+           FROM r WHERE d > 0 AND d < n_risk)
+         SELECT dur_h, n_risk, d, c,
+           CAST(sum(term_q) OVER (ORDER BY dur_h ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS surv_lnq
+         FROM f""",
   )
 }

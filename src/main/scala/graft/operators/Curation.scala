@@ -254,4 +254,62 @@ object Curation {
         expr("(n_vote * 1000000) div n_docs").as("vote_ppm"),
         expr("(n_agree * 1000000) div n_docs").as("agree_ppm"))
   }
+
+  /** q130: canonical-form dedup — the normalization pass between exact
+    * dedup (q24, byte-identical only) and near-dup (q25+): lowercase,
+    * strip punctuation to spaces, collapse runs, trim; docs sharing the
+    * canonical form are trivial variants (case/punct re-edits) that no
+    * pipeline should pay shingle-level machinery to find. Keeper =
+    * lowest doc_id; n_raw_forms counts how many distinct raw texts the
+    * group folds (== 1 means q24 already caught it).
+    *
+    * Scale shape: map-only canonicalization + one partial-agged groupBy
+    * on the md5 fingerprint — exactly q24's shape, same 100 TB story. */
+  def canonDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val canon = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"doc_id", md5(canon).as("fp"), md5($"text").as("raw_fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"),
+        countDistinct($"raw_fp").as("n_raw_forms"))
+  }
+
+  /** q132: pairwise Cohen's kappa between the q123 labeling functions —
+    * chance-corrected agreement, the audit that distinguishes "these
+    * two LFs genuinely corroborate" from "they agree because both
+    * almost always vote 1". kappa = (n·agree − E) / (n² − E) with
+    * E = a1·b1 + a0·b0 — every term an exact integer; the signed ppm
+    * division truncates toward zero in BOTH engines (verified: DuckDB
+    * `//` and Spark `div` are Java-style truncation), so negative
+    * kappas port exactly.
+    *
+    * Scale shape: ONE corpus pass computes all 4 vote sums and all 6
+    * pairwise agreement sums as partial aggs into a single row; the
+    * kappa algebra runs on the stacked 6-row relation. Nothing but the
+    * one reduction ever touches the corpus. */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Seq("lf_len", "lf_stop", "lf_punct", "lf_digit")
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield (names(i), names(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      names.map(n => sum(col(n)).as(s"s_$n")) ++
+      pairs.map { case (a, b) =>
+        sum(when(col(a) === col(b), 1L).otherwise(0L)).as(s"ag_${a}_${b}")
+      }
+    val one = weakLabels(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select(expr(
+      s"""stack(${pairs.length}, ${pairs.map { case (a, b) =>
+        s"'$a', '$b', ag_${a}_${b}, s_$a, s_$b" }.mkString(", ")})
+          AS (lf_a, lf_b, agree, a1, b1)"""), $"n")
+    stacked
+      .withColumn("e_chance", $"a1" * $"b1" + ($"n" - $"a1") * ($"n" - $"b1"))
+      .select($"lf_a", $"lf_b", $"n", $"agree",
+        ($"agree" * $"n" - $"e_chance").as("kappa_num"),
+        ($"n" * $"n" - $"e_chance").as("kappa_den"))
+      .withColumn("kappa_ppm", expr("(kappa_num * 1000000) div kappa_den"))
+  }
 }

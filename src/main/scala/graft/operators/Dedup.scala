@@ -110,6 +110,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** q131: n-gram novelty — per document, the fraction of its shingles
+    * appearing NOWHERE else in the corpus (df = 1), in ppm. The inverse
+    * diagnostic of q58's contamination: high novelty marks content the
+    * corpus hasn't seen (worth keeping), near-zero novelty marks
+    * template/boilerplate families even when no single pair crosses a
+    * dedup threshold.
+    *
+    * Scale shape: the same linear (shingle → df → rejoin) shuffles as
+    * q25's prefix ranking; per-doc reduction is a partial agg. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = TextOps.shingled(spark, dir, 3)
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select($"doc_id", $"n_sh", $"n_unique",
+        expr("(n_unique * 1000000) div n_sh").as("novelty_ppm"))
+  }
+
+  /** q133: MinHash estimator audit — for each q26 band-collision
+    * candidate pair, the signature-estimated Jaccard (matching seed
+    * fraction over k=12) against the exact set Jaccard, error in ppm.
+    * This is the calibration table that justifies trusting the sketch
+    * at 100 TB where exact verification of every candidate is the cost
+    * ceiling: precision scales with k, and the audit MEASURES it on
+    * the actual corpus instead of assuming the (1-J)·J/k variance.
+    *
+    * Scale shape: signatures are q26's map-only native kernel; the
+    * audit joins the k-element arrays per CANDIDATE pair only (zip_with
+    * equality fold — no per-seed explode), exact sets via
+    * array_intersect as in q26. */
+  def minhashEstAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSh = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
+      .where(size($"sh") > 0)
+      // feeds the band join and both audit sides
+      .localCheckpoint(false)
+    val signed = docSh.select($"doc_id", $"sh",
+      graft.functions.TextHash.minhash($"sh", 12).as("mh"))
+    val banded = docSh.select($"doc_id",
+      posexplode(graft.functions.TextHash.minhashBands($"sh", 12, 3))
+        .as(Seq("band", "sig_band")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.sig_band" === $"b.sig_band" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    cand
+      .join(signed.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"mh".as("mh_a")), "doc_a")
+      .join(signed.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"mh".as("mh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        aggregate(zip_with($"mh_a", $"mh_b",
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("est12"),
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("n_shared"),
+        (size($"sh_a") + size($"sh_b")).cast("long").as("n_ab"))
+      .select($"doc_a", $"doc_b", $"est12",
+        expr("(est12 * 1000000) div 12").as("est_ppm"),
+        expr("(n_shared * 1000000) div (n_ab - n_shared)").as("exact_ppm"))
+      .withColumn("err_ppm", abs($"est_ppm" - $"exact_ppm"))
+  }
+
   /** q125: asymmetric containment dedup — |A∩B| / |A| >= t with A the
     * smaller shingle set. Catches the pair class symmetric Jaccard (q25)
     * misses: a short doc wholly quoted inside a much longer one has

@@ -83,4 +83,49 @@ object Timeseries {
       .select($"event_type", $"event_id", $"tms", $"vq",
         $"med2", $"mad4", $"is_spike", $"clean2")
   }
+
+  /** q134: Kaplan–Meier survival curve over user lifetimes — duration =
+    * hours between a user's first and last event; a user whose last
+    * event falls within 72 h of the corpus horizon is CENSORED (still
+    * active), everyone else churned. Per distinct event time t:
+    * at-risk n(t), churn events d(t), censored c(t), and the running
+    * log-survival ln S(t) = Σ ln(1 − d/n) — each term offset-quantized
+    * to a long at 1e6 (the q87 ln recipe; safe here because ln of a
+    * rational ≠ 1 is transcendental, so it cannot sit ON a k+1/3
+    * boundary) and cum-summed in the deterministic t order. Rows where
+    * d = n (survival hits exactly 0, ln −∞) are excluded by both
+    * engines identically: the curve is reported while S > 0.
+    *
+    * Scale shape: the corpus reduces via one per-user partial agg; the
+    * risk-set cumsum and the log-survival window run on the DISTINCT-
+    * duration relation, bounded by the time grid, never by users. */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("t"))
+    val u = ev.groupBy($"user_id")
+      .agg(min($"t").as("tmin"), max($"t").as("tmax"))
+    val durs = u.crossJoin(broadcast(ev.agg(max($"t").as("t_end"))))
+      .select(expr("(tmax - tmin) div 3600000").as("dur_h"),
+        when($"t_end" - $"tmax" < 259200000L, 1L).otherwise(0L).as("cens"))
+    val byT = durs.groupBy($"dur_h")
+      .agg(count(lit(1)).as("m"), sum(lit(1L) - $"cens").as("d"),
+        sum($"cens").as("c"))
+    // constant partition key: windows over the bounded distinct-duration
+    // relation (q53's explicit-spec idiom)
+    val wPrev = Window.partitionBy(lit(1)).orderBy($"dur_h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy($"dur_h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk",
+        sum($"m").over(wAll) - coalesce(sum($"m").over(wPrev), lit(0L)))
+      .where($"d" > 0 && $"d" < $"n_risk")
+      .withColumn("term_q",
+        floor(log(($"n_risk" - $"d") / $"n_risk") * 1000000 + lit(1.0 / 3))
+          .cast("long"))
+      .withColumn("surv_lnq", sum($"term_q").over(wCum))
+      .select($"dur_h", $"n_risk", $"d", $"c", $"surv_lnq")
+  }
 }
