@@ -2407,7 +2407,7 @@ object SparkEntry {
          u AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax
                FROM ev GROUP BY 1),
          durs AS (SELECT (tmax - tmin) // 3600000 AS dur_h,
-             CASE WHEN (SELECT max(t) FROM ev) - tmax < 259200000
+             CASE WHEN (SELECT max(t) FROM ev) - tmax < 43200000
                THEN 1 ELSE 0 END AS cens
            FROM u),
          byt AS (SELECT dur_h, CAST(count(*) AS BIGINT) AS m,

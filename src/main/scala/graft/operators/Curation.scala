@@ -312,4 +312,41 @@ object Curation {
         ($"n" * $"n" - $"e_chance").as("kappa_den"))
       .withColumn("kappa_ppm", expr("(kappa_num * 1000000) div kappa_den"))
   }
+
+  /** q136: Fleiss' kappa over the whole 4-LF panel — the one-number
+    * panel-agreement summary that complements q132's pairwise view
+    * (Cohen covers 2 raters; Fleiss is the R-rater chance-corrected
+    * agreement a weak-supervision audit actually reports). Binary
+    * categories, R = 4 raters per doc: with s = positive votes on a
+    * doc, the per-doc pair-agreement numerator is s² + (R−s)² − R, and
+    *   kappa = (P̄ − P̄e) / (1 − P̄e)
+    *         = (R·n·ΣP − (R−1)·(S² + (R·n − S)²))
+    *           / (R·(R−1)·n² ·… )  — cleared to the integer form below
+    * with S = Σs over docs, ΣP = Σ(s² + (R−s)² − R). For R = 4 the
+    * cleared fraction is kappa = (4n·ΣP − 3·(S² + (4n−S)²))
+    * / (48n² − 3·(S² + (4n−S)²)) — all-long arithmetic, ppm by integer
+    * division, truncation identical in both engines.
+    *
+    * Long-overflow bound: 48n² needs n < 4.4e8 docs; beyond that route
+    * the three products through decimal(38,0) (the q60 recipe).
+    *
+    * Scale shape: ONE partial-agged global aggregate over map-side LF
+    * predicates — no shuffle wider than the 3-long partial rows. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val one = weakLabels(spark, dir)
+      .select($"n_votes".as("s"))
+      .agg(count(lit(1)).as("n"), sum($"s").as("s_pos"),
+        sum($"s" * $"s" + (lit(4L) - $"s") * (lit(4L) - $"s") - lit(4L))
+          .as("p_sum"))
+    one
+      .withColumn("chance2",
+        $"s_pos" * $"s_pos" +
+          (lit(4L) * $"n" - $"s_pos") * (lit(4L) * $"n" - $"s_pos"))
+      .select($"n", $"s_pos", $"p_sum",
+        (lit(4L) * $"n" * $"p_sum" - lit(3L) * $"chance2").as("kappa_num"),
+        (lit(48L) * $"n" * $"n" - lit(3L) * $"chance2").as("kappa_den"))
+      .where($"kappa_den" =!= 0L)
+      .withColumn("kappa_ppm", expr("(kappa_num * 1000000) div kappa_den"))
+  }
 }

@@ -63,4 +63,35 @@ object Evaluate {
         expr("(n_pos * 1000000) div n").as("pos_ppm"),
         expr("sum_chars div n").as("mean_chars"))
   }
+
+  /** q141: per-source split-conformal threshold — the distribution-free
+    * cutoff a production filter uses: with n calibration scores per
+    * source and coverage 90%, the threshold is the k-th smallest score
+    * where k = ceil(0.9·(n+1)) (clamped to n) — scores ≤ threshold are
+    * accepted with a finite-sample ≥ 90% guarantee. Score here is the
+    * document-length feature (the same proxy the q120/q121 evaluation
+    * family audits). All order-statistic arithmetic is integer-exact:
+    * k via ceil-division, threshold via cumulative counts over the
+    * distinct-score relation — NOT a per-source sort of raw rows.
+    *
+    * Scale shape: corpus partial-aggs to (source, score) counts; the
+    * cumulative window and the min-score-reaching-k selection run on
+    * that bounded relation (|sources|×|distinct scores|), the
+    * q120 shape. */
+  def conformalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val tot = g.groupBy($"source").agg(sum($"c").as("n"))
+      // ceil(9(n+1)/10) = (9(n+1)+9) div 10, clamped to n
+      .withColumn("k", least(expr("(9 * (n + 1) + 9) div 10"), $"n"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("cum", sum($"c").over(w))
+      .join(tot, "source")
+      .where($"cum" >= $"k")
+      .groupBy($"source", $"n", $"k")
+      .agg(min($"n_chars").as("threshold"))
+      .select($"source", $"n", $"k", $"threshold")
+  }
 }

@@ -236,4 +236,33 @@ object Sampling {
       .where($"rk" <= 3)
       .select($"source", $"rk", $"doc_id")
   }
+
+  /** q135: leakage-free temporal holdout — the leave-last-out protocol
+    * of sequential/recommender training data: per user, the LAST event
+    * (by ts, event_id tie-break) is `test`, the second-to-last is
+    * `val`, everything earlier is `train`. Contrast with q48's hash
+    * split: here the split axis is TIME WITHIN USER, so a model trained
+    * on `train` never sees a user's future — the leakage a plain random
+    * split silently commits on behavioral data.
+    *
+    * Output is the audit table a pipeline review reads: per (split,
+    * event_type) the event count and distinct-user count — val/test
+    * user counts must equal the eligible-user total, or the split is
+    * broken.
+    *
+    * Scale shape: one window partitioned on `user_id` (the natural
+    * high-cardinality key — parallelizes to any width), then a partial-
+    * agged groupBy bounded by |splits|x|event types| = 15 rows. No
+    * global sort, no skew (a user's event list is human-bounded). */
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("split",
+        when($"rk" === 1, "test").when($"rk" === 2, "val").otherwise("train"))
+      .groupBy($"split", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+  }
 }

@@ -539,4 +539,74 @@ object TextAnalysis {
       .select($"lang", $"total_tokens", $"vocab", $"k_nucleus", $"cum_at_k",
         expr("(k_nucleus * 1000000) div vocab").as("nucleus_ppm"))
   }
+
+  /** q137: Heaps-law vocabulary growth curve — does vocab keep growing
+    * as the corpus grows, or is the source mix saturating? Per corpus
+    * decile (docs ordered by ingest id), the cumulative doc count,
+    * token count, and DISTINCT-token count. The trick that makes this
+    * one pass instead of ten: a token's contribution to every decile ≥
+    * its FIRST occurrence is 1, so vocab_cum(d) = #{tokens whose
+    * min(doc_id) falls in decile ≤ d} — a min-agg per token, a 10-row
+    * histogram, and a cumulative window over those 10 rows. No
+    * per-checkpoint rescan, no distinct-over-growing-prefix.
+    *
+    * Scale shape: the token relation partial-aggs to (token,
+    * first_doc) then to 10 rows; the corpus-side decile sizes come from
+    * the same kind of bounded groupBy. Windows only ever see 10 rows. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsParallel(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // decile by position in the ingest order; doc_id is the stable
+    // ingest id (0..n-1), so decile = (doc_id*10) div n with a cap for
+    // the final partial decile
+    val tok = docs.crossJoin(broadcast(nDocs))
+      .select($"doc_id", least(expr("(doc_id * 10) div n_docs"), lit(9L)).as("dec"),
+        TextOps.toks($"text").as("toks"))
+    val perDoc = tok.groupBy($"dec")
+      .agg(count(lit(1)).as("n_docs_dec"), sum(size($"toks")).as("n_toks_dec"))
+    val firstSeen = tok.select($"dec", explode($"toks").as("t"))
+      .groupBy($"t").agg(min($"dec").as("first_dec"))
+      .groupBy($"first_dec").agg(count(lit(1)).as("n_new_types"))
+    // constant partition key over the 10-row decile relation (q53 idiom)
+    val w = Window.partitionBy(lit(1)).orderBy($"dec")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDoc.join(firstSeen, $"dec" === $"first_dec", "left")
+      .select($"dec", $"n_docs_dec", $"n_toks_dec",
+        coalesce($"n_new_types", lit(0L)).as("n_new_types"))
+      .withColumn("docs_cum", sum($"n_docs_dec").over(w))
+      .withColumn("tokens_cum", sum($"n_toks_dec").over(w))
+      .withColumn("vocab_cum", sum($"n_new_types").over(w))
+      .select($"dec", $"docs_cum", $"tokens_cum", $"n_new_types", $"vocab_cum")
+  }
+
+  /** q140: Good–Turing frequency-of-frequencies — the LM-smoothing
+    * prep table: for each observed token count r, how many distinct
+    * token types occur exactly r times (N_r), and the Good–Turing
+    * adjusted count r* = (r+1)·N_{r+1}/N_r, in ppm so the rational is
+    * exact (0 where N_{r+1} is absent — the standard truncation; real
+    * smoothers switch to a fit above small r anyway). The N_1 row is
+    * the Good–Turing estimate of unseen-type mass — the number a
+    * corpus-coverage review reads first.
+    *
+    * Scale shape: token counts partial-agg to types, types partial-agg
+    * to the frequency histogram — bounded by |distinct r| (≤ a few
+    * thousand on any corpus; Zipf guarantees sparsity). The adjacency
+    * lookup N_{r+1} is a lead() window over that bounded relation. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nr = TextOps.docsParallel(spark, dir)
+      .select(explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("r"))
+      .groupBy($"r").agg(count(lit(1)).as("n_r"))
+    // constant partition key over the bounded frequency histogram
+    val w = Window.partitionBy(lit(1)).orderBy($"r")
+    nr
+      .withColumn("r_next", lead($"r", 1).over(w))
+      .withColumn("n_next", lead($"n_r", 1).over(w))
+      .withColumn("r_star_ppm",
+        when($"r_next" === $"r" + 1L,
+          expr("((r + 1) * n_next * 1000000) div n_r")).otherwise(0L))
+      .select($"r", $"n_r", $"r_star_ppm")
+  }
 }

@@ -86,8 +86,10 @@ object Timeseries {
 
   /** q134: Kaplan–Meier survival curve over user lifetimes — duration =
     * hours between a user's first and last event; a user whose last
-    * event falls within 72 h of the corpus horizon is CENSORED (still
-    * active), everyone else churned. Per distinct event time t:
+    * event falls within 12 h of the corpus horizon is CENSORED (still
+    * active), everyone else churned. (12 h, not a multi-day window: the
+    * synthetic corpus spans ~30 days with high per-user event density,
+    * so a longer window censors every user and the curve is empty.) Per distinct event time t:
     * at-risk n(t), churn events d(t), censored c(t), and the running
     * log-survival ln S(t) = Σ ln(1 − d/n) — each term offset-quantized
     * to a long at 1e6 (the q87 ln recipe; safe here because ln of a
@@ -107,7 +109,7 @@ object Timeseries {
       .agg(min($"t").as("tmin"), max($"t").as("tmax"))
     val durs = u.crossJoin(broadcast(ev.agg(max($"t").as("t_end"))))
       .select(expr("(tmax - tmin) div 3600000").as("dur_h"),
-        when($"t_end" - $"tmax" < 259200000L, 1L).otherwise(0L).as("cens"))
+        when($"t_end" - $"tmax" < 43200000L, 1L).otherwise(0L).as("cens"))
     val byT = durs.groupBy($"dur_h")
       .agg(count(lit(1)).as("m"), sum(lit(1L) - $"cens").as("d"),
         sum($"cens").as("c"))

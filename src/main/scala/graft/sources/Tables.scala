@@ -59,25 +59,38 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** The events table is written with parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects. Read the nanos as long (legacy conf) and
-    * rebuild a microsecond TIMESTAMP — truncation matches what any
-    * µs-precision engine sees.
+  /** The events table's `ts` column has shipped in two physical layouts
+    * across testdata generations: parquet TIMESTAMP(NANOS) (which the
+    * vectorized reader rejects — read as long via the legacy conf, then
+    * rebuild a microsecond TIMESTAMP) and plain TIMESTAMP(MICROS)
+    * (inferred as TIMESTAMP_NTZ since Spark infers NTZ for
+    * isAdjustedToUTC=false). Normalize BOTH to a session-UTC
+    * `TimestampType` column so every downstream operator sees one shape;
+    * the NTZ→TZ cast reinterprets the naive wall-clock as UTC, exactly
+    * how the DuckDB oracle's naive TIMESTAMP epoch math treats it.
     *
     * The nanosAsLong conf is session-global and must stay set while the
     * plan executes (it is captured at physical planning, not here), so it
     * cannot be set/restored around this call. Our own entry points
     * (Bench/Verify/tests) set it at session construction; for sessions we
-    * don't build (the driver's smoke session) we set it once here, loudly,
-    * only if the caller hasn't chosen a value. */
+    * don't build (the driver's smoke session) we set it here — silently,
+    * since on a MICROS layout it is simply inert. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      System.err.println("[graft] enabling spark.sql.legacy.parquet.nanosAsLong " +
-        "session-wide for TIMESTAMP(NANOS) parquet (events table)")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Shared ts normalization for the batch and stream event readers. */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as epoch-nanos long
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS), naive — wall clock is UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

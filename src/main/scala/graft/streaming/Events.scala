@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.DecimalType
 object Events {
 
   /** The events stream from a parquet source (file-source streaming).
-    * Schema must be supplied for readStream; ts arrives as parquet-nanos
-    * long (see Tables.events) and is rebuilt to a microsecond timestamp.
+    * Schema must be supplied for readStream; ts arrives in whichever
+    * physical layout the testdata generation used (nanos-long or naive
+    * micros — see Tables.normalizeTs) and is rebuilt to a microsecond
+    * session-UTC timestamp.
     * Spark's file stream source wants a directory: a bare events.parquet
     * file is staged into a temp dir once (in production the source would
     * already be a directory of part files). */
@@ -44,8 +46,8 @@ object Events {
         staged.getPath
       }
     val schema = spark.read.parquet(streamDir).schema
-    spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir))
   }
 
   /** Tumbling 1-hour windowed counts/sums with a 1-hour watermark —
