@@ -154,6 +154,14 @@ object SparkEntry {
     "q132_cohen_kappa"      -> (Curation.cohenKappa _),
     "q133_minhash_audit"    -> (Dedup.minhashEstAudit _),
     "q134_survival"         -> (Timeseries.survivalCurve _),
+    "q135_temporal_split"   -> (Sampling.temporalSplit _),
+    "q136_fleiss_kappa"     -> (Curation.fleissKappa _),
+    "q137_vocab_growth"     -> (TextAnalysis.vocabGrowth _),
+    "q138_hubness"          -> (Similarity.hubness _),
+    "q139_markov"           -> (Timeseries.markovTransitions _),
+    "q140_good_turing"      -> (TextAnalysis.goodTuring _),
+    "q141_conformal"        -> (Evaluate.conformalThreshold _),
+    "q142_rank_overlap"     -> (Similarity.rankOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2427,5 +2435,182 @@ object SparkEntry {
            CAST(sum(term_q) OVER (ORDER BY dur_h ROWS UNBOUNDED PRECEDING)
              AS BIGINT) AS surv_lnq
          FROM f""",
+    // q135: leave-last-out temporal split; rank desc by (ts, event_id).
+    "q135_temporal_split" ->
+      """WITH r AS (SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events)
+         SELECT CASE WHEN rk = 1 THEN 'test' WHEN rk = 2 THEN 'val'
+                     ELSE 'train' END AS split,
+           event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM r GROUP BY 1, 2""",
+    // q136: Fleiss' kappa over the q123 LF panel, cleared to the
+    // all-integer fraction (R = 4, binary categories); signed ppm
+    // truncates identically both engines.
+    "q136_fleiss_kappa" ->
+      """WITH v AS (
+           SELECT (CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
+             + CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0 END
+             + CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[.!?,;]', '', 'g'))) * 20
+                 >= length(text) THEN 1 ELSE 0 END
+             + CASE WHEN (length(text)
+                 - length(regexp_replace(text, '[0-9]', '', 'g'))) * 50
+                 <= length(text) THEN 1 ELSE 0 END)::BIGINT AS s
+           FROM documents),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS s_pos,
+             CAST(sum(s*s + (4-s)*(4-s) - 4) AS BIGINT) AS p_sum
+           FROM v),
+         b AS (SELECT n, s_pos, p_sum,
+             s_pos*s_pos + (4*n - s_pos)*(4*n - s_pos) AS chance2
+           FROM a)
+         SELECT n, s_pos, p_sum,
+           4*n*p_sum - 3*chance2 AS kappa_num,
+           48*n*n - 3*chance2 AS kappa_den,
+           ((4*n*p_sum - 3*chance2) * 1000000)
+             // (48*n*n - 3*chance2) AS kappa_ppm
+         FROM b WHERE 48*n*n - 3*chance2 <> 0""",
+    // q137: Heaps-law growth — vocab_cum(d) counts tokens whose FIRST
+    // occurrence decile <= d; window over the 10-row decile relation.
+    "q137_vocab_growth" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         d AS (SELECT doc_id,
+             least((doc_id * 10) // n_docs, 9) AS dec,
+             string_split(text, ' ') AS toks
+           FROM documents, nd),
+         per AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_docs_dec,
+             CAST(sum(len(toks)) AS BIGINT) AS n_toks_dec
+           FROM d GROUP BY 1),
+         fs AS (SELECT min(dec) AS first_dec, t
+           FROM (SELECT dec, unnest(toks) AS t FROM d) GROUP BY t),
+         nw AS (SELECT first_dec, CAST(count(*) AS BIGINT) AS n_new_types
+           FROM fs GROUP BY 1),
+         j AS (SELECT per.dec, per.n_docs_dec, per.n_toks_dec,
+             COALESCE(nw.n_new_types, 0) AS n_new_types
+           FROM per LEFT JOIN nw ON per.dec = nw.first_dec)
+         SELECT dec,
+           CAST(sum(n_docs_dec) OVER w AS BIGINT) AS docs_cum,
+           CAST(sum(n_toks_dec) OVER w AS BIGINT) AS tokens_cum,
+           n_new_types,
+           CAST(sum(n_new_types) OVER w AS BIGINT) AS vocab_cum
+         FROM j WINDOW w AS (ORDER BY dec ROWS UNBOUNDED PRECEDING)""",
+    // q138: reverse-kNN in-degree over the 16-plane / 4x4-bit sign-LSH
+    // candidate graph (same md5 hyperplane family as q37).
+    "q138_hubness" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         proj AS (SELECT vec_id, p.p,
+                list_reduce(list_transform(emb, (x, i) ->
+                  x * CASE WHEN substr(md5(p.p || ':' || i), 1, 1) >= '8'
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
+                  (a, b) -> a + b) AS proj
+              FROM n, range(16) p(p)),
+         bits AS (SELECT vec_id, p // 4 AS band,
+                  CAST(sum(CASE WHEN proj > 0
+                           THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bits
+                  FROM proj GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+                  FROM bits a JOIN bits b
+                    ON a.band = b.band AND a.bits = b.bits
+                       AND a.vec_id <> b.vec_id),
+         scored AS (SELECT c.qid, c.nid,
+             list_reduce(list_transform(na.emb, (x,i) -> x * nb.emb[i]), (a,b)->a+b)
+               / (na.nrm*nb.nrm) AS cos
+           FROM cand c JOIN n na ON na.vec_id = c.qid
+                       JOIN n nb ON nb.vec_id = c.nid),
+         topk AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+             FROM scored) WHERE rk <= 3)
+         SELECT nid AS vec_id, CAST(count(*) AS BIGINT) AS in_deg
+         FROM topk GROUP BY 1""",
+    // q139: per-user lag-1 transition matrix with row-normalized and
+    // marginal (independence) ppm side by side.
+    "q139_markov" ->
+      """WITH t AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+           FROM events),
+         m AS (SELECT prev, event_type AS next,
+             CAST(count(*) AS BIGINT) AS n
+           FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_total
+                FROM m GROUP BY 1),
+         ct AS (SELECT next, CAST(sum(n) AS BIGINT) AS next_total
+                FROM m GROUP BY 1),
+         g AS (SELECT CAST(sum(n) AS BIGINT) AS grand_total FROM m)
+         SELECT m.prev, m.next, m.n, rt.row_total,
+           (m.n * 1000000) // rt.row_total AS p_ppm,
+           (ct.next_total * 1000000) // g.grand_total AS exp_ppm
+         FROM m JOIN rt USING (prev) JOIN ct USING (next), g""",
+    // q140: Good-Turing freq-of-freqs; r* via adjacent-N_{r+1} lead.
+    "q140_good_turing" ->
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS r
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents) GROUP BY 1),
+         nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+                FROM c GROUP BY 1),
+         l AS (SELECT r, n_r,
+             lead(r) OVER (ORDER BY r) AS r_next,
+             lead(n_r) OVER (ORDER BY r) AS n_next
+           FROM nr)
+         SELECT r, n_r,
+           CASE WHEN r_next = r + 1
+             THEN ((r + 1) * n_next * 1000000) // n_r
+             ELSE 0 END AS r_star_ppm
+         FROM l""",
+    // q141: split-conformal 90% threshold per source; k-th order
+    // statistic via cumulative counts over distinct scores.
+    "q141_conformal" ->
+      """WITH g AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             least((9 * (sum(c) + 1) + 9) // 10, sum(c))::BIGINT AS k
+           FROM g GROUP BY 1),
+         cum AS (SELECT source, n_chars,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM g)
+         SELECT cum.source, tot.n, tot.k,
+           CAST(min(cum.n_chars) AS BIGINT) AS threshold
+         FROM cum JOIN tot USING (source)
+         WHERE cum.cum >= tot.k
+         GROUP BY 1, 2, 3""",
+    // q142: top-10 overlap between cosine and raw-dot rankers over the
+    // q29 query set; ties broken (score desc, vec_id asc) identically.
+    "q142_rank_overlap" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM n
+               WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, c.vec_id,
+             list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
+                         (a, b) -> a + b) AS dot,
+             q.qnrm * c.nrm AS nn
+           FROM n c, q WHERE c.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot / nn DESC, vec_id ASC) AS rk_cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot DESC, vec_id ASC) AS rk_dot
+           FROM scored)
+         SELECT query_id,
+           CAST(sum(CASE WHEN rk_cos <= 10 AND rk_dot <= 10
+             THEN 1 ELSE 0 END) AS BIGINT) AS overlap10,
+           CAST(max(CASE WHEN rk_cos = 1 THEN vec_id END) AS BIGINT)
+             AS top1_cos,
+           CAST(max(CASE WHEN rk_dot = 1 THEN vec_id END) AS BIGINT)
+             AS top1_dot
+         FROM r WHERE rk_cos <= 10 OR rk_dot <= 10
+         GROUP BY 1""",
   )
 }

@@ -272,4 +272,90 @@ object Similarity {
           .cast("long").as("margin_q"),
         floor($"c1" * 10000 + lit(1.0 / 3)).cast("long").as("cos_q"))
   }
+
+  /** q138: hubness audit — the reverse-kNN in-degree of every vector in
+    * the top-3 neighbor graph. High-hubness points (in-degree many times
+    * k) are a known pathology of high-dim embedding spaces: they pollute
+    * kNN-based dedup and retrieval, and a curation loop reads this
+    * distribution before trusting any cosine-threshold stage.
+    *
+    * The neighbor graph is computed over sign-LSH candidates — 16
+    * hyperplanes in 4 bands of 4 bits, so a candidate pair must agree on
+    * all 4 bits of some band (~1/16 of random pairs per band, vs the 2-bit
+    * q37 banding that admits ~2/3). That makes this the SCALE PATH, not a
+    * brute product: every join is an equality join on (band, bits), and
+    * per-query candidate lists stay O(n/16) under random data — smaller
+    * yet under real clustered data, where banding concentrates true
+    * neighbors. The same deterministic md5 hyperplane family as q37, so
+    * the oracle reproduces the graph bit-for-bit.
+    *
+    * Scale shape: banded signatures are map-only native-codegen dots;
+    * candidates come from 4 equality joins (union via the band explode);
+    * the distinct + per-query top-3 window shuffle on qid; the final
+    * in-degree is one partial-agged groupBy. */
+  def hubness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val signs = signMatrix(16, 64)
+    val e = Tables.rebalance(spark, dir, "embeddings",
+        Tables.embeddings(spark, dir), $"vec_id")
+      .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val banded = e.select($"vec_id", $"embedding", $"nrm",
+      posexplode(array((0 until 4).map { b =>
+        (0 until 4).map { j =>
+          when(VectorOps.dot($"embedding", lit(signs(4 * b + j))) > 0.0,
+            lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band", "bits")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"),
+        (VectorOps.dot($"a.embedding", $"b.embedding")
+          / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .distinct() // multi-band agreements carry identical cos; dedup
+                  // BEFORE ranking or row_number inflates past k
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    cand.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .groupBy($"nid").agg(count(lit(1)).as("in_deg"))
+      .select($"nid".as("vec_id"), $"in_deg")
+  }
+
+  /** q142: ranking-overlap audit between the cosine and raw-dot-product
+    * rankers — the cheap check for "is my collection normalized enough
+    * that dot (the fast path most ANN indexes serve) agrees with cosine
+    * (what the pipeline validated)?" Per q29-style query (vec_id < 10),
+    * the size of the intersection of the two top-10 neighbor sets, plus
+    * each ranker's rank-1 choice. overlap10 == 10 everywhere ⇒ safe to
+    * serve dot; low values flag norm spread that makes dot a different
+    * (wrong) ranker.
+    *
+    * Scale shape: identical to q29 — the 10-query side broadcasts, the
+    * collection streams once, ONE scored relation feeds both rankings
+    * (two windows on the same qid-partitioned shuffle), and the final
+    * agg is bounded at 10 rows. */
+  def rankOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val q = e.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"), $"nrm".as("qnrm"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorOps.dot($"qemb", $"embedding").as("dot"),
+        ($"qnrm" * $"nrm").as("nn"))
+      .withColumn("cos", $"dot" / $"nn")
+    val wc = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    val wd = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id".asc)
+    scored
+      .withColumn("rk_cos", row_number().over(wc))
+      .withColumn("rk_dot", row_number().over(wd))
+      .where($"rk_cos" <= 10 || $"rk_dot" <= 10)
+      .groupBy($"query_id")
+      .agg(
+        sum(when($"rk_cos" <= 10 && $"rk_dot" <= 10, 1L).otherwise(0L))
+          .as("overlap10"),
+        max(when($"rk_cos" === 1, $"vec_id")).as("top1_cos"),
+        max(when($"rk_dot" === 1, $"vec_id")).as("top1_dot"))
+  }
 }

@@ -130,4 +130,37 @@ object Timeseries {
       .withColumn("surv_lnq", sum($"term_q").over(wCum))
       .select($"dur_h", $"n_risk", $"d", $"c", $"surv_lnq")
   }
+
+  /** q139: first-order Markov transition audit over per-user event
+    * sequences — the (prev → next) transition matrix with row-normalized
+    * probability and the independence baseline side by side. A sequence
+    * model's training data review reads exactly this: p_ppm far from
+    * exp_ppm (the marginal of `next` over all transitions) marks the
+    * transitions that carry signal; p_ppm ≈ exp_ppm everywhere means the
+    * event stream is order-free and sequence modeling it is wasted
+    * compute. All integer-ppm, truncation identical in both engines.
+    *
+    * Scale shape: ONE window partitioned on user_id (lag-1 per user,
+    * parallel at any width), one partial-agged groupBy to the
+    * |types|² = 25-row matrix; the row/marginal totals are broadcast
+    * joins of ≤ 25-row aggregates of that matrix. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .where($"prev".isNotNull)
+      .groupBy($"prev", $"event_type".as("next"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = trans.groupBy($"prev").agg(sum($"n").as("row_total"))
+    val colTot = trans.groupBy($"next").agg(sum($"n").as("next_total"))
+    val grand = trans.agg(sum($"n").as("grand_total"))
+    trans.join(broadcast(rowTot), "prev")
+      .join(broadcast(colTot), "next")
+      .crossJoin(broadcast(grand))
+      .select($"prev", $"next", $"n", $"row_total",
+        expr("(n * 1000000) div row_total").as("p_ppm"),
+        expr("(next_total * 1000000) div grand_total").as("exp_ppm"))
+  }
 }

@@ -127,7 +127,7 @@ class CurationSurvivalSpec extends SparkSpec {
     val durs = ev.groupBy(_._1).values.map { es =>
       val ts = es.map(_._2)
       ((ts.max - ts.min) / 3600000L,
-        if (tEnd - ts.max < 259200000L) 1L else 0L)
+        if (tEnd - ts.max < 43200000L) 1L else 0L)
     }.toSeq
     val byT = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
       (t, xs.size.toLong, xs.count(_._2 == 0L).toLong, xs.count(_._2 == 1L).toLong)

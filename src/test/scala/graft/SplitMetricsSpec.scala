@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Evaluate, Sampling, Similarity, TextAnalysis, Timeseries}
+
+/** q135 temporal split, q136 Fleiss' kappa, q137 vocab growth, q138
+  * hubness, q139 Markov transitions, q140 Good-Turing, q141 conformal
+  * threshold, q142 rank overlap — in-memory model parity on sf0.001.
+  * Models recompute from raw rows with plain Scala collections,
+  * independent of the operators' plans.
+  */
+class SplitMetricsSpec extends SparkSpec {
+
+  private lazy val events: Array[(Long, Long, String, Long)] = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", unix_millis($"ts"))
+      .as[(Long, Long, String, Long)].collect()
+  }
+
+  private lazy val docs: Array[(Long, String, String, Long)] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"source", $"n_chars")
+      .as[(Long, String, String, Long)].collect()
+  }
+
+  private lazy val vecs: Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+
+  // strict left-to-right double accumulation, the VectorOps contract
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  test("q135 split sizes: one test + one val per multi-event user, no leakage") {
+    val byUser = events.groupBy(_._2)
+    // model: sort each user ascending, last = test, second-last = val
+    val labelled = byUser.toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      sorted.zipWithIndex.map { case (e, i) =>
+        val split =
+          if (i == sorted.length - 1) "test"
+          else if (i == sorted.length - 2) "val" else "train"
+        (split, e._3, e._2)
+      }
+    }
+    val expect = labelled.groupBy(l => (l._1, l._2)).map { case (k, xs) =>
+      k -> (xs.size.toLong, xs.map(_._3).distinct.size.toLong)
+    }
+    val got = Sampling.temporalSplit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+    // every user contributes exactly one test event
+    val nUsers = byUser.size.toLong
+    assert(got.filter(_._1._1 == "test").values.map(_._1).sum == nUsers)
+  }
+
+  test("q136 Fleiss' kappa matches the textbook P-bar computation") {
+    val votes = docs.map { case (_, t, _, _) =>
+      val nc = t.length
+      val punct = t.count(".!?,;".contains(_))
+      val digits = t.count(_.isDigit)
+      Seq(nc >= 200, t.toLowerCase.contains(" the "),
+        punct * 20 >= nc, digits * 50 <= nc).count(identity)
+    }
+    val n = votes.length.toDouble
+    val pBar = votes.map { s => (s * s + (4 - s) * (4 - s) - 4) / 12.0 }.sum / n
+    val p1 = votes.sum / (4.0 * n)
+    val pe = p1 * p1 + (1 - p1) * (1 - p1)
+    val kappa = (pBar - pe) / (1 - pe)
+    val row = Curation.fleissKappa(spark, sfDir).collect().head
+    val gotPpm = row.getAs[Long]("kappa_ppm")
+    // the operator truncates an exact rational; the double model is
+    // within one ppm of it
+    assert(math.abs(gotPpm - kappa * 1e6) <= 1.0, s"$gotPpm vs ${kappa * 1e6}")
+    // integer identity: ppm is the truncated num/den fraction (Scala /
+    // and Spark div share truncate-toward-zero semantics)
+    assert(row.getAs[Long]("kappa_ppm") ==
+      row.getAs[Long]("kappa_num") * 1000000L / row.getAs[Long]("kappa_den"))
+  }
+
+  test("q137 vocab growth: deciles partition docs, final row equals corpus totals") {
+    val n = docs.length
+    val dec = (id: Long) => math.min(id * 10 / n, 9L)
+    val perDoc = docs.map { case (id, t, _, _) => (dec(id), t.split(" ", -1)) }
+    val expectVocabCum = (0L to 9L).map { d =>
+      d -> perDoc.filter(_._1 <= d).flatMap(_._2).distinct.length.toLong
+    }.toMap
+    val got = TextAnalysis.vocabGrowth(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(got.keySet == (0L to 9L).toSet)
+    got.foreach { case (d, (docsCum, toksCum, vocabCum)) =>
+      assert(docsCum == perDoc.count(_._1 <= d).toLong)
+      assert(toksCum == perDoc.filter(_._1 <= d).map(_._2.length.toLong).sum)
+      assert(vocabCum == expectVocabCum(d), s"decile $d")
+    }
+    // growth curve is monotone and ends at the full corpus vocab
+    assert(got(9L)._3 == perDoc.flatMap(_._2).distinct.length.toLong)
+  }
+
+  test("q138 hubness matches brute-force reverse-kNN over the banded candidates") {
+    val signs = (0 until 16).map { p =>
+      (0 until 64).map { d0 =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$p:${d0 + 1}".getBytes("UTF-8"))
+        if ((hex(0) & 0x80) != 0) 1.0f else -1.0f
+      }.toArray
+    }
+    def bandBits(v: Array[Float]): Seq[(Int, Long)] =
+      (0 until 4).map { b =>
+        b -> (0 until 4).map { j =>
+          if (dot(v, signs(4 * b + j).map(_.toFloat)) > 0.0) 1L << j else 0L
+        }.sum
+      }
+    val sigs = vecs.map { case (id, v) => (id, v, bandBits(v)) }
+    val cand = for {
+      (qa, va, ba) <- sigs; (qb, vb, bb) <- sigs
+      if qa != qb && ba.exists(bb.contains)
+    } yield (qa, qb, dot(va, vb) / (nrm(va) * nrm(vb)))
+    val expect = cand.groupBy(_._1).toSeq.flatMap { case (_, cs) =>
+      cs.sortBy(c => (-c._3, c._2)).take(3).map(_._2)
+    }.groupBy(identity).map { case (id, xs) => id -> xs.size.toLong }
+    val got = Similarity.hubness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("q139 transition matrix: rows sum to row_total, ppm near-normalized") {
+    val got = Timeseries.markovTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // model: per-user consecutive pairs in (ts, event_id) order
+    val expect = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._1)).map(_._3)
+      sorted.zip(sorted.drop(1))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val gotCounts = got.map(g => (g._2, g._1) -> g._3).toMap
+    assert(gotCounts == expect)
+    // row-normalization invariant
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum == rows.head._4)
+      val ppmSum = rows.map(_._5).sum
+      assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.size)
+    }
+  }
+
+  test("q140 Good-Turing: sum(r*N_r) = corpus tokens; r* matches the estimator") {
+    val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map(_._2.length.toLong)
+    val nr = counts.groupBy(identity).map { case (r, xs) => r -> xs.size.toLong }
+    val got = TextAnalysis.goodTuring(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.view.mapValues(_._1).toMap == nr)
+    got.foreach { case (r, (n_r, rStar)) =>
+      val expected = nr.get(r + 1).map(n1 => (r + 1) * n1 * 1000000L / n_r)
+        .getOrElse(0L)
+      assert(rStar == expected, s"r=$r")
+    }
+    assert(got.map { case (r, (n_r, _)) => r * n_r }.sum ==
+      docs.map(_._2.split(" ", -1).length.toLong).sum)
+  }
+
+  test("q141 conformal threshold is the k-th order statistic, coverage >= 90%") {
+    val bySource = docs.groupBy(_._3)
+    val got = Evaluate.conformalThreshold(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    bySource.foreach { case (src, ds) =>
+      val scores = ds.map(_._4).sorted
+      val n = scores.length.toLong
+      val k = math.min((9 * (n + 1) + 9) / 10, n)
+      val (gn, gk, thr) = got(src)
+      assert(gn == n && gk == k)
+      assert(thr == scores((k - 1).toInt))
+      // the conformal guarantee this threshold encodes
+      assert(scores.count(_ <= thr) * 10 >= n * 9)
+    }
+    assert(got.keySet == bySource.keySet)
+  }
+
+  test("q142 rank overlap matches brute-force double rankings") {
+    val qs = vecs.filter(_._1 < 10)
+    val expect = qs.map { case (qid, qv) =>
+      val scored = vecs.filter(_._1 != qid).map { case (id, v) =>
+        (id, dot(qv, v), dot(qv, v) / (nrm(qv) * nrm(v)))
+      }
+      val topCos = scored.sortBy(s => (-s._3, s._1)).take(10).map(_._1).toSet
+      val topDot = scored.sortBy(s => (-s._2, s._1)).take(10).map(_._1).toSet
+      qid -> ((topCos & topDot).size.toLong,
+        scored.minBy(s => (-s._3, s._1))._1,
+        scored.minBy(s => (-s._2, s._1))._1)
+    }.toMap
+    val got = Similarity.rankOverlap(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+  }
+}
