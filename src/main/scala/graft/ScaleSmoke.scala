@@ -35,7 +35,8 @@ object ScaleSmoke {
     "q66_url_canon", "q70_token_ids", "q77_mixture_sample",
     "q78_salient_terms", "q90_tf_cosine", "q91_chunk_windows",
     "q100_dup_spans", "q101_priority_sample", "q102_cms_heavy",
-    "q104_zorder_layout", "q105_mad_outliers", "q111_pmi_collocations")
+    "q104_zorder_layout", "q105_mad_outliers", "q111_pmi_collocations",
+    "q137_vocab_growth", "q140_good_turing", "q141_conformal")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -46,7 +47,7 @@ object ScaleSmoke {
   private val EMB_QUERIES = Seq("q29_ann_brute", "q30_lsh_ann",
     "q37_cosine_neardup", "q38_ivf_ann", "q67_embed_quant", "q68_kmeans_step",
     "q92_embed_gram", "q94_semantic_dedup", "q98_pq_encode", "q99_pca_project",
-    "q106_margin_mining")
+    "q106_margin_mining", "q138_hubness", "q142_rank_overlap")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -342,4 +342,37 @@ class PlanShapeSpec extends SparkSpec {
       .findAllIn(plan).size == 1, plan)
     assert(!plan.contains("NestedLoop"), plan)
   }
+
+  test("q135 temporal split: user-partitioned window, no global sort, bounded agg") {
+    val plan = finalPlan(Sampling.temporalSplit(spark, sfDir))
+    // the only exchanges are the user_id hash for the window and the
+    // 15-row final agg — never a rangepartitioning (global sort)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q138 hubness: band-equality hash joins only, never a vector product") {
+    val plan = finalPlan(Similarity.hubness(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate generation joins on (band, bits)
+    assert(plan.contains("graft_dot"), plan) // native kernel, not a UDF
+  }
+
+  test("q141 conformal: cumulative window runs on the aggregated score relation") {
+    val plan = finalPlan(graft.operators.Evaluate.conformalThreshold(spark, sfDir))
+    // the corpus reduces via partial agg BEFORE any window — no raw-row sort
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("q142 rank overlap: query side broadcasts, one scored relation feeds both ranks") {
+    val plan = finalPlan(Similarity.rankOverlap(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 10-row query side
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both row_number rankings share one window-input shuffle on query_id
+    assert("Exchange hashpartitioning\\(query_id".r.findAllIn(plan).size == 1, plan)
+  }
 }
