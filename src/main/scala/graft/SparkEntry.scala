@@ -162,6 +162,10 @@ object SparkEntry {
     "q140_good_turing"      -> (TextAnalysis.goodTuring _),
     "q141_conformal"        -> (Evaluate.conformalThreshold _),
     "q142_rank_overlap"     -> (Similarity.rankOverlap _),
+    "q143_rrf_fusion"       -> (Similarity.rrfFusion _),
+    "q144_ks_test"          -> (Evaluate.ksTest _),
+    "q145_entropy_rate"     -> (Timeseries.entropyRate _),
+    "q146_langid_margin"    -> (TextAnalysis.langidMargin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2612,5 +2616,110 @@ object SparkEntry {
              AS top1_dot
          FROM r WHERE rk_cos <= 10 OR rk_dot <= 10
          GROUP BY 1""",
+    // q143: reciprocal-rank fusion of the two rankers — each term is
+    // the INTEGER 10^9 div (60+rank), so fusion is float-free.
+    "q143_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b)) AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM n
+               WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, c.vec_id,
+             list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
+                         (a, b) -> a + b) AS dot,
+             q.qnrm * c.nrm AS nn
+           FROM n c, q WHERE c.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot / nn DESC, vec_id ASC) AS rk_cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot DESC, vec_id ASC) AS rk_dot
+           FROM scored),
+         f AS (SELECT query_id, vec_id,
+             1000000000 // (60 + rk_cos)
+               + 1000000000 // (60 + rk_dot) AS rrf_q
+           FROM r)
+         SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_q DESC, vec_id ASC) AS BIGINT) AS frank,
+           vec_id AS neighbor_id, CAST(rrf_q AS BIGINT) AS rrf_q
+         FROM f
+         QUALIFY frank <= 5""",
+    // q144: pairwise two-sample KS over source length distributions in
+    // cross-multiplied integers (no float CDFs).
+    "q144_ks_test" ->
+      """WITH g AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         grid AS (SELECT DISTINCT n_chars FROM g),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                 FROM g GROUP BY 1),
+         filled AS (SELECT t.source, t.n, gr.n_chars,
+             COALESCE(g.c, 0) AS c
+           FROM tot t CROSS JOIN grid gr
+           LEFT JOIN g ON g.source = t.source AND g.n_chars = gr.n_chars),
+         cdf AS (SELECT source, n, n_chars,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM filled)
+         SELECT a.source AS src_a, b.source AS src_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS d_num,
+           (CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) * 1000000)
+             // (a.n * b.n) AS d_ppm
+         FROM cdf a JOIN cdf b
+           ON a.n_chars = b.n_chars AND a.source < b.source
+         GROUP BY 1, 2, 3, 4""",
+    // q145: conditional entropy per prev state; -p ln p terms
+    // offset-quantized to longs (q87 recipe) before the sum.
+    "q145_entropy_rate" ->
+      """WITH t AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+           FROM events),
+         m AS (SELECT prev, event_type AS next,
+             CAST(count(*) AS BIGINT) AS n
+           FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_total
+                FROM m GROUP BY 1),
+         q AS (SELECT m.prev, rt.row_total,
+             CAST(floor((m.n / rt.row_total) * ln(rt.row_total / m.n)
+               * 1000000 + 1.0/3) AS BIGINT) AS term_q
+           FROM m JOIN rt USING (prev))
+         SELECT prev, row_total, CAST(count(*) AS BIGINT) AS n_succ,
+           CAST(sum(term_q) AS BIGINT) AS h_q
+         FROM q GROUP BY 1, 2""",
+    // q146: q31 scores + top1-top2 margin from the sorted score list;
+    // low_conf flags margin*4 < top1.
+    "q146_langid_margin" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'nd ', ''))) / 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, 'der', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ein', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'sch', ''))) / 3 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, 'le ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'es ', ''))) / 3 AS BIGINT) AS score_fr,
+             CAST((length(text) - length(replace(text, 'de ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'la ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'os ', ''))) / 3 AS BIGINT) AS score_es
+           FROM documents),
+         l AS (SELECT doc_id, score_en, score_de, score_fr, score_es,
+             CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                  WHEN score_fr >= score_es THEN 'fr'
+                  ELSE 'es' END AS predicted,
+             list_sort([score_en, score_de, score_fr, score_es]) AS srt
+           FROM s)
+         SELECT doc_id, predicted,
+           srt[4] AS s_top, srt[3] AS s_second,
+           srt[4] - srt[3] AS margin,
+           CAST(CASE WHEN (srt[4] - srt[3]) * 4 < srt[4]
+             THEN 1 ELSE 0 END AS BIGINT) AS low_conf
+         FROM l""",
   )
 }

@@ -64,6 +64,43 @@ object Evaluate {
         expr("sum_chars div n").as("mean_chars"))
   }
 
+  /** q144: pairwise two-sample Kolmogorov–Smirnov distance between the
+    * sources' document-length distributions — the drift screen a mixing
+    * pipeline runs before assuming two feeds are interchangeable. For
+    * sources a, b with n_a, n_b docs, D = max over the pooled score
+    * grid of |F_a − F_b|, held in EXACT cross-multiplied integers:
+    * d_num = max |cum_a·n_b − cum_b·n_a|, d_ppm = d_num·10⁶ div
+    * (n_a·n_b). No float CDFs, identical truncation both engines.
+    * (Long bound: cum·n < 9.2e18 needs n_a·n_b < 9.2e18 — beyond ~3e9
+    * docs/source route through decimal(38,0).)
+    *
+    * Scale shape: the corpus reduces ONCE to the (source, score) count
+    * relation; the grid cross (|sources| × |distinct scores|), the CDF
+    * windows, and the |sources|² pair max all run on that bounded
+    * aggregate. The corpus is never sorted or paired. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val grid = g.select($"n_chars").distinct()
+    val tot = g.groupBy($"source").agg(sum($"c").as("n"))
+    // every source gets a row at every grid point so the pair join can
+    // compare CDFs at the same score
+    val full = tot.select($"source", $"n").crossJoin(broadcast(grid))
+      .join(g, Seq("source", "n_chars"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = full.withColumn("cum", sum($"c").over(w))
+      .select($"source", $"n", $"n_chars", $"cum")
+    cdf.as("a").join(cdf.as("b"),
+        $"a.n_chars" === $"b.n_chars" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"))
+      .agg(max(abs($"a.cum" * $"b.n" - $"b.cum" * $"a.n")).as("d_num"))
+      .withColumn("d_ppm", expr("(d_num * 1000000) div (n_a * n_b)"))
+  }
+
   /** q141: per-source split-conformal threshold — the distribution-free
     * cutoff a production filter uses: with n calibration scores per
     * source and coverage 90%, the threshold is the k-th smallest score

@@ -321,6 +321,40 @@ object Similarity {
       .select($"nid".as("vec_id"), $"in_deg")
   }
 
+  /** q143: reciprocal-rank fusion of the cosine and dot rankers — the
+    * standard zero-tuning way to combine rankers (RRF, Cormack et al.):
+    * fused(v) = Σ_r 1/(60+rank_r(v)). Entirely INTEGER here: each term
+    * is 10⁹ div (60+rank), so no float enters the score and the fusion
+    * is bit-exact on any engine. Top-5 fused neighbors per q29 query,
+    * ties (fused desc, vec_id asc).
+    *
+    * Scale shape: q142's — one broadcast-query scored relation, two
+    * rank windows and the fused re-rank all on the same query_id
+    * shuffle, output bounded at 5 rows per query. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val q = e.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qemb"), $"nrm".as("qnrm"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorOps.dot($"qemb", $"embedding").as("dot"),
+        ($"qnrm" * $"nrm").as("nn"))
+      .withColumn("cos", $"dot" / $"nn")
+    val wc = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    val wd = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id".asc)
+    val wf = Window.partitionBy($"query_id").orderBy($"rrf_q".desc, $"vec_id".asc)
+    scored
+      .withColumn("rk_cos", row_number().over(wc))
+      .withColumn("rk_dot", row_number().over(wd))
+      .withColumn("rrf_q",
+        expr("1000000000 div (60 + rk_cos) + 1000000000 div (60 + rk_dot)"))
+      .withColumn("frank", row_number().over(wf).cast("long"))
+      .where($"frank" <= 5)
+      .select($"query_id", $"frank", $"vec_id".as("neighbor_id"), $"rrf_q")
+  }
+
   /** q142: ranking-overlap audit between the cosine and raw-dot-product
     * rankers — the cheap check for "is my collection normalized enough
     * that dot (the fast path most ANN indexes serve) agrees with cosine

@@ -580,6 +580,30 @@ object TextAnalysis {
       .select($"dec", $"docs_cum", $"tokens_cum", $"n_new_types", $"vocab_cum")
   }
 
+  /** q146: language-ID confidence margin — q31's trigram scores with
+    * the top-1 − top-2 gap as the per-doc confidence, and a low-margin
+    * flag (margin·4 < top1) marking docs a pipeline should route to a
+    * heavier classifier instead of trusting the cheap heuristic. The
+    * production triage pattern: cheap model + confidence gate, escalate
+    * the uncertain slice. All-integer (sorted score array, element
+    * picks), bit-exact on any engine.
+    *
+    * Scale shape: map-only — the same 12 substring counts as q31 plus
+    * an array sort of 4 elements per row; no shuffle at all. */
+  def langidMargin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = langid(spark, dir)
+    val sorted = array_sort(array($"score_en", $"score_de", $"score_fr", $"score_es"))
+    base
+      .withColumn("s_top", element_at(sorted, 4))
+      .withColumn("s_second", element_at(sorted, 3))
+      .withColumn("margin", $"s_top" - $"s_second")
+      .withColumn("low_conf",
+        when($"margin" * 4 < $"s_top", 1L).otherwise(0L))
+      .select($"doc_id", $"predicted", $"s_top", $"s_second",
+        $"margin", $"low_conf")
+  }
+
   /** q140: Good–Turing frequency-of-frequencies — the LM-smoothing
     * prep table: for each observed token count r, how many distinct
     * token types occur exactly r times (N_r), and the Good–Turing

@@ -163,4 +163,34 @@ object Timeseries {
         expr("(n * 1000000) div row_total").as("p_ppm"),
         expr("(next_total * 1000000) div grand_total").as("exp_ppm"))
   }
+
+  /** q145: conditional entropy H(next | prev) per state — how
+    * predictable each event type's successor is (the entropy-rate view
+    * of q139's matrix; near log|types| nats means a sequence model has
+    * nothing to learn from that state). Each term −p·ln p with
+    * p = n/row_total is offset-quantized to a long at 1e6 BEFORE the
+    * per-state sum (the q87 recipe: the 1/3 offset keeps lattice values
+    * off floor boundaries, the quantum absorbs cross-libm ln wobble,
+    * and sum-of-longs is shuffle-order-free).
+    *
+    * Scale shape: everything after the one corpus-reducing groupBy runs
+    * on the |types|²-bounded transition relation. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .where($"prev".isNotNull)
+      .groupBy($"prev", $"event_type".as("next"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = trans.groupBy($"prev").agg(sum($"n").as("row_total"))
+    trans.join(broadcast(rowTot), "prev")
+      .withColumn("term_q",
+        floor((($"n" / $"row_total") * log($"row_total" / $"n")) * 1000000
+          + lit(1.0 / 3)).cast("long"))
+      .groupBy($"prev", $"row_total")
+      .agg(count(lit(1)).as("n_succ"), sum($"term_q").as("h_q"))
+      .select($"prev", $"row_total", $"n_succ", $"h_q")
+  }
 }

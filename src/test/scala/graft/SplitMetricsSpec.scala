@@ -188,6 +188,97 @@ class SplitMetricsSpec extends SparkSpec {
     assert(got.keySet == bySource.keySet)
   }
 
+  test("q143 RRF fusion matches the integer reciprocal-rank model") {
+    val qs = vecs.filter(_._1 < 10)
+    val expect = qs.flatMap { case (qid, qv) =>
+      val scored = vecs.filter(_._1 != qid).map { case (id, v) =>
+        (id, dot(qv, v), dot(qv, v) / (nrm(qv) * nrm(v)))
+      }
+      val rkCos = scored.sortBy(s => (-s._3, s._1)).zipWithIndex
+        .map { case (s, i) => s._1 -> (i + 1) }.toMap
+      val rkDot = scored.sortBy(s => (-s._2, s._1)).zipWithIndex
+        .map { case (s, i) => s._1 -> (i + 1) }.toMap
+      scored.map(_._1)
+        .map(id => (id, 1000000000L / (60 + rkCos(id)) + 1000000000L / (60 + rkDot(id))))
+        .sortBy { case (id, r) => (-r, id) }.take(5).zipWithIndex
+        .map { case ((id, r), i) => (qid, (i + 1).toLong, id, r) }
+    }.toSet
+    val got = graft.operators.Similarity.rrfFusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
+  test("q144 KS distance matches the brute two-sample statistic") {
+    val bySource = docs.groupBy(_._3).view.mapValues(_.map(_._4)).toMap
+    val grid = docs.map(_._4).distinct.sorted
+    val srcs = bySource.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = bySource(srcs(i)); b = bySource(srcs(j))
+    } yield {
+      val dNum = grid.map(s =>
+        math.abs(a.count(_ <= s).toLong * b.length - b.count(_ <= s).toLong * a.length)).max
+      (srcs(i), srcs(j)) -> (a.length.toLong, b.length.toLong, dNum,
+        dNum * 1000000L / (a.length.toLong * b.length))
+    }).toMap
+    val got = graft.operators.Evaluate.ksTest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+  }
+
+  test("q145 entropy rate: quantized terms sum, bounded by ln|types|") {
+    val got = Timeseries.entropyRate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // model: recompute the quantized-term sum from raw transitions
+    val trans = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      val s = evs.sortBy(e => (e._4, e._1)).map(_._3)
+      s.zip(s.drop(1))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val byPrev = trans.groupBy(_._1._1)
+    val expect = byPrev.map { case (prev, m) =>
+      val rt = m.values.sum
+      val hq = m.values.map { n =>
+        math.floor((n.toDouble / rt) * math.log(rt.toDouble / n) * 1e6 + 1.0 / 3).toLong
+      }.sum
+      prev -> (rt, m.size.toLong, hq)
+    }
+    assert(got == expect)
+    // H(next|prev) <= ln(n_succ) + quantization slack
+    got.values.foreach { case (_, nSucc, hq) =>
+      assert(hq <= (math.log(nSucc.toDouble) * 1e6).toLong + nSucc)
+      assert(hq >= 0L)
+    }
+  }
+
+  test("q146 langid margin: sorted-score picks, low-conf iff margin*4 < top") {
+    val got = TextAnalysis.langidMargin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    def occ(t: String, p: String): Long = {
+      (t.length - t.replace(p, "").length).toLong / p.length
+    }
+    val profs = Seq(
+      "en" -> Seq("the", "he ", "nd "), "de" -> Seq("der", "ein", "sch"),
+      "fr" -> Seq("le ", "ent", "es "), "es" -> Seq("de ", "la ", "os "))
+    docs.foreach { case (id, t, _, _) =>
+      val scores = profs.map { case (l, ps) => l -> ps.map(occ(t, _)).sum }
+      val sorted = scores.map(_._2).sorted
+      val (sTop, sSecond) = (sorted(3), sorted(2))
+      val (gp, gt, gs, gm, gl) = got(id)
+      assert(gt == sTop && gs == sSecond && gm == sTop - sSecond)
+      assert(gl == (if ((sTop - sSecond) * 4 < sTop) 1L else 0L))
+      // predicted is the fixed-precedence argmax
+      val sm = scores.toMap
+      val pred =
+        if (sm("en") >= sm("de") && sm("en") >= sm("fr") && sm("en") >= sm("es")) "en"
+        else if (sm("de") >= sm("fr") && sm("de") >= sm("es")) "de"
+        else if (sm("fr") >= sm("es")) "fr" else "es"
+      assert(gp == pred)
+    }
+  }
+
   test("q142 rank overlap matches brute-force double rankings") {
     val qs = vecs.filter(_._1 < 10)
     val expect = qs.map { case (qid, qv) =>
