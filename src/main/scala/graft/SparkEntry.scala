@@ -166,6 +166,9 @@ object SparkEntry {
     "q144_ks_test"          -> (Evaluate.ksTest _),
     "q145_entropy_rate"     -> (Timeseries.entropyRate _),
     "q146_langid_margin"    -> (TextAnalysis.langidMargin _),
+    "q147_source_profile"   -> (Relational.sourceProfile _),
+    "q148_activity_gini"    -> (Relational.activityGini _),
+    "q149_psi_drift"        -> (Relational.psiDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2721,5 +2724,79 @@ object SparkEntry {
            CAST(CASE WHEN (srt[4] - srt[3]) * 4 < srt[4]
              THEN 1 ELSE 0 END AS BIGINT) AS low_conf
          FROM l""",
+    // q147: per-source dataset card; lower median by rank-select over
+    // the per-source length histogram.
+    "q147_source_profile" ->
+      """WITH stats AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+           FROM documents GROUP BY 1),
+         h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+         cum AS (SELECT source, n_chars,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM h),
+         med AS (SELECT cum.source,
+             CAST(min(cum.n_chars) AS BIGINT) AS p50_chars
+           FROM cum JOIN stats USING (source)
+           WHERE cum.cum * 2 >= stats.n_docs GROUP BY 1)
+         SELECT s.source, s.n_docs, s.total_tokens,
+           s.sum_chars // s.n_docs AS mean_chars, m.p50_chars,
+           s.n_langs, (s.n_en * 1000000) // s.n_docs AS en_ppm
+         FROM stats s JOIN med m ON s.source = m.source""",
+    // q148: exact integer Gini of per-user event counts via the
+    // count-of-counts histogram (run contribution v*(m*s + m(m-1)/2)).
+    "q148_activity_gini" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM pu GROUP BY 1),
+         r AS (SELECT v, m,
+             COALESCE(CAST(sum(m) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) + 1 AS s
+           FROM h),
+         agg AS (SELECT CAST(sum(m) AS BIGINT) AS n_users,
+             CAST(sum(v * m) AS BIGINT) AS total_events,
+             CAST(sum(v * (m * s + (m * (m - 1)) // 2)) AS BIGINT) AS iw
+           FROM r)
+         SELECT n_users, total_events,
+           2 * iw - (n_users + 1) * total_events AS g_num,
+           n_users * total_events AS g_den,
+           ((2 * iw - (n_users + 1) * total_events) * 1000000)
+             // (n_users * total_events) AS gini_ppm
+         FROM agg""",
+    // q149: PSI drift first vs second half; bins from per-type bounds
+    // on floor(value*100); (p-q)*ln(p/q) terms offset-quantized.
+    "q149_psi_drift" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cv,
+             epoch_ms(ts) < 1705363200000 AS first_half
+           FROM events),
+         bounds AS (SELECT event_type, CAST(min(cv) AS BIGINT) AS lo,
+             CAST(max(cv) AS BIGINT) AS hi
+           FROM ev GROUP BY 1),
+         binned AS (SELECT e.event_type,
+             ((e.cv - b.lo) * 10) // (b.hi + 1 - b.lo) AS bin,
+             CAST(sum(CASE WHEN e.first_half THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN NOT e.first_half THEN 1 ELSE 0 END) AS BIGINT) AS b
+           FROM ev e JOIN bounds b USING (event_type) GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(b) AS BIGINT) AS nb
+           FROM binned GROUP BY 1),
+         q AS (SELECT bi.event_type,
+             CAST(floor(((bi.a / t.na - bi.b / t.nb)
+               * ln((bi.a / t.na) / (bi.b / t.nb))) * 1000000 + 1.0/3)
+               AS BIGINT) AS term_q
+           FROM binned bi JOIN tot t USING (event_type)
+           WHERE bi.a > 0 AND bi.b > 0)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(term_q) AS BIGINT) AS psi_q
+         FROM q GROUP BY 1""",
   )
 }

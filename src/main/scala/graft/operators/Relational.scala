@@ -1004,4 +1004,113 @@ object Relational {
       .select($"cohort", $"offset", $"n_active", $"cohort_n",
         expr("(n_active * 1000000) div cohort_n").as("retained_ppm"))
   }
+
+  /** q147: per-source dataset card — the one-row-per-source profile a
+    * corpus review reads before mixing: doc count, token volume, floor
+    * mean length, LOWER-median length (rank-select over the per-source
+    * length histogram — all integers, no interpolation), language
+    * spread, and the English share in ppm. Composes the q31/q60/q105
+    * measurement primitives into the report shape.
+    *
+    * Scale shape: two partial-agged groupBys (per-source stats; the
+    * (source, n_chars) histogram) plus a cumulative window on the
+    * bounded histogram for the median — the corpus is never sorted. */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.toks($"text"))).as("total_tokens"),
+      sum($"n_chars").as("sum_chars"),
+      countDistinct($"lang").as("n_langs"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"))
+    val h = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = h.withColumn("cum", sum($"c").over(w))
+      .join(stats.select($"source", $"n_docs"), "source")
+      .where($"cum" * 2 >= $"n_docs") // lower median: rank ceil(n/2)
+      .groupBy($"source").agg(min($"n_chars").as("p50_chars"))
+    stats.join(med, "source")
+      .select($"source", $"n_docs", $"total_tokens",
+        expr("sum_chars div n_docs").as("mean_chars"), $"p50_chars",
+        $"n_langs", expr("(n_en * 1000000) div n_docs").as("en_ppm"))
+  }
+
+  /** q148: Gini coefficient of per-user activity — how concentrated the
+    * event volume is across users (a training-data review reads this
+    * before trusting user-keyed sampling: G near 1 means a few power
+    * users dominate the corpus). Exact integer form on the sorted
+    * per-user counts x_1..x_n: G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx),
+    * with the rank-weighted sum computed over the (count value v,
+    * multiplicity m) histogram — a run starting at rank s contributes
+    * v·(m·s + m·(m−1)/2) — so nothing ever sorts raw users. ppm by
+    * integer division. (Long bound: v·m·s < 9.2e18 holds to ~10⁹ users;
+    * beyond, route the contribution through decimal(38,0).)
+    *
+    * Scale shape: events → per-user counts (one partial-agged groupBy
+    * on the natural key) → count-of-counts histogram (bounded by
+    * distinct activity levels) → windows on that bounded relation. */
+  def activityGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("v"))
+    val h = perUser.groupBy($"v").agg(count(lit(1)).as("m"))
+    // constant partition key: the histogram is bounded by distinct
+    // activity levels (q53 idiom)
+    val w = Window.partitionBy(lit(1)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = h
+      .withColumn("s", coalesce(sum($"m").over(w), lit(0L)) + 1L)
+      // m(m-1) is even, so the integer div is exact (Column./ on longs
+      // would promote to double — keep it integral)
+      .withColumn("contrib",
+        expr("v * (m * s + (m * (m - 1)) div 2)"))
+    ranked.agg(
+        sum($"m").as("n_users"), sum($"v" * $"m").as("total_events"),
+        sum($"contrib").as("iw"))
+      .select($"n_users", $"total_events",
+        (lit(2L) * $"iw" - ($"n_users" + 1L) * $"total_events").as("g_num"),
+        ($"n_users" * $"total_events").as("g_den"))
+      .withColumn("gini_ppm", expr("(g_num * 1000000) div g_den"))
+  }
+
+  /** q149: population-stability-index (PSI) drift between the first and
+    * second half of the event stream, per event type — the production
+    * drift metric for "did this feed's value distribution move?" (PSI
+    * < 0.1 stable, > 0.25 action). Values bin into 10 equal-width
+    * integer-centi-unit buckets from broadcast per-type bounds (q81's
+    * binning, made exact by flooring value·100 to a long first); each
+    * (p−q)·ln(p/q) term is offset-quantized at 1e6 (q87 recipe) and
+    * summed order-free. Bins empty on either side are dropped (reported
+    * in n_bins so the reader sees the support), the deterministic
+    * alternative to the epsilon hack.
+    *
+    * Scale shape: map-only tag + two partial-agged groupBys bounded by
+    * |types|×|bins|; bounds and half totals broadcast back. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mid = 1705363200000L // 2024-01-16T00:00Z, the stream midpoint
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", floor($"value" * 100).cast("long").as("cv"),
+        (unix_millis($"ts") < mid).as("first_half"))
+    val bounds = ev.groupBy($"event_type")
+      .agg(min($"cv").as("lo"), max($"cv").as("hi"))
+    val binned = ev.join(broadcast(bounds), "event_type")
+      .select($"event_type", $"first_half",
+        expr("((cv - lo) * 10) div (hi + 1 - lo)").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"first_half", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"first_half", 1L).otherwise(0L)).as("b"))
+    val tot = binned.groupBy($"event_type")
+      .agg(sum($"a").as("na"), sum($"b").as("nb"))
+    binned.join(broadcast(tot), "event_type")
+      .where($"a" > 0 && $"b" > 0)
+      .withColumn("term_q",
+        floor((($"a" / $"na" - $"b" / $"nb")
+          * log(($"a" / $"na") / ($"b" / $"nb"))) * 1000000 + lit(1.0 / 3))
+          .cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_bins"), sum($"term_q").as("psi_q"))
+  }
 }

@@ -178,9 +178,10 @@ object Sampling {
         floor($"quality" * 1e6 + lit(1.0 / 3)).cast("long").as("score_q"))
     val total = scored.agg(sum($"n_tokens").as("tot"))
     val h = scored.groupBy($"score_q").agg(sum($"n_tokens").as("tok_s"))
-    // constant partition key: the window runs on the score-grid
-    // histogram (bounded 1e6+1 rows), and the explicit key silences
-    // WindowExec's move-all-data warning (q53 idiom)
+    // constant partition key documenting intent: the window runs on the
+    // score-grid histogram (bounded 1e6+1 rows), so single-partition is
+    // by design. (Spark 4.1 folds the constant away, so WindowExec still
+    // logs its move-all-data warning — accurate and benign here.)
     val wH = Window.partitionBy(lit(1)).orderBy($"score_q".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.withColumn("cum_incl", sum($"tok_s").over(wH))

@@ -170,9 +170,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
       .orderBy($"tf".desc, $"tok".asc)
       .limit(200)
-    // constant partition key: same single-partition ranking over the 200
-    // survivors, but explicit — an empty partitionSpec makes WindowExec
-    // log a move-all-data warning on every run
+    // constant partition key documenting intent: single-partition ranking
+    // over the 200 survivors is by design. (Spark 4.1 folds the constant
+    // away, so WindowExec's move-all-data warning still logs — accurate
+    // and benign on this bounded relation.)
     top.withColumn("rk", row_number().over(
       Window.partitionBy(lit(1)).orderBy($"tf".desc, $"tok".asc)))
   }

@@ -279,6 +279,77 @@ class SplitMetricsSpec extends SparkSpec {
     }
   }
 
+  test("q147 source profile matches per-source brute stats incl. lower median") {
+    val got = graft.operators.Relational.sourceProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    docs.groupBy(_._3).foreach { case (src, ds) =>
+      val n = ds.length.toLong
+      val toks = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val chars = ds.map(_._4)
+      val lower = chars.sorted.apply(((n + 1) / 2 - 1).toInt)
+      val langs = {
+        import spark.implicits._
+        graft.sources.Tables.documents(spark, sfDir)
+          .where($"source" === src).select($"lang").distinct().count()
+      }
+      val en = {
+        import spark.implicits._
+        graft.sources.Tables.documents(spark, sfDir)
+          .where($"source" === src && $"lang" === "en").count()
+      }
+      assert(got(src) == ((n, toks, chars.sum / n, lower, langs,
+        en * 1000000L / n)), src)
+    }
+  }
+
+  test("q148 Gini matches the sorted-counts formula and is in [0, 1)") {
+    val counts = events.groupBy(_._2).values.map(_.size.toLong).toSeq.sorted
+    val n = counts.length.toLong
+    val s = counts.sum
+    val iw = counts.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gNum = 2 * iw - (n + 1) * s
+    val row = graft.operators.Relational.activityGini(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_users") == n)
+    assert(row.getAs[Long]("total_events") == s)
+    assert(row.getAs[Long]("g_num") == gNum)
+    assert(row.getAs[Long]("g_den") == n * s)
+    val ppm = row.getAs[Long]("gini_ppm")
+    assert(ppm == gNum * 1000000L / (n * s))
+    assert(ppm >= 0L && ppm < 1000000L)
+  }
+
+  test("q149 PSI matches the quantized-term model; identical halves give ~0") {
+    val got = graft.operators.Relational.psiDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mid = 1705363200000L
+    val ev = {
+      import spark.implicits._
+      graft.sources.Tables.events(spark, sfDir)
+        .select($"event_type", floor($"value" * 100).cast("long"),
+          unix_millis($"ts"))
+        .as[(String, Long, Long)].collect()
+    }
+    val expect = ev.groupBy(_._1).map { case (t, xs) =>
+      val lo = xs.map(_._2).min; val hi = xs.map(_._2).max
+      val binned = xs.map(x => (((x._2 - lo) * 10) / (hi + 1 - lo), x._3 < mid))
+      val byBin = binned.groupBy(_._1)
+      val na = binned.count(_._2).toLong; val nb = binned.count(!_._2).toLong
+      val terms = byBin.toSeq.flatMap { case (_, bs) =>
+        val a = bs.count(_._2).toLong; val b = bs.count(!_._2).toLong
+        if (a > 0 && b > 0) {
+          val pa = a.toDouble / na; val pb = b.toDouble / nb
+          Some(math.floor((pa - pb) * math.log(pa / pb) * 1e6 + 1.0 / 3).toLong)
+        } else None
+      }
+      t -> (terms.size.toLong, terms.sum)
+    }
+    assert(got == expect)
+    // PSI is a sum of (p-q)ln(p/q) terms, each nonnegative up to
+    // quantization slack of 1 per term
+    got.values.foreach { case (nb, psi) => assert(psi >= -nb) }
+  }
+
   test("q142 rank overlap matches brute-force double rankings") {
     val qs = vecs.filter(_._1 < 10)
     val expect = qs.map { case (qid, qv) =>
