@@ -169,6 +169,7 @@ object SparkEntry {
     "q147_source_profile"   -> (Relational.sourceProfile _),
     "q148_activity_gini"    -> (Relational.activityGini _),
     "q149_psi_drift"        -> (Relational.psiDrift _),
+    "q150_key_skew"         -> (Skew.keySkewAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2798,5 +2799,30 @@ object SparkEntry {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
            CAST(sum(term_q) AS BIGINT) AS psi_q
          FROM q GROUP BY 1""",
+    // q150: join-key skew audit per lineitem key column; hottest key by
+    // (count, key) struct-max tie-break, entropy terms quantized.
+    "q150_key_skew" ->
+      """WITH src AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+         ko AS (SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM src),
+         kp AS (SELECT 'l_partkey' AS key_col, l_partkey AS k FROM src),
+         ks AS (SELECT 'l_suppkey' AS key_col, l_suppkey AS k FROM src),
+         u AS (SELECT * FROM ko UNION ALL SELECT * FROM kp
+               UNION ALL SELECT * FROM ks),
+         c AS (SELECT key_col, k, CAST(count(*) AS BIGINT) AS c
+               FROM u GROUP BY 1, 2),
+         tot AS (SELECT key_col, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             max(struct_pack(c := c, k := k)) AS top
+           FROM c GROUP BY 1),
+         ent AS (SELECT c.key_col,
+             CAST(sum(CAST(floor(((c.c / t.n_rows) * ln(t.n_rows / c.c))
+               * 1000000 + 1.0/3) AS BIGINT)) AS BIGINT) AS entropy_q
+           FROM c JOIN tot t USING (key_col) GROUP BY 1)
+         SELECT t.key_col, t.n_keys, t.n_rows,
+           CAST(t.top.c AS BIGINT) AS top_count,
+           CAST(t.top.k AS BIGINT) AS top_key,
+           (t.top.c * 1000000) // t.n_rows AS top_share_ppm,
+           e.entropy_q
+         FROM tot t JOIN ent e ON t.key_col = e.key_col""",
   )
 }

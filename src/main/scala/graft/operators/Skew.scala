@@ -86,4 +86,43 @@ object Skew {
       .groupBy($"s_suppkey", $"s_name")
       .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
   }
+
+  /** q150: join-key skew audit — the diagnostic a pipeline runs BEFORE
+    * deciding whether q50/q51 salting (or AQE skew split) is needed.
+    * Per candidate join key of lineitem: distinct key count, total
+    * rows, the hottest key's row count and corpus share in ppm, and the
+    * key-distribution entropy (−Σ p·ln p, each term offset-quantized at
+    * 1e6 — the q87 recipe) whose gap below ln(distinct) measures how
+    * far from uniform the key is. top_share·|keys| ≫ 1e6 or entropy far
+    * under ln(distinct) ⇒ salt before shuffling on that key.
+    *
+    * Scale shape: one partial-agged groupBy per key column (unioned
+    * key-tagged so it stays ONE pass shape per column), then max/sum
+    * reductions on the bounded (key-name, value) count relations. The
+    * hottest-key pick is a max over counts — no sort of the key space. */
+  def keySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    // entropy needs the total first; the counts relation is re-derived
+    // for the second pass (each is one scan+agg; at scale cache counts)
+    def auditFull(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"),
+        max(struct($"c", $"k")).as("top"))
+      val ent = counts.crossJoin(broadcast(
+          counts.agg(sum($"c").as("nr"))))
+        .select(floor((($"c" / $"nr") * log($"nr" / $"c")) * 1000000
+          + lit(1.0 / 3)).cast("long").as("term_q"))
+        .agg(sum($"term_q").as("entropy_q"))
+      tot.crossJoin(broadcast(ent))
+        .select(lit(keyCol).as("key_col"), $"n_keys", $"n_rows",
+          $"top.c".as("top_count"), $"top.k".as("top_key"),
+          expr("(top.c * 1000000) div n_rows").as("top_share_ppm"),
+          $"entropy_q")
+    }
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(auditFull)
+      .reduce(_ unionByName _)
+  }
 }

@@ -350,6 +350,35 @@ class SplitMetricsSpec extends SparkSpec {
     got.values.foreach { case (nb, psi) => assert(psi >= -nb) }
   }
 
+  test("q150 key-skew audit matches per-column brute counts and entropy") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      .as[(Long, Long, Long)].collect()
+    val got = graft.operators.Skew.keySkewAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val cols: Seq[(String, ((Long, Long, Long)) => Long)] = Seq(
+      "l_orderkey" -> (_._1), "l_partkey" -> (_._2), "l_suppkey" -> (_._3))
+    cols.foreach { case (name, f) =>
+      val counts = li.map(f).groupBy(identity).map { case (k, xs) =>
+        k -> xs.size.toLong
+      }
+      val nKeys = counts.size.toLong
+      val nRows = li.length.toLong
+      // struct-max tie-break: max count, then max key
+      val (topK, topC) = counts.toSeq.maxBy { case (k, c) => (c, k) }
+      val entropy = counts.values.map { c =>
+        math.floor((c.toDouble / nRows) * math.log(nRows.toDouble / c) * 1e6
+          + 1.0 / 3).toLong
+      }.sum
+      assert(got(name) == ((nKeys, nRows, topC, topK,
+        topC * 1000000L / nRows, entropy)), name)
+      // entropy never exceeds ln(n_keys) (+1-per-term quantization slack)
+      assert(entropy <= (math.log(nKeys.toDouble) * 1e6).toLong + nKeys)
+    }
+  }
+
   test("q142 rank overlap matches brute-force double rankings") {
     val qs = vecs.filter(_._1 < 10)
     val expect = qs.map { case (qid, qv) =>
