@@ -375,4 +375,35 @@ class PlanShapeSpec extends SparkSpec {
     // both row_number rankings share one window-input shuffle on query_id
     assert("Exchange hashpartitioning\\(query_id".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("q144 KS: corpus reduces before the grid; pair joins are equality hash joins") {
+    val plan = finalPlan(graft.operators.Evaluate.ksTest(spark, sfDir))
+    // the corpus-side (source, score) agg happens below everything else
+    assert(plan.contains("partial_count"), plan)
+    // pair compare + grid fill are equality joins, never a raw-row product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("q148 Gini never sorts raw users: histogram windows only") {
+    val plan = finalPlan(Relational.activityGini(spark, sfDir))
+    assert(plan.contains("partial_count"), plan)
+    // no global range-partitioned sort of the user relation
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("Join"), plan) // pure agg/window pipeline
+  }
+
+  test("q149 PSI: bounds and totals broadcast; binning aggregates partially") {
+    val plan = finalPlan(Relational.psiDrift(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q150 skew audit: struct-max hottest key, no key-space sort") {
+    val plan = finalPlan(graft.operators.Skew.keySkewAudit(spark, sfDir))
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan) // max/sum partial aggs only
+    assert(plan.contains("partial_count"), plan)
+  }
 }
