@@ -185,6 +185,65 @@ object Events {
       .start()
   }
 
+  /** Streaming PSI drift monitor — q149's population-stability screen
+    * run continuously against a frozen reference distribution. Each
+    * micro-batch: (1) bin the arriving values with the SAME broadcast
+    * per-type bounds and integer-centi-unit arithmetic as the batch
+    * operator, (2) append the batch's (event_type, bin, n) counts to a
+    * cumulative state table, (3) recompute PSI of the accumulated
+    * stream distribution vs the reference and append a timestamped
+    * snapshot row — the live dashboard a feed-health pipeline reads.
+    *
+    * Exactly-once: checkpoint-guarded appends (the q109-gate argument);
+    * the state table is additive counts, so a post-crash replayed batch
+    * is the only at-least-once tail, and a transactional MERGE sink
+    * removes it without touching the logic. Scale: per batch O(batch) +
+    * a |types|×|bins|-bounded state aggregation; the state read-back is
+    * the toy-sink form of a keyed MERGE.
+    *
+    * PSI orientation matches q149: reference plays the first-half (p)
+    * side, the accumulated stream the second-half (q) side; bins empty
+    * on either side are dropped deterministically. */
+  def driftMonitor(stream: DataFrame, reference: DataFrame, bounds: DataFrame,
+      stateTarget: String, monitorTarget: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refC = reference.localCheckpoint(true)
+    val boundsC = bounds.localCheckpoint(true)
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
+      import batch.sparkSession.implicits._
+      val spark = batch.sparkSession
+      batch
+        .select($"event_type", floor($"value" * 100).cast("long").as("cv"))
+        .join(broadcast(boundsC), "event_type")
+        .select($"event_type", expr("((cv - lo) * 10) div (hi + 1 - lo)").as("bin"))
+        .groupBy($"event_type", $"bin").agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(stateTarget)
+      val acc = spark.read.parquet(stateTarget)
+        .groupBy($"event_type", $"bin").agg(sum($"n").as("b"))
+      // per-side totals over ALL bins (q149 computes na/nb BEFORE the
+      // one-sided-bin drop; the inner join below IS that drop)
+      val tot = refC.groupBy($"event_type").agg(sum($"n").as("na"))
+        .join(acc.groupBy($"event_type").agg(sum($"b").as("nb")), "event_type")
+      val joined = refC.withColumnRenamed("n", "a").join(acc, Seq("event_type", "bin"))
+      joined.join(broadcast(tot), "event_type")
+        .where($"a" > 0 && $"b" > 0)
+        .withColumn("term_q",
+          floor((($"a" / $"na" - $"b" / $"nb")
+            * log(($"a" / $"na") / ($"b" / $"nb"))) * 1000000 + lit(1.0 / 3))
+            .cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_bins"), sum($"term_q").as("psi_q"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(monitorTarget)
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, max_value: Double)
 

@@ -202,4 +202,44 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.union(rejected) == deltaIds)
     assert(rejected == batchRejects)
   }
+
+  test("streaming drift monitor: final PSI snapshot equals the batch q149 screen") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_drift_${System.nanoTime()}")
+    val mid = 1705363200000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    // bounds over the FULL feed (same as q149), reference = first half
+    val binsrc = ev.select($"event_type",
+      floor($"value" * 100).cast("long").as("cv"), unix_millis($"ts").as("ms"))
+    val bounds = binsrc.groupBy($"event_type")
+      .agg(min($"cv").as("lo"), max($"cv").as("hi"))
+    val reference = binsrc.where($"ms" < mid)
+      .join(bounds, "event_type")
+      .select($"event_type", expr("((cv - lo) * 10) div (hi + 1 - lo)").as("bin"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("n"))
+    // stage the second half as a multi-file stream (3 micro-batches)
+    val srcDir = new java.io.File(base, "arriving").getPath
+    ev.where(unix_millis($"ts") >= mid).repartition(3)
+      .write.parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Events.driftMonitor(stream, reference, bounds,
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
+    // snapshots accumulate: one row set per micro-batch
+    val nBatches = monitor.select($"batch_id").distinct().count()
+    assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
+    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    val got = monitor.where($"batch_id" === lastBatch)
+      .select($"event_type", $"n_bins", $"psi_q").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = SparkEntry.queries("q149_psi_drift")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+  }
 }
