@@ -170,6 +170,8 @@ object SparkEntry {
     "q148_activity_gini"    -> (Relational.activityGini _),
     "q149_psi_drift"        -> (Relational.psiDrift _),
     "q150_key_skew"         -> (Skew.keySkewAudit _),
+    "q151_theil_sen"        -> (Timeseries.theilSen _),
+    "q152_hod_profile"      -> (Timeseries.hourOfDayProfile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2824,5 +2826,54 @@ object SparkEntry {
            (t.top.c * 1000000) // t.n_rows AS top_share_ppm,
            e.entropy_q
          FROM tot t JOIN ent e ON t.key_col = e.key_col""",
+    // q151: Theil-Sen median pairwise slope of the hourly count series;
+    // deterministic (slope, ha, hb) rank picks the median element.
+    "q151_theil_sen" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_ms(ts) // 3600000 AS h, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         pairs AS (SELECT a.event_type, a.h AS ha, b.h AS hb,
+             (b.c - a.c) / (b.h - a.h) AS slope
+           FROM hourly a JOIN hourly b
+             ON a.event_type = b.event_type AND a.h < b.h),
+         np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+                FROM pairs GROUP BY 1),
+         r AS (SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY slope, ha, hb) AS rk
+           FROM pairs)
+         SELECT r.event_type, np.n_pairs,
+           CAST(floor(r.slope * 1000000 + 1.0/3) AS BIGINT) AS med_slope_q
+         FROM r JOIN np USING (event_type)
+         WHERE r.rk = (np.n_pairs + 1) // 2""",
+    // q152: hour-of-day eta^2 + peak hour; q60 exact-decimal discipline
+    // (centi-floored sums before double casts, quantized per-bin terms).
+    "q152_hod_profile" ->
+      """WITH b AS (SELECT event_type,
+             (epoch_ms(ts) // 3600000) % 24 AS hod,
+             CAST(value AS decimal(18,6)) AS xd
+           FROM events),
+         byh AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh,
+             sum(xd) AS sh
+           FROM b GROUP BY 1, 2),
+         byh2 AS (SELECT event_type, hod, nh,
+             CAST(floor((CAST(floor(sh * sh * 100) AS BIGINT) / 100.0)
+               / nh * 100) AS BIGINT) AS ssb_cq,
+             (CAST(floor(sh * 100) AS BIGINT) * 1000000) // nh AS mean_cq
+           FROM byh),
+         bet AS (SELECT event_type,
+             CAST(sum(ssb_cq) AS BIGINT) AS ssb_cq,
+             max(struct_pack(mean_cq := mean_cq, hod := hod)) AS peak
+           FROM byh2 GROUP BY 1),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xd) AS double) AS s,
+             CAST(floor(sum(xd * xd) * 100) AS BIGINT) / 100.0 AS q
+           FROM b GROUP BY 1)
+         SELECT g.event_type, g.n,
+           CAST(bet.peak.hod AS BIGINT) AS peak_hod,
+           CAST(bet.peak.mean_cq AS BIGINT) AS peak_mean_cq,
+           CAST(floor(((bet.ssb_cq / 100.0 - g.s * g.s / g.n)
+             / (g.q - g.s * g.s / g.n)) * 1000000) AS BIGINT) AS eta2_ppm
+         FROM g JOIN bet USING (event_type)""",
   )
 }

@@ -175,6 +175,80 @@ object Timeseries {
     *
     * Scale shape: everything after the one corpus-reducing groupBy runs
     * on the |types|²-bounded transition relation. */
+  /** q151: Theil–Sen robust trend — the median of all pairwise slopes
+    * of the hourly event-count series per type. Unlike q74's least
+    * squares, a 29% outlier fraction (instrumentation gaps, backfill
+    * bursts) cannot move it. Slopes are exact-rational inputs ((c_j −
+    * c_i)/(h_j − h_i), both longs) evaluated as identical IEEE doubles
+    * in both engines; the median element is picked by a deterministic
+    * (slope, h_i, h_j) rank, then offset-quantized.
+    *
+    * Scale shape: the corpus reduces to the BOUNDED hourly relation
+    * (one partial-agged groupBy); the pair join and rank run on |hours|²
+    * per type (720 hours → 259k pairs — trivial). For multi-year feeds
+    * the documented variant is the repeated-median or a coarser grid;
+    * the corpus itself is never paired. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        expr("unix_millis(ts) div 3600000").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = hourly.as("a").join(hourly.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.h" < $"b.h")
+      .select($"a.event_type".as("event_type"), $"a.h".as("ha"), $"b.h".as("hb"),
+        (($"b.c" - $"a.c") / ($"b.h" - $"a.h")).as("slope"))
+    val np = pairs.groupBy($"event_type").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"slope", $"ha", $"hb")
+    pairs.withColumn("rk", row_number().over(w))
+      .join(broadcast(np), "event_type")
+      .where($"rk" === expr("(n_pairs + 1) div 2"))
+      .select($"event_type", $"n_pairs",
+        floor($"slope" * 1000000 + lit(1.0 / 3)).cast("long").as("med_slope_q"))
+  }
+
+  /** q152: hour-of-day seasonal profile — how much of each event type's
+    * value variance the daily cycle explains (eta² = SS_between/SS_total
+    * over the 24 hour-of-day bins), plus the peak hour. The q60 exact-
+    * decimal discipline throughout: per-bin sums are decimals floored to
+    * centi-units BEFORE any double cast (decimal→double rescaling is
+    * the one step engines disagree on), the 24 per-bin ratio terms
+    * quantize to longs before the order-free sum, and the peak hour is
+    * an integer-division mean score (ties → later hour, via struct
+    * max).
+    *
+    * Scale shape: two partial-agged groupBys (per (type, hod), per
+    * type); everything after runs on ≤ 24 rows per type. */
+  def hourOfDayProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def exact2(c: org.apache.spark.sql.Column) =
+      (floor(c * 100).cast("long") / 100.0)
+    val b = Tables.events(spark, dir).select($"event_type",
+      expr("(unix_millis(ts) div 3600000) % 24").as("hod"),
+      $"value".cast("decimal(18,6)").as("xd"))
+    val byH = b.groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("nh"), sum($"xd").as("sh"))
+      .select($"event_type", $"hod", $"nh",
+        // per-bin S_h²/n_h quantized to centi-units (identical doubles
+        // both engines: exact2 is integer-derived, the division is one
+        // correctly-rounded IEEE op) then summed as longs — order-free
+        floor(exact2($"sh" * $"sh") / $"nh" * 100).cast("long").as("ssb_cq"),
+        expr("(cast(floor(sh * 100) as bigint) * 1000000) div nh").as("mean_cq"))
+    val between = byH.groupBy($"event_type")
+      .agg(sum($"ssb_cq").as("ssb_cq"),
+        max(struct($"mean_cq", $"hod")).as("peak"))
+    val g = b.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"xd").cast("double").as("s"),
+      exact2(sum($"xd" * $"xd")).as("q"))
+    g.join(between, "event_type")
+      .select($"event_type", $"n",
+        $"peak.hod".as("peak_hod"), $"peak.mean_cq".as("peak_mean_cq"),
+        floor((($"ssb_cq" / 100.0 - $"s" * $"s" / $"n")
+          / ($"q" - $"s" * $"s" / $"n")) * 1000000).cast("long").as("eta2_ppm"))
+  }
+
   def entropyRate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

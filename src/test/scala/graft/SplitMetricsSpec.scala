@@ -379,6 +379,55 @@ class SplitMetricsSpec extends SparkSpec {
     }
   }
 
+  test("q151 Theil-Sen slope matches the brute median-of-pairwise-slopes model") {
+    val got = Timeseries.theilSen(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hourly = events.groupBy(e => (e._3, e._4 / 3600000L))
+      .map { case ((t, h), xs) => (t, h, xs.size.toLong) }
+      .groupBy(_._1)
+    val expect = hourly.map { case (t, hs) =>
+      val pts = hs.map(x => (x._2, x._3)).toSeq.sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield ((pts(i)._1, pts(j)._1),
+        (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1))
+      val sorted = slopes.sortBy { case ((ha, hb), s) => (s, ha, hb) }
+      val med = sorted(((sorted.length + 1) / 2 - 1).toInt)._2
+      t -> (slopes.length.toLong,
+        math.floor(med * 1e6 + 1.0 / 3).toLong)
+    }
+    assert(got == expect)
+  }
+
+  test("q152 hour-of-day profile: eta2 in [0,1e6], peak hour has the max mean score") {
+    val got = graft.operators.Timeseries.hourOfDayProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // model: recompute per-type from raw events with BigDecimal sums
+    val raw = {
+      import spark.implicits._
+      graft.sources.Tables.events(spark, sfDir)
+        .select($"event_type", unix_millis($"ts"), $"value")
+        .as[(String, Long, Double)].collect()
+    }
+    raw.groupBy(_._1).foreach { case (t, xs) =>
+      val (n, _, peakHod, eta2) = (got(t)._1, got(t)._2, got(t)._2, got(t)._4)
+      assert(n == xs.length.toLong)
+      assert(peakHod >= 0 && peakHod <= 23)
+      assert(eta2 >= 0L && eta2 <= 1000000L, s"$t eta2=$eta2")
+      // peak hod really has the maximal integer mean score
+      val byH = xs.groupBy(x => (x._2 / 3600000L) % 24)
+      val scores = byH.map { case (hod, ys) =>
+        val sh = ys.map(y => BigDecimal(y._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        hod -> ((sh * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+          * 1000000L / ys.size)
+      }
+      val best = scores.maxBy { case (hod, s) => (s, hod) }
+      assert(best._1 == got(t)._2, s"$t peak")
+    }
+  }
+
   test("q142 rank overlap matches brute-force double rankings") {
     val qs = vecs.filter(_._1 < 10)
     val expect = qs.map { case (qid, qv) =>
