@@ -172,6 +172,8 @@ object SparkEntry {
     "q150_key_skew"         -> (Skew.keySkewAudit _),
     "q151_theil_sen"        -> (Timeseries.theilSen _),
     "q152_hod_profile"      -> (Timeseries.hourOfDayProfile _),
+    "q153_mann_kendall"     -> (Timeseries.mannKendall _),
+    "q154_lorenz"           -> (Timeseries.lorenzDeciles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2875,5 +2877,61 @@ object SparkEntry {
            CAST(floor(((bet.ssb_cq / 100.0 - g.s * g.s / g.n)
              / (g.q - g.s * g.s / g.n)) * 1000000) AS BIGINT) AS eta2_ppm
          FROM g JOIN bet USING (event_type)""",
+    // q153: Mann-Kendall S + tie-corrected variance on an 18x integer
+    // scale — no sqrt, no floats.
+    "q153_mann_kendall" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_ms(ts) // 3600000 AS h, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT a.event_type,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+           FROM hourly a JOIN hourly b
+             ON a.event_type = b.event_type AND a.h < b.h
+           GROUP BY 1),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+               FROM hourly GROUP BY 1),
+         ties AS (SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+           FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+                 FROM hourly GROUP BY 1, 2)
+           WHERE t > 1 GROUP BY 1)
+         SELECT s.event_type, n.n_points, s.s_stat,
+           n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)
+             - COALESCE(ties.tie18, 0) AS var18
+         FROM s JOIN n USING (event_type)
+         LEFT JOIN ties USING (event_type)""",
+    // q154: Lorenz deciles of event volume by user activity rank;
+    // histogram runs sliced across decile boundaries with integer ceils.
+    "q154_lorenz" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM pu GROUP BY 1),
+         tot AS (SELECT CAST(sum(m) AS BIGINT) AS n_users,
+             CAST(sum(v * m) AS BIGINT) AS n_events
+           FROM h),
+         r AS (SELECT v, m,
+             COALESCE(CAST(sum(m) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS s
+           FROM h),
+         dgrid AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+             (8),(9)) AS t(d)),
+         sliced AS (SELECT g.d,
+             greatest(r.s, (g.d * tot.n_users + 9) // 10) AS lo,
+             least(r.s + r.m, ((g.d + 1) * tot.n_users + 9) // 10) AS hi,
+             r.v
+           FROM r, tot, dgrid g),
+         dec AS (SELECT d,
+             CAST(sum((hi - lo) * v) AS BIGINT) AS dec_events,
+             CAST(sum(hi - lo) AS BIGINT) AS dec_users
+           FROM sliced WHERE hi > lo GROUP BY 1)
+         SELECT d AS decile, dec_users, dec_events,
+           (CAST(sum(dec_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) * 1000000) // tot.n_users AS cum_users_ppm,
+           (CAST(sum(dec_events) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) * 1000000) // tot.n_events AS cum_events_ppm
+         FROM dec, tot""",
   )
 }

@@ -249,6 +249,89 @@ object Timeseries {
           / ($"q" - $"s" * $"s" / $"n")) * 1000000).cast("long").as("eta2_ppm"))
   }
 
+  /** q153: Mann–Kendall trend test — the significance companion to
+    * q151's Theil–Sen slope: S = Σ_{i<j} sign(c_j − c_i) over the
+    * hourly count series, with the tie-corrected variance
+    * Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18 reported on an
+    * 18× integer scale (no sqrt, no floats anywhere — the reader
+    * compares S² · 18 against z²·var18 for any z they care about).
+    * |S| large relative to sqrt(Var) ⇒ the monotonic trend q151
+    * measured is real, not noise.
+    *
+    * Scale shape: q151's — corpus → bounded hourly relation → pair
+    * join and tie histogram on |hours|² / |distinct counts|. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        expr("unix_millis(ts) div 3600000").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val s = hourly.as("a").join(hourly.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.h" < $"b.h")
+      .groupBy($"a.event_type".as("event_type"))
+      .agg(sum(signum($"b.c" - $"a.c").cast("long")).as("s_stat"))
+    val n = hourly.groupBy($"event_type").agg(count(lit(1)).as("n_points"))
+    val ties = hourly.groupBy($"event_type", $"c")
+      .agg(count(lit(1)).as("t"))
+      .where($"t" > 1L)
+      .groupBy($"event_type")
+      .agg(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie18"))
+    s.join(n, "event_type")
+      .join(ties, Seq("event_type"), "left")
+      .select($"event_type", $"n_points", $"s_stat",
+        ($"n_points" * ($"n_points" - 1L) * (lit(2L) * $"n_points" + 5L)
+          - coalesce($"tie18", lit(0L))).as("var18"))
+  }
+
+  /** q154: Lorenz curve of event volume by user decile — the
+    * distributional picture behind q148's single Gini number: sort
+    * users by activity, cut into 10 equal-user deciles, report each
+    * decile's cumulative share of users and events in ppm. "The top
+    * decile holds 40% of events" is the sentence a sampling-strategy
+    * review actually needs. Exact integers throughout: deciles are
+    * assigned by user RANK (ties broken by activity level order inside
+    * the count histogram — deterministic), shares by integer division.
+    *
+    * Scale shape: q148's — per-user counts partial-agg to the
+    * count-of-counts histogram; decile assignment explodes each
+    * histogram run across at most the 10 deciles it straddles
+    * (sequence() over a bounded range), never per user. */
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("m"))
+    // constant partition key over the bounded activity-level histogram
+    val w = Window.partitionBy(lit(1)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = h.agg(sum($"m").as("n_users"), sum($"v" * $"m").as("n_events"))
+    // a histogram run [s, s+m) of users with activity v may straddle
+    // decile boundaries: explode it into its per-decile slices
+    val sliced = h
+      .withColumn("s", coalesce(sum($"m").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", explode(sequence(
+        expr("(s * 10) div n_users"),
+        expr("((s + m - 1) * 10) div n_users"))))
+      // integer ceil: ceil(d·n/10) = (d·n + 9) div 10 — no doubles in
+      // the boundary arithmetic on either engine
+      .withColumn("lo", greatest($"s", expr("(d * n_users + 9) div 10")))
+      .withColumn("hi", least($"s" + $"m",
+        expr("((d + 1) * n_users + 9) div 10")))
+      .where($"hi" > $"lo")
+      .groupBy($"d")
+      .agg(sum(($"hi" - $"lo") * $"v").as("dec_events"),
+        sum($"hi" - $"lo").as("dec_users"))
+    val wc = Window.partitionBy(lit(1)).orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sliced.crossJoin(broadcast(tot))
+      .withColumn("cum_users", sum($"dec_users").over(wc))
+      .withColumn("cum_events", sum($"dec_events").over(wc))
+      .select($"d".as("decile"), $"dec_users", $"dec_events",
+        expr("(cum_users * 1000000) div n_users").as("cum_users_ppm"),
+        expr("(cum_events * 1000000) div n_events").as("cum_events_ppm"))
+  }
+
   def entropyRate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

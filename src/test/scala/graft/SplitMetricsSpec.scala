@@ -428,6 +428,52 @@ class SplitMetricsSpec extends SparkSpec {
     }
   }
 
+  test("q153 Mann-Kendall S and tie-corrected variance match the brute model") {
+    val got = Timeseries.mannKendall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val hourly = events.groupBy(e => (e._3, e._4 / 3600000L))
+      .map { case ((t, h), xs) => (t, h, xs.size.toLong) }.groupBy(_._1)
+    val expect = hourly.map { case (t, hs) =>
+      val cs = hs.toSeq.sortBy(_._2).map(_._3)
+      val s = (for {
+        i <- cs.indices; j <- (i + 1) until cs.length
+      } yield java.lang.Long.signum(cs(j) - cs(i)).toLong).sum
+      val n = cs.length.toLong
+      val tie18 = cs.groupBy(identity).values.map(_.size.toLong)
+        .filter(_ > 1).map(tt => tt * (tt - 1) * (2 * tt + 5)).sum
+      t -> (n, s, n * (n - 1) * (2 * n + 5) - tie18)
+    }
+    assert(got == expect)
+    // S is bounded by the pair count
+    got.values.foreach { case (n, s, _) =>
+      assert(math.abs(s) <= n * (n - 1) / 2)
+    }
+  }
+
+  test("q154 Lorenz deciles partition users exactly and end at 100%") {
+    val got = graft.operators.Timeseries.lorenzDeciles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val counts = events.groupBy(_._2).values.map(_.size.toLong).toSeq.sorted
+    val n = counts.length
+    // model: rank-sliced deciles over the ascending counts
+    val expect = (0 until 10).map { d =>
+      val lo = (d * n + 9) / 10; val hi = ((d + 1) * n + 9) / 10
+      val slice = counts.slice(lo, hi)
+      d.toLong -> (slice.length.toLong, slice.sum)
+    }.filter(_._2._1 > 0).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == expect)
+    // cumulative shares are monotone, deciles partition the population,
+    // and the curve ends at exactly 100% of users and events
+    assert(got.values.map(_._1).sum == n.toLong)
+    assert(got.values.map(_._2).sum == counts.sum)
+    val last = got(got.keys.max)
+    assert(last._3 == 1000000L && last._4 == 1000000L)
+    // Lorenz curve is convex-ish: event share never exceeds user share
+    got.foreach { case (_, (_, _, up, ep)) => assert(ep <= up) }
+  }
+
   test("q142 rank overlap matches brute-force double rankings") {
     val qs = vecs.filter(_._1 < 10)
     val expect = qs.map { case (qid, qv) =>
