@@ -174,6 +174,8 @@ object SparkEntry {
     "q152_hod_profile"      -> (Timeseries.hourOfDayProfile _),
     "q153_mann_kendall"     -> (Timeseries.mannKendall _),
     "q154_lorenz"           -> (Timeseries.lorenzDeciles _),
+    "q155_eb_rates"         -> (Relational.ebSmoothedRates _),
+    "q156_user_surprisal"   -> (Timeseries.userSurprisal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2933,5 +2935,43 @@ object SparkEntry {
            (CAST(sum(dec_events) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
              AS BIGINT) * 1000000) // tot.n_events AS cum_events_ppm
          FROM dec, tot""",
+    // q155: Dirichlet-smoothed per-source English rate, m=20 pseudo-
+    // count toward the corpus prior (entered as truncated ppm).
+    "q155_eb_rates" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+           FROM documents GROUP BY 1),
+         prior AS (SELECT (CAST(sum(n_en) AS BIGINT) * 1000000)
+             // CAST(sum(n) AS BIGINT) AS corpus_ppm
+           FROM per)
+         SELECT per.source, per.n, per.n_en, prior.corpus_ppm,
+           (per.n_en * 1000000) // per.n AS raw_ppm,
+           (per.n_en * 1000000 + 20 * prior.corpus_ppm) // (per.n + 20)
+             AS smoothed_ppm
+         FROM per, prior""",
+    // q156: per-user avg surprisal under the global lag-1 transition
+    // model; -ln p terms q87-quantized on the 25-row matrix.
+    "q156_user_surprisal" ->
+      """WITH t AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+           FROM events),
+         seq AS (SELECT user_id, prev, event_type AS next
+                 FROM t WHERE prev IS NOT NULL),
+         m AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+               FROM seq GROUP BY 1, 2),
+         rt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_total
+                FROM m GROUP BY 1),
+         terms AS (SELECT m.prev, m.next,
+             CAST(floor(ln(rt.row_total / m.n) * 1000000 + 1.0/3)
+               AS BIGINT) AS term_q
+           FROM m JOIN rt USING (prev))
+         SELECT seq.user_id, CAST(count(*) AS BIGINT) AS n_trans,
+           CAST(sum(terms.term_q) AS BIGINT) AS surprisal_q,
+           CAST(sum(terms.term_q) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS avg_surprisal_q
+         FROM seq JOIN terms USING (prev, next)
+         GROUP BY 1""",
   )
 }

@@ -1075,6 +1075,32 @@ object Relational {
       .withColumn("gini_ppm", expr("(g_num * 1000000) div g_den"))
   }
 
+  /** q155: empirical-Bayes (Dirichlet-smoothed) per-source rates — the
+    * fix for "this source is 100% English (n=3)": each source's
+    * English rate shrinks toward the corpus rate with pseudo-count
+    * m = 20, smoothed = (n_en·10⁶ + m·corpus_ppm) div (n + m). Small
+    * sources land near the prior, large sources keep their data; the
+    * ranking by smoothed rate is what a mixing policy should sort on,
+    * not the raw ratio. All-integer (the corpus prior enters as its
+    * already-truncated ppm — deterministic on any engine).
+    *
+    * Scale shape: one partial-agged groupBy to |sources| rows + a
+    * one-row corpus prior broadcast. */
+  def ebSmoothedRates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"))
+    val prior = per.agg(sum($"n").as("nc"), sum($"n_en").as("nc_en"))
+      .select(expr("(nc_en * 1000000) div nc").as("corpus_ppm"))
+    per.crossJoin(broadcast(prior))
+      .select($"source", $"n", $"n_en", $"corpus_ppm",
+        expr("(n_en * 1000000) div n").as("raw_ppm"),
+        expr("(n_en * 1000000 + 20 * corpus_ppm) div (n + 20)")
+          .as("smoothed_ppm"))
+  }
+
   /** q149: population-stability-index (PSI) drift between the first and
     * second half of the event stream, per event type — the production
     * drift metric for "did this feed's value distribution move?" (PSI

@@ -332,6 +332,40 @@ object Timeseries {
         expr("(cum_events * 1000000) div n_events").as("cum_events_ppm"))
   }
 
+  /** q156: per-user sequence surprisal under the global transition
+    * model — the bot/automation screen of behavioral training data: a
+    * user whose event sequence is far MORE predictable than the
+    * population's transition matrix implies (avg surprisal well under
+    * the model entropy) is a scripted client, and one far above is
+    * noise; both get flagged before the corpus trains a sequence
+    * model. Each transition's −ln p(next|prev) is the q87-quantized
+    * long of the 25-row matrix (computed once, broadcast back); per-
+    * user sums are order-free.
+    *
+    * Scale shape: the transition matrix is |types|²-bounded; tagging
+    * every user transition with its term is a broadcast join onto the
+    * lag stream; the per-user reduce is one partial-agged groupBy on
+    * the natural key. */
+  def userSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seq = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .where($"prev".isNotNull)
+      .select($"user_id", $"prev", $"event_type".as("next"))
+    val model = seq.groupBy($"prev", $"next").agg(count(lit(1)).as("n"))
+    val rowTot = model.groupBy($"prev").agg(sum($"n").as("row_total"))
+    val terms = model.join(broadcast(rowTot), "prev")
+      .select($"prev", $"next",
+        floor(log($"row_total" / $"n") * 1000000 + lit(1.0 / 3))
+          .cast("long").as("term_q"))
+    seq.join(broadcast(terms), Seq("prev", "next"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_trans"), sum($"term_q").as("surprisal_q"))
+      .withColumn("avg_surprisal_q", expr("surprisal_q div n_trans"))
+  }
+
   def entropyRate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

@@ -474,6 +474,57 @@ class SplitMetricsSpec extends SparkSpec {
     got.foreach { case (_, (_, _, up, ep)) => assert(ep <= up) }
   }
 
+  test("q155 EB smoothing: shrinks toward the prior, monotone in n") {
+    val got = graft.operators.Relational.ebSmoothedRates(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // the shared docs fixture lacks lang — pull (doc_id, lang, source) once
+    val langs = {
+      import spark.implicits._
+      graft.sources.Tables.documents(spark, sfDir)
+        .select($"doc_id", $"lang", $"source")
+        .as[(Long, String, String)].collect()
+    }
+    val corpusPpm = langs.count(_._2 == "en").toLong * 1000000L / langs.length
+    langs.groupBy(_._3).foreach { case (src, ds) =>
+      val n = ds.length.toLong
+      val nEn = ds.count(_._2 == "en").toLong
+      val (gn, gne, gp, graw, gsm) = got(src)
+      assert(gn == n && gne == nEn && gp == corpusPpm)
+      assert(graw == nEn * 1000000L / n)
+      assert(gsm == (nEn * 1000000L + 20L * corpusPpm) / (n + 20L))
+      // shrinkage: smoothed sits between raw and the prior (integer
+      // truncation can push it 1 ppm outside — allow that slack)
+      val lo = math.min(graw, corpusPpm) - 1
+      val hi = math.max(graw, corpusPpm) + 1
+      assert(gsm >= lo && gsm <= hi, s"$src: $gsm not in [$lo, $hi]")
+    }
+  }
+
+  test("q156 user surprisal matches the quantized transition-model score") {
+    val got = Timeseries.userSurprisal(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val perUser = events.groupBy(_._2).view.mapValues { evs =>
+      val s = evs.sortBy(e => (e._4, e._1)).map(_._3)
+      s.zip(s.drop(1))
+    }.toMap
+    val model = perUser.values.flatten.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val rowTot = model.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val termQ = model.map { case (k, n) =>
+      k -> math.floor(math.log(rowTot(k._1).toDouble / n) * 1e6 + 1.0 / 3).toLong
+    }
+    perUser.foreach { case (uid, trans) =>
+      if (trans.nonEmpty) {
+        val sq = trans.map(termQ).sum
+        assert(got(uid) == ((trans.length.toLong, sq, sq / trans.length)), uid)
+      } else assert(!got.contains(uid))
+    }
+    // surprisal is nonnegative (p <= 1 for every transition)
+    got.values.foreach { case (_, sq, _) => assert(sq >= 0L) }
+  }
+
   test("q142 rank overlap matches brute-force double rankings") {
     val qs = vecs.filter(_._1 < 10)
     val expect = qs.map { case (qid, qv) =>
