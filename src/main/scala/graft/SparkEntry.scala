@@ -176,6 +176,8 @@ object SparkEntry {
     "q154_lorenz"           -> (Timeseries.lorenzDeciles _),
     "q155_eb_rates"         -> (Relational.ebSmoothedRates _),
     "q156_user_surprisal"   -> (Timeseries.userSurprisal _),
+    "q157_coverage_curve"   -> (TextAnalysis.coverageCurve _),
+    "q158_basket_lift"      -> (Relational.basketLift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2973,5 +2975,56 @@ object SparkEntry {
              AS avg_surprisal_q
          FROM seq JOIN terms USING (prev, next)
          GROUP BY 1""",
+    // q157: coverage at fixed vocab sizes; q53's (tf desc, tok asc)
+    // rank over the type relation.
+    "q157_coverage_curve" ->
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents) GROUP BY 1),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab
+           FROM c),
+         r AS (SELECT tok, tf,
+             CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) AS BIGINT)
+               AS rk,
+             CAST(sum(tf) OVER (ORDER BY tf DESC, tok ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM c)
+         SELECT r.rk AS k, r.cum AS covered, tot.total, tot.vocab,
+           (r.cum * 1000000) // tot.total AS coverage_ppm
+         FROM r, tot
+         WHERE r.rk IN (10, 20, 50, 100, 200, 500, 1000)""",
+    // q158: within-session (30-min gap) pair lift over session-level
+    // type presence; exact cross-multiplied ppm.
+    "q158_basket_lift" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (SELECT user_id, event_type,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS session_id
+           FROM o),
+         pres AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+         totals AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+                    FROM pres GROUP BY 1),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+                FROM (SELECT DISTINCT user_id, session_id FROM pres)),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM pres a JOIN pres b
+             ON a.user_id = b.user_id AND a.session_id = b.session_id
+                AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.n_ab,
+           ta.n_t AS n_a, tb.n_t AS n_b,
+           (p.n_ab * ns.n_sessions * 1000000) // (ta.n_t * tb.n_t)
+             AS lift_ppm
+         FROM pairs p
+         JOIN totals ta ON ta.event_type = p.type_a
+         JOIN totals tb ON tb.event_type = p.type_b, ns""",
   )
 }

@@ -1075,6 +1075,48 @@ object Relational {
       .withColumn("gini_ppm", expr("(g_num * 1000000) div g_den"))
   }
 
+  /** q158: within-session co-occurrence lift — the market-basket view
+    * of the event stream: for each event-type pair, how much more often
+    * they share a q22-rule session (30-min gap) than independence
+    * predicts. lift > 1e6 ppm marks behaviorally-coupled actions; the
+    * association-rule signal a recommender's training data encodes.
+    * Exact integers: lift_ppm = n_ab·S·10⁶ div (n_a·n_b) over
+    * session-level presence counts.
+    *
+    * Scale shape: the session id is one user-partitioned window (q22's
+    * machinery); presence reduces via DISTINCT (user, session, type) —
+    * partial-agged; the pair join runs on the per-session type SETS
+    * (≤ |types| rows each), so pair volume is sessions·|types|², never
+    * events². Totals broadcast. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val pres = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull
+          || unix_millis($"ts") - unix_millis($"prev_ts") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"session_id", $"event_type")
+      .distinct()
+    val totals = pres.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+    val nSess = pres.select($"user_id", $"session_id").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val pairs = pres.as("a").join(pres.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.session_id" === $"b.session_id"
+          && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(totals.select($"event_type".as("type_a"), $"n_t".as("n_a"))), "type_a")
+      .join(broadcast(totals.select($"event_type".as("type_b"), $"n_t".as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b",
+        expr("(n_ab * n_sessions * 1000000) div (n_a * n_b)").as("lift_ppm"))
+  }
+
   /** q155: empirical-Bayes (Dirichlet-smoothed) per-source rates — the
     * fix for "this source is 100% English (n=3)": each source's
     * English rate shrinks toward the corpus rate with pseudo-count

@@ -581,6 +581,36 @@ object TextAnalysis {
       .select($"dec", $"docs_cum", $"tokens_cum", $"n_new_types", $"vocab_cum")
   }
 
+  /** q157: vocabulary coverage curve — corpus token-occurrence coverage
+    * at fixed vocab sizes k ∈ {10, 20, 50, 100, 200, 500, 1000}: the
+    * k-based companion to q129's p-based nucleus (a tokenizer budget
+    * review asks "what does a 500-type vocab cover?", not "how many
+    * types cover 90%?"). Rank by (tf desc, tok asc) — the q53 order —
+    * cumulative occurrence mass at each checkpoint, ppm by integer
+    * division.
+    *
+    * Scale shape: corpus → type counts (one partial-agged shuffle);
+    * rank + cumsum windows run on the vocab-bounded relation; the 7
+    * checkpoints come from a rank-membership filter, not 7 rescans. */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ks = Seq(10L, 20L, 50L, 100L, 200L, 500L, 1000L)
+    val counts = TextOps.docsParallel(spark, dir)
+      .select(explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("tf"))
+    // constant partition key over the vocab-bounded relation (q53 idiom)
+    val w = Window.partitionBy(lit(1)).orderBy($"tf".desc, $"tok".asc)
+    val tot = counts.agg(sum($"tf").as("total"), count(lit(1)).as("vocab"))
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"tf").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where($"rk".isin(ks: _*))
+      .crossJoin(broadcast(tot))
+      .select($"rk".as("k"), $"cum".as("covered"), $"total", $"vocab",
+        expr("(cum * 1000000) div total").as("coverage_ppm"))
+  }
+
   /** q146: language-ID confidence margin — q31's trigram scores with
     * the top-1 − top-2 gap as the per-doc confidence, and a low-margin
     * flag (margin·4 < top1) marking docs a pipeline should route to a

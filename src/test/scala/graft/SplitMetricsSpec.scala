@@ -525,6 +525,55 @@ class SplitMetricsSpec extends SparkSpec {
     got.values.foreach { case (_, sq, _) => assert(sq >= 0L) }
   }
 
+  test("q157 coverage curve matches the ranked-vocab cumulative model") {
+    val got = TextAnalysis.coverageCurve(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+    val ranked = counts.sortBy { case (t, tf) => (-tf, t) }
+    val total = counts.map(_._2).sum
+    val vocab = counts.length.toLong
+    Seq(10, 20, 50, 100, 200, 500, 1000).filter(_ <= vocab).foreach { k =>
+      val covered = ranked.take(k).map(_._2).sum
+      assert(got(k.toLong) == ((covered, total, vocab,
+        covered * 1000000L / total)), s"k=$k")
+    }
+    assert(got.keySet ==
+      Seq(10L, 20L, 50L, 100L, 200L, 500L, 1000L).filter(_ <= vocab).toSet)
+    // coverage is monotone in k
+    val sorted = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(sorted == sorted.sorted)
+  }
+
+  test("q158 basket lift matches the session-presence model") {
+    val got = graft.operators.Relational.basketLift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // model: 30-min-gap sessions per user, distinct types per session
+    val sessions = events.groupBy(_._2).toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      var sid = 0L; var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800000L) sid += 1
+        prev = e._4
+        ((uid, sid), e._3)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSet).toMap
+    val nSessions = sessions.size.toLong
+    val typeCounts = sessions.values.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val pairCounts = sessions.values.toSeq.flatMap { ts =>
+      val s = ts.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val expect = pairCounts.map { case ((a, b), nab) =>
+      (a, b) -> (nab, typeCounts(a), typeCounts(b),
+        nab * nSessions * 1000000L / (typeCounts(a) * typeCounts(b)))
+    }
+    assert(got == expect)
+  }
+
   test("q142 rank overlap matches brute-force double rankings") {
     val qs = vecs.filter(_._1 < 10)
     val expect = qs.map { case (qid, qv) =>
