@@ -13,6 +13,11 @@ object Bench {
       // assumes ~1MB of shuffle bytes is "one core's worth"; text/hash
       // stages here are CPU-dense at tiny byte sizes, so keep them wide.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      // Verify pins UTC; without the same pin here, TIMESTAMP_NTZ events
+      // reinterpret in the host zone and epoch-anchored queries (q149
+      // midpoint, q151-q153 hourly buckets) time different semantics than
+      // the verified path.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,6 +98,11 @@ object Bench {
       .map { case (k, v) => s"\"$k\":${ms3(v)}" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"failed":$fs,"queries":$qsC}""")
+    // The driver keeps only the LAST ~2000 chars of stdout; the 158-query
+    // line above is ~3.3 KB so its front (where the total sits) falls off
+    // the capture. This tiny FINAL line always lands inside the tail.
+    println(
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_s":${ms3(total)},"n":${ok.size},"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

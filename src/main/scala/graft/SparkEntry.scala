@@ -582,10 +582,10 @@ object SparkEntry {
                   x * CASE WHEN substr(md5(p.p || ':' || i), 1, 1) >= '8'
                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
                   (a, b) -> a + b) AS proj
-              FROM n, range(8) p(p)),
-         bits AS (SELECT vec_id, p // 2 AS band,
+              FROM n, range(36) p(p)),
+         bits AS (SELECT vec_id, p // 6 AS band,
                   CAST(sum(CASE WHEN proj > 0
-                           THEN (1::BIGINT << CAST(p % 2 AS INT)) ELSE 0 END) AS BIGINT) AS bits
+                           THEN (1::BIGINT << CAST(p % 6 AS INT)) ELSE 0 END) AS BIGINT) AS bits
                   FROM proj GROUP BY 1, 2),
          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                   FROM bits a JOIN bits b
@@ -2878,8 +2878,10 @@ object SparkEntry {
          SELECT g.event_type, g.n,
            CAST(bet.peak.hod AS BIGINT) AS peak_hod,
            CAST(bet.peak.mean_cq AS BIGINT) AS peak_mean_cq,
-           CAST(floor(((bet.ssb_cq / 100.0 - g.s * g.s / g.n)
-             / (g.q - g.s * g.s / g.n)) * 1000000) AS BIGINT) AS eta2_ppm
+           CASE WHEN g.q - g.s * g.s / g.n <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(((bet.ssb_cq / 100.0 - g.s * g.s / g.n)
+                  / (g.q - g.s * g.s / g.n)) * 1000000) AS BIGINT)
+           END AS eta2_ppm
          FROM g JOIN bet USING (event_type)""",
     // q153: Mann-Kendall S + tie-corrected variance on an 18x integer
     // scale — no sqrt, no floats.

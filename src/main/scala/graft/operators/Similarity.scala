@@ -64,23 +64,36 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding family):
-    * candidates are blocked on banded sign-LSH — the 8 hyperplanes split
-    * into 4 bands of 2 bits, and a pair is a candidate iff it agrees on
-    * ALL bits of at least one band (OR-of-ANDs banding, the same
-    * amplification as MinHash LSH) — then verified with exact cosine >=
-    * 0.4. No all-pairs product ever forms: each band join is an equality
-    * join on (band, 2-bit signature), partitionable at any scale. */
+    * candidates are blocked on banded sign-LSH — 36 hyperplanes split into
+    * 6 bands of 6 bits, and a pair is a candidate iff it agrees on ALL
+    * bits of at least one band (OR-of-ANDs banding, the same amplification
+    * as MinHash LSH) — then verified with exact cosine >= 0.4.
+    *
+    * Band width is the scale knob: a RANDOM pair agrees on a 6-bit band
+    * with probability 2⁻⁶-ish (exactly (1/2)⁶ = 1.56% under isotropy), so
+    * the background candidate rate is 1−(1−1/64)⁶ ≈ 9% — candidate volume
+    * stays output-bound, not quasi-quadratic (the earlier 4×2-bit banding
+    * admitted ~68% of random pairs — an equality join in form, all-pairs
+    * in substance). True near-dups survive: at cos 0.9 a plane agrees
+    * w.p. 1−θ/π ≈ 0.86, band 0.39, some-band ≈ 95%; the 6-band OR targets
+    * the high-cos mass a near-DUPLICATE screen is for. No all-pairs
+    * product ever forms: each band join is an equality join on (band,
+    * 6-bit signature), partitionable at any scale. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val signs = signMatrix(8, 64)
+    val nBands = 6
+    val bandBits = 6
+    val signs = signMatrix(nBands * bandBits, 64)
     val e = Tables.embeddings(spark, dir).select(
       $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
-    // band b uses planes 2b and 2b+1; banded rows stay narrow
+    // band b uses planes [b*6, b*6+5]; banded rows stay narrow
     val banded = e.select($"vec_id",
-      posexplode(array((0 until 4).map(b =>
-        (when(VectorOps.dot($"embedding", lit(signs(2 * b))) > 0.0, 1L).otherwise(0L) +
-         when(VectorOps.dot($"embedding", lit(signs(2 * b + 1))) > 0.0, 2L).otherwise(0L))): _*))
-        .as(Seq("band", "bits")))
+      posexplode(array((0 until nBands).map { b =>
+        (0 until bandBits).map { j =>
+          when(VectorOps.dot($"embedding", lit(signs(bandBits * b + j))) > 0.0,
+            lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band", "bits")))
     // score candidates AS the band join emits them (native dot is cheaper
     // than a shuffle): duplicates from multi-band agreement carry identical
     // cos, so the dedup runs on the few post-threshold survivors instead
@@ -143,14 +156,27 @@ object Similarity {
     * pattern); pair enumeration is an equality join on `cell`, so work is
     * sum(cell²) not corpus² — at 100 TB the codebook grows (k ~ sqrt(N))
     * so cells stay bounded, and the cell join partitions cleanly.
-    * Per-vector verdict = one partial-agged groupBy on the later id. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    * Per-vector verdict = one partial-agged groupBy on the later id.
+    *
+    * The codebook size k is a PARAMETER (semanticDedupOn): the scale
+    * argument is k ~ sqrt(N) keeps expected cell size ~ sqrt(N), so
+    * sum(cell²) ~ N·sqrt(N) worst-case and far less under real
+    * clustering — growing the corpus means growing k, not the plan. The
+    * oracle query pins k = 8 (deterministic first-k codebook) so DuckDB
+    * reproduces the assignment exactly. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOn(spark, dir, k = 8)
+
+  /** q94 core with the codebook size exposed; centroids are
+    * deterministically the first k vectors (a production build swaps in
+    * k-means centroids — same plan, different literals). */
+  def semanticDedupOn(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
     val e = Tables.rebalance(spark, dir, "embeddings",
         Tables.embeddings(spark, dir), $"vec_id")
       .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
     val cents: Array[(Long, Array[Float], Double)] =
-      e.where($"vec_id" < 8).as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+      e.where($"vec_id" < k).as[(Long, Array[Float], Double)].collect().sortBy(_._1)
     // argmax by cosine, min-cent_id tie-break: max over struct(cos, -id)
     val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
       struct((VectorOps.dot($"embedding", lit(cemb.map(_.toDouble))) / ($"nrm" * cnrm)).as("c"),

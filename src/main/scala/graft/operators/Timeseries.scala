@@ -245,8 +245,15 @@ object Timeseries {
     g.join(between, "event_type")
       .select($"event_type", $"n",
         $"peak.hod".as("peak_hod"), $"peak.mean_cq".as("peak_mean_cq"),
-        floor((($"ssb_cq" / 100.0 - $"s" * $"s" / $"n")
-          / ($"q" - $"s" * $"s" / $"n")) * 1000000).cast("long").as("eta2_ppm"))
+        // degenerate guard: a constant-value type has SS_total = 0 and
+        // the raw division yields NaN/Inf, whose floor/cast semantics
+        // differ across engines — emit 0 explicitly (same guard in the
+        // oracle; quantization can push the denom epsilon-negative, so
+        // guard on <= 0, not == 0)
+        when($"q" - $"s" * $"s" / $"n" <= 0, lit(0L))
+          .otherwise(floor((($"ssb_cq" / 100.0 - $"s" * $"s" / $"n")
+            / ($"q" - $"s" * $"s" / $"n")) * 1000000).cast("long"))
+          .as("eta2_ppm"))
   }
 
   /** q153: Mann–Kendall trend test — the significance companion to

@@ -194,12 +194,16 @@ object Events {
     * stream distribution vs the reference and append a timestamped
     * snapshot row — the live dashboard a feed-health pipeline reads.
     *
-    * Exactly-once: checkpoint-guarded appends (the q109-gate argument);
-    * the state table is additive counts, so a post-crash replayed batch
-    * is the only at-least-once tail, and a transactional MERGE sink
-    * removes it without touching the logic. Scale: per batch O(batch) +
-    * a |types|×|bins|-bounded state aggregation; the state read-back is
-    * the toy-sink form of a keyed MERGE.
+    * Exactly-once on the STATE: each batch's counts land in a
+    * batch_id=<id> partition via dynamic partition overwrite, so a
+    * post-crash replayed micro-batch overwrites its own partition
+    * instead of double-appending — the accumulated distribution is
+    * idempotent under replay. The monitor snapshot itself can repeat
+    * after a replay, but it recomputes from the idempotent state so
+    * the repeated row is identical and a latest-batch_id reader is
+    * unaffected. Scale: per batch O(batch) + a |types|×|bins|-bounded
+    * state aggregation; the partitioned-parquet state is the toy-sink
+    * form of a keyed MERGE.
     *
     * PSI orientation matches q149: reference plays the first-half (p)
     * side, the accumulated stream the second-half (q) side; bins empty
@@ -217,7 +221,11 @@ object Events {
         .join(broadcast(boundsC), "event_type")
         .select($"event_type", expr("((cv - lo) * 10) div (hi + 1 - lo)").as("bin"))
         .groupBy($"event_type", $"bin").agg(count(lit(1)).as("n"))
-        .write.mode("append").parquet(stateTarget)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stateTarget)
       val acc = spark.read.parquet(stateTarget)
         .groupBy($"event_type", $"bin").agg(sum($"n").as("b"))
       // per-side totals over ALL bins (q149 computes na/nb BEFORE the

@@ -38,28 +38,47 @@ class MlPipelineSpec extends SparkSpec {
     acc
   }
 
-  test("q94 semanticDedup matches the brute-force greedy-by-id SemDeDup model") {
-    import spark.implicits._
-    val cents = vectors.filter(_._1 < 8)
+  // brute-force SemDeDup model, parameterized by codebook size k
+  private def semDedupModel(k: Int): Seq[(Long, Long, Long, Boolean)] = {
+    val cents = vectors.filter(_._1 < k)
     // model: cell = cosine argmax (min cent_id on exact ties)
     val cellOf = vectors.map { case (id, e, n) =>
       val best = cents.map { case (cid, ce, cn) => (dot(e, ce) / (n * cn), cid) }
         .reduceLeft((x, y) => if (y._1 > x._1) y else x) // strict: first max wins = min id
       id -> best._2
     }.toMap
-    val byId = vectors.map(v => v._1 -> v).toMap
-    val model = vectors.map { case (id, e, n) =>
+    vectors.map { case (id, e, n) =>
       val earlier = vectors.filter(v => v._1 < id && cellOf(v._1) == cellOf(id))
         .map { case (_, ae, an) => dot(ae, e) / (an * n) }
         .filter(_ >= 0.35)
       (id, cellOf(id), earlier.length.toLong, earlier.isEmpty)
     }.toSeq
+  }
+
+  test("q94 semanticDedup matches the brute-force greedy-by-id SemDeDup model") {
+    import spark.implicits._
     val got = Similarity.semanticDedup(spark, sfDir)
       .select($"vec_id", $"cell", $"n_earlier_dups", $"kept")
       .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
-    assert(got === model)
+    assert(got === semDedupModel(8))
     // the collection must not be trivially all-kept at this threshold
     assert(got.count(!_._4) > 0)
+  }
+
+  test("q94 semanticDedupOn parity at k=32: same greedy rule, finer cells") {
+    import spark.implicits._
+    val got = Similarity.semanticDedupOn(spark, sfDir, k = 32)
+      .select($"vec_id", $"cell", $"n_earlier_dups", $"kept")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === semDedupModel(32))
+    // finer codebook actually fans out past the k=8 cells (the k ~
+    // sqrt(N) scale claim needs the extra centroids to attract mass)
+    assert(got.map(_._2).distinct.size > 8)
+    // and the within-cell pair work shrinks: sum(cell_i^2) strictly
+    // below the k=8 figure on this collection
+    def pairWork(m: Seq[(Long, Long, Long, Boolean)]): Long =
+      m.groupBy(_._2).values.map(c => c.size.toLong * c.size).sum
+    assert(pairWork(got) < pairWork(semDedupModel(8)))
   }
 
   test("q95 hashClassifier margin matches the md5-weight model on every doc") {
