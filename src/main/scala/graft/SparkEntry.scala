@@ -1340,7 +1340,8 @@ object SparkEntry {
     // q90: inverted-index tf-cosine over positional 3-shingles — all
     // arithmetic on BIGINT counts; the cos >= 4/5 test is cross-
     // multiplied (25·dot² >= 16·|a|²·|b|²) so neither engine touches
-    // sqrt/division
+    // sqrt/division. Norms are over the FULL tf vector; the df cut
+    // sparsifies only the dot dimensions (conservative for dedup)
     "q90_tf_cosine" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          sh0 AS (
@@ -1355,7 +1356,7 @@ object SparkEntry {
                    HAVING count(*) * 4 <= n_docs),
          kept AS (SELECT tf.* FROM tf JOIN keptt USING (sh)),
          nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nrm2
-                 FROM kept GROUP BY 1),
+                 FROM tf GROUP BY 1),
          d AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot,

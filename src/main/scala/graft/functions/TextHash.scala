@@ -154,6 +154,66 @@ object TextHash {
     override def prettyName: String = "graft_pos_shingles"
   }
 
+  /** Per-document positional-shingle TERM FREQUENCIES in one pass:
+    * struct(tfs: array<struct<sh, tf>> (first-occurrence order),
+    * nrm2: Σ tf² — the doc's full tf-vector squared norm). The
+    * relational equivalent (explode + groupBy(doc_id, sh) + a norm
+    * window) shuffles the whole exploded corpus TWICE for what is a
+    * per-row function of the token array; this keeps the tf stage
+    * map-only, so q90's first shuffle is the (already partial-agged)
+    * document-frequency count. */
+  case class ShingleTfsExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("tfs", ArrayType(StructType(Seq(
+        StructField("sh", StringType, nullable = false),
+        StructField("tf", LongType, nullable = false))), containsNull = false),
+        nullable = false),
+      StructField("nrm2", LongType, nullable = false)))
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "graft_shingle_tfs")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenStrings(input)
+      val counts = new java.util.LinkedHashMap[String, Long]()
+      if (toks.length >= n) {
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          counts.merge(sb.toString, 1L, (a, b) => a + b)
+          i += 1
+        }
+      }
+      val tfs = new Array[Any](counts.size)
+      var nrm2 = 0L
+      val it = counts.entrySet().iterator()
+      var k = 0
+      while (it.hasNext) {
+        val e = it.next()
+        val tf = e.getValue
+        nrm2 += tf * tf
+        tfs(k) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(e.getKey), tf)
+        k += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(tfs), nrm2)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleTfsExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_shingle_tfs"
+  }
+
   /** k min-hashes of a shingle array: element s = the lexicographic min
     * over shingles of md5("s:" + shingle), exactly the oracle's salted-md5
     * min-wise family. Empty input -> null (the doc simply has no
@@ -330,6 +390,9 @@ object TextHash {
 
   def posShingles(toks: Column, n: Int): Column =
     ColumnBridge.column(PosShinglesExpr(ColumnBridge.expression(toks), n))
+
+  def shingleTfs(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleTfsExpr(ColumnBridge.expression(toks), n))
 
   def minhash(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingles), k))

@@ -77,16 +77,17 @@ object Dedup {
 
   /** Testable core over any `(doc_id, text)` relation. */
   private[graft] def ngramJaccardOn(docs: DataFrame, t: Double): DataFrame = {
-    // one shingle pass, checkpointed: the relation feeds FOUR subtrees
-    // (document frequency, prefix ranking, and both verify sides) — left
-    // nested, each would re-scan and re-shingle the corpus. The blocks
-    // live until the returned plan is dropped by the caller and the
-    // ContextCleaner reclaims the RDD — an operator returning a lazy
-    // DataFrame has no later hook to unpersist eagerly.
+    // NO checkpoint anywhere (measured both ways at sf0.1): the prefix
+    // subtree does evaluate twice — AQE broadcast-builds one candidate
+    // side and streams the other, so exchange reuse can't fire — but
+    // re-running the df agg + rank window costs less than the
+    // materialization barrier a localCheckpoint inserts (1.9 s vs
+    // 2.9 s warm). At cluster scale the same trade holds: the subtree
+    // is two linear shuffles, while a checkpoint serializes the whole
+    // stage graph around one RDD.
     val docSh = docs
       .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint(false)
     val prefix = prefixShingles(docSh, t)
     // PPJoin length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t, so
     // size-incompatible pairs are dropped inside the candidate join (35%
@@ -95,9 +96,20 @@ object Dedup {
     // product rounds UP (t=0.6 is safe; the method is parameterized), bare
     // ceil would overshoot by 1 and over-tighten the filter — the epsilon
     // makes the bound conservative, which only admits extra candidates.
+    //
+    // PPJoin POSITIONAL filter (exact, Xiao et al. §3.2): for the
+    // globally-smallest common shingle x at ranks i in A and j in B,
+    // every other common element follows x in BOTH df-ordered lists, so
+    // |A∩B| <= 1 + min(|A|-i, |B|-j); J >= t needs |A∩B| >= alpha =
+    // ceil(t/(1+t)·(|A|+|B|)). Testing it on EVERY matching prefix pair
+    // is sound (x's occurrence must pass if the pair qualifies; the
+    // distinct keeps the pair if ANY occurrence passes) — cuts
+    // candidates 193k -> 69k at sf0.1 before the verify pays for them.
+    val alpha = ceil(lit(t / (1 + t)) * (col("a.__n") + col("b.__n")) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.__n") >= ceilT(col("a.__n"), t) && col("b.__n") * t <= col("a.__n"))
+          col("b.__n") >= ceilT(col("a.__n"), t) && col("b.__n") * t <= col("a.__n") &&
+          lit(1) + least(col("a.__n") - col("a.__rk"), col("b.__n") - col("b.__rk")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -201,12 +213,17 @@ object Dedup {
 
   /** Testable core over any `(doc_id, text)` relation. */
   private[graft] def containmentOn(docs: DataFrame, t: Double): DataFrame = {
-    // one shingle pass feeding prefix ranking, the B-side postings and
-    // both verify sides (same checkpoint rationale as ngramJaccardOn)
+    // one LAZY shingle pass feeding prefix ranking, the B-side postings
+    // and both verify sides — all cheap maps over the doc scan; the only
+    // expensive shared subtree (the df-ranked prefix) is behind its own
+    // shuffle, which the planner materializes once (same no-checkpoint
+    // rationale as ngramJaccardOn)
     val docSh = docs
       .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint(false)
+    // no checkpoint anywhere: unlike ngramJaccardOn the prefix feeds
+    // only ONE join side (postings is the other), so nothing in the
+    // plan is evaluated twice
     val prefix = prefixShingles(docSh, t)
     val postings = docSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"),
       explode(col("sh")).as("shingle"))
@@ -236,10 +253,11 @@ object Dedup {
     * t and document length. */
   private def ceilT(n: Column, t: Double): Column = ceil(n * t - lit(1e-9))
 
-  /** The df-ordered prefix relation `(doc_id, shingle)`: each doc's first
-    * `|d| - ceil(t*|d|) + 1` shingles in (global df asc, shingle asc)
-    * order. Exposed for the skew spec, which asserts a corpus-wide
-    * stopword shingle never enters any multi-shingle doc's prefix. */
+  /** The df-ordered prefix relation `(doc_id, shingle, __n, __rk)`: each
+    * doc's first `|d| - ceil(t*|d|) + 1` shingles in (global df asc,
+    * shingle asc) order, with the rank kept for the positional filter.
+    * Exposed for the skew spec, which asserts a corpus-wide stopword
+    * shingle never enters any multi-shingle doc's prefix. */
   private[graft] def prefixShingles(docSh: DataFrame, t: Double): DataFrame = {
     // per-doc cardinality comes free from the array (one window, not two)
     val sh = docSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"),
@@ -249,7 +267,7 @@ object Dedup {
     sh.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(wRank))
       .where(col("__rk") <= col("__n") - ceilT(col("__n"), t) + 1)
-      .select(col("doc_id"), col("shingle"), col("__n"))
+      .select(col("doc_id"), col("shingle"), col("__n"), col("__rk"))
   }
 
   /** MinHash + LSH banding: k=12 salted-md5 min-hashes per doc, 4 bands of
@@ -490,29 +508,30 @@ object Dedup {
   private[graft] def tfCosinePairsOn(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // raw 3-gram strings as feature keys (they're SHORTER than an md5
-    // hex), produced by the single-pass native expression — the
-    // interpreted transform+slice lambda was the CPU hot spot
+    // hex); tf AND the doc's squared norm come out of ONE native pass
+    // over the token array (TextHash.shingleTfs), so the posting
+    // relation is map-only — no (doc_id, sh) groupBy shuffle, no norm
+    // window. Norms are over the doc's FULL tf vector (the standard
+    // cosine); the df cut only sparsifies the DOT dimensions, which
+    // biases cos strictly downward for boilerplate-heavy pairs — the
+    // conservative direction for a dedup screen.
     val tf = docs
       .select($"doc_id", TextOps.toks($"text").as("toks"))
       .where(size($"toks") >= 3)
-      .select($"doc_id",
-        explode(graft.functions.TextHash.posShingles($"toks", 3)).as("sh"))
-      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+      .select($"doc_id", graft.functions.TextHash.shingleTfs($"toks", 3).as("s"))
+      .select($"doc_id", $"s.nrm2".as("nrm2"), explode($"s.tfs").as("st"))
+      .select($"doc_id", $"st.sh".as("sh"), $"st.tf".as("tf"), $"nrm2")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val keptTerms = tf.groupBy($"sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .where($"df" * 4 <= $"n_docs")
       .select($"sh")
-    // ‖·‖² rides along as a window sum over the posting rows instead of
-    // a separate norm relation joined back onto the pairs twice — one
-    // doc_id shuffle replaces two joins. Checkpointed because the
-    // relation still feeds both sides of the self-join (left nested,
-    // each would re-shingle the corpus and re-run the df cut).
-    val w = Window.partitionBy($"doc_id")
+    // no checkpoint: the kept relation feeds both self-join sides, but
+    // the subtrees are IDENTICAL, so the planner materializes one
+    // shuffle and reads it twice (ReusedExchange) — a checkpoint would
+    // add a third materialization and a scheduling barrier for nothing
     val kept = tf.join(keptTerms, "sh")
-      .withColumn("nrm2", sum($"tf" * $"tf").over(w))
-      .localCheckpoint(false)
-    kept.as("a").join(kept.as("b"),
+    kept.as("a").hint("shuffle_hash").join(kept.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         ($"a.tf" * $"b.tf").as("p"),
@@ -556,9 +575,12 @@ object Dedup {
         posexplode(graft.functions.TextHash.posShingles($"toks", win))
           .as(Seq("pos0", "sh")))
       .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"sh")
+    // "occurs in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    // min/max partial-agg in one phase; count_distinct would run the
+    // two-phase distinct aggregation for a boolean the extremes answer
     val dup = pos.groupBy($"sh")
-      .agg(count_distinct($"doc_id").as("n_docs"))
-      .where($"n_docs" >= 2)
+      .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+      .where($"d0" =!= $"d1")
       .select($"sh")
     val hits = pos.join(dup, "sh").select($"doc_id", $"pos")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")

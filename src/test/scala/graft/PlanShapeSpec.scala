@@ -243,11 +243,13 @@ class PlanShapeSpec extends SparkSpec {
   test("q90 tf-cosine: posting join is an equality hash join; only the 1-row n_docs broadcasts") {
     val plan = finalPlan(graft.operators.Dedup.tfCosinePairs(spark, sfDir))
     // candidate pairs come from the shingle-equality self-join — never
-    // a doc×doc product; the only nested-loop (the one-row corpus count
-    // broadcast) lives behind the checkpointed kept-tf relation, so at
-    // most one may surface here
+    // a doc×doc product; the only nested-loop is the ONE-ROW corpus
+    // count cross-broadcast inside the df cut, which appears once per
+    // self-join side (the kept-tf relation is deliberately not
+    // checkpointed — re-deriving it is cheaper than a materialization
+    // barrier), so at most two may surface
     assert(!plan.contains("CartesianProduct"), plan)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
     // dot products partial-agg before the (doc_a, doc_b) shuffle
     assert(plan.contains("partial_sum"), plan)
   }

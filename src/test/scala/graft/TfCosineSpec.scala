@@ -30,8 +30,10 @@ class TfCosineSpec extends SparkSpec {
       va = kept(a); vb = kept(b)
       dot = va.keySet.intersect(vb.keySet).toSeq.map(s => va(s) * vb(s)).sum
       if dot > 0
-      na = va.values.map(v => v * v).sum
-      nb = vb.values.map(v => v * v).sum
+      // norms over the FULL tf vector (the operator's semantics); the
+      // df cut sparsifies only the dot
+      na = vecs(a).values.map(v => v * v).sum
+      nb = vecs(b).values.map(v => v * v).sum
       if dot * dot * 25 >= na * nb * 16
     } yield (a, b)).toSet
   }
