@@ -49,6 +49,23 @@ object ScaleSmoke {
     "q92_embed_gram", "q94_semantic_dedup", "q98_pq_encode", "q99_pca_project",
     "q106_margin_mining", "q138_hubness", "q142_rank_overlap")
 
+  // events-only queries for the timeseries/drift family scale check.
+  // Replication remaps user_id/event_id but keeps ts, event_type, and
+  // value — so the bounded aggregation grids these plans reduce to
+  // (24 hours × |types|, |types|² transition cells, 10 PSI buckets, 20
+  // KS grid points, deciles) stay CONSTANT while the input grows Nx:
+  // the corpus-sized work is one scan + partial agg, and per-user
+  // windows (sessionize, markov, surprisal) see MORE groups of the SAME
+  // size — the realistic user-growth axis. Ideal ratio is therefore the
+  // scan ratio, not N× on the window side.
+  private val EVENT_QUERIES = Seq("q21_tumbling_window", "q22_sessionize",
+    "q110_event_trigrams", "q112_decayed_score", "q113_lag_xcorr",
+    "q114_funnel", "q118_cusum", "q119_hampel",
+    "q134_survival", "q135_temporal_split", "q139_markov",
+    "q145_entropy_rate", "q148_activity_gini", "q149_psi_drift",
+    "q151_theil_sen", "q152_hod_profile", "q153_mann_kendall",
+    "q154_lorenz", "q156_user_surprisal", "q158_basket_lift")
+
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while
   // cluster diameter stays ~constant — the claim under test is that the
@@ -62,10 +79,12 @@ object ScaleSmoke {
     val graphMode = args.contains("graph")
     val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
-    val n = args.filterNot(a => a == "docs" || a == "emb" || a == "graph")
+    val eventsMode = args.contains("events")
+    val n = args.filterNot(a => Set("docs", "emb", "graph", "events")(a))
       .headOption.map(_.toInt).getOrElse(10)
     val base = "/root/testdata/sf0.1"
-    val mode = if (docsMode) "docs_" else if (embMode) "emb_" else ""
+    val mode = if (docsMode) "docs_" else if (embMode) "emb_"
+      else if (eventsMode) "events_" else ""
     val big = s"/tmp/graft_scale_${mode}x$n"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -77,7 +96,8 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val table = if (docsMode) "documents" else if (embMode) "embeddings" else "lineitem"
+    val table = if (docsMode) "documents" else if (embMode) "embeddings"
+      else if (eventsMode) "events" else "lineitem"
     if (!new java.io.File(s"$big/$table.parquet").exists()) {
       // replicate with remapped keys so key cardinalities scale with the
       // data (a pure copy would inflate group sizes, not group counts)
@@ -103,6 +123,18 @@ object ScaleSmoke {
             .withColumn("doc_id", $"doc_id" * n + $"r")
             .withColumn("text", concat($"text", lit(" rep"), $"r".cast("string")))
             .drop("r")
+        else if (eventsMode)
+          // user-growth axis: replicas get distinct user_ids/event_ids
+          // but keep ts/event_type/value — per-user sequences stay the
+          // same length (window work per group constant), the hourly /
+          // |types|² / bucketed grids these queries reduce to stay
+          // bounded, and the epoch-anchored splits (q149 midpoint, q135
+          // cutoffs) keep their semantics
+          spark.read.parquet(s"$base/events.parquet")
+            .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+            .withColumn("user_id", $"user_id" * n + $"r")
+            .withColumn("event_id", $"event_id" * n + $"r")
+            .drop("r")
         else
           spark.read.parquet(s"$base/lineitem.parquet")
             .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
@@ -122,7 +154,8 @@ object ScaleSmoke {
     val queries =
       if (graphMode) GRAPH_QUERIES
       else if (docsMode) DOC_QUERIES
-      else if (embMode) EMB_QUERIES else QUERIES
+      else if (embMode) EMB_QUERIES
+      else if (eventsMode) EVENT_QUERIES else QUERIES
     // warm both paths, then measure best-of-2
     for (q <- queries; d <- Seq(base, big)) time(d, q)
     println(f"${"query"}%-22s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal <= $n)")

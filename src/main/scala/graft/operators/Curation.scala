@@ -164,37 +164,18 @@ object Curation {
     *
     * Mirrors the reference's derived-quantity chaining (signals composed
     * into new signals, /root/reference/fdf/factory.py:380-420) applied to
-    * the curation domain. */
+    * the curation domain. Expressed through the fluent
+    * [[graft.api.Curate]] builder so pipeline users get this zero-join
+    * single-scan shape by default, not by example. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val scores = TextAnalysis.profiles.map { case (l, tgs) =>
-      tgs.map(TextAnalysis.occurrences($"text", _)).reduce(_ + _).as(s"score_$l")
-    }
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-    val t = TextOps.toks($"text")
-    val nTok = size(t).cast("long")
-    val nStop = aggregate(
-      transform(t, x => when(x.isin(stop: _*), 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-    val quality = least(nTok / lit(100.0), lit(1.0)) * 0.5 +
-      least(nStop / nTok * 5.0, lit(1.0)) * 0.5
-    val scored = TextOps.docsParallel(spark, dir).select(
-      ($"doc_id" +: scores) ++ Seq(
-        nTok.as("n_tokens"), quality.as("quality"),
-        md5($"text").as("fp")): _*)
-    val Seq(en, de, fr, es) =
-      TextAnalysis.profiles.map { case (l, _) => col(s"score_$l") }
-    val predicted =
-      when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
-    val isKeeper = $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp"))
-    scored
-      .select($"doc_id", predicted.as("predicted"), $"n_tokens", $"quality",
-        isKeeper.as("is_keeper"))
-      .withColumn("kept", $"is_keeper" && $"quality" >= 0.5)
+    graft.api.Curate(TextOps.docsParallel(spark, dir))
+      .langId("predicted")
+      .tokenCount("n_tokens")
+      .quality("quality")
+      .exactDedup("is_keeper")
+      .keepWhere($"is_keeper" && $"quality" >= 0.5)
+      .result()
   }
 
   /** Four cheap labeling functions over a document (the Snorkel-style
