@@ -178,6 +178,13 @@ object SparkEntry {
     "q156_user_surprisal"   -> (Timeseries.userSurprisal _),
     "q157_coverage_curve"   -> (TextAnalysis.coverageCurve _),
     "q158_basket_lift"      -> (Relational.basketLift _),
+    "q159_doc_ppl"          -> (TextAnalysis.docPerplexity _),
+    "q160_tfidf_terms"      -> (TextAnalysis.tfidfTerms _),
+    "q161_hll_distinct"     -> (Relational.hllDistinct _),
+    "q162_confusion"        -> (Evaluate.langidConfusion _),
+    "q163_bootstrap_ci"     -> (Evaluate.bootstrapCi _),
+    "q164_dup_token_rate"   -> (Dedup.dupTokenRate _),
+    "q165_hot_cells"        -> (Timeseries.hotCells _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3029,5 +3036,210 @@ object SparkEntry {
          FROM pairs p
          JOIN totals ta ON ta.event_type = p.type_a
          JOIN totals tb ON tb.event_type = p.type_b, ns""",
+    // q159: per-doc bigram surprisal — the w1 marginal is a window over
+    // the bigram-count relation; each ln is offset-quantized BEFORE the
+    // per-doc sum (the q87 associativity dodge)
+    "q159_doc_ppl" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM bg GROUP BY 1, 2),
+         mm AS (SELECT w1, w2, c12,
+                  CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+                FROM m),
+         g AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(floor(ln(c1 / c12) * 10000 + 1.0/3) AS BIGINT))
+               AS BIGINT) AS surprisal_q
+           FROM bg JOIN mm USING (w1, w2)
+           GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, surprisal_q,
+                surprisal_q / n_bigrams AS mean_surprisal_q
+         FROM g""",
+    // q160: integer tf·idf_q score (idf quantized once per term), top-3
+    // per doc by (score desc, token)
+    "q160_tfidf_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         s AS (
+           SELECT t.doc_id, t.tok, t.tf, d.df,
+             t.tf * CAST(floor(ln(n_docs / d.df) * 10000 + 1.0/3) AS BIGINT)
+               AS score
+           FROM tf t JOIN df d USING (tok), nd),
+         r AS (SELECT doc_id, tok, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, tok) AS rn
+               FROM s)
+         SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, df, score
+         FROM r WHERE rn <= 3 AND score > 0""",
+    // q161: HLL sketch — register harmonic sum computed EXACTLY as
+    // Σ 2^(55−M_j) in bigints; the single float step (constant / S) is
+    // the same integer-valued-double op sequence on both engines
+    "q161_hll_distinct" ->
+      """WITH h AS (
+           SELECT event_type, user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS hv
+           FROM events),
+         r AS (SELECT event_type, hv % 64 AS reg, hv // 64 AS rest FROM h),
+         rr AS (SELECT event_type, reg,
+                  max(CASE WHEN rest = 0 THEN 55
+                           ELSE 55 - len(bin(rest)) END) AS m_j
+                FROM r GROUP BY 1, 2),
+         sk AS (SELECT event_type,
+                  CAST(sum(1::BIGINT << CAST(55 - m_j AS INT)) AS BIGINT)
+                    AS s_obs,
+                  CAST(count(*) AS BIGINT) AS n_regs
+                FROM rr GROUP BY 1),
+         sv AS (SELECT event_type, 64 - n_regs AS v_empty,
+                  s_obs + (64 - n_regs) * 36028797018963968 AS s_sum
+                FROM sk),
+         ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+                FROM events GROUP BY 1),
+         est AS (
+           SELECT event_type, CAST(v_empty AS BIGINT) AS v_empty,
+             CAST(s_sum AS BIGINT) AS s_sum,
+             CASE WHEN v_empty > 0 AND
+               CAST(2904064 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+                 / s_sum / CAST(1000 AS DOUBLE) < 160.0
+             THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v_empty)
+             ELSE CAST(2904064 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+                 / s_sum / CAST(1000 AS DOUBLE) END AS e
+           FROM sv)
+         SELECT est.event_type, v_empty, s_sum,
+           CAST(floor(e * 100) AS BIGINT) AS est_q, n_exact,
+           (abs(CAST(floor(e * 100) AS BIGINT) - n_exact * 100) * 1000000)
+             // (n_exact * 100) AS err_ppm
+         FROM est JOIN ex ON est.event_type = ex.event_type""",
+    // q162: q31's predictor vs the gold lang column; precision/recall
+    // are exact integer ppm over the bounded confusion matrix
+    "q162_confusion" ->
+      """WITH s AS (
+           SELECT lang,
+             CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'nd ', ''))) / 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, 'der', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ein', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'sch', ''))) / 3 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, 'le ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'es ', ''))) / 3 AS BIGINT) AS score_fr,
+             CAST((length(text) - length(replace(text, 'de ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'la ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'os ', ''))) / 3 AS BIGINT) AS score_es
+           FROM documents),
+         p AS (
+           SELECT lang AS gold,
+             CASE WHEN score_en >= score_de AND score_en >= score_fr
+                       AND score_en >= score_es THEN 'en'
+                  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                  WHEN score_fr >= score_es THEN 'fr'
+                  ELSE 'es' END AS predicted
+           FROM s),
+         cm AS (SELECT gold, predicted, CAST(count(*) AS BIGINT) AS n
+                FROM p GROUP BY 1, 2)
+         SELECT gold, predicted, n,
+           (n * 1000000) // CAST(sum(n) OVER (PARTITION BY predicted) AS BIGINT)
+             AS precision_ppm,
+           (n * 1000000) // CAST(sum(n) OVER (PARTITION BY gold) AS BIGINT)
+             AS recall_ppm
+         FROM cm""",
+    // q163: deterministic Poisson bootstrap — integer CDF thresholds
+    // (floor(2^20·cdf)), integer replica means, ranks 6/95 of 100
+    "q163_bootstrap_ci" ->
+      """WITH b AS (SELECT unnest(range(100)) AS b),
+         w AS (
+           SELECT d.source, d.n_chars, b.b,
+             CASE WHEN u < 385749 THEN 0 WHEN u < 771498 THEN 1
+                  WHEN u < 964372 THEN 2 WHEN u < 1028665 THEN 3
+                  WHEN u < 1044738 THEN 4 ELSE 5 END AS w
+           FROM (SELECT source, n_chars, doc_id FROM documents) d, b,
+             LATERAL (SELECT CAST('0x' || substr(md5(
+               CAST(d.doc_id AS VARCHAR) || '_b' || CAST(b.b AS VARCHAR)),
+               1, 8) AS BIGINT) % 1048576 AS u) uu),
+         reps AS (
+           SELECT source, b,
+             (CAST(sum(w * n_chars) AS BIGINT) * 1000)
+               // CAST(sum(w) AS BIGINT) AS mean_q
+           FROM w GROUP BY 1, 2
+           HAVING sum(w) > 0),
+         rk AS (SELECT source, mean_q,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY mean_q, b) AS rn
+                FROM reps),
+         pt AS (SELECT source,
+                  (CAST(sum(n_chars) AS BIGINT) * 1000) // count(*) AS point_q
+                FROM documents GROUP BY 1)
+         SELECT r.source, CAST(count(*) AS BIGINT) AS n_reps, pt.point_q,
+           min(CASE WHEN rn = 6 THEN mean_q END) AS lo_q,
+           min(CASE WHEN rn = 95 THEN mean_q END) AS hi_q
+         FROM rk r JOIN pt ON r.source = pt.source
+         GROUP BY r.source, pt.point_q""",
+    // q164: q100's spans aggregated to per-source duplicated-token ppm
+    "q164_dup_token_rate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             unnest(range(1, len(toks) - 3)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 3),
+               i -> array_to_string(toks[i:i+4], ' '))) AS sh
+           FROM t WHERE len(toks) >= 5),
+         dup AS (SELECT sh FROM sh GROUP BY sh
+                 HAVING count(DISTINCT doc_id) >= 2),
+         hit AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (sh)),
+         isl AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+           FROM hit),
+         g AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM isl),
+         spans AS (SELECT doc_id, max(pos) + 5 - min(pos) AS span_tokens
+                   FROM g GROUP BY doc_id, grp),
+         perdoc AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+                    FROM spans GROUP BY doc_id),
+         lens AS (SELECT doc_id, source,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(sum(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_hit,
+           (CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) * 1000000)
+             // CAST(sum(n_tokens) AS BIGINT) AS dup_ppm
+         FROM lens LEFT JOIN perdoc USING (doc_id)
+         GROUP BY source""",
+    // q165: hourly hot cells — top-20 exact-integer excess ratios over
+    // bounded (type, day, hour) aggregates; deterministic tie-break
+    "q165_hot_cells" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS hod,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2, 3),
+         prof AS (SELECT event_type, hod, CAST(sum(c) AS BIGINT) AS total
+                  FROM cells GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM cells)
+         SELECT c.event_type, c.d AS day, CAST(c.hod AS BIGINT) AS hod,
+           c.c, p.total, nd.n_days,
+           (c.c * nd.n_days * 1000000) // p.total AS ratio_ppm
+         FROM cells c
+         JOIN prof p ON c.event_type = p.event_type AND c.hod = p.hod, nd
+         WHERE c.c >= 5
+         ORDER BY ratio_ppm DESC, c.event_type, c.d, c.hod
+         LIMIT 20""",
   )
 }

@@ -622,4 +622,34 @@ object Dedup {
         (lit(1.0) - levenshtein($"da.t", $"db.t") /
           greatest(length($"da.t"), length($"db.t"))).as("norm_sim"))
   }
+
+  /** q164: per-source duplicated-token rate — the fraction of a
+    * source's tokens that sit inside an exact duplicated span (q100's
+    * spans), the headline number of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): it tells you how
+    * much of each source survives substring-level dedup, which
+    * document-level dup counts systematically understate.
+    *
+    * Scale shape: the span side is q100's linear pipeline (no pairing
+    * step); spans partial-agg to one covered-token count per document;
+    * the length side is a second column-pruned pass computing only
+    * (doc_id, source, token count) — at production scale that's a
+    * metadata read, not a text re-parse. The final join is |docs with
+    * dup spans| rows against the per-doc length relation, then a
+    * |sources|-bounded agg. */
+  def dupTokenRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = dupSpansOn(TextOps.docsParallel(spark, dir), 5)
+      .groupBy($"doc_id").agg(sum($"span_tokens").as("dup_tokens"))
+    TextOps.docsParallel(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextOps.toks($"text")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum(coalesce($"dup_tokens", lit(0L))).as("dup_tokens"),
+        sum(when($"dup_tokens" > 0, 1L).otherwise(0L)).as("n_docs_hit"))
+      .withColumn("dup_ppm", expr("(dup_tokens * 1000000) div n_tokens"))
+  }
 }

@@ -131,4 +131,83 @@ object Evaluate {
       .agg(min($"n_chars").as("threshold"))
       .select($"source", $"n", $"k", $"threshold")
   }
+
+  /** q162: classifier evaluation against gold labels — the confusion
+    * matrix of the trigram language-ID (q31's predictor) vs the
+    * corpus's gold `lang` column, with per-class precision/recall in
+    * ppm (exact integer rationals). The eval every model-based curation
+    * filter needs before its verdicts are trusted.
+    *
+    * Scale shape: prediction is map-side (string expressions); the
+    * confusion matrix partial-aggs to ≤|langs|² rows; precision/recall
+    * marginals are windows over that bounded relation — the corpus is
+    * scanned once with no joins. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = TextAnalysis.profiles.map { case (l, tgs) =>
+      l -> tgs.map(TextAnalysis.occurrences($"text", _)).reduce(_ + _)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val predicted =
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    val cm = Tables.documents(spark, dir)
+      .groupBy($"lang".as("gold"), predicted.as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    cm
+      .withColumn("n_gold", sum($"n").over(Window.partitionBy($"gold")))
+      .withColumn("n_pred", sum($"n").over(Window.partitionBy($"predicted")))
+      .select($"gold", $"predicted", $"n",
+        expr("(n * 1000000) div n_pred").as("precision_ppm"),
+        expr("(n * 1000000) div n_gold").as("recall_ppm"))
+  }
+
+  /** q163: bootstrap confidence interval for a per-source corpus metric
+    * (mean document length) — the uncertainty band a data report should
+    * carry before anyone compares two sources. Deterministic Poisson
+    * bootstrap (Chamandy et al. 2012, the shard-friendly bootstrap):
+    * replica b gives each doc weight w ~ Poisson(1) drawn by inverting
+    * the Poisson CDF at a per-(doc,b) md5 uniform — the thresholds are
+    * precomputed integer constants (floor(cdf·2^20)), so no float RNG
+    * and no libm anywhere. Replica means are integer-divided at 1e3;
+    * the 90% band is replicas ranked 6 and 95 of 100.
+    *
+    * Scale shape: the 100× fan-out is map-side (explode over a literal
+    * range) and immediately partial-aggs to |sources|×100 rows; the
+    * rank windows run on that bounded relation. The fan-out multiplies
+    * CPU, not shuffle bytes — the aggregation state, not the corpus, is
+    * what moves. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // floor(2^20 · PoissonCDF(k; λ=1)) for k = 0..4; mass above 5 is
+    // folded into w=5 (P ≈ 3.7e-4 — immaterial for a mean's CI)
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit("_b"),
+      $"b".cast("string"))), 1, 8), 16, 10).cast("long") % 1048576L
+    val w = when(u < 385749L, 0L).when(u < 771498L, 1L)
+      .when(u < 964372L, 2L).when(u < 1028665L, 3L)
+      .when(u < 1044738L, 4L).otherwise(5L)
+    val reps = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars",
+        explode(sequence(lit(0), lit(99))).as("b"))
+      .select($"source", $"b", w.as("w"), $"n_chars")
+      .groupBy($"source", $"b")
+      .agg(sum($"w" * $"n_chars").as("sw_chars"), sum($"w").as("sw"))
+      .where($"sw" > 0)
+      .withColumn("mean_q", expr("(sw_chars * 1000) div sw"))
+    val rn = row_number().over(
+      Window.partitionBy($"source").orderBy($"mean_q", $"b"))
+    val point = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(expr("(sum(n_chars) * 1000) div count(*)").as("point_q"))
+    reps
+      .withColumn("rn", rn)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_reps"),
+        min(when($"rn" === 6, $"mean_q")).as("lo_q"),
+        min(when($"rn" === 95, $"mean_q")).as("hi_q"))
+      .join(point, "source")
+      .select($"source", $"n_reps", $"point_q", $"lo_q", $"hi_q")
+  }
 }

@@ -1181,4 +1181,61 @@ object Relational {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_bins"), sum($"term_q").as("psi_q"))
   }
+
+  /** q161: HyperLogLog distinct-user sketch per event type, with the
+    * exact count alongside as the audit (the q133 pattern: the sketch
+    * is the 100 TB path — 64 longs per group, mergeable across any
+    * partitioning — and the estimate is checked against truth where
+    * truth is still computable). Hand-rolled from first principles
+    * (Flajolet et al. 2007): h = 60 md5 bits; register j = h mod 64;
+    * rho = leading-zero rank of the remaining 54 bits. The harmonic-
+    * mean denominator Σ 2^−M_j is computed EXACTLY as the bigint
+    * Σ 2^(55−M_j) (every term a shift), so the only float step is the
+    * final constant/S division — bit-identical across engines. The
+    * small-range linear-counting branch (raw < 2.5m with empty
+    * registers) quantizes its single ln at 1e4.
+    *
+    * Scale shape: two-phase partial agg — (type, register) max-rho,
+    * then 64 rows per type fold into S; no distinct aggregation of the
+    * raw stream anywhere on the sketch path. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val regs = Tables.events(spark, dir)
+      .select($"event_type", (h % 64).as("reg"), shiftright(h, 6).as("rest"))
+      .withColumn("rho",
+        when($"rest" === 0L, 55L)
+          .otherwise(lit(55L) - length(bin($"rest")).cast("long")))
+      .groupBy($"event_type", $"reg")
+      .agg(max($"rho").as("m_j"))
+    val sk = regs.groupBy($"event_type")
+      .agg(sum(expr("shiftleft(1L, cast(55 - m_j AS int))")).as("s_obs"),
+        count(lit(1)).as("n_regs"))
+      // empty registers contribute 2^55 each (rho = 0)
+      .withColumn("v_empty", lit(64L) - $"n_regs")
+      .withColumn("s_sum",
+        $"s_obs" + $"v_empty" * lit(36028797018963968L)) // 2^55
+    // alpha_64·m²·2^55 = (709·4096/1000)·2^55. Both factors below are
+    // integer-valued doubles (exact on parse in every engine — DuckDB
+    // parses 2904.064 as DECIMAL, which would round differently), and
+    // the op sequence (mul, div, div) is written identically in the
+    // oracle so every IEEE step matches bit-for-bit.
+    val raw = lit(2904064.0) * lit(36028797018963968.0) / $"s_sum" /
+      lit(1000.0)
+    val exact = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    sk
+      .withColumn("est",
+        when($"v_empty" > 0 && raw < 160.0,
+          lit(64.0) * log(lit(64.0) / $"v_empty")) // linear counting
+          .otherwise(raw))
+      .withColumn("est_q", floor($"est" * 100).cast("long"))
+      .join(exact, "event_type")
+      .withColumn("err_ppm",
+        expr("(abs(est_q - n_exact * 100) * 1000000) div (n_exact * 100)"))
+      .select($"event_type", $"v_empty", $"s_sum", $"est_q", $"n_exact",
+        $"err_ppm")
+  }
 }

@@ -664,4 +664,74 @@ object TextAnalysis {
           expr("((r + 1) * n_next * 1000000) div n_r")).otherwise(0L))
       .select($"r", $"n_r", $"r_star_ppm")
   }
+
+  /** q159: per-document perplexity under the corpus bigram model — the
+    * classic LM-based quality filter (score each document by how
+    * predictable its word sequence is under a model of the whole
+    * corpus; far-out documents are noise, suspiciously predictable ones
+    * are boilerplate). Model is the bigram MLE P(w2|w1) =
+    * c(w1,w2)/c(w1,·) trained on the corpus itself, so every document
+    * bigram is in-model and no smoothing constant muddies the
+    * semantics. Per-bigram surprisal ln(c(w1,·)/c(w1,w2)) is an exact
+    * integer ratio through one libm ln — the q87 offset-quantization
+    * recipe makes the sum shuffle-order-free.
+    *
+    * Scale shape: bigrams extract map-side (shifted zip, no positional
+    * self-join); the model is the |distinct bigram|-bounded count
+    * relation with the w1 marginal attached by an unordered window
+    * (partition by w1, no sort — one shuffle of the model, not the
+    * corpus); doc bigrams re-join the model on the (w1,w2) key — the
+    * one corpus-sized shuffle — and partial-agg back to one row per
+    * document. */
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val bigrams = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val model = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1",
+        sum($"c12").over(Window.partitionBy($"w1")))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(log($"c1" / $"c12") * 10000 + lit(1.0 / 3)).cast("long"))
+          .as("surprisal_q"))
+      .withColumn("mean_surprisal_q", $"surprisal_q" / $"n_bigrams")
+  }
+
+  /** q160: per-document top-k tf-idf terms — keyword extraction, the
+    * per-document twin of q78's per-source salient terms: score(d,t) =
+    * tf(d,t) · idf_q(t) with idf_q = floor(ln(N/df)·10000 + 1/3), an
+    * ALL-INTEGER score (quantize the per-term idf once, then every
+    * product and comparison is exact on both engines). Top-3 per doc,
+    * ties broken by token text.
+    *
+    * Scale shape: tf partial-aggs on (doc,term); df partial-aggs on
+    * term (vocab-bounded); the df lookup joins on the term key; the
+    * top-3 cut is a row_number window per doc — per-group work bounded
+    * by the doc's distinct terms, never the corpus. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_terms"))
+      .crossJoin(TextOps.docsParallel(spark, dir).agg(count(lit(1)).as("n_docs")))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"tok".asc)
+    tf.join(df, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("idf_q",
+        floor(log($"n_docs" / $"df") * 10000 + lit(1.0 / 3)).cast("long"))
+      .withColumn("score", $"tf" * $"idf_q")
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3 && $"score" > 0)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"tok", $"tf",
+        $"df", $"score")
+  }
 }

@@ -391,4 +391,39 @@ object Timeseries {
       .agg(count(lit(1)).as("n_succ"), sum($"term_q").as("h_q"))
       .select($"prev", $"row_total", $"n_succ", $"h_q")
   }
+
+  /** q165: hourly hot-cell anomaly — the 20 (event_type, date, hour)
+    * cells whose count most exceeds the type's average for that
+    * hour-of-day (the q152 profile read back against individual
+    * cells): the seasonal-residual screen that catches a bot burst or
+    * replayed batch that a global rate monitor smooths over. The
+    * excess ratio c·n_days/total is an exact integer ppm; top-k rather
+    * than a fixed threshold so the screen surfaces the extreme tail at
+    * any corpus density (on a smooth stream these ratios hover near
+    * 1e6 — that reading IS the "no anomaly" answer).
+    *
+    * Scale shape: one scan partial-aggs to (type, date, hod) cells;
+    * the per-(type,hod) totals are a second partial agg of THAT
+    * bounded relation (never the stream), broadcast back; the top-20
+    * cut is distributed TakeOrderedAndProject, never a global sort. */
+  def hotCells(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("d"), hour($"ts").as("hod"))
+      .groupBy($"event_type", $"d", $"hod")
+      .agg(count(lit(1)).as("c"))
+    val profile = cells.groupBy($"event_type", $"hod")
+      .agg(sum($"c").as("total"))
+    val nDays = cells.select($"d").distinct()
+      .agg(count(lit(1)).as("n_days"))
+    cells
+      .join(broadcast(profile), Seq("event_type", "hod"))
+      .crossJoin(broadcast(nDays))
+      .where($"c" >= 5)
+      .select($"event_type", $"d".as("day"), $"hod".cast("long").as("hod"),
+        $"c", $"total", $"n_days",
+        expr("(c * n_days * 1000000) div total").as("ratio_ppm"))
+      .orderBy($"ratio_ppm".desc, $"event_type".asc, $"day".asc, $"hod".asc)
+      .limit(20)
+  }
 }
