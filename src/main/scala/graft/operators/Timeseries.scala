@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -23,24 +23,52 @@ object Timeseries {
     * Magnitudes: vq ≤ ~5.6e5, n ≤ 2e4/type at sf0.1 → |cusum| ≤ ~2e14,
     * far inside int64.
     *
-    * Scale shape: the prefix sum is a per-type ordered window — fine
-    * while |types| bounds the parallelism; at 100 TB segment the series
-    * (type, day), partial-sum segments, then prefix-sum the bounded
-    * segment-total relation and rebase each segment (two-phase scan —
-    * same output, no single-partition sort). The argmax is a
+    * Scale shape — TWO-PHASE distributed prefix sum (the classic scan
+    * decomposition), not a single per-type ordered window: a window
+    * partitioned by type alone caps parallelism at |types| tasks and
+    * was measured going linear in the events ScaleSmoke (7x wall at
+    * 30x data). Instead the series is segmented by day; phase 1 runs
+    * the prefix sum INSIDE each (type, day) segment (parallelism =
+    * |types|×|days| tasks), phase 2 prefix-sums the bounded
+    * segment-total relation and rebases each segment by its exclusive
+    * offset (broadcast back). Output is bit-identical to the global
+    * window — integer sums reassociate freely. The argmax stays a
     * WindowGroupLimit (rank ≤ 1), not a global sort. */
   def cusumChangePoint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables.events(spark, dir)
+    cusumOn(Tables.events(spark, dir)
       .select($"event_type", $"event_id", unix_millis($"ts").as("tms"),
-        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq")))
+  }
+
+  /** Testable core over any `(event_type, event_id, tms, vq)` relation. */
+  private[graft] def cusumOn(series: DataFrame,
+      segMs: Long = 86400000L): DataFrame = {
+    import series.sparkSession.implicits._
+    val v = series.withColumn("seg", expr(s"tms div ${segMs}L"))
     val stats = v.groupBy($"event_type")
       .agg(sum($"vq").as("s"), count(lit(1)).as("n"))
-    val ord = Window.partitionBy($"event_type").orderBy($"tms", $"event_id")
-    val cum = v.join(broadcast(stats), "event_type")
+    // phase 1: prefix inside each (type, day) segment — wide parallelism
+    val wSeg = Window.partitionBy($"event_type", $"seg")
+      .orderBy($"tms", $"event_id")
+    val inSeg = v
+      .withColumn("cum_seg",
+        sum($"vq").over(wSeg.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
+    // phase 2: exclusive running offsets over the bounded segment-total
+    // relation (|types|×|days| rows), broadcast back onto the stream
+    val wOff = Window.partitionBy($"event_type").orderBy($"seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = v.groupBy($"event_type", $"seg")
+      .agg(sum($"vq").as("seg_s"), count(lit(1)).as("seg_n"))
+      .select($"event_type", $"seg",
+        coalesce(sum($"seg_s").over(wOff), lit(0L)).as("off_s"),
+        coalesce(sum($"seg_n").over(wOff), lit(0L)).as("off_n"))
+    val cum = inSeg
+      .join(broadcast(offsets), Seq("event_type", "seg"))
+      .join(broadcast(stats), "event_type")
       .withColumn("cusum",
-        $"n" * sum($"vq").over(ord.rowsBetween(Window.unboundedPreceding, 0))
-          - row_number().over(ord).cast("long") * $"s")
+        $"n" * ($"cum_seg" + $"off_s") - ($"rn_seg" + $"off_n") * $"s")
     val best = Window.partitionBy($"event_type")
       .orderBy(abs($"cusum").desc, $"event_id")
     cum.withColumn("rk", row_number().over(best))
@@ -58,20 +86,71 @@ object Timeseries {
     * mad4 = med2 of |2·vq_i − med2| = 4×MAD; the spike test
     * |x−med| > 3·MAD becomes 2·|2·vq − med2| > 3·mad4.
     *
-    * Scale shape: one per-type ordered window pass, constant ±2 frame —
-    * map-side cost per row is O(5 log 5); same (type, day) segmenting
-    * note as [[cusumChangePoint]] applies at extreme per-type volume
-    * (the ±2 frame only needs 2 rows of cross-segment overlap). */
+    * Scale shape — BUCKETED window with halo rows, not a single
+    * per-type ordered window (which caps parallelism at |types| tasks;
+    * measured 14.5x wall at 30x data in the events ScaleSmoke). The
+    * series is segmented by day; each segment's first/last 2 rows are
+    * replicated to the previous/next TWO NON-EMPTY segments (adjacency
+    * from the bounded (type, seg) relation — a time-gap can leave whole
+    * days empty, so seg±1 routing would drop true neighbors; and a
+    * 1-row segment means the 2nd-nearest neighbor lives two non-empty
+    * segments away — two hops always suffice because every non-empty
+    * segment holds ≥1 row). The ±2 window then runs inside each
+    * augmented segment: every home row's two nearest predecessors/
+    * successors are present and order-interleave correctly (surplus
+    * halo rows land at frame distance ≥3 and never displace a true
+    * neighbor), so output is bit-identical to the global window while
+    * parallelism is |types|×|days| tasks. Only home rows are emitted. */
   def hampelDespike(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables.events(spark, dir)
+    hampelOn(Tables.events(spark, dir)
       .select($"event_type", $"event_id", unix_millis($"ts").as("tms"),
-        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
-    val w = Window.partitionBy($"event_type").orderBy($"tms", $"event_id")
-      .rowsBetween(-2, 2)
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq")))
+  }
+
+  /** Testable core over any `(event_type, event_id, tms, vq)` relation. */
+  private[graft] def hampelOn(series: DataFrame,
+      segMs: Long = 86400000L): DataFrame = {
+    import series.sparkSession.implicits._
+    val v = series.withColumn("seg", expr(s"tms div ${segMs}L"))
+    // non-empty segment adjacency (bounded: |types|×|days| rows)
+    val wAdj = Window.partitionBy($"event_type").orderBy($"seg")
+    val adj = v.groupBy($"event_type", $"seg").agg(count(lit(1)).as("_c"))
+      .select($"event_type", $"seg",
+        lag($"seg", 1).over(wAdj).as("prev_seg"),
+        lag($"seg", 2).over(wAdj).as("prev2_seg"),
+        lead($"seg", 1).over(wAdj).as("next_seg"),
+        lead($"seg", 2).over(wAdj).as("next2_seg"))
+    val wSegA = Window.partitionBy($"event_type", $"seg")
+      .orderBy($"tms".asc, $"event_id".asc)
+    val wSegD = Window.partitionBy($"event_type", $"seg")
+      .orderBy($"tms".desc, $"event_id".desc)
+    val home = v.select($"event_type", $"seg", $"event_id", $"tms",
+      $"vq", lit(true).as("is_home"))
+    // first-2 rows -> previous two non-empty segments; last-2 -> next
+    // two. ONE evaluation of the boundary-rank subtree: each boundary
+    // row explodes to its target list (nulls at series edges drop out)
+    val routed = v
+      .withColumn("rka", row_number().over(wSegA))
+      .withColumn("rkd", row_number().over(wSegD))
+      .where($"rka" <= 2 || $"rkd" <= 2)
+      .join(broadcast(adj), Seq("event_type", "seg"))
+      .select($"event_type", $"event_id", $"tms", $"vq",
+        explode(concat(
+          when($"rka" <= 2, array($"prev_seg", $"prev2_seg"))
+            .otherwise(array().cast("array<long>")),
+          when($"rkd" <= 2, array($"next_seg", $"next2_seg"))
+            .otherwise(array().cast("array<long>")))).as("seg"))
+      .where($"seg".isNotNull)
+      .select($"event_type", $"seg", $"event_id", $"tms", $"vq",
+        lit(false).as("is_home"))
+    val aug = home.unionByName(routed)
+    val w = Window.partitionBy($"event_type", $"seg")
+      .orderBy($"tms", $"event_id").rowsBetween(-2, 2)
     val mid1 = ((size($"a") + 1) / 2).cast("int")
     val mid2 = (size($"a") / 2 + 1).cast("int")
-    v.withColumn("a", array_sort(collect_list($"vq").over(w)))
+    aug.withColumn("a", array_sort(collect_list($"vq").over(w)))
+      .where($"is_home")
       .withColumn("med2", element_at($"a", mid1) + element_at($"a", mid2))
       .withColumn("b",
         array_sort(transform($"a", x => abs(x * 2 - $"med2"))))
