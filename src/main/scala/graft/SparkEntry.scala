@@ -185,6 +185,11 @@ object SparkEntry {
     "q163_bootstrap_ci"     -> (Evaluate.bootstrapCi _),
     "q164_dup_token_rate"   -> (Dedup.dupTokenRate _),
     "q165_hot_cells"        -> (Timeseries.hotCells _),
+    "q166_label_prop"       -> (Curation.labelProp _),
+    "q167_ndcg"             -> (Evaluate.ndcgAt10 _),
+    "q168_scd2_history"     -> (Relational.scd2History _),
+    "q169_budget_alloc"     -> (Sampling.budgetAllocation _),
+    "q170_hist_quantiles"   -> (Relational.histQuantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3241,5 +3246,168 @@ object SparkEntry {
          WHERE c.c >= 5
          ORDER BY ratio_ppm DESC, c.event_type, c.d, c.hod
          LIMIT 20""",
+    // q166: weak-label seeds (q123's LFs) densified by top-tf-idf-term
+    // group consensus (q160's rank-1 term, df <= 20)
+    "q166_label_prop" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS BIGINT)
+           + CAST(CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0
+               END AS BIGINT)
+           + CAST(CASE WHEN (length(text)
+               - length(regexp_replace(text, '[.!?,;]', '', 'g'))) * 20
+               >= length(text) THEN 1 ELSE 0 END AS BIGINT)
+           + CAST(CASE WHEN (length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g'))) * 50
+               <= length(text) THEN 1 ELSE 0 END AS BIGINT) AS votes
+           FROM documents),
+         seeds AS (
+           SELECT doc_id,
+             CAST(CASE WHEN votes >= 3 THEN 1 WHEN votes <= 1 THEN 0
+               ELSE 2 END AS BIGINT) AS seed
+           FROM f),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         s AS (
+           SELECT t.doc_id, t.tok, d.df,
+             t.tf * CAST(floor(ln(n_docs / d.df) * 10000 + 1.0/3) AS BIGINT)
+               AS score
+           FROM tf t JOIN df d USING (tok), nd
+           WHERE d.df * 4 <= nd.n_docs),
+         top1 AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, tok, df, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS rn
+             FROM s)
+           WHERE rn = 1 AND score > 0),
+         grp AS (SELECT t.doc_id, t.tok, seeds.seed
+                 FROM top1 t JOIN seeds USING (doc_id)),
+         cons AS (
+           SELECT tok,
+             CAST(sum(CASE WHEN seed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN seed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+           FROM grp GROUP BY 1)
+         SELECT g.doc_id, g.tok, g.seed,
+           CAST(CASE WHEN g.seed <> 2 THEN g.seed
+                WHEN c.n1 > c.n0 THEN 1
+                WHEN c.n0 > c.n1 THEN 0
+                ELSE 2 END AS BIGINT) AS label,
+           c.n1, c.n0
+         FROM grp g JOIN cons c USING (tok)""",
+    // q167: NDCG@10 — discount weights are precomputed integer literals
+    // identical on both engines; no runtime libm
+    "q167_ndcg" ->
+      """WITH d AS (
+           SELECT source, doc_id, n_chars,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS rel
+           FROM documents),
+         nr AS (SELECT source, CAST(sum(rel) AS BIGINT) AS n_rel
+                FROM d GROUP BY 1),
+         rk AS (SELECT source, rel,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+                FROM d),
+         dcg AS (
+           SELECT source,
+             CAST(sum(rel * ([1000000, 630929, 500000, 430676, 386852,
+               356207, 333333, 315464, 301029, 289064])[rn]) AS BIGINT)
+               AS dcg_q
+           FROM rk WHERE rn <= 10 GROUP BY 1)
+         SELECT dcg.source, nr.n_rel, dcg.dcg_q,
+           CAST(([1000000, 1630929, 2130929, 2561605, 2948457, 3304664,
+             3637997, 3953461, 4254490, 4543554])
+             [CASE WHEN nr.n_rel < 10 THEN nr.n_rel ELSE 10 END]
+             AS BIGINT) AS idcg_q,
+           (dcg.dcg_q * 1000000) // CAST(([1000000, 1630929, 2130929,
+             2561605, 2948457, 3304664, 3637997, 3953461, 4254490,
+             4543554])[CASE WHEN nr.n_rel < 10 THEN nr.n_rel ELSE 10 END]
+             AS BIGINT) AS ndcg_ppm
+         FROM dcg JOIN nr ON dcg.source = nr.source
+         WHERE nr.n_rel > 0""",
+    // q168: SCD2 versions — islands of equal quantized value per user
+    "q168_scd2_history" ->
+      """WITH v AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS tms,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         ch AS (
+           SELECT * FROM (
+             SELECT user_id, event_id, tms, vq,
+               lag(vq) OVER (PARTITION BY user_id
+                             ORDER BY tms, event_id) AS prev_vq
+             FROM v)
+           WHERE prev_vq IS NULL OR prev_vq <> vq)
+         SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY tms, event_id) AS BIGINT)
+             AS version,
+           vq, tms AS valid_from,
+           lead(tms) OVER (PARTITION BY user_id
+                           ORDER BY tms, event_id) AS valid_to,
+           lead(tms) OVER (PARTITION BY user_id
+                           ORDER BY tms, event_id) IS NULL AS is_current
+         FROM ch""",
+    // q169: Hamilton largest-remainder apportionment of a 10k budget
+    "q169_budget_alloc" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                      FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+         base AS (
+           SELECT source, n_docs,
+             (10000 * n_docs) // n_total AS base,
+             10000 * n_docs - ((10000 * n_docs) // n_total) * n_total AS rem
+           FROM per, tot),
+         k AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS k FROM base),
+         rk AS (SELECT source, n_docs, base, rem,
+                  CAST(row_number() OVER (ORDER BY rem DESC, source)
+                    AS BIGINT) AS rk
+                FROM base)
+         SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+           CAST(base + CASE WHEN rk <= k.k THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+         FROM rk, k""",
+    // q170: 32-bucket histogram quantile sketch vs exact type-1
+    // percentiles — all integer bucket arithmetic
+    "q170_hist_quantiles" ->
+      """WITH v AS (SELECT source, n_chars FROM documents),
+         b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM v),
+         hist AS (
+           SELECT source, lo, hi,
+             ((n_chars - lo) * 32) // (hi + 1 - lo) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM v, b GROUP BY 1, 2, 3, 4),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                 FROM hist GROUP BY 1),
+         cum AS (
+           SELECT h.source, h.lo, h.hi, h.bucket, t.n,
+             CAST(sum(h.c) OVER (PARTITION BY h.source ORDER BY h.bucket
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM hist h JOIN tot t ON h.source = t.source),
+         bv AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                FROM v GROUP BY 1, 2),
+         cv AS (
+           SELECT b2.source, b2.n_chars, t.n,
+             CAST(sum(b2.c) OVER (PARTITION BY b2.source ORDER BY b2.n_chars
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM bv b2 JOIN tot t ON b2.source = t.source),
+         e50 AS (SELECT source,
+                   min(lo + (bucket * (hi + 1 - lo)) // 32) AS est_p50
+                 FROM cum WHERE cum * 100 >= n * 50 GROUP BY 1),
+         e90 AS (SELECT source,
+                   min(lo + (bucket * (hi + 1 - lo)) // 32) AS est_p90
+                 FROM cum WHERE cum * 100 >= n * 90 GROUP BY 1),
+         x50 AS (SELECT source, min(n_chars) AS exact_p50
+                 FROM cv WHERE cum * 100 >= n * 50 GROUP BY 1),
+         x90 AS (SELECT source, min(n_chars) AS exact_p90
+                 FROM cv WHERE cum * 100 >= n * 90 GROUP BY 1)
+         SELECT source, est_p50, exact_p50, est_p90, exact_p90
+         FROM e50 JOIN e90 USING (source) JOIN x50 USING (source)
+         JOIN x90 USING (source)""",
   )
 }

@@ -330,4 +330,58 @@ object Curation {
       .where($"kappa_den" =!= 0L)
       .withColumn("kappa_ppm", expr("(kappa_num * 1000000) div kappa_den"))
   }
+
+  /** q166: cluster-consensus label propagation — the semi-supervised
+    * step after weak labeling: documents whose labeling functions
+    * AGREE (≥3 of 4 votes → seed 1, ≤1 → seed 0) lend their label to
+    * undecided documents (2 of 4 votes) that share the same
+    * distinctive RARE keyword — the doc's top tf-idf term among terms
+    * with df·4 ≤ N (rarer than a quarter of the corpus; an absolute df
+    * cap degenerates on a small synthetic vocabulary). Majority of
+    * seed labels per keyword group; ties stay abstained. One round —
+    * the label-prop fixpoint would iterate this, but in curation
+    * practice one hop over confident seeds is the standard
+    * (Snorkel-style) densification.
+    *
+    * Scale shape: votes are map-side; consensus is a GROUP aggregate
+    * (never a pair join), so a popular keyword can only widen one
+    * partial-agg group, not form a quadratic block; the keyword
+    * grouping partial-aggs to ≤|terms| rows and joins back on the
+    * term key. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lfs = labelFns($"text")
+    val votes = lfs.map(_._2).reduce(_ + _)
+    val seeds = TextOps.docsParallel(spark, dir)
+      .select($"doc_id",
+        when(votes >= 3, 1L).when(votes <= 1, 0L).otherwise(2L).as("seed"))
+    val tf = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val nDocs = TextOps.docsParallel(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val rn = row_number().over(
+      Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok".asc))
+    val topTerm = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .where($"df" * 4 <= $"n_docs")
+      .withColumn("score", $"tf" *
+        floor(log($"n_docs" / $"df") * 10000 + lit(1.0 / 3)).cast("long"))
+      .withColumn("rn", rn)
+      .where($"rn" === 1 && $"score" > 0)
+      .select($"doc_id", $"tok")
+    val grouped = seeds.join(topTerm, "doc_id")
+    val consensus = grouped
+      .groupBy($"tok")
+      .agg(sum(when($"seed" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"seed" === 0, 1L).otherwise(0L)).as("n0"))
+    grouped.join(consensus, "tok")
+      .select($"doc_id", $"tok", $"seed",
+        when($"seed" =!= 2, $"seed")
+          .when($"n1" > $"n0", 1L)
+          .when($"n0" > $"n1", 0L)
+          .otherwise(2L).as("label"),
+        $"n1", $"n0")
+  }
 }

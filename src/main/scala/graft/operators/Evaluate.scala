@@ -210,4 +210,43 @@ object Evaluate {
       .join(point, "source")
       .select($"source", $"n_reps", $"point_q", $"lo_q", $"hi_q")
   }
+
+  /** q167: NDCG@10 of a cheap ranking feature — per source, rank
+    * documents by length (the q120 AUC feature as a RANKER) and score
+    * the ranking against gold relevance (lang = 'en') with
+    * discounted cumulative gain. The 1/log2(i+1) discounts are
+    * PRECOMPUTED integer literals (floor(1e6/log2(i+1)) for i = 1..10)
+    * on both engines — no runtime libm anywhere, so DCG, ideal DCG and
+    * the ppm ratio are all exact integers. IDCG@10 reads the
+    * cumulative-weight literal at min(n_relevant, 10).
+    *
+    * Scale shape: the per-source top-10 is a rank window cut (grouped
+    * limit, no global sort); relevance totals partial-agg; everything
+    * after runs on ≤|sources|×10 rows. */
+  def ndcgAt10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w10 = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+      333333L, 315464L, 301029L, 289064L)
+    val cum10 = Seq(1000000L, 1630929L, 2130929L, 2561605L, 2948457L,
+      3304664L, 3637997L, 3953461L, 4254490L, 4543554L)
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars",
+        when($"lang" === "en", 1L).otherwise(0L).as("rel"))
+    val nRel = docs.groupBy($"source").agg(sum($"rel").as("n_rel"))
+    val rk = row_number().over(
+      Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id"))
+    val dcg = docs
+      .withColumn("rk", rk)
+      .where($"rk" <= 10)
+      .groupBy($"source")
+      .agg(sum($"rel" *
+        element_at(array(w10.map(lit): _*), $"rk".cast("int"))).as("dcg_q"))
+    dcg.join(nRel, "source")
+      .where($"n_rel" > 0)
+      .withColumn("idcg_q",
+        element_at(array(cum10.map(lit): _*),
+          least($"n_rel", lit(10L)).cast("int")))
+      .select($"source", $"n_rel", $"dcg_q", $"idcg_q",
+        expr("(dcg_q * 1000000) div idcg_q").as("ndcg_ppm"))
+  }
 }

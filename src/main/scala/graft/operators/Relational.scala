@@ -1238,4 +1238,77 @@ object Relational {
       .select($"event_type", $"v_empty", $"s_sum", $"est_q", $"n_exact",
         $"err_ppm")
   }
+
+  /** q168: SCD type-2 history build — the warehouse-side change-data
+    * shape: each user's event stream collapses to VERSIONS (runs of
+    * equal value), each with [valid_from, valid_to) effective range
+    * and a version number; the open version has NULL valid_to. The
+    * standard lag/lead islands pattern, all integer (value quantized
+    * at 1e3, times in epoch ms).
+    *
+    * Scale shape: two windows per user partition (change detection,
+    * then version numbering + lead) — per-group bounded work, the
+    * partitioning every incremental SCD merge also uses. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+    val changes = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("tms"),
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .withColumn("prev_vq", lag($"vq", 1).over(w))
+      .where($"prev_vq".isNull || $"prev_vq" =!= $"vq")
+    val wv = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+    changes
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .withColumn("valid_to", lead($"tms", 1).over(wv))
+      .select($"user_id", $"version", $"vq",
+        $"tms".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+  }
+
+  /** q170: mergeable histogram quantile sketch with exact audit (the
+    * q161 pattern for ORDER statistics): per source, the p50/p90 of
+    * document length estimated from a 32-bucket equi-width histogram —
+    * the sketch that merges across any partitioning at 100 TB — next
+    * to the exact percentiles while truth is still computable. All
+    * integer: bucket = ((v−lo)·32) div (hi+1−lo); the estimate reports
+    * the bucket's lower bound; exact pXX = min value with cumulative
+    * count ≥ ceil(p·n) (type-1 quantile).
+    *
+    * Scale shape: global bounds partial-agg to one broadcast row; the
+    * histogram partial-aggs to ≤|sources|×32 cells; cumulative windows
+    * run on that bounded relation AND on the per-(source, value)
+    * count relation (bounded by |distinct lengths|), never on raw
+    * rows. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.documents(spark, dir).select($"source", $"n_chars")
+    val bounds = v.agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+    val hist = v.crossJoin(broadcast(bounds))
+      .select($"source", $"lo", $"hi",
+        expr("((n_chars - lo) * 32) div (hi + 1 - lo)").as("bucket"))
+      .groupBy($"source", $"lo", $"hi", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy($"source").agg(sum($"c").as("n"))
+    val wc = Window.partitionBy($"source").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum($"c").over(wc)).join(tot, "source")
+    def estP(p: Int) = cum
+      .where($"cum" * 100 >= $"n" * p)
+      .groupBy($"source")
+      .agg(min(expr("lo + (bucket * (hi + 1 - lo)) div 32"))
+        .as(s"est_p$p"))
+    // exact type-1 quantiles over the per-(source, value) relation
+    val byVal = v.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cv = byVal.withColumn("cum", sum($"c").over(wv)).join(tot, "source")
+    def exactP(p: Int) = cv
+      .where($"cum" * 100 >= $"n" * p)
+      .groupBy($"source")
+      .agg(min($"n_chars").as(s"exact_p$p"))
+    estP(50).join(estP(90), "source")
+      .join(exactP(50), "source").join(exactP(90), "source")
+      .select($"source", $"est_p50", $"exact_p50", $"est_p90", $"exact_p90")
+  }
 }

@@ -269,4 +269,35 @@ object Sampling {
       .agg(count(lit(1)).as("n_events"),
         countDistinct($"user_id").as("n_users"))
   }
+
+  /** q169: proportional budget allocation (Hamilton / largest-remainder
+    * apportionment) — given a total sampling budget, how many documents
+    * each source contributes so shares track corpus proportions
+    * EXACTLY: base_i = (B·n_i) div N, and the Σbase shortfall goes to
+    * the largest fractional remainders (ties by source name). The
+    * integer-exact answer every mixture plan needs before q77-style
+    * sampling executes it; Σ alloc = B by construction.
+    *
+    * Scale shape: one partial agg to |sources| rows; ranking and the
+    * leftover broadcast run on that bounded relation — the corpus is
+    * scanned once. */
+  def budgetAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 10000L
+    val per = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val withBase = per
+      .crossJoin(broadcast(per.agg(sum($"n_docs").as("n_total"))))
+      .withColumn("base", expr(s"($budget * n_docs) div n_total"))
+      .withColumn("rem", expr(s"$budget * n_docs - base * n_total"))
+    val leftover = withBase.agg((lit(budget) - sum($"base")).as("k"))
+    withBase.crossJoin(broadcast(leftover))
+      .withColumn("rk",
+        // constant partition key: ranking runs on the bounded |sources|
+        // relation (the q53 explicit-spec idiom)
+        row_number().over(Window.partitionBy(lit(1))
+          .orderBy($"rem".desc, $"source".asc)).cast("long"))
+      .select($"source", $"n_docs", $"base",
+        ($"base" + when($"rk" <= $"k", 1L).otherwise(0L)).as("alloc"))
+  }
 }
