@@ -190,6 +190,10 @@ object SparkEntry {
     "q168_scd2_history"     -> (Relational.scd2History _),
     "q169_budget_alloc"     -> (Sampling.budgetAllocation _),
     "q170_hist_quantiles"   -> (Relational.histQuantiles _),
+    "q171_chi2_ab"          -> (Evaluate.chiSquareAb _),
+    "q172_lsh_recall"       -> (Dedup.lshRecallAudit _),
+    "q173_top_paths"        -> (Relational.topSessionPaths _),
+    "q174_dataset_card"     -> (Curation.datasetCard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3243,7 +3247,7 @@ object SparkEntry {
            (c.c * nd.n_days * 1000000) // p.total AS ratio_ppm
          FROM cells c
          JOIN prof p ON c.event_type = p.event_type AND c.hod = p.hod, nd
-         WHERE c.c >= 5
+         WHERE c.c >= 3
          ORDER BY ratio_ppm DESC, c.event_type, c.d, c.hod
          LIMIT 20""",
     // q166: weak-label seeds (q123's LFs) densified by top-tf-idf-term
@@ -3409,5 +3413,132 @@ object SparkEntry {
          SELECT source, est_p50, exact_p50, est_p90, exact_p90
          FROM e50 JOIN e90 USING (source) JOIN x50 USING (source)
          JOIN x90 USING (source)""",
+    // q171: 2x2 chi-square; the one float step is a single expression
+    // in identical op order on both engines, quantized at 1e3
+    "q171_chi2_ab" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN epoch_ms(ts) < 1705363200000 AND value >= 10.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN epoch_ms(ts) < 1705363200000 AND value < 10.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN epoch_ms(ts) >= 1705363200000 AND value >= 10.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN epoch_ms(ts) >= 1705363200000 AND value < 10.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM events GROUP BY 1)
+         SELECT event_type, a, b, c, d,
+           CAST(floor((CAST(a + b + c + d AS DOUBLE)
+             * CAST(a * d - b * c AS DOUBLE)
+             * CAST(a * d - b * c AS DOUBLE)
+             / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+               * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))
+             * 1000) AS BIGINT) AS chi2_milli
+         FROM cells
+         WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0""",
+    // q172: q26's band candidates audited against exact Jaccard >= 0.5
+    // ground truth (naive all-pairs in the oracle; PPJoin in the engine
+    // - same provably-identical truth set)
+    "q172_lsh_recall" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         mh AS (SELECT s.doc_id, sd.seed, min(md5(sd.seed || ':' || s.shingle)) AS mh
+                FROM sh s, range(12) sd(seed) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          string_agg(mh, ',' ORDER BY seed) AS sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         tpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         tshared AS (
+           SELECT p.doc_a, p.doc_b, count(*) AS n_shared
+           FROM tpairs p JOIN sh sa ON sa.doc_id = p.doc_a
+                         JOIN sh sb ON sb.doc_id = p.doc_b
+                                   AND sa.shingle = sb.shingle
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT s.doc_a, s.doc_b
+           FROM tshared s JOIN card ca ON ca.doc_id = s.doc_a
+                          JOIN card cb ON cb.doc_id = s.doc_b
+           WHERE s.n_shared / (ca.n + cb.n - s.n_shared) >= 0.5),
+         m AS (SELECT
+             CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+             CAST((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b))
+               AS BIGINT) AS n_hit)
+         SELECT n_truth, n_cand, n_hit,
+           (n_hit * 1000000) // n_truth AS recall_ppm,
+           (n_hit * 1000000) // n_cand AS precision_ppm
+         FROM m""",
+    // q173: 30-min-gap sessions; path = first 3 event types; top-10
+    "q173_top_paths" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (SELECT user_id, event_id, ts, event_type,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS session_id
+           FROM o),
+         st AS (SELECT user_id, session_id, event_type,
+                  row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS step
+                FROM s),
+         p AS (
+           SELECT user_id, session_id,
+             max(CASE WHEN step = 1 THEN event_type END) || '>' ||
+             max(CASE WHEN step = 2 THEN event_type END) || '>' ||
+             max(CASE WHEN step = 3 THEN event_type END) AS path
+           FROM st WHERE step <= 3
+           GROUP BY 1, 2 HAVING count(*) = 3)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 10""",
+    // q174: per-source dataset card; entropy terms ln-quantized before
+    // the bounded sum; dup rate from the fingerprint groupBy
+    "q174_dataset_card" ->
+      """WITH d AS (
+           SELECT doc_id, source, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             md5(text) AS fp
+           FROM documents),
+         base AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nl,
+                    CAST(sum(n_toks) AS BIGINT) AS tl,
+                    CAST(sum(n_chars) AS BIGINT) AS cl
+                  FROM d GROUP BY 1, 2),
+         ps AS (SELECT source, lang, nl, tl, cl,
+                  CAST(sum(nl) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM base),
+         agg AS (
+           SELECT source, CAST(sum(nl) AS BIGINT) AS n_docs,
+             CAST(sum(tl) AS BIGINT) AS n_tokens,
+             CAST(sum(cl) AS BIGINT) AS nc,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(CAST(floor((nl / n) * ln(n / nl) * 1000000 + 1.0/3)
+               AS BIGINT)) AS BIGINT) AS lang_entropy_q
+           FROM ps GROUP BY 1),
+         dp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+                FROM d JOIN (SELECT fp FROM d GROUP BY fp
+                             HAVING count(*) > 1) f USING (fp)
+                GROUP BY 1)
+         SELECT a.source, n_docs, n_tokens,
+           (nc * 1000) // n_docs AS mean_chars_milli,
+           n_langs, lang_entropy_q,
+           coalesce(dp.n_dup_docs, 0) AS n_dup_docs,
+           (coalesce(dp.n_dup_docs, 0) * 1000000) // n_docs AS dup_ppm
+         FROM agg a LEFT JOIN dp ON a.source = dp.source""",
   )
 }

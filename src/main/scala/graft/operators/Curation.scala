@@ -384,4 +384,49 @@ object Curation {
           .otherwise(2L).as("label"),
         $"n1", $"n0")
   }
+
+  /** q174: dataset card — the per-source summary panel a corpus ships
+    * with (Datasheets for Datasets, Gebru et al. 2021): volume, token
+    * mass, mean length, language-mix entropy, and exact-duplicate rate,
+    * one row per source. The numbers a mixing/curation decision reads
+    * first.
+    *
+    * Scale shape: two corpus passes — one map-side scan partial-aggs
+    * volume/tokens/lang cells (entropy folds over the ≤|sources|×|langs|
+    * relation), and the dup rate needs the fingerprint groupBy (the
+    * q24 shuffle) re-aggregated per source. Both shuffles move
+    * aggregate-sized rows, never documents. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        size(TextOps.toks($"text")).cast("long").as("n_toks"),
+        md5($"text").as("fp"))
+    val base = docs.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("nl"), sum($"n_toks").as("tl"),
+        sum($"n_chars").as("cl"))
+    // language-mix entropy: Σ -p ln p over the bounded lang cells,
+    // each ln offset-quantized before the sum (the q87 recipe)
+    val perSource = base
+      .withColumn("n", sum($"nl").over(Window.partitionBy($"source")))
+      .withColumn("term_q",
+        floor(($"nl" / $"n") * log($"n" / $"nl") * 1000000 + lit(1.0 / 3))
+          .cast("long"))
+      .groupBy($"source")
+      .agg(sum($"nl").as("n_docs"), sum($"tl").as("n_tokens"),
+        sum($"cl").as("n_chars"), count(lit(1)).as("n_langs"),
+        sum($"term_q").as("lang_entropy_q"))
+    val dups = docs
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy($"fp")))
+      .where($"n_fp" > 1)
+      .groupBy($"source").agg(count(lit(1)).as("n_dup_docs"))
+    perSource.join(dups, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_tokens",
+        expr("(n_chars * 1000) div n_docs").as("mean_chars_milli"),
+        $"n_langs", $"lang_entropy_q",
+        coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"),
+        expr("(coalesce(n_dup_docs, 0) * 1000000) div n_docs")
+          .as("dup_ppm"))
+  }
 }

@@ -652,4 +652,41 @@ object Dedup {
         sum(when($"dup_tokens" > 0, 1L).otherwise(0L)).as("n_docs_hit"))
       .withColumn("dup_ppm", expr("(dup_tokens * 1000000) div n_tokens"))
   }
+
+  /** q172: LSH recall/precision audit — measure the MinHash banding
+    * (q26's 4 bands × r=3) against EXACT Jaccard ≥ 0.5 ground truth
+    * (q25's PPJoin machinery at t=0.5, which is provably complete):
+    * what fraction of true near-dup pairs does the banding surface
+    * (recall), and how much of its candidate volume is real
+    * (precision)? The audit every production LSH deployment runs on a
+    * sample before trusting its bands at full scale — and exactly the
+    * measurement that caught q37's over-permissive banding in round 5.
+    *
+    * Scale shape: both sides are the already-scale-safe pipelines
+    * (band-blocked candidates; prefix-filtered exact truth); the
+    * metrics are three one-row aggregates broadcast together. At
+    * 100 TB this runs on a sample partition — the shape is unchanged. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsParallel(spark, dir)
+    val docSh = docs
+      .select($"doc_id", TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
+      .where(size($"sh") > 0)
+    val banded = docSh.select($"doc_id",
+      posexplode(graft.functions.TextHash.minhashBands($"sh", 12, 3))
+        .as(Seq("band", "sig_band")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.sig_band" === $"b.sig_band" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val truth = ngramJaccardOn(docs, 0.5).select($"doc_a", $"doc_b")
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = cand.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+      .select($"n_truth", $"n_cand", $"n_hit",
+        expr("(n_hit * 1000000) div n_truth").as("recall_ppm"),
+        expr("(n_hit * 1000000) div n_cand").as("precision_ppm"))
+  }
 }

@@ -249,4 +249,41 @@ object Evaluate {
       .select($"source", $"n_rel", $"dcg_q", $"idcg_q",
         expr("(dcg_q * 1000000) div idcg_q").as("ndcg_ppm"))
   }
+
+  /** q171: two-sample chi-square (the A/B significance test) — per
+    * event type, does the high-value rate (value ≥ 10) differ between
+    * the stream's first and second half (epoch midpoint split, q149's
+    * frame)? χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with the 2×2 counts
+    * exact integers; the statistic itself is ONE double expression
+    * written in the identical op order on both engines (the products
+    * overflow int64 at scale, so the float step is explicit and
+    * deterministic), reported at 1e3 quantization.
+    *
+    * Scale shape: the stream partial-aggs to |types|×4 cells in one
+    * scan; everything after is arithmetic on the bounded relation. */
+  def chiSquareAb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mid = 1705363200000L // 2024-01-16T00:00Z, the stream midpoint
+    val cells = Tables.events(spark, dir)
+      .select($"event_type",
+        (unix_millis($"ts") < mid).as("first_half"),
+        ($"value" >= 10.0).as("hit"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"first_half" && $"hit", 1L).otherwise(0L)).as("a"),
+        sum(when($"first_half" && !$"hit", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"first_half" && $"hit", 1L).otherwise(0L)).as("c"),
+        sum(when(!$"first_half" && !$"hit", 1L).otherwise(0L)).as("d"))
+    cells
+      .where(($"a" + $"b") > 0 && ($"c" + $"d") > 0 &&
+        ($"a" + $"c") > 0 && ($"b" + $"d") > 0)
+      .withColumn("chi2_milli", floor(
+        (($"a" + $"b" + $"c" + $"d").cast("double")
+          * ($"a" * $"d" - $"b" * $"c").cast("double")
+          * ($"a" * $"d" - $"b" * $"c").cast("double")
+          / (($"a" + $"b").cast("double") * ($"c" + $"d").cast("double")
+            * ($"a" + $"c").cast("double") * ($"b" + $"d").cast("double")))
+          * 1000).cast("long"))
+      .select($"event_type", $"a", $"b", $"c", $"d", $"chi2_milli")
+  }
 }

@@ -1311,4 +1311,41 @@ object Relational {
       .join(exactP(50), "source").join(exactP(90), "source")
       .select($"source", $"est_p50", $"exact_p50", $"est_p90", $"exact_p90")
   }
+
+  /** q173: top session paths — the 10 most common opening sequences
+    * (first 3 event types) of 30-minute-gap sessions: the navigation-
+    * pattern mining a product or curriculum analysis starts from.
+    * Sessions with fewer than 3 events don't form a path and drop out.
+    *
+    * Scale shape: sessionization is the per-user islands window; the
+    * first-3 extraction is a rank cut inside the SAME partitioning
+    * (no second shuffle); paths partial-agg to ≤|types|³ rows and the
+    * top-10 is TakeOrderedAndProject. */
+  def topSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull
+          || unix_millis($"ts") - unix_millis($"prev_ts") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    sess
+      .withColumn("step", row_number().over(wSess))
+      .where($"step" <= 3)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_steps"),
+        concat_ws(">",
+          max(when($"step" === 1, $"event_type")),
+          max(when($"step" === 2, $"event_type")),
+          max(when($"step" === 3, $"event_type"))).as("path"))
+      .where($"n_steps" === 3)
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path".asc)
+      .limit(10)
+  }
 }

@@ -476,7 +476,7 @@ object Timeseries {
     * hour-of-day (the q152 profile read back against individual
     * cells): the seasonal-residual screen that catches a bot burst or
     * replayed batch that a global rate monitor smooths over. The
-    * excess ratio c·n_days/total is an exact integer ppm; top-k rather
+    * excess ratio c·n_days/total is an exact integer ppm (cells under 3 events are ratio noise and sit below the floor); top-k rather
     * than a fixed threshold so the screen surfaces the extreme tail at
     * any corpus density (on a smooth stream these ratios hover near
     * 1e6 — that reading IS the "no anomaly" answer).
@@ -498,7 +498,7 @@ object Timeseries {
     cells
       .join(broadcast(profile), Seq("event_type", "hod"))
       .crossJoin(broadcast(nDays))
-      .where($"c" >= 5)
+      .where($"c" >= 3)
       .select($"event_type", $"d".as("day"), $"hod".cast("long").as("hod"),
         $"c", $"total", $"n_days",
         expr("(c * n_days * 1000000) div total").as("ratio_ppm"))
