@@ -194,6 +194,8 @@ object SparkEntry {
     "q172_lsh_recall"       -> (Dedup.lshRecallAudit _),
     "q173_top_paths"        -> (Relational.topSessionPaths _),
     "q174_dataset_card"     -> (Curation.datasetCard _),
+    "q175_mmr_diversify"    -> (Similarity.mmrDiversify _),
+    "q176_attribution"      -> (Relational.touchAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3540,5 +3542,103 @@ object SparkEntry {
            coalesce(dp.n_dup_docs, 0) AS n_dup_docs,
            (coalesce(dp.n_dup_docs, 0) * 1000000) // n_docs AS dup_ppm
          FROM agg a LEFT JOIN dp ON a.source = dp.source""",
+    // q175: 3-step greedy MMR per source over the top-8 pool; cosine
+    // quantized at 1e6 before the integer 7*rel - 3*pen score
+    "q175_mmr_diversify" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM d),
+         pool AS (
+           SELECT source, doc_id, ((n_chars - lo) * 1000000) // (hi + 1 - lo)
+             AS rel_ppm
+           FROM (SELECT d.doc_id, d.source, d.n_chars, b.lo, b.hi,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id) AS rk
+                 FROM d, b)
+           WHERE rk <= 8),
+         n AS (SELECT vec_id AS doc_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+         nn AS (SELECT doc_id, emb,
+                  sqrt(list_reduce(list_transform(emb, x -> x*x),
+                    (a,b) -> a+b)) AS nrm
+                FROM n),
+         p AS (SELECT pool.source, pool.doc_id, pool.rel_ppm, nn.emb, nn.nrm
+               FROM pool JOIN nn USING (doc_id)),
+         s1 AS (SELECT * FROM (
+             SELECT source, doc_id AS d1, rel_ppm AS rel1,
+               rel_ppm * 7 AS m1, emb AS e1, nrm AS nrm1,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY rel_ppm * 7 DESC, doc_id) AS rk
+             FROM p) WHERE rk = 1),
+         r2 AS (
+           SELECT p.source, p.doc_id, p.rel_ppm, p.emb, p.nrm,
+             s1.d1, s1.e1, s1.nrm1,
+             p.rel_ppm * 7 - CAST(floor(
+               list_reduce(list_transform(p.emb, (x,i) -> x * s1.e1[i]),
+                 (a,b) -> a+b) / (p.nrm * s1.nrm1) * 1000000) AS BIGINT) * 3
+               AS mmr_q
+           FROM p JOIN s1 ON p.source = s1.source AND p.doc_id <> s1.d1),
+         s2 AS (SELECT * FROM (
+             SELECT source, doc_id AS d2, rel_ppm AS rel2, mmr_q AS m2,
+               emb AS e2, nrm AS nrm2, d1, e1, nrm1,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY mmr_q DESC, doc_id) AS rk
+             FROM r2) WHERE rk = 1),
+         r3 AS (
+           SELECT p.source, p.doc_id, p.rel_ppm,
+             p.rel_ppm * 7 - greatest(
+               CAST(floor(list_reduce(list_transform(p.emb,
+                 (x,i) -> x * s2.e1[i]), (a,b) -> a+b)
+                 / (p.nrm * s2.nrm1) * 1000000) AS BIGINT),
+               CAST(floor(list_reduce(list_transform(p.emb,
+                 (x,i) -> x * s2.e2[i]), (a,b) -> a+b)
+                 / (p.nrm * s2.nrm2) * 1000000) AS BIGINT)) * 3 AS mmr_q
+           FROM p JOIN s2 ON p.source = s2.source
+             AND p.doc_id <> s2.d1 AND p.doc_id <> s2.d2),
+         s3 AS (SELECT * FROM (
+             SELECT source, doc_id AS d3, rel_ppm AS rel3, mmr_q AS m3,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY mmr_q DESC, doc_id) AS rk
+             FROM r3) WHERE rk = 1)
+         SELECT source, CAST(1 AS BIGINT) AS pick, d1 AS doc_id,
+           rel1 AS rel_ppm, m1 AS mmr_q FROM s1
+         UNION ALL
+         SELECT source, CAST(2 AS BIGINT), d2, rel2, m2 FROM s2
+         UNION ALL
+         SELECT source, CAST(3 AS BIGINT), d3, rel3, m3 FROM s3""",
+    // q176: first-touch / last-touch purchase attribution over 30-min
+    // sessions; a purchase opening its session credits 'direct'
+    "q176_attribution" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (SELECT user_id, event_id, ts, event_type,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS session_id
+           FROM o),
+         st AS (SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS step,
+             lag(event_type) OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             first_value(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_first
+           FROM s),
+         c AS (SELECT
+             CASE WHEN step = 1 THEN 'direct' ELSE sess_first END
+               AS first_touch,
+             coalesce(prev_type, 'direct') AS last_touch
+           FROM st WHERE event_type = 'purchase'),
+         ft AS (SELECT first_touch AS touch_type,
+                  CAST(count(*) AS BIGINT) AS n_first FROM c GROUP BY 1),
+         lt AS (SELECT last_touch AS touch_type,
+                  CAST(count(*) AS BIGINT) AS n_last FROM c GROUP BY 1)
+         SELECT touch_type, coalesce(n_first, 0) AS n_first,
+           coalesce(n_last, 0) AS n_last
+         FROM ft FULL JOIN lt USING (touch_type)""",
   )
 }

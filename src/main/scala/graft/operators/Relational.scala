@@ -1348,4 +1348,49 @@ object Relational {
       .orderBy($"n_sessions".desc, $"path".asc)
       .limit(10)
   }
+
+  /** q176: conversion attribution — for every `purchase` event, credit
+    * its session's FIRST event type (first-touch) and the immediately
+    * preceding event type (last-touch; a purchase opening its own
+    * session credits `direct` in both models). The two standard
+    * attribution models side by side, one row per touch type, exact
+    * counts — the product-analytics twin of the q114 funnel.
+    *
+    * Scale shape: sessionization is the per-user islands window;
+    * first/lag ride the SAME (user, session) partitioning with no
+    * extra shuffle; the matrix partial-aggs to ≤|types| rows. */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull
+          || unix_millis($"ts") - unix_millis($"prev_ts") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val credited = sess
+      .withColumn("step", row_number().over(wSess))
+      .withColumn("prev_type", lag($"event_type", 1).over(wSess))
+      // session-first BEFORE the purchase filter — a window after the
+      // filter would read "first PURCHASE of the session" instead
+      .withColumn("sess_first", first($"event_type").over(
+        wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where($"event_type" === "purchase")
+      .select(
+        when($"step" === 1, "direct").otherwise($"sess_first")
+          .as("first_touch"),
+        coalesce($"prev_type", lit("direct")).as("last_touch"))
+    val ft = credited.groupBy($"first_touch".as("touch_type"))
+      .agg(count(lit(1)).as("n_first"))
+    val lt = credited.groupBy($"last_touch".as("touch_type"))
+      .agg(count(lit(1)).as("n_last"))
+    ft.join(lt, Seq("touch_type"), "full_outer")
+      .select($"touch_type",
+        coalesce($"n_first", lit(0L)).as("n_first"),
+        coalesce($"n_last", lit(0L)).as("n_last"))
+  }
 }

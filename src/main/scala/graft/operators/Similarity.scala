@@ -79,6 +79,68 @@ object Similarity {
     * the high-cos mass a near-DUPLICATE screen is for. No all-pairs
     * product ever forms: each band join is an equality join on (band,
     * 6-bit signature), partitionable at any scale. */
+  /** q175: MMR (maximal marginal relevance) diversified selection —
+    * the retrieval-side answer to "don't show 3 copies of the same
+    * doc": per source, greedily pick 3 documents from the top-8
+    * relevance pool, each step maximizing 7·relevance − 3·max-cosine-
+    * to-already-picked (λ = 0.7, Carbonell & Goldstein 1998).
+    * Relevance is the min-max-scaled length feature in ppm; the
+    * embedding cosine rides the engines' bit-identical left-to-right
+    * dot/norm fold (the q37 discipline) and is floor-quantized at 1e6
+    * before entering the integer MMR score, so every greedy argmax is
+    * an exact integer comparison with doc_id tie-break.
+    *
+    * Scale shape: the pool is a rank-window cut (≤ 8 rows per
+    * source); all three greedy steps run on that bounded relation
+    * joined against the needed embeddings only — the corpus and the
+    * embedding table are each scanned once. Greedy k is a constant:
+    * plan depth is fixed, not data-dependent. */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val bounds = docs.agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+    val pool = docs.crossJoin(broadcast(bounds))
+      .withColumn("rel_ppm",
+        expr("((n_chars - lo) * 1000000) div (hi + 1 - lo)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")))
+      .where($"rk" <= 8)
+      .select($"source", $"doc_id", $"rel_ppm")
+    val emb = Tables.embeddings(spark, dir).select(
+      $"vec_id".as("doc_id"), $"embedding",
+      VectorOps.l2norm($"embedding").as("nrm"))
+    val p = pool.join(emb, "doc_id")
+    def cosQ(ea: Column, na: Column, eb: Column, nb: Column): Column =
+      floor(VectorOps.dot(ea, eb) / (na * nb) * 1000000).cast("long")
+    def pick(cands: DataFrame, mmr: Column): DataFrame = cands
+      .withColumn("mmr_q", mmr)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"mmr_q".desc, $"doc_id")))
+      .where($"rk" === 1)
+    val s1 = pick(p, $"rel_ppm" * 7)
+      .select($"source", $"doc_id".as("d1"), $"mmr_q".as("m1"),
+        $"rel_ppm".as("rel1"), $"embedding".as("e1"), $"nrm".as("n1"))
+    val r2 = p.join(s1, "source").where($"doc_id" =!= $"d1")
+    val s2 = pick(r2,
+        $"rel_ppm" * 7 - cosQ($"embedding", $"nrm", $"e1", $"n1") * 3)
+      .select($"source", $"d1", $"m1", $"rel1",
+        $"doc_id".as("d2"), $"mmr_q".as("m2"), $"rel_ppm".as("rel2"),
+        $"e1", $"n1", $"embedding".as("e2"), $"nrm".as("n2"))
+    val r3 = p.join(s2, "source")
+      .where($"doc_id" =!= $"d1" && $"doc_id" =!= $"d2")
+    val s3 = pick(r3,
+      $"rel_ppm" * 7 - greatest(
+        cosQ($"embedding", $"nrm", $"e1", $"n1"),
+        cosQ($"embedding", $"nrm", $"e2", $"n2")) * 3)
+    s1.select($"source", lit(1L).as("pick"), $"d1".as("doc_id"),
+        $"rel1".as("rel_ppm"), $"m1".as("mmr_q"))
+      .unionByName(s2.select($"source", lit(2L).as("pick"),
+        $"d2".as("doc_id"), $"rel2".as("rel_ppm"), $"m2".as("mmr_q")))
+      .unionByName(s3.select($"source", lit(3L).as("pick"),
+        $"doc_id", $"rel_ppm", $"mmr_q"))
+  }
+
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nBands = 6
