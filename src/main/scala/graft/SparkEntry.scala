@@ -196,6 +196,7 @@ object SparkEntry {
     "q174_dataset_card"     -> (Curation.datasetCard _),
     "q175_mmr_diversify"    -> (Similarity.mmrDiversify _),
     "q176_attribution"      -> (Relational.touchAttribution _),
+    "q177_cuped"            -> (Evaluate.cupedAdjust _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3640,5 +3641,31 @@ object SparkEntry {
          SELECT touch_type, coalesce(n_first, 0) AS n_first,
            coalesce(n_last, 0) AS n_last
          FROM ft FULL JOIN lt USING (touch_type)""",
+    // q177: CUPED — integer cross-moment theta, n-scaled adjusted means
+    "q177_cuped" ->
+      """WITH u AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN epoch_ms(ts) < 1705363200000
+               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_ms(ts) >= 1705363200000
+               THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             CAST(user_id % 2 AS BIGINT) AS arm
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM u),
+         t AS (SELECT n, sx,
+                 ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+                   AS theta_ppm
+               FROM m)
+         SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(theta_ppm) AS BIGINT) AS theta_ppm,
+           (CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS mean_y_ppm,
+           CAST(sum(n * y * 1000000 - theta_ppm * (n * x - sx)) AS BIGINT)
+             // (CAST(min(n) AS BIGINT) * count(*)) AS mean_y_adj_ppm
+         FROM u, t GROUP BY 1""",
   )
 }

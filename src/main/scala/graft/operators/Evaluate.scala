@@ -286,4 +286,45 @@ object Evaluate {
           * 1000).cast("long"))
       .select($"event_type", $"a", $"b", $"c", $"d", $"chi2_milli")
   }
+
+  /** q177: CUPED variance reduction (Deng et al. 2013, WSDM) — the
+    * standard experiment-readout adjustment: each user's post-period
+    * metric Y (second-half event count) is shifted by θ·(X − X̄) where
+    * X is the pre-period covariate (first-half count) and θ =
+    * cov(X,Y)/var(X) pooled across arms (user_id parity stands in for
+    * the assignment). Everything stays integer-exact: θ_ppm is one
+    * integer division of the cross-moment numerators (n·ΣXY − ΣX·ΣY
+    * over n·ΣX² − (ΣX)²), and the adjusted metric is kept on an
+    * n-scaled integer grid (Y'= n·Y·1e6 − θ_ppm·(n·X − ΣX)) so no
+    * float mean ever forms. Output: per arm, raw and adjusted means
+    * in ppm — the adjusted delta is the debiased readout.
+    *
+    * Scale shape: per-user counts partial-agg in one scan; the moment
+    * totals are a one-row broadcast; per-arm reduction is a bounded
+    * agg. The 1e6 scale bounds the integer magnitudes at ~1e16 for
+    * this corpus; a larger deployment drops the ppm scale a decade. */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mid = 1705363200000L
+    val users = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        sum(when(unix_millis($"ts") < mid, 1L).otherwise(0L)).as("x"),
+        sum(when(unix_millis($"ts") >= mid, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", ($"user_id" % 2).cast("long"))
+    val mom = users.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"y").as("sxy"))
+      .withColumn("theta_ppm",
+        expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"))
+    users.crossJoin(broadcast(mom))
+      .withColumn("y_adj_scaled",
+        $"n" * $"y" * 1000000L - $"theta_ppm" * ($"n" * $"x" - $"sx"))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"),
+        first($"theta_ppm").as("theta_ppm"),
+        expr("(sum(y) * 1000000) div count(*)").as("mean_y_ppm"),
+        expr("sum(y_adj_scaled) div (first(n) * count(*))")
+          .as("mean_y_adj_ppm"))
+  }
 }
