@@ -119,4 +119,41 @@ class Round8Spec extends SparkSpec {
     val ratios = rows.map(_.getAs[Long]("ratio_ppm")).toSeq
     assert(ratios === ratios.sortBy(-_))
   }
+
+  test("q175 MMR: 3 distinct picks per source; pick 1 maximizes relevance") {
+    val rows = graft.operators.Similarity.mmrDiversify(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, ps) =>
+      assert(ps.map(_.getAs[Long]("pick")).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(ps.map(_.getAs[Long]("doc_id")).distinct.length === 3)
+      val byPick = ps.map(r => r.getAs[Long]("pick") -> r).toMap
+      // pick 1 is pure relevance; its mmr is 7x its rel and >= the others'
+      assert(byPick(1L).getAs[Long]("mmr_q") ===
+        byPick(1L).getAs[Long]("rel_ppm") * 7)
+      assert(byPick(1L).getAs[Long]("rel_ppm") >=
+        byPick(2L).getAs[Long]("rel_ppm"))
+    }
+  }
+
+  test("q176 attribution: both models account for every purchase") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.touchAttribution(spark, sfDir)
+    val nPurch = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("event_type") === "purchase").count()
+    val agg = rows.agg(sum("n_first"), sum("n_last")).head()
+    assert(agg.getLong(0) === nPurch)
+    assert(agg.getLong(1) === nPurch)
+  }
+
+  test("q177 CUPED: two arms share theta; adjustment preserves scale") {
+    val rows = Evaluate.cupedAdjust(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("arm")).sorted.toSeq === Seq(0L, 1L))
+    assert(rows.map(_.getAs[Long]("theta_ppm")).distinct.length === 1)
+    rows.foreach { r =>
+      // the adjustment re-centers, it doesn't rescale: adjusted mean stays
+      // within 50% of the raw mean on this corpus
+      val raw = r.getAs[Long]("mean_y_ppm").toDouble
+      val adj = r.getAs[Long]("mean_y_adj_ppm").toDouble
+      assert(math.abs(adj - raw) <= raw * 0.5, s"raw $raw adj $adj")
+    }
+  }
 }
