@@ -197,6 +197,10 @@ object SparkEntry {
     "q175_mmr_diversify"    -> (Similarity.mmrDiversify _),
     "q176_attribution"      -> (Relational.touchAttribution _),
     "q177_cuped"            -> (Evaluate.cupedAdjust _),
+    "q178_sorted_nbhd"      -> (Dedup.sortedNeighborhood _),
+    "q179_fdr_drift"        -> (Evaluate.fdrDrift _),
+    "q180_ewma_forecast"    -> (Timeseries.ewmaForecast _),
+    "q181_acf_hourly"       -> (Timeseries.acfHourly _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3667,5 +3671,139 @@ object SparkEntry {
            CAST(sum(n * y * 1000000 - theta_ppm * (n * x - sx)) AS BIGINT)
              // (CAST(min(n) AS BIGINT) * count(*)) AS mean_y_adj_ppm
          FROM u, t GROUP BY 1""",
+    // q178: sorted-neighborhood blocking — global rank over the
+    // normalization key, w=3 windowed pairs, exact trigram-Jaccard
+    // verify at 0.4 (the oracle's single global window is the
+    // semantic twin of the engine's two-phase segmented rank)
+    "q178_sorted_nbhd" ->
+      """WITH r AS (SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY substr(replace(lower(text), ' ', ''), 1, 24),
+                 doc_id) AS BIGINT) AS rn
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (SELECT DISTINCT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM sh GROUP BY 1),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(b.rn - a.rn AS BIGINT) AS gap
+           FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+         shared AS (SELECT c.doc_a, c.doc_b, c.gap,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                       JOIN sh sb ON sb.doc_id = c.doc_b
+                                 AND sb.shingle = sa.shingle
+           GROUP BY 1, 2, 3)
+         SELECT s.doc_a, s.doc_b, s.gap, s.n_shared,
+           (s.n_shared * 1000000) // (ca.n + cb.n - s.n_shared) AS jac_ppm
+         FROM shared s JOIN card ca ON ca.doc_id = s.doc_a
+                       JOIN card cb ON cb.doc_id = s.doc_b
+         WHERE (s.n_shared * 1000000) // (ca.n + cb.n - s.n_shared)
+           >= 400000""",
+    // q179: per-type first-vs-second-half KS with exact integer D,
+    // asymptotic p in ppb, then Benjamini-Hochberg step-up at alpha=.05
+    "q179_fdr_drift" ->
+      """WITH g AS (SELECT event_type,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq,
+             CAST(sum(CASE WHEN epoch_ms(ts) < 1705363200000
+               THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN epoch_ms(ts) >= 1705363200000
+               THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, vq,
+             CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY vq
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY vq
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+             CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+             CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+           FROM g),
+         d AS (SELECT event_type, n_a, n_b,
+             max(abs(cum_a * n_b - cum_b * n_a)) AS d_num
+           FROM c WHERE n_a > 0 AND n_b > 0 GROUP BY 1, 2, 3),
+         p AS (SELECT event_type, n_a, n_b,
+             (d_num * 1000000) // (n_a * n_b) AS d_ppm,
+             CAST(floor(least(1.0, 2.0 * exp(-2.0
+               * CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 * CAST(n_a + n_b AS DOUBLE))))
+               * 1000000000 + 1.0/3) AS BIGINT) AS p_ppb
+           FROM d),
+         r AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p_ppb, event_type)
+               AS BIGINT) AS rk
+           FROM p),
+         k AS (SELECT *, max(CASE WHEN p_ppb * m <= rk * 50000000
+                 THEN rk ELSE 0 END) OVER () AS k_star
+               FROM r)
+         SELECT event_type, n_a, n_b, d_ppm, p_ppb, rk,
+           CAST(CASE WHEN rk <= k_star THEN 1 ELSE 0 END AS BIGINT)
+             AS discovery
+         FROM k""",
+    // q180: alpha=1/2 depth-24 EWMA hourly forecast; dyadic weights
+    // keep every float op exact, so the milli floor is bit-identical
+    "q180_ewma_forecast" ->
+      """WITH cells AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT min(h) AS lo, max(h) AS hi FROM cells),
+         hours AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+         types AS (SELECT DISTINCT event_type FROM cells),
+         grid AS (SELECT t.event_type, hh.h, coalesce(c.x, 0) AS x
+           FROM types t CROSS JOIN hours hh
+           LEFT JOIN cells c ON c.event_type = t.event_type
+             AND c.h = hh.h),
+         lo2 AS (SELECT event_type, min(h) AS lo FROM grid GROUP BY 1),
+         conv AS (SELECT t.event_type, t.h, t.x,
+             CAST(floor(sum(power(0.5, t.h - s.h) * s.x) * 1000)
+               AS BIGINT) AS forecast_milli
+           FROM grid t JOIN grid s ON s.event_type = t.event_type
+             AND s.h BETWEEN t.h - 24 AND t.h - 1
+           GROUP BY 1, 2, 3)
+         SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(abs(forecast_milli - x * 1000)) AS BIGINT)
+             AS sum_abs_err,
+           CAST(sum(abs(forecast_milli - x * 1000)) AS BIGINT)
+             // count(*) AS mae_milli
+         FROM conv c JOIN lo2 USING (event_type)
+         WHERE c.h >= lo2.lo + 24
+         GROUP BY 1""",
+    // q181: lag 1..6 ACF of the dense hourly grid; integer moments,
+    // one float sqrt/divide quantized at ppm
+    "q181_acf_hourly" ->
+      """WITH cells AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT min(h) AS lo, max(h) AS hi FROM cells),
+         hours AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+         types AS (SELECT DISTINCT event_type FROM cells),
+         grid AS (SELECT t.event_type, hh.h, coalesce(c.x, 0) AS x
+           FROM types t CROSS JOIN hours hh
+           LEFT JOIN cells c ON c.event_type = t.event_type
+             AND c.h = hh.h),
+         l AS (SELECT unnest(range(1, 7)) AS lag_k),
+         m AS (SELECT a.event_type, CAST(l.lag_k AS BIGINT) AS lag_k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.x) AS BIGINT) AS sx,
+             CAST(sum(bb.x) AS BIGINT) AS sy,
+             CAST(sum(a.x * bb.x) AS BIGINT) AS sxy,
+             CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(sum(bb.x * bb.x) AS BIGINT) AS syy
+           FROM grid a CROSS JOIN l
+           JOIN grid bb ON bb.event_type = a.event_type
+             AND bb.h = a.h - l.lag_k
+           GROUP BY 1, 2)
+         SELECT event_type, lag_k, n, n * sxy - sx * sy AS num,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 1.0/3) AS BIGINT) AS r_ppm
+         FROM m
+         WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
   )
 }

@@ -689,4 +689,51 @@ object Dedup {
         expr("(n_hit * 1000000) div n_truth").as("recall_ppm"),
         expr("(n_hit * 1000000) div n_cand").as("precision_ppm"))
   }
+
+  /** q178: sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95)
+    * — the classic sort-based alternative to LSH blocking: sort the
+    * corpus by a normalization key (lower-cased, space-stripped 24-char
+    * prefix), slide a window of w = 3 over the sorted order, and
+    * exact-verify only the ≤ w·N windowed pairs (3-gram Jaccard ≥ 0.4).
+    * Complements MinHash (q26) / SimHash (q27): prefix-clustered
+    * near-dups (common in crawl snapshots with templated openings) are
+    * caught with ZERO hashing and a linear candidate budget.
+    *
+    * Scale shape: the global sort is distributed (range partition +
+    * in-partition sort); the global RANK is two-phase — row_number
+    * inside each first-char segment (parallel) plus an exclusive
+    * prefix offset over the bounded |alphabet|-row segment-count
+    * relation, broadcast back — bit-identical to a single global
+    * window without its one-partition bottleneck. Window pairs are 3
+    * equi-joins on rank+k (co-partitioned), the verify is a per-pair
+    * array intersect, and nothing quadratic exists at any scale. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSh = Tables.documents(spark, dir)
+      .select($"doc_id",
+        substring(regexp_replace(lower($"text"), " ", ""), 1, 24).as("snk"),
+        TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
+    val wSeg = Window.partitionBy($"seg").orderBy($"snk".asc, $"doc_id".asc)
+    val ranked = docSh.withColumn("seg", substring($"snk", 1, 1))
+      .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
+    val wOff = Window.orderBy($"seg".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy($"seg").agg(count(lit(1)).as("c"))
+      .select($"seg", coalesce(sum($"c").over(wOff), lit(0L)).as("off"))
+    val rr = ranked.join(broadcast(offs), "seg")
+      .select($"doc_id", $"sh", ($"rn_seg" + $"off").as("rn"))
+    val cand = rr.as("a")
+      .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+      .join(rr.as("b"), $"b.rn" === $"a.rn" + $"k")
+    cand
+      .withColumn("n_shared",
+        size(array_intersect($"a.sh", $"b.sh")).cast("long"))
+      .withColumn("n_union",
+        size($"a.sh").cast("long") + size($"b.sh") - $"n_shared")
+      .where($"n_union" > 0)
+      .withColumn("jac_ppm", expr("(n_shared * 1000000) div n_union"))
+      .where($"jac_ppm" >= 400000L)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"k".as("gap"), $"n_shared", $"jac_ppm")
+  }
 }

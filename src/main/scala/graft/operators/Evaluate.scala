@@ -327,4 +327,61 @@ object Evaluate {
         expr("sum(y_adj_scaled) div (first(n) * count(*))")
           .as("mean_y_adj_ppm"))
   }
+
+  /** q179: Benjamini–Hochberg FDR over the per-type temporal drift
+    * screens — the multiple-testing control a monitoring pipeline needs
+    * once it runs one KS test per metric (Benjamini & Hochberg 1995).
+    * Per event_type: two-sample KS between the first- and second-half
+    * value distributions (the q144 exact cross-multiplied integer D on
+    * the quantized value grid), then the asymptotic one-term p-value
+    * p = min(1, 2·exp(−2·D²·n_a·n_b/(n_a+n_b))) quantized to ppb (the
+    * +1/3 offset absorbs libm exp ulp skew), then the BH step-up:
+    * rank p ascending, k* = max{k : p_k·m ≤ k·α·10⁹} at α = 0.05, and
+    * every rank ≤ k* is a discovery.
+    *
+    * Scale shape: the stream partial-aggs ONCE to the (type, vq)
+    * count-per-half relation (vocab-bounded); CDFs, D, p, and the BH
+    * windows all run on that bounded aggregate — at 100 TB the only
+    * full-data work is the one scan. */
+  def fdrDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mid = 1705363200000L
+    val g = Tables.events(spark, dir)
+      .select($"event_type",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"),
+        (unix_millis($"ts") < mid).as("first_half"))
+      .groupBy($"event_type", $"vq")
+      .agg(sum(when($"first_half", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"first_half", 1L).otherwise(0L)).as("cb"))
+    val wCdf = Window.partitionBy($"event_type").orderBy($"vq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = g
+      .withColumn("cum_a", sum($"ca").over(wCdf))
+      .withColumn("cum_b", sum($"cb").over(wCdf))
+      .withColumn("n_a", sum($"ca").over(wTot))
+      .withColumn("n_b", sum($"cb").over(wTot))
+      .groupBy($"event_type", $"n_a", $"n_b")
+      .agg(max(abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a")).as("d_num"))
+      .where($"n_a" > 0 && $"n_b" > 0)
+      .withColumn("d_ppm", expr("(d_num * 1000000) div (n_a * n_b)"))
+      .withColumn("p_ppb", floor(least(lit(1.0),
+        lit(2.0) * exp(lit(-2.0) * ($"d_num".cast("double")
+          * $"d_num".cast("double"))
+          / ($"n_a".cast("double") * $"n_b".cast("double")
+            * ($"n_a" + $"n_b").cast("double"))))
+        * 1e9 + lit(1.0 / 3)).cast("long"))
+    // BH step-up on the bounded |types|-row relation: alpha = 0.05
+    val wRank = Window.orderBy($"p_ppb".asc, $"event_type".asc)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    d.withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("pass_raw",
+        when($"p_ppb" * $"m" <= $"rk" * 50000000L, $"rk").otherwise(0L))
+      .withColumn("k_star", max($"pass_raw").over(wAll))
+      .select($"event_type", $"n_a", $"n_b", $"d_ppm", $"p_ppb", $"rk",
+        when($"rk" <= $"k_star", 1L).otherwise(0L).as("discovery"))
+  }
 }

@@ -505,4 +505,86 @@ object Timeseries {
       .orderBy($"ratio_ppm".desc, $"event_type".asc, $"day".asc, $"hod".asc)
       .limit(20)
   }
+
+  /** Dense hourly count grid shared by q180/q181: every (event_type,
+    * hour) cell between the stream's global min and max hour, zero-
+    * filled. The stream partial-aggs to its sparse cells in one scan;
+    * densification is a broadcast cross of the bounded type list with
+    * the bounded hour sequence — at 100 TB the grid is still
+    * |types|×|hours|, not data-sized. */
+  private[graft] def denseHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("x"))
+    val hours = cells.agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    val types = cells.select($"event_type").distinct()
+    types.crossJoin(broadcast(hours))
+      .join(cells, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce($"x", lit(0L)))
+  }
+
+  /** q180: truncated EWMA one-step-ahead forecast of the hourly event
+    * rate, α = ½, depth 24 — the standard short-horizon load forecast:
+    * f_t = Σ_{k=1..24} 2⁻ᵏ·x_{t−k}. α = ½ is chosen deliberately: the
+    * weights are dyadic rationals, so every product and the 24-term
+    * sum are EXACT in double (M/2²⁴ with M·125 ≪ 2⁵³), and
+    * floor(f·1000) is bit-identical across engines with no libm in
+    * the path at all. Scored on hours with a full 24-hour history:
+    * per-type MAE in milli-events, integer end-to-end.
+    *
+    * Scale shape: the corpus reduces once to the dense hourly grid
+    * (bounded); the 24-lag convolution is a self-join of that bounded
+    * relation on (type, h−k) — no data-sized work after the scan. */
+  def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = denseHourly(spark, dir)
+    val lo = grid.groupBy($"event_type").agg(min($"h").as("lo"))
+    val conv = grid.as("t").join(grid.as("s"),
+        $"t.event_type" === $"s.event_type"
+          && $"s.h" >= $"t.h" - 24 && $"s.h" <= $"t.h" - 1)
+      .groupBy($"t.event_type".as("event_type"), $"t.h".as("h"),
+        $"t.x".as("x"))
+      .agg(sum(pow(lit(0.5), $"t.h" - $"s.h") * $"s.x").as("f"))
+      .withColumn("forecast_milli", floor($"f" * 1000).cast("long"))
+    conv.join(lo, "event_type")
+      .where($"h" >= $"lo" + 24)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs($"forecast_milli" - $"x" * 1000L)).as("sum_abs_err"))
+      .withColumn("mae_milli", expr("sum_abs_err div n_scored"))
+  }
+
+  /** q181: lag-k autocorrelation (ACF, k = 1..6) of the hourly event
+    * count series per type — the seasonality/burstiness diagnostic
+    * behind q152's fixed 24h prior. Pearson r at each lag from exact
+    * integer cross-moments on the dense grid (n·Σxy − Σx·Σy over the
+    * two √variance terms); only the final √ and division are float,
+    * quantized to ppm with the +1/3 offset.
+    *
+    * Scale shape: everything after the one corpus scan runs on the
+    * bounded dense grid × 6 lags. */
+  def acfHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = denseHourly(spark, dir)
+    val lags = spark.range(1, 7).select($"id".as("lag_k"))
+    val pairs = grid.as("a").crossJoin(broadcast(lags))
+      .join(grid.as("b"),
+        $"a.event_type" === $"b.event_type" && $"b.h" === $"a.h" - $"lag_k")
+    val m = pairs.groupBy($"a.event_type".as("event_type"), $"lag_k")
+      .agg(count(lit(1)).as("n"),
+        sum($"a.x").as("sx"), sum($"b.x").as("sy"),
+        sum($"a.x" * $"b.x").as("sxy"),
+        sum($"a.x" * $"a.x").as("sxx"),
+        sum($"b.x" * $"b.x").as("syy"))
+      .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("den_a", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("den_b", $"n" * $"syy" - $"sy" * $"sy")
+    m.where($"den_a" > 0 && $"den_b" > 0)
+      .withColumn("r_ppm", floor($"num".cast("double")
+        / sqrt($"den_a".cast("double") * $"den_b".cast("double"))
+        * 1e6 + lit(1.0 / 3)).cast("long"))
+      .select($"event_type", $"lag_k", $"n", $"num", $"r_ppm")
+  }
 }
