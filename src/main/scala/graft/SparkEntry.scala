@@ -201,6 +201,10 @@ object SparkEntry {
     "q179_fdr_drift"        -> (Evaluate.fdrDrift _),
     "q180_ewma_forecast"    -> (Timeseries.ewmaForecast _),
     "q181_acf_hourly"       -> (Timeseries.acfHourly _),
+    "q182_js_divergence"    -> (TextAnalysis.jsDivergence _),
+    "q183_jl_audit"         -> (Similarity.jlAudit _),
+    "q184_hits"             -> (Graph.hitsBipartite _),
+    "q185_did"              -> (Evaluate.diffInDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3805,5 +3809,141 @@ object SparkEntry {
              * 1000000 + 1.0/3) AS BIGINT) AS r_ppm
          FROM m
          WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+    // q182: pairwise JS divergence; per-term ln quantized at 1e4, the
+    // single-source tail is the closed-form (n - m) * floor(ln2 * 1e4)
+    "q182_js_divergence" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         stc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+                 FROM t GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt
+                 FROM stc GROUP BY 1),
+         sh AS (SELECT a.source AS src_a, b.source AS src_b,
+             ta.nt AS n_a, tb.nt AS n_b, a.n AS n_at, b.n AS n_bt
+           FROM stc a JOIN stc b ON a.tok = b.tok AND a.source < b.source
+           JOIN tot ta ON ta.source = a.source
+           JOIN tot tb ON tb.source = b.source),
+         agg AS (SELECT src_a, src_b, n_a, n_b,
+             CAST(sum(n_at * CAST(floor(
+               ln(CAST(2 * n_at * n_b AS DOUBLE)
+                 / CAST(n_at * n_b + n_bt * n_a AS DOUBLE)) * 10000
+               + 1.0/3) AS BIGINT)) AS BIGINT) AS sh_a_q,
+             CAST(sum(n_bt * CAST(floor(
+               ln(CAST(2 * n_bt * n_a AS DOUBLE)
+                 / CAST(n_at * n_b + n_bt * n_a AS DOUBLE)) * 10000
+               + 1.0/3) AS BIGINT)) AS BIGINT) AS sh_b_q,
+             CAST(sum(n_at) AS BIGINT) AS m_a,
+             CAST(sum(n_bt) AS BIGINT) AS m_b
+           FROM sh GROUP BY 1, 2, 3, 4),
+         j AS (SELECT src_a, src_b, n_a, n_b,
+             sh_a_q + (n_a - m_a)
+               * CAST(floor(ln(2) * 10000 + 1.0/3) AS BIGINT) AS js_a_q,
+             sh_b_q + (n_b - m_b)
+               * CAST(floor(ln(2) * 10000 + 1.0/3) AS BIGINT) AS js_b_q
+           FROM agg)
+         SELECT src_a, src_b, n_a, n_b, js_a_q, js_b_q,
+           ((js_a_q * n_b + js_b_q * n_a) * 50) // (n_a * n_b) AS js_ppm
+         FROM j""",
+    // q183: JL projection audit — integer-exact: milli-quantized
+    // inputs, +/-1 md5-sign matrix, squared-distance ratio in ppm
+    "q183_jl_audit" ->
+      """WITH x AS (SELECT vec_id, i.i AS i,
+             CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000
+               + 1.0/3) AS BIGINT) AS xq
+           FROM embeddings CROSS JOIN range(64) i(i)
+           WHERE vec_id < 50),
+         planes AS (SELECT j.j AS j, i.i AS i,
+             CASE WHEN substr(md5('jl' || CAST(j.j AS VARCHAR) || ':'
+               || CAST(i.i AS VARCHAR)), 1, 1) >= '8'
+               THEN 1 ELSE -1 END AS sgn
+           FROM range(16) j(j) CROSS JOIN range(64) i(i)),
+         proj AS (SELECT x.vec_id, p.j,
+             CAST(sum(p.sgn * x.xq) AS BIGINT) AS pj
+           FROM x JOIN planes p ON p.i = x.i GROUP BY 1, 2),
+         dproj AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum((a.pj - b.pj) * (a.pj - b.pj)) AS BIGINT)
+               AS d2_proj_num
+           FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+           GROUP BY 1, 2),
+         dorig AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT)
+               AS d2_orig_q
+           FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY 1, 2)
+         SELECT d.vec_a, d.vec_b, o.d2_orig_q, d.d2_proj_num,
+           (d.d2_proj_num * 1000000) // (16 * o.d2_orig_q)
+             AS distortion_ppm
+         FROM dproj d JOIN dorig o USING (vec_a, vec_b)
+         WHERE o.d2_orig_q > 0""",
+    // q184: 3-round integer-renormalized HITS on the distinct
+    // customer->supplier purchase edges; top-10 per role
+    "q184_hits" ->
+      """WITH edges AS (SELECT DISTINCT o.o_custkey AS cust,
+             l.l_suppkey AS supp
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h
+                FROM edges),
+         a1r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS a
+                 FROM edges JOIN h0 USING (cust) GROUP BY 1),
+         a1 AS (SELECT supp, (a * 1000000) // (SELECT max(a) FROM a1r)
+                  AS a FROM a1r),
+         h1r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS h
+                 FROM edges JOIN a1 USING (supp) GROUP BY 1),
+         h1 AS (SELECT cust, (h * 1000000) // (SELECT max(h) FROM h1r)
+                  AS h FROM h1r),
+         a2r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS a
+                 FROM edges JOIN h1 USING (cust) GROUP BY 1),
+         a2 AS (SELECT supp, (a * 1000000) // (SELECT max(a) FROM a2r)
+                  AS a FROM a2r),
+         h2r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS h
+                 FROM edges JOIN a2 USING (supp) GROUP BY 1),
+         h2 AS (SELECT cust, (h * 1000000) // (SELECT max(h) FROM h2r)
+                  AS h FROM h2r),
+         a3r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS a
+                 FROM edges JOIN h2 USING (cust) GROUP BY 1),
+         a3 AS (SELECT supp, (a * 1000000) // (SELECT max(a) FROM a3r)
+                  AS a FROM a3r),
+         h3r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS h
+                 FROM edges JOIN a3 USING (supp) GROUP BY 1),
+         h3 AS (SELECT cust, (h * 1000000) // (SELECT max(h) FROM h3r)
+                  AS h FROM h3r),
+         ta AS (SELECT 'authority' AS role, supp AS node_id, a AS score
+                FROM a3 ORDER BY a DESC, supp LIMIT 10),
+         th AS (SELECT 'hub' AS role, cust AS node_id, h AS score
+                FROM h3 ORDER BY h DESC, cust LIMIT 10)
+         SELECT * FROM ta UNION ALL SELECT * FROM th""",
+    // q185: difference-in-differences on floored ppm cell means;
+    // arm = user parity, period split at the stream midpoint
+    "q185_did" ->
+      """WITH cells AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CASE WHEN epoch_ms(ts) < 1705363200000
+               THEN 'pre' ELSE 'post' END AS period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 1000 + 1.0/3) AS BIGINT))
+               AS BIGINT) AS s
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT arm, period, n, (s * 1000) // n AS mean_ppm
+               FROM cells),
+         w AS (SELECT
+             CAST(sum(CASE WHEN arm = 0 AND period = 'pre' THEN n END)
+               AS BIGINT) AS n_a_pre,
+             CAST(sum(CASE WHEN arm = 0 AND period = 'post' THEN n END)
+               AS BIGINT) AS n_a_post,
+             CAST(sum(CASE WHEN arm = 1 AND period = 'pre' THEN n END)
+               AS BIGINT) AS n_b_pre,
+             CAST(sum(CASE WHEN arm = 1 AND period = 'post' THEN n END)
+               AS BIGINT) AS n_b_post,
+             CAST(sum(CASE WHEN arm = 0 AND period = 'pre'
+               THEN mean_ppm END) AS BIGINT) AS mean_a_pre_ppm,
+             CAST(sum(CASE WHEN arm = 0 AND period = 'post'
+               THEN mean_ppm END) AS BIGINT) AS mean_a_post_ppm,
+             CAST(sum(CASE WHEN arm = 1 AND period = 'pre'
+               THEN mean_ppm END) AS BIGINT) AS mean_b_pre_ppm,
+             CAST(sum(CASE WHEN arm = 1 AND period = 'post'
+               THEN mean_ppm END) AS BIGINT) AS mean_b_post_ppm
+           FROM m)
+         SELECT *, (mean_b_post_ppm - mean_b_pre_ppm)
+           - (mean_a_post_ppm - mean_a_pre_ppm) AS did_ppm
+         FROM w""",
   )
 }

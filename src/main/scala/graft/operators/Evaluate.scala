@@ -384,4 +384,44 @@ object Evaluate {
       .select($"event_type", $"n_a", $"n_b", $"d_ppm", $"p_ppb", $"rk",
         when($"rk" <= $"k_star", 1L).otherwise(0L).as("discovery"))
   }
+
+  /** q185: difference-in-differences — the quasi-experimental readout
+    * when assignment isn't randomized: with arms A/B (user parity, the
+    * q177 assignment) observed pre/post the stream midpoint, the
+    * treatment effect estimate is (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post −
+    * ȳ_A,pre), which cancels both the arm-level baseline and the
+    * common time trend (Card & Krueger 1994). Metric: the quantized
+    * event value. Each cell mean is one integer ppm division of exact
+    * sums; the DiD is arithmetic on those floored means — identical in
+    * both engines by construction.
+    *
+    * Scale shape: the stream partial-aggs to 4 (arm, period) cells in
+    * one scan; everything after is constant work on one row. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mid = 1705363200000L
+    val cells = Tables.events(spark, dir)
+      .select(($"user_id" % 2).as("arm"),
+        when(unix_millis($"ts") < mid, "pre").otherwise("post").as("period"),
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .groupBy($"arm", $"period")
+      .agg(count(lit(1)).as("n"), sum($"vq").as("s"))
+      .withColumn("mean_ppm", expr("(s * 1000) div n"))
+    cells.agg(
+        sum(when($"arm" === 0 && $"period" === "pre", $"n")).as("n_a_pre"),
+        sum(when($"arm" === 0 && $"period" === "post", $"n")).as("n_a_post"),
+        sum(when($"arm" === 1 && $"period" === "pre", $"n")).as("n_b_pre"),
+        sum(when($"arm" === 1 && $"period" === "post", $"n")).as("n_b_post"),
+        sum(when($"arm" === 0 && $"period" === "pre", $"mean_ppm"))
+          .as("mean_a_pre_ppm"),
+        sum(when($"arm" === 0 && $"period" === "post", $"mean_ppm"))
+          .as("mean_a_post_ppm"),
+        sum(when($"arm" === 1 && $"period" === "pre", $"mean_ppm"))
+          .as("mean_b_pre_ppm"),
+        sum(when($"arm" === 1 && $"period" === "post", $"mean_ppm"))
+          .as("mean_b_post_ppm"))
+      .withColumn("did_ppm",
+        ($"mean_b_post_ppm" - $"mean_b_pre_ppm")
+          - ($"mean_a_post_ppm" - $"mean_a_pre_ppm"))
+  }
 }

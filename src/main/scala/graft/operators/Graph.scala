@@ -365,4 +365,54 @@ object Graph {
       .localCheckpoint()
     rebind(counts, caller)
   }
+
+  /** q184: HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    * customer→supplier purchase graph (distinct (custkey, suppkey)
+    * pairs from lineitem⋈orders): three mutual-reinforcement rounds —
+    * authority(s) = Σ hub(c) over buyers, hub(c) = Σ authority(s) over
+    * suppliers bought from — with INTEGER max-renormalization each
+    * half-round (x′ = x·10⁶ div max x), so every engine lands on
+    * identical longs (the q103 integer-exact-iteration recipe; float
+    * HITS would diverge across sum orders). Output: top-10 authorities
+    * and top-10 hubs with scores.
+    *
+    * Scale shape: the corpus-sized work is one distinct projection of
+    * lineitem⋈orders; the edge relation is localCheckpointed once and
+    * pre-partitioned on the alternating join keys; each half-round is
+    * one co-partitioned hash join + partial-agged sum + a one-row max
+    * broadcast. Magnitudes: score ≤ 10⁶·max-degree, so the ·10⁶
+    * renorm product stays in long up to ~10⁶-degree nodes; beyond
+    * that, route the renorm through decimal(38,0). Top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+      .distinct()
+      .localCheckpoint(false)
+    var hub = edges.select($"cust").distinct()
+      .select($"cust", lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to 3) {
+      val a = edges.join(hub, "cust")
+        .groupBy($"supp").agg(sum($"h").as("a"))
+      val amax = a.agg(max($"a").as("amax"))
+      auth = a.crossJoin(broadcast(amax))
+        .select($"supp", expr("(a * 1000000) div amax").as("a"))
+      val h = edges.join(auth, "supp")
+        .groupBy($"cust").agg(sum($"a").as("h"))
+      val hmax = h.agg(max($"h").as("hmax"))
+      hub = h.crossJoin(broadcast(hmax))
+        .select($"cust", expr("(h * 1000000) div hmax").as("h"))
+    }
+    val topAuth = auth.orderBy($"a".desc, $"supp".asc).limit(10)
+      .select(lit("authority").as("role"), $"supp".as("node_id"),
+        $"a".as("score"))
+    val topHub = hub.orderBy($"h".desc, $"cust".asc).limit(10)
+      .select(lit("hub").as("role"), $"cust".as("node_id"),
+        $"h".as("score"))
+    topAuth.unionByName(topHub)
+  }
 }

@@ -36,6 +36,11 @@ object Sampling {
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
+  /** hash32 with a per-row salt (e.g. a sketch row index). */
+  def hash32Col(salt: Column, id: Column): Column =
+    conv(substring(md5(concat(salt, lit(":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
   /** Keep each row with probability `rate(row)` — rate is a Column so
     * strata (language, source, quality band) can set their own rates. */
   def stratifiedSample(df: DataFrame, idCol: String, salt: String,

@@ -480,4 +480,54 @@ object Similarity {
         max(when($"rk_cos" === 1, $"vec_id")).as("top1_cos"),
         max(when($"rk_dot" === 1, $"vec_id")).as("top1_dot"))
   }
+
+  /** q183: Johnson–Lindenstrauss projection audit — before trusting a
+    * random projection for cheap distance computation (the standard
+    * dim-reduction in dedup/ANN preprocessing), measure its distortion
+    * on a fixed audit sample: project the 64-dim embeddings to 16 dims
+    * with a deterministic ±1 matrix (Achlioptas 2003 — sign of an md5
+    * bit per (plane, coordinate)), and compare projected vs original
+    * squared distances on all pairs of the first 50 vectors.
+    * E[d²_proj] = 16·d²_orig for ±1 projections, so distortion_ppm
+    * concentrates at 10⁶ (asserted in Round9Spec).
+    *
+    * Everything is INTEGER-exact end-to-end: inputs are offset-
+    * quantized to milli once, ±1 sums and squared differences stay in
+    * long, and the distortion is one integer division — no float in
+    * the whole operator.
+    *
+    * Scale shape: the audit sample is bounded by construction (50
+    * vectors → 1225 pairs); the projection itself is a map-side join
+    * against the broadcast 16×64 sign matrix — the shape that scales
+    * to projecting the full corpus, which is exactly what the audit
+    * certifies. */
+  def jlAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 50)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "xv")))
+      .select($"vec_id", $"i",
+        floor($"xv".cast("double") * 1000 + lit(1.0 / 3)).cast("long").as("xq"))
+    val planes = spark.range(16).select($"id".as("j"))
+      .crossJoin(spark.range(64).select($"id".as("i")))
+      .select($"j", $"i",
+        when(substring(md5(concat(lit("jl"), $"j".cast("string"),
+          lit(":"), $"i".cast("string"))), 1, 1) >= "8", 1L)
+          .otherwise(-1L).as("sgn"))
+    val proj = x.join(broadcast(planes), "i")
+      .groupBy($"vec_id", $"j").agg(sum($"sgn" * $"xq").as("pj"))
+    val dProj = proj.as("a").join(proj.as("b"),
+        $"a.j" === $"b.j" && $"a.vec_id" < $"b.vec_id")
+      .groupBy($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .agg(sum(($"a.pj" - $"b.pj") * ($"a.pj" - $"b.pj")).as("d2_proj_num"))
+    val dOrig = x.as("a").join(x.as("b"),
+        $"a.i" === $"b.i" && $"a.vec_id" < $"b.vec_id")
+      .groupBy($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .agg(sum(($"a.xq" - $"b.xq") * ($"a.xq" - $"b.xq")).as("d2_orig_q"))
+    dProj.join(dOrig, Seq("vec_a", "vec_b"))
+      .where($"d2_orig_q" > 0)
+      .select($"vec_a", $"vec_b", $"d2_orig_q", $"d2_proj_num",
+        expr("(d2_proj_num * 1000000) div (16 * d2_orig_q)")
+          .as("distortion_ppm"))
+  }
 }

@@ -734,4 +734,51 @@ object TextAnalysis {
       .select($"doc_id", $"rank".cast("long").as("rank"), $"tok", $"tf",
         $"df", $"score")
   }
+
+  /** q182: pairwise Jensen–Shannon divergence between the sources'
+    * unigram distributions — q96's KL made symmetric and bounded
+    * (JS ∈ [0, ln 2]), the standard "how far apart are two feeds"
+    * number a mixing pipeline tracks (Lin 1991). Per source pair:
+    * JS = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)).
+    *
+    * Engine portability (the q96 recipe, extended): each ln argument is
+    * an exact ratio of long products (2·n_at·n_b over n_at·n_b +
+    * n_bt·n_a), offset-quantized per TERM at 1e4, and each side's
+    * divergence numerator is a sum of longs. Tokens present in only
+    * one source contribute exactly ln 2 per occurrence, so the tail is
+    * CLOSED-FORM — (n_a − Σshared n_at)·⌊ln 2·10⁴⌋ — and the pair join
+    * only ever touches co-occurring tokens. The final js_ppm is one
+    * integer division.
+    *
+    * Scale shape: one (source, token) partial-agged shuffle (shared
+    * with q96's relation), a vocabulary-sized pair join keyed on token
+    * — each token fans out to its |sources-containing-it|² pairs, NOT
+    * to the corpus — and a |pairs|-row reduction. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = TextOps.docsParallel(spark, dir)
+      .select($"source", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val tot = st.groupBy($"source").agg(sum($"n").as("nt"))
+    val ln2q = floor(log(lit(2.0)) * 10000 + lit(1.0 / 3)).cast("long")
+    val shared = st.select($"source".as("src_a"), $"tok", $"n".as("n_at"))
+      .join(st.select($"source".as("src_b"), $"tok", $"n".as("n_bt")), "tok")
+      .where($"src_a" < $"src_b")
+      .join(broadcast(tot.select($"source".as("src_a"), $"nt".as("n_a"))), "src_a")
+      .join(broadcast(tot.select($"source".as("src_b"), $"nt".as("n_b"))), "src_b")
+    def lnq(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * 10000
+        + lit(1.0 / 3)).cast("long")
+    val mix = $"n_at" * $"n_b" + $"n_bt" * $"n_a"
+    val agg = shared.groupBy($"src_a", $"src_b", $"n_a", $"n_b")
+      .agg(sum($"n_at" * lnq(lit(2) * $"n_at" * $"n_b", mix)).as("sh_a_q"),
+        sum($"n_bt" * lnq(lit(2) * $"n_bt" * $"n_a", mix)).as("sh_b_q"),
+        sum($"n_at").as("m_a"), sum($"n_bt").as("m_b"))
+    agg
+      .withColumn("js_a_q", $"sh_a_q" + ($"n_a" - $"m_a") * ln2q)
+      .withColumn("js_b_q", $"sh_b_q" + ($"n_b" - $"m_b") * ln2q)
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"js_a_q", $"js_b_q",
+        expr("((js_a_q * n_b + js_b_q * n_a) * 50) div (n_a * n_b)")
+          .as("js_ppm"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Evaluate, Timeseries}
+import graft.operators.{Dedup, Evaluate, Graph, Similarity, TextAnalysis, Timeseries}
 
 /** Model-level invariants for the round-9 operators (q178-q181) on top
   * of their DuckDB hash gates. */
@@ -98,5 +98,53 @@ class Round9Spec extends SparkSpec {
         assert(math.abs(r.getAs[Long]("r_ppm")) <= 1000000L)
       }
     }
+  }
+
+  test("q182 JS divergence: all source pairs, bounded by ln 2, non-negative sides") {
+    val rows = TextAnalysis.jsDivergence(spark, sfDir).collect()
+    val nSources = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length === (nSources * (nSources - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      // JS in [0, ln 2]: ppm bound 693148, sides non-negative
+      val js = r.getAs[Long]("js_ppm")
+      assert(js >= 0L && js <= 693148L, s"js_ppm $js out of [0, ln2]")
+      assert(r.getAs[Long]("js_a_q") >= 0L)
+      assert(r.getAs[Long]("js_b_q") >= 0L)
+    }
+  }
+
+  test("q183 JL distortion concentrates at 1e6 and projections are exact ints") {
+    val rows = Similarity.jlAudit(spark, sfDir).collect()
+    assert(rows.length === 1225)
+    val d = rows.map(_.getAs[Long]("distortion_ppm"))
+    val mean = d.sum.toDouble / d.length
+    // E[distortion] = 1e6 exactly for +/-1 projections; 16 planes give
+    // sd ~ sqrt(2/16) ~ 0.35, so the 1225-pair mean sits well inside
+    assert(mean > 800000 && mean < 1200000, s"mean distortion $mean")
+    rows.foreach { r => assert(r.getAs[Long]("d2_proj_num") >= 0L) }
+  }
+
+  test("q184 HITS: 10 per role, leader pinned at 1e6 by renormalization") {
+    val rows = Graph.hitsBipartite(spark, sfDir).collect()
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet === Set("authority", "hub"))
+    byRole.foreach { case (_, rs) =>
+      assert(rs.length === 10)
+      val scores = rs.map(_.getAs[Long]("score"))
+      assert(scores.max === 1000000L)
+      scores.foreach(s => assert(s > 0L && s <= 1000000L))
+    }
+  }
+
+  test("q185 DiD cell counts cover the stream and the readout is the mean identity") {
+    val r = Evaluate.diffInDiff(spark, sfDir).head()
+    val total = graft.sources.Tables.events(spark, sfDir).count()
+    assert(r.getAs[Long]("n_a_pre") + r.getAs[Long]("n_a_post")
+      + r.getAs[Long]("n_b_pre") + r.getAs[Long]("n_b_post") === total)
+    assert(r.getAs[Long]("did_ppm") ===
+      (r.getAs[Long]("mean_b_post_ppm") - r.getAs[Long]("mean_b_pre_ppm"))
+        - (r.getAs[Long]("mean_a_post_ppm") - r.getAs[Long]("mean_a_pre_ppm")))
   }
 }
