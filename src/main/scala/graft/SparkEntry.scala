@@ -205,6 +205,9 @@ object SparkEntry {
     "q183_jl_audit"         -> (Similarity.jlAudit _),
     "q184_hits"             -> (Graph.hitsBipartite _),
     "q185_did"              -> (Evaluate.diffInDiff _),
+    "q186_kripp_alpha"      -> (Curation.krippendorffAlpha _),
+    "q187_kcenter"          -> (Similarity.kCenterGreedy _),
+    "q188_strat_ate"        -> (Evaluate.stratifiedAte _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3945,5 +3948,132 @@ object SparkEntry {
          SELECT *, (mean_b_post_ppm - mean_b_pre_ppm)
            - (mean_a_post_ppm - mean_a_pre_ppm) AS did_ppm
          FROM w""",
+    // q186: Krippendorff's alpha over ABSTAINING label functions;
+    // (m-1) | 6 keeps the coincidence mass in exact longs
+    "q186_kripp_alpha" ->
+      """WITH lf AS (SELECT doc_id,
+             CASE WHEN length(text) >= 300 THEN 1
+                  WHEN length(text) < 150 THEN 0 END AS lf_len,
+             CASE WHEN (length(text) - length(regexp_replace(text,
+                 ' the ', '', 'g'))) / 5 >= 3 THEN 1
+               WHEN (length(text) - length(regexp_replace(text,
+                 ' the ', '', 'g'))) / 5 = 0 THEN 0 END AS lf_stop,
+             CASE WHEN (length(text) - length(regexp_replace(text,
+                 '[.!?,;]', '', 'g'))) * 20 >= length(text) THEN 1
+               WHEN (length(text) - length(regexp_replace(text,
+                 '[.!?,;]', '', 'g'))) * 50 <= length(text) THEN 0
+               END AS lf_punct,
+             CASE WHEN (length(text) - length(regexp_replace(text,
+                 '[0-9]', '', 'g'))) * 50 <= length(text) THEN 1
+               WHEN (length(text) - length(regexp_replace(text,
+                 '[0-9]', '', 'g'))) * 10 >= length(text) THEN 0
+               END AS lf_digit
+           FROM documents),
+         per AS (SELECT doc_id,
+             CAST((lf_len IS NOT NULL)::INT + (lf_stop IS NOT NULL)::INT
+               + (lf_punct IS NOT NULL)::INT + (lf_digit IS NOT NULL)::INT
+               AS BIGINT) AS m,
+             CAST(coalesce(lf_len, 0) + coalesce(lf_stop, 0)
+               + coalesce(lf_punct, 0) + coalesce(lf_digit, 0)
+               AS BIGINT) AS n1
+           FROM lf),
+         per2 AS (SELECT doc_id, m, n1, m - n1 AS n0
+                  FROM per WHERE m >= 2),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(m) AS BIGINT) AS n_ratings,
+             CAST(sum(n0) AS BIGINT) AS n0_tot,
+             CAST(sum(n1) AS BIGINT) AS n1_tot,
+             CAST(sum((6 // (m - 1)) * n0 * n1) AS BIGINT) AS o6
+           FROM per2)
+         SELECT n_units, n_ratings, n0_tot, n1_tot, o6,
+           CASE WHEN n0_tot > 0 AND n1_tot > 0
+             THEN 1000000 - (o6 * (n_ratings - 1) * 1000000)
+               // (6 * n0_tot * n1_tot)
+           END AS alpha_ppm
+         FROM agg""",
+    // q187: 5-round Gonzalez k-center unrolled; milli-quantized
+    // squared distances, maximin argmax with vec_id tie-break
+    "q187_kcenter" ->
+      """WITH x AS (SELECT vec_id, i.i AS i,
+             CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000
+               + 1.0/3) AS BIGINT) AS xq
+           FROM embeddings CROSS JOIN range(64) i(i)),
+         d1 AS (SELECT a.vec_id,
+             CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT) AS md
+           FROM x a JOIN x c ON c.vec_id = 0 AND c.i = a.i GROUP BY 1),
+         p2 AS (SELECT vec_id, md FROM d1 WHERE vec_id <> 0
+                ORDER BY md DESC, vec_id LIMIT 1),
+         d2 AS (SELECT a.vec_id, least(CAST(max(d1.md) AS BIGINT),
+             CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT)) AS md
+           FROM x a JOIN x c ON c.vec_id = (SELECT vec_id FROM p2)
+             AND c.i = a.i
+           JOIN d1 ON d1.vec_id = a.vec_id
+           GROUP BY a.vec_id),
+         p3 AS (SELECT vec_id, md FROM d2
+                WHERE vec_id <> 0 AND vec_id <> (SELECT vec_id FROM p2)
+                ORDER BY md DESC, vec_id LIMIT 1),
+         d3 AS (SELECT a.vec_id, least(CAST(max(d2.md) AS BIGINT),
+             CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT)) AS md
+           FROM x a JOIN x c ON c.vec_id = (SELECT vec_id FROM p3)
+             AND c.i = a.i
+           JOIN d2 ON d2.vec_id = a.vec_id
+           GROUP BY a.vec_id),
+         p4 AS (SELECT vec_id, md FROM d3
+                WHERE vec_id <> 0 AND vec_id <> (SELECT vec_id FROM p2)
+                  AND vec_id <> (SELECT vec_id FROM p3)
+                ORDER BY md DESC, vec_id LIMIT 1),
+         d4 AS (SELECT a.vec_id, least(CAST(max(d3.md) AS BIGINT),
+             CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT)) AS md
+           FROM x a JOIN x c ON c.vec_id = (SELECT vec_id FROM p4)
+             AND c.i = a.i
+           JOIN d3 ON d3.vec_id = a.vec_id
+           GROUP BY a.vec_id),
+         p5 AS (SELECT vec_id, md FROM d4
+                WHERE vec_id <> 0 AND vec_id <> (SELECT vec_id FROM p2)
+                  AND vec_id <> (SELECT vec_id FROM p3)
+                  AND vec_id <> (SELECT vec_id FROM p4)
+                ORDER BY md DESC, vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS vec_id,
+           CAST(-1 AS BIGINT) AS radius2_q
+         UNION ALL SELECT CAST(2 AS BIGINT), vec_id, md FROM p2
+         UNION ALL SELECT CAST(3 AS BIGINT), vec_id, md FROM p3
+         UNION ALL SELECT CAST(4 AS BIGINT), vec_id, md FROM p4
+         UNION ALL SELECT CAST(5 AS BIGINT), vec_id, md FROM p5""",
+    // q188: stratified ATE over event_type strata; __all__ row carries
+    // the n_s-weighted treatment effect
+    "q188_strat_ate" ->
+      """WITH cells AS (SELECT event_type,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN user_id % 2 = 0
+               THEN CAST(floor(value * 1000 + 1.0/3) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN user_id % 2 = 1
+               THEN CAST(floor(value * 1000 + 1.0/3) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS s1
+           FROM events GROUP BY 1),
+         strata AS (SELECT event_type AS stratum, n0 + n1 AS n_s,
+             n0, n1, s0, s1,
+             (s0 * 1000) // n0 AS mean0_ppm,
+             (s1 * 1000) // n1 AS mean1_ppm,
+             (s1 * 1000) // n1 - (s0 * 1000) // n0 AS diff_ppm
+           FROM cells WHERE n0 > 0 AND n1 > 0),
+         overall AS (SELECT '__all__' AS stratum,
+             CAST(sum(n_s) AS BIGINT) AS n_s,
+             CAST(sum(n0) AS BIGINT) AS n0, CAST(sum(n1) AS BIGINT) AS n1,
+             (CAST(sum(s0) AS BIGINT) * 1000) // CAST(sum(n0) AS BIGINT)
+               AS mean0_ppm,
+             (CAST(sum(s1) AS BIGINT) * 1000) // CAST(sum(n1) AS BIGINT)
+               AS mean1_ppm,
+             CAST(sum(n_s * diff_ppm) AS BIGINT)
+               // CAST(sum(n_s) AS BIGINT) AS diff_ppm
+           FROM strata)
+         SELECT stratum, n_s, n0, n1, mean0_ppm, mean1_ppm, diff_ppm
+         FROM strata
+         UNION ALL
+         SELECT stratum, n_s, n0, n1, mean0_ppm, mean1_ppm, diff_ppm
+         FROM overall""",
   )
 }

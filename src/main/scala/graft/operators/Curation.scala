@@ -429,4 +429,58 @@ object Curation {
         expr("(coalesce(n_dup_docs, 0) * 1000000) div n_docs")
           .as("dup_ppm"))
   }
+
+  /** Abstaining variants of the q123 labeling functions — each votes
+    * 1/0 only in its confident band and returns null (abstains) in the
+    * middle, the shape real Snorkel-style LFs have. Shared by q186 so
+    * the operator and its oracle can't drift. */
+  private def abstainingLabelFns(text: Column): Seq[(String, Column)] = {
+    val nc = length(text)
+    val punct = nc - length(regexp_replace(text, "[.!?,;]", ""))
+    val digits = nc - length(regexp_replace(text, "[0-9]", ""))
+    val theCount = (nc - length(regexp_replace(text, " the ", ""))) / 5
+    Seq(
+      "lf_len"   -> when(nc >= 300, 1L).when(nc < 150, 0L),
+      "lf_stop"  -> when(theCount >= 3, 1L).when(theCount === 0, 0L),
+      "lf_punct" -> when(punct * 20 >= nc, 1L).when(punct * 50 <= nc, 0L),
+      "lf_digit" -> when(digits * 50 <= nc, 1L).when(digits * 10 >= nc, 0L))
+  }
+
+  /** q186: Krippendorff's alpha over the abstaining LF panel — the
+    * agreement coefficient that HANDLES MISSING RATINGS, which is why
+    * it (and not Cohen q132 / Fleiss q136, both of which require
+    * complete panels) is the right audit once labeling functions
+    * abstain (Krippendorff 2004, nominal data). Binary values; units
+    * with ≥ 2 votes enter the coincidence matrix with weight
+    * 1/(m_u − 1). Everything stays integer: m_u ≤ 4 makes (m_u − 1) a
+    * divisor of 6, so the disagreement mass is accumulated as
+    * o6 = Σ (6 div (m_u−1))·n0_u·n1_u — exact longs — and
+    * alpha_ppm = 10⁶ − o6·(n−1)·10⁶ div (6·n0·n1) is one integer
+    * division (n = total ratings). Long bound: o6·(n−1)·10⁶ needs
+    * n ≲ 10⁸ ratings; beyond that route through decimal(38,0).
+    *
+    * Scale shape: map-only LF evaluation, one partial-agged per-doc
+    * reduction, then a one-row total — the corpus never shuffles. */
+  def krippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lfs = abstainingLabelFns($"text")
+    val perDoc = graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"doc_id" +: lfs.map { case (n, c) => c.as(n) }: _*)
+      .select($"doc_id",
+        lfs.map { case (n, _) =>
+          when(col(n).isNotNull, 1L).otherwise(0L) }.reduce(_ + _).as("m"),
+        lfs.map { case (n, _) => coalesce(col(n), lit(0L)) }
+          .reduce(_ + _).as("n1"))
+      .withColumn("n0", $"m" - $"n1")
+    perDoc.where($"m" >= 2)
+      .agg(count(lit(1)).as("n_units"),
+        sum($"m").as("n_ratings"),
+        sum($"n0").as("n0_tot"),
+        sum($"n1").as("n1_tot"),
+        sum(expr("(6 div (m - 1)) * n0 * n1")).as("o6"))
+      .withColumn("alpha_ppm",
+        when($"n0_tot" > 0 && $"n1_tot" > 0,
+          lit(1000000L) - expr(
+            "(o6 * (n_ratings - 1) * 1000000) div (6 * n0_tot * n1_tot)")))
+  }
 }

@@ -424,4 +424,47 @@ object Evaluate {
         ($"mean_b_post_ppm" - $"mean_b_pre_ppm")
           - ($"mean_a_post_ppm" - $"mean_a_pre_ppm"))
   }
+
+  /** q188: stratified ATE — the third member of the causal-readout
+    * family (q177 CUPED removes pre-period variance, q185 DiD removes
+    * common trends, this removes CONFOUNDING by a categorical
+    * covariate): within each event_type stratum the arm means are
+    * compared directly, and the average treatment effect is the
+    * n_s-weighted mean of the per-stratum differences (standardization
+    * / g-formula over a discrete covariate — the aggregate identity of
+    * inverse-propensity weighting when propensity is stratum-constant).
+    * The final `__all__` row carries the weighted ATE; contrast it with
+    * the naive pooled difference to read off Simpson-style confounding.
+    * All integer: floored ppm cell means, exact weighted sum, one
+    * integer division.
+    *
+    * Scale shape: one scan partial-aggs to |types|×2 cells; everything
+    * after is bounded arithmetic. */
+  def stratifiedAte(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val strata = Tables.events(spark, dir)
+      .select($"event_type", ($"user_id" % 2).as("arm"),
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .groupBy($"event_type")
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"arm" === 0, $"vq").otherwise(0L)).as("s0"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"arm" === 1, $"vq").otherwise(0L)).as("s1"))
+      .where($"n0" > 0 && $"n1" > 0)
+      .withColumn("n_s", $"n0" + $"n1")
+      .withColumn("mean0_ppm", expr("(s0 * 1000) div n0"))
+      .withColumn("mean1_ppm", expr("(s1 * 1000) div n1"))
+      .withColumn("diff_ppm", $"mean1_ppm" - $"mean0_ppm")
+    val overall = strata.agg(
+        sum($"n0").as("n0"), sum($"s0").as("s0"),
+        sum($"n1").as("n1"), sum($"s1").as("s1"),
+        sum($"n_s" * $"diff_ppm").as("wsum"), sum($"n_s").as("n_s"))
+      .select(lit("__all__").as("stratum"), $"n_s", $"n0", $"n1",
+        expr("(s0 * 1000) div n0").as("mean0_ppm"),
+        expr("(s1 * 1000) div n1").as("mean1_ppm"),
+        expr("wsum div n_s").as("diff_ppm"))
+    strata.select($"event_type".as("stratum"), $"n_s", $"n0", $"n1",
+        $"mean0_ppm", $"mean1_ppm", $"diff_ppm")
+      .unionByName(overall)
+  }
 }

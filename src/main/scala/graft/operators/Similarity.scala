@@ -530,4 +530,53 @@ object Similarity {
         expr("(d2_proj_num * 1000000) div (16 * d2_orig_q)")
           .as("distortion_ppm"))
   }
+
+  /** q187: k-center greedy (Gonzalez 1985) coreset selection — the
+    * maximin farthest-point heuristic behind diversity-driven data
+    * selection (2-approximation to the optimal k-center cover; the
+    * geometric counterpart to q175's MMR, which trades relevance
+    * against redundancy rather than covering the space). Five centers:
+    * c₁ = vec_id 0 (fixed seed), then cⱼ₊₁ = argmax over v of
+    * min distance to the chosen set, squared distances on the
+    * milli-quantized grid so every step is exact long arithmetic; ties
+    * break to the smallest vec_id. Output: each pick with the maximin
+    * radius² at selection time — a non-increasing sequence (asserted
+    * in Round9Spec), which IS the coverage-radius curve a curation
+    * pipeline reads to choose k.
+    *
+    * Scale shape: k passes over the corpus, each one broadcast-join
+    * against the single new center + a running column-wise least() —
+    * no pairwise materialization ever; the only driver-side value per
+    * round is the argmax row (the q62 loop discipline). At 100 TB
+    * this is exactly k linear scans, the textbook distributed
+    * k-center. */
+  def kCenterGreedy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "xv")))
+      .select($"vec_id", $"i",
+        floor($"xv".cast("double") * 1000 + lit(1.0 / 3)).cast("long").as("xq"))
+      .localCheckpoint(false)
+    def d2To(center: Long): DataFrame =
+      x.join(broadcast(x.where($"vec_id" === center)
+          .select($"i", $"xq".as("cq"))), "i")
+        .groupBy($"vec_id")
+        .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("d2"))
+    var chosen = Vector(0L)
+    var minD = d2To(0L).withColumnRenamed("d2", "min_d2")
+      .localCheckpoint(false)
+    var picks = Vector((1L, 0L, -1L)) // (pick, vec_id, radius sentinel)
+    for (j <- 2 to 5) {
+      val far = minD.where(!$"vec_id".isin(chosen: _*))
+        .orderBy($"min_d2".desc, $"vec_id".asc).limit(1).head()
+      val c = far.getAs[Long]("vec_id")
+      picks :+= ((j, c, far.getAs[Long]("min_d2")))
+      chosen :+= c
+      if (j < 5)
+        minD = minD.join(d2To(c).withColumnRenamed("d2", "d2_new"), "vec_id")
+          .select($"vec_id", least($"min_d2", $"d2_new").as("min_d2"))
+          .localCheckpoint(false)
+    }
+    picks.toDF("pick", "vec_id", "radius2_q")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Evaluate, Graph, Similarity, TextAnalysis, Timeseries}
+import graft.operators.{Curation, Dedup, Evaluate, Graph, Similarity, TextAnalysis, Timeseries}
 
 /** Model-level invariants for the round-9 operators (q178-q181) on top
   * of their DuckDB hash gates. */
@@ -146,5 +146,39 @@ class Round9Spec extends SparkSpec {
     assert(r.getAs[Long]("did_ppm") ===
       (r.getAs[Long]("mean_b_post_ppm") - r.getAs[Long]("mean_b_pre_ppm"))
         - (r.getAs[Long]("mean_a_post_ppm") - r.getAs[Long]("mean_a_pre_ppm")))
+  }
+
+  test("q186 alpha is bounded, abstention is real, and units need >= 2 votes") {
+    val r = Curation.krippendorffAlpha(spark, sfDir).head()
+    // abstention must actually fire: fewer ratings than 4 * units
+    assert(r.getAs[Long]("n_ratings") < 4L * r.getAs[Long]("n_units"))
+    assert(r.getAs[Long]("n_ratings") >= 2L * r.getAs[Long]("n_units"))
+    assert(r.getAs[Long]("n0_tot") + r.getAs[Long]("n1_tot")
+      === r.getAs[Long]("n_ratings"))
+    // nominal alpha is at most 1 (perfect agreement -> o6 = 0)
+    assert(r.getAs[Long]("alpha_ppm") <= 1000000L)
+  }
+
+  test("q187 maximin radii are positive and non-increasing; picks distinct") {
+    val rows = Similarity.kCenterGreedy(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("pick"))
+    assert(rows.map(_.getAs[Long]("pick")).toSeq === (1L to 5L).toSeq)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 5)
+    val radii = rows.drop(1).map(_.getAs[Long]("radius2_q"))
+    radii.foreach(r => assert(r > 0L))
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"radius grew: $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("q188 the __all__ row is the exact n_s-weighted mean of stratum diffs") {
+    val rows = Evaluate.stratifiedAte(spark, sfDir).collect()
+    val (all, strata) = rows.partition(_.getAs[String]("stratum") == "__all__")
+    assert(all.length === 1 && strata.nonEmpty)
+    val wsum = strata.map(r => r.getAs[Long]("n_s") * r.getAs[Long]("diff_ppm")).sum
+    val n = strata.map(_.getAs[Long]("n_s")).sum
+    assert(all.head.getAs[Long]("diff_ppm") === wsum / n)
+    assert(all.head.getAs[Long]("n_s") === n)
   }
 }
