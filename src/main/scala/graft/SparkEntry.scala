@@ -208,6 +208,9 @@ object SparkEntry {
     "q186_kripp_alpha"      -> (Curation.krippendorffAlpha _),
     "q187_kcenter"          -> (Similarity.kCenterGreedy _),
     "q188_strat_ate"        -> (Evaluate.stratifiedAte _),
+    "q189_perm_test"        -> (Evaluate.permTest _),
+    "q190_split_leakage"    -> (Dedup.splitLeakage _),
+    "q191_mann_whitney"     -> (Evaluate.mannWhitney _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4075,5 +4078,99 @@ object SparkEntry {
          UNION ALL
          SELECT stratum, n_s, n0, n1, mean0_ppm, mean1_ppm, diff_ppm
          FROM overall""",
+    // q189: 100-rep permutation test on per-user counts; md5-derived
+    // re-randomization, floored ppm diffs, add-one p in milli
+    "q189_perm_test" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y,
+             CAST(user_id % 2 AS BIGINT) AS arm
+           FROM events GROUP BY 1),
+         obs AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST((sum(CASE WHEN arm = 1 THEN y ELSE 0 END) * 1000000)
+               // sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             - (sum(CASE WHEN arm = 0 THEN y ELSE 0 END) * 1000000)
+               // sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS diff_obs_ppm
+           FROM u),
+         reps AS (SELECT s.b,
+             CAST((sum(CASE WHEN parm = 1 THEN y ELSE 0 END) * 1000000)
+               // sum(CASE WHEN parm = 1 THEN 1 ELSE 0 END)
+             - (sum(CASE WHEN parm = 0 THEN y ELSE 0 END) * 1000000)
+               // sum(CASE WHEN parm = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS diff_ppm
+           FROM (SELECT u.user_id, u.y, b.b,
+               CAST('0x' || substr(md5('perm' || CAST(b.b AS VARCHAR)
+                 || ':' || CAST(u.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % 2 AS parm
+             FROM u CROSS JOIN range(100) b(b)) s
+           GROUP BY s.b)
+         SELECT max(o.n_users) AS n_users,
+           max(o.diff_obs_ppm) AS diff_obs_ppm,
+           CAST(count(*) AS BIGINT) AS n_reps,
+           CAST(sum(CASE WHEN abs(r.diff_ppm) >= abs(o.diff_obs_ppm)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           ((CAST(sum(CASE WHEN abs(r.diff_ppm) >= abs(o.diff_obs_ppm)
+             THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000)
+             // (CAST(count(*) AS BIGINT) + 1) AS p_milli
+         FROM reps r CROSS JOIN obs o""",
+    // q190: split-leakage audit — q48's exact split, per-test-doc
+    // fraction of shingles present anywhere in train; >= 50% reported
+    "q190_split_leakage" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                 1, 8) AS BIGINT) / 4294967296.0 AS u
+             FROM documents)),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (SELECT DISTINCT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         trainsh AS (SELECT DISTINCT shingle
+           FROM sh JOIN s USING (doc_id) WHERE s.split = 'train'),
+         test AS (SELECT sh.doc_id, sh.shingle
+           FROM sh JOIN s USING (doc_id) WHERE s.split = 'test'),
+         per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+             CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_shared
+           FROM test t LEFT JOIN trainsh tr ON tr.shingle = t.shingle
+           GROUP BY 1)
+         SELECT doc_id, n_sh, n_shared,
+           (n_shared * 1000000) // n_sh AS overlap_ppm
+         FROM per WHERE (n_shared * 1000000) // n_sh >= 500000""",
+    // q191: tie-corrected Mann-Whitney U from the (type, vq, arm)
+    // count grid; 2U exact longs, z at milli
+    "q191_mann_whitney" ->
+      """WITH g AS (SELECT event_type,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, vq, c0, c1,
+             CAST(coalesce(sum(c0) OVER (PARTITION BY event_type
+               ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+           FROM g),
+         m AS (SELECT event_type,
+             CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c1 * (2 * cum0 + c0)) AS BIGINT) AS u2,
+             CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1))
+               AS BIGINT) AS tie3
+           FROM c GROUP BY 1),
+         v AS (SELECT *, n0 + n1 AS n,
+             CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               * (CAST(n0 + n1 + 1 AS DOUBLE)
+                 - CAST(tie3 AS DOUBLE) / (CAST(n0 + n1 AS DOUBLE)
+                   * CAST(n0 + n1 - 1 AS DOUBLE))) / 3.0 AS var4
+           FROM m WHERE n0 > 0 AND n1 > 0)
+         SELECT event_type, n0, n1, u2, tie3,
+           CAST(floor(CAST(u2 - n0 * n1 AS DOUBLE) / sqrt(var4) * 1000
+             + 1.0/3) AS BIGINT) AS z_milli
+         FROM v WHERE var4 > 0""",
   )
 }

@@ -736,4 +736,38 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"k".as("gap"), $"n_shared", $"jac_ppm")
   }
+
+  /** q190: train/test split-leakage audit — after a document-level hash
+    * split (the exact q48 assignment, same salt), which TEST documents
+    * share most of their content with SOME train document? A doc-level
+    * split leaks whenever near-duplicate families straddle the
+    * boundary, silently inflating eval scores; this measures that
+    * directly: per test doc, the fraction of its distinct 3-gram
+    * shingles that appear anywhere in the train split, reporting docs
+    * with ≥ 50% overlap. (The q58 contamination shape, turned inward
+    * on the pipeline's own split — the audit that motivates
+    * cluster-aware splitting.)
+    *
+    * Scale shape: linear posting-list work only — shingles + split tag
+    * in one scan, the train shingle set is a |train-vocab|-row
+    * distinct, the test side probes it with an equality join; no doc
+    * pair is ever formed. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = Sampling.hashSplit(Tables.documents(spark, dir),
+        "doc_id", "split",
+        Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+      .select($"doc_id", $"split")
+    val sh = TextOps.shingled(spark, dir, 3).join(split, "doc_id")
+    val trainSh = sh.where($"split" === "train")
+      .select($"shingle").distinct().withColumn("__hit", lit(1L))
+    sh.where($"split" === "test")
+      .join(trainSh, Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce($"__hit", lit(0L))).as("n_shared"))
+      .withColumn("overlap_ppm", expr("(n_shared * 1000000) div n_sh"))
+      .where($"overlap_ppm" >= 500000L)
+      .select($"doc_id", $"n_sh", $"n_shared", $"overlap_ppm")
+  }
 }

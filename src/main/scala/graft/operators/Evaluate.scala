@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -466,5 +466,95 @@ object Evaluate {
     strata.select($"event_type".as("stratum"), $"n_s", $"n0", $"n1",
         $"mean0_ppm", $"mean1_ppm", $"diff_ppm")
       .unionByName(overall)
+  }
+
+  /** q189: permutation test for the arm difference in per-user event
+    * counts — the nonparametric significance readout that assumes
+    * nothing about the metric's distribution (Fisher 1935): re-randomize
+    * the arm label 100 times and count how often the permuted |mean
+    * difference| reaches the observed one. Permutations are
+    * content-hash-derived (md5 of user × replicate — the q163 bootstrap
+    * discipline), so both engines draw the SAME 100 assignments;
+    * every per-rep difference is a floored ppm of exact sums, making
+    * the extreme-count an integer both engines agree on. p is the
+    * add-one estimate (n_extreme+1)/(B+1) in milli.
+    *
+    * Scale shape: the stream reduces to the per-user relation once;
+    * the 100-fold explode is over THAT bounded relation and partial-
+    * aggs straight back to 100 rows. */
+  def permTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("y"))
+      .withColumn("arm", ($"user_id" % 2).cast("long"))
+    // floored ppm mean difference of exact sums over a `parm` column
+    def diffPpm: Column =
+      expr("(sum(case when parm = 1 then y else 0 end) * 1000000) div " +
+        "sum(case when parm = 1 then 1 else 0 end)") -
+      expr("(sum(case when parm = 0 then y else 0 end) * 1000000) div " +
+        "sum(case when parm = 0 then 1 else 0 end)")
+    val obs = users.withColumn("parm", $"arm")
+      .agg(diffPpm.as("diff_obs_ppm"), count(lit(1)).as("n_users"))
+    val reps = users
+      .select($"user_id", $"y",
+        explode(sequence(lit(0), lit(99))).as("b"))
+      .withColumn("parm",
+        Sampling.hash32Col(concat(lit("perm"), $"b".cast("string")),
+          $"user_id") % 2)
+      .groupBy($"b")
+      .agg(diffPpm.as("diff_ppm"))
+    reps.crossJoin(broadcast(obs))
+      .agg(max($"n_users").as("n_users"),
+        max($"diff_obs_ppm").as("diff_obs_ppm"),
+        count(lit(1)).as("n_reps"),
+        sum(when(abs($"diff_ppm") >= abs($"diff_obs_ppm"), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .withColumn("p_milli",
+        expr("((n_extreme + 1) * 1000) div (n_reps + 1)"))
+  }
+
+  /** q191: Mann–Whitney U between the arms' value distributions, per
+    * event_type — the rank-sum significance test that pairs with q179's
+    * KS (KS asks "any distributional difference", U asks "is one arm
+    * stochastically larger"). Computed WITHOUT ranking any row: on the
+    * quantized value grid, 2U = Σ_v c1(v)·(2·cum0(v⁻) + c0(v)) — exact
+    * longs off the same (type, vq, arm) counts relation the KS uses.
+    * The z-score uses the tie-corrected variance
+    * var = n0·n1/12·((n+1) − Σ(t³−t)/(n(n−1))); factors are exact longs
+    * cast once to double, z quantized at milli with the +1/3 offset.
+    *
+    * Scale shape: one scan → vocab-bounded (type, vq) counts; CDFs and
+    * tie sums are windows over that bounded grid. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.events(spark, dir)
+      .select($"event_type",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"),
+        ($"user_id" % 2 === 1).as("treat"))
+      .groupBy($"event_type", $"vq")
+      .agg(sum(when(!$"treat", 1L).otherwise(0L)).as("c0"),
+        sum(when($"treat", 1L).otherwise(0L)).as("c1"))
+    val wCdf = Window.partitionBy($"event_type").orderBy($"vq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = g
+      .withColumn("cum0", coalesce(sum($"c0").over(wCdf), lit(0L)))
+      .groupBy($"event_type")
+      .agg(sum($"c0").as("n0"), sum($"c1").as("n1"),
+        sum($"c1" * (lit(2) * $"cum0" + $"c0")).as("u2"),
+        sum(($"c0" + $"c1") * ($"c0" + $"c1") * ($"c0" + $"c1")
+          - ($"c0" + $"c1")).as("tie3"))
+      .where($"n0" > 0 && $"n1" > 0)
+      .withColumn("n", $"n0" + $"n1")
+    m.withColumn("var4",
+        $"n0".cast("double") * $"n1".cast("double")
+          * (($"n" + 1).cast("double")
+            - $"tie3".cast("double")
+              / ($"n".cast("double") * ($"n" - 1).cast("double")))
+          / lit(3.0))
+      .where($"var4" > 0)
+      .withColumn("z_milli", floor(
+        ($"u2" - $"n0" * $"n1").cast("double") / sqrt($"var4") * 1000
+          + lit(1.0 / 3)).cast("long"))
+      .select($"event_type", $"n0", $"n1", $"u2", $"tie3", $"z_milli")
   }
 }

@@ -181,4 +181,31 @@ class Round9Spec extends SparkSpec {
     assert(all.head.getAs[Long]("diff_ppm") === wsum / n)
     assert(all.head.getAs[Long]("n_s") === n)
   }
+
+  test("q189 permutation p honors the add-one identity and rep count") {
+    val r = Evaluate.permTest(spark, sfDir).head()
+    assert(r.getAs[Long]("n_reps") === 100L)
+    val ex = r.getAs[Long]("n_extreme")
+    assert(ex >= 0L && ex <= 100L)
+    assert(r.getAs[Long]("p_milli") === (ex + 1) * 1000 / 101)
+  }
+
+  test("q190 leaky docs all cross the 50% line and never exceed their own shingles") {
+    val rows = Dedup.splitLeakage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overlap_ppm") >= 500000L)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_sh"))
+    }
+  }
+
+  test("q191 U stays inside [0, 2*n0*n1] and ties are non-negative") {
+    val rows = Evaluate.mannWhitney(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u2 = r.getAs[Long]("u2")
+      assert(u2 >= 0L && u2 <= 2L * r.getAs[Long]("n0") * r.getAs[Long]("n1"))
+      assert(r.getAs[Long]("tie3") >= 0L)
+    }
+  }
 }
