@@ -211,6 +211,9 @@ object SparkEntry {
     "q189_perm_test"        -> (Evaluate.permTest _),
     "q190_split_leakage"    -> (Dedup.splitLeakage _),
     "q191_mann_whitney"     -> (Evaluate.mannWhitney _),
+    "q192_decile_lift"      -> (Evaluate.decileLift _),
+    "q193_pit_features"     -> (Relational.pitFeatures _),
+    "q194_neg_sampling"     -> (Sampling.negativeSampling _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4172,5 +4175,77 @@ object SparkEntry {
            CAST(floor(CAST(u2 - n0 * n1 AS DOUBLE) / sqrt(var4) * 1000
              + 1.0/3) AS BIGINT) AS z_milli
          FROM v WHERE var4 > 0""",
+    // q192: value-group deciles of the length ranker, cumulative
+    // capture + integer lift vs base rate
+    "q192_decile_lift" ->
+      """WITH g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS rel
+           FROM documents GROUP BY 1),
+         a AS (SELECT *,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_gt,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n_tot,
+             CAST(sum(rel) OVER () AS BIGINT) AS r_tot
+           FROM g),
+         d AS (SELECT (cum_gt * 10) // n_tot + 1 AS decile,
+             CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(max(n_tot) AS BIGINT) AS n_tot,
+             CAST(max(r_tot) AS BIGINT) AS r_tot
+           FROM a GROUP BY 1),
+         c AS (SELECT *,
+             CAST(sum(n_docs) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+             CAST(sum(n_rel) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rel
+           FROM d)
+         SELECT decile, n_docs, n_rel, cum_docs, cum_rel,
+           (cum_rel * n_tot * 1000000) // (cum_docs * r_tot) AS lift_ppm
+         FROM c WHERE r_tot > 0""",
+    // q193: leakage-free point-in-time features — trailing-7d features
+    // and forward-7d label resolved in one conditional aggregation
+    "q193_pit_features" ->
+      """WITH c(cutoff_ms) AS (VALUES (1704931200000), (1705363200000),
+           (1705795200000), (1706227200000)),
+         e AS (SELECT user_id, epoch_ms(ts) AS tms, event_type
+               FROM events),
+         j AS (SELECT c.cutoff_ms, e.user_id, e.tms, e.event_type,
+             e.tms < c.cutoff_ms AS is_trail
+           FROM e CROSS JOIN c
+           WHERE e.tms >= c.cutoff_ms - 604800000
+             AND e.tms < c.cutoff_ms + 604800000)
+         SELECT CAST(cutoff_ms AS BIGINT) AS cutoff_ms, user_id,
+           CAST(sum(CASE WHEN is_trail THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_7d,
+           CAST(sum(CASE WHEN is_trail AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_7d,
+           CAST(count(DISTINCT CASE WHEN is_trail THEN event_type END)
+             AS BIGINT) AS n_types_7d,
+           CAST(max(CASE WHEN NOT is_trail THEN 1 ELSE 0 END) AS BIGINT)
+             AS label_next_7d
+         FROM j GROUP BY 1, 2""",
+    // q194: hash-deterministic negative sampling — 2 never-bought
+    // suppliers per customer in md5 draw order
+    "q194_neg_sampling" ->
+      """WITH inter AS (SELECT DISTINCT o.o_custkey AS custkey,
+             l.l_suppkey AS suppkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         pos AS (SELECT custkey, CAST(count(*) AS BIGINT) AS n_pos
+                 FROM inter GROUP BY 1),
+         cand AS (SELECT p.custkey, p.n_pos, s.s_suppkey AS suppkey,
+             CAST('0x' || substr(md5('neg:' || CAST(p.custkey AS VARCHAR)
+               || ':' || CAST(s.s_suppkey AS VARCHAR)), 1, 8) AS BIGINT)
+               AS draw
+           FROM pos p CROSS JOIN supplier s
+           WHERE NOT EXISTS (SELECT 1 FROM inter i
+             WHERE i.custkey = p.custkey
+               AND i.suppkey = s.s_suppkey)),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY custkey
+               ORDER BY draw, suppkey) AS BIGINT) AS rk
+             FROM cand)
+         SELECT custkey, n_pos, suppkey AS neg_suppkey, rk, draw
+         FROM r WHERE rk <= 2""",
   )
 }

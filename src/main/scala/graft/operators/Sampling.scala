@@ -305,4 +305,43 @@ object Sampling {
       .select($"source", $"n_docs", $"base",
         ($"base" + when($"rk" <= $"k", 1L).otherwise(0L)).as("alloc"))
   }
+
+  /** q194: deterministic negative sampling — the contrastive-training
+    * data generator over the customer→supplier purchase graph: for
+    * each customer, suppliers they have NEVER bought from are
+    * candidate negatives; two are drawn per customer by content-hash
+    * order (md5 of cust:supp — the house derandomized draw), so
+    * resharding or re-running never changes the training set. Output
+    * carries the customer's positive count and the draw value for
+    * auditability.
+    *
+    * Scale shape: interactions dedup to the (cust, supp) relation
+    * (partial-agged); candidates are a broadcast cross with the
+    * supplier catalog minus interactions via LEFT ANTI join
+    * (co-partitioned on cust); the per-customer top-2 is a rank-window
+    * cut inside the same partitioning. At a 10⁶⁺-item catalog the
+    * candidate cross is replaced by hash-bucketed proposal + the same
+    * anti-join (draw s candidates ≫ k, reject interactions) — the
+    * per-user work stays O(s), never O(catalog). */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inter = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
+      .distinct()
+    val catalog = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("suppkey"))
+    val posCnt = inter.groupBy($"custkey").agg(count(lit(1)).as("n_pos"))
+    val cand = posCnt.select($"custkey", $"n_pos")
+      .crossJoin(broadcast(catalog))
+      .join(inter, Seq("custkey", "suppkey"), "left_anti")
+      .withColumn("draw", hash32("neg",
+        concat($"custkey".cast("string"), lit(":"),
+          $"suppkey".cast("string"))))
+    val w = Window.partitionBy($"custkey").orderBy($"draw".asc, $"suppkey".asc)
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 2)
+      .select($"custkey", $"n_pos", $"suppkey".as("neg_suppkey"),
+        $"rk", $"draw")
+  }
 }

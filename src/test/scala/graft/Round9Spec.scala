@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Evaluate, Graph, Similarity, TextAnalysis, Timeseries}
+import graft.operators.{Curation, Dedup, Evaluate, Graph, Relational, Sampling, Similarity, TextAnalysis, Timeseries}
 
 /** Model-level invariants for the round-9 operators (q178-q181) on top
   * of their DuckDB hash gates. */
@@ -207,5 +207,57 @@ class Round9Spec extends SparkSpec {
       assert(u2 >= 0L && u2 <= 2L * r.getAs[Long]("n0") * r.getAs[Long]("n1"))
       assert(r.getAs[Long]("tie3") >= 0L)
     }
+  }
+
+  test("q192 gains curve covers the corpus and ends at lift exactly 1e6") {
+    val rows = Evaluate.decileLift(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty)
+    val last = rows.last
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(last.getAs[Long]("cum_docs") === total)
+    // full-corpus cumulative lift is the base rate over itself
+    assert(last.getAs[Long]("lift_ppm") === 1000000L)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_docs") < b.getAs[Long]("cum_docs"))
+      case _ =>
+    }
+  }
+
+  test("q193 features never leak the label window") {
+    import spark.implicits._
+    val rows = Relational.pitFeatures(spark, sfDir)
+    // independent recomputation of the label from the raw stream
+    val day = 86400000L
+    val cutoffs = Seq(1704931200000L, 1705363200000L,
+      1705795200000L, 1706227200000L).toDF("cutoff_ms")
+    val labels = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", unix_millis($"ts").as("tms"))
+      .crossJoin(cutoffs)
+      .where($"tms" >= $"cutoff_ms" && $"tms" < $"cutoff_ms" + 7 * day)
+      .select($"cutoff_ms", $"user_id").distinct()
+      .withColumn("expect", lit(1L))
+    val joined = rows.join(labels, Seq("cutoff_ms", "user_id"), "left")
+    assert(joined.where($"label_next_7d" =!= coalesce($"expect", lit(0L)))
+      .count() === 0L)
+    // trailing features bounded by the window: n_purchase <= n_7d
+    assert(rows.where($"n_purchase_7d" > $"n_7d").count() === 0L)
+  }
+
+  test("q194 negatives are never positives and draws are reproducible") {
+    import spark.implicits._
+    val rows = Sampling.negativeSampling(spark, sfDir)
+    val inter = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.orders(spark, sfDir),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("custkey"), $"l_suppkey".as("neg_suppkey"))
+      .distinct()
+    assert(rows.join(inter, Seq("custkey", "neg_suppkey")).count() === 0L)
+    val perUser = rows.groupBy($"custkey").count()
+    assert(perUser.where($"count" > 2).count() === 0L)
+    // determinism: two evaluations agree exactly
+    val again = Sampling.negativeSampling(spark, sfDir)
+    assert(rows.exceptAll(again).count() === 0L)
   }
 }
