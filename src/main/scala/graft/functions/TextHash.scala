@@ -385,6 +385,39 @@ object TextHash {
     override def prettyName: String = "graft_fingerprint"
   }
 
+  /** First 4 md5 digest bytes of a UTF-8 string as an unsigned long —
+    * numerically identical to `CAST('0x' || substr(md5(s), 1, 8) AS
+    * BIGINT)` (DuckDB) and `conv(substring(md5(s), 1, 8), 16, 10)`
+    * (Spark built-ins), but one digest pass and three shifts instead of
+    * a hex round-trip plus a per-row BigInteger parse: the conv chain
+    * measured ~16 µs/row hashing q194's 15M candidates; this is the
+    * hot path behind every hash32 draw in Sampling. */
+  def md5int32(s: UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  case class Md5Int32Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_md5_int32 needs STRING input, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      md5int32(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(newChild: Expression): Md5Int32Expr =
+      copy(child = newChild)
+    override def prettyName: String = "graft_md5_int32"
+  }
+
+  def md5Int32(s: Column): Column =
+    ColumnBridge.column(Md5Int32Expr(ColumnBridge.expression(s)))
+
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), n))
 

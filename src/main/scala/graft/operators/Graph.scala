@@ -377,32 +377,54 @@ object Graph {
     * and top-10 hubs with scores.
     *
     * Scale shape: the corpus-sized work is one distinct projection of
-    * lineitem⋈orders; the edge relation is localCheckpointed once and
-    * pre-partitioned on the alternating join keys; each half-round is
-    * one co-partitioned hash join + partial-agged sum + a one-row max
-    * broadcast. Magnitudes: score ≤ 10⁶·max-degree, so the ·10⁶
-    * renorm product stays in long up to ~10⁶-degree nodes; beyond
+    * lineitem⋈orders; the loop then runs in the q62/q103 discipline —
+    * AQE-off cloned session at loop width, the edge relation
+    * checkpointed TWICE (pre-partitioned on each alternating join
+    * key), and each half-round's raw sums localCheckpointed BEFORE the
+    * max broadcast (the sums feed both the max and the renorm — an
+    * unmaterialized plan would evaluate twice per half-round and the
+    * lineage would grow geometrically across rounds: measured 11.4 s →
+    * 1.8 s warm at sf0.1). Magnitudes: score ≤ 10⁶·max-degree, so the
+    * ·10⁶ renorm product stays in long up to ~10⁶-degree nodes; beyond
     * that, route the renorm through decimal(38,0). Top-k is
     * TakeOrderedAndProject, never a global sort. */
   def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
-        $"l_orderkey" === $"o_orderkey")
+    hitsOn(Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
-      .distinct()
+      .distinct())
+  }
+
+  private[graft] def hitsOn(pairs0: DataFrame): DataFrame = {
+    val caller = pairs0.sparkSession
+    val spark = caller.newSession()
+    import spark.implicits._
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    val loopParts = spark.conf.getOption("spark.graft.cc.partitions")
+      .map(_.toInt)
+      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val pairs = rebind(pairs0, spark)
+    val edgesByCust = pairs.repartition(loopParts, $"cust")
       .localCheckpoint(false)
-    var hub = edges.select($"cust").distinct()
+    val edgesBySupp = pairs.repartition(loopParts, $"supp")
+      .localCheckpoint(false)
+    var hub = edgesByCust.select($"cust").distinct()
       .select($"cust", lit(1000000L).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to 3) {
-      val a = edges.join(hub, "cust")
+      val a = edgesByCust.join(hub, "cust")
         .groupBy($"supp").agg(sum($"h").as("a"))
+        .localCheckpoint(false)
       val amax = a.agg(max($"a").as("amax"))
       auth = a.crossJoin(broadcast(amax))
         .select($"supp", expr("(a * 1000000) div amax").as("a"))
-      val h = edges.join(auth, "supp")
+      val h = edgesBySupp.join(auth, "supp")
         .groupBy($"cust").agg(sum($"a").as("h"))
+        .localCheckpoint(false)
       val hmax = h.agg(max($"h").as("hmax"))
       hub = h.crossJoin(broadcast(hmax))
         .select($"cust", expr("(h * 1000000) div hmax").as("h"))
@@ -413,6 +435,6 @@ object Graph {
     val topHub = hub.orderBy($"h".desc, $"cust".asc).limit(10)
       .select(lit("hub").as("role"), $"cust".as("node_id"),
         $"h".as("score"))
-    topAuth.unionByName(topHub)
+    rebind(topAuth.unionByName(topHub), caller)
   }
 }

@@ -408,4 +408,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan) // max/sum partial aggs only
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("q178 SNM: segment offsets broadcast, no cartesian, candidates equi-join") {
+    val plan = finalPlan(graft.operators.Dedup.sortedNeighborhood(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan) // offs onto ranked
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q193 PIT features: one aggregation shuffle, cutoffs broadcast") {
+    val plan = finalPlan(Relational.pitFeatures(spark, sfDir))
+    // allowed exchanges: the countDistinct two-phase pair on
+    // (cutoff, user[, type]) — both partial-agged, both bounded by
+    // groups x |types|; the 4-cutoff explode must be a broadcast
+    // nested loop, never a shuffle of the stream
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q194 negative sampling: catalog broadcast, anti-join stays hash") {
+    val plan = finalPlan(Sampling.negativeSampling(spark, sfDir))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q191 Mann-Whitney: the stream reduces before any window") {
+    val plan = finalPlan(graft.operators.Evaluate.mannWhitney(spark, sfDir))
+    // grid aggregation must partial-agg map-side; the CDF window then
+    // runs over the bounded (type, vq) relation, never raw events
+    assert(plan.contains("partial_sum"), plan)
+    // the CDF window must sit ABOVE the (type, vq) grid aggregation:
+    // its input is the bounded grid, not raw events
+    val lines = plan.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window [sum"))
+    val gridAggIdx = lines.indexWhere(l =>
+      l.contains("partial_sum(CASE WHEN"))
+    assert(winIdx >= 0 && gridAggIdx > winIdx, plan)
+  }
 }
