@@ -214,6 +214,9 @@ object SparkEntry {
     "q192_decile_lift"      -> (Evaluate.decileLift _),
     "q193_pit_features"     -> (Relational.pitFeatures _),
     "q194_neg_sampling"     -> (Sampling.negativeSampling _),
+    "q195_wilson_bound"     -> (Evaluate.wilsonBound _),
+    "q196_mrr_eval"         -> (Evaluate.mrrEval _),
+    "q197_rfm_segments"     -> (Relational.rfmSegments _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4247,5 +4250,97 @@ object SparkEntry {
              FROM cand)
          SELECT custkey, n_pos, suppkey AS neg_suppkey, rk, draw
          FROM r WHERE rk <= 2""",
+    // q195: Wilson lower bound at z=1.96; identical float expression
+    // order in both engines, ppm-quantized with the +1/3 offset
+    "q195_wilson_bound" ->
+      """WITH g AS (SELECT l_suppkey AS suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+           FROM lineitem GROUP BY 1)
+         SELECT suppkey, n, s, (s * 1000000) // n AS rate_ppm,
+           CAST(floor(
+             ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+              - 1.96 * sqrt(
+                  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+             * 1000000 + 1.0/3) AS BIGINT) AS wilson_ppm
+         FROM g""",
+    // q196: held-out MRR@10 of the popularity recommender with the
+    // user-filtered-rank protocol; reciprocals as 1e6 div rank
+    "q196_mrr_eval" ->
+      """WITH inter AS (SELECT DISTINCT o.o_custkey AS custkey,
+             l.l_suppkey AS suppkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         tag AS (SELECT custkey, suppkey,
+             (CAST('0x' || substr(md5('mrr:' || CAST(custkey AS VARCHAR)
+               || ':' || CAST(suppkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 5) = 0 AS held
+           FROM inter),
+         train AS (SELECT custkey, suppkey FROM tag WHERE NOT held),
+         pop AS (SELECT suppkey, CAST(count(*) AS BIGINT) AS pop
+                 FROM train GROUP BY 1),
+         ranked AS (SELECT suppkey, CAST(row_number() OVER (
+               ORDER BY pop DESC, suppkey) AS BIGINT) AS r
+             FROM pop),
+         heldp AS (SELECT t.custkey, t.suppkey, rk.r
+           FROM tag t JOIN ranked rk USING (suppkey) WHERE t.held),
+         fr AS (SELECT h.custkey, h.suppkey, h.r,
+             h.r - CAST(sum(CASE WHEN tr.rt IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS rank_f
+           FROM heldp h LEFT JOIN (SELECT t.custkey, r2.r AS rt
+               FROM train t JOIN ranked r2 USING (suppkey)) tr
+             ON tr.custkey = h.custkey AND tr.rt < h.r
+           GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_heldout,
+           CAST(sum(CASE WHEN rank_f <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hit10,
+           (CAST(sum(CASE WHEN rank_f <= 10 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+             AS hit10_ppm,
+           CAST(sum(1000000 // rank_f) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS mrr_ppm
+         FROM fr""",
+    // q197: RFM quintile segmentation; value-group quintiles on each
+    // dimension's bounded grid, 5 = best, per-order floored spend
+    "q197_rfm_segments" ->
+      """WITH hz AS (SELECT CAST(max(epoch_ms(o_orderdate)) AS BIGINT)
+             AS h FROM orders),
+         rfm AS (SELECT o_custkey AS custkey,
+             (hz.h - CAST(max(epoch_ms(o_orderdate)) AS BIGINT))
+               // 86400000 AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(floor(o_totalprice + 1.0/3) AS BIGINT))
+               AS BIGINT) AS m
+           FROM orders, hz GROUP BY o_custkey, hz.h),
+         rq AS (SELECT r,
+             5 - (CAST(coalesce(sum(cnt) OVER (ORDER BY r ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) * 5) // CAST(sum(cnt) OVER () AS BIGINT) AS r_q
+           FROM (SELECT r, CAST(count(*) AS BIGINT) AS cnt
+                 FROM rfm GROUP BY 1)),
+         fq AS (SELECT f,
+             5 - (CAST(coalesce(sum(cnt) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) * 5) // CAST(sum(cnt) OVER () AS BIGINT) AS f_q
+           FROM (SELECT f, CAST(count(*) AS BIGINT) AS cnt
+                 FROM rfm GROUP BY 1)),
+         mq AS (SELECT m,
+             5 - (CAST(coalesce(sum(cnt) OVER (ORDER BY m DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) * 5) // CAST(sum(cnt) OVER () AS BIGINT) AS m_q
+           FROM (SELECT m, CAST(count(*) AS BIGINT) AS cnt
+                 FROM rfm GROUP BY 1))
+         SELECT (r_q * 100 + f_q * 10 + m_q) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m) AS BIGINT) AS total_m,
+           CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_m
+         FROM rfm JOIN rq USING (r) JOIN fq USING (f) JOIN mq USING (m)
+         GROUP BY 1""",
   )
 }

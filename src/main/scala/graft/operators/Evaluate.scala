@@ -601,4 +601,83 @@ object Evaluate {
         expr("(cum_rel * n_tot * 1000000) div (cum_docs * r_tot)")
           .as("lift_ppm"))
   }
+
+  /** q195: Wilson lower bound per supplier — ranking by success RATE
+    * alone promotes low-volume flukes (3/3 beats 95/100); the Wilson
+    * score interval's lower bound (Wilson 1927, the standard
+    * "sort by confidence-adjusted rating" fix) shrinks small samples
+    * toward the prior. Success = lineitem not returned (l_returnflag
+    * ≠ 'R'). The bound uses z = 1.96: every input to the float formula
+    * is an exact long, the expression is written identically in both
+    * engines, and the result is ppm-quantized with the +1/3 offset.
+    * Output also carries the naive rate so the re-ranking is visible.
+    *
+    * Scale shape: one partial-agged groupBy to the |suppliers|
+    * relation; the formula is map-side arithmetic on that bounded
+    * aggregate. */
+  def wilsonBound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey".as("suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" =!= "R", 1L).otherwise(0L)).as("s"))
+    g.withColumn("rate_ppm", expr("(s * 1000000) div n"))
+      .withColumn("wilson_ppm", floor(
+        (($"s".cast("double") / $"n".cast("double")
+          + lit(1.96 * 1.96) / (lit(2.0) * $"n".cast("double")))
+          - lit(1.96) * sqrt(
+            ($"s".cast("double") / $"n".cast("double"))
+              * (lit(1.0) - $"s".cast("double") / $"n".cast("double"))
+              / $"n".cast("double")
+            + lit(1.96 * 1.96)
+              / (lit(4.0) * $"n".cast("double") * $"n".cast("double"))))
+          / (lit(1.0) + lit(1.96 * 1.96) / $"n".cast("double"))
+          * 1e6 + lit(1.0 / 3)).cast("long"))
+      .select($"suppkey", $"n", $"s", $"rate_ppm", $"wilson_ppm")
+  }
+
+  /** q196: held-out MRR@10 / hit@10 of a popularity recommender — the
+    * eval loop that closes the q194 negative-sampling + q184 HITS
+    * recsys family: 20% of the (customer, supplier) interactions are
+    * held out by content hash, suppliers are ranked by TRAIN
+    * popularity, and each held-out pair is scored by the reciprocal of
+    * its user-FILTERED rank (the user's own train items are removed
+    * from above it — the standard filtered-ranking protocol).
+    * Everything integer: reciprocal rank as 10⁶ div rank, MRR as one
+    * integer division of the sum.
+    *
+    * Scale shape: interactions reduce to (cust, supp) once; the
+    * popularity rank is a window over the |catalog| relation; the
+    * filtered-rank correction is a per-user join bounded by the user's
+    * train degree. No corpus-sized sort. */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inter = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
+      .distinct()
+      .withColumn("held", Sampling.hash32("mrr",
+        concat($"custkey".cast("string"), lit(":"),
+          $"suppkey".cast("string"))) % 5 === 0)
+    val train = inter.where(!$"held").select($"custkey", $"suppkey")
+    val pop = train.groupBy($"suppkey").agg(count(lit(1)).as("pop"))
+    val ranked = pop.withColumn("r", row_number().over(
+      Window.orderBy($"pop".desc, $"suppkey".asc)).cast("long"))
+    val held = inter.where($"held").select($"custkey", $"suppkey")
+      .join(ranked.select($"suppkey", $"r"), "suppkey")
+    // filtered rank: subtract the user's own train items ranked above
+    val better = held.as("h")
+      .join(train.join(ranked.select($"suppkey", $"r".as("rt")), "suppkey")
+        .as("t"), $"h.custkey" === $"t.custkey" && $"t.rt" < $"h.r", "left")
+      .groupBy($"h.custkey".as("custkey"), $"h.suppkey".as("suppkey"),
+        $"h.r".as("r"))
+      .agg(sum(when($"t.rt".isNotNull, 1L).otherwise(0L)).as("n_better"))
+      .withColumn("rank_f", $"r" - $"n_better")
+    better.agg(count(lit(1)).as("n_heldout"),
+        sum(expr("1000000 div rank_f")).as("sum_recip_ppm"),
+        sum(when($"rank_f" <= 10, 1L).otherwise(0L)).as("hit10"))
+      .select($"n_heldout", $"hit10",
+        expr("(hit10 * 1000000) div n_heldout").as("hit10_ppm"),
+        expr("sum_recip_ppm div n_heldout").as("mrr_ppm"))
+  }
 }

@@ -1430,4 +1430,55 @@ object Relational {
         countDistinct(when($"trailing", $"event_type")).as("n_types_7d"),
         max(when(!$"trailing", 1L).otherwise(0L)).as("label_next_7d"))
   }
+
+  /** q197: RFM segmentation — the classic customer partition by
+    * Recency (days since last order, vs the dataset horizon),
+    * Frequency (order count) and Monetary (total spend in whole
+    * currency units): each dimension is cut into quintiles and the
+    * customer gets a 3-digit segment code (5=best). Quintiles are
+    * VALUE-GROUP quintiles on each dimension's bounded value grid (the
+    * q192 recipe: q = cum_better·5 div N + 1 over the grid, ties share
+    * a code) — no per-customer ranking anywhere, and the assignment is
+    * reproducible bit-for-bit. Output: per segment, customer count and
+    * floored mean spend.
+    *
+    * Scale shape: orders partial-agg to the per-customer RFM relation;
+    * each quintile cut runs on that dimension's bounded distinct-value
+    * grid (days / counts / whole-currency amounts), broadcast back.
+    * The final reduction is ≤ 125 segment rows. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val horizon = Tables.orders(spark, dir)
+      .agg(max(unix_millis($"o_orderdate".cast("timestamp"))).as("h"))
+    val rfm = Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(max(unix_millis($"o_orderdate".cast("timestamp"))).as("last_ms"),
+        count(lit(1)).as("f"),
+        sum(floor($"o_totalprice" + lit(1.0 / 3)).cast("long")).as("m"))
+      .crossJoin(broadcast(horizon))
+      .select($"custkey",
+        expr("(h - last_ms) div 86400000").as("r"), $"f", $"m")
+    // value-group quintile code: with the dimension ordered best-first,
+    // code = 5 - (cum_better*5 div n) puts the best group at 5 and the
+    // worst at 1; ties share a code
+    def quintile(df: DataFrame, dim: String, bestIsLow: Boolean): DataFrame = {
+      val grid = df.groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+      val wBetter = Window.orderBy(if (bestIsLow) col(dim).asc else col(dim).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("cum", coalesce(sum($"cnt").over(wBetter), lit(0L)))
+        .withColumn("n", sum($"cnt").over(wAll))
+        .select(col(dim), expr("5 - (cum * 5) div n").as(s"${dim}_q"))
+    }
+    rfm
+      .join(broadcast(quintile(rfm, "r", bestIsLow = true)), "r")
+      .join(broadcast(quintile(rfm, "f", bestIsLow = false)), "f")
+      .join(broadcast(quintile(rfm, "m", bestIsLow = false)), "m")
+      .withColumn("segment", $"r_q" * 100 + $"f_q" * 10 + $"m_q")
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"), sum($"m").as("total_m"))
+      .withColumn("mean_m", expr("total_m div n_customers"))
+  }
 }

@@ -245,6 +245,42 @@ class Round9Spec extends SparkSpec {
     assert(rows.where($"n_purchase_7d" > $"n_7d").count() === 0L)
   }
 
+  test("q195 Wilson bound never exceeds the naive rate and stays in [0, 1e6]") {
+    val rows = Evaluate.wilsonBound(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("wilson_ppm")
+      assert(w >= 0L && w <= 1000000L)
+      assert(w <= r.getAs[Long]("rate_ppm"))
+      // shrinkage bites harder at low n: the bound is strictly below
+      // the rate whenever the rate is positive
+      if (r.getAs[Long]("s") > 0L) assert(w < r.getAs[Long]("rate_ppm"))
+    }
+  }
+
+  test("q196 MRR and hit@10 are consistent probabilities") {
+    val r = Evaluate.mrrEval(spark, sfDir).head()
+    assert(r.getAs[Long]("n_heldout") > 0L)
+    assert(r.getAs[Long]("hit10") <= r.getAs[Long]("n_heldout"))
+    val mrr = r.getAs[Long]("mrr_ppm")
+    assert(mrr > 0L && mrr <= 1000000L)
+    assert(r.getAs[Long]("hit10_ppm") <= 1000000L)
+  }
+
+  test("q197 RFM codes are 1..5 per digit and cover every customer") {
+    val rows = Relational.rfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getAs[Long]("segment")
+      val (rq, fq, mq) = (seg / 100, (seg / 10) % 10, seg % 10)
+      Seq(rq, fq, mq).foreach(d => assert(d >= 1L && d <= 5L, s"segment $seg"))
+    }
+    val covered = rows.map(_.getAs[Long]("n_customers")).sum
+    val custs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(covered === custs)
+  }
+
   test("q194 negatives are never positives and draws are reproducible") {
     import spark.implicits._
     val rows = Sampling.negativeSampling(spark, sfDir)
