@@ -217,6 +217,7 @@ object SparkEntry {
     "q195_wilson_bound"     -> (Evaluate.wilsonBound _),
     "q196_mrr_eval"         -> (Evaluate.mrrEval _),
     "q197_rfm_segments"     -> (Relational.rfmSegments _),
+    "q198_coherence"        -> (Spectral.coherence _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4342,5 +4343,49 @@ object SparkEntry {
            CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_m
          FROM rfm JOIN rq USING (r) JOIN fq USING (f) JOIN mq USING (m)
          GROUP BY 1""",
+    // q198: Welch coherence click<->purchase over 16h segments;
+    // integer detrend (scale cancels in the ratio), milli-quantized
+    "q198_coherence" ->
+      """WITH cellsAll AS (SELECT event_type, epoch_ms(ts) // 3600000
+             AS h, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT min(h) AS lo, max(h) AS hi FROM cellsAll),
+         hours AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+         types AS (SELECT unnest(['click', 'purchase']) AS event_type),
+         grid AS (SELECT t.event_type, hh.h, coalesce(c.x, 0) AS x
+           FROM types t CROSS JOIN hours hh
+           LEFT JOIN cellsAll c ON c.event_type = t.event_type
+             AND c.h = hh.h),
+         seg AS (SELECT event_type,
+             (h - (SELECT lo FROM b)) // 16 AS seg,
+             (h - (SELECT lo FROM b)) % 16 AS j, x
+           FROM grid),
+         st AS (SELECT event_type, seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+           FROM seg GROUP BY 1, 2),
+         xd AS (SELECT s.event_type, s.seg, s.j, 16 * s.x - st.sx AS xd
+           FROM seg s JOIN st ON st.event_type = s.event_type
+             AND st.seg = s.seg AND st.n = 16),
+         spec AS (SELECT event_type, seg, k.k,
+             sum(xd * cos(2 * pi() * k.k * j / 16)) AS re,
+             sum(xd * sin(2 * pi() * k.k * j / 16)) AS im
+           FROM xd CROSS JOIN range(1, 9) k(k) GROUP BY 1, 2, 3),
+         ab AS (SELECT a.seg, a.k, a.re AS re_a, a.im AS im_a,
+             bb.re AS re_b, bb.im AS im_b
+           FROM spec a JOIN spec bb ON bb.seg = a.seg AND bb.k = a.k
+             AND a.event_type = 'click'
+             AND bb.event_type = 'purchase'),
+         agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_segments,
+             sum(re_a * re_b + im_a * im_b) AS pab_re,
+             sum(im_a * re_b - re_a * im_b) AS pab_im,
+             sum(re_a * re_a + im_a * im_a) AS paa,
+             sum(re_b * re_b + im_b * im_b) AS pbb
+           FROM ab GROUP BY 1)
+         SELECT CAST(k AS BIGINT) AS k, n_segments,
+           CAST(floor((pab_re * pab_re + pab_im * pab_im) / (paa * pbb)
+             * 1000 + 1.0/3) AS BIGINT) AS gamma2_milli,
+           CAST(floor(atan2(pab_im, pab_re) * 1000 + 1.0/3) AS BIGINT)
+             AS phase_milli
+         FROM agg WHERE paa > 0 AND pbb > 0""",
   )
 }

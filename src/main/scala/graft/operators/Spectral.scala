@@ -112,4 +112,66 @@ object Spectral {
       .select($"user_id", $"frame", $"bin".cast("long").as("bin"),
         floor($"power" + lit(0.3333333333333333)).cast("long").as("qpower"))
   }
+
+  /** q198: magnitude-squared coherence between the click and purchase
+    * hourly series — the two-signal cross-spectral diagnostic (Welch-
+    * averaged over 16-hour segments, rectangular window): γ²(f) =
+    * |Σ_seg Pab(f)|² / (Σ|Pa|²·Σ|Pb|²) ∈ [0,1], with the cross-phase
+    * atan2(Im ΣPab, Re ΣPab) giving the lead/lag at each frequency —
+    * the frequency-resolved refinement of q113's time-domain lag
+    * cross-correlation (reference analog: the BES-style two-channel
+    * turbulence correlation the fdf fft module's windowed spectra
+    * feed, `fdf/modules/bes/fft.py`).
+    *
+    * Exactness discipline: per-segment means are removed on an
+    * INTEGER grid (xd = 16·x − Σ_seg x — the uniform scale cancels in
+    * the γ² ratio exactly), so floats enter only at the cos/sin
+    * twiddles; γ² and phase are milli-quantized with the +1/3 offset
+    * (the q36 recipe) and every float expression is written in the
+    * same order in both engines.
+    *
+    * Scale shape: the stream reduces once to the dense hourly grid;
+    * segmenting, the 9-bin DFT (|hours|·9 terms), the per-segment
+    * spectra, and the Welch average are all bounded-relation work. */
+  def coherence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val L = 16
+    val grid = Timeseries.denseHourly(spark, dir)
+      .where($"event_type".isin("click", "purchase"))
+    val lo = grid.agg(min($"h").as("lo"))
+    val seg = grid.crossJoin(broadcast(lo))
+      .select($"event_type",
+        expr(s"(h - lo) div $L").as("seg"),
+        expr(s"(h - lo) % $L").as("j"), $"x")
+    // complete segments only; detrend on the integer grid
+    val segStats = seg.groupBy($"event_type", $"seg")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      .where($"n" === L)
+    val xd = seg.join(segStats, Seq("event_type", "seg"))
+      .select($"event_type", $"seg", $"j", (lit(L) * $"x" - $"sx").as("xd"))
+    val spec = xd
+      .crossJoin(broadcast(spark.range(1, 9).select($"id".as("k"))))
+      .groupBy($"event_type", $"seg", $"k")
+      .agg(
+        sum($"xd" * cos(lit(2 * math.Pi) * $"k" * $"j" / L)).as("re"),
+        sum($"xd" * sin(lit(2 * math.Pi) * $"k" * $"j" / L)).as("im"))
+    val a = spec.where($"event_type" === "click")
+      .select($"seg", $"k", $"re".as("re_a"), $"im".as("im_a"))
+    val b = spec.where($"event_type" === "purchase")
+      .select($"seg", $"k", $"re".as("re_b"), $"im".as("im_b"))
+    a.join(b, Seq("seg", "k"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_segments"),
+        sum($"re_a" * $"re_b" + $"im_a" * $"im_b").as("pab_re"),
+        sum($"im_a" * $"re_b" - $"re_a" * $"im_b").as("pab_im"),
+        sum($"re_a" * $"re_a" + $"im_a" * $"im_a").as("paa"),
+        sum($"re_b" * $"re_b" + $"im_b" * $"im_b").as("pbb"))
+      .where($"paa" > 0 && $"pbb" > 0)
+      .select($"k", $"n_segments",
+        floor(($"pab_re" * $"pab_re" + $"pab_im" * $"pab_im")
+          / ($"paa" * $"pbb") * 1000 + lit(1.0 / 3)).cast("long")
+          .as("gamma2_milli"),
+        floor(atan2($"pab_im", $"pab_re") * 1000 + lit(1.0 / 3))
+          .cast("long").as("phase_milli"))
+  }
 }

@@ -281,6 +281,20 @@ class Round9Spec extends SparkSpec {
     assert(covered === custs)
   }
 
+  test("q198 coherence is a [0,1] fraction per bin with a [-pi,pi] phase") {
+    val rows = graft.operators.Spectral.coherence(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq === (1L to 8L).toSeq)
+    val nSeg = rows.map(_.getAs[Long]("n_segments")).distinct
+    assert(nSeg.length === 1 && nSeg.head >= 1L)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gamma2_milli")
+      assert(g >= 0L && g <= 1000L, s"gamma2 $g")
+      val p = r.getAs[Long]("phase_milli")
+      assert(p >= -3142L && p <= 3142L, s"phase $p")
+    }
+  }
+
   test("q194 negatives are never positives and draws are reproducible") {
     import spark.implicits._
     val rows = Sampling.negativeSampling(spark, sfDir)
