@@ -218,6 +218,9 @@ object SparkEntry {
     "q196_mrr_eval"         -> (Evaluate.mrrEval _),
     "q197_rfm_segments"     -> (Relational.rfmSegments _),
     "q198_coherence"        -> (Spectral.coherence _),
+    "q199_sequential_ab"    -> (Evaluate.sequentialAb _),
+    "q200_markov_eval"      -> (Evaluate.markovEval _),
+    "q201_blob_phash"       -> (Multimodal.blobPhash _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4387,5 +4390,111 @@ object SparkEntry {
            CAST(floor(atan2(pab_im, pab_re) * 1000 + 1.0/3) AS BIGINT)
              AS phase_milli
          FROM agg WHERE paa > 0 AND pbb > 0""",
+    // q199: O'Brien-Fleming group-sequential boundaries at 4 looks;
+    // pooled-variance z from exact moments, milli-quantized
+    "q199_sequential_ab" ->
+      """WITH l(look, cutoff_ms, boundary_milli) AS (VALUES
+           (1, 1704931200000, 4049), (2, 1705363200000, 2863),
+           (3, 1705795200000, 2337), (4, 1706227200000, 2024)),
+         e AS (SELECT user_id, epoch_ms(ts) AS tms,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         cells AS (SELECT l.look, l.boundary_milli,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN vq ELSE 0 END)
+               AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN vq * vq ELSE 0 END)
+               AS BIGINT) AS q0,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN vq ELSE 0 END)
+               AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN vq * vq ELSE 0 END)
+               AS BIGINT) AS q1
+           FROM e CROSS JOIN l WHERE e.tms < l.cutoff_ms
+           GROUP BY 1, 2),
+         z AS (SELECT look, n0, n1, boundary_milli,
+             CAST(floor(
+               (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                   * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                 / CAST(n0 + n1 - 2 AS DOUBLE)
+                 * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+               * 1000 + 1.0/3) AS BIGINT) AS z_milli
+           FROM cells WHERE n0 > 1 AND n1 > 1)
+         SELECT CAST(look AS BIGINT) AS look, n0, n1, z_milli,
+           CAST(boundary_milli AS BIGINT) AS boundary_milli,
+           CAST(CASE WHEN abs(z_milli) >= boundary_milli
+             THEN 1 ELSE 0 END AS BIGINT) AS crossed
+         FROM z""",
+    // q200: Markov next-event top-1 accuracy; trained strictly on
+    // first-half transitions, scored strictly on second-half ones
+    "q200_markov_eval" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lead(event_type) OVER w AS nxt,
+             lead(epoch_ms(ts)) OVER w AS nxt_tms,
+             epoch_ms(ts) AS tms
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         bi AS (SELECT event_type AS cur, nxt, tms, nxt_tms
+                FROM o WHERE nxt IS NOT NULL),
+         trans AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+           FROM bi WHERE nxt_tms < 1705363200000 GROUP BY 1, 2),
+         pred AS (SELECT cur, nxt AS predicted FROM (
+             SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+               ORDER BY c DESC, nxt) AS rk
+             FROM trans) WHERE rk = 1)
+         SELECT b.cur, p.predicted, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN b.nxt = p.predicted THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           (CAST(sum(CASE WHEN b.nxt = p.predicted THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS acc_ppm
+         FROM bi b JOIN pred p USING (cur)
+         WHERE b.tms >= 1705363200000
+         GROUP BY 1, 2""",
+    // q201: 64-bit aHash over blob chunks; 4x16-bit band blocking
+    // (perceptual bits are content-correlated — wide bands or bust),
+    // hamming <= 3 verify — all integer
+    "q201_blob_phash" ->
+      """WITH sig0 AS (SELECT doc_id, text FROM documents
+           WHERE length(text) >= 64),
+         bits AS (SELECT doc_id, b.i AS i,
+             substring(text, (length(text) * b.i) // 64 + 1,
+               (length(text) * (b.i + 1)) // 64
+                 - (length(text) * b.i) // 64) AS ch
+           FROM sig0 CROSS JOIN range(64) b(i)),
+         sigt AS (SELECT doc_id,
+             CAST(sum(CASE WHEN i < 32 AND length(ch) > 0
+                 AND 2 * (length(ch)
+                   - length(regexp_replace(ch, '[n-z]', '', 'g')))
+                 >= length(ch)
+               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+               AS sig_lo,
+             CAST(sum(CASE WHEN i >= 32 AND length(ch) > 0
+                 AND 2 * (length(ch)
+                   - length(regexp_replace(ch, '[n-z]', '', 'g')))
+                 >= length(ch)
+               THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+               AS BIGINT) AS sig_hi
+           FROM bits GROUP BY 1),
+         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig_lo AS lo_a, a.sig_hi AS hi_a,
+             b.sig_lo AS lo_b, b.sig_hi AS hi_b
+           FROM sigt a CROSS JOIN range(4) j(j)
+           JOIN sigt b ON a.doc_id < b.doc_id
+             AND ((CASE WHEN j.j < 2 THEN a.sig_lo ELSE a.sig_hi END
+                 >> (16 * (j.j % 2))) & 65535)
+               = ((CASE WHEN j.j < 2 THEN b.sig_lo ELSE b.sig_hi END
+                 >> (16 * (j.j % 2))) & 65535))
+         SELECT DISTINCT doc_a, doc_b, lo_a, hi_a, lo_b, hi_b,
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+             AS BIGINT) AS hamming
+         FROM cand
+         WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+           <= 12""",
   )
 }

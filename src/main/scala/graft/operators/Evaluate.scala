@@ -680,4 +680,96 @@ object Evaluate {
         expr("(hit10 * 1000000) div n_heldout").as("hit10_ppm"),
         expr("sum_recip_ppm div n_heldout").as("mrr_ppm"))
   }
+
+  /** q199: group-sequential A/B monitoring with O'Brien–Fleming
+    * boundaries — the peeking correction: an experimenter who looks at
+    * the data K=4 times must compare each interim z against an
+    * escalating boundary (4.049, 2.863, 2.337, 2.024 for two-sided
+    * α=0.05; O'Brien & Fleming 1979), not against 1.96, or the false-
+    * positive rate triples. At each of the four q193 cutoffs: pooled-
+    * variance two-sample z on the quantized event value from exact
+    * integer moments (only the final sqrt/divide is float, milli-
+    * quantized); `crossed` = |z| ≥ boundary.
+    *
+    * Scale shape: ONE scan partial-aggs per (look, arm) using
+    * cumulative membership conditions — 8 cells; everything after is
+    * bounded arithmetic. */
+  def sequentialAb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoffs = Seq(1704931200000L, 1705363200000L,
+      1705795200000L, 1706227200000L)
+    val bounds = Seq(4049L, 2863L, 2337L, 2024L)
+    val looks = cutoffs.zip(bounds).zipWithIndex
+      .map { case ((c, b), i) => (i + 1L, c, b) }
+      .toDF("look", "cutoff_ms", "boundary_milli")
+    val cells = Tables.events(spark, dir)
+      .select(($"user_id" % 2).as("arm"), unix_millis($"ts").as("tms"),
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .crossJoin(broadcast(looks))
+      .where($"tms" < $"cutoff_ms")
+      .groupBy($"look", $"boundary_milli")
+      .agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"arm" === 0, $"vq").otherwise(0L)).as("s0"),
+        sum(when($"arm" === 0, $"vq" * $"vq").otherwise(0L)).as("q0"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"arm" === 1, $"vq").otherwise(0L)).as("s1"),
+        sum(when($"arm" === 1, $"vq" * $"vq").otherwise(0L)).as("q1"))
+      .where($"n0" > 1 && $"n1" > 1)
+    // pooled variance from exact moments; one float pipeline, same
+    // order both engines
+    cells.withColumn("z_milli", floor(
+        ($"s1".cast("double") / $"n1".cast("double")
+          - $"s0".cast("double") / $"n0".cast("double"))
+          / sqrt(
+            (($"q0".cast("double") - $"s0".cast("double")
+              * $"s0".cast("double") / $"n0".cast("double"))
+              + ($"q1".cast("double") - $"s1".cast("double")
+                * $"s1".cast("double") / $"n1".cast("double")))
+              / ($"n0" + $"n1" - 2).cast("double")
+              * (lit(1.0) / $"n0".cast("double")
+                + lit(1.0) / $"n1".cast("double")))
+          * 1000 + lit(1.0 / 3)).cast("long"))
+      .select($"look", $"n0", $"n1", $"z_milli", $"boundary_milli",
+        when(abs($"z_milli") >= $"boundary_milli", 1L).otherwise(0L)
+          .as("crossed"))
+  }
+
+  /** q200: next-event-type accuracy of the q139 Markov model — train
+    * the global transition matrix on the stream's FIRST half, predict
+    * each second-half transition's next type as the argmax row of the
+    * matrix (ties to the lexicographically first type), and score
+    * top-1 accuracy per current type. The temporal split mirrors q135:
+    * training never sees eval transitions, and bigrams straddling the
+    * midpoint are excluded from both sides. All counts exact; accuracy
+    * is integer ppm.
+    *
+    * Scale shape: bigrams form inside the per-user sessionize
+    * partitioning (one window); the transition matrix is ≤|types|²
+    * rows broadcast back; scoring is one partial-agged groupBy. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mid = 1705363200000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val bi = Tables.events(spark, dir)
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .withColumn("nxt_tms", lead(unix_millis($"ts"), 1).over(w))
+      .withColumn("tms", unix_millis($"ts"))
+      .where($"nxt".isNotNull)
+      .select($"event_type".as("cur"), $"nxt", $"tms", $"nxt_tms")
+    val trans = bi.where($"nxt_tms" < mid)
+      .groupBy($"cur", $"nxt").agg(count(lit(1)).as("c"))
+    val wBest = Window.partitionBy($"cur")
+      .orderBy($"c".desc, $"nxt".asc)
+    val pred = trans.withColumn("rk", row_number().over(wBest))
+      .where($"rk" === 1)
+      .select($"cur", $"nxt".as("predicted"))
+    bi.where($"tms" >= mid)
+      .join(broadcast(pred), "cur")
+      .groupBy($"cur", $"predicted")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"nxt" === $"predicted", 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_eval"))
+  }
 }

@@ -124,4 +124,61 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** q201: perceptual-hash near-dup over the blob column — the aHash
+    * image-dedup recipe (split the media into a fixed grid, 1 bit per
+    * cell: is the cell brighter than average?) applied to the 1-D byte
+    * stand-in: 64 equal chunks, bit_i = "high-character density of
+    * chunk i is at least ½" (exact integer cross-multiply, no float),
+    * signature = 64-bit word. Candidates block on any of 4 SIXTEEN-bit
+    * bands (a hamming-≤3 pair must agree exactly on ≥1 band —
+    * pigeonhole): perceptual bits are content-correlated, NOT
+    * hash-uniform, so 8-bit bands would admit a quasi-quadratic
+    * collision background (the q37 lesson — its 2-bit sign bands were
+    * re-banded for exactly this reason); 2¹⁶ band values keep the
+    * background linear. The operator is DEFINED as banded-candidates-
+    * then-verify: recall is exhaustive for hamming ≤ 3 (pigeonhole
+    * over 4 bands) and opportunistic up to the reported ≤ 12 cut (the
+    * standard aHash match band). With a real image codec the chunk
+    * statistic becomes
+    * mean luma of an 8×8 grid cell and NOTHING else changes — the
+    * signature algebra, banding, and verify are the real pipeline.
+    *
+    * Scale shape: signatures are a map-only projection; the pair join
+    * is band-blocked equality (never all-pairs); bands come from
+    * shift+mask so the sign bit of the 64-bit word never meets a
+    * div/mod. */
+  def blobPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // signature as two 32-bit halves — sig_lo bits 0-31, sig_hi bits
+    // 32-63 — so neither engine ever shifts into a sign bit
+    def half(base: Int): org.apache.spark.sql.Column =
+      (0 until 32).map { b =>
+        val i = base + b
+        val chunk = expr(s"substring(text, (length(text) * $i) div 64 + 1, " +
+          s"(length(text) * ${i + 1}) div 64 - (length(text) * $i) div 64)")
+        val clen = length(chunk)
+        val hi = clen - length(regexp_replace(chunk, "[n-z]", ""))
+        when(hi * 2 >= clen && clen > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+    val sigs = graft.operators.TextOps.docsParallel(spark, dir)
+      .where(length($"text") >= 64)
+      .select($"doc_id", half(0).as("sig_lo"), half(32).as("sig_hi"))
+    val banded = Seq("sig_lo" -> 0, "sig_lo" -> 16, "sig_hi" -> 0,
+      "sig_hi" -> 16).zipWithIndex.map { case ((c, sh), _) =>
+      val withBand = sigs.withColumn("band",
+        expr(s"shiftright($c, $sh) & 65535"))
+      withBand.as("a").join(withBand.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.sig_lo".as("lo_a"), $"a.sig_hi".as("hi_a"),
+          $"b.sig_lo".as("lo_b"), $"b.sig_hi".as("hi_b"))
+    }.reduce(_ unionByName _)
+    banded.distinct()
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+      .where($"hamming" <= 12)
+      .select($"doc_a", $"doc_b", $"lo_a", $"hi_a", $"lo_b", $"hi_b",
+        $"hamming")
+  }
 }

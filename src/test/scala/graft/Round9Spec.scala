@@ -295,6 +295,45 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q199 OBF boundaries descend across looks and samples accumulate") {
+    val rows = Evaluate.sequentialAb(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("look"))
+    assert(rows.map(_.getAs[Long]("look")).toSeq === (1L to rows.length).toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("boundary_milli") > b.getAs[Long]("boundary_milli"))
+        assert(a.getAs[Long]("n0") + a.getAs[Long]("n1")
+          <= b.getAs[Long]("n0") + b.getAs[Long]("n1"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val crossed = r.getAs[Long]("crossed")
+      assert(crossed === (if (math.abs(r.getAs[Long]("z_milli"))
+        >= r.getAs[Long]("boundary_milli")) 1L else 0L))
+    }
+  }
+
+  test("q200 Markov eval beats the uniform baseline and counts stay consistent") {
+    val rows = Evaluate.markovEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_eval")).sum
+    val c = rows.map(_.getAs[Long]("n_correct")).sum
+    assert(c <= n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("acc_ppm") ===
+        r.getAs[Long]("n_correct") * 1000000 / r.getAs[Long]("n_eval"))
+    }
+  }
+
+  test("q201 phash pairs stay within the verify cut and respect ordering") {
+    val rows = graft.operators.Multimodal.blobPhash(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 12L)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    assert(rows.forall(_.getAs[Long]("hamming") >= 0L))
+  }
+
   test("q194 negatives are never positives and draws are reproducible") {
     import spark.implicits._
     val rows = Sampling.negativeSampling(spark, sfDir)
