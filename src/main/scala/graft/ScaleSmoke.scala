@@ -36,7 +36,14 @@ object ScaleSmoke {
     "q78_salient_terms", "q90_tf_cosine", "q91_chunk_windows",
     "q100_dup_spans", "q101_priority_sample", "q102_cms_heavy",
     "q104_zorder_layout", "q105_mad_outliers", "q111_pmi_collocations",
-    "q137_vocab_growth", "q140_good_turing", "q141_conformal")
+    "q137_vocab_growth", "q140_good_turing", "q141_conformal",
+    // round 9: SNM's candidate budget is w*N by construction, the
+    // split-leakage probe is a linear posting-list join, and the
+    // 64-chunk aHash is map-only + 16-bit-band blocked — all three
+    // should track the scan ratio (q178's replica families DO make
+    // extra true windowed pairs; read output growth accordingly)
+    "q178_sorted_nbhd", "q182_js_divergence", "q190_split_leakage",
+    "q201_blob_phash")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -64,7 +71,12 @@ object ScaleSmoke {
     "q134_survival", "q135_temporal_split", "q139_markov",
     "q145_entropy_rate", "q148_activity_gini", "q149_psi_drift",
     "q151_theil_sen", "q152_hod_profile", "q153_mann_kendall",
-    "q154_lorenz", "q156_user_surprisal", "q158_basket_lift")
+    "q154_lorenz", "q156_user_surprisal", "q158_basket_lift",
+    // round 9: all reduce to bounded grids (hourly series, |types|x2
+    // cells, per-user counts) before any statistic — ideal = scan ratio
+    "q179_fdr_drift", "q180_ewma_forecast", "q181_acf_hourly",
+    "q189_perm_test", "q191_mann_whitney", "q193_pit_features",
+    "q198_coherence", "q199_sequential_ab", "q200_markov_eval")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -221,6 +221,8 @@ object SparkEntry {
     "q199_sequential_ab"    -> (Evaluate.sequentialAb _),
     "q200_markov_eval"      -> (Evaluate.markovEval _),
     "q201_blob_phash"       -> (Multimodal.blobPhash _),
+    "q202_item_cf"          -> (Graph.itemCf _),
+    "q203_exp_gof"          -> (Timeseries.expGapFit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4496,5 +4498,60 @@ object SparkEntry {
          FROM cand
          WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
            <= 12""",
+    // q202: item-item CF cosine neighbors from the co-purchase counts;
+    // the sqrt is the only float, ppm-quantized
+    "q202_item_cf" ->
+      """WITH inter AS (SELECT DISTINCT o.o_custkey AS custkey,
+             l.l_suppkey AS suppkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         deg AS (SELECT suppkey, CAST(count(*) AS BIGINT) AS d
+                 FROM inter GROUP BY 1),
+         co AS (SELECT a.suppkey AS s_a, b.suppkey AS s_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+           FROM inter a JOIN inter b ON a.custkey = b.custkey
+             AND a.suppkey < b.suppkey
+           GROUP BY 1, 2),
+         sims AS (SELECT co.s_a, co.s_b, co.c_ab,
+             CAST(floor(CAST(co.c_ab AS DOUBLE)
+               / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE))
+               * 1000000 + 1.0/3) AS BIGINT) AS sim_ppm
+           FROM co JOIN deg da ON da.suppkey = co.s_a
+                   JOIN deg db ON db.suppkey = co.s_b),
+         directed AS (SELECT s_a AS item, s_b AS neighbor, sim_ppm, c_ab
+             FROM sims
+           UNION ALL
+           SELECT s_b, s_a, sim_ppm, c_ab FROM sims),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+               ORDER BY sim_ppm DESC, neighbor) AS BIGINT) AS rk
+             FROM directed)
+         SELECT item, rk, neighbor, c_ab, sim_ppm FROM r WHERE rk <= 3""",
+    // q203: exponential MLE + KS goodness-of-fit on whole-second
+    // inter-event gaps; one float pipeline, milli-quantized
+    "q203_exp_gof" ->
+      """WITH o AS (SELECT event_type, user_id, epoch_ms(ts) AS tms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY event_type, user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         gaps AS (SELECT event_type, (tms - prev) // 1000 AS g
+                  FROM o WHERE prev IS NOT NULL),
+         grid AS (SELECT event_type, g, CAST(count(*) AS BIGINT) AS c
+                  FROM gaps GROUP BY 1, 2),
+         cdf AS (SELECT event_type, g,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY g
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(g * c) OVER (PARTITION BY event_type) AS BIGINT)
+               AS sum_g
+           FROM grid),
+         d AS (SELECT event_type, n, sum_g,
+             max(abs(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+               - (1.0 - exp(-1.0 * CAST(n AS DOUBLE)
+                 / CAST(sum_g AS DOUBLE) * CAST(g + 1 AS DOUBLE)))))
+               AS dmax
+           FROM cdf WHERE sum_g > 0 GROUP BY 1, 2, 3)
+         SELECT event_type, n, (n * 3600000) // sum_g
+             AS lambda_per_hour_milli,
+           CAST(floor(dmax * 1000 + 1.0/3) AS BIGINT) AS ks_d_milli
+         FROM d""",
   )
 }

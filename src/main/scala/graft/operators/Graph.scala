@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -436,5 +437,49 @@ object Graph {
       .select(lit("hub").as("role"), $"cust".as("node_id"),
         $"h".as("score"))
     rebind(topAuth.unionByName(topHub), caller)
+  }
+
+  /** q202: item-item collaborative filtering over the purchase graph —
+    * "customers who bought from s also bought from t": cosine
+    * similarity between suppliers' binary customer vectors, computed
+    * posting-list-style (the q90 tf-cosine shape on the interaction
+    * matrix): co-occurrence counts come from the per-customer self-
+    * join (work = Σ_c deg(c)², the classic item-CF bound — a
+    * pathological mega-customer would be capped or sampled, the q50
+    * salting analog), degrees from one aggregation, and
+    * sim_ppm = floor(c_ab/√(d_a·d_b)·10⁶ + 1/3) with the √ the only
+    * float in the operator. Top-3 neighbors per supplier by
+    * (sim, suppkey).
+    *
+    * Scale shape: interactions dedup once; the pair groupBy is
+    * partial-agged; degree relation broadcasts; the top-3 cut is a
+    * rank window inside the supplier partitioning. */
+  def itemCf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inter = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
+      .distinct()
+    val deg = inter.groupBy($"suppkey").agg(count(lit(1)).as("d"))
+    val co = inter.as("a").join(inter.as("b"),
+        $"a.custkey" === $"b.custkey" && $"a.suppkey" < $"b.suppkey")
+      .groupBy($"a.suppkey".as("s_a"), $"b.suppkey".as("s_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val sims = co
+      .join(broadcast(deg.select($"suppkey".as("s_a"), $"d".as("d_a"))), "s_a")
+      .join(broadcast(deg.select($"suppkey".as("s_b"), $"d".as("d_b"))), "s_b")
+      .withColumn("sim_ppm", floor($"c_ab".cast("double")
+        / sqrt($"d_a".cast("double") * $"d_b".cast("double"))
+        * 1e6 + lit(1.0 / 3)).cast("long"))
+    // symmetric neighbor lists: each pair feeds both directions
+    val directed = sims.select($"s_a".as("item"), $"s_b".as("neighbor"),
+        $"sim_ppm", $"c_ab")
+      .unionByName(sims.select($"s_b".as("item"), $"s_a".as("neighbor"),
+        $"sim_ppm", $"c_ab"))
+    val w = Window.partitionBy($"item")
+      .orderBy($"sim_ppm".desc, $"neighbor".asc)
+    directed.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 3)
+      .select($"item", $"rk", $"neighbor", $"c_ab", $"sim_ppm")
   }
 }

@@ -587,4 +587,51 @@ object Timeseries {
         * 1e6 + lit(1.0 / 3)).cast("long"))
       .select($"event_type", $"lag_k", $"n", $"num", $"r_ppm")
   }
+
+  /** q203: exponential goodness-of-fit on inter-event gaps — "is this
+    * stream Poisson?": per event_type, the MLE rate λ̂ = n/Σgap is
+    * closed-form, and the KS distance between the empirical gap CDF
+    * and Exp(λ̂) screens the memoryless assumption every queueing/
+    * arrival model quietly makes (burstiness shows up as a large D).
+    * Gaps are quantized to whole seconds (bounded value grid); the
+    * empirical CDF is exact integers on that grid; the model CDF
+    * 1 − exp(−λ̂·g) is the one float pipeline, written identically in
+    * both engines; D is milli-quantized with the +1/3 offset.
+    * λ̂ is reported per hour in milli (exact integer division).
+    *
+    * Scale shape: gaps form inside the per-user sessionless lag
+    * window (one per-user shuffle); everything after runs on the
+    * bounded (type, gap-second) grid. */
+  def expGapFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val gaps = Tables.events(spark, dir)
+      .withColumn("prev", lag(unix_millis($"ts"), 1).over(w))
+      .where($"prev".isNotNull)
+      .select($"event_type",
+        expr("(unix_millis(ts) - prev) div 1000").as("g"))
+    val grid = gaps.groupBy($"event_type", $"g")
+      .agg(count(lit(1)).as("c"))
+    val wCdf = Window.partitionBy($"event_type").orderBy($"g")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("cum", sum($"c").over(wCdf))
+      .withColumn("n", sum($"c").over(wTot))
+      .withColumn("sum_g", sum($"g" * $"c").over(wTot))
+      .where($"sum_g" > 0)
+      // F_model at the right edge of each gap-second cell; lambda in
+      // events per second = n / sum_g
+      .withColumn("d_at_g", abs(
+        $"cum".cast("double") / $"n".cast("double")
+          - (lit(1.0) - exp(lit(-1.0) * $"n".cast("double")
+            / $"sum_g".cast("double") * ($"g" + 1).cast("double")))))
+      .groupBy($"event_type", $"n", $"sum_g")
+      .agg(max($"d_at_g").as("d"))
+      .select($"event_type", $"n",
+        expr("(n * 3600000) div sum_g").as("lambda_per_hour_milli"),
+        floor($"d" * 1000 + lit(1.0 / 3)).cast("long").as("ks_d_milli"))
+  }
 }

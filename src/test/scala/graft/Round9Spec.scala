@@ -334,6 +334,37 @@ class Round9Spec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("hamming") >= 0L))
   }
 
+  test("q202 item-CF: top-3 per item, cosine in (0, 1e6], co-count consistent") {
+    val rows = Graph.itemCf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byItem = rows.groupBy(_.getAs[Long]("item"))
+    byItem.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("sim_ppm") >= b.getAs[Long]("sim_ppm"))
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      val s = r.getAs[Long]("sim_ppm")
+      assert(s > 0L && s <= 1000000L)
+      assert(r.getAs[Long]("item") !== r.getAs[Long]("neighbor"))
+    }
+  }
+
+  test("q203 KS distance is a [0,1] fraction and lambda is positive") {
+    val rows = Timeseries.expGapFit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("ks_d_milli")
+      assert(d >= 0L && d <= 1000L)
+      assert(r.getAs[Long]("lambda_per_hour_milli") > 0L)
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
   test("q194 negatives are never positives and draws are reproducible") {
     import spark.implicits._
     val rows = Sampling.negativeSampling(spark, sfDir)
