@@ -4472,13 +4472,13 @@ object SparkEntry {
          sigt AS (SELECT doc_id,
              CAST(sum(CASE WHEN i < 32 AND length(ch) > 0
                  AND 2 * (length(ch)
-                   - length(regexp_replace(ch, '[n-z]', '', 'g')))
+                   - length(translate(ch, 'nopqrstuvwxyz', '')))
                  >= length(ch)
                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
                AS sig_lo,
              CAST(sum(CASE WHEN i >= 32 AND length(ch) > 0
                  AND 2 * (length(ch)
-                   - length(regexp_replace(ch, '[n-z]', '', 'g')))
+                   - length(translate(ch, 'nopqrstuvwxyz', '')))
                  >= length(ch)
                THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
                AS BIGINT) AS sig_hi
