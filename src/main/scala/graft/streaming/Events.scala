@@ -252,6 +252,53 @@ object Events {
       .start()
   }
 
+  case class HourCount(event_type: String, h: Long, x: Long)
+  case class EwmaAlert(event_type: String, h: Long, x: Long,
+      forecast_milli: Long, alert: Boolean)
+  case class EwmaState(level: Double, lastH: Long)
+
+  /** Streaming EWMA anomaly monitor — q180's forecast as a CONTINUOUS
+    * stateful operator: keyed per event_type, the state is the running
+    * α=½ level; each completed hourly count is scored against the
+    * level BEFORE it is folded in (forecast = state at prediction
+    * time, the leakage-free direction), and an alert fires when the
+    * hour more than doubles the forecast (+5 events of slack so a
+    * quiet stream can't alert on noise). Dyadic α keeps the level
+    * arithmetic exact in double, so a stream processed in ANY
+    * micro-batch slicing equals the batch fold bit-for-bit
+    * (StreamingSpec proves stream==batch with a two-batch split at an
+    * hour boundary).
+    *
+    * Input is the (type, hour, count) relation — in production the
+    * output of windowedAgg — so state is one (level, lastH) pair per
+    * event type: O(|types|), trivially sharded. Hours must arrive in
+    * order per key (true once windowedAgg's watermark has closed the
+    * hour). */
+  def ewmaMonitor(hourly: Dataset[HourCount]): Dataset[EwmaAlert] = {
+    import hourly.sparkSession.implicits._
+    hourly.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[HourCount], state: GroupState[EwmaState]) =>
+          // micro-batches hand rows in arbitrary order: restore hour
+          // order before folding so any batch slicing gives one answer
+          val sorted = rows.toArray.sortBy(_.h)
+          var st = state.getOption.getOrElse(EwmaState(-1.0, Long.MinValue))
+          val out = sorted.iterator.map { hc =>
+            val (fc, alert) =
+              if (st.level < 0) (hc.x.toDouble, false) // first hour seeds
+              else (st.level, hc.x > 2 * st.level + 5)
+            st = EwmaState(
+              if (st.level < 0) hc.x.toDouble else (st.level + hc.x) / 2,
+              hc.h)
+            EwmaAlert(typ, hc.h, hc.x,
+              math.floor(fc * 1000).toLong, alert)
+          }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, max_value: Double)
 

@@ -242,4 +242,41 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expect)
   }
+
+  test("streaming EWMA monitor equals the batch fold across a micro-batch split") {
+    import spark.implicits._
+    import Events.HourCount
+    // hourly counts from the real stream, split into two file batches
+    // at an hour boundary — state must carry the level across batches
+    val hourly = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_type", expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("x"))
+      .as[HourCount]
+    val hs = hourly.agg(min($"h"), max($"h")).head()
+    val hMid = (hs.getLong(0) + hs.getLong(1)) / 2
+    val base = java.nio.file.Files.createTempDirectory("ewma_mon").toFile.getPath
+    val srcDir = new java.io.File(base, "src").getPath
+    // two files, ordered by hour range -> two micro-batches in order
+    hourly.where($"h" < hMid).coalesce(1)
+      .write.parquet(new java.io.File(srcDir, "part=0").getPath)
+    hourly.where($"h" >= hMid).coalesce(1)
+      .write.parquet(new java.io.File(srcDir, "part=1").getPath)
+    val stream = spark.readStream.schema(hourly.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/part=*")
+      .as[HourCount]
+    val q = Events.ewmaMonitor(stream).toDF()
+      .writeStream.format("memory").queryName("ewma_mon")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewma_mon").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // batch twin: the same stateful fold over the bounded input
+    val batch = Events.ewmaMonitor(hourly).collect()
+      .map(a => (a.event_type, a.h) -> (a.forecast_milli, a.alert)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
