@@ -223,6 +223,9 @@ object SparkEntry {
     "q201_blob_phash"       -> (Multimodal.blobPhash _),
     "q202_item_cf"          -> (Graph.itemCf _),
     "q203_exp_gof"          -> (Timeseries.expGapFit _),
+    "q204_mixture_weights"  -> (Sampling.mixtureWeights _),
+    "q205_pack_efficiency"  -> (Sampling.packEfficiency _),
+    "q206_active_select"    -> (TextAnalysis.activeSelect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4553,5 +4556,70 @@ object SparkEntry {
              AS lambda_per_hour_milli,
            CAST(floor(dmax * 1000 + 1.0/3) AS BIGINT) AS ks_d_milli
          FROM d""",
+    // q204: DoReMi-lite mixture weights from per-source excess
+    // surprisal; one exp per source, quantized before normalization
+    "q204_mixture_weights" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t
+                   FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM vocab),
+         ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(floor(ln(CAST(n_total AS DOUBLE) / n_t)
+               * 10000 + 1.0/3) AS BIGINT)) AS BIGINT) AS surp_q
+           FROM t JOIN vocab USING (tok), tot GROUP BY 1),
+         c AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_all,
+             CAST(sum(surp_q) AS BIGINT) AS surp_all FROM ps),
+         s AS (SELECT source, n_tokens, surp_q,
+             CAST(floor(exp((CAST(surp_q AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE)
+               - CAST(surp_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+               / 10000.0) * 1000000 + 1.0/3) AS BIGINT) AS score_q
+           FROM ps, c),
+         nrm AS (SELECT CAST(sum(score_q) AS BIGINT) AS score_sum FROM s)
+         SELECT source, n_tokens, surp_q // n_tokens AS mean_surprisal_q,
+           score_q, (score_q * 1000000) // score_sum AS weight_ppm
+         FROM s, nrm""",
+    // q205: fill histogram of q49's packs (16 buckets of 12.5%,
+    // straddle overflow folded into the top bucket)
+    "q205_pack_efficiency" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+               1, 8) AS BIGINT) % 8 AS shard
+           FROM documents),
+         s AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - n_tokens AS start_tok
+           FROM d),
+         packs AS (SELECT shard, start_tok // 2048 AS pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_toks
+           FROM s GROUP BY 1, 2)
+         SELECT least((n_toks * 16) // 2048, 16) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           (CAST(sum(n_toks) AS BIGINT) * 1000000)
+             // (CAST(count(*) AS BIGINT) * 2048) AS mean_fill_ppm
+         FROM packs GROUP BY 1""",
+    // q206: uncertainty sampling — 20 docs with the smallest per-token
+    // |margin| from the q95 hash classifier
+    "q206_active_select" ->
+      """WITH m AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(sum((CAST('0x' || substr(md5(tok.tok), 1, 8) AS BIGINT)
+               % 201) - 100) AS BIGINT) AS margin
+           FROM documents,
+             unnest(string_split(text, ' ')) AS tok(tok)
+           GROUP BY doc_id, text),
+         u AS (SELECT doc_id, n_tokens, margin,
+             (abs(margin) * 1000000) // n_tokens AS uncertainty_ppm
+           FROM m WHERE n_tokens > 0)
+         SELECT doc_id, n_tokens, margin, uncertainty_ppm
+         FROM u ORDER BY uncertainty_ppm ASC, doc_id ASC LIMIT 20""",
   )
 }

@@ -352,4 +352,69 @@ object Sampling {
       .select($"custkey", $"n_pos", $"suppkey".as("neg_suppkey"),
         $"rk", $"draw")
   }
+
+  /** q204: mixture reweighting from per-source excess surprisal — the
+    * DoReMi-flavored loop (Xie et al. 2023) closed into one readout:
+    * sources whose tokens are HARDER than the corpus average (positive
+    * excess mean surprisal under the corpus unigram model, the q87
+    * statistic aggregated per source) get up-weighted by
+    * score_s = exp(excess_nats_s), and the next mixture is the
+    * normalized score. Portability: the per-token ln terms are the q87
+    * offset-quantized longs (exact under any shuffle order); the ONE
+    * exp per source is quantized at 1e6 before normalization, so the
+    * final weight is an integer ratio both engines agree on.
+    *
+    * Scale shape: the (token, count) vocab and its per-source split
+    * partial-agg in one scan; everything after runs on |sources| rows. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"source", explode(graft.operators.TextOps.toks($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n_t"))
+    val total = vocab.agg(sum($"n_t").as("n_total"))
+    val tokenQ = floor(log($"n_total".cast("double") / $"n_t") * 10000
+      + lit(1.0 / 3)).cast("long")
+    val perSource = toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"), sum(tokenQ).as("surp_q"))
+    val corpus = perSource.agg(sum($"n_tokens").as("n_all"),
+      sum($"surp_q").as("surp_all"))
+    val scored = perSource.crossJoin(broadcast(corpus))
+      .withColumn("score_q", floor(exp(
+        ($"surp_q".cast("double") / $"n_tokens".cast("double")
+          - $"surp_all".cast("double") / $"n_all".cast("double"))
+          / 10000.0) * 1e6 + lit(1.0 / 3)).cast("long"))
+    val norm = scored.agg(sum($"score_q").as("score_sum"))
+    scored.crossJoin(broadcast(norm))
+      .select($"source", $"n_tokens",
+        expr("surp_q div n_tokens").as("mean_surprisal_q"),
+        $"score_q",
+        expr("(score_q * 1000000) div score_sum").as("weight_ppm"))
+  }
+
+  /** q205: packing-efficiency audit of q49's sequence packer — per
+    * 2048-token pack, the filled token count, binned into a bounded
+    * fill histogram (16 buckets of 12.5%; straddling docs can push a
+    * pack past 100%, folded into the top bucket): the table a
+    * pretraining pipeline reads to decide whether its packing strategy
+    * wastes context budget. All counts exact integers off the same
+    * hash-sharded pack assignment (no global sort — the q49 shape).
+    *
+    * Scale shape: the pack relation partial-aggs per (shard, pack) and
+    * then to ≤16 histogram rows; nothing data-sized after the scan. */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packs = seqPack(spark, dir)
+      .groupBy($"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_toks"))
+    packs
+      .withColumn("bucket",
+        least(expr("(n_toks * 16) div 2048"), lit(16L)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_packs"), sum($"n_docs").as("n_docs"),
+        sum($"n_toks").as("n_tokens"))
+      .withColumn("mean_fill_ppm",
+        expr("(n_tokens * 1000000) div (n_packs * 2048)"))
+  }
 }

@@ -289,6 +289,27 @@ object TextAnalysis {
       .withColumn("keep", $"margin" > 0)
   }
 
+  /** q206: uncertainty-based active-learning selection — spend the
+    * labeling budget where the model is LEAST sure (Lewis & Gale 1994):
+    * the 20 documents whose q95 classifier margin sits closest to the
+    * decision boundary, normalized per token so long documents don't
+    * look artificially confident. |margin|·10⁶ div n_tokens is exact
+    * integer; ties break on doc_id.
+    *
+    * Scale shape: the margin is q95's map-only fold; the top-20-by-
+    * smallest is TakeOrderedAndProject (per-partition heaps), never a
+    * global sort. */
+  def activeSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hashClassifier(spark, dir)
+      .where($"n_tokens" > 0)
+      .withColumn("uncertainty_ppm",
+        expr("(abs(margin) * 1000000) div n_tokens"))
+      .orderBy($"uncertainty_ppm".asc, $"doc_id".asc)
+      .limit(20)
+      .select($"doc_id", $"n_tokens", $"margin", $"uncertainty_ppm")
+  }
+
   /** q96: per-source token-distribution divergence — the data-mixing
     * diagnostic that flags a source whose unigram distribution drifts
     * from the corpus: KL(P_source || P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)).

@@ -365,6 +365,48 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q204 mixture weights normalize to ~1e6 and follow excess surprisal") {
+    val rows = Sampling.mixtureWeights(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    // integer floor division loses < |sources| ppm total
+    assert(wsum <= 1000000L && wsum >= 1000000L - rows.length)
+    // monotone: higher mean surprisal never gets a lower score
+    val sorted = rows.sortBy(_.getAs[Long]("mean_surprisal_q"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        // scores follow the UNFLOORED mean, so only assert the strict
+        // ordering when the floored means differ by > 1
+        if (b.getAs[Long]("mean_surprisal_q")
+            > a.getAs[Long]("mean_surprisal_q") + 1)
+          assert(b.getAs[Long]("score_q") >= a.getAs[Long]("score_q"))
+      case _ =>
+    }
+  }
+
+  test("q205 histogram covers every pack and fill tracks the bucket") {
+    val rows = Sampling.packEfficiency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nPacks = rows.map(_.getAs[Long]("n_packs")).sum
+    val expectPacks = Sampling.seqPack(spark, sfDir)
+      .select("shard", "pack_id").distinct().count()
+    assert(nPacks === expectPacks)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 16L)
+    }
+  }
+
+  test("q206 picks the 20 least-certain docs in ascending uncertainty") {
+    val rows = TextAnalysis.activeSelect(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val u = rows.map(_.getAs[Long]("uncertainty_ppm"))
+    u.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
+
   test("q194 negatives are never positives and draws are reproducible") {
     import spark.implicits._
     val rows = Sampling.negativeSampling(spark, sfDir)
