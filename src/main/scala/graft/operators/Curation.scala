@@ -472,6 +472,14 @@ object Curation {
         lfs.map { case (n, _) => coalesce(col(n), lit(0L)) }
           .reduce(_ + _).as("n1"))
       .withColumn("n0", $"m" - $"n1")
+    alphaFrom(perDoc)
+  }
+
+  /** Testable aggregation core over any per-unit `(m, n1, n0)` vote
+    * relation — StatPropertySpec checks alpha against the direct
+    * Krippendorff coincidence-matrix formula on random panels. */
+  private[graft] def alphaFrom(perDoc: DataFrame): DataFrame = {
+    import perDoc.sparkSession.implicits._
     perDoc.where($"m" >= 2)
       .agg(count(lit(1)).as("n_units"),
         sum($"m").as("n_ratings"),

@@ -527,10 +527,17 @@ object Evaluate {
     * tie sums are windows over that bounded grid. */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = Tables.events(spark, dir)
+    mannWhitneyOn(Tables.events(spark, dir)
       .select($"event_type",
         floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"),
-        ($"user_id" % 2 === 1).as("treat"))
+        ($"user_id" % 2 === 1).as("treat")))
+  }
+
+  /** Testable core over any `(event_type, vq, treat)` relation —
+    * StatPropertySpec checks 2U against brute-force pair counting. */
+  private[graft] def mannWhitneyOn(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    val g = rows
       .groupBy($"event_type", $"vq")
       .agg(sum(when(!$"treat", 1L).otherwise(0L)).as("c0"),
         sum(when($"treat", 1L).otherwise(0L)).as("c1"))
