@@ -54,7 +54,10 @@ object ScaleSmoke {
   private val EMB_QUERIES = Seq("q29_ann_brute", "q30_lsh_ann",
     "q37_cosine_neardup", "q38_ivf_ann", "q67_embed_quant", "q68_kmeans_step",
     "q92_embed_gram", "q94_semantic_dedup", "q98_pq_encode", "q99_pca_project",
-    "q106_margin_mining", "q138_hubness", "q142_rank_overlap")
+    "q106_margin_mining", "q138_hubness", "q142_rank_overlap",
+    // round 9: JL audit is sample-bounded (flat), k-center is k linear
+    // scans (~scan ratio)
+    "q183_jl_audit", "q187_kcenter")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and
