@@ -226,6 +226,7 @@ object SparkEntry {
     "q204_mixture_weights"  -> (Sampling.mixtureWeights _),
     "q205_pack_efficiency"  -> (Sampling.packEfficiency _),
     "q206_active_select"    -> (TextAnalysis.activeSelect _),
+    "q207_k_anonymity"      -> (Curation.kAnonymity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4621,5 +4622,36 @@ object SparkEntry {
            FROM m WHERE n_tokens > 0)
          SELECT doc_id, n_tokens, margin, uncertainty_ppm
          FROM u ORDER BY uncertainty_ppm ASC, doc_id ASC LIMIT 20""",
+    // q207: k-anonymity audit over (lang, source, length-decile) QI
+    // classes; k=5 risk line, value-group deciles, all integer
+    "q207_k_anonymity" ->
+      """WITH g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1),
+         a AS (SELECT n_chars,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_gt,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n_tot
+           FROM g),
+         dec AS (SELECT n_chars, (cum_gt * 10) // n_tot + 1 AS decile
+                 FROM a),
+         classes AS (SELECT d.lang, d.source, dec.decile,
+             CAST(count(*) AS BIGINT) AS class_size
+           FROM documents d JOIN dec USING (n_chars)
+           GROUP BY 1, 2, 3),
+         b AS (SELECT CASE WHEN class_size = 1 THEN '1_unique'
+               WHEN class_size < 5 THEN '2_to_4'
+               WHEN class_size < 10 THEN '5_to_9'
+               WHEN class_size < 50 THEN '10_to_49'
+               ELSE '50_plus' END AS bucket,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(class_size) AS BIGINT) AS n_records,
+             CAST(sum(CASE WHEN class_size < 5 THEN class_size
+               ELSE 0 END) AS BIGINT) AS n_at_risk
+           FROM classes GROUP BY 1)
+         SELECT bucket, n_classes, n_records,
+           (n_at_risk * 1000000)
+             // CAST(sum(n_records) OVER () AS BIGINT) AS risk_ppm
+         FROM b""",
   )
 }

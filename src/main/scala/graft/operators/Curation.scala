@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Corpus-curation operators a training-data pipeline runs between dedup
   * and packing: PII masking, boilerplate/repetition scoring (the Gopher
@@ -490,5 +493,53 @@ object Curation {
         when($"n0_tot" > 0 && $"n1_tot" > 0,
           lit(1000000L) - expr(
             "(o6 * (n_ratings - 1) * 1000000) div (6 * n0_tot * n1_tot)")))
+  }
+
+  /** q207: k-anonymity audit — before releasing or sharing a corpus,
+    * how re-identifiable are its records through quasi-identifiers
+    * (Sweeney 2002)? Here the QI tuple is (lang, source, length
+    * decile): every equivalence class smaller than k = 5 is a
+    * re-identification risk. Output: the k-distribution histogram
+    * (class-size buckets 1, 2-4, 5-9, 10-49, ≥50) with record counts,
+    * plus the risk headline — records in classes below k as ppm.
+    * Length deciles are the q192 value-group cut on the bounded
+    * n_chars grid, so the whole audit is exact integers.
+    *
+    * Scale shape: one scan partial-aggs to the QI-class relation
+    * (bounded by |lang|×|source|×10); the histogram and the risk ppm
+    * are arithmetic on that aggregate. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+    val wGt = Window.orderBy($"n_chars".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val deciles = g
+      .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
+      .withColumn("n_tot", sum($"cnt").over(wAll))
+      .select($"n_chars", expr("(cum_gt * 10) div n_tot + 1").as("decile"))
+    val classes = Tables.documents(spark, dir)
+      .join(broadcast(deciles), "n_chars")
+      .groupBy($"lang", $"source", $"decile")
+      .agg(count(lit(1)).as("class_size"))
+    val bucket = when($"class_size" === 1, "1_unique")
+      .when($"class_size" < 5, "2_to_4")
+      .when($"class_size" < 10, "5_to_9")
+      .when($"class_size" < 50, "10_to_49")
+      .otherwise("50_plus")
+    classes
+      .withColumn("bucket", bucket)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_classes"),
+        sum($"class_size").as("n_records"),
+        sum(when($"class_size" < 5, $"class_size").otherwise(0L))
+          .as("n_at_risk"))
+      .withColumn("total", sum($"n_records").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select($"bucket", $"n_classes", $"n_records",
+        expr("(n_at_risk * 1000000) div total").as("risk_ppm"))
   }
 }

@@ -407,6 +407,21 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q207 anonymity buckets cover every document and risk counts at-risk mass") {
+    val rows = Curation.kAnonymity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_records")).sum
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(total === docs)
+    rows.foreach { r =>
+      val risk = r.getAs[Long]("risk_ppm")
+      assert(risk >= 0L && risk <= 1000000L)
+      // buckets at or above k=5 carry zero at-risk mass
+      if (Set("5_to_9", "10_to_49", "50_plus")(r.getAs[String]("bucket")))
+        assert(risk === 0L)
+    }
+  }
+
   test("q194 negatives are never positives and draws are reproducible") {
     import spark.implicits._
     val rows = Sampling.negativeSampling(spark, sfDir)
