@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-count independence — the determinism discipline's core
+  * claim (SCALE.md ground rules): every query's RESULT is identical at
+  * any shuffle width, because double sums route through decimal or
+  * integer quantization, ties break on explicit keys, and floats only
+  * appear inside per-row expressions or after exact aggregation. This
+  * spec runs a cross-family sample of the hash-gated queries in two
+  * cloned sessions at adversarial widths (3 vs 13 partitions, AQE on)
+  * and compares collected results EXACTLY. */
+class DeterminismSpec extends SparkSpec {
+
+  // families with the most partition-sensitive machinery: libm + offset
+  // quantization (fft/coherence/ewma), decimal sums, window ties,
+  // iterative fixpoints, rank cuts, and the md5 draw path
+  private val sample = Seq(
+    "q01_agg_pushdown", "q17_topk_per_group", "q23_distinct_count",
+    "q36_fft_power", "q42_quantiles", "q62_dup_clusters",
+    "q90_tf_cosine", "q96_source_kl", "q103_pagerank",
+    "q179_fdr_drift", "q180_ewma_forecast", "q184_hits",
+    "q191_mann_whitney", "q194_neg_sampling", "q198_coherence",
+    "q204_mixture_weights")
+
+  private def collectCanon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("sampled queries are bit-identical at 3 vs 13 shuffle partitions") {
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.shuffle.partitions", "3")
+    val s13 = spark.newSession()
+    s13.conf.set("spark.sql.shuffle.partitions", "13")
+    sample.foreach { name =>
+      val q = SparkEntry.queries(name)
+      val a = collectCanon(q(s3, sfDir))
+      val b = collectCanon(q(s13, sfDir))
+      assert(a === b, s"$name differs between partition widths")
+      assert(a.nonEmpty || name == "q201_blob_phash", s"$name empty")
+    }
+  }
+}
