@@ -227,6 +227,7 @@ object SparkEntry {
     "q205_pack_efficiency"  -> (Sampling.packEfficiency _),
     "q206_active_select"    -> (TextAnalysis.activeSelect _),
     "q207_k_anonymity"      -> (Curation.kAnonymity _),
+    "q208_corpus_diff"      -> (Dedup.corpusDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4653,5 +4654,27 @@ object SparkEntry {
            (n_at_risk * 1000000)
              // CAST(sum(n_records) OVER () AS BIGINT) AS risk_ppm
          FROM b""",
+    // q208: snapshot diff by id + content hash; v2 simulated
+    // deterministically (drop %17, retext %13, reid %19)
+    "q208_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h
+           FROM documents),
+         v2 AS (SELECT CASE WHEN doc_id % 19 = 0
+               THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+             source,
+             CASE WHEN doc_id % 13 = 0 THEN md5(text || ' v2')
+               ELSE md5(text) END AS h
+           FROM documents WHERE doc_id % 17 <> 0),
+         j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             coalesce(a.source, b.source) AS source,
+             a.h AS h_a, b.h AS h_b
+           FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT source,
+           CASE WHEN h_a IS NULL THEN 'added'
+             WHEN h_b IS NULL THEN 'removed'
+             WHEN h_a = h_b THEN 'unchanged'
+             ELSE 'changed' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM j GROUP BY 1, 2""",
   )
 }

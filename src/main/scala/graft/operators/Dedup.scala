@@ -762,6 +762,44 @@ object Dedup {
     * in one scan, the train shingle set is a |train-vocab|-row
     * distinct, the test side probes it with an equality join; no doc
     * pair is ever formed. */
+  /** q208: corpus snapshot diff — the dataset-release delta report:
+    * given two corpus versions, classify every doc_id as added /
+    * removed / changed / unchanged by full outer join on the id with a
+    * content-hash compare, and emit the per-source census of each
+    * class (the "what moved between v1 and v2" table every dataset
+    * card links). v2 is simulated deterministically from the corpus
+    * (every 17th doc dropped, every 13th re-texted, every 19th id
+    * shifted into a new range) so both engines derive the same two
+    * versions; with a real second snapshot only the two source
+    * relations change.
+    *
+    * Scale shape: one full outer join on doc_id (co-partitioned
+    * shuffle of the two versions — the unavoidable diff cost), md5
+    * compare map-side, census partial-aggs to |sources|×4 rows. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5($"text").as("h"))
+    val v2 = Tables.documents(spark, dir)
+      .where($"doc_id" % 17 =!= 0)
+      .select(
+        when($"doc_id" % 19 === 0, $"doc_id" + 1000000L)
+          .otherwise($"doc_id").as("doc_id"),
+        $"source",
+        when($"doc_id" % 13 === 0, md5(concat($"text", lit(" v2"))))
+          .otherwise(md5($"text")).as("h"))
+    v1.select($"doc_id", $"source".as("src_a"), $"h".as("h_a"))
+      .join(v2.select($"doc_id", $"source".as("src_b"), $"h".as("h_b")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"h_a".isNull, "added")
+          .when($"h_b".isNull, "removed")
+          .when($"h_a" === $"h_b", "unchanged")
+          .otherwise("changed"))
+      .groupBy(coalesce($"src_a", $"src_b").as("source"), $"status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val split = Sampling.hashSplit(Tables.documents(spark, dir),

@@ -422,6 +422,22 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q208 diff census reconciles both versions exactly") {
+    import spark.implicits._
+    val rows = Dedup.corpusDiff(spark, sfDir).collect()
+    val by = rows.groupBy(_.getAs[String]("status"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_docs")).sum }
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val removed17 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" % 17 === 0).count()
+    // v1 = removed + changed + unchanged; added are the re-id'd docs
+    assert(by.getOrElse("removed", 0L) + by.getOrElse("changed", 0L)
+      + by.getOrElse("unchanged", 0L) === n)
+    // every re-id'd doc appears once as added and once as removed
+    assert(by.getOrElse("added", 0L) > 0L)
+    assert(by.getOrElse("removed", 0L) >= removed17)
+  }
+
   test("q194 negatives are never positives and draws are reproducible") {
     import spark.implicits._
     val rows = Sampling.negativeSampling(spark, sfDir)
