@@ -91,6 +91,7 @@ object ScaleSmoke {
     "q79_cluster_keepers", "q103_pagerank")
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("megacust")) { megaCustSmoke(); return }
     val graphMode = args.contains("graph")
     val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
@@ -182,6 +183,68 @@ object ScaleSmoke {
       println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f")
     }
     println(f"${"TOTAL"}%-22s $tot1%8.2f $totN%8.2f  ${totN / tot1}%5.1f")
+    spark.stop()
+  }
+
+  /** q202 hot-customer smoke: inject 2000 synthetic mega-customers that
+    * each bought from EVERY supplier (deg = |catalog| = 1000 at sf0.1),
+    * then time itemCf capped (the shipped plan, deg ≤ 64 enters pair
+    * generation) vs uncapped. Uncapped, the injected customers alone
+    * contribute 2000 × C(1000,2) ≈ 10⁹ co-occurrence pairs — the
+    * power-law-key blowup the cap exists for; capped, pair work stays
+    * within the base corpus's Σ_{deg≤64} C(deg,2) bound, so its wall
+    * time must track the no-mega baseline. Run:
+    * runMain graft.ScaleSmoke megacust */
+  private def megaCustSmoke(): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_scale_megacust"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+      // one synthetic order per mega-customer holding one lineitem per
+      // supplier; only the columns itemCf touches are populated beyond
+      // the join keys (itemCf projects them before anything else)
+      val nMega = 2000L
+      val nSupp = spark.read.parquet(s"$base/supplier.parquet").count()
+      val megaOrders = spark.range(nMega)
+        .select(($"id" + 900000000L).as("o_orderkey"),
+          ($"id" + 900000000L).as("o_custkey"))
+      val megaItems = spark.range(nMega)
+        .select(($"id" + 900000000L).as("o_orderkey"))
+        .withColumn("l_suppkey", explode(sequence(lit(1L), lit(nSupp))))
+        .select($"o_orderkey".as("l_orderkey"), $"l_suppkey")
+      spark.read.parquet(s"$base/orders.parquet")
+        .select($"o_orderkey", $"o_custkey")
+        .unionByName(megaOrders)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/orders.parquet")
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .select($"l_orderkey", $"l_suppkey")
+        .unionByName(megaItems)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/lineitem.parquet")
+    }
+    def time(label: String, dir: String, cap: Option[Long]): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Graph.itemCfOn(spark, dir, cap)
+        .write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-34s $s%8.2f s"); s
+    }
+    // warm (codegen) on the small base dir, then measure
+    time("warmup capped (base)", base, Some(graft.operators.Graph.ItemCfDegCap))
+    val baseCapped = time("base, capped", base, Some(graft.operators.Graph.ItemCfDegCap))
+    val megaCapped = time("mega, capped  (shipped plan)", big, Some(graft.operators.Graph.ItemCfDegCap))
+    val megaUncapped = time("mega, UNCAPPED (what cap avoids)", big, None)
+    println(f"capped overhead vs base: ${megaCapped / baseCapped}%4.2fx; " +
+      f"uncapped is ${megaUncapped / megaCapped}%4.1fx the capped plan")
     spark.stop()
   }
 }

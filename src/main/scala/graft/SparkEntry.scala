@@ -4504,16 +4504,23 @@ object SparkEntry {
          WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
            <= 12""",
     // q202: item-item CF cosine neighbors from the co-purchase counts;
-    // the sqrt is the only float, ppm-quantized
+    // the sqrt is the only float, ppm-quantized. Hot-customer cap:
+    // customers with >64 distinct suppliers are excluded from pair
+    // generation (frequent-rater cut; degrees stay full) — must match
+    // Graph.ItemCfDegCap.
     "q202_item_cf" ->
       """WITH inter AS (SELECT DISTINCT o.o_custkey AS custkey,
              l.l_suppkey AS suppkey
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
          deg AS (SELECT suppkey, CAST(count(*) AS BIGINT) AS d
                  FROM inter GROUP BY 1),
+         keep AS (SELECT custkey FROM inter
+                  GROUP BY 1 HAVING count(*) <= 64),
+         capped AS (SELECT i.custkey, i.suppkey
+                    FROM inter i JOIN keep USING (custkey)),
          co AS (SELECT a.suppkey AS s_a, b.suppkey AS s_b,
              CAST(count(*) AS BIGINT) AS c_ab
-           FROM inter a JOIN inter b ON a.custkey = b.custkey
+           FROM capped a JOIN capped b ON a.custkey = b.custkey
              AND a.suppkey < b.suppkey
            GROUP BY 1, 2),
          sims AS (SELECT co.s_a, co.s_b, co.c_ab,
@@ -4582,8 +4589,9 @@ object SparkEntry {
          SELECT source, n_tokens, surp_q // n_tokens AS mean_surprisal_q,
            score_q, (score_q * 1000000) // score_sum AS weight_ppm
          FROM s, nrm""",
-    // q205: fill histogram of q49's packs (16 buckets of 12.5%,
-    // straddle overflow folded into the top bucket)
+    // q205: fill histogram of q49's packs (6.25% buckets: bucket =
+    // (n_toks*16) div 2048 capped at 16, 17 possible values 0..16;
+    // straddle overflow folded into bucket 16)
     "q205_pack_efficiency" ->
       """WITH d AS (
            SELECT doc_id,
@@ -4659,12 +4667,16 @@ object SparkEntry {
     "q208_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, source, md5(text) AS h
            FROM documents),
-         v2 AS (SELECT CASE WHEN doc_id % 19 = 0
-               THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+         -- the retext CASE tests the ORIGINAL doc_id (old_id), never
+         -- the %19-remapped one; the inner subquery makes that explicit
+         v2 AS (SELECT
+             CASE WHEN old_id % 19 = 0
+               THEN old_id + 1000000 ELSE old_id END AS doc_id,
              source,
-             CASE WHEN doc_id % 13 = 0 THEN md5(text || ' v2')
+             CASE WHEN old_id % 13 = 0 THEN md5(text || ' v2')
                ELSE md5(text) END AS h
-           FROM documents WHERE doc_id % 17 <> 0),
+           FROM (SELECT doc_id AS old_id, source, text FROM documents
+                 WHERE doc_id % 17 <> 0)),
          j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
              coalesce(a.source, b.source) AS source,
              a.h AS h_a, b.h AS h_b

@@ -747,21 +747,6 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"gap", $"n_shared", $"jac_ppm")
   }
 
-  /** q190: train/test split-leakage audit — after a document-level hash
-    * split (the exact q48 assignment, same salt), which TEST documents
-    * share most of their content with SOME train document? A doc-level
-    * split leaks whenever near-duplicate families straddle the
-    * boundary, silently inflating eval scores; this measures that
-    * directly: per test doc, the fraction of its distinct 3-gram
-    * shingles that appear anywhere in the train split, reporting docs
-    * with ≥ 50% overlap. (The q58 contamination shape, turned inward
-    * on the pipeline's own split — the audit that motivates
-    * cluster-aware splitting.)
-    *
-    * Scale shape: linear posting-list work only — shingles + split tag
-    * in one scan, the train shingle set is a |train-vocab|-row
-    * distinct, the test side probes it with an equality join; no doc
-    * pair is ever formed. */
   /** q208: corpus snapshot diff — the dataset-release delta report:
     * given two corpus versions, classify every doc_id as added /
     * removed / changed / unchanged by full outer join on the id with a
@@ -800,6 +785,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q190: train/test split-leakage audit — after a document-level hash
+    * split (the exact q48 assignment, same salt), which TEST documents
+    * share most of their content with SOME train document? A doc-level
+    * split leaks whenever near-duplicate families straddle the
+    * boundary, silently inflating eval scores; this measures that
+    * directly: per test doc, the fraction of its distinct 3-gram
+    * shingles that appear anywhere in the train split, reporting docs
+    * with ≥ 50% overlap. (The q58 contamination shape, turned inward
+    * on the pipeline's own split — the audit that motivates
+    * cluster-aware splitting.)
+    *
+    * Scale shape: linear posting-list work only — shingles + split tag
+    * in one scan, the train shingle set is a |train-vocab|-row
+    * distinct, the test side probes it with an equality join; no doc
+    * pair is ever formed. */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val split = Sampling.hashSplit(Tables.documents(spark, dir),

@@ -321,12 +321,12 @@ object Sampling {
     * Scale shape: interactions dedup to the (cust, supp) relation
     * (partial-agged); candidates are a broadcast cross with the
     * supplier catalog minus interactions via LEFT ANTI join
-    * (co-partitioned on cust). The per-customer top-2 is NOT a rank
-    * window (sorting the full candidate relation was 5.7 s of the
-    * 6.9 s at sf0.1): it is two chained struct-min HASH aggregations —
-    * min(draw, supp) gives pick 1, a second min over the remainder
-    * gives pick 2 — both fully map-side combinable, so the candidate
-    * relation is never sorted anywhere (6.9 s → 2.0 s measured). At a
+    * (co-partitioned on cust). The per-customer top-2 is a rank
+    * window partitioned by custkey over (draw, suppkey) — the
+    * partitions are catalog-bounded, so the sort inside each is
+    * cheap; a struct-min-chain rewrite was tried and REJECTED
+    * (regressed to 47 s — see COVERAGE.md round-9 notes), because the
+    * double aggregation rescanned the candidate relation. At a
     * 10⁶⁺-item catalog the candidate cross is replaced by
     * hash-bucketed proposal + the same anti-join (draw s ≫ k
     * candidates, reject interactions) — per-user work stays O(s),
@@ -395,8 +395,9 @@ object Sampling {
 
   /** q205: packing-efficiency audit of q49's sequence packer — per
     * 2048-token pack, the filled token count, binned into a bounded
-    * fill histogram (16 buckets of 12.5%; straddling docs can push a
-    * pack past 100%, folded into the top bucket): the table a
+    * fill histogram (buckets of 6.25% each, bucket = (n_toks*16) div
+    * 2048 capped at 16, so 17 possible values 0..16; straddling docs
+    * can push a pack past 100%, folded into bucket 16): the table a
     * pretraining pipeline reads to decide whether its packing strategy
     * wastes context budget. All counts exact integers off the same
     * hash-sharded pack assignment (no global sort — the q49 shape).

@@ -21,7 +21,7 @@ class DeterminismSpec extends SparkSpec {
     "q90_tf_cosine", "q96_source_kl", "q103_pagerank",
     "q179_fdr_drift", "q180_ewma_forecast", "q184_hits",
     "q191_mann_whitney", "q194_neg_sampling", "q198_coherence",
-    "q204_mixture_weights")
+    "q201_blob_phash", "q204_mixture_weights")
 
   private def collectCanon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
