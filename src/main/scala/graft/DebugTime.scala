@@ -42,6 +42,8 @@ object DebugTime {
     if (sys.env.contains("GRAFT_STAGE_LOG"))
       spark.sparkContext.addSparkListener(new StageLog)
     names.foreach { n =>
+      if (sys.env.contains("GRAFT_EXPLAIN"))
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
       time(n)(SparkEntry.queries(n)(spark, dir))
     }
     spark.stop()

@@ -266,18 +266,28 @@ object Timeseries {
     * (one partial-agged groupBy); the pair join and rank run on |hours|²
     * per type (720 hours → 259k pairs — trivial). For multi-year feeds
     * the documented variant is the repeated-median or a coarser grid;
-    * the corpus itself is never paired. */
+    * the corpus itself is never paired. Round 7: the hourly relation is
+    * explicitly repartition(8, event_type)-ed — an EXPLICIT width AQE
+    * must respect (its byte-based coalescing sees a 0.1 MB exchange and
+    * was collapsing the whole pair pipeline onto ONE core) — so the
+    * self-join output is born event_type-partitioned and the rank
+    * window runs with no pair exchange; n_pairs = C(n_hours, 2) comes
+    * from the hourly counts (no count-window second sort, no pair-
+    * stream shuffle anywhere). An all-array rewrite was 2x WORSE (259k
+    * interpreted struct allocs per type) — rejected. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hourly = Tables.events(spark, dir)
       .groupBy($"event_type",
         expr("unix_millis(ts) div 3600000").as("h"))
       .agg(count(lit(1)).as("c"))
+      .repartition(8, $"event_type")
+    val np = hourly.groupBy($"event_type").agg(count(lit(1)).as("nh"))
+      .select($"event_type", expr("(nh * (nh - 1)) div 2").as("n_pairs"))
     val pairs = hourly.as("a").join(hourly.as("b"),
         $"a.event_type" === $"b.event_type" && $"a.h" < $"b.h")
       .select($"a.event_type".as("event_type"), $"a.h".as("ha"), $"b.h".as("hb"),
         (($"b.c" - $"a.c") / ($"b.h" - $"a.h")).as("slope"))
-    val np = pairs.groupBy($"event_type").agg(count(lit(1)).as("n_pairs"))
     val w = Window.partitionBy($"event_type")
       .orderBy($"slope", $"ha", $"hb")
     pairs.withColumn("rk", row_number().over(w))
