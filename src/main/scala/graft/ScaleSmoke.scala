@@ -183,6 +183,21 @@ object ScaleSmoke {
       println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f")
     }
     println(f"${"TOTAL"}%-22s $tot1%8.2f $totN%8.2f  ${totN / tot1}%5.1f")
+    if (embMode) {
+      // Lloyd-vs-first-k cell balance on the replicated collection: the
+      // remapped first-8 ids are near-identical replicas of vec 0, so
+      // the seed codebook piles most mass into one cell — exactly the
+      // skew the production lloydIters path exists to fix (the Σcell²
+      // pair bound of semanticDedup rests on this balance)
+      def balance(iters: Int): Double = {
+        val sizes = graft.operators.Similarity
+          .semanticDedupOn(spark, big, k = 8, lloydIters = iters)
+          .groupBy($"cell").count().collect().map(_.getLong(1).toDouble)
+        sizes.max / (sizes.sum / sizes.length)
+      }
+      println(f"cell balance max/mean (k=8): first-k=${balance(0)}%.2f " +
+        f"lloyd-3=${balance(3)}%.2f (lower is better)")
+    }
     spark.stop()
   }
 

@@ -53,6 +53,63 @@ object Quantize {
     * Component sums quantize to exact integers (floor(x * 1e6), the q60
     * trick) so the merge-order-sensitive double sum becomes a portable
     * exact long sum; the mean divides back out in double once. */
+  /** Lloyd-iterated codebook — the PRODUCTION centroid path for
+    * Similarity.semanticDedupOn / ivfAnnOn (the oracle queries keep the
+    * deterministic first-k codebook so DuckDB reproduces assignments).
+    * Seeds with the first k vectors, then runs `iters` rounds of the
+    * q68 kmeansStep shape: map-only literal-codebook assignment (k
+    * codegen'd dots + struct argmax per row, min-id tie-break), ONE
+    * partial-agged (cell, dim) shuffle, and a k×d-bounded collect per
+    * round. Component sums ride the floor(x·1e6) long lattice, so the
+    * iteration is shuffle-order-deterministic end to end; an emptied
+    * cell keeps its previous centroid (the standard Lloyd guard).
+    *
+    * Scale shape: per round the corpus is scanned once map-only and
+    * reduced to k×d rows — the canonical distributed Lloyd; k and d are
+    * codebook constants, so driver state is O(k·d) regardless of corpus
+    * size. */
+  private[graft] def lloydCentroids(spark: SparkSession, dir: String,
+      k: Int, iters: Int): Array[(Long, Array[Double], Double)] = {
+    import spark.implicits._
+    val emb = transform($"embedding", x => x.cast("double"))
+    val e = Tables.rebalance(spark, dir, "embeddings",
+        Tables.embeddings(spark, dir), $"vec_id")
+      .select($"vec_id", emb.as("emb"),
+        VectorOps.l2norm($"embedding").as("nrm"))
+      .localCheckpoint(false)
+    var cents: Array[(Long, Array[Double], Double)] =
+      e.where($"vec_id" < k).as[(Long, Array[Double], Double)]
+        .collect().sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
+        struct((VectorOps.dot($"emb", lit(cemb)) / ($"nrm" * cnrm)).as("c"),
+          lit(-id).as("nid"))
+      }: _*)
+      val sums = e
+        .select((-array_max(scoredCells).getField("nid")).as("cell"),
+          posexplode($"emb").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"x" * 1e6).cast("long")).as("xq"))
+        .collect() // k×d rows — codebook-bounded, never corpus-sized
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (id, old, oldNrm) =>
+        byCell.get(id) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach { r =>
+              arr(r.getInt(1)) = r.getLong(3).toDouble / 1e6 / r.getLong(2)
+            }
+            var acc = 0.0; var i = 0
+            while (i < arr.length) { acc += arr(i) * arr(i); i += 1 }
+            (id, arr, math.sqrt(acc))
+          case None => (id, old, oldNrm)
+        }
+      }
+    }
+    cents
+  }
+
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = transform($"embedding", x => x.cast("double"))

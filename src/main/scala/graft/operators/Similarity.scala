@@ -184,12 +184,27 @@ object Similarity {
     * nearest cells, and only vectors in probed cells are scored. At scale
     * the collection is partitioned by cell, so a probe touches 2/8 of the
     * data instead of all of it. */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnnOn(spark, dir, lloydIters = 0)
+
+  /** q38 core; `lloydIters > 0` swaps the first-8 codebook for
+    * Lloyd-refined centroids (the production path — same plan, better
+    * cell balance; the oracle pins iters = 0). */
+  def ivfAnnOn(spark: SparkSession, dir: String,
+      lloydIters: Int): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select(
       $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
-    val cent = e.where($"vec_id" < 8)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"), $"nrm".as("cnrm"))
+    val cent =
+      if (lloydIters > 0)
+        // graft_dot accepts mixed float/double arrays, so the double
+        // centroid rows join the float collection directly
+        Quantize.lloydCentroids(spark, dir, 8, lloydIters)
+          .toSeq.toDF("cent_id", "cemb", "cnrm")
+      else
+        e.where($"vec_id" < 8)
+          .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+            $"nrm".as("cnrm"))
     val rankedCells = e.join(broadcast(cent), lit(true))
       .withColumn("ccos", VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
       .withColumn("crk", row_number().over(
@@ -229,19 +244,26 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupOn(spark, dir, k = 8)
 
-  /** q94 core with the codebook size exposed; centroids are
-    * deterministically the first k vectors (a production build swaps in
-    * k-means centroids — same plan, different literals). */
-  def semanticDedupOn(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  /** q94 core with the codebook size exposed; centroids default to the
+    * deterministic first-k vectors (the oracle path). `lloydIters > 0`
+    * is the PRODUCTION path: the codebook is Lloyd-refined that many
+    * rounds first (Quantize.lloydCentroids — same literal-codebook
+    * map-only assignment, different literals; cell balance improves, so
+    * the Σcell² pair bound the scale argument rests on tightens). */
+  def semanticDedupOn(spark: SparkSession, dir: String, k: Int,
+      lloydIters: Int = 0): DataFrame = {
     import spark.implicits._
     val e = Tables.rebalance(spark, dir, "embeddings",
         Tables.embeddings(spark, dir), $"vec_id")
       .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
-    val cents: Array[(Long, Array[Float], Double)] =
-      e.where($"vec_id" < k).as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val cents: Array[(Long, Array[Double], Double)] =
+      if (lloydIters > 0) Quantize.lloydCentroids(spark, dir, k, lloydIters)
+      else e.where($"vec_id" < k).as[(Long, Array[Float], Double)]
+        .collect().sortBy(_._1)
+        .map { case (id, a, n) => (id, a.map(_.toDouble), n) }
     // argmax by cosine, min-cent_id tie-break: max over struct(cos, -id)
     val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
-      struct((VectorOps.dot($"embedding", lit(cemb.map(_.toDouble))) / ($"nrm" * cnrm)).as("c"),
+      struct((VectorOps.dot($"embedding", lit(cemb)) / ($"nrm" * cnrm)).as("c"),
         lit(-id).as("nid"))
     }: _*)
     val assigned = e.select($"vec_id", $"embedding", $"nrm",

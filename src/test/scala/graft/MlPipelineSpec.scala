@@ -39,8 +39,11 @@ class MlPipelineSpec extends SparkSpec {
   }
 
   // brute-force SemDeDup model, parameterized by codebook size k
-  private def semDedupModel(k: Int): Seq[(Long, Long, Long, Boolean)] = {
-    val cents = vectors.filter(_._1 < k)
+  private def semDedupModel(k: Int): Seq[(Long, Long, Long, Boolean)] =
+    semDedupModelWith(vectors.filter(_._1 < k))
+
+  private def semDedupModelWith(cents: Array[(Long, Array[Double], Double)])
+      : Seq[(Long, Long, Long, Boolean)] = {
     // model: cell = cosine argmax (min cent_id on exact ties)
     val cellOf = vectors.map { case (id, e, n) =>
       val best = cents.map { case (cid, ce, cn) => (dot(e, ce) / (n * cn), cid) }
@@ -53,6 +56,41 @@ class MlPipelineSpec extends SparkSpec {
         .filter(_ >= 0.35)
       (id, cellOf(id), earlier.length.toLong, earlier.isEmpty)
     }.toSeq
+  }
+
+  // driver-side faithful Lloyd model: argmax-cosine assignment (min-id
+  // ties, the engine's struct-max rule), component sums on the
+  // floor(x*1e6) long lattice, mean = sum.toDouble/1e6/n — the exact
+  // arithmetic of Quantize.lloydCentroids, so parity is bit-exact
+  private def lloydModel(k: Int, iters: Int)
+      : Array[(Long, Array[Double], Double)] = {
+    var cents = vectors.filter(_._1 < k)
+    for (_ <- 1 to iters) {
+      val assign: Array[(Long, Array[Double])] = vectors.map { case (_, e, n) =>
+        val best = cents.map { case (cid, ce, cn) => (dot(e, ce) / (n * cn), cid) }
+          .reduceLeft((x, y) => if (y._1 > x._1) y else x)
+        (best._2, e)
+      }
+      cents = cents.map { case (cid, old, oldNrm) =>
+        val members = assign.filter(_._1 == cid).map(_._2)
+        if (members.isEmpty) (cid, old, oldNrm)
+        else {
+          val arr = Array.tabulate(old.length) { i =>
+            val s = members.map(v => math.floor(v(i) * 1e6).toLong).sum
+            s.toDouble / 1e6 / members.length
+          }
+          var acc = 0.0; var i = 0
+          while (i < arr.length) { acc += arr(i) * arr(i); i += 1 }
+          (cid, arr, math.sqrt(acc))
+        }
+      }
+    }
+    cents
+  }
+
+  private def cellBalance(cells: Seq[Long]): Double = {
+    val sizes = cells.groupBy(identity).values.map(_.size.toDouble)
+    sizes.max / (cells.size.toDouble / sizes.size)
   }
 
   test("q94 semanticDedup matches the brute-force greedy-by-id SemDeDup model") {
@@ -198,5 +236,74 @@ class MlPipelineSpec extends SparkSpec {
       assert(dq >= 0, s"vec $v sub $s") // squared distance can't go negative
       if (v < 8) assert(c === v && dq === 0L, s"codebook vec $v sub $s -> code $c dist $dq")
     }
+  }
+
+  test("lloydCentroids matches the driver-side Lloyd model bit-exactly") {
+    val got = Quantize.lloydCentroids(spark, sfDir, 8, 2)
+    val want = lloydModel(8, 2)
+    assert(got.map(_._1).toSeq === (0L until 8L))
+    got.zip(want).foreach { case ((gi, ge, gn), (wi, we, wn)) =>
+      assert(gi === wi)
+      assert(ge.toSeq === we.toSeq, s"centroid $gi components")
+      assert(gn === wn, s"centroid $gi norm")
+    }
+    // refinement actually moves the codebook off the seed vectors
+    val seed = vectors.filter(_._1 < 8)
+    assert(got.zip(seed).exists { case ((_, ge, _), (_, se, _)) =>
+      ge.toSeq != se.toSeq
+    })
+  }
+
+  test("semanticDedupOn lloyd path: greedy rule holds on the refined cells") {
+    import spark.implicits._
+    val got = Similarity.semanticDedupOn(spark, sfDir, k = 8, lloydIters = 2)
+      .select($"vec_id", $"cell", $"n_earlier_dups", $"kept")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === semDedupModelWith(lloydModel(8, 2)))
+  }
+
+  test("Lloyd refinement improves cell balance on a clustered collection") {
+    import spark.implicits._
+    // the sf0.001 vectors are isotropic-synthetic, where first-k is
+    // already near-balanced (measured 1.14 max/mean) and Lloyd has
+    // nothing to fix. Build the CLUSTERED case Lloyd exists for — 4x
+    // near-dup replica families (the emb ScaleSmoke recipe), where the
+    // remapped first-8 ids are 8 near-identical replicas of vec 0 and
+    // the seed codebook collapses most mass into one cell.
+    val tmp = "/tmp/graft_lloyd_clustered"
+    if (!new java.io.File(s"$tmp/embeddings.parquet").exists()) {
+      Tables.embeddings(spark, sfDir)
+        .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("vec_id", $"vec_id" * 4 + $"r")
+        .withColumn("embedding", transform($"embedding",
+          (x, i) => (x + sin($"vec_id" * 131 + i * 17) * 0.01).cast("float")))
+        .drop("r")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    }
+    def cells(lloydIters: Int): Seq[Long] =
+      Similarity.semanticDedupOn(spark, tmp, k = 8, lloydIters = lloydIters)
+        .select($"cell").as[Long].collect().toSeq
+    val bSeed = cellBalance(cells(0))
+    val bLloyd = cellBalance(cells(3))
+    info(f"cell balance (max/mean): first-k=$bSeed%.2f lloyd-3=$bLloyd%.2f")
+    assert(bLloyd < bSeed,
+      f"lloyd-3 balance $bLloyd%.2f not better than first-k $bSeed%.2f")
+  }
+
+  test("ivfAnnOn lloyd path keeps recall >= 0.6 vs brute-force truth") {
+    import spark.implicits._
+    val truth = Similarity.annBrute(spark, sfDir)
+      .where($"rank" <= 3).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.ivfAnnOn(spark, sfDir, lloydIters = 2)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"ivf lloyd-2 recall@3 = $recall%.2f")
+    assert(recall >= 0.6)
   }
 }
