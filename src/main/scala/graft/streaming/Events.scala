@@ -160,7 +160,8 @@ object Events {
     * the persisted artifact (at 100 TB a bucketed table on (band,
     * sig)); only the arriving batch is re-signed. */
   def dedupIngestGate(newDocs: DataFrame, corpus: DataFrame,
-      admittedTarget: String, rejectedTarget: String, checkpoint: String)
+      admittedTarget: String, rejectedTarget: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val corpusSh = graft.operators.Dedup.docShingles(corpus)
     val gate: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
@@ -180,7 +181,7 @@ object Events {
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch(gate)
       .start()
   }

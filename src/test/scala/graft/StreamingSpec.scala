@@ -203,6 +203,82 @@ class StreamingSpec extends SparkSpec {
     assert(rejected == batchRejects)
   }
 
+  test("dedup ingest gate off a TCP SOCKET source: wire-fed delta matches q109") {
+    // the broker-shaped ingest path (SURVEY §2.8 maps wfevent to "Kafka
+    // or file stream"): docs arrive over a real network wire — a local
+    // TCP server plays the broker (public deps only; no Kafka jars in
+    // this container), the socket source consumes `value` lines, and
+    // the SAME dedupIngestGate partitions them into admitted/rejected.
+    // Proves the gate is source-agnostic: file-source parity (previous
+    // test) + wire-source parity (this one) bracket any broker.
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_socket_gate_${System.nanoTime()}")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = docs.where($"doc_id" % 5 =!= 0)
+    val delta = docs.where($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").collect()
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val conn = new java.util.concurrent.atomic.AtomicReference[java.net.Socket]()
+    val feeder = new Thread(() => {
+      val s = server.accept()
+      conn.set(s)
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+      // tab-separated frames; testdata text is tab/newline-free (and
+      // toks() splits on single spaces, so framing never alters tokens)
+      delta.foreach(r => out.println(s"${r.getLong(0)}\t${r.getString(1)}"))
+      out.flush() // keep the connection OPEN: socket-source EOF = failure
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val stream = spark.readStream.format("socket")
+      .option("host", server.getInetAddress.getHostAddress)
+      .option("port", server.getLocalPort).load()
+      .select(split($"value", "\t", 2).as("p"))
+      .select($"p".getItem(0).cast("long").as("doc_id"),
+        $"p".getItem(1).as("text"))
+    val q = Events.dedupIngestGate(stream, corpus,
+      new java.io.File(base, "admitted").getPath,
+      new java.io.File(base, "rejected").getPath,
+      new java.io.File(base, "ckpt").getPath,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // wait until every wire-fed doc has landed on one side of the gate
+      def landed(): Set[Long] = {
+        def ids(sub: String): Set[Long] = {
+          val d = new java.io.File(base, sub)
+          if (!d.exists()) Set.empty
+          else spark.read.parquet(d.getPath)
+            .select($"doc_id").collect().map(_.getLong(0)).toSet
+        }
+        ids("admitted") ++ ids("rejected")
+      }
+      val deltaIds = delta.map(_.getLong(0)).toSet
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (landed() != deltaIds && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val admitted = spark.read
+        .parquet(new java.io.File(base, "admitted").getPath)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val rejected = spark.read
+        .parquet(new java.io.File(base, "rejected").getPath)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val batchRejects = SparkEntry.queries("q109_delta_dedup")(spark, sfDir)
+        .select($"new_doc").distinct().collect().map(_.getLong(0)).toSet
+      assert(admitted.intersect(rejected).isEmpty)
+      assert(admitted.union(rejected) === deltaIds)
+      assert(rejected === batchRejects)
+    } finally {
+      q.stop()
+      Option(conn.get).foreach(_.close())
+      server.close()
+    }
+  }
+
   test("streaming drift monitor: final PSI snapshot equals the batch q149 screen") {
     import spark.implicits._
     val base = new java.io.File(sys.props("java.io.tmpdir"),
