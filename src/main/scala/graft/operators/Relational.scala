@@ -1101,6 +1101,11 @@ object Relational {
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select($"user_id", $"session_id", $"event_type")
       .distinct()
+      // four consumers (totals, session count, both self-join sides):
+      // one (user, session)-partitioned materialization feeds them all,
+      // and the pair self-join runs co-partitioned off it
+      .repartition($"user_id", $"session_id")
+      .localCheckpoint(false)
     val totals = pres.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
     val nSess = pres.select($"user_id", $"session_id").distinct()
       .agg(count(lit(1)).as("n_sessions"))
