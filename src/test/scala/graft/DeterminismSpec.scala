@@ -21,7 +21,11 @@ class DeterminismSpec extends SparkSpec {
     "q90_tf_cosine", "q96_source_kl", "q103_pagerank",
     "q179_fdr_drift", "q180_ewma_forecast", "q184_hits",
     "q191_mann_whitney", "q194_neg_sampling", "q198_coherence",
-    "q201_blob_phash", "q204_mixture_weights")
+    "q201_blob_phash", "q204_mixture_weights",
+    // round-10 rewrites: explicit repartition widths + checkpointed
+    // self-joins + two-phase rank — exactly the machinery a partition-
+    // width change would shake loose
+    "q151_theil_sen", "q158_basket_lift", "q196_mrr_eval", "q202_item_cf")
 
   private def collectCanon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
