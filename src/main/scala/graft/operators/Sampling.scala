@@ -318,39 +318,67 @@ object Sampling {
     * carries the customer's positive count and the draw value for
     * auditability.
     *
-    * Scale shape: interactions dedup to the (cust, supp) relation
-    * (partial-agged); candidates are a broadcast cross with the
-    * supplier catalog minus interactions via LEFT ANTI join
-    * (co-partitioned on cust). The per-customer top-2 is a rank
-    * window partitioned by custkey over (draw, suppkey) — the
-    * partitions are catalog-bounded, so the sort inside each is
-    * cheap; a struct-min-chain rewrite was tried and REJECTED
-    * (regressed to 47 s — see COVERAGE.md round-9 notes), because the
-    * double aggregation rescanned the candidate relation. At a
-    * 10⁶⁺-item catalog the candidate cross is replaced by
-    * hash-bucketed proposal + the same anti-join (draw s ≫ k
-    * candidates, reject interactions) — per-user work stays O(s),
-    * never O(catalog). */
-  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: interactions collapse to ONE catalog-bounded
+    * owned-supplier set per customer (partial-agged collect_set);
+    * candidates come from a broadcast cross with the catalog filtered
+    * by an INLINE array_contains membership test — no anti-join, and
+    * the candidate stream is born custkey-partitioned so the top-2
+    * rank window follows with zero exchange (the anti-join form
+    * shuffled the full cross on (cust, supp); a struct-min-chain
+    * rewrite was also tried and REJECTED — regressed to 47 s, see
+    * COVERAGE.md round-9 notes — because the double aggregation
+    * rescanned the candidate relation). At a 10⁶⁺-item catalog the
+    * candidate cross is replaced by hash-bucketed proposal + an
+    * anti-join (draw s ≫ k candidates, reject interactions) —
+    * per-user work stays O(s), never O(catalog). */
+  def negativeSampling(caller: SparkSession, dir: String): DataFrame = {
+    // round 10, two fixes: (1) the anti-join form shuffled the FULL
+    // 15M-row candidate cross on (custkey, suppkey) — 108 MB of
+    // shuffle for a membership test. Collapse interactions to one
+    // owned-supplier SET per customer (catalog-bounded array) and test
+    // membership INLINE in the broadcast cross: candidates are born
+    // custkey-partitioned, so the rank window follows with no exchange
+    // — the candidate stream never shuffles at all. (2) the md5 draw
+    // over 15M candidates is ~15 s of CPU behind a 2.4 MB exchange,
+    // which AQE coalesced to 8 partitions (bytes-blind to the
+    // |catalog|× fan-out — the q151 lesson; an explicit repartition is
+    // optimized away as redundant here since the agg already hash-
+    // partitions on custkey). Run the plan in a cloned session with
+    // AQE off (the hitsOn pattern) so the static 32-way width holds
+    // through the CPU-dense stage. 4.0 s → ~1.3 s at sf0.1.
+    val spark = caller.newSession()
     import spark.implicits._
-    val inter = Tables.lineitem(spark, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString)
+    def rebind(df: DataFrame, to: SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    val owned = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
-      .distinct()
+      .groupBy($"custkey")
+      .agg(collect_set($"suppkey").as("owned"))
+      .select($"custkey", $"owned", size($"owned").cast("long").as("n_pos"))
     val catalog = Tables.supplier(spark, dir)
       .select($"s_suppkey".as("suppkey"))
-    val posCnt = inter.groupBy($"custkey").agg(count(lit(1)).as("n_pos"))
-    val cand = posCnt.select($"custkey", $"n_pos")
-      .crossJoin(broadcast(catalog))
-      .join(inter, Seq("custkey", "suppkey"), "left_anti")
+    val cand = owned.crossJoin(broadcast(catalog))
+      .where(!array_contains($"owned", $"suppkey"))
+      // drop the owned array BEFORE the rank window (the q178 rule:
+      // wide rows don't ride sorts — the array would sit in every
+      // sort-buffer row of the 15M-candidate stream)
+      .select($"custkey", $"n_pos", $"suppkey")
       .withColumn("draw", hash32("neg",
         concat($"custkey".cast("string"), lit(":"),
           $"suppkey".cast("string"))))
     val w = Window.partitionBy($"custkey").orderBy($"draw".asc, $"suppkey".asc)
-    cand.withColumn("rk", row_number().over(w).cast("long"))
+    // the lazy checkpoint freezes the CLONE's physical plan (AQE off,
+    // static width) — a bare rebind would re-plan under the caller's
+    // confs at action time and resurrect the coalescing
+    rebind(cand.withColumn("rk", row_number().over(w).cast("long"))
       .where($"rk" <= 2)
       .select($"custkey", $"n_pos", $"suppkey".as("neg_suppkey"),
         $"rk", $"draw")
+      .localCheckpoint(false), caller)
   }
 
   /** q204: mixture reweighting from per-source excess surprisal — the
