@@ -369,7 +369,12 @@ object TextAnalysis {
         slice(t, lit(2), greatest(size(t) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // four consumers (fertility, continuation, total, the top-30 cut)
+    // would each re-run the corpus explode + bigram groupBy — the
+    // checkpoint-pays-iff-the-reused-subtree-shuffles rule (SCALE.md):
+    // materialize the |bigrams|-bounded counts once
     val counts = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val fert = counts.groupBy($"w1").agg(count(lit(1)).as("fert_w1"))
     val cont = counts.groupBy($"w2").agg(count(lit(1)).as("cont_w2"))
     val totalBigrams = counts.agg(count(lit(1)).as("n_bigrams"))
@@ -404,7 +409,10 @@ object TextAnalysis {
         slice(t, lit(2), greatest(size(t) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // same four-consumer shape as q97: one checkpoint of the bounded
+    // joint-count relation replaces four corpus explodes
     val joint = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
     val left = joint.groupBy($"w1").agg(sum($"c12").as("c1"))
     val right = joint.groupBy($"w2").agg(sum($"c12").as("c2"))
     val total = joint.agg(sum($"c12").as("n_bg"))
