@@ -347,12 +347,22 @@ object Sampling {
     // AQE off (the hitsOn pattern) so the static 32-way width holds
     // through the CPU-dense stage. 4.0 s → ~1.3 s at sf0.1.
     val spark = caller.newSession()
-    import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.sparkContext.defaultParallelism.toString)
     def rebind(df: DataFrame, to: SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    // the lazy checkpoint freezes the CLONE's physical plan (AQE off,
+    // static width) — a bare rebind would re-plan under the caller's
+    // confs at action time and resurrect the coalescing
+    rebind(negativeSamplingPlanOn(spark, dir).localCheckpoint(false), caller)
+  }
+
+  /** The q194 logical plan in the GIVEN session (PlanShapeSpec asserts
+    * its shape; negativeSampling wraps it in the frozen-clone runner). */
+  private[graft] def negativeSamplingPlanOn(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
     val owned = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
@@ -371,14 +381,10 @@ object Sampling {
         concat($"custkey".cast("string"), lit(":"),
           $"suppkey".cast("string"))))
     val w = Window.partitionBy($"custkey").orderBy($"draw".asc, $"suppkey".asc)
-    // the lazy checkpoint freezes the CLONE's physical plan (AQE off,
-    // static width) — a bare rebind would re-plan under the caller's
-    // confs at action time and resurrect the coalescing
-    rebind(cand.withColumn("rk", row_number().over(w).cast("long"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
       .where($"rk" <= 2)
       .select($"custkey", $"n_pos", $"suppkey".as("neg_suppkey"),
         $"rk", $"draw")
-      .localCheckpoint(false), caller)
   }
 
   /** q204: mixture reweighting from per-source excess surprisal — the

@@ -429,12 +429,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)
   }
 
-  test("q194 negative sampling: catalog broadcast, anti-join stays hash") {
-    val plan = finalPlan(Sampling.negativeSampling(spark, sfDir))
-    assert(plan.contains("LeftAnti"), plan)
+  test("q194 negative sampling: inline membership cross, window reuses the agg exchange") {
+    // the round-10 shape: no anti-join — negatives come from a
+    // broadcast catalog cross filtered by array_contains against the
+    // per-customer owned set, and the rank window inherits the
+    // custkey partitioning from the collect_set agg, so the 15M-row
+    // candidate stream is never exchanged
+    val plan = finalPlan(Sampling.negativeSamplingPlanOn(spark, sfDir))
+    assert(!plan.contains("LeftAnti"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin")
-      || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("array_contains"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly 1 hash exchange, got $exchanges\n$plan")
+    // the public runner ships a FROZEN static-width physical plan
+    // (cloned session, AQE off) — the caller sees only the checkpoint
+    val outer = finalPlan(Sampling.negativeSampling(spark, sfDir))
+    assert(outer.contains("Scan ExistingRDD"), outer)
   }
 
   test("q191 Mann-Whitney: the stream reduces before any window") {
