@@ -92,6 +92,10 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     if (args.contains("megacust")) { megaCustSmoke(); return }
+    if (args.contains("recsys")) {
+      recsysSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
+      return
+    }
     val graphMode = args.contains("graph")
     val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
@@ -197,6 +201,62 @@ object ScaleSmoke {
       }
       println(f"cell balance max/mean (k=8): first-k=${balance(0)}%.2f " +
         f"lloyd-3=${balance(3)}%.2f (lower is better)")
+    }
+    spark.stop()
+  }
+
+  /** Recsys-family smoke on the CUSTOMER-GROWTH axis: replicate orders
+    * and lineitem Nx with remapped order/customer keys but the SAME
+    * supplier catalog — N× more customers interacting with a fixed
+    * item set, the realistic recommender growth direction. Under it:
+    * q194's candidate work is customers × catalog (→ ~N×), q196's
+    * filtered-rank work is interactions-bounded (→ ~N×), and q202's
+    * capped pair work is Σ_{deg≤64} C(deg,2) (→ ~N×) — all should
+    * track the data ratio with NO super-linear kink, because none of
+    * the three ever pairs customers with each other. Run:
+    * runMain graft.ScaleSmoke recsys [factor] */
+  private def recsysSmoke(n: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft_scale_recsys_x$n"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+      spark.read.parquet(s"$base/orders.parquet")
+        .select($"o_orderkey", $"o_custkey")
+        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+        .select(($"o_orderkey" * n + $"r").as("o_orderkey"),
+          ($"o_custkey" * n + $"r").as("o_custkey"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/orders.parquet")
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .select($"l_orderkey", $"l_suppkey")
+        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+        .select(($"l_orderkey" * n + $"r").as("l_orderkey"), $"l_suppkey")
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$big/lineitem.parquet")
+      // q194 needs the (unchanged) supplier catalog next to the facts
+      spark.read.parquet(s"$base/supplier.parquet")
+        .write.mode("overwrite").parquet(s"$big/supplier.parquet")
+    }
+    val queries = Seq("q194_neg_sampling", "q196_mrr_eval", "q202_item_cf")
+    def time(dir: String, q: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (q <- queries; d <- Seq(base, big)) time(d, q) // warm
+    println(f"${"query"}%-22s ${"1x"}%8s ${s"${n}x"}%8s  ratio (ideal ~ $n)")
+    for (q <- queries) {
+      val a = math.min(time(base, q), time(base, q))
+      val b = math.min(time(big, q), time(big, q))
+      println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f")
     }
     spark.stop()
   }
