@@ -93,6 +93,18 @@ object Bench {
     // the whole line inside the capture window.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case _: Throwable => () }
+    // Round-stamped per-query record (VERDICT r7 item 5): the driver's
+    // BENCH_rN.json only tail-captures stdout, so the full 208-query map
+    // never survives into a round artifact and r(N-1)->rN per-query
+    // regression diffs were impossible. Append every full-precision run
+    // (wall-clock stamped) to bench_history.jsonl — committed per round,
+    // so the history IS the round-over-round record.
+    try {
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + line.drop(1)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history.jsonl"),
+        stamped + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
     val qsC = ok.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${ms3(v)}" }.mkString("{", ",", "}")
