@@ -46,6 +46,7 @@ object Graph {
     // same SparkContext, shared cache manager, isolated conf. Input and
     // output plans are re-bound across sessions via DatasetBridge.
     val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
     import spark.implicits._
     def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
@@ -66,17 +67,18 @@ object Graph {
       .distinct()
       .repartition(loopParts, $"dst")
       .cache()
-    // localCheckpoint (not cache) per round: caching alone leaves each
+    // checkpoint (not cache) per round: caching alone leaves each
     // round's LOGICAL plan nested inside the next — the analyzer re-walks
     // a plan that doubles per iteration and the driver heap dies long
     // before the data does; checkpointing truncates the lineage so every
-    // round optimizes a constant-size plan. Only edge-incident nodes
-    // iterate; isolated nodes are their own component by definition and
-    // join back in at the end.
+    // round optimizes a constant-size plan. Ckpt routes to executor-local
+    // blocks by default, or to the reliable store when
+    // spark.graft.checkpointDir is set (preemption-safe long loops). Only
+    // edge-incident nodes iterate; isolated nodes are their own component
+    // by definition and join back in at the end.
     val touched = sym.select($"src".as("node")).distinct()
-    var labels = touched
-      .select($"node", $"node".as("comp"))
-      .localCheckpoint()
+    var labels = Ckpt(touched
+      .select($"node", $"node".as("comp")))
     // convergence probe: labels only ever decrease, so ANY change strictly
     // decreases sum(comp) — one agg action per round materializes the
     // (lazy) checkpoint AND answers "did anything move", with no second
@@ -101,22 +103,20 @@ object Graph {
       // both sides of a join trips Catalyst's union-constraint attribute
       // dedup) and (b) nothing materializes before the round's single
       // convergence-sum action.
-      def nbhdMin(l: DataFrame): DataFrame = l
+      def nbhdMin(l: DataFrame): DataFrame = Ckpt(l
         .union(sym
           .join(l.withColumnRenamed("node", "dst"), "dst")
           .select($"src".as("node"), $"comp"))
-        .groupBy($"node").agg(min($"comp").as("comp"))
-        .localCheckpoint(false)
+        .groupBy($"node").agg(min($"comp").as("comp")), eager = false)
       val step1 = nbhdMin(labels.select($"node", $"comp"))
       val nbrMin = nbhdMin(step1)
       // pointer jump (path halving): follow the label's own label —
       // shortcuts label chains on top of the edge propagation. Every
       // label IS a node id (labels are minima over node ids), so the
       // self-join is total; label monotonicity keeps it exact.
-      val next = nbrMin.as("x")
+      val next = Ckpt(nbrMin.as("x")
         .join(nbrMin.select($"node".as("comp"), $"comp".as("comp2")).as("m"), "comp")
-        .select($"node", $"comp2".as("comp"))
-        .localCheckpoint(false)
+        .select($"node", $"comp2".as("comp")), eager = false)
       // per-row decimal BEFORE the sum (a long sum could overflow first —
       // 1e9+ nodes with wide ids exceed Long.MaxValue); coalesce covers
       // the empty-graph case (sum over zero rows is null)
@@ -251,6 +251,7 @@ object Graph {
   private[graft] def pageRankOn(pairs0: DataFrame): DataFrame = {
     val caller = pairs0.sparkSession
     val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
     import spark.implicits._
     def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
@@ -260,14 +261,14 @@ object Graph {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val pairs = rebind(pairs0, spark)
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .localCheckpoint(false)
+    val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+      eager = false)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     // pre-partitioned on the per-round join key so the five rank joins
     // reuse one exchange of the edge relation
-    val withDeg = edges.join(deg, "src").repartition(loopParts, $"src")
-      .localCheckpoint(false)
+    val withDeg = Ckpt(edges.join(deg, "src").repartition(loopParts, $"src"),
+      eager = false)
     var ranks = deg.select($"src".as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       ranks = withDeg.join(ranks, $"node" === $"src")
@@ -322,6 +323,7 @@ object Graph {
   private[graft] def trianglesOn(edges0: DataFrame): DataFrame = {
     val caller = edges0.sparkSession
     val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
     import spark.implicits._
     def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
@@ -329,7 +331,7 @@ object Graph {
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.sparkContext.defaultParallelism.toString)
     // feeds the adjacency build and the per-edge probe — materialize once
-    val e = rebind(edges0, spark).localCheckpoint(false)
+    val e = Ckpt(rebind(edges0, spark), eager = false)
     // EDGE-ITERATOR enumeration (Chiba–Nishizeki shape), not wedge-join:
     // a wedge join materializes every OPEN wedge (~10M rows / 62s CPU at
     // sf0.1) only to discard the unclosed ones. Instead each edge (u,v)
@@ -342,8 +344,8 @@ object Graph {
     // arboricity); the per-edge intersection algebra is unchanged.
     // |nodes| rows; checkpointed so the TWO broadcast legs below don't
     // each re-run the adjacency aggregation
-    val adj = e.groupBy($"u").agg(sort_array(collect_list($"v")).as("nb"))
-      .localCheckpoint(false)
+    val adj = Ckpt(e.groupBy($"u").agg(sort_array(collect_list($"v")).as("nb")),
+      eager = false)
     val probe = e
       .join(broadcast(adj.select($"u".as("__u"), $"nb".as("nb_u"))), $"u" === $"__u")
       .join(broadcast(adj.select($"u".as("__v"), $"nb".as("nb_v"))), $"v" === $"__v", "left")
@@ -357,13 +359,12 @@ object Graph {
           struct($"v".as("n"), size($"common").cast("long").as("c"))),
         transform($"common", w => struct(w.as("n"), lit(1L).as("c"))))).as("s"))
       .select($"s.n".as("supp"), $"s.c".as("c"))
-    val counts = corners.groupBy($"supp").agg(sum($"c").as("n_tri"))
-      .where($"n_tri" > 0)
-      // EAGER checkpoint: the enumeration job must run on THIS session
-      // (AQE off, full width) — a lazy plan rebound to the caller would
-      // re-plan under the caller's AQE and re-coalesce the kilobyte
-      // exchanges below the width the probe stage's CPU needs
-      .localCheckpoint()
+    // EAGER checkpoint: the enumeration job must run on THIS session
+    // (AQE off, full width) — a lazy plan rebound to the caller would
+    // re-plan under the caller's AQE and re-coalesce the kilobyte
+    // exchanges below the width the probe stage's CPU needs
+    val counts = Ckpt(corners.groupBy($"supp").agg(sum($"c").as("n_tri"))
+      .where($"n_tri" > 0))
     rebind(counts, caller)
   }
 
@@ -400,6 +401,7 @@ object Graph {
   private[graft] def hitsOn(pairs0: DataFrame): DataFrame = {
     val caller = pairs0.sparkSession
     val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
     import spark.implicits._
     def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
@@ -409,23 +411,19 @@ object Graph {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val pairs = rebind(pairs0, spark)
-    val edgesByCust = pairs.repartition(loopParts, $"cust")
-      .localCheckpoint(false)
-    val edgesBySupp = pairs.repartition(loopParts, $"supp")
-      .localCheckpoint(false)
+    val edgesByCust = Ckpt(pairs.repartition(loopParts, $"cust"), eager = false)
+    val edgesBySupp = Ckpt(pairs.repartition(loopParts, $"supp"), eager = false)
     var hub = edgesByCust.select($"cust").distinct()
       .select($"cust", lit(1000000L).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to 3) {
-      val a = edgesByCust.join(hub, "cust")
-        .groupBy($"supp").agg(sum($"h").as("a"))
-        .localCheckpoint(false)
+      val a = Ckpt(edgesByCust.join(hub, "cust")
+        .groupBy($"supp").agg(sum($"h").as("a")), eager = false)
       val amax = a.agg(max($"a").as("amax"))
       auth = a.crossJoin(broadcast(amax))
         .select($"supp", expr("(a * 1000000) div amax").as("a"))
-      val h = edgesBySupp.join(auth, "supp")
-        .groupBy($"cust").agg(sum($"a").as("h"))
-        .localCheckpoint(false)
+      val h = Ckpt(edgesBySupp.join(auth, "supp")
+        .groupBy($"cust").agg(sum($"a").as("h")), eager = false)
       val hmax = h.agg(max($"h").as("hmax"))
       hub = h.crossJoin(broadcast(hmax))
         .select($"cust", expr("(h * 1000000) div hmax").as("h"))
@@ -483,12 +481,11 @@ object Graph {
   def itemCfOn(spark: SparkSession, dir: String,
       cap: Option[Long]): DataFrame = {
     import spark.implicits._
-    val inter = Tables.lineitem(spark, dir)
+    val inter = Ckpt(Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
       .distinct()
-      .repartition($"custkey")
-      .localCheckpoint(false)
+      .repartition($"custkey"), eager = false)
     val deg = inter.groupBy($"suppkey").agg(count(lit(1)).as("d"))
     // cap: customers over the degree bound never enter pair generation
     val capped = cap match {
