@@ -1,6 +1,11 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage-truncation with a durability knob.
   *
@@ -24,12 +29,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `newSession()` do NOT inherit runtime confs, so every clone site calls
   * [[propagate]] explicitly.
   *
+  * Durable mode costs: the checkpoint write is its own job, run by the
+  * scheduler right after the action that materializes the frame. Without
+  * a cache that job would RECOMPUTE the full lineage (Spark's documented
+  * reliable-checkpoint behavior), so this wrapper persists the
+  * pre-checkpoint plan (MEMORY_AND_DISK) and the write job reads blocks
+  * instead — one extra cache-scan pass per truncation, not 2x compute.
+  * The pre-checkpoint cache and the durable files are freed by
+  * [[release]]; loops call it on each superseded round (mirroring their
+  * `unpersist` discipline) so the durable store holds O(live rounds)
+  * files, not rounds x |labels| for the app lifetime — Spark itself never
+  * deletes reliable checkpoint files unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` is set AND the RDD
+  * is GC'd, neither of which a long-running pipeline can count on.
+  *
   * Same laziness semantics as the call it replaces: `eager = false`
   * materializes at the first action (so a round's convergence probe stays
-  * its only job), `eager = true` materializes now.
+  * the round's only QUERY job — durable mode adds the write job on top),
+  * `eager = true` materializes now.
   */
 object Ckpt {
   val DirConf = "spark.graft.checkpointDir"
+
+  /** Last knob value applied to the (context-global) checkpoint dir —
+    * exact string equality, NOT substring containment of
+    * `sc.getCheckpointDir` (which returns a per-app `<dir>/<uuid>`
+    * subdir; a containment test would silently skip re-pointing when the
+    * knob changes to a prefix of the old dir, e.g. /ckpt after /ckpt2). */
+  private val appliedDir = new AtomicReference[String](null)
+
+  /** Lazy reliable checkpoints: returned frame -> pre-checkpoint cache,
+    * so [[release]] can free the cache that fed the checkpoint write job.
+    * Identity-keyed (Dataset does not override equals). */
+  private val pendingCache = new ConcurrentHashMap[DataFrame, DataFrame]()
 
   /** Copy the durability knob from a caller session onto a loop clone
     * (`newSession()` starts from the base conf, dropping runtime-set
@@ -46,18 +78,41 @@ object Ckpt {
       case Some(dir) =>
         val sc = spark.sparkContext
         // setCheckpointDir is context-global (shared by all session
-        // clones) and mints a unique app subdir per call — only (re)set
-        // it when the knob actually changed, or every loop round would
-        // mint a fresh directory. getCheckpointDir returns the QUALIFIED
-        // subdir (e.g. file:/dir/<uuid>), so match on containment of the
-        // scheme-stripped knob value.
-        val bare = dir.replaceFirst("^[a-z][a-z0-9+.-]*:(//)?", "")
-        if (!sc.getCheckpointDir.exists(_.contains(bare)))
+        // clones) and mints a unique <dir>/<uuid> subdir per call — only
+        // (re)point it when the knob value actually changed, or every
+        // loop round would mint a fresh directory.
+        if (appliedDir.getAndSet(dir) != dir || sc.getCheckpointDir.isEmpty)
           sc.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        // cache the pre-checkpoint plan so the checkpoint WRITE job (which
+        // re-runs the internal RDD) scans blocks instead of recomputing
+        // the lineage the truncation exists to sever
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint(eager)
+        if (eager) cached.unpersist()
+        else pendingCache.put(out, cached)
+        out
       case None => df.localCheckpoint(eager)
     }
   }
 
   def apply(df: DataFrame): DataFrame = apply(df, eager = true)
+
+  /** Free everything a [[apply]]-returned frame holds, after its
+    * successor has materialized: executor blocks (both modes) and, in
+    * durable mode, the checkpoint files on the reliable store plus the
+    * pre-checkpoint cache. Callers must not run `df` again afterwards —
+    * its lineage is severed and its storage is gone. Never-materialized
+    * lazy checkpoints release as a no-op (no file was written). */
+  def release(df: DataFrame): Unit = {
+    df.unpersist()
+    Option(pendingCache.remove(df)).foreach(_.unpersist())
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    org.apache.spark.sql.graft.RddBridge.leafRdds(df).foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new Path(f)
+        p.getFileSystem(hadoopConf).delete(p, true)
+      }
+    }
+  }
 }

@@ -123,12 +123,16 @@ object Graph {
       val s = BigDecimal(
         next.agg(coalesce(sum($"comp".cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)"))).head.getDecimal(0))
-      // previous rounds' checkpointed blocks are dead once `next` has
-      // materialized — release them, or every run pins rounds x |nodes|
-      // label rows in block storage for the session lifetime
-      labels.unpersist()
-      step1.unpersist()
-      nbrMin.unpersist()
+      // previous rounds' checkpointed storage is dead once `next` has
+      // materialized — release it, or every run pins rounds x |nodes|
+      // label rows in block storage (and, in durable mode, rounds x
+      // |labels| dead files on the reliable store) for the app lifetime.
+      // Ckpt.release frees blocks, the pre-checkpoint cache, AND the
+      // checkpoint files — Dataset.unpersist alone touches none of the
+      // durable state.
+      Ckpt.release(labels)
+      Ckpt.release(step1)
+      Ckpt.release(nbrMin)
       labels = next
       converged = s == prevSum
       prevSum = s
