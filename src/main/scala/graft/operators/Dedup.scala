@@ -157,11 +157,10 @@ object Dedup {
     * array_intersect as in q26. */
   def minhashEstAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docSh = TextOps.docsParallel(spark, dir)
+    // feeds the band join and both audit sides
+    val docSh = Ckpt(TextOps.docsParallel(spark, dir)
       .select($"doc_id", TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
-      .where(size($"sh") > 0)
-      // feeds the band join and both audit sides
-      .localCheckpoint(false)
+      .where(size($"sh") > 0), eager = false)
     val signed = docSh.select($"doc_id", $"sh",
       graft.functions.TextHash.minhash($"sh", 12).as("mh"))
     val banded = docSh.select($"doc_id",

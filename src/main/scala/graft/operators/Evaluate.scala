@@ -668,15 +668,14 @@ object Evaluate {
     * post-join regroup. sf0.1: 3.06 s → 2.07 s. */
   def mrrEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inter = Tables.lineitem(spark, dir)
+    val inter = Ckpt(Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
       .groupBy($"custkey").agg(collect_set($"suppkey").as("supps"))
       .select($"custkey", explode($"supps").as("suppkey"))
       .withColumn("held", Sampling.hash32("mrr",
         concat($"custkey".cast("string"), lit(":"),
-          $"suppkey".cast("string"))) % 5 === 0)
-      .localCheckpoint(false)
+          $"suppkey".cast("string"))) % 5 === 0), eager = false)
     val pop = inter.where(!$"held").groupBy($"suppkey")
       .agg(count(lit(1)).as("pop"))
     // two-phase rank by (pop desc, suppkey): in-segment row_number is

@@ -164,10 +164,10 @@ object Multimodal {
     // materialize the narrow signature relation once — the 4 band
     // branches would otherwise each re-run the 64-chunk projection
     // (measured 52s CPU of the 107s total before this checkpoint)
-    val sigs = graft.operators.TextOps.docsParallel(spark, dir)
+    val sigs = Ckpt(graft.operators.TextOps.docsParallel(spark, dir)
       .where(length($"text") >= 64)
-      .select($"doc_id", half(0).as("sig_lo"), half(32).as("sig_hi"))
-      .localCheckpoint(false)
+      .select($"doc_id", half(0).as("sig_lo"), half(32).as("sig_hi")),
+      eager = false)
     val banded = Seq("sig_lo" -> 0, "sig_lo" -> 16, "sig_hi" -> 0,
       "sig_hi" -> 16).zipWithIndex.map { case ((c, sh), _) =>
       val withBand = sigs.withColumn("band",

@@ -72,11 +72,10 @@ object Quantize {
       k: Int, iters: Int): Array[(Long, Array[Double], Double)] = {
     import spark.implicits._
     val emb = transform($"embedding", x => x.cast("double"))
-    val e = Tables.rebalance(spark, dir, "embeddings",
+    val e = Ckpt(Tables.rebalance(spark, dir, "embeddings",
         Tables.embeddings(spark, dir), $"vec_id")
       .select($"vec_id", emb.as("emb"),
-        VectorOps.l2norm($"embedding").as("nrm"))
-      .localCheckpoint(false)
+        VectorOps.l2norm($"embedding").as("nrm")), eager = false)
     var cents: Array[(Long, Array[Double], Double)] =
       e.where($"vec_id" < k).as[(Long, Array[Double], Double)]
         .collect().sortBy(_._1)
@@ -107,6 +106,9 @@ object Quantize {
         }
       }
     }
+    // the refined codebook is driver-side; the materialized embedding
+    // relation has no further reader
+    Ckpt.release(e)
     cents
   }
 

@@ -1091,7 +1091,7 @@ object Relational {
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val pres = Tables.events(spark, dir)
+    val pres = Ckpt(Tables.events(spark, dir)
       .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
       .withColumn("new_sess",
         when($"prev_ts".isNull
@@ -1104,8 +1104,7 @@ object Relational {
       // four consumers (totals, session count, both self-join sides):
       // one (user, session)-partitioned materialization feeds them all,
       // and the pair self-join runs co-partitioned off it
-      .repartition($"user_id", $"session_id")
-      .localCheckpoint(false)
+      .repartition($"user_id", $"session_id"), eager = false)
     val totals = pres.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
     val nSess = pres.select($"user_id", $"session_id").distinct()
       .agg(count(lit(1)).as("n_sessions"))

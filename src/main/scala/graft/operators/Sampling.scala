@@ -347,6 +347,7 @@ object Sampling {
     // AQE off (the hitsOn pattern) so the static 32-way width holds
     // through the CPU-dense stage. 4.0 s → ~1.3 s at sf0.1.
     val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.sparkContext.defaultParallelism.toString)
@@ -355,7 +356,7 @@ object Sampling {
     // the lazy checkpoint freezes the CLONE's physical plan (AQE off,
     // static width) — a bare rebind would re-plan under the caller's
     // confs at action time and resurrect the coalescing
-    rebind(negativeSamplingPlanOn(spark, dir).localCheckpoint(false), caller)
+    rebind(Ckpt(negativeSamplingPlanOn(spark, dir), eager = false), caller)
   }
 
   /** The q194 logical plan in the GIVEN session (PlanShapeSpec asserts

@@ -574,31 +574,42 @@ object Similarity {
     * k-center. */
   def kCenterGreedy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val x = Tables.embeddings(spark, dir)
+    val x = Ckpt(Tables.embeddings(spark, dir)
       .select($"vec_id", posexplode($"embedding").as(Seq("i", "xv")))
       .select($"vec_id", $"i",
-        floor($"xv".cast("double") * 1000 + lit(1.0 / 3)).cast("long").as("xq"))
-      .localCheckpoint(false)
+        floor($"xv".cast("double") * 1000 + lit(1.0 / 3)).cast("long").as("xq")),
+      eager = false)
     def d2To(center: Long): DataFrame =
       x.join(broadcast(x.where($"vec_id" === center)
           .select($"i", $"xq".as("cq"))), "i")
         .groupBy($"vec_id")
         .agg(sum(($"xq" - $"cq") * ($"xq" - $"cq")).as("d2"))
     var chosen = Vector(0L)
-    var minD = d2To(0L).withColumnRenamed("d2", "min_d2")
-      .localCheckpoint(false)
+    var minD = Ckpt(d2To(0L).withColumnRenamed("d2", "min_d2"), eager = false)
+    // the round before last's min-distance state: dead (and released)
+    // only once the CURRENT round's head() has materialized the lazy
+    // checkpoint that superseded it — releasing any earlier would
+    // destroy storage the live plan still reads
+    var prev: DataFrame = null
     var picks = Vector((1L, 0L, -1L)) // (pick, vec_id, radius sentinel)
     for (j <- 2 to 5) {
       val far = minD.where(!$"vec_id".isin(chosen: _*))
         .orderBy($"min_d2".desc, $"vec_id".asc).limit(1).head()
+      if (prev != null) Ckpt.release(prev)
       val c = far.getAs[Long]("vec_id")
       picks :+= ((j, c, far.getAs[Long]("min_d2")))
       chosen :+= c
-      if (j < 5)
-        minD = minD.join(d2To(c).withColumnRenamed("d2", "d2_new"), "vec_id")
-          .select($"vec_id", least($"min_d2", $"d2_new").as("min_d2"))
-          .localCheckpoint(false)
+      if (j < 5) {
+        prev = minD
+        minD = Ckpt(minD.join(d2To(c).withColumnRenamed("d2", "d2_new"),
+            "vec_id")
+          .select($"vec_id", least($"min_d2", $"d2_new").as("min_d2")),
+          eager = false)
+      }
     }
+    // everything the picks need is already driver-side
+    Ckpt.release(minD)
+    Ckpt.release(x)
     picks.toDF("pick", "vec_id", "radius2_q")
   }
 }

@@ -373,8 +373,8 @@ object TextAnalysis {
     // would each re-run the corpus explode + bigram groupBy — the
     // checkpoint-pays-iff-the-reused-subtree-shuffles rule (SCALE.md):
     // materialize the |bigrams|-bounded counts once
-    val counts = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+    val counts = Ckpt(pairs.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c")), eager = false)
     val fert = counts.groupBy($"w1").agg(count(lit(1)).as("fert_w1"))
     val cont = counts.groupBy($"w2").agg(count(lit(1)).as("cont_w2"))
     val totalBigrams = counts.agg(count(lit(1)).as("n_bigrams"))
@@ -411,8 +411,8 @@ object TextAnalysis {
       .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
     // same four-consumer shape as q97: one checkpoint of the bounded
     // joint-count relation replaces four corpus explodes
-    val joint = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(false)
+    val joint = Ckpt(pairs.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c12")), eager = false)
     val left = joint.groupBy($"w1").agg(sum($"c12").as("c1"))
     val right = joint.groupBy($"w2").agg(sum($"c12").as("c2"))
     val total = joint.agg(sum($"c12").as("n_bg"))

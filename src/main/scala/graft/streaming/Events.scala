@@ -166,6 +166,13 @@ object Events {
     val corpusSh = graft.operators.Dedup.docShingles(corpus)
     val gate: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
       import batch.sparkSession.implicits._
+      // deliberately localCheckpoint, NOT the Ckpt durability knob: the
+      // truncation only shares the batch across the two writes INSIDE
+      // one foreachBatch invocation, and executor loss mid-batch is
+      // already covered by the streaming engine's own replay
+      // (checkpointLocation + idempotent sinks) — a reliable checkpoint
+      // here would add a durable round-trip per micro-batch for state
+      // that never outlives the batch.
       val b = batch.localCheckpoint(true)
       val matches = graft.operators.Dedup
         .deltaDedupOn(graft.operators.Dedup.docShingles(b), corpusSh)
@@ -177,6 +184,10 @@ object Events {
             .agg(min($"corpus_doc").as("dup_of"), max($"jaccard").as("max_jaccard")),
           Seq("doc_id"), "inner")
         .write.mode("append").parquet(rejectedTarget)
+      // batch-scoped blocks must not outlive the batch: a long-running
+      // stream would otherwise pin batches x |batch| rows until GC
+      graft.operators.Ckpt.release(matches)
+      graft.operators.Ckpt.release(b)
     }
     newDocs.writeStream
       .outputMode("append")
@@ -212,6 +223,9 @@ object Events {
   def driftMonitor(stream: DataFrame, reference: DataFrame, bounds: DataFrame,
       stateTarget: String, monitorTarget: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // stream-lifetime reference state, re-read every micro-batch — the
+    // one place eager localCheckpoint at stream start is exactly right
+    // (durability again belongs to the engine's replay, not Ckpt)
     val refC = reference.localCheckpoint(true)
     val boundsC = bounds.localCheckpoint(true)
     val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
