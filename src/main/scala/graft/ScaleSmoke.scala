@@ -96,6 +96,10 @@ object ScaleSmoke {
       recsysSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
       return
     }
+    if (args.contains("catalog")) {
+      catalogSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
+      return
+    }
     val graphMode = args.contains("graph")
     val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
@@ -209,7 +213,8 @@ object ScaleSmoke {
     * and lineitem Nx with remapped order/customer keys but the SAME
     * supplier catalog — N× more customers interacting with a fixed
     * item set, the realistic recommender growth direction. Under it:
-    * q194's candidate work is customers × catalog (→ ~N×), q196's
+    * q194's proposal work is s × customers (→ ~N×; the CATALOG axis
+    * where proposal sampling wins is `catalogSmoke`), q196's
     * filtered-rank work is interactions-bounded (→ ~N×), and q202's
     * capped pair work is Σ_{deg≤64} C(deg,2) (→ ~N×) — all should
     * track the data ratio with NO super-linear kink, because none of
@@ -257,6 +262,60 @@ object ScaleSmoke {
       val a = math.min(time(base, q), time(base, q))
       val b = math.min(time(big, q), time(big, q))
       println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f")
+    }
+    spark.stop()
+  }
+
+  /** q194 CATALOG-GROWTH smoke: replicate the supplier catalog Nx with
+    * fresh keys (same facts — customers, interactions unchanged), the
+    * axis where the retired exhaustive plan's candidate stream is
+    * |cust|·|catalog| and the shipped proposal plan's is s·|cust|,
+    * CONSTANT in catalog size. Expected: proposal wall ~flat (ratio
+    * ~1), exhaustive wall ~Nx. Run: runMain graft.ScaleSmoke catalog
+    * [factor]. */
+  private def catalogSmoke(n: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft_scale_catalog_x$n"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    if (!new java.io.File(s"$big/supplier.parquet").exists()) {
+      // replicas keep the key space DENSE (offset by the base max, which
+      // is dense 1..mx in TPC-H) so the facts' suppkeys stay valid AND
+      // the proposal plan's maxsk-mod draws keep hitting real suppliers
+      val mx = spark.read.parquet(s"$base/supplier.parquet")
+        .agg(max($"s_suppkey")).head.getLong(0)
+      spark.read.parquet(s"$base/supplier.parquet")
+        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("s_suppkey", $"s_suppkey" + $"r" * mx)
+        .drop("r")
+        .repartition(8).write.mode("overwrite").parquet(s"$big/supplier.parquet")
+      for (t <- Seq("orders", "lineitem"))
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$big/$t.parquet")
+    }
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    import graft.operators.Sampling
+    // warm
+    time(Sampling.negativeSampling(spark, base))
+    time(Sampling.negativeSamplingExhaustive(spark, base))
+    println(f"${"plan"}%-12s ${"1x"}%8s ${s"${n}x"}%8s  ratio (proposal ideal ~1, exhaustive ~$n)")
+    for ((name, run) <- Seq(
+        "proposal" -> ((d: String) => Sampling.negativeSampling(spark, d)),
+        "exhaustive" -> ((d: String) => Sampling.negativeSamplingExhaustive(spark, d)))) {
+      val a = math.min(time(run(base)), time(run(base)))
+      val b = math.min(time(run(big)), time(run(big)))
+      println(f"$name%-12s $a%8.2f $b%8.2f  ${b / a}%5.1f")
     }
     spark.stop()
   }

@@ -4240,26 +4240,36 @@ object SparkEntry {
            CAST(max(CASE WHEN NOT is_trail THEN 1 ELSE 0 END) AS BIGINT)
              AS label_next_7d
          FROM j GROUP BY 1, 2""",
-    // q194: hash-deterministic negative sampling — 2 never-bought
-    // suppliers per customer in md5 draw order
+    // q194: hash-deterministic PROPOSAL negative sampling — each
+    // customer draws 16 md5 catalog positions, rejects owned ones,
+    // keeps the first 2 survivors in draw order
     "q194_neg_sampling" ->
       """WITH inter AS (SELECT DISTINCT o.o_custkey AS custkey,
              l.l_suppkey AS suppkey
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
          pos AS (SELECT custkey, CAST(count(*) AS BIGINT) AS n_pos
                  FROM inter GROUP BY 1),
-         cand AS (SELECT p.custkey, p.n_pos, s.s_suppkey AS suppkey,
-             CAST('0x' || substr(md5('neg:' || CAST(p.custkey AS VARCHAR)
-               || ':' || CAST(s.s_suppkey AS VARCHAR)), 1, 8) AS BIGINT)
-               AS draw
-           FROM pos p CROSS JOIN supplier s
+         mx AS (SELECT min(s_suppkey) AS minsk, max(s_suppkey) AS maxsk
+                FROM supplier),
+         prop AS (SELECT p.custkey, p.n_pos,
+             CAST('0x' || substr(md5('negp:' || CAST(p.custkey AS VARCHAR)
+               || ':' || CAST(g.i AS VARCHAR)), 1, 8) AS BIGINT) AS draw
+           FROM pos p CROSS JOIN
+             (SELECT CAST(x AS BIGINT) AS i
+              FROM generate_series(0, 15) t(x)) g),
+         cand AS (SELECT pr.custkey, pr.n_pos, pr.draw,
+             (pr.draw % (mx.maxsk - mx.minsk + 1)) + mx.minsk AS cand_sk
+           FROM prop pr CROSS JOIN mx),
+         keep AS (SELECT c.custkey, c.n_pos, c.cand_sk, c.draw
+           FROM cand c JOIN supplier s ON s.s_suppkey = c.cand_sk
            WHERE NOT EXISTS (SELECT 1 FROM inter i
-             WHERE i.custkey = p.custkey
-               AND i.suppkey = s.s_suppkey)),
+             WHERE i.custkey = c.custkey AND i.suppkey = c.cand_sk)),
+         ded AS (SELECT custkey, n_pos, cand_sk, min(draw) AS draw
+           FROM keep GROUP BY 1, 2, 3),
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY custkey
-               ORDER BY draw, suppkey) AS BIGINT) AS rk
-             FROM cand)
-         SELECT custkey, n_pos, suppkey AS neg_suppkey, rk, draw
+               ORDER BY draw, cand_sk) AS BIGINT) AS rk
+             FROM ded)
+         SELECT custkey, n_pos, cand_sk AS neg_suppkey, rk, draw
          FROM r WHERE rk <= 2""",
     // q195: Wilson lower bound at z=1.96; identical float expression
     // order in both engines, ppm-quantized with the +1/3 offset

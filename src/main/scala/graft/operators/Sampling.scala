@@ -309,59 +309,93 @@ object Sampling {
         ($"base" + when($"rk" <= $"k", 1L).otherwise(0L)).as("alloc"))
   }
 
+  /** Number of hash proposals q194 draws per customer. s = 16 buys
+    * P(candidate owned or repeated for ALL 16 draws) ≈ (own-share)^16 —
+    * vanishing for any customer owning < ~70% of the catalog — while
+    * keeping per-customer work CONSTANT in catalog size. */
+  val NegProposalsConf = "spark.graft.negsamp.proposals"
+
   /** q194: deterministic negative sampling — the contrastive-training
     * data generator over the customer→supplier purchase graph: for
     * each customer, suppliers they have NEVER bought from are
     * candidate negatives; two are drawn per customer by content-hash
-    * order (md5 of cust:supp — the house derandomized draw), so
-    * resharding or re-running never changes the training set. Output
-    * carries the customer's positive count and the draw value for
-    * auditability.
+    * order (md5 — the house derandomized draw), so resharding or
+    * re-running never changes the training set. Output carries the
+    * customer's positive count and the draw value for auditability.
+    *
+    * PROPOSAL-based (round 9; the standard word2vec/BPR shape): each
+    * customer draws s = 16 pseudo-random catalog positions
+    * (md5(cust:i) mod max-suppkey), rejects positions it owns with an
+    * inline array_contains against its own owned-set, dedups repeated
+    * positions, and keeps the first 2 surviving proposals in draw
+    * order. Per-customer work is O(s) — INDEPENDENT of catalog size.
+    * The previous exhaustive form ([[negativeSamplingExhaustive]],
+    * kept for the parity spec) ranked every non-owned supplier per
+    * customer: correct, and fast at sf0.1, but its candidate stream
+    * is |cust|·|catalog| — at a 10⁶-item catalog the broadcast and
+    * the rank-window input both blow up, the classic scale-killer
+    * this variant removes.
     *
     * Scale shape: interactions collapse to ONE catalog-bounded
-    * owned-supplier set per customer (partial-agged collect_set);
-    * candidates come from a broadcast cross with the catalog filtered
-    * by an INLINE array_contains membership test — no anti-join, and
-    * the candidate stream is born custkey-partitioned so the top-2
-    * rank window follows with zero exchange (the anti-join form
-    * shuffled the full cross on (cust, supp); a struct-min-chain
-    * rewrite was also tried and REJECTED — regressed to 47 s, see
-    * COVERAGE.md round-9 notes — because the double aggregation
-    * rescanned the candidate relation). At a 10⁶⁺-item catalog the
-    * candidate cross is replaced by hash-bucketed proposal + an
-    * anti-join (draw s ≫ k candidates, reject interactions) —
-    * per-user work stays O(s), never O(catalog). */
-  def negativeSampling(caller: SparkSession, dir: String): DataFrame = {
-    // round 10, two fixes: (1) the anti-join form shuffled the FULL
-    // 15M-row candidate cross on (custkey, suppkey) — 108 MB of
-    // shuffle for a membership test. Collapse interactions to one
-    // owned-supplier SET per customer (catalog-bounded array) and test
-    // membership INLINE in the broadcast cross: candidates are born
-    // custkey-partitioned, so the rank window follows with no exchange
-    // — the candidate stream never shuffles at all. (2) the md5 draw
-    // over 15M candidates is ~15 s of CPU behind a 2.4 MB exchange,
-    // which AQE coalesced to 8 partitions (bytes-blind to the
-    // |catalog|× fan-out — the q151 lesson; an explicit repartition is
-    // optimized away as redundant here since the agg already hash-
-    // partitions on custkey). Run the plan in a cloned session with
-    // AQE off (the hitsOn pattern) so the static 32-way width holds
-    // through the CPU-dense stage. 4.0 s → ~1.3 s at sf0.1.
-    val spark = caller.newSession()
-    Ckpt.propagate(caller, spark)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.sparkContext.defaultParallelism.toString)
-    def rebind(df: DataFrame, to: SparkSession): DataFrame =
-      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
-    // the lazy checkpoint freezes the CLONE's physical plan (AQE off,
-    // static width) — a bare rebind would re-plan under the caller's
-    // confs at action time and resurrect the coalescing
-    rebind(Ckpt(negativeSamplingPlanOn(spark, dir), eager = false), caller)
+    * owned-set per customer (partial-agged collect_set); the s-way
+    * proposal explode is born custkey-partitioned off that agg, the
+    * draw/mod/membership steps are narrow, existence of the proposed
+    * key is one equi-join against the supplier dimension (AQE
+    * broadcasts it while it fits; unhinted, so a 10⁸-row catalog
+    * falls back to a shuffle of the s·|cust| proposal stream, never
+    * an OOM), and the dedup + top-2 windows run inside the custkey
+    * clustering. A customer owning nearly the whole catalog can come
+    * up short (< 2 negatives) — inherent to proposal sampling and
+    * bounded by (n_pos/|catalog|)^s; the oracle computes the same
+    * draws, so the gate still hashes identically. */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = spark.conf.getOption(NegProposalsConf).map(_.toInt).getOrElse(16)
+    val owned = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
+      .groupBy($"custkey")
+      .agg(collect_set($"suppkey").as("owned"))
+      .select($"custkey", $"owned", size($"owned").cast("long").as("n_pos"))
+    // draws map onto the [min, max] key envelope — dense-key catalogs
+    // (TPC-H, whether 0- or 1-based) get full coverage; sparse ones
+    // lose only the draws landing in holes (dropped by the existence
+    // join below)
+    val mx = Tables.supplier(spark, dir)
+      .agg(min($"s_suppkey").as("minsk"), max($"s_suppkey").as("maxsk"))
+    val prop = owned
+      .select($"custkey", $"owned", $"n_pos",
+        explode(sequence(lit(0L), lit(s - 1L))).as("i"))
+      .withColumn("draw", hash32("negp",
+        concat($"custkey".cast("string"), lit(":"), $"i".cast("string"))))
+      .crossJoin(broadcast(mx))
+      .withColumn("cand_sk",
+        ($"draw" % ($"maxsk" - $"minsk" + 1L)) + $"minsk")
+      .where(!array_contains($"owned", $"cand_sk"))
+      // drop the owned array BEFORE the joins/windows (the q178 rule:
+      // wide rows don't ride sorts)
+      .select($"custkey", $"n_pos", $"cand_sk", $"draw")
+    // a drawn position must name a REAL supplier (sparse key spaces);
+    // dimension equi-join, deliberately unhinted (see Scaladoc)
+    val cand = prop.join(Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("cand_sk")), "cand_sk")
+    // both windows run inside one custkey clustering: dedup repeated
+    // positions to their min draw, then rank survivors
+    val wDedup = Window.partitionBy($"custkey", $"cand_sk").orderBy($"draw".asc)
+    val wRank = Window.partitionBy($"custkey").orderBy($"draw".asc, $"cand_sk".asc)
+    cand.withColumn("rn", row_number().over(wDedup))
+      .where($"rn" === 1)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .where($"rk" <= 2)
+      .select($"custkey", $"n_pos", $"cand_sk".as("neg_suppkey"),
+        $"rk", $"draw")
   }
 
-  /** The q194 logical plan in the GIVEN session (PlanShapeSpec asserts
-    * its shape; negativeSampling wraps it in the frozen-clone runner). */
-  private[graft] def negativeSamplingPlanOn(spark: SparkSession,
+  /** The pre-round-9 EXHAUSTIVE q194: rank every non-owned supplier per
+    * customer by md5(cust:supp). Kept private for the parity spec and
+    * the ScaleSmoke catalog axis — it is the O(|cust|·|catalog|)
+    * baseline the proposal variant exists to beat. */
+  private[graft] def negativeSamplingExhaustive(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
     val owned = Tables.lineitem(spark, dir)
@@ -374,9 +408,6 @@ object Sampling {
       .select($"s_suppkey".as("suppkey"))
     val cand = owned.crossJoin(broadcast(catalog))
       .where(!array_contains($"owned", $"suppkey"))
-      // drop the owned array BEFORE the rank window (the q178 rule:
-      // wide rows don't ride sorts — the array would sit in every
-      // sort-buffer row of the 15M-candidate stream)
       .select($"custkey", $"n_pos", $"suppkey")
       .withColumn("draw", hash32("neg",
         concat($"custkey".cast("string"), lit(":"),

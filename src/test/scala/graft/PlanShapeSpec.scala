@@ -429,23 +429,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)
   }
 
-  test("q194 negative sampling: inline membership cross, window reuses the agg exchange") {
-    // the round-10 shape: no anti-join — negatives come from a
-    // broadcast catalog cross filtered by array_contains against the
-    // per-customer owned set, and the rank window inherits the
-    // custkey partitioning from the collect_set agg, so the 15M-row
-    // candidate stream is never exchanged
-    val plan = finalPlan(Sampling.negativeSamplingPlanOn(spark, sfDir))
+  test("q194 negative sampling: O(s) proposals, no catalog cross, windows share the custkey clustering") {
+    // the round-9 proposal shape: the ONLY nested-loop join is the
+    // 1-row maxsk scalar broadcast; the catalog appears solely in an
+    // equi-join validating drawn positions — never in a cross — so
+    // candidate volume is s·|cust|, independent of catalog size
+    val plan = finalPlan(Sampling.negativeSampling(spark, sfDir))
     assert(!plan.contains("LeftAnti"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj === 1, s"expected only the scalar maxsk broadcast, got $bnlj\n$plan")
     assert(plan.contains("array_contains"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // dedup + rank windows and the proposal explode all live inside
+    // the collect_set agg's custkey clustering: one hash exchange
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected exactly 1 hash exchange, got $exchanges\n$plan")
-    // the public runner ships a FROZEN static-width physical plan
-    // (cloned session, AQE off) — the caller sees only the checkpoint
-    val outer = finalPlan(Sampling.negativeSampling(spark, sfDir))
-    assert(outer.contains("Scan ExistingRDD"), outer)
+    // candidate volume really is bounded by s per customer
+    import spark.implicits._
+    val nCust = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_custkey").distinct().count()
+    assert(Sampling.negativeSampling(spark, sfDir).count() <= 2 * nCust)
   }
 
   test("q191 Mann-Whitney: the stream reduces before any window") {
