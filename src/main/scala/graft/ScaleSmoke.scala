@@ -100,6 +100,10 @@ object ScaleSmoke {
       catalogSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
       return
     }
+    if (args.contains("trihub")) {
+      trihubSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(200000))
+      return
+    }
     val graphMode = args.contains("graph")
     val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
@@ -317,6 +321,49 @@ object ScaleSmoke {
       val b = math.min(time(run(big)), time(run(big)))
       println(f"$name%-12s $a%8.2f $b%8.2f  ${b / a}%5.1f")
     }
+    spark.stop()
+  }
+
+  /** q127 MEGAHUB smoke: one degree-d hub (id 0 — the id-order worst
+    * case: every one of its d edges intersects its d-element forward
+    * list, O(d²) wedge work) plus a spoke ring for real triangles.
+    * Degree orientation sorts the hub LAST, so its edges all point in,
+    * every forward list is O(1), and wedge fan-out is bounded — the
+    * Suri-Vassilvitskii claim, measured: at local[32] the per-edge
+    * intersection floor hides the d² term up to d ≈ 4·10⁴ (both paths
+    * ~3 s), then it bites — d = 2·10⁵: id-broadcast 14.9 s vs
+    * degree-shuffled 6.8 s (2.2x), diverging quadratically vs linearly
+    * from there. Run: runMain graft.ScaleSmoke trihub [degree]. */
+  private def trihubSmoke(d: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.Graph
+    def edges(s: SparkSession) = {
+      import s.implicits._
+      ((1L to d.toLong).map(i => (0L, i)) ++
+        (1L until d.toLong).map(i => (i, i + 1))).toDF("u", "v")
+        .repartition(32)
+    }
+    val shufSession = spark.newSession()
+    shufSession.conf.set(Graph.TriShuffleConf, "true")
+    def time(s: SparkSession): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = Graph.trianglesOn(edges(s)).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    time(spark); time(shufSession) // warm
+    val (tb, nb) = time(spark)
+    val (ts, ns) = time(shufSession)
+    require(nb == ns, s"paths disagree: $nb vs $ns")
+    println(f"hub degree $d: id-order broadcast $tb%.2f s, " +
+      f"degree-order shuffled $ts%.2f s (${tb / ts}%.1fx), " +
+      s"$nb triangle-corner rows")
     spark.stop()
   }
 

@@ -314,6 +314,13 @@ object Graph {
       .select($"u", $"v"))
   }
 
+  /** Strategy knob for [[trianglesOn]]: "true" switches the adjacency
+    * from a driver broadcast to the degree-ordered shuffled join — the
+    * web-scale path, for graphs whose vertex relation does not fit one
+    * executor's memory or whose id order leaves a megahub with a huge
+    * forward list. */
+  val TriShuffleConf = "spark.graft.triangles.shuffleAdjacency"
+
   /** Wedge + closure enumeration over a canonical (u < v) edge list.
     *
     * Runs AQE-off on a cloned session at FULL shuffle width: the edge
@@ -323,9 +330,35 @@ object Graph {
     * sf0.1: the wedge stage ran 12s of CPU on 6 AQE-coalesced tasks
     * (2.1s wall); at width 32 the same CPU spreads to ~0.5s. Unlike
     * the CC/PageRank loops this clone WIDENS rather than narrows —
-    * same isolation discipline, opposite knob. */
+    * same isolation discipline, opposite knob.
+    *
+    * EDGE-ITERATOR enumeration (Chiba–Nishizeki shape), not wedge-join:
+    * a wedge join materializes every OPEN wedge (~10M rows / 62s CPU at
+    * sf0.1) only to discard the unclosed ones. Instead each edge
+    * intersects the two forward-adjacency lists — a common neighbor ⇒ a
+    * triangle found exactly once, at its lowest edge — so the only
+    * exploded rows are actual triangles. Per-node counts credit the 3
+    * corners, which is orientation-INVARIANT: any total order on nodes
+    * yields the same counts, which is what lets the two strategies
+    * below coexist (and the oracle enumerate its own way).
+    *
+    * Two adjacency strategies ([[TriShuffleConf]]):
+    *  - broadcast + id order (default): the |nodes|-row adjacency
+    *    relation broadcasts to every executor; right while it fits in
+    *    memory (dimension-sized co-occurrence graphs like q127's).
+    *  - shuffled + DEGREE order ("true"): rank nodes by (deg, id),
+    *    orient every edge low→high in that order, and attach both
+    *    forward lists via co-partitioned hash joins. Degree orientation
+    *    bounds every forward list by O(arboricity) = O(√m) (Suri &
+    *    Vassilvitskii, WWW'11; Chiba–Nishizeki) — a 10⁴-degree megahub
+    *    sits LAST in the order, so its edges all point in and its own
+    *    list stays tiny, where id order could hand it a 10⁴-element
+    *    list intersected per edge. Nothing broadcasts; memory per task
+    *    is bounded rows × bounded lists. */
   private[graft] def trianglesOn(edges0: DataFrame): DataFrame = {
     val caller = edges0.sparkSession
+    // read on the CALLER (runtime confs don't cross newSession)
+    val shuffleAdj = caller.conf.getOption(TriShuffleConf).exists(_.toBoolean)
     val spark = caller.newSession()
     Ckpt.propagate(caller, spark)
     import spark.implicits._
@@ -336,26 +369,40 @@ object Graph {
       spark.sparkContext.defaultParallelism.toString)
     // feeds the adjacency build and the per-edge probe — materialize once
     val e = Ckpt(rebind(edges0, spark), eager = false)
-    // EDGE-ITERATOR enumeration (Chiba–Nishizeki shape), not wedge-join:
-    // a wedge join materializes every OPEN wedge (~10M rows / 62s CPU at
-    // sf0.1) only to discard the unclosed ones. Instead each edge (u,v)
-    // intersects the two forward-adjacency lists — common neighbor w ⇒
-    // triangle u<v<w found exactly once, at its lowest edge — so the
-    // only exploded rows are actual triangles. The adjacency relation is
-    // |nodes| rows (broadcast); per-edge work is O(d_u + d_v). At web
-    // scale the broadcast becomes a shuffled co-partitioned join on u
-    // (and a degree-ordered orientation bounds list length by
-    // arboricity); the per-edge intersection algebra is unchanged.
-    // |nodes| rows; checkpointed so the TWO broadcast legs below don't
-    // each re-run the adjacency aggregation
-    val adj = Ckpt(e.groupBy($"u").agg(sort_array(collect_list($"v")).as("nb")),
-      eager = false)
-    val probe = e
-      .join(broadcast(adj.select($"u".as("__u"), $"nb".as("nb_u"))), $"u" === $"__u")
-      .join(broadcast(adj.select($"u".as("__v"), $"nb".as("nb_v"))), $"v" === $"__v", "left")
-      .select($"u", $"v",
-        array_intersect($"nb_u", coalesce($"nb_v", array().cast("array<bigint>")))
-          .as("common"))
+    val probe =
+      if (!shuffleAdj) {
+        // |nodes| rows; checkpointed so the TWO broadcast legs below
+        // don't each re-run the adjacency aggregation
+        val adj = Ckpt(e.groupBy($"u").agg(sort_array(collect_list($"v")).as("nb")),
+          eager = false)
+        e.join(broadcast(adj.select($"u".as("__u"), $"nb".as("nb_u"))), $"u" === $"__u")
+          .join(broadcast(adj.select($"u".as("__v"), $"nb".as("nb_v"))), $"v" === $"__v", "left")
+          .select($"u", $"v",
+            array_intersect($"nb_u", coalesce($"nb_v", array().cast("array<bigint>")))
+              .as("common"))
+      } else {
+        // degree-ordered orientation: a < b iff (deg,id) smaller
+        val deg = e.select($"u".as("n")).unionByName(e.select($"v".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("dg"))
+        val oriented = Ckpt(e
+          .join(deg.select($"n".as("u"), $"dg".as("du")), "u")
+          .join(deg.select($"n".as("v"), $"dg".as("dv")), "v")
+          .select(
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+              struct($"u".as("x"), $"v".as("y")))
+              .otherwise(struct($"v".as("x"), $"u".as("y"))).as("o"))
+          .select($"o.x".as("a"), $"o.y".as("b")), eager = false)
+        // forward lists bounded by arboricity; SHUFFLED equi-joins, no
+        // broadcast — the adjacency never has to fit on one executor
+        val adj = Ckpt(oriented.groupBy($"a")
+          .agg(sort_array(collect_list($"b")).as("nb")), eager = false)
+        oriented
+          .join(adj.select($"a".as("__a"), $"nb".as("nb_a")), $"a" === $"__a")
+          .join(adj.select($"a".as("__b"), $"nb".as("nb_b")), $"b" === $"__b", "left")
+          .select($"a".as("u"), $"b".as("v"),
+            array_intersect($"nb_a", coalesce($"nb_b", array().cast("array<bigint>")))
+              .as("common"))
+      }
     // corner credit: u and v get one per common neighbor, each w gets 1
     val corners = probe
       .select(explode(concat(
