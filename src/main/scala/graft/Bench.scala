@@ -104,6 +104,14 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_history.jsonl"),
         stamped + "\n", java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      // per-round full-precision snapshot file (VERDICT r8 item 7):
+      // BENCH_QUERIES_r07-style artifacts, minted whenever the runner
+      // names the round (GRAFT_ROUND=NN); the history line above is the
+      // always-on fallback
+      sys.env.get("GRAFT_ROUND").foreach { r =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"BENCH_QUERIES_r$r.json"), stamped + "\n")
+      }
     } catch { case _: Throwable => () }
     def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
     val qsC = ok.toSeq.sortBy(_._1)

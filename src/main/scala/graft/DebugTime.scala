@@ -22,9 +22,14 @@ object DebugTime {
   }
 
   def time(label: String)(f: => DataFrame): Unit = {
-    val t0 = System.nanoTime()
-    f.write.format("noop").mode("overwrite").save()
-    println(f"== $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    // best-of-3 (Bench's policy): the cold first run is JIT + page-cache
+    // warm-up, not plan cost
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"== $label%-24s best=${ts.min}%8.2f s  runs=${ts.map(t => f"$t%.2f").mkString(", ")}")
   }
 
   def main(args: Array[String]): Unit = {

@@ -359,6 +359,11 @@ object Curation {
     val seeds = TextOps.docsParallel(spark, dir)
       .select($"doc_id",
         when(votes >= 3, 1L).when(votes <= 1, 0L).otherwise(2L).as("seed"))
+    // the (doc, term) counts feed BOTH the df aggregation and the
+    // tf-idf scoring; a Ckpt barrier here was A/B'd same-JVM in round 9
+    // and REJECTED (1.11 s vs 1.04 s without) — the duplicated CPU is
+    // real (~2x tokenize) but fully hidden at 32 threads, while the
+    // barrier adds a materialize+read pass on the critical path
     val tf = TextOps.docsParallel(spark, dir)
       .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
@@ -374,6 +379,9 @@ object Curation {
       .withColumn("rn", rn)
       .where($"rn" === 1 && $"score" > 0)
       .select($"doc_id", $"tok")
+    // feeds the consensus agg AND the final join; same round-9 A/B as
+    // tf — re-running the seeds regex scan (1.4 s CPU, 0.1 s wall)
+    // beats a barrier
     val grouped = seeds.join(topTerm, "doc_id")
     val consensus = grouped
       .groupBy($"tok")

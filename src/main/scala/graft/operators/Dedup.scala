@@ -213,16 +213,16 @@ object Dedup {
   /** Testable core over any `(doc_id, text)` relation. */
   private[graft] def containmentOn(docs: DataFrame, t: Double): DataFrame = {
     // one LAZY shingle pass feeding prefix ranking, the B-side postings
-    // and both verify sides — all cheap maps over the doc scan; the only
-    // expensive shared subtree (the df-ranked prefix) is behind its own
-    // shuffle, which the planner materializes once (same no-checkpoint
-    // rationale as ngramJaccardOn)
+    // and both verify sides — FOUR consumers, deliberately NOT
+    // checkpointed (round 9, measured, same-JVM best-of-4): the shingle
+    // relation is doc_id + a wide array per doc, and materializing it
+    // costs more than re-running the cheap tokenize+shingle maps —
+    // 1.16 s unmaterialized vs 1.31 s checkpointed at sf0.1. The
+    // checkpoint-pays-iff-the-reused-subtree-SHUFFLES rule (SCALE.md):
+    // this subtree is map-only off the scan, so it doesn't.
     val docSh = docs
       .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
       .where(size(col("sh")) > 0)
-    // no checkpoint anywhere: unlike ngramJaccardOn the prefix feeds
-    // only ONE join side (postings is the other), so nothing in the
-    // plan is evaluated twice
     val prefix = prefixShingles(docSh, t)
     val postings = docSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"),
       explode(col("sh")).as("shingle"))

@@ -668,6 +668,12 @@ object Evaluate {
     * post-join regroup. sf0.1: 3.06 s → 2.07 s. */
   def mrrEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOTE round 9: a rebalance of the 2-column lineitem projection was
+    // tried against the 3-task single-file scan stage (0.46 s of
+    // near-serial join+partial-agg CPU) and REJECTED — the extra
+    // exchange+barrier exactly cancels the parallelism it buys (1.83 s
+    // -> 1.89 s warm best-of-3). The serial stage is a toy-layout
+    // artifact; a real multi-split table runs it wide for free.
     val inter = Ckpt(Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
