@@ -60,8 +60,27 @@ object Ckpt {
 
   /** Lazy reliable checkpoints: returned frame -> pre-checkpoint cache,
     * so [[release]] can free the cache that fed the checkpoint write job.
-    * Identity-keyed (Dataset does not override equals). */
+    * Identity-keyed (Dataset does not override equals). Loop sites drain
+    * this through [[release]]; one-shot sites that never release are
+    * reaped by [[sweep]] once their checkpoint has materialized (the
+    * cache's only job was feeding the write; after that it is dead
+    * weight — readers scan the checkpoint files). */
   private val pendingCache = new ConcurrentHashMap[DataFrame, DataFrame]()
+
+  /** Unpersist pre-checkpoint caches whose lazy checkpoint has since
+    * materialized. Called on every [[apply]]; a no-op map scan unless
+    * durable mode has outstanding lazy checkpoints. */
+  private def sweep(): Unit = {
+    val it = pendingCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val rdds = org.apache.spark.sql.graft.RddBridge.leafRdds(e.getKey)
+      if (rdds.nonEmpty && rdds.forall(_.isCheckpointed)) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
 
   /** Copy the durability knob from a caller session onto a loop clone
     * (`newSession()` starts from the base conf, dropping runtime-set
@@ -73,6 +92,7 @@ object Ckpt {
   /** Truncate `df`'s lineage: reliable `checkpoint()` when
     * `spark.graft.checkpointDir` is set, `localCheckpoint()` otherwise. */
   def apply(df: DataFrame, eager: Boolean): DataFrame = {
+    sweep()
     val spark = df.sparkSession
     spark.conf.getOption(DirConf) match {
       case Some(dir) =>

@@ -67,6 +67,23 @@ class CkptSpec extends SparkSpec {
     assert(rddDirs(tmp).isEmpty)
   }
 
+  test("sweep reaps the pre-checkpoint cache once a lazy checkpoint materializes") {
+    import org.apache.spark.storage.StorageLevel
+    val tmp = Files.createTempDirectory("graft-ckpt-sweep")
+    val s = durableSession(tmp.toString)
+    import s.implicits._
+    val input = (1 to 40).toDF("n")
+    val out = Ckpt(input, eager = false)
+    // the input is persisted so the checkpoint WRITE job reads blocks
+    assert(input.storageLevel !== StorageLevel.NONE)
+    assert(out.count() === 40L)
+    // any later Ckpt call sweeps: the write happened, the cache is dead
+    Ckpt.release(Ckpt((1 to 3).toDF("m")))
+    assert(input.storageLevel === StorageLevel.NONE,
+      "pre-checkpoint cache survived its checkpoint's materialization")
+    Ckpt.release(out)
+  }
+
   test("connectedComponents: durable mode is bit-identical, propagates into the loop clone, and bounds files") {
     val tmp = Files.createTempDirectory("graft-ckpt-cc")
     import spark.implicits._
