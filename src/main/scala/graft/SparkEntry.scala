@@ -228,6 +228,7 @@ object SparkEntry {
     "q206_active_select"    -> (TextAnalysis.activeSelect _),
     "q207_k_anonymity"      -> (Curation.kAnonymity _),
     "q208_corpus_diff"      -> (Dedup.corpusDiff _),
+    "q209_dsir_select"      -> (Sampling.dsirSelect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4698,5 +4699,33 @@ object SparkEntry {
              ELSE 'changed' END AS status,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM j GROUP BY 1, 2""",
+    // q209: DSIR importance selection — hashed unigram buckets (B=256),
+    // +1 smoothing both sides, one quantized ln per bucket (exact-long
+    // products inside the quotient), order-free long doc weights,
+    // deterministic top-50
+    "q209_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
+             CAST('0x' || substr(md5('dsir:' || t.tok), 1, 8) AS BIGINT)
+               % 256 AS bucket
+           FROM documents, unnest(string_split(text, ' ')) t(tok)),
+         counts AS (SELECT bucket,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           FROM tok GROUP BY 1),
+         totals AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(sum(cr) AS BIGINT) AS nr FROM counts),
+         lam AS (SELECT bucket,
+             CAST(floor(ln(CAST((ct + 1) * (nr + 256) AS DOUBLE)
+               / CAST((cr + 1) * (nt + 256) AS DOUBLE)) * 10000
+               + 1.0/3) AS BIGINT) AS lam_q
+           FROM counts CROSS JOIN totals),
+         perdoc AS (SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(l.lam_q) AS BIGINT) AS w_q
+           FROM tok t JOIN lam l ON t.bucket = l.bucket
+           WHERE NOT t.is_t GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY w_q DESC, doc_id)
+             AS BIGINT) AS rk, doc_id, n_toks, w_q
+         FROM perdoc ORDER BY w_q DESC, doc_id LIMIT 50""",
   )
 }

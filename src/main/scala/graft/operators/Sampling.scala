@@ -459,6 +459,64 @@ object Sampling {
         expr("(score_q * 1000000) div score_sum").as("weight_ppm"))
   }
 
+  /** q209: DSIR — Data Selection via Importance Resampling (Xie et
+    * al., NeurIPS 2023): pick raw-pool documents whose hashed-n-gram
+    * distribution looks like a TARGET corpus. Features are hashed
+    * unigram buckets (B = 256, md5 mod B — the paper's hashed n-gram
+    * space at n=1); both sides get +1 smoothing; each bucket carries
+    * the log importance ratio λ_b = ln(p_target(b) / p_raw(b)), and a
+    * document's log weight is Σ_tokens λ_bucket(tok). Top-50 raw docs
+    * by (weight, doc_id) are the selection. The deterministic variant
+    * of the paper's gumbel resampling: rank by the weight itself (the
+    * house derandomization, as in q194/q101).
+    *
+    * Determinism across engines: λ_b quantizes ONE ln per bucket —
+    * ln(A_b/D_b) with A_b = (c_t+1)·(N_raw+B), D_b = (c_raw+1)·
+    * (N_target+B) exact longs (< 2^53 through sf10, so the quotient is
+    * the same IEEE double everywhere; beyond that route the products
+    * through decimal) — floored at 1e4 with the q87 +1/3 offset; doc
+    * weights are then order-free long sums.
+    *
+    * Scale shape: one token-bucket pass (map-only md5+mod), TWO
+    * bounded aggregates (256-row per-side bucket counts from one
+    * conditional groupBy); λ is a 256-row broadcast joined into the
+    * raw token stream, whose per-doc sum inherits the docsParallel
+    * partitioning (no exchange); selection is TakeOrderedAndProject,
+    * never a global sort. Target membership here is `source = 'src0'`
+    * — a stand-in for the curated high-quality slice every DSIR run
+    * designates. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 256
+    val toks = graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"doc_id", ($"source" === "src0").as("is_t"),
+        explode(graft.operators.TextOps.toks($"text")).as("tok"))
+      .withColumn("bucket", pmod(graft.functions.TextHash.md5Int32(
+        concat(lit("dsir:"), $"tok")), lit(B.toLong)))
+    val counts = toks.groupBy($"bucket")
+      .agg(sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
+        sum(when(!$"is_t", 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    // λ per bucket; buckets unseen on either side still get smoothed
+    // mass because the count relation is dense only in SEEN buckets —
+    // unseen buckets never match a token, so their λ is irrelevant
+    val lam = counts.crossJoin(broadcast(totals))
+      .select($"bucket",
+        floor(log((($"ct" + 1L) * ($"nr" + B)).cast("double")
+          / (($"cr" + 1L) * ($"nt" + B)).cast("double")) * 10000
+          + lit(1.0 / 3)).cast("long").as("lam_q"))
+    val perDoc = toks.where(!$"is_t")
+      .join(broadcast(lam), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"lam_q").as("w_q"))
+    // distributed top-k (TakeOrderedAndProject) FIRST; the rank window
+    // then sorts 50 rows, not the corpus
+    perDoc.orderBy($"w_q".desc, $"doc_id".asc).limit(50)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"w_q".desc, $"doc_id".asc)).cast("long"))
+      .select($"rk", $"doc_id", $"n_toks", $"w_q")
+  }
+
   /** q205: packing-efficiency audit of q49's sequence packer — per
     * 2048-token pack, the filled token count, binned into a bounded
     * fill histogram (buckets of 6.25% each, bucket = (n_toks*16) div

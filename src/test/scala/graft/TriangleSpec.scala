@@ -50,6 +50,36 @@ class TriangleSpec extends SparkSpec {
     assert(shuf === expected)
   }
 
+  test("random graphs: both paths equal the brute-force corner counts (6 seeded rounds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      n <- Gen.chooseNum(4, 18)
+      density <- Gen.chooseNum(0.1, 0.7)
+      edges <- Gen.someOf(for {
+        u <- 0L until n.toLong; v <- (u + 1) until n.toLong
+      } yield (u, v))
+    } yield edges.toList.distinct
+    for (round <- 0 until 6) {
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(7L + round))
+      // brute force: every node triple, count closed ones per corner
+      val set = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val expected = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if set((i, j)) && set((i, k)) && set((j, k))
+      } { expected(i) += 1; expected(j) += 1; expected(k) += 1 }
+      def run(s: SparkSession): Map[Long, Long] = {
+        import s.implicits._
+        if (edges.isEmpty) Map.empty
+        else collectCounts(Graph.trianglesOn(edges.toDF("u", "v")))
+      }
+      assert(run(spark) === expected.toMap, s"broadcast path, round $round")
+      assert(run(shuffledSession) === expected.toMap, s"shuffled path, round $round")
+    }
+  }
+
   test("triangle-free chain yields no counts on either path") {
     def edges(s: SparkSession) = {
       import s.implicits._
