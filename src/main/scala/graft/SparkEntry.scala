@@ -229,6 +229,8 @@ object SparkEntry {
     "q207_k_anonymity"      -> (Curation.kAnonymity _),
     "q208_corpus_diff"      -> (Dedup.corpusDiff _),
     "q209_dsir_select"      -> (Sampling.dsirSelect _),
+    "q210_filter_funnel"    -> (Curation.filterFunnel _),
+    "q211_dup_source_matrix" -> (Dedup.dupSourceMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4727,5 +4729,67 @@ object SparkEntry {
          SELECT CAST(row_number() OVER (ORDER BY w_q DESC, doc_id)
              AS BIGINT) AS rk, doc_id, n_toks, w_q
          FROM perdoc ORDER BY w_q DESC, doc_id LIMIT 50""",
+    // q210: ordered drop rules, first-fail attribution + independent
+    // fire counts + funnel survivors; all integer thresholds
+    "q210_filter_funnel" ->
+      """WITH f AS (SELECT
+             len(string_split(text, ' ')) < 20 AS f1,
+             lang <> 'en' AS f2,
+             (length(replace(text, ' ', '')) * 100)
+               // len(string_split(text, ' ')) < 420
+               OR (length(replace(text, ' ', '')) * 100)
+               // len(string_split(text, ' ')) > 480 AS f3,
+             ((len(string_split(text, ' '))
+               - len(list_distinct(string_split(text, ' ')))) * 100)
+               // len(string_split(text, ' ')) >= 60 AS f4
+           FROM documents),
+         one AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+             CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+             CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+             CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+           FROM f)
+         SELECT '1_too_short' AS stage, c1 AS n_first_fail, a1 AS n_any_fail,
+             total - c1 AS survivors_after FROM one
+         UNION ALL SELECT '2_non_english', c2, a2, total - c1 - c2 FROM one
+         UNION ALL SELECT '3_word_len', c3, a3, total - c1 - c2 - c3 FROM one
+         UNION ALL SELECT '4_repetition', c4, a4,
+             total - c1 - c2 - c3 - c4 FROM one
+         UNION ALL SELECT '5_kept', total - c1 - c2 - c3 - c4,
+             CAST(0 AS BIGINT), total - c1 - c2 - c3 - c4 FROM one""",
+    // q211: q28's near-dup pair graph resolved to sources, census'd per
+    // unordered source pair (least/greatest canonicalization)
+    "q211_dup_source_matrix" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b.band,
+                           (simhash // (1::BIGINT << (b.band * 8))) % 256 AS byte
+                    FROM sh, range(4) b(band)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                         b.doc_id AS doc_b, b.simhash AS sh_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id),
+         p AS (SELECT doc_a, doc_b FROM cand
+               WHERE bit_count(xor(sh_a, sh_b)) <= 1)
+         SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+         FROM p JOIN documents da ON p.doc_a = da.doc_id
+                JOIN documents db ON p.doc_b = db.doc_id
+         GROUP BY 1, 2""",
   )
 }

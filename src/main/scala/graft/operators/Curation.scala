@@ -550,4 +550,61 @@ object Curation {
       .select($"bucket", $"n_classes", $"n_records",
         expr("(n_at_risk * 1000000) div total").as("risk_ppm"))
   }
+
+  /** q210: filter-funnel census — the attrition table every corpus
+    * release documents (the Gopher / RedPajama quality-filter report):
+    * four ordered drop rules, each doc attributed to the FIRST rule
+    * that kills it, plus each rule's independent fire count and the
+    * survivor count after every funnel stage. Rules (all integer
+    * thresholds, calibrated to fire on this corpus): too short
+    * (< 20 tokens), non-English, mean word length outside
+    * [4.20, 4.80] (centi-units, the Gopher word-length screen), and
+    * duplicate-token share ≥ 60% (repetition). first-fail vs any-fail
+    * is the point of the table: a rule with high any-fail but low
+    * first-fail is redundant with the rules above it — the funnel
+    * ORDER is an editorial decision this census makes checkable.
+    *
+    * Scale shape: one map-side scan computes all four flags (no
+    * shuffle touches a document); the census is a single conditional
+    * aggregation to ONE row, exploded into the 5-row report
+    * driver-free; cumulative survivors fold inside the struct
+    * literals, not a window. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val d = TextOps.docsParallel(spark, dir)
+      .select($"lang",
+        size(t).cast("long").as("n_toks"),
+        size(array_distinct(t)).cast("long").as("n_dist"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("n_let"))
+      .select(
+        ($"n_toks" < 20L).as("f1"),
+        ($"lang" =!= "en").as("f2"),
+        (expr("(n_let * 100) div n_toks") < 420L
+          || expr("(n_let * 100) div n_toks") > 480L).as("f3"),
+        (expr("((n_toks - n_dist) * 100) div n_toks") >= 60L).as("f4"))
+    val one = d.agg(
+      count(lit(1)).as("total"),
+      sum(when($"f1", 1L).otherwise(0L)).as("a1"),
+      sum(when($"f2", 1L).otherwise(0L)).as("a2"),
+      sum(when($"f3", 1L).otherwise(0L)).as("a3"),
+      sum(when($"f4", 1L).otherwise(0L)).as("a4"),
+      sum(when($"f1", 1L).otherwise(0L)).as("c1"),
+      sum(when(!$"f1" && $"f2", 1L).otherwise(0L)).as("c2"),
+      sum(when(!$"f1" && !$"f2" && $"f3", 1L).otherwise(0L)).as("c3"),
+      sum(when(!$"f1" && !$"f2" && !$"f3" && $"f4", 1L).otherwise(0L)).as("c4"))
+    def row(stage: String, first: Column, any: Column, surv: Column) =
+      struct(lit(stage).as("stage"), first.as("n_first_fail"),
+        any.as("n_any_fail"), surv.as("survivors_after"))
+    one.select(explode(array(
+        row("1_too_short", $"c1", $"a1", $"total" - $"c1"),
+        row("2_non_english", $"c2", $"a2", $"total" - $"c1" - $"c2"),
+        row("3_word_len", $"c3", $"a3", $"total" - $"c1" - $"c2" - $"c3"),
+        row("4_repetition", $"c4", $"a4",
+          $"total" - $"c1" - $"c2" - $"c3" - $"c4"),
+        row("5_kept", $"total" - $"c1" - $"c2" - $"c3" - $"c4", lit(0L),
+          $"total" - $"c1" - $"c2" - $"c3" - $"c4"))).as("r"))
+      .select($"r.stage", $"r.n_first_fail", $"r.n_any_fail",
+        $"r.survivors_after")
+  }
 }

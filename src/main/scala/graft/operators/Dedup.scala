@@ -817,4 +817,30 @@ object Dedup {
       .where($"overlap_ppm" >= 500000L)
       .select($"doc_id", $"n_sh", $"n_shared", $"overlap_ppm")
   }
+
+  /** q211: cross-source duplication matrix — WHICH sources duplicate
+    * WHICH: the q28 near-dup pair graph (simhash hamming ≤ 1) with each
+    * endpoint resolved to its source, census'd per unordered source
+    * pair. The table a corpus owner reads to find mirror sites, feed
+    * overlaps, and licensing double-counting before deciding what to
+    * crawl less of; the diagonal (source_a = source_b) is internal
+    * redundancy.
+    *
+    * Scale shape: all corpus-sized work is q28's banded candidate
+    * machinery (reused verbatim); the two source lookups are equi-joins
+    * against the (doc_id, source) projection — dimension-ish, unhinted
+    * so AQE broadcasts while it fits — and the census aggregation is
+    * bounded by |sources|². least/greatest canonicalize the pair so the
+    * matrix is triangular without a second pass. */
+  def dupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    simhashPairs(spark, dir).select($"doc_a", $"doc_b")
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("s_a")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("s_b")), "doc_b")
+      .select(least($"s_a", $"s_b").as("source_a"),
+        greatest($"s_a", $"s_b").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }
