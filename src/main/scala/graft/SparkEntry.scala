@@ -231,6 +231,8 @@ object SparkEntry {
     "q209_dsir_select"      -> (Sampling.dsirSelect _),
     "q210_filter_funnel"    -> (Curation.filterFunnel _),
     "q211_dup_source_matrix" -> (Dedup.dupSourceMatrix _),
+    "q212_truncation_waste" -> (Sampling.truncationWaste _),
+    "q213_threshold_sweep"  -> (Dedup.thresholdSweep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4791,5 +4793,57 @@ object SparkEntry {
          FROM p JOIN documents da ON p.doc_a = da.doc_id
                 JOIN documents db ON p.doc_b = db.doc_id
          GROUP BY 1, 2""",
+    // q212: per-L overflow docs + tokens lost to truncation, ppm of
+    // corpus token mass; one conditional aggregation, 4-row report
+    "q212_truncation_waste" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         one AS (SELECT CAST(sum(n) AS BIGINT) AS total_toks,
+             CAST(sum(CASE WHEN n > 16 THEN 1 ELSE 0 END) AS BIGINT) AS o16,
+             CAST(sum(CASE WHEN n > 16 THEN n - 16 ELSE 0 END) AS BIGINT) AS l16,
+             CAST(sum(CASE WHEN n > 32 THEN 1 ELSE 0 END) AS BIGINT) AS o32,
+             CAST(sum(CASE WHEN n > 32 THEN n - 32 ELSE 0 END) AS BIGINT) AS l32,
+             CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS o64,
+             CAST(sum(CASE WHEN n > 64 THEN n - 64 ELSE 0 END) AS BIGINT) AS l64,
+             CAST(sum(CASE WHEN n > 96 THEN 1 ELSE 0 END) AS BIGINT) AS o96,
+             CAST(sum(CASE WHEN n > 96 THEN n - 96 ELSE 0 END) AS BIGINT) AS l96
+           FROM d)
+         SELECT CAST(16 AS BIGINT) AS max_len, o16 AS n_docs_over,
+             l16 AS tokens_lost, (l16 * 1000000) // total_toks AS lost_ppm
+           FROM one
+         UNION ALL SELECT 32, o32, l32, (l32 * 1000000) // total_toks FROM one
+         UNION ALL SELECT 64, o64, l64, (l64 * 1000000) // total_toks FROM one
+         UNION ALL SELECT 96, o96, l96, (l96 * 1000000) // total_toks FROM one""",
+    // q213: q25's pair machinery at the permissive t=0.5 floor, bucketed
+    // by exact integer Jaccard decile with cumulative at-or-above counts
+    "q213_threshold_sweep" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         shared AS (
+           SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                       JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT s.n_shared, ca.n AS n_a, cb.n AS n_b
+           FROM shared s JOIN card ca ON ca.doc_id = s.doc_a
+                         JOIN card cb ON cb.doc_id = s.doc_b
+           WHERE s.n_shared / (ca.n + cb.n - s.n_shared) >= 0.5),
+         dec AS (SELECT (n_shared * 10) // (n_a + n_b - n_shared) AS decile,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs GROUP BY 1)
+         SELECT decile, n_pairs,
+             CAST(sum(n_pairs) OVER (ORDER BY decile DESC) AS BIGINT)
+               AS n_at_or_above
+         FROM dec""",
   )
 }

@@ -843,4 +843,36 @@ object Dedup {
       .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** q213: dedup-threshold sweep — the tuning table behind "what t do
+    * we dedup at": one PPJoin pass at the PERMISSIVE floor (t = 0.5)
+    * buckets every verified near-dup pair by Jaccard decile, with the
+    * cumulative pairs-at-or-above count per decile. Reading the table
+    * top-down IS the threshold decision: "t = 0.8 removes N pairs,
+    * t = 0.6 removes M" — without re-running the join per candidate t.
+    * Deciles are exact integers ((n_shared·10) div union), so the
+    * bucket boundary cannot float-drift between engines.
+    *
+    * Scale shape: the corpus-sized work is one q25 PPJoin at t = 0.5
+    * (prefix pruning still applies, just with longer prefixes — the
+    * price of sweeping below the production threshold); the decile
+    * census is a bounded (≤ 6-row) aggregation and the cumulative sum
+    * a window over that bounded relation. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsParallel(spark, dir)
+    val card = docs
+      .select($"doc_id",
+        size(TextOps.shingles(TextOps.toks($"text"), 3)).cast("long").as("n"))
+    ngramJaccardOn(docs, 0.5).select($"doc_a", $"doc_b", $"n_shared")
+      .join(card.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(card.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .withColumn("decile",
+        expr("(n_shared * 10) div (n_a + n_b - n_shared)"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above",
+        sum($"n_pairs").over(Window.orderBy($"decile".desc)))
+      .select($"decile", $"n_pairs", $"n_at_or_above")
+  }
 }

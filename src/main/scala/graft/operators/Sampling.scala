@@ -517,6 +517,39 @@ object Sampling {
       .select($"rk", $"doc_id", $"n_toks", $"w_q")
   }
 
+  /** q212: truncation-waste table — for each candidate context length
+    * L, how many documents overflow it and how many tokens the
+    * truncation throws away (Σ max(0, n_toks − L)), as an absolute
+    * count and ppm of the corpus token mass. The companion to q205's
+    * packing audit: packing answers "how full are my sequences",
+    * this answers "what does capping L cost" — the two tables a
+    * pretraining config reads together. Ls chosen to straddle this
+    * corpus's 10-99-token range.
+    *
+    * Scale shape: q210's one-row-census shape — a single map-side scan
+    * feeds one conditional aggregation (every L is a pair of
+    * conditional sums in the SAME agg), exploded into the 4-row report
+    * from struct literals; no shuffle carries a document, no window. */
+  def truncationWaste(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Ls = Seq(16L, 32L, 64L, 96L)
+    val d = graft.operators.TextOps.docsParallel(spark, dir)
+      .select(size(graft.operators.TextOps.toks($"text")).cast("long").as("n"))
+    val aggs = count(lit(1)).as("n_docs") +: sum($"n").as("total_toks") +:
+      Ls.flatMap { l =>
+        Seq(sum(when($"n" > l, 1L).otherwise(0L)).as(s"over_$l"),
+          sum(when($"n" > l, $"n" - l).otherwise(0L)).as(s"lost_$l"))
+      }
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val rows = Ls.map { l =>
+      struct(lit(l).as("max_len"), col(s"over_$l").as("n_docs_over"),
+        col(s"lost_$l").as("tokens_lost"),
+        expr(s"(lost_$l * 1000000) div total_toks").as("lost_ppm"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select($"r.max_len", $"r.n_docs_over", $"r.tokens_lost", $"r.lost_ppm")
+  }
+
   /** q205: packing-efficiency audit of q49's sequence packer — per
     * 2048-token pack, the filled token count, binned into a bounded
     * fill histogram (buckets of 6.25% each, bucket = (n_toks*16) div

@@ -30,6 +30,35 @@ class FunnelMatrixSpec extends SparkSpec {
     assert(rows.last._2 === rows.last._4)
   }
 
+  test("q212 truncation waste: monotone in L and bounded by the token mass") {
+    val rows = graft.operators.Sampling.truncationWaste(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("max_len"), r.getAs[Long]("n_docs_over"),
+        r.getAs[Long]("tokens_lost"), r.getAs[Long]("lost_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(16L, 32L, 64L, 96L))
+    // larger caps lose fewer docs and fewer tokens
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3 && a._4 >= b._4)
+      case _ =>
+    }
+    assert(rows.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+    // at L=16 with a 10..99-token corpus, waste must be nonzero
+    assert(rows.head._3 > 0L)
+  }
+
+  test("q213 sweep: deciles in [5,10] and a consistent cumulative census") {
+    val rows = graft.operators.Dedup.thresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_at_or_above")))
+      .sortBy(-_._1)
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 >= 5L && r._1 <= 10L && r._2 > 0L))
+    // cumulative really is the running sum from the top decile down
+    var acc = 0L
+    rows.foreach { case (_, n, cum) => acc += n; assert(cum === acc) }
+  }
+
   test("q211 matrix: canonical triangular pairs summing to the q28 pair count") {
     import spark.implicits._
     val m = Dedup.dupSourceMatrix(spark, sfDir).collect()
