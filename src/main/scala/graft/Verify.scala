@@ -27,6 +27,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_CHECKPOINT_DIR runs the ENTIRE suite in durable-checkpoint
+    // mode (every Ckpt truncation goes to the reliable store instead of
+    // executor blocks) — the whole-surface proof that the preemption-
+    // safety knob changes no result: the driver's DuckDB gate must come
+    // back identical with and without it.
+    sys.env.get("GRAFT_CHECKPOINT_DIR").foreach { d =>
+      spark.conf.set(graft.operators.Ckpt.DirConf, d)
+      System.err.println(s"[verify] durable checkpoint mode: $d")
+    }
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
