@@ -74,6 +74,7 @@ object Dedup {
     * pair (array_intersect), never re-exploding the corpus. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOn(TextOps.docsParallel(spark, dir), 0.6)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
 
   /** Testable core over any `(doc_id, text)` relation. */
   private[graft] def ngramJaccardOn(docs: DataFrame, t: Double): DataFrame = {
@@ -115,11 +116,15 @@ object Dedup {
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
       .withColumn("jaccard",
-        col("n_shared") /
-          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_shared")))
+        col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")))
       .where(col("jaccard") >= t)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      // n_a/n_b ride along for q213's decile census (q25 projects them
+      // away; its oracle schema is unchanged)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"),
+        col("n_a"), col("n_b"))
   }
 
   /** q131: n-gram novelty — per document, the fraction of its shingles
@@ -860,13 +865,9 @@ object Dedup {
     * a window over that bounded relation. */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = TextOps.docsParallel(spark, dir)
-    val card = docs
-      .select($"doc_id",
-        size(TextOps.shingles(TextOps.toks($"text"), 3)).cast("long").as("n"))
-    ngramJaccardOn(docs, 0.5).select($"doc_a", $"doc_b", $"n_shared")
-      .join(card.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
-      .join(card.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+    // the PPJoin verify stage already carries both cardinalities — no
+    // re-join, no shingle recompute
+    ngramJaccardOn(TextOps.docsParallel(spark, dir), 0.5)
       .withColumn("decile",
         expr("(n_shared * 10) div (n_a + n_b - n_shared)"))
       .groupBy($"decile")
