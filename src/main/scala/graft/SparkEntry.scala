@@ -233,6 +233,10 @@ object SparkEntry {
     "q211_dup_source_matrix" -> (Dedup.dupSourceMatrix _),
     "q212_truncation_waste" -> (Sampling.truncationWaste _),
     "q213_threshold_sweep"  -> (Dedup.thresholdSweep _),
+    "q214_interval_union"   -> (Timeseries.intervalUnion _),
+    "q215_unimax_alloc"     -> (Sampling.unimaxAlloc _),
+    "q216_l_diversity"      -> (Curation.lDiversity _),
+    "q217_order_bias"       -> (Sampling.orderBias _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4845,5 +4849,104 @@ object SparkEntry {
              CAST(sum(n_pairs) OVER (ORDER BY decile DESC) AS BIGINT)
                AS n_at_or_above
          FROM dec""",
+    // q214: gaps-and-islands on [ts, ts + 60*floor(value*1000) ms)
+    // spans; running-max merge is tie-order-free
+    "q214_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, epoch_ms(ts) AS s,
+               epoch_ms(ts) + CAST(floor(value * 1000) AS BIGINT) * 60 AS e
+           FROM events),
+         fl AS (
+           SELECT user_id, s, e,
+             CASE WHEN coalesce(max(e) OVER (PARTITION BY user_id
+                   ORDER BY s ASC, e ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 >= s THEN 0 ELSE 1 END AS new_isl
+           FROM iv),
+         isl AS (
+           SELECT user_id, s, e,
+             sum(new_isl) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM fl),
+         grp AS (SELECT user_id, isl, min(s) AS i_start, max(e) AS i_end
+                 FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum(i_end - i_start) AS BIGINT) AS covered_ms,
+             CAST(max(i_end - i_start) AS BIGINT) AS max_island_ms
+         FROM grp GROUP BY user_id""",
+    // q215: closed-form waterfill; saturation test is prefix-monotone
+    // on the cap-ascending order
+    "q215_unimax_alloc" ->
+      """WITH lt AS (
+           SELECT lang,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+           FROM documents GROUP BY 1),
+         caps AS (SELECT lang, n_toks, (n_toks * 6) // 5 AS cap FROM lt),
+         tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS b,
+                     CAST(count(*) AS BIGINT) AS nl FROM caps),
+         rk AS (SELECT lang, n_toks, cap, b, nl,
+             CAST(row_number() OVER (ORDER BY cap ASC, lang ASC)
+               AS BIGINT) AS i,
+             CAST(sum(cap) OVER (ORDER BY cap ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+           FROM caps, tot),
+         st AS (SELECT *, CASE WHEN cap * (nl - i) <= b - c
+                 THEN 1 ELSE 0 END AS sat FROM rk),
+         kk AS (SELECT max(CASE WHEN sat = 1 THEN i ELSE 0 END) AS k,
+                    max(CASE WHEN sat = 1 THEN c ELSE 0 END) AS ck
+                FROM st)
+         SELECT lang, n_toks, cap AS cap_toks,
+             CAST(sat AS BIGINT) AS saturated,
+             CAST(CASE WHEN sat = 1 THEN cap
+               ELSE (b - ck) // (nl - k) END AS BIGINT) AS alloc_toks,
+             (CAST(CASE WHEN sat = 1 THEN cap
+               ELSE (b - ck) // (nl - k) END AS BIGINT) * 1000000)
+               // n_toks AS epochs_ppm
+         FROM st, kk""",
+    // q216: q207's exact decile grid; sensitive value = leading token
+    "q216_l_diversity" ->
+      """WITH g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1),
+         a AS (SELECT n_chars,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_gt,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n_tot
+           FROM g),
+         dec AS (SELECT n_chars, (cum_gt * 10) // n_tot + 1 AS decile
+                 FROM a),
+         cls AS (SELECT d.lang, d.source, dec.decile,
+             CAST(count(DISTINCT string_split(d.text, ' ')[1])
+               AS BIGINT) AS l,
+             CAST(count(*) AS BIGINT) AS class_size
+           FROM documents d JOIN dec USING (n_chars)
+           GROUP BY 1, 2, 3),
+         h AS (SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(class_size) AS BIGINT) AS n_records
+           FROM cls GROUP BY 1)
+         SELECT l, n_classes, n_records,
+             (n_records * 1000000)
+               // CAST(sum(n_records) OVER () AS BIGINT) AS mass_ppm
+         FROM h""",
+    // q217: adjacent-pair source agreement in salted-hash order vs the
+    // exchangeability expectation (n_s-1)/(N-1)
+    "q217_order_bias" ->
+      """WITH k AS (SELECT doc_id, source,
+             md5('ob' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         ord AS (SELECT source,
+             lead(source) OVER (ORDER BY h ASC, doc_id ASC) AS nxt
+           FROM k),
+         p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_prev,
+             CAST(sum(CASE WHEN source = nxt THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_same
+           FROM ord WHERE nxt IS NOT NULL GROUP BY 1),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+               FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM c)
+         SELECT p.source, c.n_s, p.n_prev, p.n_same,
+             (p.n_same * 1000000) // p.n_prev AS same_ppm,
+             ((c.n_s - 1) * 1000000) // (t.n - 1) AS exp_ppm
+         FROM p JOIN c ON p.source = c.source, t""",
   )
 }

@@ -607,4 +607,48 @@ object Curation {
       .select($"r.stage", $"r.n_first_fail", $"r.n_any_fail",
         $"r.survivors_after")
   }
+
+  /** q216: l-diversity census — q207's k-anonymity asks "how small are
+    * the quasi-identifier classes"; l-diversity asks the harder
+    * question (Machanavajjhala et al. 2007): within each class, how
+    * many DISTINCT sensitive values appear? A class of 50 records is
+    * still a disclosure if all 50 share one sensitive value. Classes
+    * are q207's exact grid — (lang, source, n_chars decile) — and the
+    * sensitive attribute is the document's leading token (the
+    * content proxy this schema affords). Report is the l-histogram:
+    * for each observed l, how many classes and records sit at that
+    * diversity level — the "how much of the corpus is below l = 3"
+    * table a release review reads.
+    *
+    * Scale shape: the decile grid is a ≤|distinct n_chars| relation
+    * built from one partial-agged count (broadcast back, as in q207);
+    * the class census is one exact count-distinct groupBy — Spark
+    * expands it to a two-level partial aggregation, never a per-class
+    * collect — and the histogram partial-aggs again to ≤|l| rows. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+    val wGt = Window.orderBy($"n_chars".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val deciles = g
+      .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
+      .withColumn("n_tot", sum($"cnt").over(wAll))
+      .select($"n_chars", expr("(cum_gt * 10) div n_tot + 1").as("decile"))
+    val classes = Tables.documents(spark, dir)
+      .join(broadcast(deciles), "n_chars")
+      .withColumn("sensitive", element_at(split($"text", " "), 1))
+      .groupBy($"lang", $"source", $"decile")
+      .agg(countDistinct($"sensitive").as("l"),
+        count(lit(1)).as("class_size"))
+    classes.groupBy($"l")
+      .agg(count(lit(1)).as("n_classes"), sum($"class_size").as("n_records"))
+      .withColumn("total", sum($"n_records").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select($"l", $"n_classes", $"n_records",
+        expr("(n_records * 1000000) div total").as("mass_ppm"))
+  }
 }

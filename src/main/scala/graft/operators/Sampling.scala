@@ -575,4 +575,100 @@ object Sampling {
       .withColumn("mean_fill_ppm",
         expr("(n_tokens * 1000000) div (n_packs * 2048)"))
   }
+
+  /** q215: UniMax language-budget allocation (Chung et al. 2023) —
+    * spread a token budget as uniformly as possible across languages,
+    * but cap every language at E epochs of its natural size so
+    * low-resource languages are never over-repeated. The published
+    * answer to "what sampling ratios for a multilingual corpus";
+    * q204 weights sources by informativeness, this allocates by the
+    * epoch-capped waterfill. Budget B = the corpus's own token count;
+    * cap_l = ⌊6·n_l/5⌋ (E = 1.2 epochs — tight enough that small
+    * languages saturate on this corpus and the head language absorbs
+    * the surplus).
+    *
+    * Waterfill in closed form, no iteration: sort languages by cap
+    * ascending; language i (1-based, N langs, cumsum c_i) is saturated
+    * iff cap_i·(N−i) ≤ B−c_i — the test is prefix-monotone, so the
+    * saturated set is the first k rows and the shared water level is
+    * ⌊(B−c_k)/(N−k)⌋. All integer arithmetic (caps are token counts,
+    * the level is one integer division), so the gate hashes exactly.
+    *
+    * Scale shape: the only corpus-sized work is the per-language token
+    * count (one partial-agged shuffle); the waterfill itself runs on
+    * the |languages|-row relation — windows and one-row broadcasts on
+    * a bounded table, exactly where driver-free closed-form beats an
+    * iterative allocator. */
+  def unimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val caps = graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"lang",
+        size(graft.operators.TextOps.toks($"text")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("n_toks"))
+      .withColumn("cap", expr("(n_toks * 6) div 5"))
+    val tot = caps.agg(sum($"n_toks").as("b"), count(lit(1)).as("nl"))
+    val ord = Window.orderBy($"cap".asc, $"lang".asc)
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("c", sum($"cap").over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("sat",
+        when($"cap" * ($"nl" - $"i") <= $"b" - $"c", 1L).otherwise(0L))
+    val water = ranked.agg(
+      max(when($"sat" === 1L, $"i").otherwise(0L)).as("k"),
+      max(when($"sat" === 1L, $"c").otherwise(0L)).as("ck"))
+    ranked.crossJoin(broadcast(water))
+      .withColumn("alloc_toks",
+        when($"sat" === 1L, $"cap")
+          .otherwise(expr("(b - ck) div (nl - k)")))
+      .select($"lang", $"n_toks", $"cap".as("cap_toks"), $"sat".as("saturated"),
+        $"alloc_toks",
+        expr("(alloc_toks * 1000000) div n_toks").as("epochs_ppm"))
+  }
+
+  /** q217: pack-order bias audit — is the hash-shuffled training
+    * stream actually IID with respect to source? Order the corpus by
+    * a salted content hash (the exact order q48/q49's sharding
+    * induces) and census adjacent-position source agreement against
+    * the closed-form expectation under exchangeability
+    * ((n_s−1)/(N−1) for pairs whose left element is source s). A
+    * stream whose same-source rate beats expectation leaks curriculum
+    * structure into every batch; the audit is the cheap proof it
+    * doesn't. All integer: counts and two ppm divisions.
+    *
+    * Scale shape: the q178 two-phase segmented global rank — rank
+    * within 16 hash-prefix segments, add broadcast segment offsets,
+    * then the adjacent pair is an equi-join on rn+1 (co-partitioned
+    * shuffle), NOT a single-partition global window. The census
+    * partial-aggs to |sources| rows. */
+  def orderBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        md5(concat(lit("ob"), $"doc_id".cast("string"))).as("h"))
+    val wSeg = Window.partitionBy($"seg").orderBy($"h".asc, $"doc_id".asc)
+    val ranked = keys.withColumn("seg", substring($"h", 1, 1))
+      .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
+    val wOff = Window.orderBy($"seg".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy($"seg").agg(count(lit(1)).as("cnt"))
+      .select($"seg", coalesce(sum($"cnt").over(wOff), lit(0L)).as("off"))
+    val rr = ranked.join(broadcast(offs), "seg")
+      .select($"doc_id", $"source", ($"rn_seg" + $"off").as("rn"))
+    val pairs = rr.as("a")
+      .join(rr.as("b"), col("b.rn") === col("a.rn") + 1L)
+      .select(col("a.source").as("source"),
+        when(col("a.source") === col("b.source"), 1L).otherwise(0L)
+          .as("same"))
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val total = counts.agg(sum($"n_s").as("n"))
+    pairs.groupBy($"source")
+      .agg(count(lit(1)).as("n_prev"), sum($"same").as("n_same"))
+      .join(counts, "source")
+      .crossJoin(broadcast(total))
+      .select($"source", $"n_s", $"n_prev", $"n_same",
+        expr("(n_same * 1000000) div n_prev").as("same_ppm"),
+        expr("((n_s - 1) * 1000000) div (n - 1)").as("exp_ppm"))
+  }
 }

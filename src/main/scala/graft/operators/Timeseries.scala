@@ -644,4 +644,49 @@ object Timeseries {
         expr("(n * 3600000) div sum_g").as("lambda_per_hour_milli"),
         floor($"d" * 1000 + lit(1.0 / 3)).cast("long").as("ks_d_milli"))
   }
+
+  /** q214: per-user interval-union coverage — merge overlapping
+    * activity intervals (gaps-and-islands on TIME SPANS, not points;
+    * q22's sessionize groups point events by gap, this unions true
+    * [start, end) intervals) and report how much of the wall clock
+    * each user's activity actually covers. The universal uptime /
+    * sensor-coverage / shot-coverage primitive (reference analog: the
+    * per-shot valid-time windows fdf slices signals to,
+    * fdf/signal.py's time-range predicates).
+    *
+    * Interval: [ts, ts + 60·⌊value·1000⌋ ms) — the event's value read
+    * as a duration, scaled so a month of events produces real
+    * overlaps. Island assignment is the running-max trick: a row opens
+    * a new island iff its start exceeds the max end seen so far (ties
+    * in (s, e) are interchangeable rows, so the partition is
+    * tie-order-free). Touching intervals (prev_max == s) merge.
+    * Everything is epoch-ms integer arithmetic end-to-end.
+    *
+    * Scale shape: one shuffle on user_id; both windows and both
+    * aggregations share that partitioning (the island groupBy is a
+    * narrowing of the window's key), so the whole plan is a single
+    * exchange followed by per-user linear passes. No global sort. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.events(spark, dir)
+      .select($"user_id", unix_millis($"ts").as("s"),
+        (unix_millis($"ts")
+          + floor($"value" * 1000).cast("long") * 60).as("e"))
+    val ord = Seq($"s".asc, $"e".asc)
+    val wPrev = Window.partitionBy($"user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    iv
+      .withColumn("new_isl",
+        when(coalesce(max($"e").over(wPrev), lit(-1L)) >= $"s", 0L)
+          .otherwise(1L))
+      .withColumn("isl", sum($"new_isl").over(wRun))
+      .groupBy($"user_id", $"isl")
+      .agg(min($"s").as("i_start"), max($"e").as("i_end"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"i_end" - $"i_start").as("covered_ms"),
+        max($"i_end" - $"i_start").as("max_island_ms"))
+  }
 }
