@@ -465,4 +465,32 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("partial_sum(CASE WHEN"))
     assert(winIdx >= 0 && gridAggIdx > winIdx, plan)
   }
+
+  test("q214 interval union: one user_id exchange feeds windows and both aggs") {
+    val plan = finalPlan(graft.operators.Timeseries.intervalUnion(spark, sfDir))
+    // HashPartitioning(user_id) satisfies the (user_id, isl) and
+    // user_id clusterings downstream, so the whole plan is ONE hash
+    // exchange of the events
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n$plan")
+    assert(!plan.contains("Join"), plan)
+    // both windows share one (s, e)-ordered sort
+    val sorts = plan.linesIterator.count(_.trim.startsWith("Sort ") )
+    assert(sorts <= 1, s"expected the two windows to share one sort\n$plan")
+  }
+
+  test("q217 order bias: corpus ranking is segmented, never a single-partition window") {
+    val plan = finalPlan(graft.operators.Sampling.orderBias(spark, sfDir))
+    // the row_number over the corpus must carry the seg partition spec;
+    // the only global window is over the 16-row offsets relation
+    val rn = plan.linesIterator.filter(_.contains("row_number()")).toVector
+    assert(rn.nonEmpty && rn.forall(_.contains("[seg")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the adjacent-pair rn+1 join extracts equi keys (hash join, never
+    // a nested loop over the corpus); the only BNLJ is the one-row
+    // scalar total cross
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashJoin") && l.contains("rn#")), plan)
+  }
 }
