@@ -237,6 +237,11 @@ object SparkEntry {
     "q215_unimax_alloc"     -> (Sampling.unimaxAlloc _),
     "q216_l_diversity"      -> (Curation.lDiversity _),
     "q217_order_bias"       -> (Sampling.orderBias _),
+    "q218_skyline"          -> (Relational.paretoSkyline _),
+    "q219_chao1"            -> (TextAnalysis.chao1Richness _),
+    "q220_jackknife_src"    -> (Evaluate.jackknifeSource _),
+    "q221_burst_episodes"   -> (Timeseries.burstEpisodes _),
+    "q222_broken_stick"     -> (Timeseries.brokenStick _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4948,5 +4953,127 @@ object SparkEntry {
              (p.n_same * 1000000) // p.n_prev AS same_ppm,
              ((c.n_s - 1) * 1000000) // (t.n - 1) AS exp_ppm
          FROM p JOIN c ON p.source = c.source, t""",
+    // q218: Pareto skyline on (n_chars, type-token-ratio); dominance =
+    // >= on both dims with > on one, equal points tie and both survive
+    "q218_skyline" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
+           FROM documents)
+         SELECT doc_id, n_chars, ttr_ppm FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b
+           WHERE b.n_chars >= a.n_chars AND b.ttr_ppm >= a.ttr_ppm
+             AND (b.n_chars > a.n_chars OR b.ttr_ppm > a.ttr_ppm))""",
+    // q219: Chao1 richness on bigram types per language; N2=0 falls back
+    // to the bias-corrected V + N1(N1-1)/2 form
+    "q219_chao1" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS toks
+                     FROM documents),
+         b AS (SELECT lang, toks[i] || ' ' || toks[i+1] AS bg
+               FROM tk, UNNEST(range(1, len(toks))) AS r(i)),
+         c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS c
+               FROM b GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(count(*) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(c) AS BIGINT) AS n_tokens
+               FROM c GROUP BY 1),
+         ch AS (SELECT *,
+                  CASE WHEN n2 > 0 THEN 1000*v + (1000*n1*n1) // (2*n2)
+                       ELSE 1000*v + (1000*n1*(n1-1)) // 2
+                  END AS chao1_milli
+                FROM a)
+         SELECT lang, v, n1, n2, n_tokens, chao1_milli,
+           ((chao1_milli - 1000*v) * 1000000) // chao1_milli AS unseen_ppm
+         FROM ch""",
+    // q220: delete-one-source jackknife of the corpus mean-length
+    // statistic; all leave-one-out means floored to milli units
+    "q220_jackknife_src" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS t_chars
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+             CAST(sum(t_chars) AS BIGINT) AS t_all,
+             CAST(count(*) AS BIGINT) AS g FROM s)
+         SELECT source, n_docs,
+           (1000 * t_all) // n_all AS theta_milli,
+           (1000 * (t_all - t_chars)) // (n_all - n_docs) AS theta_loo_milli,
+           g * ((1000 * t_all) // n_all)
+             - (g - 1) * ((1000 * (t_all - t_chars)) // (n_all - n_docs))
+             AS pseudo_milli,
+           (1000 * t_all) // n_all
+             - (1000 * (t_all - t_chars)) // (n_all - n_docs)
+             AS influence_milli
+         FROM s, t""",
+    // q221: burst episodes = maximal consecutive-hour runs sitting ~2.4
+    // Poisson sigmas above the type's lower-median hourly rate ((c-med)^2
+    // >= 6*med, all-integer); islands via h - row_number
+    "q221_burst_episodes" ->
+      """WITH h AS (SELECT event_type,
+             CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY c, h) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nh FROM h),
+         m AS (SELECT event_type, c AS med FROM r WHERE rk = (nh + 1) // 2),
+         bh AS (SELECT h.event_type, h.h, h.c
+                FROM h JOIN m USING (event_type)
+                WHERE h.c > m.med
+                  AND (h.c - m.med) * (h.c - m.med) >= 6 * m.med),
+         i AS (SELECT *, h - row_number() OVER
+                 (PARTITION BY event_type ORDER BY h) AS grp FROM bh)
+         SELECT event_type, min(h) AS start_h, max(h) AS end_h,
+           CAST(count(*) AS BIGINT) AS n_hours, max(c) AS peak_c,
+           CAST(sum(c) AS BIGINT) AS total_c
+         FROM i GROUP BY event_type, grp""",
+    // q222: broken-stick regression around the hourly series' max-|CUSUM|
+    // hour (rank restricted to [2, n-2] so both segments have >= 2 points);
+    // exact integer fit sums, slope floored to milli via correctly-rounded
+    // double division
+    "q222_broken_stick" ->
+      """WITH h AS (SELECT event_type,
+             CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+         cu AS (SELECT h.event_type, h.h, h.c, n, tot,
+             CAST(sum(c) OVER w AS BIGINT) AS pref,
+             CAST(row_number() OVER w AS BIGINT) AS k
+           FROM h JOIN s USING (event_type)
+           WINDOW w AS (PARTITION BY h.event_type ORDER BY h
+                        ROWS UNBOUNDED PRECEDING)),
+         cp AS (SELECT event_type, h AS cp_h,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(n * pref - k * tot) DESC, h) AS rk
+           FROM cu WHERE k >= 2 AND k <= n - 2),
+         c1 AS (SELECT event_type, cp_h FROM cp WHERE rk = 1),
+         seg AS (SELECT h.event_type, c1.cp_h, h.h, h.c,
+             CASE WHEN h.h <= cp_h THEN 0 ELSE 1 END AS side
+           FROM h JOIN c1 USING (event_type)),
+         reb AS (SELECT event_type, cp_h, side, c,
+             h - min(h) OVER (PARTITION BY event_type, side) AS x
+           FROM seg),
+         fit AS (SELECT event_type, cp_h, side,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+             CAST(sum(x * c) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM reb GROUP BY 1, 2, 3),
+         sl AS (SELECT event_type, cp_h, side, n,
+             CAST(floor(1000.0 * (n * sxy - sx * sy)
+               / (n * sxx - sx * sx) + 1.0/3) AS BIGINT) AS slope_milli
+           FROM fit)
+         SELECT event_type, cp_h,
+           max(CASE WHEN side = 0 THEN n END) AS n_pre,
+           max(CASE WHEN side = 1 THEN n END) AS n_post,
+           max(CASE WHEN side = 0 THEN slope_milli END) AS slope_pre_milli,
+           max(CASE WHEN side = 1 THEN slope_milli END) AS slope_post_milli,
+           max(CASE WHEN side = 1 THEN slope_milli END)
+             - max(CASE WHEN side = 0 THEN slope_milli END) AS delta_milli
+         FROM sl GROUP BY 1, 2""",
   )
 }

@@ -806,4 +806,39 @@ object Evaluate {
           .as("n_correct"))
       .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_eval"))
   }
+
+  /** q220: delete-one-source jackknife — each source's influence on the
+    * corpus mean-length statistic, plus its jackknife pseudovalue. The
+    * cheapest honest data-valuation pass: θ₍ₛ₎ recomputes the mean with
+    * source s deleted, influence = θ − θ₍ₛ₎ signs whether s pulls the
+    * corpus up or down, and the pseudovalues g·θ − (g−1)·θ₍ₛ₎ are the
+    * classic variance-estimator inputs (Tukey 1958). Complements q163
+    * (bootstrap resamples ROWS; the jackknife deletes whole GROUPS — the
+    * right unit when acquisition decisions are per-source) and q96 (KL
+    * measures distribution shift; this measures statistic shift).
+    *
+    * Exactness: every leave-one-out mean is a floor to milli units of an
+    * exact long ratio; pseudovalue/influence are integer combinations of
+    * those floors — no float path at all.
+    *
+    * Scale shape: ONE corpus scan partial-aggs to the |sources|-row
+    * relation; the corpus totals it needs are a second agg OF THAT
+    * RELATION (3 longs broadcast back), so all g leave-one-out statistics
+    * price at one scan + bounded-relation math — never g scans. */
+  def jackknifeSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("t_chars"))
+    val totals = perSrc.agg(sum($"n_docs").as("n_all"),
+      sum($"t_chars").as("t_all"), count(lit(1)).as("g"))
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("theta_milli", expr("(1000 * t_all) div n_all"))
+      .withColumn("theta_loo_milli",
+        expr("(1000 * (t_all - t_chars)) div (n_all - n_docs)"))
+      .select($"source", $"n_docs", $"theta_milli", $"theta_loo_milli",
+        ($"g" * $"theta_milli" - ($"g" - 1L) * $"theta_loo_milli")
+          .as("pseudo_milli"),
+        ($"theta_milli" - $"theta_loo_milli").as("influence_milli"))
+  }
 }

@@ -1485,4 +1485,63 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), sum($"m").as("total_m"))
       .withColumn("mean_m", expr("total_m div n_customers"))
   }
+
+  /** q218: Pareto skyline — the documents no other document dominates on
+    * (length, lexical richness), i.e. the maximal frontier of the
+    * length-vs-type-token-ratio trade-off a curation policy actually
+    * chooses from (long docs repeat themselves; short docs are all-distinct
+    * — the skyline is the "best of both" set no scalar score can rank).
+    * Dominance: b dominates a iff b ≥ a on both dims and > on one; equal
+    * points tie and both survive. Richness = 10⁶·|distinct tokens| div
+    * |tokens|, computed map-side from the token array (no explode).
+    *
+    * Two-phase scale shape (the skyline literature's partition-and-merge):
+    * phase 1 prunes each partition to its LOCAL skyline in one
+    * `sortWithinPartitions` + single-pass `mapPartitions` scan — map-only,
+    * no shuffle, and sound because global dominance implies local
+    * dominance (a pruned point is dominated by a same-partition witness,
+    * which dominates it globally too). Phase 2 runs the exact two-window
+    * test on the surviving frontier candidates only: with x sorted
+    * descending, a point is on the skyline iff its y strictly exceeds the
+    * running max over strictly-greater x (integer range frame) and equals
+    * the max within its own x. The global window is one partition, but its
+    * input is the pruned frontier, not the corpus — at 100 TB the corpus
+    * never reaches an ordered single-partition operator. */
+  def paretoSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", $"n_chars".cast("long").as("n_chars"),
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint)" +
+          " * 1000000 div size(split(text, ' '))").as("ttr_ppm"))
+    val pruned = pts.as[(Long, Long, Long)]
+      .sortWithinPartitions($"n_chars".desc, $"ttr_ppm".desc)
+      .mapPartitions { rows =>
+        // single in-order pass: maxStrict = best y among x' > current x
+        // (folded in at each x-group boundary), groupTopY = the current
+        // x-group's max y (its first row in y-desc order). Keep a row iff
+        // no strictly-longer doc matches its richness AND it leads its
+        // own length group — a conservative superset of the skyline.
+        var maxStrict = Long.MinValue
+        var curX = Long.MinValue
+        var groupTopY = Long.MinValue
+        var started = false
+        rows.filter { case (_, x, y) =>
+          if (!started || x != curX) {
+            if (started) maxStrict = math.max(maxStrict, groupTopY)
+            curX = x; groupTopY = y; started = true
+            y > maxStrict
+          } else y > maxStrict && y == groupTopY
+        }
+      }
+      .toDF("doc_id", "n_chars", "ttr_ppm")
+    val wStrict = Window.orderBy($"n_chars".desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    pruned
+      .withColumn("strict_max", max($"ttr_ppm").over(wStrict))
+      .withColumn("samex_max", max($"ttr_ppm").over(
+        Window.partitionBy($"n_chars")))
+      .where(($"strict_max".isNull || $"ttr_ppm" > $"strict_max")
+        && $"ttr_ppm" === $"samex_max")
+      .select($"doc_id", $"n_chars", $"ttr_ppm")
+  }
 }

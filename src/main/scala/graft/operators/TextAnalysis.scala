@@ -810,4 +810,45 @@ object TextAnalysis {
         expr("((js_a_q * n_b + js_b_q * n_a) * 50) div (n_a * n_b)")
           .as("js_ppm"))
   }
+
+  /** q219: Chao1 unseen-type richness per language — how much of each
+    * language's BIGRAM-type space the corpus has NOT yet seen. Where q137
+    * (Heaps growth) and q140 (Good–Turing mass) describe the observed
+    * curve, Chao1 extrapolates its asymptote from the rare tail alone:
+    * chao1 = V + N1²/(2·N2) with N1/N2 the singleton/doubleton type
+    * counts (Chao 1984; the N2=0 bias-corrected form V + N1(N1−1)/2).
+    * The "collect more of this language or dedup what we have?" signal a
+    * mixture designer reads next to q215's epoch caps. Bigram types, not
+    * unigrams: a closed word vocabulary saturates (N1→0, estimator
+    * degenerates to V) while the combination space keeps a rare tail.
+    *
+    * All integer: chao1_milli = 1000·V + 1000·N1² div (2·N2), and
+    * unseen_ppm = 10⁶·(chao1 − V) div chao1 on the milli grid.
+    *
+    * Scale shape: bigrams come from a map-side zip of each token array
+    * with its own tail (q97's shape — no positional self-join); the only
+    * corpus-sized shuffle is the (lang, bigram) partial-agged count; the
+    * per-language frequency-of-frequencies agg runs on the type table. */
+  def chao1Richness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val counts = TextOps.docsParallel(spark, dir)
+      .select($"lang", explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy($"lang", $"bg").agg(count(lit(1)).as("c"))
+    counts.groupBy($"lang")
+      .agg(count(lit(1)).as("v"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"c" === 2L, 1L).otherwise(0L)).as("n2"),
+        sum($"c").as("n_tokens"))
+      .withColumn("chao1_milli",
+        when($"n2" > 0L,
+          lit(1000L) * $"v" + expr("(1000 * n1 * n1) div (2 * n2)"))
+          .otherwise(
+            lit(1000L) * $"v" + expr("(1000 * n1 * (n1 - 1)) div 2")))
+      .withColumn("unseen_ppm",
+        expr("((chao1_milli - 1000 * v) * 1000000) div chao1_milli"))
+  }
 }

@@ -689,4 +689,117 @@ object Timeseries {
         sum($"i_end" - $"i_start").as("covered_ms"),
         max($"i_end" - $"i_start").as("max_island_ms"))
   }
+
+  /** Per-type hourly count series — the bounded grid every trend/burst
+    * diagnostic in this file reduces to before any window runs. One
+    * partial-agged groupBy collapses the event stream to |types|×|hours|
+    * rows; everything downstream is window math on that grid, so per-type
+    * ordered windows cost |hours| log |hours| per type, not a corpus sort. */
+  private def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", expr("unix_millis(ts) div 3600000").as("h"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** q221: burst episodes — maximal runs of consecutive hours whose event
+    * count sits ≥ ~2.4 Poisson sigmas above the type's typical
+    * (lower-median) hourly rate; the feed-anomaly shape q118's single
+    * changepoint can't express (a level SHIFT is one point; a burst is an
+    * episode with a start, an end, a peak, and a volume). Kleinberg's
+    * two-state burst automaton reduces to exactly this threshold-run form
+    * when the state costs are symmetric.
+    *
+    * The typical rate is the LOWER median by rank (all integers, q105's
+    * median discipline — no interpolation, engine-exact). The threshold is
+    * sigma-RELATIVE, not multiplicative: for Poisson hourly counts the
+    * fluctuation scale is √med, so `c > med AND (c−med)² ≥ 6·med` (≈2.4σ)
+    * keeps the episode rate stable as volume grows — a `c ≥ 2·med` rule
+    * detects everything on a sparse feed and nothing on a dense one
+    * (measured: 10× the events made 2×-median yield ZERO episodes). The
+    * square keeps it a pure long comparison — no sqrt anywhere. Episodes
+    * are gaps-and-islands on the hour integers: consecutive burst hours
+    * share `h − row_number()`.
+    *
+    * Scale shape: the event stream collapses to the hourly grid first
+    * (partial-agg shuffle); the median rank, the threshold filter, and the
+    * island windows all run on |types|×|hours| rows. Per-type window
+    * parallelism is |types| — fine because the grid is bounded: a year is
+    * 8,760 rows per type at any corpus volume. */
+  def burstEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = hourlyCounts(spark, dir)
+    val wMed = Window.partitionBy($"event_type").orderBy($"c", $"h")
+    val med = hourly
+      .withColumn("rk", row_number().over(wMed).cast("long"))
+      .withColumn("nh", count(lit(1)).over(
+        Window.partitionBy($"event_type")).cast("long"))
+      .where(expr("rk = (nh + 1) div 2"))
+      .select($"event_type", $"c".as("med"))
+    val wIsl = Window.partitionBy($"event_type").orderBy($"h")
+    hourly
+      .join(broadcast(med), "event_type")
+      .where($"c" > $"med"
+        && ($"c" - $"med") * ($"c" - $"med") >= lit(6L) * $"med")
+      .withColumn("grp", $"h" - row_number().over(wIsl).cast("long"))
+      .groupBy($"event_type", $"grp")
+      .agg(min($"h").as("start_h"), max($"h").as("end_h"),
+        count(lit(1)).as("n_hours"), max($"c").as("peak_c"),
+        sum($"c").as("total_c"))
+      .drop("grp")
+  }
+
+  /** q222: broken-stick (segmented) regression — the structural-break
+    * QUANTIFIER that completes q118 (which only locates a break) and
+    * q74/q151 (which fit one global line): split the hourly count series
+    * at its max-|CUSUM| hour and fit exact least squares on each side,
+    * reporting both slopes and the slope change. The changepoint rank is
+    * restricted to [2, n−2] so both segments always have ≥ 2 points.
+    *
+    * Exactness: hours are rebased per segment (x = h − min h), so the
+    * closed-form sums n·Σxy − Σx·Σy and n·Σx² − (Σx)² stay small longs;
+    * the one division runs in correctly-rounded double arithmetic from
+    * exact integer operands (identical on every IEEE engine) and is
+    * floor-quantized to milli units — q151's discipline.
+    *
+    * Scale shape: two partial-agged groupBys bookend the plan (corpus →
+    * hourly grid, segments → 2 fit rows per type); the CUSUM prefix and
+    * the rebase min are windows over the bounded grid only. */
+  def brokenStick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = hourlyCounts(spark, dir)
+    val stats = hourly.groupBy($"event_type")
+      .agg(sum($"c").as("tot"), count(lit(1)).as("n"))
+    val wPre = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cp = hourly
+      .join(broadcast(stats), "event_type")
+      .withColumn("pref", sum($"c").over(wPre))
+      .withColumn("k", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"h")).cast("long"))
+      .where($"k" >= 2L && $"k" <= $"n" - 2L)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type")
+          .orderBy(abs($"n" * $"pref" - $"k" * $"tot").desc, $"h")))
+      .where($"rk" === 1)
+      .select($"event_type", $"h".as("cp_h"))
+    val wSeg = Window.partitionBy($"event_type", $"side")
+    val fit = hourly
+      .join(broadcast(cp), "event_type")
+      .withColumn("side", when($"h" <= $"cp_h", 0L).otherwise(1L))
+      .withColumn("x", $"h" - min($"h").over(wSeg))
+      .groupBy($"event_type", $"cp_h", $"side")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"c").as("sy"),
+        sum($"x" * $"c").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .withColumn("slope_milli",
+        floor(lit(1000.0) * ($"n" * $"sxy" - $"sx" * $"sy")
+          / ($"n" * $"sxx" - $"sx" * $"sx") + lit(1.0 / 3)).cast("long"))
+    fit.groupBy($"event_type", $"cp_h")
+      .agg(
+        max(when($"side" === 0L, $"n")).as("n_pre"),
+        max(when($"side" === 1L, $"n")).as("n_post"),
+        max(when($"side" === 0L, $"slope_milli")).as("slope_pre_milli"),
+        max(when($"side" === 1L, $"slope_milli")).as("slope_post_milli"))
+      .withColumn("delta_milli", $"slope_post_milli" - $"slope_pre_milli")
+  }
 }
