@@ -242,6 +242,9 @@ object SparkEntry {
     "q220_jackknife_src"    -> (Evaluate.jackknifeSource _),
     "q221_burst_episodes"   -> (Timeseries.burstEpisodes _),
     "q222_broken_stick"     -> (Timeseries.brokenStick _),
+    "q223_centroid_shift"   -> (Similarity.centroidShift _),
+    "q224_dim_variance"     -> (Quantize.dimVariance _),
+    "q225_knn_purity"       -> (Similarity.knnLabelPurity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5075,5 +5078,92 @@ object SparkEntry {
            max(CASE WHEN side = 1 THEN slope_milli END)
              - max(CASE WHEN side = 0 THEN slope_milli END) AS delta_milli
          FROM sl GROUP BY 1, 2""",
+    // q223: pairwise inter-label centroid squared distance; components on
+    // the 1e6 grid, exact per-(label,dim) sums, one double division per
+    // centroid mean, per-dim terms floor-quantized before the long sum
+    "q223_centroid_shift" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         c AS (SELECT label, generate_subscripts(emb, 1) AS i,
+             CAST(floor(unnest(emb) * 1000000 + 1.0/3) AS BIGINT) AS xq
+           FROM e),
+         s AS (SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS s
+           FROM c GROUP BY 1, 2),
+         p AS (SELECT a.label AS label_a, b.label AS label_b,
+             a.n AS n_a, b.n AS n_b,
+             (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) AS dd
+           FROM s a JOIN s b ON a.i = b.i AND a.label < b.label)
+         SELECT label_a, label_b, n_a, n_b,
+           CAST(sum(CAST(floor(dd * dd + 1.0/3) AS BIGINT)) AS BIGINT)
+             AS dist2_q
+         FROM p GROUP BY 1, 2, 3, 4""",
+    // q224: per-dimension variance census; HUGEINT-exact sums cast once
+    // to double, one-pass population variance, 5%-of-max dead flag
+    "q224_dim_variance" ->
+      """WITH e AS (SELECT list_transform(embedding,
+             x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         c AS (SELECT generate_subscripts(emb, 1) - 1 AS i0,
+             CAST(floor(unnest(emb) * 1000000 + 1.0/3) AS BIGINT) AS xq
+           FROM e),
+         s AS (SELECT CAST(i0 AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(xq AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx
+           FROM c GROUP BY 1),
+         d AS (SELECT i, n,
+             CAST(floor(sx / n + 1.0/3) AS BIGINT) AS mean_micro,
+             CAST(floor((sxx - sx * sx / n) / n + 1.0/3) AS BIGINT)
+               AS var_micro2
+           FROM s),
+         m AS (SELECT max(var_micro2) AS max_var FROM d)
+         SELECT i, n, mean_micro, var_micro2,
+           CAST(CASE WHEN var_micro2 * 20 < max_var THEN 1 ELSE 0 END
+             AS BIGINT) AS dead
+         FROM d, m""",
+    // q225: kNN label purity over q138's banded sign-LSH neighbor graph
+    // (identical candidate generation and top-3 ranking)
+    "q225_knn_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         n AS (SELECT vec_id, label, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x*x),
+                   (a,b) -> a+b)) AS nrm
+               FROM e),
+         proj AS (SELECT vec_id, p.p,
+             list_reduce(list_transform(emb, (x, i) ->
+               x * CASE WHEN substr(md5(p.p || ':' || i), 1, 1) >= '8'
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
+               (a, b) -> a + b) AS proj
+           FROM n, range(16) p(p)),
+         bits AS (SELECT vec_id, p // 4 AS band,
+             CAST(sum(CASE WHEN proj > 0
+               THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END)
+               AS BIGINT) AS bits
+           FROM proj GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+           FROM bits a JOIN bits b
+             ON a.band = b.band AND a.bits = b.bits
+                AND a.vec_id <> b.vec_id),
+         scored AS (SELECT c.qid, na.label AS q_label, c.nid,
+             nb.label AS n_label,
+             list_reduce(list_transform(na.emb, (x,i) -> x * nb.emb[i]),
+               (a,b) -> a+b) / (na.nrm * nb.nrm) AS cos
+           FROM cand c JOIN n na ON na.vec_id = c.qid
+                       JOIN n nb ON nb.vec_id = c.nid),
+         topk AS (SELECT qid, q_label, n_label FROM (
+             SELECT qid, q_label, n_label, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+             FROM scored) WHERE rk <= 3)
+         SELECT q_label AS label,
+           CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_agree,
+           (CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+             AS purity_ppm
+         FROM topk GROUP BY 1""",
   )
 }

@@ -323,4 +323,44 @@ object Quantize {
       .where($"rk" <= 3)
       .select($"cell", $"rk".cast("long").as("rk"), $"tok", $"tf", $"df")
   }
+
+  /** q224: per-dimension variance census — the embedding-collapse /
+    * anisotropy audit: a dimension whose variance has died carries no
+    * information (rank collapse, the classic failure of contrastive
+    * embedding training), and a few dominant dimensions are the
+    * anisotropy that ruins raw-cosine retrieval. Flags every dimension
+    * whose population variance is under 5% of the leading dimension's.
+    * The q92 Gram matrix is this audit's off-diagonal sibling; this is
+    * the cheap per-dim pass a pipeline runs every ingest.
+    *
+    * Exactness: components on the 10⁶ grid; Σx and Σx² routed through
+    * decimal(38,0) (the q60 discipline — exact at any corpus size, no
+    * silent long overflow), cast once to correctly-rounded doubles for
+    * the one-pass variance (Σx² − (Σx)²/n)/n, floor-quantized to a long.
+    * The 5% flag is a pure long comparison against the broadcast max.
+    *
+    * Scale shape: one corpus scan partial-aggs to exactly d rows; the
+    * max is a 1-row broadcast over those d rows. Map-only otherwise. */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val perDim = Tables.embeddings(spark, dir)
+      .select(posexplode(transform($"embedding",
+        x => floor(x.cast("double") * 1e6 + lit(1.0 / 3)).cast("long")))
+        .as(Seq("i", "xq")))
+      .groupBy($"i".cast("long").as("i"))
+      .agg(count(lit(1)).as("n"),
+        sum($"xq".cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum(($"xq" * $"xq").cast(DecimalType(38, 0))).cast("double")
+          .as("sxx"))
+      .select($"i", $"n",
+        floor($"sx" / $"n" + lit(1.0 / 3)).cast("long").as("mean_micro"),
+        floor(($"sxx" - $"sx" * $"sx" / $"n") / $"n" + lit(1.0 / 3))
+          .cast("long").as("var_micro2"))
+    val maxVar = perDim.agg(max($"var_micro2").as("max_var"))
+    perDim.crossJoin(broadcast(maxVar))
+      .select($"i", $"n", $"mean_micro", $"var_micro2",
+        when($"var_micro2" * 20L < $"max_var", 1L).otherwise(0L)
+          .as("dead"))
+  }
 }

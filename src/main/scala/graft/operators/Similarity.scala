@@ -612,4 +612,86 @@ object Similarity {
     Ckpt.release(x)
     picks.toDF("pick", "vec_id", "radius2_q")
   }
+
+  /** q223: inter-label centroid geometry — the pairwise squared distance
+    * between every two labels' embedding centroids, the embedding-space
+    * counterpart of q96's token-distribution KL: how far apart do the
+    * classes actually sit? Collapsing inter-centroid distances are the
+    * first symptom of an embedding model gone stale (class collapse), and
+    * the matrix is the input to "which sources are semantically
+    * redundant" merge decisions alongside q211's lexical overlap matrix.
+    *
+    * Exactness: components quantize to the 10⁶ grid (q92's rule); per
+    * (label, dim) sums are exact longs; each centroid mean s/n is ONE
+    * correctly-rounded double division, the per-dim squared difference is
+    * floor-quantized back to a long, and the final sum over dims is
+    * order-free long addition — no float accumulates across rows.
+    *
+    * Scale shape: the corpus collapses to |labels|·d partial-agged sums
+    * in one shuffle; the pair join and the distance sum run on that
+    * bounded relation (|labels|²·d rows), never on vectors. */
+  def centroidShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sums = Tables.embeddings(spark, dir)
+      .select($"label".cast("long").as("label"),
+        posexplode(transform($"embedding",
+          x => floor(x.cast("double") * 1e6 + lit(1.0 / 3)).cast("long")))
+          .as(Seq("i", "xq")))
+      .groupBy($"label", $"i")
+      .agg(count(lit(1)).as("n"), sum($"xq").as("s"))
+    sums.as("a").join(sums.as("b"),
+        $"a.i" === $"b.i" && $"a.label" < $"b.label")
+      .select($"a.label".as("label_a"), $"b.label".as("label_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"),
+        (($"a.s".cast("double") / $"a.n")
+          - ($"b.s".cast("double") / $"b.n")).as("dd"))
+      .groupBy($"label_a", $"label_b", $"n_a", $"n_b")
+      .agg(sum(floor($"dd" * $"dd" + lit(1.0 / 3)).cast("long"))
+        .as("dist2_q"))
+  }
+
+  /** q225: kNN label purity — the standard no-training probe of embedding
+    * quality: for each vector, do its nearest neighbors share its label?
+    * Per label, the fraction of banded top-3 neighbors that agree. Reuses
+    * q138's sign-LSH candidate generation verbatim (16 planes, 4 bands ×
+    * 4 bits, distinct-before-rank), so the neighbor graph this audits is
+    * exactly the hubness one — a purity collapse and a hubness spike read
+    * off the same structure.
+    *
+    * Scale shape: q138's — every join is an equality join on
+    * (band, bits); the rank window partitions per query; the final agg is
+    * |labels| rows. */
+  def knnLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val signs = signMatrix(16, 64)
+    val e = Tables.rebalance(spark, dir, "embeddings",
+        Tables.embeddings(spark, dir), $"vec_id")
+      .select($"vec_id", $"label".cast("long").as("label"), $"embedding",
+        VectorOps.l2norm($"embedding").as("nrm"))
+    val banded = e.select($"vec_id", $"label", $"embedding", $"nrm",
+      posexplode(array((0 until 4).map { b =>
+        (0 until 4).map { j =>
+          when(VectorOps.dot($"embedding", lit(signs(4 * b + j))) > 0.0,
+            lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band", "bits")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("qid"), $"a.label".as("q_label"),
+        $"b.vec_id".as("nid"), $"b.label".as("n_label"),
+        (VectorOps.dot($"a.embedding", $"b.embedding")
+          / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .distinct() // q138's rule: multi-band agreements dedup BEFORE rank
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    cand.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .groupBy($"q_label")
+      .agg(countDistinct($"qid").as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum(when($"n_label" === $"q_label", 1L).otherwise(0L))
+          .as("n_agree"))
+      .select($"q_label".as("label"), $"n_queries", $"n_pairs", $"n_agree",
+        expr("(n_agree * 1000000) div n_pairs").as("purity_ppm"))
+  }
 }
