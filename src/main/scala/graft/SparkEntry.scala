@@ -5010,9 +5010,9 @@ object SparkEntry {
              - (1000 * (t_all - t_chars)) // (n_all - n_docs)
              AS influence_milli
          FROM s, t""",
-    // q221: burst episodes = maximal consecutive-hour runs sitting ~2.4
+    // q221: burst episodes = maximal consecutive-hour runs sitting >= 2
     // Poisson sigmas above the type's lower-median hourly rate ((c-med)^2
-    // >= 6*med, all-integer); islands via h - row_number
+    // >= 4*med, all-integer); islands via h - row_number
     "q221_burst_episodes" ->
       """WITH h AS (SELECT event_type,
              CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS h,
@@ -5025,7 +5025,7 @@ object SparkEntry {
          bh AS (SELECT h.event_type, h.h, h.c
                 FROM h JOIN m USING (event_type)
                 WHERE h.c > m.med
-                  AND (h.c - m.med) * (h.c - m.med) >= 6 * m.med),
+                  AND (h.c - m.med) * (h.c - m.med) >= 4 * m.med),
          i AS (SELECT *, h - row_number() OVER
                  (PARTITION BY event_type ORDER BY h) AS grp FROM bh)
          SELECT event_type, min(h) AS start_h, max(h) AS end_h,

@@ -629,16 +629,20 @@ object Similarity {
     *
     * Scale shape: the corpus collapses to |labels|·d partial-agged sums
     * in one shuffle; the pair join and the distance sum run on that
-    * bounded relation (|labels|²·d rows), never on vectors. */
+    * bounded relation (|labels|²·d rows), never on vectors. The sums
+    * relation is materialized once (Ckpt) because its two join sides
+    * would otherwise each re-run the d× posexplode + corpus agg — the
+    * reused subtree shuffles, so the checkpoint pays (SCALE.md rule);
+    * PlanShapeSpec pins zero parquet scans in the pair plan. */
   def centroidShift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sums = Tables.embeddings(spark, dir)
+    val sums = Ckpt(Tables.embeddings(spark, dir)
       .select($"label".cast("long").as("label"),
         posexplode(transform($"embedding",
           x => floor(x.cast("double") * 1e6 + lit(1.0 / 3)).cast("long")))
           .as(Seq("i", "xq")))
       .groupBy($"label", $"i")
-      .agg(count(lit(1)).as("n"), sum($"xq").as("s"))
+      .agg(count(lit(1)).as("n"), sum($"xq").as("s")), eager = false)
     sums.as("a").join(sums.as("b"),
         $"a.i" === $"b.i" && $"a.label" < $"b.label")
       .select($"a.label".as("label_a"), $"b.label".as("label_b"),

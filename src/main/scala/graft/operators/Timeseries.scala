@@ -703,7 +703,7 @@ object Timeseries {
   }
 
   /** q221: burst episodes — maximal runs of consecutive hours whose event
-    * count sits ≥ ~2.4 Poisson sigmas above the type's typical
+    * count sits ≥ 2 Poisson sigmas above the type's typical
     * (lower-median) hourly rate; the feed-anomaly shape q118's single
     * changepoint can't express (a level SHIFT is one point; a burst is an
     * episode with a start, an end, a peak, and a volume). Kleinberg's
@@ -713,7 +713,7 @@ object Timeseries {
     * The typical rate is the LOWER median by rank (all integers, q105's
     * median discipline — no interpolation, engine-exact). The threshold is
     * sigma-RELATIVE, not multiplicative: for Poisson hourly counts the
-    * fluctuation scale is √med, so `c > med AND (c−med)² ≥ 6·med` (≈2.4σ)
+    * fluctuation scale is √med, so `c > med AND (c−med)² ≥ 4·med` (2σ)
     * keeps the episode rate stable as volume grows — a `c ≥ 2·med` rule
     * detects everything on a sparse feed and nothing on a dense one
     * (measured: 10× the events made 2×-median yield ZERO episodes). The
@@ -740,7 +740,7 @@ object Timeseries {
     hourly
       .join(broadcast(med), "event_type")
       .where($"c" > $"med"
-        && ($"c" - $"med") * ($"c" - $"med") >= lit(6L) * $"med")
+        && ($"c" - $"med") * ($"c" - $"med") >= lit(4L) * $"med")
       .withColumn("grp", $"h" - row_number().over(wIsl).cast("long"))
       .groupBy($"event_type", $"grp")
       .agg(min($"h").as("start_h"), max($"h").as("end_h"),

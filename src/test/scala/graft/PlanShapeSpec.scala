@@ -493,4 +493,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("HashJoin") && l.contains("rn#")), plan)
   }
+
+  test("q218 skyline: map-side prune sits BELOW the single-partition window") {
+    val plan = finalPlan(Relational.paretoSkyline(spark, sfDir))
+    val lines = plan.linesIterator.toVector
+    // the global frontier window needs a SinglePartition exchange — its
+    // input must be the MapPartitions local-skyline prune, not the corpus
+    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    val mpIdx = lines.indexWhere(_.contains("MapPartitions"))
+    assert(spIdx >= 0, s"expected a single-partition frontier window\n$plan")
+    assert(mpIdx > spIdx,
+      s"local prune must feed (sit below) the global window\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q223 centroid shift: pair join runs on materialized sums, corpus scanned once") {
+    val plan = finalPlan(Similarity.centroidShift(spark, sfDir))
+    // the corpus must collapse to |labels|*d sums BEFORE the self-join:
+    // the final pair plan aggregates partial-side and joins on dim
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("i#")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both join sides read the ONE checkpointed sums relation — the
+    // embeddings parquet (and its d-times posexplode) must not appear
+    // in the pair plan at all, let alone twice
+    assert(!plan.contains("Scan parquet"),
+      s"self-join must not rescan the corpus\n$plan")
+    assert(!plan.contains("posexplode"),
+      s"the d-times explode must run once, behind the checkpoint\n$plan")
+  }
+
+  test("q225 knn purity: candidates come from (band, bits) equality joins only") {
+    val plan = finalPlan(Similarity.knnLabelPurity(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("band#") && l.contains("bits#")),
+      plan)
+  }
 }

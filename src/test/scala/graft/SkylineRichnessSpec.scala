@@ -114,7 +114,7 @@ class SkylineRichnessSpec extends SparkSpec {
       val byRank = rows.map(t => (t._3, t._2)).sorted
       val med = byRank((byRank.length + 1) / 2 - 1)._1
       val burst = rows.filter(t =>
-          t._3 > med && (t._3 - med) * (t._3 - med) >= 6 * med)
+          t._3 > med && (t._3 - med) * (t._3 - med) >= 4 * med)
         .map(t => (t._2, t._3)).sortBy(_._1)
       // split into consecutive-hour runs
       val runs = burst.foldLeft(List.empty[List[(Long, Long)]]) {
