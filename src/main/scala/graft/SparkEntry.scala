@@ -245,6 +245,8 @@ object SparkEntry {
     "q223_centroid_shift"   -> (Similarity.centroidShift _),
     "q224_dim_variance"     -> (Quantize.dimVariance _),
     "q225_knn_purity"       -> (Similarity.knnLabelPurity _),
+    "q226_hill_tail"        -> (Relational.hillTail _),
+    "q227_psm_att"          -> (Evaluate.psmAtt _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5165,5 +5167,77 @@ object SparkEntry {
              AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
              AS purity_ppm
          FROM topk GROUP BY 1""",
+    // q226: Hill tail-index of doc length per language, adaptive
+    // k = min(10, (n-1) div 2); per-term ln quantized before the sum
+    "q226_hill_tail" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY 1),
+         r AS (SELECT lang, CAST(n_chars AS BIGINT) AS x, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+           FROM documents),
+         kk AS (SELECT lang, n_docs,
+                  least(10, (n_docs - 1) // 2) AS k FROM n),
+         thr AS (SELECT r.lang, kk.k, kk.n_docs, r.x AS x_k1
+                 FROM r JOIN kk ON r.lang = kk.lang AND r.rk = kk.k + 1),
+         t AS (SELECT r.lang, thr.k, thr.n_docs, thr.x_k1,
+                 CAST(floor(ln(CAST(r.x AS DOUBLE) / thr.x_k1) * 10000
+                   + 1.0/3) AS BIGINT) AS lnq
+               FROM r JOIN thr ON r.lang = thr.lang AND r.rk <= thr.k)
+         SELECT lang, max(k) AS k, max(n_docs) AS n_docs,
+           max(x_k1) AS x_k1, CAST(sum(lnq) AS BIGINT) AS hill_sum_q,
+           CASE WHEN sum(lnq) > 0
+             THEN CAST(floor(CAST(max(k) AS DOUBLE) * 10000000 / sum(lnq)
+               + 1.0/3) AS BIGINT)
+             ELSE 0 END AS alpha_milli
+         FROM t GROUP BY 1""",
+    // q227: PSM ATT — nearest-score representative-control matching with
+    // replacement, +-5 caliper; matching on the bounded distinct-score
+    // grid; signed ATT division in double (integer div truncation
+    // differs across engines on negatives)
+    "q227_psm_att" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 1000 + 1.0/3) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS y,
+             CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+               END) * 5 > count(*) THEN 1 ELSE 0 END AS treated
+           FROM events GROUP BY 1),
+         rep AS (SELECT score AS rs, y AS y_c FROM (
+             SELECT score, y, row_number() OVER (PARTITION BY score
+               ORDER BY user_id DESC) AS rr
+             FROM u WHERE treated = 0) WHERE rr = 1),
+         grid AS (SELECT DISTINCT score FROM u),
+         g AS (SELECT grid.score, rep.rs, rep.y_c
+               FROM grid LEFT JOIN rep ON grid.score = rep.rs),
+         car AS (SELECT score,
+             max_by(rs, rs) OVER wp AS prev_s,
+             max_by(y_c, rs) OVER wp AS prev_y,
+             min_by(rs, rs) OVER wn AS next_s,
+             min_by(y_c, rs) OVER wn AS next_y
+           FROM g
+           WINDOW wp AS (ORDER BY score ASC ROWS UNBOUNDED PRECEDING),
+                  wn AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+         m AS (SELECT score,
+             CASE WHEN prev_s IS NOT NULL AND (next_s IS NULL
+                 OR score - prev_s <= next_s - score)
+               THEN prev_s ELSE next_s END AS ms,
+             CASE WHEN prev_s IS NOT NULL AND (next_s IS NULL
+                 OR score - prev_s <= next_s - score)
+               THEN prev_y ELSE next_y END AS my
+           FROM car),
+         j AS (SELECT u.score, u.y, m.my,
+             CASE WHEN m.ms IS NOT NULL AND abs(u.score - m.ms) <= 5
+               THEN 1 ELSE 0 END AS matched
+           FROM u JOIN m ON u.score = m.score WHERE u.treated = 1)
+         SELECT score // 10 AS band, CAST(count(*) AS BIGINT) AS n_treated,
+           CAST(sum(matched) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN matched = 1 THEN y - my ELSE 0 END)
+             AS BIGINT) AS sum_diff_milli,
+           CASE WHEN sum(matched) > 0
+             THEN CAST(floor(CAST(sum(CASE WHEN matched = 1 THEN y - my
+               ELSE 0 END) AS DOUBLE) / sum(matched) + 1.0/3) AS BIGINT)
+             ELSE 0 END AS att_milli
+         FROM j GROUP BY 1""",
   )
 }

@@ -825,6 +825,76 @@ object Evaluate {
     * relation; the corpus totals it needs are a second agg OF THAT
     * RELATION (3 longs broadcast back), so all g leave-one-out statistics
     * price at one scan + bounded-relation math — never g scans. */
+  /** q227: propensity-score matching ATT — the causal-family member the
+    * suite was missing next to q177 CUPED / q185 DiD / q188 stratified
+    * ATE: nearest-score matching WITH replacement under a caliper.
+    * Treatment = error-heavy users (error rate > 20%), outcome = total
+    * purchase value, propensity proxy = activity (event count). Each
+    * treated user matches the representative control at the nearest
+    * score (ties: the lower score; within a score the max-user_id
+    * control — any deterministic pick is valid with replacement);
+    * matches beyond the ±5 caliper are reported unmatched, not coerced.
+    *
+    * Scale shape: the corpus collapses to one row per user (partial-agg
+    * shuffle); matching then runs entirely on the BOUNDED distinct-score
+    * grid (activity counts, ≤ hundreds of values) — representative
+    * controls are a per-score struct-max, the nearest-below/above
+    * carries are two windows over the grid (the q141/q93 bounded-grid
+    * discipline: the unpartitioned window never sees users, let alone
+    * events), and the grid→match map broadcasts back onto treated users.
+    * Signed ATT division runs in double and floors (integer div
+    * truncation differs across engines on negatives). */
+  def psmAtt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("score"),
+        sum(when($"event_type" === "purchase",
+          floor($"value" * 1000 + lit(1.0 / 3)).cast("long"))
+          .otherwise(0L)).as("y"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L))
+          .as("n_err"))
+      .select($"user_id", $"score", $"y",
+        when($"n_err" * 5L > $"score", 1L).otherwise(0L).as("treated"))
+    // one representative control per score: max user_id (struct max, no
+    // window sort over users)
+    val rep = u.where($"treated" === 0L)
+      .groupBy($"score")
+      .agg(max(struct($"user_id", $"y")).as("m"))
+      .select($"score".as("rs"), $"m.y".as("y_c"))
+    val grid = u.select($"score").distinct()
+      .join(rep, $"score" === $"rs", "left")
+    val wPrev = Window.orderBy($"score".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = grid
+      .withColumn("prev", max(when($"rs".isNotNull,
+        struct($"rs", $"y_c"))).over(wPrev))
+      .withColumn("next", min(when($"rs".isNotNull,
+        struct($"rs", $"y_c"))).over(wNext))
+      .select($"score",
+        when($"prev".isNotNull &&
+            ($"next".isNull ||
+              $"score" - $"prev.rs" <= $"next.rs" - $"score"),
+          $"prev").otherwise($"next").as("m"))
+      .select($"score", $"m.rs".as("ms"), $"m.y_c".as("my"))
+    u.where($"treated" === 1L)
+      .join(broadcast(carried), "score")
+      .withColumn("matched",
+        when($"ms".isNotNull && abs($"score" - $"ms") <= 5L, 1L)
+          .otherwise(0L))
+      .groupBy(expr("score div 10").as("band"))
+      .agg(count(lit(1)).as("n_treated"),
+        sum($"matched").as("n_matched"),
+        sum(when($"matched" === 1L, $"y" - $"my").otherwise(0L))
+          .as("sum_diff_milli"))
+      .withColumn("att_milli",
+        when($"n_matched" > 0L,
+          floor($"sum_diff_milli".cast("double") / $"n_matched"
+            + lit(1.0 / 3)).cast("long")).otherwise(0L))
+  }
+
   def jackknifeSource(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perSrc = Tables.documents(spark, dir)

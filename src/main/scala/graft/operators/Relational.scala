@@ -1486,6 +1486,51 @@ object Relational {
       .withColumn("mean_m", expr("total_m div n_customers"))
   }
 
+  /** q226: Hill tail-index estimator — how heavy is each language's
+    * document-length tail? alpha = k / Σ_{i≤k} ln(x_i / x_{k+1}) over the
+    * top-k order statistics (Hill 1975): small alpha = Pareto-heavy tail,
+    * the regime where q49-style packing and per-batch memory provisioning
+    * break (a mean-based budget underestimates the tail's share). The
+    * tail-RISK companion to q81's histogram and q105's MAD, which both
+    * describe the bulk. k adapts to the group: min(10, (n−1) div 2), so
+    * small groups still report.
+    *
+    * Exactness: each ln(x_i/x_{k+1}) term is floor-quantized to a long
+    * BEFORE the sum (q87's associativity dodge); alpha is one double
+    * division from (k, Σq), floored to milli.
+    *
+    * Scale shape: the rank window runs per language over the slim
+    * (lang, n_chars, doc_id) projection — parallelism |langs|; for
+    * extreme per-group volume the k-th order statistic swaps to q141's
+    * cumulative-count-over-the-distinct-length-grid form with no raw
+    * sort. Thresholds and k are |langs|-row broadcasts. */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"lang", $"n_chars".cast("long").as("x"), $"doc_id")
+    val kk = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .select($"lang", $"n_docs",
+        least(lit(10L), expr("(n_docs - 1) div 2")).as("k"))
+    val r = docs.withColumn("rk", row_number().over(
+      Window.partitionBy($"lang").orderBy($"x".desc, $"doc_id".asc))
+      .cast("long"))
+    val thr = r.join(broadcast(kk), "lang")
+      .where($"rk" === $"k" + 1L)
+      .select($"lang", $"k", $"n_docs", $"x".as("x_k1"))
+    r.join(broadcast(thr), "lang")
+      .where($"rk" <= $"k")
+      .select($"lang", $"k", $"n_docs", $"x_k1",
+        floor(log($"x".cast("double") / $"x_k1") * 10000 + lit(1.0 / 3))
+          .cast("long").as("lnq"))
+      .groupBy($"lang")
+      .agg(max($"k").as("k"), max($"n_docs").as("n_docs"),
+        max($"x_k1").as("x_k1"), sum($"lnq").as("hill_sum_q"))
+      .withColumn("alpha_milli",
+        when($"hill_sum_q" > 0L,
+          floor($"k".cast("double") * 1e7 / $"hill_sum_q" + lit(1.0 / 3))
+            .cast("long")).otherwise(0L))
+  }
+
   /** q218: Pareto skyline — the documents no other document dominates on
     * (length, lexical richness), i.e. the maximal frontier of the
     * length-vs-type-token-ratio trade-off a curation policy actually

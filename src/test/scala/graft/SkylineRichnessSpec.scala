@@ -4,7 +4,8 @@ import graft.operators.{Evaluate, Relational, TextAnalysis, Timeseries}
 
 /** Brute-force model parity for the round-9 additions q218 (Pareto
   * skyline), q219 (Chao1 bigram richness), q220 (delete-one-source
-  * jackknife), q221 (burst episodes) and q222 (broken-stick regression),
+  * jackknife), q221 (burst episodes), q222 (broken-stick regression),
+  * q226 (Hill tail index) and q227 (propensity-score matching ATT),
   * on top of their DuckDB hash gates. Each test recomputes the operator's
   * answer from raw collected rows with an independent in-memory
   * algorithm — the O(n²)/sequential form the distributed plan must agree
@@ -170,6 +171,83 @@ class SkylineRichnessSpec extends SparkSpec {
     val got = Timeseries.brokenStick(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === expect)
+  }
+
+  test("q226 hill tail: parity with the sorted order-statistics model") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).flatMap { case (lang, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2))
+      val n = rows.length.toLong
+      val k = math.min(10L, (n - 1) / 2)
+      if (k < 1 || sorted.length <= k) Nil
+      else {
+        val xk1 = sorted(k.toInt)._1
+        val sumQ = sorted.take(k.toInt).map { case (x, _) =>
+          math.floor(math.log(x.toDouble / xk1) * 10000 + 1.0 / 3).toLong
+        }.sum
+        val alpha = if (sumQ > 0)
+          math.floor(k.toDouble * 1e7 / sumQ + 1.0 / 3).toLong else 0L
+        List((lang, k, n, xk1, sumQ, alpha))
+      }
+    }.toSet
+    val got = Relational.hillTail(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q227 psm: parity with a sequential nearest-score matching model") {
+    import org.apache.spark.sql.functions._
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("user_id")).map { case (uid, evs) =>
+        val score = evs.length.toLong
+        val y = evs.filter(_.getAs[String]("event_type") == "purchase")
+          .map(e => math.floor(e.getAs[Double]("value") * 1000 + 1.0 / 3)
+            .toLong).sum
+        val nErr = evs.count(_.getAs[String]("event_type") == "error")
+        (uid, score, y, if (nErr * 5 > score) 1 else 0)
+      }.toSeq
+    // representative control per score: max user_id
+    val rep = users.filter(_._4 == 0).groupBy(_._2).map { case (s, rows) =>
+      s -> rows.maxBy(_._1)._3
+    }
+    val repScores = rep.keys.toSeq.sorted
+    def nearest(s: Long): Option[(Long, Long)] = {
+      if (repScores.isEmpty) None
+      else {
+        val below = repScores.filter(_ <= s).lastOption
+        val above = repScores.find(_ > s)
+        val ms = (below, above) match {
+          case (Some(b), Some(a)) => if (s - b <= a - s) b else a
+          case (Some(b), None) => b
+          case (None, Some(a)) => a
+          case _ => return None
+        }
+        Some((ms, rep(ms)))
+      }
+    }
+    val expect = users.filter(_._4 == 1).map { case (_, s, y, _) =>
+      nearest(s) match {
+        case Some((ms, yc)) if math.abs(s - ms) <= 5 =>
+          (s / 10, 1L, 1L, y - yc)
+        case _ => (s / 10, 1L, 0L, 0L)
+      }
+    }.groupBy(_._1).map { case (band, rows) =>
+      val nT = rows.map(_._2).sum
+      val nM = rows.map(_._3).sum
+      val sd = rows.map(_._4).sum
+      val att = if (nM > 0)
+        math.floor(sd.toDouble / nM + 1.0 / 3).toLong else 0L
+      band -> ((nT, nM, sd, att))
+    }
+    val got = Evaluate.psmAtt(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
     assert(got === expect)
   }
 }
