@@ -726,9 +726,15 @@ object Timeseries {
     * island windows all run on |types|×|hours| rows. Per-type window
     * parallelism is |types| — fine because the grid is bounded: a year is
     * 8,760 rows per type at any corpus volume. */
-  def burstEpisodes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hourly = hourlyCounts(spark, dir)
+  def burstEpisodes(spark: SparkSession, dir: String): DataFrame =
+    burstEpisodesOn(hourlyCounts(spark, dir))
+
+  /** Testable core over any `(event_type, h, c)` hourly-count relation —
+    * shared by the batch query and the streaming burst monitor
+    * (`graft.streaming.Events.burstMonitor`), so both compute the
+    * identical episode table from whatever grid they hold. */
+  private[graft] def burstEpisodesOn(hourly: DataFrame): DataFrame = {
+    import hourly.sparkSession.implicits._
     val wMed = Window.partitionBy($"event_type").orderBy($"c", $"h")
     val med = hourly
       .withColumn("rk", row_number().over(wMed).cast("long"))

@@ -267,6 +267,50 @@ object Events {
       .start()
   }
 
+  /** Streaming burst monitor — q221's episode census run continuously
+    * (the live twin of [[driftMonitor]]'s PSI): each micro-batch's
+    * events collapse to (event_type, hour, count) partial counts that
+    * ACCUMULATE in an additive state table (hour counts merge by sum, so
+    * the grid is exact however events split across batches), then the
+    * full episode table — lower-median rate, 2-sigma threshold,
+    * gaps-and-islands — recomputes on the accumulated grid and appends a
+    * batch-stamped snapshot to the monitor table. The dashboard answer to
+    * "is the feed bursting RIGHT NOW" without waiting for the nightly
+    * batch pass. Shares `Timeseries.burstEpisodesOn` with the batch query
+    * so stream == batch is structural, and StreamingSpec proves it on a
+    * bounded stream.
+    *
+    * State is the bounded hourly grid (|types| × |hours| rows), never
+    * events — the same reduction the batch plan makes, held across
+    * batches. */
+  def burstMonitor(stream: DataFrame, stateTarget: String,
+      monitorTarget: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
+      import batch.sparkSession.implicits._
+      val spark = batch.sparkSession
+      batch
+        .groupBy($"event_type", expr("unix_millis(ts) div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stateTarget)
+      val grid = spark.read.parquet(stateTarget)
+        .groupBy($"event_type", $"h").agg(sum($"n").as("c"))
+      graft.operators.Timeseries.burstEpisodesOn(grid)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(monitorTarget)
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+  }
+
   case class HourCount(event_type: String, h: Long, x: Long)
   case class EwmaAlert(event_type: String, h: Long, x: Long,
       forecast_milli: Long, alert: Boolean)

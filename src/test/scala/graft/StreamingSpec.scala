@@ -319,6 +319,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("streaming burst monitor: final episode snapshot equals the batch q221 census") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_burst_${System.nanoTime()}")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    // stage the whole feed as a multi-file stream (3 micro-batches); the
+    // state table must merge same-hour counts split across batches
+    val srcDir = new java.io.File(base, "arriving").getPath
+    ev.repartition(3).write.parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Events.burstMonitor(stream,
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
+    val nBatches = monitor.select($"batch_id").distinct().count()
+    assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
+    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val got = monitor.where($"batch_id" === lastBatch)
+      .select($"event_type", $"start_h", $"end_h", $"n_hours", $"peak_c",
+        $"total_c").collect().map(key).toSet
+    val expect = graft.operators.Timeseries.burstEpisodes(spark, sfDir)
+      .collect().map(key).toSet
+    assert(got == expect)
+  }
+
   test("streaming EWMA monitor equals the batch fold across a micro-batch split") {
     import spark.implicits._
     import Events.HourCount
