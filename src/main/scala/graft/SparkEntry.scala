@@ -247,6 +247,7 @@ object SparkEntry {
     "q225_knn_purity"       -> (Similarity.knnLabelPurity _),
     "q226_hill_tail"        -> (Relational.hillTail _),
     "q227_psm_att"          -> (Evaluate.psmAtt _),
+    "q228_self_bleu"        -> (TextAnalysis.selfBleu _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5239,5 +5240,31 @@ object SparkEntry {
                ELSE 0 END) AS DOUBLE) / sum(matched) + 1.0/3) AS BIGINT)
              ELSE 0 END AS att_milli
          FROM j GROUP BY 1""",
+    // q228: Self-BLEU diversity over a deterministic hash-drawn k=20
+    // sample; distinct-bigram precision, zero-overlap pairs count in the
+    // (k-1) mean denominator
+    "q228_self_bleu" ->
+      """WITH s AS (SELECT doc_id, text FROM documents
+           ORDER BY CAST('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) ASC, doc_id ASC
+           LIMIT 20),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM s),
+         bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+                FROM tk, UNNEST(range(1, len(toks))) r(i)),
+         card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg
+                  FROM bg GROUP BY 1),
+         k AS (SELECT CAST(count(*) - 1 AS BIGINT) AS km1 FROM s),
+         sh AS (SELECT a.doc_id, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS shared
+                FROM bg a JOIN bg b
+                  ON a.bg = b.bg AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+         pp AS (SELECT sh.doc_id, (sh.shared * 1000000) // card.n_bg AS ppm
+                FROM sh JOIN card USING (doc_id)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS pairs_hit,
+                   CAST(sum(ppm) AS BIGINT) AS s FROM pp GROUP BY 1)
+         SELECT card.doc_id, card.n_bg,
+           CAST(COALESCE(agg.pairs_hit, 0) AS BIGINT) AS pairs_hit,
+           CAST(COALESCE(agg.s, 0) // k.km1 AS BIGINT) AS mean_overlap_ppm
+         FROM card LEFT JOIN agg USING (doc_id), k""",
   )
 }

@@ -851,4 +851,47 @@ object TextAnalysis {
       .withColumn("unseen_ppm",
         expr("((chao1_milli - 1000 * v) * 1000000) div chao1_milli"))
   }
+
+  /** q228: Self-BLEU corpus diversity — the generation-diversity metric
+    * (Zhu et al. 2018): over a deterministic k=20 sample, each document's
+    * mean distinct-bigram precision against every OTHER sampled document.
+    * High overlap = mode-collapsed / templated text; the corpus-level
+    * average the dedup pair lists (q25/q28) don't give, because here the
+    * ZERO-overlap pairs count too (they are the diversity).
+    *
+    * Sampling is the content-hash draw (hash32, reshard-stable); the
+    * global top-k is TakeOrderedAndProject — per-partition heaps, no
+    * corpus sort. Everything after runs on k docs: work is k² pairs
+    * whatever the corpus size, which is the whole point — a diversity
+    * ESTIMATE scales by fixing k, not by pairing the corpus. The sampled
+    * relation is materialized once (Ckpt): its three consumers (two join
+    * sides, cardinalities) would each re-run the corpus-wide top-k scan.
+    * All integer: precision ppm = 10⁶·|∩| div |bg(a)|, mean div (k−1). */
+  def selfBleu(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val sampled = Ckpt(TextOps.docsParallel(spark, dir)
+      .select($"doc_id", $"text",
+        Sampling.hash32("sb", $"doc_id").as("draw"))
+      .orderBy($"draw".asc, $"doc_id".asc).limit(20)
+      .select($"doc_id", explode(array_distinct(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))).as("bg")), eager = false)
+    val card = sampled.groupBy($"doc_id").agg(count(lit(1)).as("n_bg"))
+    val km1 = card.agg((count(lit(1)) - 1L).as("km1"))
+    val perDoc = sampled.as("a").join(sampled.as("b"),
+        $"a.bg" === $"b.bg" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_id"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(card, "doc_id")
+      .select($"doc_id", expr("(shared * 1000000) div n_bg").as("ppm"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("pairs_hit"), sum($"ppm").as("s"))
+    card.join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(km1))
+      .select($"doc_id", $"n_bg",
+        coalesce($"pairs_hit", lit(0L)).as("pairs_hit"),
+        expr("coalesce(s, 0L) div km1").as("mean_overlap_ppm"))
+  }
 }

@@ -250,4 +250,36 @@ class SkylineRichnessSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))).toMap
     assert(got === expect)
   }
+
+  test("q228 self-bleu: parity with an in-memory sampled pairwise model") {
+    import org.apache.spark.sql.functions._
+    def draw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"sb:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sampled = docs.sortBy(d => (draw(d._1), d._1)).take(20)
+    val km1 = sampled.length.toLong - 1
+    val bgs = sampled.map { case (id, text) =>
+      val t = toksOf(text)
+      id -> t.iterator.zip(t.iterator.drop(1))
+        .map(p => p._1 + " " + p._2).toSet
+    }.toMap
+    val expect = bgs.map { case (a, sa) =>
+      val ppms = bgs.toSeq.collect { case (b, sb) if b != a =>
+        (sa & sb).size.toLong * 1000000L / sa.size
+      }
+      val hits = ppms.count(_ > 0).toLong
+      a -> ((sa.size.toLong, hits, ppms.sum / km1))
+    }
+    val got = TextAnalysis.selfBleu(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === expect)
+    assert(got.size === 20)
+  }
 }
