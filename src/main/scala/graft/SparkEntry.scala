@@ -248,6 +248,7 @@ object SparkEntry {
     "q226_hill_tail"        -> (Relational.hillTail _),
     "q227_psm_att"          -> (Evaluate.psmAtt _),
     "q228_self_bleu"        -> (TextAnalysis.selfBleu _),
+    "q229_w1_drift"         -> (Evaluate.w1Drift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5266,5 +5267,35 @@ object SparkEntry {
            CAST(COALESCE(agg.pairs_hit, 0) AS BIGINT) AS pairs_hit,
            CAST(COALESCE(agg.s, 0) // k.km1 AS BIGINT) AS mean_overlap_ppm
          FROM card LEFT JOIN agg USING (doc_id), k""",
+    // q229: Wasserstein-1 length drift per source vs the corpus; exact
+    // cross-multiplied CDFs on the bounded length grid, one normalizing
+    // double division floored to milli-chars
+    "q229_w1_drift" ->
+      """WITH g AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         all_g AS (SELECT x, CAST(sum(c) AS BIGINT) AS ca FROM g GROUP BY 1),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+                 FROM g GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM g),
+         grid AS (SELECT t.source, a.x, t.n_s, COALESCE(g.c, 0) AS c, a.ca
+                  FROM all_g a CROSS JOIN tot t
+                  LEFT JOIN g ON g.source = t.source AND g.x = a.x),
+         cum AS (SELECT source, x, n_s,
+             CAST(sum(c) OVER w AS BIGINT) AS cum_s,
+             CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+             lead(x) OVER (PARTITION BY source ORDER BY x) AS x_next
+           FROM grid
+           WINDOW w AS (PARTITION BY source ORDER BY x
+                        ROWS UNBOUNDED PRECEDING)),
+         w1 AS (SELECT source, max(n_s) AS n_s,
+             CAST(sum(CASE WHEN x_next IS NULL THEN 0
+               ELSE abs(cum_s * (SELECT n_all FROM n) - cum_a * n_s)
+                 * (x_next - x) END) AS BIGINT) AS raw
+           FROM cum GROUP BY 1)
+         SELECT source, n_s,
+           CAST(floor(CAST(raw AS DOUBLE) * 1000
+             / (n_s * (SELECT n_all FROM n)) + 1.0/3) AS BIGINT) AS w1_milli
+         FROM w1""",
   )
 }

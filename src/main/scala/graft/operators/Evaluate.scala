@@ -825,6 +825,58 @@ object Evaluate {
     * relation; the corpus totals it needs are a second agg OF THAT
     * RELATION (3 longs broadcast back), so all g leave-one-out statistics
     * price at one scan + bounded-relation math — never g scans. */
+  /** q229: Wasserstein-1 length-distribution drift per source — the
+    * earth-mover companion to q144's KS: KS reports the max CDF
+    * deviation (one bad quantile), W1 = ∫|CDF_s − CDF_corpus| dx reports
+    * the total transport in CHARACTER units ("src1 sits 44.7 chars of
+    * mass away from the corpus") — the actionable magnitude a mixture
+    * rebalancer thresholds on, insensitive to a single spike.
+    *
+    * Exact on the bounded distinct-length grid: each inter-grid strip
+    * contributes |cum_s·N − cum_corpus·n_s| · gap as pure longs
+    * (cross-multiplied CDFs, no division inside the sum); the one
+    * normalizing division runs in double at the end and floors to
+    * milli-chars. At extreme corpus sizes the cross products approach
+    * int64 range — the documented swap is per-strip ppm quantization
+    * (q87's dodge), which this grid's magnitudes don't yet need.
+    *
+    * Scale shape: one corpus scan partial-aggs to the |sources|×|lengths|
+    * grid, materialized once (Ckpt) for its four consumers (corpus
+    * marginal, per-source totals, grand total, the dense-grid join —
+    * each would otherwise re-scan the corpus); every window and join
+    * after runs on the bounded grid. */
+  def w1Drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Ckpt(Tables.documents(spark, dir)
+      .groupBy($"source", $"n_chars".cast("long").as("x"))
+      .agg(count(lit(1)).as("c")), eager = false)
+    val allG = g.groupBy($"x").agg(sum($"c").as("ca"))
+    val tot = g.groupBy($"source").agg(sum($"c").as("n_s"))
+    val nAll = g.agg(sum($"c").as("n_all"))
+    // dense grid: every corpus length for every source (bounded x
+    // bounded cross — the grid IS the working relation, not a blow-up)
+    val grid = allG.crossJoin(broadcast(tot))
+      .join(g, Seq("source", "x"), "left")
+      .select($"source", $"x", $"n_s", coalesce($"c", lit(0L)).as("c"),
+        $"ca")
+    val wCum = Window.partitionBy($"source").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.partitionBy($"source").orderBy($"x")
+    grid
+      .withColumn("cum_s", sum($"c").over(wCum))
+      .withColumn("cum_a", sum($"ca").over(wCum))
+      .withColumn("x_next", lead($"x", 1).over(wLead))
+      .crossJoin(broadcast(nAll))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_s"), max($"n_all").as("n_all"),
+        sum(when($"x_next".isNull, 0L)
+          .otherwise(abs($"cum_s" * $"n_all" - $"cum_a" * $"n_s")
+            * ($"x_next" - $"x"))).as("raw"))
+      .select($"source", $"n_s",
+        floor($"raw".cast("double") * 1000 / ($"n_s" * $"n_all")
+          + lit(1.0 / 3)).cast("long").as("w1_milli"))
+  }
+
   /** q227: propensity-score matching ATT — the causal-family member the
     * suite was missing next to q177 CUPED / q185 DiD / q188 stratified
     * ATE: nearest-score matching WITH replacement under a caliper.

@@ -282,4 +282,29 @@ class SkylineRichnessSpec extends SparkSpec {
     assert(got === expect)
     assert(got.size === 20)
   }
+
+  test("q229 w1 drift: parity with an in-memory CDF-transport model") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nAll = rows.length.toLong
+    val grid = rows.map(_._2).distinct.sorted
+    val corpusCum = grid.map(x => x -> rows.count(_._2 <= x).toLong).toMap
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      val nS = rs.length.toLong
+      val raw = grid.zip(grid.drop(1)).map { case (x, xn) =>
+        val cumS = rs.count(_._2 <= x).toLong
+        math.abs(cumS * nAll - corpusCum(x) * nS) * (xn - x)
+      }.sum
+      src -> ((nS,
+        math.floor(raw.toDouble * 1000 / (nS * nAll) + 1.0 / 3).toLong))
+    }
+    val got = Evaluate.w1Drift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // W1 of the corpus against itself is zero — a source that IS the
+    // corpus distribution must read 0; all drifts are non-negative
+    got.values.foreach { case (_, w1) => assert(w1 >= 0L) }
+  }
 }
