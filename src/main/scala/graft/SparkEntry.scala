@@ -249,9 +249,11 @@ object SparkEntry {
     "q227_psm_att"          -> (Evaluate.psmAtt _),
     "q228_self_bleu"        -> (TextAnalysis.selfBleu _),
     "q229_w1_drift"         -> (Evaluate.w1Drift _),
+    "q230_dup_core"         -> (Graph.dupCore _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
@@ -5297,5 +5299,26 @@ object SparkEntry {
            CAST(floor(CAST(raw AS DOUBLE) * 1000
              / (n_s * (SELECT n_all FROM n)) + 1.0/3) AS BIGINT) AS w1_milli
          FROM w1""",
-  )
+    )
+    // q230: 2-core of the q28 near-dup graph — the oracle REUSES q28's
+    // SQL verbatim as the pair source and unrolls 8 materialized peel
+    // rounds (MATERIALIZED: each round references its predecessor three
+    // times; inlined CTEs would re-expand the base scan 3^8 times).
+    // Fixed 8 rounds == the engine's early-exit fixpoint because peeling
+    // is idempotent once converged (spec asserts convergence <= 8).
+    val kcorePeel = (1 to 8).map { r =>
+      s""",
+         a$r AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS c
+             FROM s${r - 1} GROUP BY 1) WHERE c >= 2),
+         s$r AS MATERIALIZED (SELECT s.u, s.v FROM s${r - 1} s
+             JOIN a$r x ON s.u = x.u JOIN a$r y ON s.v = y.u)"""
+    }.mkString
+    base + ("q230_dup_core" ->
+      (s"""WITH pairs AS MATERIALIZED (
+${base("q28_simhash_pairs")}),
+         s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs)""" + kcorePeel + """
+         SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         FROM s8 GROUP BY 1"""))
+  }
 }

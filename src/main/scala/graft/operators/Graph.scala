@@ -568,4 +568,75 @@ object Graph {
       .where($"rk" <= 3)
       .select($"item", $"rk", $"neighbor", $"c_ab", $"sim_ppm")
   }
+
+  /** q230: 2-core of the near-dup graph — the densely-interconnected
+    * duplicate groups after iteratively peeling degree-1 stragglers
+    * (Matula–Beck core decomposition, k=2). A CC cluster (q62) lumps a
+    * chain of borderline pairs in with a tight clique; the core strips
+    * the chain, leaving the documents whose duplication is corroborated
+    * by ≥2 independent neighbors — the "definitely duplicated" set a
+    * conservative dedup policy acts on first. Output: surviving docs
+    * with their within-core degree.
+    *
+    * The peel is the repo's third iterative fixpoint shape (after CC's
+    * label propagation and Lloyd's codebook refinement): per round one
+    * degree aggregation + two semi-joins, lineage truncated through
+    * [[Ckpt]] (durable under `spark.graft.checkpointDir`), superseded
+    * rounds released, early exit when a round removes nothing. Rounds
+    * are capped at 8 to stay aligned with the oracle's unrolled CTEs —
+    * peeling is idempotent at the fixpoint, so early exit and the
+    * oracle's fixed 8 agree whenever convergence happens in ≤ 8 (the
+    * spec asserts it does; a non-converged exit throws rather than
+    * returning a non-core). Cascade depth is bounded by the longest
+    * degree-1 chain, 2-3 on real dup graphs. */
+  def dupCore(spark: SparkSession, dir: String): DataFrame =
+    kCoreOn(Dedup.simhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+      k = 2, maxRounds = 8)
+
+  /** Testable core: k-core of an undirected (a, b) pair relation. */
+  private[graft] def kCoreOn(pairs: DataFrame, k: Int, maxRounds: Int)
+      : DataFrame = {
+    val caller = pairs.sparkSession
+    // q62's clone discipline: loop confs (AQE off, narrow width) live on
+    // a cloned session so concurrent planning on the caller is untouched
+    val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
+    import spark.implicits._
+    def rebind(df: DataFrame, to: SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    val loopParts = math.max(8, spark.sparkContext.defaultParallelism / 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val p = rebind(pairs, spark).toDF("a", "b")
+    var edges = Ckpt(
+      p.union(p.select($"b".as("a"), $"a".as("b"))), eager = false)
+    var n = -1L
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val alive = edges.groupBy($"a").agg(count(lit(1)).as("c"))
+        .where($"c" >= k).select($"a".as("u"))
+      // both endpoints must survive; semi-joins keep the edge row narrow
+      val next = Ckpt(edges
+        .join(alive, $"a" === $"u", "left_semi")
+        .join(alive.select($"u".as("u2")), $"b" === $"u2", "left_semi"),
+        eager = false)
+      // the count is the round's one action: it materializes the lazy
+      // checkpoint AND answers "did anything peel"
+      val m = next.count()
+      Ckpt.release(edges)
+      edges = next
+      converged = m == n
+      n = m
+      round += 1
+      if (sys.env.contains("GRAFT_STAGE_LOG"))
+        System.err.println(s"[graft.kcore] round $round edges=$m")
+    }
+    if (!converged && round == maxRounds)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds (raise maxRounds)")
+    val out = edges.groupBy($"a").agg(count(lit(1)).as("core_deg"))
+      .select($"a".as("doc_id"), $"core_deg")
+    rebind(out, caller)
+  }
 }

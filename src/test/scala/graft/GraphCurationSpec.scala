@@ -24,6 +24,39 @@ class GraphCurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
   }
 
+  test("kCore peels to the exact fixpoint of a sequential model, incl. handcrafted cascade") {
+    import spark.implicits._
+    // chain 1-2-3-4 hanging off triangle 4-5-6: peeling 1 exposes 2,
+    // then 3 — a 3-round cascade; the triangle (+4) survives as the
+    // 2-core. Isolated edge (10,11) peels entirely.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Graph.kCoreOn(edges, k = 2, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(4L -> 2L, 5L -> 2L, 6L -> 2L))
+    // real near-dup graph: sequential peel model + convergence <= 8
+    // (the oracle's unrolled-8 equivalence rests on this)
+    val pairs = Dedup.simhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var adj = pairs.flatMap(p => Seq(p, p.swap))
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 8) {
+      val deg = adj.groupBy(_._1).map { case (u, es) => u -> es.length }
+      val next = adj.filter(e => deg(e._1) >= 2 && deg(e._2) >= 2)
+      stable = next.length == adj.length
+      adj = next
+      rounds += 1
+    }
+    assert(stable, s"sequential peel did not converge in 8 rounds")
+    val expect = adj.groupBy(_._1)
+      .map { case (u, es) => u -> es.length.toLong }
+    val gotReal = Graph.dupCore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal === expect)
+  }
+
   test("dupClusters labels every document and agrees with a union-find over the pair graph") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id").as[Long].collect().sorted
