@@ -43,7 +43,16 @@ object ScaleSmoke {
     // should track the scan ratio (q178's replica families DO make
     // extra true windowed pairs; read output growth accordingly)
     "q178_sorted_nbhd", "q182_js_divergence", "q190_split_leakage",
-    "q201_blob_phash")
+    "q201_blob_phash",
+    // round 9 (driver round 9): the skyline's frontier candidates and
+    // Chao1's type table grow slowly vs the corpus (ideal ~ scan
+    // ratio); jackknife/W1 reduce to |sources|-row / bounded-grid
+    // relations; Hill ranks a slim projection; Self-BLEU is fixed-k by
+    // construction (ideal ~ flat after the top-k scan); q230's replica
+    // families DENSIFY the near-dup graph, so its ratio reads as edge
+    // volume like q28's, not plan degradation
+    "q218_skyline", "q219_chao1", "q220_jackknife_src", "q226_hill_tail",
+    "q228_self_bleu", "q229_w1_drift", "q230_dup_core")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -57,7 +66,11 @@ object ScaleSmoke {
     "q106_margin_mining", "q138_hubness", "q142_rank_overlap",
     // round 9: JL audit is sample-bounded (flat), k-center is k linear
     // scans (~scan ratio)
-    "q183_jl_audit", "q187_kcenter")
+    "q183_jl_audit", "q187_kcenter",
+    // round 9 (driver round 9): centroid shift and dim variance reduce
+    // to |labels|*d / d sums (ideal ~ scan ratio); purity rides q138's
+    // banded candidate volume
+    "q223_centroid_shift", "q224_dim_variance", "q225_knn_purity")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and
@@ -79,7 +92,12 @@ object ScaleSmoke {
     // cells, per-user counts) before any statistic — ideal = scan ratio
     "q179_fdr_drift", "q180_ewma_forecast", "q181_acf_hourly",
     "q189_perm_test", "q191_mann_whitney", "q193_pit_features",
-    "q198_coherence", "q199_sequential_ab", "q200_markov_eval")
+    "q198_coherence", "q199_sequential_ab", "q200_markov_eval",
+    // round 9 (driver round 9): bursts/broken-stick run on the hourly
+    // grid (constant); PSM reduces to one row per user then matches on
+    // the bounded score grid — user growth = more rows in the one
+    // partial agg, ideal ~ scan ratio
+    "q221_burst_episodes", "q222_broken_stick", "q227_psm_att")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -2605,8 +2605,16 @@ object SparkEntry {
                   CAST(sum(CASE WHEN proj > 0
                            THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bits
                   FROM proj GROUP BY 1, 2),
+         capped AS (SELECT vec_id, band, bits FROM (
+             SELECT vec_id, band, bits, row_number() OVER (
+               PARTITION BY band, bits ORDER BY
+                 CAST('0x' || substr(md5('hub:' || CAST(band AS VARCHAR)
+                   || ':' || CAST(bits AS VARCHAR) || ':'
+                   || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                 vec_id) AS crk
+             FROM bits) WHERE crk <= 64),
          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-                  FROM bits a JOIN bits b
+                  FROM bits a JOIN capped b
                     ON a.band = b.band AND a.bits = b.bits
                        AND a.vec_id <> b.vec_id),
          scored AS (SELECT c.qid, c.nid,
@@ -5148,8 +5156,16 @@ object SparkEntry {
                THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END)
                AS BIGINT) AS bits
            FROM proj GROUP BY 1, 2),
+         capped AS (SELECT vec_id, band, bits FROM (
+             SELECT vec_id, band, bits, row_number() OVER (
+               PARTITION BY band, bits ORDER BY
+                 CAST('0x' || substr(md5('hub:' || CAST(band AS VARCHAR)
+                   || ':' || CAST(bits AS VARCHAR) || ':'
+                   || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                 vec_id) AS crk
+             FROM bits) WHERE crk <= 64),
          cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-           FROM bits a JOIN bits b
+           FROM bits a JOIN capped b
              ON a.band = b.band AND a.bits = b.bits
                 AND a.vec_id <> b.vec_id),
          scored AS (SELECT c.qid, na.label AS q_label, c.nid,

@@ -403,6 +403,32 @@ object Similarity {
     * candidates come from 4 equality joins (union via the band explode);
     * the distinct + per-query top-3 window shuffle on qid; the final
     * in-degree is one partial-agged groupBy. */
+  /** Per-bucket candidate-target cap shared by [[hubness]] and
+    * [[knnLabelPurity]]: each (band, bits) bucket contributes at most B
+    * hash-CHOSEN members as candidate TARGETS (every vector still
+    * probes). Without it, banded-LSH candidate volume is Σ bucket² —
+    * quadratic in bucket size, and bucket size grows linearly with
+    * duplicate density: the 10× emb ScaleSmoke (replica families = true
+    * near-dup clusters) measured 26x / 50x wall on the uncapped plans
+    * vs ~scan-ratio capped. The choice is the reshard-stable content
+    * hash (not head-of-bucket: id-prefix would bias candidates toward
+    * low ids), ranked per bucket — the windowed rank runs on the same
+    * (band, bits) shuffle the candidate join needs anyway. Recall on an
+    * oversized bucket degrades gracefully: 4 bands × B independent
+    * draws per query. */
+  private def bucketCapped(banded: DataFrame, cap: Int): DataFrame = {
+    import banded.sparkSession.implicits._
+    val draw = graft.functions.TextHash.md5Int32(concat(
+      lit("hub:"), $"band".cast("string"), lit(":"),
+      $"bits".cast("string"), lit(":"), $"vec_id".cast("string")))
+    banded
+      .withColumn("__d", draw)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy($"band", $"bits").orderBy($"__d", $"vec_id")))
+      .where($"__rk" <= cap)
+      .drop("__d", "__rk")
+  }
+
   def hubness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val signs = signMatrix(16, 64)
@@ -416,7 +442,7 @@ object Similarity {
             lit(1L << j)).otherwise(0L)
         }.reduce(_ + _)
       }: _*)).as(Seq("band", "bits")))
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").join(bucketCapped(banded, 64).as("b"),
         $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
           $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"),
@@ -679,7 +705,7 @@ object Similarity {
             lit(1L << j)).otherwise(0L)
         }.reduce(_ + _)
       }: _*)).as(Seq("band", "bits")))
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").join(bucketCapped(banded, 64).as("b"),
         $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
           $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("qid"), $"a.label".as("q_label"),

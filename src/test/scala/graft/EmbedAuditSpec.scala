@@ -94,9 +94,22 @@ class EmbedAuditSpec extends SparkSpec {
         }.sum
       }
     val sigs = vecs.map { case (id, l, v) => (id, l, v, bandBits(v)) }
+    // the operator's per-bucket B=64 candidate-target cap (q138's rule)
+    def hubDraw(band: Int, bits: Long, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hub:$band:$bits:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val inCap: Set[((Int, Long), Long)] = sigs
+      .flatMap { case (id, _, _, bb) => bb.map(k => (k, id)) }
+      .groupBy(_._1).toSeq.flatMap { case (k, xs) =>
+        xs.map(_._2).sortBy(id => (hubDraw(k._1, k._2, id), id))
+          .take(64).map(id => (k, id))
+      }.toSet
     val cand = for {
       (qa, la, va, ba) <- sigs; (qb, lb, vb, bb) <- sigs
-      if qa != qb && ba.exists(bb.contains)
+      if qa != qb && ba.exists(k => bb.contains(k) && inCap((k, qb)))
     } yield (qa, la, qb, lb, dot(va, vb) / (nrm(va) * nrm(vb)))
     val top3 = cand.groupBy(_._1).toSeq.flatMap { case (_, cs) =>
       cs.sortBy(c => (-c._5, c._3)).take(3)

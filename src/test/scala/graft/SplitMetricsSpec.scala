@@ -123,9 +123,23 @@ class SplitMetricsSpec extends SparkSpec {
         }.sum
       }
     val sigs = vecs.map { case (id, v) => (id, v, bandBits(v)) }
+    // per-bucket candidate-target cap (B=64, hash-chosen), mirroring the
+    // operator's bucketCapped rule — a no-op when buckets are small
+    def hubDraw(band: Int, bits: Long, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hub:$band:$bits:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val inCap: Set[((Int, Long), Long)] = sigs
+      .flatMap { case (id, _, bb) => bb.map(k => (k, id)) }
+      .groupBy(_._1).toSeq.flatMap { case (k, xs) =>
+        xs.map(_._2).sortBy(id => (hubDraw(k._1, k._2, id), id))
+          .take(64).map(id => (k, id))
+      }.toSet
     val cand = for {
       (qa, va, ba) <- sigs; (qb, vb, bb) <- sigs
-      if qa != qb && ba.exists(bb.contains)
+      if qa != qb && ba.exists(k => bb.contains(k) && inCap((k, qb)))
     } yield (qa, qb, dot(va, vb) / (nrm(va) * nrm(vb)))
     val expect = cand.groupBy(_._1).toSeq.flatMap { case (_, cs) =>
       cs.sortBy(c => (-c._3, c._2)).take(3).map(_._2)
