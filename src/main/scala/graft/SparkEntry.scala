@@ -250,6 +250,7 @@ object SparkEntry {
     "q228_self_bleu"        -> (TextAnalysis.selfBleu _),
     "q229_w1_drift"         -> (Evaluate.w1Drift _),
     "q230_dup_core"         -> (Graph.dupCore _),
+    "q231_transitivity"     -> (Dedup.transitivityAudit _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5329,7 +5330,27 @@ object SparkEntry {
          s$r AS MATERIALIZED (SELECT s.u, s.v FROM s${r - 1} s
              JOIN a$r x ON s.u = x.u JOIN a$r y ON s.v = y.u)"""
     }.mkString
-    base + ("q230_dup_core" ->
+    // q231: wedge-closure audit over the same q28 pair relation
+    val transOracle =
+      s"""WITH p0 AS MATERIALIZED (
+${base("q28_simhash_pairs")}),
+         p AS MATERIALIZED (SELECT doc_a, doc_b FROM p0),
+         s AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p
+           UNION ALL SELECT doc_b, doc_a FROM p),
+         w AS (SELECT DISTINCT x.v AS a, y.v AS c
+               FROM s x JOIN s y ON x.u = y.u AND x.v < y.v),
+         cl AS (SELECT w.a, w.c,
+             CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS closed
+           FROM w LEFT JOIN p ON p.doc_a = w.a AND p.doc_b = w.c)
+         SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_wedge_pairs,
+           CAST(sum(closed) AS BIGINT) AS n_closed,
+           CASE WHEN count(*) > 0
+             THEN (CAST(sum(closed) AS BIGINT) * 1000000)
+               // CAST(count(*) AS BIGINT)
+             ELSE 0 END AS closure_ppm
+         FROM cl"""
+    base + ("q231_transitivity" -> transOracle) + ("q230_dup_core" ->
       (s"""WITH pairs AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -876,4 +876,43 @@ object Dedup {
         sum($"n_pairs").over(Window.orderBy($"decile".desc)))
       .select($"decile", $"n_pairs", $"n_at_or_above")
   }
+
+  /** q231: near-dup transitivity audit — what fraction of two-hop
+    * (wedge) endpoint pairs in the q28 simhash relation are ALSO
+    * directly related? "Similar" is not transitive, and the closure
+    * rate is the number that says how badly: at ~25% closure (this
+    * corpus), clustering the relation by connected components (q62)
+    * merges mostly-NON-similar documents through chains — the measured
+    * justification for q230's 2-core (and for verify-stage thresholds
+    * generally). The q25 Jaccard relation was evaluated and rejected as
+    * the substrate: its score distribution is bimodal here, closure
+    * reads 100% at every threshold and the audit is blind.
+    *
+    * Scale shape: wedge INSTANCES are Σdeg² of the pair graph — the
+    * q202 item-CF bound; a pathological mega-family (m mutual dups =
+    * deg m−1 everywhere) belongs to exact dedup (q24) BEFORE a
+    * near-dup audit, the standard funnel order. The pair relation is
+    * materialized once (Ckpt) for its three consumers (two wedge
+    * sides, closure probe); the closure check is one equality join on
+    * the (a, c) endpoints; output is a single row. */
+  def transitivityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Ckpt(simhashPairs(spark, dir).select($"doc_a", $"doc_b"),
+      eager = false)
+    val s = p.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val w = s.as("x").join(s.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("c")).distinct()
+    val cl = w.join(
+      p.select($"doc_a".as("a"), $"doc_b".as("c"), lit(1L).as("closed")),
+      Seq("a", "c"), "left")
+    cl.agg(count(lit(1)).as("n_wedge_pairs"),
+        sum(coalesce($"closed", lit(0L))).as("n_closed"))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_pairs"))))
+      .select($"n_pairs", $"n_wedge_pairs", $"n_closed",
+        when($"n_wedge_pairs" > 0L,
+          expr("(n_closed * 1000000) div n_wedge_pairs"))
+          .otherwise(0L).as("closure_ppm"))
+  }
 }

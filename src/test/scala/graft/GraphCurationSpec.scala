@@ -57,6 +57,28 @@ class GraphCurationSpec extends SparkSpec {
     assert(gotReal === expect)
   }
 
+  test("q231 transitivity: closure counts match the brute wedge model") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairSet = pairs.toSet
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSeq }
+    val wedges = adj.toSeq.flatMap { case (_, vs) =>
+      for (a <- vs; c <- vs if a < c) yield (a, c)
+    }.distinct
+    val closed = wedges.count(pairSet.contains).toLong
+    val row = Dedup.transitivityAudit(spark, sfDir).collect().head
+    assert(row.getLong(0) === pairs.length.toLong)
+    assert(row.getLong(1) === wedges.length.toLong)
+    assert(row.getLong(2) === closed)
+    assert(row.getLong(3) === closed * 1000000L / wedges.length)
+    // the diagnostic must be informative on this graph: strictly
+    // between "nothing closes" and "everything closes"
+    assert(closed > 0 && closed < wedges.length)
+  }
+
   test("dupClusters labels every document and agrees with a union-find over the pair graph") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id").as[Long].collect().sorted
