@@ -251,6 +251,7 @@ object SparkEntry {
     "q229_w1_drift"         -> (Evaluate.w1Drift _),
     "q230_dup_core"         -> (Graph.dupCore _),
     "q231_transitivity"     -> (Dedup.transitivityAudit _),
+    "q232_cv_auc"           -> (Evaluate.cvAuc _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5316,6 +5317,45 @@ object SparkEntry {
            CAST(floor(CAST(raw AS DOUBLE) * 1000
              / (n_s * (SELECT n_all FROM n)) + 1.0/3) AS BIGINT) AS w1_milli
          FROM w1""",
+    // q232: 4-fold out-of-fold AUC of the token-rate classifier; fold-
+    // complement weights = (global - fold) sums, q120's tie-correct AUC
+    "q232_cv_auc" ->
+      """WITH dt AS (SELECT doc_id,
+             CAST('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 4 AS fold,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         ft AS (SELECT fold, tok, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS pos
+                FROM dt GROUP BY 1, 2),
+         gt AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS gcnt,
+                  CAST(sum(pos) AS BIGINT) AS gpos
+                FROM ft GROUP BY 1),
+         wts AS (SELECT f.fold, gt.tok,
+             ((gpos - COALESCE(ft.pos, 0)) * 1000000)
+               // (gcnt - COALESCE(ft.cnt, 0)) AS rate_ppm
+           FROM gt CROSS JOIN range(4) f(fold)
+           LEFT JOIN ft ON ft.fold = f.fold AND ft.tok = gt.tok
+           WHERE gcnt - COALESCE(ft.cnt, 0) > 0),
+         sc AS (SELECT dt.doc_id, dt.fold, dt.y,
+             CAST(sum(COALESCE(w.rate_ppm, 0)) AS BIGINT) AS score
+           FROM dt LEFT JOIN wts w
+             ON w.fold = dt.fold AND w.tok = dt.tok
+           GROUP BY 1, 2, 3),
+         g AS (SELECT fold, score, CAST(sum(y) AS BIGINT) AS p,
+                 CAST(sum(1 - y) AS BIGINT) AS q
+               FROM sc GROUP BY 1, 2),
+         c AS (SELECT *, COALESCE(CAST(sum(q) OVER (PARTITION BY fold
+                 ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS BIGINT), 0) AS cq FROM g),
+         t AS (SELECT fold, CAST(sum(p) AS BIGINT) AS n_pos,
+                 CAST(sum(q) AS BIGINT) AS n_neg,
+                 CAST(sum(p*cq*2 + p*q) AS BIGINT) AS num2
+               FROM c GROUP BY 1)
+         SELECT fold, n_pos, n_neg,
+           (num2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
+         FROM t WHERE n_pos > 0 AND n_neg > 0""",
     )
     // q230: 2-core of the q28 near-dup graph — the oracle REUSES q28's
     // SQL verbatim as the pair source and unrolls 8 materialized peel

@@ -825,6 +825,62 @@ object Evaluate {
     * relation; the corpus totals it needs are a second agg OF THAT
     * RELATION (3 longs broadcast back), so all g leave-one-out statistics
     * price at one scan + bounded-relation math — never g scans. */
+  /** q232: k-fold cross-validated AUC of a trained token-rate classifier
+    * — the missing half of the eval family: q120 scores a FIXED feature,
+    * q95 a FIXED hash model; this TRAINS per-token positive rates and
+    * measures them strictly out-of-fold (k=4 content-hash folds), the
+    * protocol that exposes memorized signal (here: out-of-fold AUC ≈
+    * 0.5 on the shared synthetic vocabulary — the honest "this cheap
+    * feature does not generalize" answer in-sample evaluation hides).
+    *
+    * One-scan fold-complement training (q220's leave-one-group-out
+    * trick applied to model fitting): per-(fold, token) counts aggregate
+    * once; every fold's training weights are (global − fold) sums — k
+    * models priced at one corpus pass, never k. Tokens unseen in a
+    * fold's complement are excluded (no training signal); scoring is a
+    * (fold, token) equality join + per-doc sum of integer rate-ppm
+    * weights; AUC per fold is q120's tie-correct cumulative counting on
+    * the (fold, score) grid. All integer, hash-gated.
+    *
+    * Scale shape: the distinct-token explode is map-only off the scan
+    * (re-run per consumer — the q125 rule: map-only subtrees are
+    * cheaper recomputed than materialized); the only corpus-sized
+    * shuffles are the (fold, tok) partial agg and the per-doc score
+    * agg; weights are 4×|vocab| rows. */
+  def cvAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dt = TextOps.docsParallel(spark, dir)
+      .select($"doc_id",
+        (Sampling.hash32("cv", $"doc_id") % 4).as("fold"),
+        when($"lang" === "en", 1L).otherwise(0L).as("y"),
+        explode(array_distinct(TextOps.toks($"text"))).as("tok"))
+    val ft = dt.groupBy($"fold", $"tok")
+      .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+    val gt = ft.groupBy($"tok").agg(sum($"cnt").as("gcnt"),
+      sum($"pos").as("gpos"))
+    val folds = spark.range(4).select($"id".as("fold"))
+    val wts = gt.crossJoin(broadcast(folds))
+      .join(ft, Seq("fold", "tok"), "left")
+      .where($"gcnt" - coalesce($"cnt", lit(0L)) > 0L)
+      .select($"fold", $"tok",
+        expr("((gpos - coalesce(pos, 0)) * 1000000)" +
+          " div (gcnt - coalesce(cnt, 0))").as("rate_ppm"))
+    val scored = dt.join(wts, Seq("fold", "tok"), "left")
+      .groupBy($"doc_id", $"fold", $"y")
+      .agg(sum(coalesce($"rate_ppm", lit(0L))).as("score"))
+    val g = scored.groupBy($"fold", $"score")
+      .agg(sum($"y").as("p"), sum(lit(1L) - $"y").as("q"))
+    val w = Window.partitionBy($"fold").orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cq", coalesce(sum($"q").over(w), lit(0L)))
+      .groupBy($"fold")
+      .agg(sum($"p").as("n_pos"), sum($"q").as("n_neg"),
+        sum($"p" * $"cq" * 2 + $"p" * $"q").as("num2"))
+      .where($"n_pos" > 0 && $"n_neg" > 0)
+      .select($"fold", $"n_pos", $"n_neg",
+        expr("(num2 * 1000000) div (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+
   /** q229: Wasserstein-1 length-distribution drift per source — the
     * earth-mover companion to q144's KS: KS reports the max CDF
     * deviation (one bad quantile), W1 = ∫|CDF_s − CDF_corpus| dx reports

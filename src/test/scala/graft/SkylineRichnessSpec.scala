@@ -283,6 +283,57 @@ class SkylineRichnessSpec extends SparkSpec {
     assert(got.size === 20)
   }
 
+  test("q232 cv auc: parity with a brute out-of-fold pair-counting model") {
+    import org.apache.spark.sql.functions._
+    def draw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cv:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        (r.getLong(0), draw(r.getLong(0)) % 4,
+          if (r.getString(1) == "en") 1L else 0L,
+          toksOf(r.getString(2)).distinct.toSeq)
+      }
+    // per-(fold, tok) and global containment counts
+    val ftRows = docs.flatMap { case (_, f, y, toks) =>
+      toks.map(t => ((f, t), (1L, y)))
+    }
+    val ft = ftRows.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum))
+    }
+    val gt = ft.groupBy(_._1._2).map { case (t, xs) =>
+      t -> ((xs.values.map(_._1).sum, xs.values.map(_._2).sum))
+    }
+    def weight(f: Long, t: String): Option[Long] = {
+      val (gc, gp) = gt(t)
+      val (c, p) = ft.getOrElse((f, t), (0L, 0L))
+      if (gc - c > 0) Some((gp - p) * 1000000L / (gc - c)) else None
+    }
+    val scored = docs.map { case (_, f, y, toks) =>
+      (f, y, toks.flatMap(weight(f, _)).sum)
+    }
+    val expect = scored.groupBy(_._1).flatMap { case (f, rows) =>
+      val pos = rows.filter(_._2 == 1L).map(_._3)
+      val neg = rows.filter(_._2 == 0L).map(_._3)
+      if (pos.isEmpty || neg.isEmpty) Nil
+      else {
+        val num2 = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        List(f -> ((pos.length.toLong, neg.length.toLong,
+          num2 * 1000000L / (2L * pos.length * neg.length))))
+      }
+    }
+    val got = Evaluate.cvAuc(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === expect)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+  }
+
   test("q229 w1 drift: parity with an in-memory CDF-transport model") {
     import org.apache.spark.sql.functions._
     val rows = graft.sources.Tables.documents(spark, sfDir)
