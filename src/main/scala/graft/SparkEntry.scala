@@ -5205,14 +5205,19 @@ object SparkEntry {
          t AS (SELECT r.lang, thr.k, thr.n_docs, thr.x_k1,
                  CAST(floor(ln(CAST(r.x AS DOUBLE) / thr.x_k1) * 10000
                    + 1.0/3) AS BIGINT) AS lnq
-               FROM r JOIN thr ON r.lang = thr.lang AND r.rk <= thr.k)
-         SELECT lang, max(k) AS k, max(n_docs) AS n_docs,
+               FROM r JOIN thr ON r.lang = thr.lang AND r.rk <= thr.k),
+         est AS (SELECT lang, max(n_docs) AS n_docs,
            max(x_k1) AS x_k1, CAST(sum(lnq) AS BIGINT) AS hill_sum_q,
            CASE WHEN sum(lnq) > 0
              THEN CAST(floor(CAST(max(k) AS DOUBLE) * 10000000 / sum(lnq)
                + 1.0/3) AS BIGINT)
              ELSE 0 END AS alpha_milli
-         FROM t GROUP BY 1""",
+         FROM t GROUP BY 1)
+         SELECT kk.lang, CAST(kk.k AS BIGINT) AS k, kk.n_docs,
+           est.x_k1,
+           CAST(COALESCE(est.hill_sum_q, 0) AS BIGINT) AS hill_sum_q,
+           CAST(COALESCE(est.alpha_milli, 0) AS BIGINT) AS alpha_milli
+         FROM kk LEFT JOIN est ON kk.lang = est.lang""",
     // q227: PSM ATT — nearest-score representative-control matching with
     // replacement, +-5 caliper; matching on the bounded distinct-score
     // grid; signed ATT division in double (integer div truncation

@@ -37,7 +37,11 @@ final case class Corpus(docs: DataFrame) {
   /** Exact near-duplicate pairs at word-3-gram Jaccard ≥ t — q25's
     * PPJoin (provably identical to the naive all-pairs join). */
   def nearDupPairs(t: Double = 0.6): DataFrame =
+    // project away the n_a/n_b ride-alongs the core emits for q213 —
+    // this verb's public schema is pinned to (doc_a, doc_b, n_shared,
+    // jaccard), mirroring the q25 wrapper
     Dedup.ngramJaccardOn(base, t)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
 
   /** Asymmetric containment pairs (quote/boilerplate inclusion) at
     * containment ≥ t — q125's prefix-pruned join. */

@@ -67,6 +67,13 @@ object Ckpt {
     * weight — readers scan the checkpoint files). */
   private val pendingCache = new ConcurrentHashMap[DataFrame, DataFrame]()
 
+  /** RDD ids of frames [[apply]] returned (both modes). [[release]] only
+    * touches storage whose id is in here — so calling it on a frame this
+    * object never produced (or on one already released) is a no-op
+    * instead of a delete of someone else's live checkpoint. */
+  private val owned =
+    ConcurrentHashMap.newKeySet[Int]()
+
   /** Unpersist pre-checkpoint caches whose lazy checkpoint has since
     * materialized. Called on every [[apply]]; a no-op map scan unless
     * durable mode has outstanding lazy checkpoints. */
@@ -110,8 +117,14 @@ object Ckpt {
         val out = cached.checkpoint(eager)
         if (eager) cached.unpersist()
         else pendingCache.put(out, cached)
+        org.apache.spark.sql.graft.RddBridge.leafRdds(out)
+          .foreach(r => owned.add(r.id))
         out
-      case None => df.localCheckpoint(eager)
+      case None =>
+        val out = df.localCheckpoint(eager)
+        org.apache.spark.sql.graft.RddBridge.leafRdds(out)
+          .foreach(r => owned.add(r.id))
+        out
     }
   }
 
@@ -126,12 +139,24 @@ object Ckpt {
   def release(df: DataFrame): Unit = {
     df.unpersist()
     Option(pendingCache.remove(df)).foreach(_.unpersist())
-    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
-    org.apache.spark.sql.graft.RddBridge.leafRdds(df).foreach { rdd =>
-      rdd.unpersist(blocking = false)
-      rdd.getCheckpointFile.foreach { f =>
-        val p = new Path(f)
-        p.getFileSystem(hadoopConf).delete(p, true)
+    // Two guards against destroying storage other live plans still read:
+    // (1) only frames whose plan is EXACTLY the LogicalRDD a checkpoint
+    // returned qualify — a frame derived from checkpointed inputs (a
+    // projection, a join of two checkpoints) shares their leaves, and
+    // deleting through it would break every other reader of those
+    // checkpoints; (2) only RDD ids this object minted are touched, each
+    // at most once (`owned.remove` wins the race), so double-release and
+    // release-of-foreign-frames are no-ops rather than deletes.
+    if (org.apache.spark.sql.graft.RddBridge.isSingleLogicalRdd(df)) {
+      val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+      org.apache.spark.sql.graft.RddBridge.leafRdds(df).foreach { rdd =>
+        if (owned.remove(rdd.id)) {
+          rdd.unpersist(blocking = false)
+          rdd.getCheckpointFile.foreach { f =>
+            val p = new Path(f)
+            p.getFileSystem(hadoopConf).delete(p, true)
+          }
+        }
       }
     }
   }

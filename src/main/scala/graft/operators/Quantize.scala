@@ -351,7 +351,10 @@ object Quantize {
       .groupBy($"i".cast("long").as("i"))
       .agg(count(lit(1)).as("n"),
         sum($"xq".cast(DecimalType(38, 0))).cast("double").as("sx"),
-        sum(($"xq" * $"xq").cast(DecimalType(38, 0))).cast("double")
+        // square in decimal, not long: xq*xq in LONG overflows for
+        // |component| > ~3034 on the 1e6 grid; the oracle's HUGEINT
+        // product is exact, so the cast must happen BEFORE the multiply
+        sum($"xq".cast(DecimalType(38, 0)) * $"xq").cast("double")
           .as("sxx"))
       .select($"i", $"n",
         floor($"sx" / $"n" + lit(1.0 / 3)).cast("long").as("mean_micro"),

@@ -1517,7 +1517,7 @@ object Relational {
     val thr = r.join(broadcast(kk), "lang")
       .where($"rk" === $"k" + 1L)
       .select($"lang", $"k", $"n_docs", $"x".as("x_k1"))
-    r.join(broadcast(thr), "lang")
+    val est = r.join(broadcast(thr), "lang")
       .where($"rk" <= $"k")
       .select($"lang", $"k", $"n_docs", $"x_k1",
         floor(log($"x".cast("double") / $"x_k1") * 10000 + lit(1.0 / 3))
@@ -1529,6 +1529,16 @@ object Relational {
         when($"hill_sum_q" > 0L,
           floor($"k".cast("double") * 1e7 / $"hill_sum_q" + lit(1.0 / 3))
             .cast("long")).otherwise(0L))
+    // Groups with n < 3 have k = 0, so rk <= k matches nothing and est
+    // drops them. Re-attach them from the |langs|-row kk relation with a
+    // null threshold and alpha = 0 — "small groups still report" is a
+    // promise about OUTPUT rows, not just about k adapting.
+    kk.select($"lang", $"k", $"n_docs")
+      .join(est.select($"lang", $"x_k1", $"hill_sum_q", $"alpha_milli"),
+        Seq("lang"), "left")
+      .select($"lang", $"k", $"n_docs", $"x_k1",
+        coalesce($"hill_sum_q", lit(0L)).as("hill_sum_q"),
+        coalesce($"alpha_milli", lit(0L)).as("alpha_milli"))
   }
 
   /** q218: Pareto skyline — the documents no other document dominates on

@@ -870,16 +870,24 @@ object TextAnalysis {
   def selfBleu(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = TextOps.toks($"text")
-    val sampled = Ckpt(TextOps.docsParallel(spark, dir)
+    // Ckpt sits on the PRE-explode 20-row pick so km1 is the sample size
+    // minus one (matching the oracle's `count(*) - 1 FROM s`) even when a
+    // sampled doc has <2 tokens and contributes no bigram — counting
+    // post-explode doc_ids would silently shrink the denominator for
+    // exactly those docs. Deriving the explode from the checkpointed pick
+    // re-runs only a 20-row map per consumer.
+    val picked = Ckpt(TextOps.docsParallel(spark, dir)
       .select($"doc_id", $"text",
         Sampling.hash32("sb", $"doc_id").as("draw"))
       .orderBy($"draw".asc, $"doc_id".asc).limit(20)
+      .select($"doc_id", $"text"), eager = false)
+    val sampled = picked
       .select($"doc_id", explode(array_distinct(zip_with(
         slice(t, lit(1), greatest(size(t) - 1, lit(0))),
         slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)))).as("bg")), eager = false)
+        (a, b) => concat(a, lit(" "), b)))).as("bg"))
     val card = sampled.groupBy($"doc_id").agg(count(lit(1)).as("n_bg"))
-    val km1 = card.agg((count(lit(1)) - 1L).as("km1"))
+    val km1 = picked.agg((count(lit(1)) - 1L).as("km1"))
     val perDoc = sampled.as("a").join(sampled.as("b"),
         $"a.bg" === $"b.bg" && $"a.doc_id" =!= $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_id"), $"b.doc_id".as("doc_b"))

@@ -23,4 +23,13 @@ object RddBridge {
     * (one, for a frame returned by checkpoint/localCheckpoint). */
   def leafRdds(df: DataFrame): Seq[RDD[_]] =
     df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }.toSeq
+
+  /** True iff `df`'s analyzed plan is exactly one [[LogicalRDD]] leaf —
+    * the shape checkpoint/localCheckpoint return. A frame DERIVED from a
+    * checkpoint (projection, join of two checkpointed inputs) is not. */
+  def isSingleLogicalRdd(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case _: LogicalRDD => true
+      case _             => false
+    }
 }

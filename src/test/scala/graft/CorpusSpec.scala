@@ -27,9 +27,16 @@ class CorpusSpec extends SparkSpec {
 
   test("verbs delegate to the gated cores verbatim") {
     val c = Corpus(docs)
+    // the verb pins the public 4-column schema (n_a/n_b are a core-only
+    // ride-along for q213) but must agree with the core row-for-row
     val direct = Dedup.ngramJaccardOn(
-      docs.select(col("doc_id"), col("text")), 0.6).collect().toSet
-    assert(c.nearDupPairs(0.6).collect().toSet === direct)
+      docs.select(col("doc_id"), col("text")), 0.6)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      .collect().toSet
+    val verb = c.nearDupPairs(0.6)
+    assert(verb.columns.toSeq ===
+      Seq("doc_a", "doc_b", "n_shared", "jaccard"))
+    assert(verb.collect().toSet === direct)
     assert(c.exactDupGroups().where(col("n_copies") > 1).count() === 2)
   }
 
