@@ -582,7 +582,10 @@ object Graph {
     * label propagation and Lloyd's codebook refinement): per round one
     * degree aggregation + two semi-joins, lineage truncated through
     * [[Ckpt]] (durable under `spark.graft.checkpointDir`), superseded
-    * rounds released, early exit when a round removes nothing. Rounds
+    * rounds released, early exit when a round removes nothing — and the
+    * convergence TAIL finished in one task once the edge set is under
+    * the [[kCoreOn]] cutoff (see there for the overhead measurement
+    * motivating the hybrid). Rounds
     * are capped at 8 to stay aligned with the oracle's unrolled CTEs —
     * peeling is idempotent at the fixpoint, so early exit and the
     * oracle's fixed 8 agree whenever convergence happens in ≤ 8 (the
@@ -593,9 +596,27 @@ object Graph {
     kCoreOn(Dedup.simhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
       k = 2, maxRounds = 8)
 
-  /** Testable core: k-core of an undirected (a, b) pair relation. */
-  private[graft] def kCoreOn(pairs: DataFrame, k: Int, maxRounds: Int)
-      : DataFrame = {
+  /** Testable core: k-core of an undirected (a, b) pair relation.
+    *
+    * Hybrid peel: DISTRIBUTED rounds (degree agg + two semi-joins, Ckpt
+    * lineage truncation) only while the oriented edge set exceeds
+    * `localCutoff`; once it fits one task, the remaining cascade runs as
+    * a single-task `mapPartitions` Matula–Beck peel. The convergence
+    * tail of an iterative peel is where per-round scheduler overhead
+    * dominates — real dup graphs spend 1-2 rounds peeling 99% of the
+    * volume and then 3-5 rounds chasing a shrinking chain; paying a full
+    * job per tail round is pure fixed cost (measured 6×~0.5 s at sf0.1
+    * for a 50k-edge graph). The same shape is right at 100 TB: the first
+    * rounds run distributed, and by the time the edge set is under the
+    * cutoff (4M orientations ≈ 64 MB) one executor task finishes it in
+    * milliseconds. The k-core is the unique maximal subgraph with min
+    * degree ≥ k, so the split point cannot change the answer; the local
+    * phase peels in SYNCHRONOUS rounds (collect the sub-k set, then
+    * remove it) sharing the distributed `maxRounds` budget, preserving
+    * the oracle's unrolled-round alignment and the throw-on-non-
+    * convergence contract. */
+  private[graft] def kCoreOn(pairs: DataFrame, k: Int, maxRounds: Int,
+      localCutoff: Long = 4L << 20): DataFrame = {
     val caller = pairs.sparkSession
     // q62's clone discipline: loop confs (AQE off, narrow width) live on
     // a cloned session so concurrent planning on the caller is untouched
@@ -607,13 +628,22 @@ object Graph {
     val loopParts = math.max(8, spark.sparkContext.defaultParallelism / 4)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val p = rebind(pairs, spark).toDF("a", "b")
+    // materialize the PAIR relation once before orienting: the union's
+    // two branches would otherwise each evaluate the (often expensive)
+    // upstream pair pipeline — measured 2× the simhash-band join cost on
+    // q230 before this truncation
+    val p = Ckpt(rebind(pairs, spark).toDF("a", "b"), eager = false)
     var edges = Ckpt(
       p.union(p.select($"b".as("a"), $"a".as("b"))), eager = false)
-    var n = -1L
+    // materializes the checkpoint and sizes the first routing decision
+    var m = edges.count()
+    Ckpt.release(p) // the union was p's only consumer
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
+    while (!converged && m > localCutoff) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"kCore did not converge in $maxRounds rounds (raise maxRounds)")
       val alive = edges.groupBy($"a").agg(count(lit(1)).as("c"))
         .where($"c" >= k).select($"a".as("u"))
       // both endpoints must survive; semi-joins keep the edge row narrow
@@ -623,20 +653,56 @@ object Graph {
         eager = false)
       // the count is the round's one action: it materializes the lazy
       // checkpoint AND answers "did anything peel"
-      val m = next.count()
+      val mNext = next.count()
       Ckpt.release(edges)
       edges = next
-      converged = m == n
-      n = m
+      converged = mNext == m
+      m = mNext
       round += 1
       if (sys.env.contains("GRAFT_STAGE_LOG"))
         System.err.println(s"[graft.kcore] round $round edges=$m")
     }
-    if (!converged && round == maxRounds)
-      throw new IllegalStateException(
-        s"kCore did not converge in $maxRounds rounds (raise maxRounds)")
-    val out = edges.groupBy($"a").agg(count(lit(1)).as("core_deg"))
-      .select($"a".as("doc_id"), $"core_deg")
+    val out =
+      if (converged)
+        edges.groupBy($"a").agg(count(lit(1)).as("core_deg"))
+          .select($"a".as("doc_id"), $"core_deg")
+      else {
+        val budget = maxRounds - round
+        edges.select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)]
+          .coalesce(1) // one task reading the checkpoint blocks, no shuffle
+          .mapPartitions(it => localKCore(it, k, budget))
+          .toDF("doc_id", "core_deg")
+      }
     rebind(out, caller)
+  }
+
+  /** Single-task synchronous peel of an oriented edge iterator: each
+    * round removes EVERY node whose current degree < k (degrees frozen
+    * at round start — the exact semantics of the distributed
+    * alive-filter round), until a round removes nothing. Output:
+    * (node, within-core degree) for survivors. Throws past `maxRounds`
+    * like the distributed loop, keeping the unrolled-oracle alignment. */
+  private def localKCore(it: Iterator[(Long, Long)], k: Int, maxRounds: Int)
+      : Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    it.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.HashSet.empty[Long]) += b
+    }
+    var converged = false
+    var round = 0
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"kCore did not converge in $maxRounds rounds (raise maxRounds)")
+      val peel = adj.iterator.collect { case (u, s) if s.size < k => u }.toArray
+      if (peel.isEmpty) converged = true
+      else peel.foreach { u =>
+        adj(u).foreach(nb => adj.get(nb).foreach(_ -= u))
+        adj.remove(u)
+      }
+      round += 1
+    }
+    adj.iterator.map { case (u, s) => (u, s.size.toLong) }
   }
 }

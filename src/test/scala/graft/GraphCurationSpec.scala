@@ -34,6 +34,24 @@ class GraphCurationSpec extends SparkSpec {
     val got = Graph.kCoreOn(edges, k = 2, maxRounds = 8).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(4L -> 2L, 5L -> 2L, 6L -> 2L))
+    // cutoff 0 forces every round through the distributed semi-join
+    // path; the k-core is unique, so both phases must agree exactly
+    val gotDist = Graph.kCoreOn(edges, k = 2, maxRounds = 8,
+      localCutoff = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === got)
+    // the round budget is shared: the 3-deep cascade + confirm round
+    // cannot fit in 2 rounds on either path (the local throw arrives
+    // wrapped in Spark's task-failure exception)
+    val eLocal = intercept[Exception] {
+      Graph.kCoreOn(edges, k = 2, maxRounds = 2).collect()
+    }
+    assert(eLocal.getMessage.contains("did not converge") ||
+      Option(eLocal.getCause).exists(_.getMessage.contains("did not converge")))
+    val eDist = intercept[Exception] {
+      Graph.kCoreOn(edges, k = 2, maxRounds = 2, localCutoff = 0L).collect()
+    }
+    assert(eDist.getMessage.contains("did not converge"))
     // real near-dup graph: sequential peel model + convergence <= 8
     // (the oracle's unrolled-8 equivalence rests on this)
     val pairs = Dedup.simhashPairs(spark, sfDir)
