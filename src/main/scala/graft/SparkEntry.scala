@@ -252,6 +252,10 @@ object SparkEntry {
     "q230_dup_core"         -> (Graph.dupCore _),
     "q231_transitivity"     -> (Dedup.transitivityAudit _),
     "q232_cv_auc"           -> (Evaluate.cvAuc _),
+    "q233_ari_langid"       -> (Evaluate.ariLangid _),
+    "q234_split_oov"        -> (TextAnalysis.splitOov _),
+    "q235_assortativity"    -> (Graph.degreeAssortativity _),
+    "q236_split_balance"    -> (Sampling.splitBalance _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5361,6 +5365,106 @@ object SparkEntry {
          SELECT fold, n_pos, n_neg,
            (num2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
          FROM t WHERE n_pos > 0 AND n_neg > 0""",
+    // q233: adjusted Rand index of langid vs gold — pair counts over the
+    // contingency table, Hubert-Arabie normalizer cross-multiplied in
+    // HUGEINT, one double division floored to ppm (signed)
+    "q233_ari_langid" ->
+      """WITH s AS (
+           SELECT lang,
+             CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'nd ', ''))) / 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, 'der', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ein', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'sch', ''))) / 3 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, 'le ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'es ', ''))) / 3 AS BIGINT) AS score_fr,
+             CAST((length(text) - length(replace(text, 'de ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'la ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'os ', ''))) / 3 AS BIGINT) AS score_es
+           FROM documents),
+         pr AS (
+           SELECT lang AS gold,
+             CASE WHEN score_en >= score_de AND score_en >= score_fr
+                       AND score_en >= score_es THEN 'en'
+                  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                  WHEN score_fr >= score_es THEN 'fr'
+                  ELSE 'es' END AS predicted
+           FROM s),
+         cm AS (SELECT gold, predicted, CAST(count(*) AS BIGINT) AS n
+                FROM pr GROUP BY 1, 2),
+         idx AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS index_pairs,
+                   CAST(sum(n) AS BIGINT) AS n_docs FROM cm),
+         ra AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS sum_a
+                FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM cm GROUP BY gold)),
+         cb AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS sum_b
+                FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM cm GROUP BY predicted)),
+         z AS (SELECT n_docs, index_pairs, sum_a, sum_b,
+                 (n_docs * (n_docs - 1)) // 2 AS c2n FROM idx, ra, cb),
+         f AS (SELECT *,
+                 CAST(index_pairs AS HUGEINT) * c2n
+                   - CAST(sum_a AS HUGEINT) * sum_b AS numh,
+                 CAST(c2n AS HUGEINT) * (sum_a + sum_b)
+                   - CAST(sum_a AS HUGEINT) * sum_b * 2 AS denh
+               FROM z)
+         SELECT n_docs, index_pairs, sum_a, sum_b,
+           CASE WHEN CAST(denh AS DOUBLE) > 0
+             THEN CAST(floor(CAST(numh AS DOUBLE) * 2 * 1000000
+               / CAST(denh AS DOUBLE) + 1.0/3) AS BIGINT)
+             ELSE 0 END AS ari_ppm
+         FROM f""",
+    // q234: train->val/test OOV occurrence rate under the q236 hash split
+    "q234_split_oov" ->
+      """WITH t AS (SELECT
+             CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val'
+                  ELSE 'test' END AS split, tok
+           FROM (SELECT
+               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10 AS h,
+               unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         v AS (SELECT DISTINCT tok FROM t WHERE split = 'train'),
+         e AS (SELECT t.split, t.tok,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+               FROM t LEFT JOIN v ON t.tok = v.tok
+               WHERE t.split <> 'train'),
+         a AS (SELECT split, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END)
+                   AS BIGINT) AS n_oov_types
+               FROM e GROUP BY 1)
+         SELECT split, n_tokens, n_oov, n_oov_types,
+           (n_oov * 1000000) // n_tokens AS oov_ppm
+         FROM a""",
+    // q236: chi-square independence of lang x hash split; doubles on
+    // both engines follow the identical op order so floor agrees
+    "q236_split_balance" ->
+      """WITH h AS (SELECT lang,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10 AS h
+           FROM documents),
+         cell AS (SELECT lang,
+             CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(count(*) AS BIGINT) AS o
+           FROM h GROUP BY 1, 2),
+         m AS (SELECT lang, split, o,
+                 CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+                 CAST(sum(o) OVER (PARTITION BY split) AS BIGINT) AS n_split,
+                 CAST(sum(o) OVER () AS BIGINT) AS n
+               FROM cell),
+         d AS (SELECT *, o * n - n_lang * n_split AS dd FROM m),
+         e AS (SELECT lang, split, o,
+                 CAST(floor(CAST(CAST(n_lang AS HUGEINT) * n_split AS DOUBLE)
+                   * 1000 / CAST(n AS DOUBLE)) AS BIGINT) AS exp_milli,
+                 CAST(floor(CAST(CAST(dd AS HUGEINT) * dd AS DOUBLE) * 1000000
+                   / CAST(CAST(n AS HUGEINT) * n_lang * n_split AS DOUBLE))
+                   AS BIGINT) AS contrib_micro
+               FROM d)
+         SELECT lang, split, o, exp_milli, contrib_micro,
+           CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+         FROM e""",
     )
     // q230: 2-core of the q28 near-dup graph — the oracle REUSES q28's
     // SQL verbatim as the pair source and unrolls 8 materialized peel
@@ -5395,7 +5499,36 @@ ${base("q28_simhash_pairs")}),
                // CAST(count(*) AS BIGINT)
              ELSE 0 END AS closure_ppm
          FROM cl"""
-    base + ("q231_transitivity" -> transOracle) + ("q230_dup_core" ->
+    // q235: degree assortativity over the same q28 pair relation —
+    // HUGEINT moment sums, one double division floored to milli
+    val assortOracle =
+      s"""WITH p0 AS MATERIALIZED (
+${base("q28_simhash_pairs")}),
+         p AS MATERIALIZED (SELECT doc_a, doc_b FROM p0),
+         s AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p
+           UNION ALL SELECT doc_b, doc_a FROM p),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY 1),
+         e AS (SELECT du.d AS du, dv.d AS dv
+               FROM s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 sum(CAST(du AS HUGEINT)) AS sxd,
+                 sum(CAST(du AS HUGEINT) * dv) AS sxyd,
+                 sum(CAST(du AS HUGEINT) * du) AS sxxd
+               FROM e)
+         SELECT m, CAST(sxd AS BIGINT) AS sum_deg,
+           CAST(sxyd AS BIGINT) AS sum_prod,
+           CAST(sxxd AS BIGINT) AS sum_deg_sq,
+           CASE WHEN CAST(m AS DOUBLE) * CAST(sxxd AS DOUBLE)
+                  - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE) > 0
+             THEN CAST(floor((CAST(m AS DOUBLE) * CAST(sxyd AS DOUBLE)
+                 - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE)) * 1000
+               / (CAST(m AS DOUBLE) * CAST(sxxd AS DOUBLE)
+                 - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE)) + 1.0/3)
+               AS BIGINT)
+             ELSE 0 END AS r_milli
+         FROM a"""
+    base + ("q231_transitivity" -> transOracle) +
+      ("q235_assortativity" -> assortOracle) + ("q230_dup_core" ->
       (s"""WITH pairs AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs

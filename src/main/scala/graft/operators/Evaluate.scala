@@ -164,6 +164,72 @@ object Evaluate {
         expr("(n * 1000000) div n_gold").as("recall_ppm"))
   }
 
+  /** q233: adjusted Rand index of the trigram language-ID labeling vs
+    * the gold `lang` partition — the chance-corrected agreement score
+    * that complements q162's per-class precision/recall with ONE number
+    * robust to label permutation (ARI is defined on partitions, so a
+    * predictor that systematically swaps two language names still scores
+    * its true clustering quality; accuracy would crater). The standard
+    * gate before trusting any unsupervised document grouping.
+    *
+    * Exactness: every pair count C(n,2) = n(n−1) div 2 is an exact long
+    * over the ≤|langs|² contingency table; the Hubert–Arabie normalizer
+    * is cross-multiplied in decimal(38,0) — index·C2, ΣA·ΣB, C2·(ΣA+ΣB)
+    * overflow long at ~1e9 docs — and the ONE division runs in double at
+    * the end, floored to ppm (signed: ARI < 0 means worse-than-chance).
+    *
+    * Scale shape: one corpus scan partial-aggs to the bounded
+    * contingency table, materialized once (Ckpt) for its three readers
+    * (cell-pair sum, row marginals, column marginals — each would
+    * re-scan the corpus); everything after is arithmetic over ≤3 rows
+    * of broadcast scalars. */
+  def ariLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val scores = TextAnalysis.profiles.map { case (l, tgs) =>
+      l -> tgs.map(TextAnalysis.occurrences($"text", _)).reduce(_ + _)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val predicted =
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    ariOn(Tables.documents(spark, dir)
+      .select($"lang".as("gold"), predicted.as("predicted")))
+  }
+
+  /** Testable core: ARI of two labelings over any `(gold, predicted)`
+    * relation. */
+  private[graft] def ariOn(labels: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cm = Ckpt(labels
+      .groupBy($"gold", $"predicted")
+      .agg(count(lit(1)).as("n")), eager = false)
+    // C(n,2) as an exact long: n(n−1) is even, so a shift IS the halving
+    // (Column./ is double division — unusable here)
+    def c2(c: Column): Column =
+      shiftright(c.cast("long") * (c.cast("long") - 1L), 1)
+    val idx = cm.agg(sum(c2($"n")).as("index_pairs"),
+      sum($"n").as("n_docs"))
+    val ra = cm.groupBy($"gold").agg(sum($"n").as("a"))
+      .agg(sum(c2($"a")).as("sum_a"))
+    val cb = cm.groupBy($"predicted").agg(sum($"n").as("b"))
+      .agg(sum(c2($"b")).as("sum_b"))
+    val dec = DecimalType(38, 0)
+    idx.crossJoin(broadcast(ra)).crossJoin(broadcast(cb))
+      .withColumn("c2n", c2($"n_docs"))
+      .withColumn("num", ($"index_pairs".cast(dec) * $"c2n"
+        - $"sum_a".cast(dec) * $"sum_b").cast("double"))
+      .withColumn("den", ($"c2n".cast(dec) * ($"sum_a" + $"sum_b")
+        - ($"sum_a".cast(dec) * $"sum_b") * 2L).cast("double"))
+      .select($"n_docs", $"index_pairs", $"sum_a", $"sum_b",
+        when($"den" > 0d,
+          floor($"num" * 2d * 1e6 / $"den" + lit(1.0 / 3)).cast("long"))
+          .otherwise(lit(0L)).as("ari_ppm"))
+  }
+
   /** q163: bootstrap confidence interval for a per-source corpus metric
     * (mean document length) — the uncertainty band a data report should
     * carry before anyone compares two sources. Deterministic Poisson

@@ -705,4 +705,60 @@ object Graph {
     }
     adj.iterator.map { case (u, s) => (u, s.size.toLong) }
   }
+
+  /** q235: degree assortativity of the near-dup graph — the Pearson
+    * correlation of endpoint degrees over edges (Newman 2002). Positive
+    * r: high-degree docs pair with other high-degree docs (template
+    * families form a dense core — peel them with q230's k-core);
+    * negative r: hubs attach to leaves (one boilerplate page matched
+    * against many singletons — a containment/boilerplate problem, q125's
+    * domain). The one-number triage that says WHICH dedup topology a
+    * corpus has before anyone pages through pair samples.
+    *
+    * Exactness: degrees are exact longs; Σx, Σxy, Σx² accumulate in
+    * decimal(38,0) (a 1e9-degree-sum squares past long); by edge
+    * symmetry the x- and y-marginals coincide, so one set of sums
+    * suffices. The one division runs in double, floored to milli
+    * (signed — floor is the shared quantizer on both engines).
+    *
+    * Scale shape: the pair relation materializes once (Ckpt); degrees
+    * are one shuffle of the oriented edges; attaching deg(u)/deg(v) is
+    * two co-partitioned joins on the oriented relation (no broadcast of
+    * the node set — the |nodes|-row degree relation stays distributed);
+    * the final agg is a 1-row reduce. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOn(Dedup.simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** Testable core over any undirected `(doc_a, doc_b)` pair relation. */
+  private[graft] def assortativityOn(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val p = Ckpt(pairs.select($"doc_a", $"doc_b"), eager = false)
+    val s = p.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val deg = s.groupBy($"u").agg(count(lit(1)).as("d"))
+    val e = s
+      .join(deg.select($"u", $"d".as("du")), "u")
+      .join(deg.select($"u".as("v"), $"d".as("dv")), "v")
+    e.agg(count(lit(1)).as("m"),
+        sum($"du".cast(dec)).as("sxd"),
+        sum($"du".cast(dec) * $"dv").as("sxyd"),
+        sum($"du".cast(dec) * $"du").as("sxxd"))
+      // exact-long outputs come straight off the decimals; only the
+      // correlation ratio goes through double
+      .withColumn("sx", $"sxd".cast("double"))
+      .withColumn("sxy", $"sxyd".cast("double"))
+      .withColumn("sxx", $"sxxd".cast("double"))
+      .withColumn("md", $"m".cast("double"))
+      .select($"m",
+        $"sxd".cast("long").as("sum_deg"),
+        $"sxyd".cast("long").as("sum_prod"),
+        $"sxxd".cast("long").as("sum_deg_sq"),
+        when($"md" * $"sxx" - $"sx" * $"sx" > 0d,
+          floor(($"md" * $"sxy" - $"sx" * $"sx") * 1000d
+            / ($"md" * $"sxx" - $"sx" * $"sx") + lit(1.0 / 3)).cast("long"))
+          .otherwise(0L).as("r_milli"))
+  }
 }

@@ -671,4 +671,52 @@ object Sampling {
         expr("(n_same * 1000000) div n_prev").as("same_ppm"),
         expr("((n_s - 1) * 1000000) div (n - 1)").as("exp_ppm"))
   }
+
+  /** q236: split-balance audit — the χ² independence statistic of
+    * language × train/val/test assignment under the deterministic hash
+    * split (hash32 mod 10 → 8/1/1). A content-correlated split (the
+    * classic "split by crawl date" mistake) shows up here as a large χ²
+    * long before a model trains; the hash split's χ² should sit near the
+    * (|langs|−1)(3−1) degrees-of-freedom mean. Per-cell output keeps the
+    * offender visible (WHICH language leaked into val), with the total
+    * as a window sum over the bounded cell table.
+    *
+    * Exactness: observed·n and the marginal product are exact longs; the
+    * squared deviation runs in decimal(38,0) (d² reaches 1e36 at 1e9
+    * docs); each cell's ONE division runs in double, floored to micro —
+    * the identical op order on both engines makes the doubles equal
+    * bit-for-bit.
+    *
+    * Scale shape: one corpus scan partial-aggs to ≤|langs|·3 cells;
+    * marginals are windows over that bounded relation. No joins, no
+    * second scan. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val h = hash32("split", $"doc_id") % 10L
+    val cell = Tables.documents(spark, dir)
+      .select($"lang",
+        when(h <= 7L, "train").when(h === 8L, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("o"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    cell
+      .withColumn("n_lang", sum($"o").over(Window.partitionBy($"lang")))
+      .withColumn("n_split", sum($"o").over(Window.partitionBy($"split")))
+      .withColumn("n", sum($"o").over(wAll))
+      .withColumn("d", $"o" * $"n" - $"n_lang" * $"n_split")
+      .withColumn("contrib_micro",
+        floor(($"d".cast(dec) * $"d").cast("double") * 1e6
+          / ($"n".cast(dec) * $"n_lang" * $"n_split").cast("double"))
+          .cast("long"))
+      .withColumn("chi2_micro", sum($"contrib_micro").over(wAll))
+      .select($"lang", $"split", $"o",
+        // double, not long·1000: the marginal product already brushes
+        // int64 range at 1e9 docs; both engines share the op order
+        floor(($"n_lang".cast(dec) * $"n_split").cast("double") * 1000d
+          / $"n".cast("double")).cast("long").as("exp_milli"),
+        $"contrib_micro", $"chi2_micro")
+  }
 }

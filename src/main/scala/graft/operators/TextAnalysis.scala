@@ -852,6 +852,39 @@ object TextAnalysis {
         expr("((chao1_milli - 1000 * v) * 1000000) div chao1_milli"))
   }
 
+  /** q234: cross-split OOV rate — of the token OCCURRENCES in the val
+    * and test splits (q236's hash assignment), how many are types the
+    * train split never saw? The vocabulary-generalization audit run
+    * before freezing a tokenizer: q108 measures OOV against a CHOSEN
+    * top-k vocabulary, this measures it against the vocabulary the
+    * training data actually induces — high val-OOV with low test-OOV
+    * (or vice versa) also flags a content-correlated split q236's χ²
+    * can't see (χ² tests label marginals, not vocabulary).
+    *
+    * Scale shape: two linear passes over the exploded corpus (train
+    * side partial-aggs to distinct types; eval side joins on `tok`).
+    * The vocab join is SHUFFLED on the token key, not broadcast — a
+    * 100 TB train split induces a vocabulary far beyond driver memory;
+    * co-partitioning makes it one exchange per side. Output: 2 rows. */
+  def splitOov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = Sampling.hash32("split", $"doc_id") % 10L
+    val toks = TextOps.docsParallel(spark, dir)
+      .select(when(h <= 7L, "train").when(h === 8L, "val")
+          .otherwise("test").as("split"),
+        explode(TextOps.toks($"text")).as("tok"))
+    val trainVocab = toks.where($"split" === "train")
+      .select($"tok").distinct().withColumn("__in", lit(1L))
+    toks.where($"split" =!= "train")
+      .join(trainVocab, Seq("tok"), "left")
+      .select($"split", $"tok", $"__in".isNull.as("oov"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"oov", 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when($"oov", $"tok")).as("n_oov_types"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+  }
+
   /** q228: Self-BLEU corpus diversity — the generation-diversity metric
     * (Zhu et al. 2018): over a deterministic k=20 sample, each document's
     * mean distinct-bigram precision against every OTHER sampled document.
