@@ -52,7 +52,14 @@ object ScaleSmoke {
     // families DENSIFY the near-dup graph, so its ratio reads as edge
     // volume like q28's, not plan degradation
     "q218_skyline", "q219_chao1", "q220_jackknife_src", "q226_hill_tail",
-    "q228_self_bleu", "q229_w1_drift", "q230_dup_core")
+    "q228_self_bleu", "q229_w1_drift", "q230_dup_core",
+    // round 10: ARI/χ²/Spearman reduce to bounded contingency or grid
+    // relations (ideal ~ scan ratio); split-OOV is a shuffled token
+    // join; vocab-overlap pair output is C(|sources|,2)-bounded; the
+    // cluster-size census rides the CC fixpoint (replica families form
+    // larger true clusters — read output shift, not plan degradation)
+    "q233_ari_langid", "q234_split_oov", "q236_split_balance",
+    "q237_spearman", "q238_cluster_sizes", "q240_vocab_overlap")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should

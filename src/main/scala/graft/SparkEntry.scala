@@ -256,6 +256,10 @@ object SparkEntry {
     "q234_split_oov"        -> (TextAnalysis.splitOov _),
     "q235_assortativity"    -> (Graph.degreeAssortativity _),
     "q236_split_balance"    -> (Sampling.splitBalance _),
+    "q237_spearman"         -> (Evaluate.spearmanLenTypes _),
+    "q238_cluster_sizes"    -> (Graph.clusterSizes _),
+    "q239_z_outliers"       -> (Quantize.zOutliers _),
+    "q240_vocab_overlap"    -> (TextAnalysis.vocabOverlap _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5465,6 +5469,95 @@ object SparkEntry {
          SELECT lang, split, o, exp_milli, contrib_micro,
            CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
          FROM e""",
+    // q237: Spearman rho per lang, average ranks off the value grid
+    // (doubled to stay integral), HUGEINT moments, one double sqrt+div
+    "q237_spearman" ->
+      """WITH d AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+           FROM documents),
+         gx AS (SELECT lang, x, CAST(count(*) AS BIGINT) AS c
+                FROM d GROUP BY 1, 2),
+         rx AS (SELECT lang, x,
+             CAST(2 * COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS BIGINT) AS r_x
+           FROM gx),
+         gy AS (SELECT lang, y, CAST(count(*) AS BIGINT) AS c
+                FROM d GROUP BY 1, 2),
+         ry AS (SELECT lang, y,
+             CAST(2 * COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS BIGINT) AS r_y
+           FROM gy),
+         t AS (SELECT d.lang, rx.r_x, ry.r_y FROM d
+             JOIN rx ON d.lang = rx.lang AND d.x = rx.x
+             JOIN ry ON d.lang = ry.lang AND d.y = ry.y),
+         a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(CAST(r_x AS HUGEINT)) AS sx,
+             sum(CAST(r_y AS HUGEINT)) AS sy,
+             sum(CAST(r_x AS HUGEINT) * r_y) AS sxy,
+             sum(CAST(r_x AS HUGEINT) * r_x) AS sxx,
+             sum(CAST(r_y AS HUGEINT) * r_y) AS syy
+           FROM t GROUP BY 1)
+         SELECT lang, n_docs, CAST(sxy AS BIGINT) AS sum_rxy,
+           CASE WHEN CAST(n_docs * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n_docs * syy - sy * sy AS DOUBLE) > 0
+             THEN CAST(floor(CAST(n_docs * sxy - sx * sy AS DOUBLE) * 1000
+               / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                 * CAST(n_docs * syy - sy * sy AS DOUBLE)) + 1.0/3)
+               AS BIGINT)
+             ELSE 0 END AS rho_milli
+         FROM a""",
+    // q239: top-20 diagonal-Mahalanobis embedding outliers; per-dim
+    // terms floor to milli BEFORE the per-vector sum (order-free longs)
+    "q239_z_outliers" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         c AS (SELECT vec_id,
+             CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS i,
+             CAST(floor(unnest(emb) * 1000000 + 1.0/3) AS BIGINT) AS xq
+           FROM e),
+         s AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(xq AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx
+           FROM c GROUP BY 1),
+         d AS (SELECT i,
+             CAST(floor(sx / n + 1.0/3) AS BIGINT) AS mean_micro,
+             CAST(floor((sxx - sx * sx / n) / n + 1.0/3) AS BIGINT)
+               AS var_micro2
+           FROM s),
+         t AS (SELECT c.vec_id,
+             CASE WHEN d.var_micro2 > 0
+               THEN CAST(floor(CAST((c.xq - d.mean_micro)
+                   * (c.xq - d.mean_micro) AS DOUBLE) * 1000
+                 / CAST(d.var_micro2 AS DOUBLE)) AS BIGINT)
+               ELSE 0 END AS term_milli
+           FROM c JOIN d ON c.i = d.i),
+         sc AS (SELECT vec_id, CAST(sum(term_milli) AS BIGINT)
+                  AS score_milli FROM t GROUP BY 1),
+         r AS (SELECT vec_id, score_milli,
+             CAST(row_number() OVER (ORDER BY score_milli DESC, vec_id ASC)
+               AS BIGINT) AS rank
+           FROM sc)
+         SELECT rank, vec_id, score_milli FROM r WHERE rank <= 20""",
+    // q240: type-level vocabulary Jaccard between source pairs
+    "q240_vocab_overlap" ->
+      """WITH ty AS (SELECT DISTINCT source, tok FROM
+             (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+                FROM ty GROUP BY 1),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM ty a JOIN ty b
+                  ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT pr.src_a, pr.src_b, pr.n_shared,
+           sa.n_types AS n_a, sb.n_types AS n_b,
+           (pr.n_shared * 1000000) // (sa.n_types + sb.n_types - pr.n_shared)
+             AS jaccard_ppm
+         FROM pr JOIN sz sa ON pr.src_a = sa.source
+           JOIN sz sb ON pr.src_b = sb.source""",
     )
     // q230: 2-core of the q28 near-dup graph — the oracle REUSES q28's
     // SQL verbatim as the pair source and unrolls 8 materialized peel
@@ -5527,8 +5620,20 @@ ${base("q28_simhash_pairs")}),
                AS BIGINT)
              ELSE 0 END AS r_milli
          FROM a"""
+    // q238: size census of q62's components — the q62 oracle runs as a
+    // derived table (nested WITH RECURSIVE), two shrinking groupBys on top
+    val clusterSizesOracle =
+      s"""WITH lbl AS (SELECT * FROM (
+${base("q62_dup_clusters")})),
+         cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                FROM lbl GROUP BY 1)
+         SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+         FROM cl GROUP BY 1"""
     base + ("q231_transitivity" -> transOracle) +
-      ("q235_assortativity" -> assortOracle) + ("q230_dup_core" ->
+      ("q235_assortativity" -> assortOracle) +
+      ("q238_cluster_sizes" -> clusterSizesOracle) + ("q230_dup_core" ->
       (s"""WITH pairs AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs

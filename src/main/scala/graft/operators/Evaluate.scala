@@ -230,6 +230,69 @@ object Evaluate {
           .otherwise(lit(0L)).as("ari_ppm"))
   }
 
+  /** q237: Spearman rank correlation, per language, between document
+    * length (n_chars) and lexical type count — does longer mean richer,
+    * MONOTONICALLY? Pearson (q90's cosine machinery) is linear and
+    * length distributions are heavy-tailed (q226), so rank correlation
+    * is the right association test for curation thresholds; the rank
+    * family (vs q153's Mann-Kendall trend, which tests time order) was
+    * otherwise absent.
+    *
+    * Ties get AVERAGE ranks, the textbook treatment, computed WITHOUT a
+    * per-row sort: ranks come off the per-(lang, value) grid — avg rank
+    * = cum_count_below + (ties + 1)/2 — and to stay integral both rank
+    * vectors are DOUBLED (2·cless + c + 1); Pearson is affine-invariant
+    * so rho is unchanged. Moments accumulate in decimal(38,0); the one
+    * sqrt+division runs in double, floored to milli (signed).
+    *
+    * Scale shape: two grid builds (linear partial-agg shuffles bounded
+    * by distinct values per lang), two co-partitioned joins to tag each
+    * doc with its rank pair (no broadcast — the length grid can be
+    * millions of entries), one moment reduce to |langs| rows. No global
+    * sort anywhere. */
+  def spearmanLenTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spearmanOn(Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", $"n_chars".cast("long").as("x"),
+        size(array_distinct(TextOps.toks($"text"))).cast("long").as("y")))
+  }
+
+  /** Testable core over any `(lang, x, y)` relation. */
+  private[graft] def spearmanOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def ranks(v: String): DataFrame = {
+      val w = Window.partitionBy($"lang").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.groupBy($"lang", col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cless", coalesce(sum($"c").over(w), lit(0L)))
+        .select($"lang", col(v),
+          ($"cless" * 2L + $"c" + 1L).as(s"r_$v"))
+    }
+    val tagged = docs
+      .join(ranks("x"), Seq("lang", "x"))
+      .join(ranks("y"), Seq("lang", "y"))
+    tagged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"r_x".cast(dec)).as("sx"),
+        sum($"r_y".cast(dec)).as("sy"),
+        sum($"r_x".cast(dec) * $"r_y").as("sxy"),
+        sum($"r_x".cast(dec) * $"r_x").as("sxx"),
+        sum($"r_y".cast(dec) * $"r_y").as("syy"))
+      .withColumn("num", ($"n_docs".cast(dec) * $"sxy"
+        - $"sx" * $"sy").cast("double"))
+      .withColumn("vx", ($"n_docs".cast(dec) * $"sxx"
+        - $"sx" * $"sx").cast("double"))
+      .withColumn("vy", ($"n_docs".cast(dec) * $"syy"
+        - $"sy" * $"sy").cast("double"))
+      .select($"lang", $"n_docs",
+        $"sxy".cast("long").as("sum_rxy"),
+        when($"vx" > 0d && $"vy" > 0d,
+          floor($"num" * 1000d / sqrt($"vx" * $"vy") + lit(1.0 / 3))
+            .cast("long")).otherwise(0L).as("rho_milli"))
+  }
+
   /** q163: bootstrap confidence interval for a per-source corpus metric
     * (mean document length) — the uncertainty band a data report should
     * carry before anyone compares two sources. Deterministic Poisson

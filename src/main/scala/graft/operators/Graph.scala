@@ -181,6 +181,29 @@ object Graph {
     dupClustersFrom(Dedup.simhashPairs(spark, dir),
       graft.operators.TextOps.docsParallel(spark, dir))
 
+  /** q238: dup-cluster size census — the size histogram of q62's
+    * connected components, with the numbers a dedup impact report leads
+    * with: how many clusters of each size, how many documents they hold,
+    * and how many rows a keep-one policy deletes ((size−1) per cluster).
+    * The q62 label table answers "which cluster is this doc in"; this
+    * answers "is duplication a few mega-families or a long tail of
+    * pairs" — which decides whether exact-dup hashing (q24) would have
+    * caught most of it, and budgets the q79 keeper pass.
+    *
+    * Scale shape: two partial-agged groupBys AFTER the CC fixpoint —
+    * labels → (cluster, size) → (size, census); both shuffles shrink
+    * monotonically (|docs| → |clusters| → |distinct sizes|). Output is
+    * the bounded size-distribution relation. */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dupClusters(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .select($"sz".as("cluster_size"), $"n_clusters",
+        ($"sz" * $"n_clusters").as("n_docs"),
+        (($"sz" - 1L) * $"n_clusters").as("n_removable"))
+  }
+
   /** Pipeline-reuse form of q79: keeper selection over PRECOMPUTED
     * clusters and quality scores — a real pipeline runs the CC fixpoint
     * once and feeds its output here, instead of re-deriving pairs+CC

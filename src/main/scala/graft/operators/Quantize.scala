@@ -366,4 +366,49 @@ object Quantize {
         when($"var_micro2" * 20L < $"max_var", 1L).otherwise(0L)
           .as("dead"))
   }
+
+  /** q239: diagonal-Mahalanobis embedding outliers — the top-20 vectors
+    * by Σ_d (x_d − μ_d)²/σ²_d, the per-VECTOR audit built on q224's
+    * per-DIMENSION stats: a corrupted embedding (wrong model version,
+    * truncated float buffer, all-zeros) sits many pooled z-units out
+    * and poisons every centroid (q223) and ANN list (q29) it touches.
+    * Diagonal covariance is the deliberate scale choice — the full
+    * Mahalanobis inverse is a d×d solve the audit doesn't need.
+    *
+    * Exactness: (xq − μ)² is an exact long on the micro grid (≤4e12);
+    * each dimension's ONE double division by σ² floors to a milli long
+    * BEFORE the per-vector sum (q87's associativity dodge — longs add
+    * order-free, doubles don't), so the reduce is exact whatever the
+    * partitioning. Zero-variance dims contribute 0 (a constant
+    * dimension carries no outlier signal, and dividing by it would
+    * blow up on the first rounding wobble).
+    *
+    * Scale shape: the d-row stats relation is a broadcast join onto the
+    * posexploded vectors (map-side); the per-vector reduce partial-aggs
+    * on vec_id; the top-20 is TakeOrderedAndProject — per-partition
+    * heaps, no global sort. */
+  def zOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = dimVariance(spark, dir)
+      .select($"i", $"mean_micro", $"var_micro2")
+    val scored = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode(transform($"embedding",
+        x => floor(x.cast("double") * 1e6 + lit(1.0 / 3)).cast("long")))
+        .as(Seq("i", "xq")))
+      .withColumn("i", $"i".cast("long"))
+      .join(broadcast(stats), "i")
+      .withColumn("term_milli",
+        when($"var_micro2" > 0L,
+          floor((($"xq" - $"mean_micro") * ($"xq" - $"mean_micro"))
+            .cast("double") * 1000d / $"var_micro2".cast("double"))
+            .cast("long"))
+          .otherwise(0L))
+      .groupBy($"vec_id")
+      .agg(sum($"term_milli").as("score_milli"))
+    scored.orderBy($"score_milli".desc, $"vec_id".asc).limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score_milli".desc, $"vec_id".asc)).cast("long"))
+      .select($"rank", $"vec_id", $"score_milli")
+  }
 }

@@ -852,6 +852,40 @@ object TextAnalysis {
         expr("((chao1_milli - 1000 * v) * 1000000) div chao1_milli"))
   }
 
+  /** q240: source-vocabulary overlap matrix — type-level Jaccard between
+    * every source pair. q211's duplication matrix counts shared
+    * DOCUMENTS (near-dup pairs across sources); this counts shared
+    * VOCABULARY, which moves first: two crawls can share zero documents
+    * and still be the same register of the same language (high type
+    * overlap), or share a boilerplate template (q211 high) while their
+    * long-tail vocabularies barely intersect. The pair a mixture
+    * designer reads before deciding if "add source B" buys diversity.
+    *
+    * Scale shape: one distinct (source, token) pass; the pair counts
+    * come from a self-join on the token key — each token fans out to at
+    * most C(|sources|,2) = bounded pairs, so the join output is ≤25×
+    * the type table, never quadratic in tokens; per-source type counts
+    * attach via two broadcast joins on the |sources|-row relation.
+    * Output: C(|sources|,2) rows. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = TextOps.docsParallel(spark, dir)
+      .select($"source", explode(TextOps.toks($"text")).as("tok"))
+      .distinct()
+    val sizes = types.groupBy($"source").agg(count(lit(1)).as("n_types"))
+    types.as("a").join(types.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select($"source".as("src_a"),
+        $"n_types".as("n_a"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"),
+        $"n_types".as("n_b"))), "src_b")
+      .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b",
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)")
+          .as("jaccard_ppm"))
+  }
+
   /** q234: cross-split OOV rate — of the token OCCURRENCES in the val
     * and test splits (q236's hash assignment), how many are types the
     * train split never saw? The vocabulary-generalization audit run

@@ -58,6 +58,62 @@ class NewAuditsSpec extends SparkSpec {
     assert(total === n)
   }
 
+  test("spearmanOn: any monotone map is rho = +1000, reversal is -1000") {
+    import spark.implicits._
+    // y = x^2 is monotone but non-linear: Pearson would be < 1, Spearman
+    // must be exactly 1
+    val mono = Seq((1L, 1L), (2L, 4L), (3L, 9L), (5L, 25L), (8L, 64L))
+      .map { case (x, y) => ("en", x, y) }.toDF("lang", "x", "y")
+    assert(Evaluate.spearmanOn(mono).collect()
+      .head.getAs[Long]("rho_milli") === 1000L)
+    val rev = mono.select($"lang", $"x", (-$"y").as("y"))
+    assert(Evaluate.spearmanOn(rev).collect()
+      .head.getAs[Long]("rho_milli") === -1000L)
+  }
+
+  test("spearmanOn: ties get average ranks (constant y -> rho 0)") {
+    import spark.implicits._
+    val const = Seq(("en", 1L, 7L), ("en", 2L, 7L), ("en", 3L, 7L))
+      .toDF("lang", "x", "y")
+    // zero y-variance -> vy = 0 -> guarded to 0, not NaN
+    assert(Evaluate.spearmanOn(const).collect()
+      .head.getAs[Long]("rho_milli") === 0L)
+  }
+
+  test("clusterSizes: census is conservative over the q62 labeling") {
+    val rows = Graph.clusterSizes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_removable") ===
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+  }
+
+  test("zOutliers: 20 dense ranks in score order") {
+    val rows = graft.operators.Quantize.zOutliers(spark, sfDir).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 20L))
+    val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score_milli"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("vocabOverlap: intersections bounded by both vocabularies") {
+    val rows = TextAnalysis.vocabOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, a, b) = (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(s <= math.min(a, b))
+      val ppm = r.getAs[Long]("jaccard_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+  }
+
   test("splitOov: val/test only, and OOV counts bounded by totals") {
     val rows = TextAnalysis.splitOov(spark, sfDir).collect()
     val splits = rows.map(_.getAs[String]("split")).toSet
