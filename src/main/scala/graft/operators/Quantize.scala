@@ -20,10 +20,14 @@ object Quantize {
     * dequantization error. Map-only — every row is independent, nothing
     * shuffles; the per-element folds are the same left-to-right order as
     * the oracle's list_reduce, so the doubles agree bit-for-bit. */
-  def embedQuant(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def embedQuant(spark: SparkSession, dir: String): DataFrame =
+    quantizeOn(Tables.embeddings(spark, dir))
+
+  /** Testable core over any `(vec_id, embedding)` relation. */
+  private[graft] def quantizeOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     val emb = transform($"embedding", x => x.cast("double"))
-    val e = Tables.embeddings(spark, dir).select($"vec_id", emb.as("emb"))
+    val e = vecs.select($"vec_id", emb.as("emb"))
       .select($"vec_id", $"emb",
         array_min($"emb").as("lo"), array_max($"emb").as("hi"))
       .select($"vec_id", $"emb", $"lo", $"hi",
@@ -341,10 +345,14 @@ object Quantize {
     *
     * Scale shape: one corpus scan partial-aggs to exactly d rows; the
     * max is a 1-row broadcast over those d rows. Map-only otherwise. */
-  def dimVariance(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def dimVariance(spark: SparkSession, dir: String): DataFrame =
+    dimVarianceOn(Tables.embeddings(spark, dir))
+
+  /** Testable core over any `(vec_id, embedding)` relation. */
+  private[graft] def dimVarianceOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val perDim = Tables.embeddings(spark, dir)
+    val perDim = vecs
       .select(posexplode(transform($"embedding",
         x => floor(x.cast("double") * 1e6 + lit(1.0 / 3)).cast("long")))
         .as(Seq("i", "xq")))
@@ -387,11 +395,15 @@ object Quantize {
     * posexploded vectors (map-side); the per-vector reduce partial-aggs
     * on vec_id; the top-20 is TakeOrderedAndProject — per-partition
     * heaps, no global sort. */
-  def zOutliers(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val stats = dimVariance(spark, dir)
+  def zOutliers(spark: SparkSession, dir: String): DataFrame =
+    zOutliersOn(Tables.embeddings(spark, dir), topN = 20)
+
+  /** Testable core over any `(vec_id, embedding)` relation. */
+  private[graft] def zOutliersOn(vecs: DataFrame, topN: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val stats = dimVarianceOn(vecs)
       .select($"i", $"mean_micro", $"var_micro2")
-    val scored = Tables.embeddings(spark, dir)
+    val scored = vecs
       .select($"vec_id", posexplode(transform($"embedding",
         x => floor(x.cast("double") * 1e6 + lit(1.0 / 3)).cast("long")))
         .as(Seq("i", "xq")))
@@ -405,7 +417,7 @@ object Quantize {
           .otherwise(0L))
       .groupBy($"vec_id")
       .agg(sum($"term_milli").as("score_milli"))
-    scored.orderBy($"score_milli".desc, $"vec_id".asc).limit(20)
+    scored.orderBy($"score_milli".desc, $"vec_id".asc).limit(topN)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy($"score_milli".desc, $"vec_id".asc)).cast("long"))

@@ -41,13 +41,29 @@ object Similarity {
     * no shuffle of the collection. */
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
-    val q = e.where($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("qemb"), $"nrm".as("qnrm"))
-    val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("cos", VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
-    topk(scored, 5)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    bruteTopkOn(vecs,
+      vecs.where($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qemb")),
+      k = 5)
+  }
+
+  /** Testable core: exact cosine top-k of each `(query_id, qemb)` row
+    * against the whole `(vec_id, embedding)` collection (self-matches
+    * by id excluded). The query side is assumed small and broadcasts;
+    * the collection streams — no shuffle of the big side. */
+  private[graft] def bruteTopkOn(vecs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val e = vecs.select(col("vec_id"), col("embedding"),
+      VectorOps.l2norm(col("embedding")).as("nrm"))
+    val q = queries.select(col("query_id"), col("qemb"),
+      VectorOps.l2norm(col("qemb")).as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorOps.dot(col("qemb"), col("embedding"))
+          / (col("qnrm") * col("nrm")))
+    topk(scored, k)
   }
 
   /** sign(plane p, 1-based dim d) = +1 iff the first hex digit of
