@@ -260,6 +260,8 @@ object SparkEntry {
     "q238_cluster_sizes"    -> (Graph.clusterSizes _),
     "q239_z_outliers"       -> (Quantize.zOutliers _),
     "q240_vocab_overlap"    -> (TextAnalysis.vocabOverlap _),
+    "q241_calibration_ece"  -> (Evaluate.calibrationEce _),
+    "q242_sliced_w1"        -> (Evaluate.slicedW1 _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5558,6 +5560,101 @@ object SparkEntry {
              AS jaccard_ppm
          FROM pr JOIN sz sa ON pr.src_a = sa.source
            JOIN sz sb ON pr.src_b = sb.source""",
+    // q241: reliability table + ECE of the token-rate classifier —
+    // integer ppm div chains end to end
+    "q241_calibration_ece" ->
+      """WITH dt AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         rate AS (SELECT tok,
+             (CAST(sum(y) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+               AS rate_ppm
+           FROM dt GROUP BY 1),
+         sc AS (SELECT dt.doc_id, dt.y,
+             CAST(sum(rate.rate_ppm) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS pred_ppm
+           FROM dt JOIN rate ON dt.tok = rate.tok
+           GROUP BY 1, 2),
+         gb AS (SELECT pred_ppm, CAST(count(*) AS BIGINT) AS c
+                FROM sc GROUP BY 1),
+         bins AS (SELECT pred_ppm,
+             (CAST(COALESCE(sum(c) OVER (ORDER BY pred_ppm
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) * 10)
+               // (SELECT CAST(count(*) AS BIGINT) FROM sc) AS bin
+           FROM gb),
+         b AS (SELECT bins.bin, sc.y, sc.pred_ppm
+               FROM sc JOIN bins ON sc.pred_ppm = bins.pred_ppm),
+         cal AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pred_ppm) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS conf_ppm,
+             (CAST(sum(y) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+               AS acc_ppm
+           FROM b GROUP BY 1),
+         gp AS (SELECT bin, n_docs, conf_ppm, acc_ppm,
+                  abs(acc_ppm - conf_ppm) AS gap_ppm FROM cal)
+         SELECT bin, n_docs, conf_ppm, acc_ppm, gap_ppm,
+           CAST(sum(n_docs * gap_ppm) OVER () AS BIGINT)
+             // CAST(sum(n_docs) OVER () AS BIGINT) AS ece_ppm
+         FROM gp""",
+    // q242: per-label sliced W1 on 4 md5 sign planes; micro-lattice
+    // projections, HUGEINT strip sums, one double division per cell
+    "q242_sliced_w1" ->
+      """WITH sgn AS (SELECT p.p AS plane, d.d - 1 AS i,
+             CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':'
+                 || CAST(d.d AS VARCHAR)), 1, 1) >= '8'
+               THEN 1 ELSE -1 END AS s
+           FROM range(4) p(p), range(1, 65) d(d)),
+         xq AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS i,
+             CAST(floor(unnest(emb) * 1000000 + 1.0/3) AS BIGINT) AS xq
+           FROM (SELECT vec_id, label, list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)),
+         pj AS (SELECT xq.vec_id, xq.label, sgn.plane,
+             CAST(sum(CASE WHEN sgn.s = 1 THEN xq.xq ELSE -xq.xq END)
+               AS BIGINT) AS v
+           FROM xq JOIN sgn ON xq.i = sgn.i GROUP BY 1, 2, 3),
+         g AS (SELECT plane, label, v, CAST(count(*) AS BIGINT) AS c
+               FROM pj GROUP BY 1, 2, 3),
+         ag AS (SELECT plane, v, CAST(sum(c) AS BIGINT) AS ca
+                FROM g GROUP BY 1, 2),
+         tt AS (SELECT plane, label, CAST(sum(c) AS BIGINT) AS n_s
+                FROM g GROUP BY 1, 2),
+         na AS (SELECT plane, CAST(sum(c) AS BIGINT) AS n_all
+                FROM g GROUP BY 1),
+         grid AS (SELECT ag.plane, tt.label, ag.v, tt.n_s,
+             COALESCE(g.c, 0) AS c, ag.ca
+           FROM ag JOIN tt ON ag.plane = tt.plane
+           LEFT JOIN g ON g.plane = ag.plane AND g.label = tt.label
+             AND g.v = ag.v),
+         cum AS (SELECT plane, label, v, n_s, ca,
+             CAST(sum(c) OVER (PARTITION BY plane, label ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_s,
+             CAST(sum(ca) OVER (PARTITION BY plane, label ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_a,
+             lead(v) OVER (PARTITION BY plane, label ORDER BY v) AS v_next
+           FROM grid),
+         pp AS (SELECT cum.plane, cum.label,
+             CAST(max(cum.n_s) AS BIGINT) AS n_s,
+             CAST(max(na.n_all) AS BIGINT) AS n_all,
+             sum(CASE WHEN v_next IS NULL THEN CAST(0 AS HUGEINT)
+               ELSE abs(CAST(cum_s AS HUGEINT) * na.n_all
+                 - CAST(cum_a AS HUGEINT) * cum.n_s) * (v_next - v)
+               END) AS raw
+           FROM cum JOIN na ON cum.plane = na.plane
+           GROUP BY 1, 2),
+         w1 AS (SELECT plane, label, n_s,
+             CAST(floor(CAST(raw AS DOUBLE)
+               / CAST(CAST(n_s AS HUGEINT) * n_all AS DOUBLE) + 1.0/3)
+               AS BIGINT) AS w1_micro
+           FROM pp)
+         SELECT plane, label, n_s, w1_micro,
+           CAST(sum(w1_micro) OVER (PARTITION BY label) AS BIGINT) // 4
+             AS swd_micro
+         FROM w1""",
     )
     // q230: 2-core of the q28 near-dup graph — the oracle REUSES q28's
     // SQL verbatim as the pair source and unrolls 8 materialized peel

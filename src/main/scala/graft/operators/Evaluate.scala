@@ -293,6 +293,138 @@ object Evaluate {
             .cast("long")).otherwise(0L).as("rho_milli"))
   }
 
+  /** q241: calibration curve + expected calibration error of the
+    * token-rate classifier — q232 asked "does it RANK well out-of-fold"
+    * (AUC); this asks "do its scores MEAN what they say": a doc scored
+    * 0.8 should be English 80% of the time. The reliability table per
+    * score decile (count, mean confidence, empirical accuracy, gap) is
+    * what decides whether q82-style keep/drop thresholds on the score
+    * are honest, and ECE = Σ n_b·|acc_b − conf_b| / n is the one-number
+    * summary (Naeini et al. 2015). The predicted probability is the
+    * doc's MEAN token positive-rate — an interpretable [0,1] proxy the
+    * binning needs (q232's sum-score is unbounded). Bins are
+    * EQUAL-COUNT score deciles (adaptive-binning ECE): fixed-width
+    * bins collapse to ONE populated cell on a concentrated score
+    * distribution (measured: every sf0.01 doc landed in the 0.4-0.5
+    * width-bin) and the reliability table says nothing.
+    *
+    * All integer: rates, per-doc means, decile assignment (cum-count
+    * rank off the bounded distinct-score grid — no per-row sort), bin
+    * confidences and accuracies are exact ppm div chains; the
+    * gap-weighted ECE total is a window sum over the ≤10-row bin table.
+    *
+    * Scale shape: one (token) aggregation pass, one score join, one
+    * groupBy doc, one bounded-grid rank, one groupBy bin — the q232
+    * pipeline minus the fold axis; everything after the doc scores is
+    * bounded by the distinct-score count. */
+  def calibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dt = TextOps.docsParallel(spark, dir)
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(0L).as("y"),
+        explode(array_distinct(TextOps.toks($"text"))).as("tok"))
+    val rate = dt.groupBy($"tok")
+      .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+      .select($"tok", expr("(pos * 1000000) div cnt").as("rate_ppm"))
+    val docScore = dt.join(rate, "tok")
+      .groupBy($"doc_id", $"y")
+      .agg(expr("sum(rate_ppm) div count(1)").as("pred_ppm"))
+    // equal-count decile off the distinct-score grid: bin = rank decile
+    // of the doc's score (ties share a bin — same cum-below count)
+    val wG = Window.orderBy($"pred_ppm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = docScore.groupBy($"pred_ppm").agg(count(lit(1)).as("c"))
+      .withColumn("cless", coalesce(sum($"c").over(wG), lit(0L)))
+      .crossJoin(broadcast(docScore.agg(count(lit(1)).as("n_all"))))
+      .select($"pred_ppm", expr("(cless * 10) div n_all").as("bin"))
+    val scored = docScore.join(bins, "pred_ppm")
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(pred_ppm) div count(1)").as("conf_ppm"),
+        expr("(sum(y) * 1000000) div count(1)").as("acc_ppm"))
+      .withColumn("gap_ppm", abs($"acc_ppm" - $"conf_ppm"))
+      .withColumn("wsum", sum($"n_docs" * $"gap_ppm").over(wAll))
+      .withColumn("wn", sum($"n_docs").over(wAll))
+      .select($"bin", $"n_docs", $"conf_ppm", $"acc_ppm", $"gap_ppm",
+        expr("wsum div wn").as("ece_ppm"))
+  }
+
+  /** q242: sliced Wasserstein embedding drift — per LABEL group, the
+    * W1 distance between the group's projected-embedding distribution
+    * and the whole collection's, on 4 deterministic ±1 hyperplanes
+    * (Similarity's md5 sign family), averaged into the sliced-W1
+    * estimate (Rabin et al. 2011). q229 measures drift in LENGTH space;
+    * this is the same earth-mover question asked of the EMBEDDING
+    * distribution — the drift a re-embedded or differently-sourced
+    * label slice shows long before any downstream metric moves, at 1-D
+    * cost (full high-dimensional W1 is a transport solve; random
+    * projections make it a per-line CDF integral).
+    *
+    * Exactness: components quantize to the micro grid ONCE (q224's
+    * lattice); each projection is a sum of ±xq longs — order-free, no
+    * double accumulation anywhere near the data; strip sums
+    * |cum_s·N − cum_a·n_s|·gap run in decimal(38,0) (cum products pass
+    * long range at ~1e9 vectors); one double division per (plane,
+    * label) floors to micro.
+    *
+    * Scale shape: one posexplode scan joins the broadcast 256-row sign
+    * table and partial-aggs back to |vectors|·4 projections; the CDF
+    * work runs on the bounded (plane, label, value)-grid relation,
+    * Ckpt'd once for its four readers (marginal, totals, grand total,
+    * dense grid). */
+  def slicedW1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val planes = Similarity.signMatrix(4, 64)
+    val sgn = (for (p <- 0 until 4; d <- 0 until 64)
+      yield (p.toLong, d.toLong, planes(p)(d) > 0)).toDF("plane", "i", "pos")
+    val proj = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        posexplode(transform($"embedding",
+          x => floor(x.cast("double") * 1e6 + lit(1.0 / 3)).cast("long")))
+          .as(Seq("i", "xq")))
+      .withColumn("i", $"i".cast("long"))
+      .join(broadcast(sgn), "i")
+      .groupBy($"vec_id", $"label", $"plane")
+      .agg(sum(when($"pos", $"xq").otherwise(-$"xq")).as("v"))
+    val g = Ckpt(proj.groupBy($"plane", $"label", $"v")
+      .agg(count(lit(1)).as("c")), eager = false)
+    val allG = g.groupBy($"plane", $"v").agg(sum($"c").as("ca"))
+    val tot = g.groupBy($"plane", $"label").agg(sum($"c").as("n_s"))
+    val nAll = g.groupBy($"plane").agg(sum($"c").as("n_all"))
+    val grid = allG.join(broadcast(tot), Seq("plane"))
+      .join(g, Seq("plane", "label", "v"), "left")
+      .select($"plane", $"label", $"v", $"n_s",
+        coalesce($"c", lit(0L)).as("c"), $"ca")
+    val wCum = Window.partitionBy($"plane", $"label").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.partitionBy($"plane", $"label").orderBy($"v")
+    val perPlane = grid
+      .withColumn("cum_s", sum($"c").over(wCum))
+      .withColumn("cum_a", sum($"ca").over(wCum))
+      .withColumn("v_next", lead($"v", 1).over(wLead))
+      .join(broadcast(nAll), "plane")
+      .groupBy($"plane", $"label")
+      .agg(max($"n_s").as("n_s"), max($"n_all").as("n_all"),
+        sum(when($"v_next".isNull, lit(0L).cast(dec))
+          .otherwise(abs($"cum_s".cast(dec) * $"n_all"
+            - $"cum_a".cast(dec) * $"n_s") * ($"v_next" - $"v")))
+          .as("raw"))
+      .select($"plane", $"label", $"n_s",
+        floor($"raw".cast("double")
+          / ($"n_s".cast(dec) * $"n_all").cast("double") + lit(1.0 / 3))
+          .cast("long").as("w1_micro"))
+    perPlane
+      .withColumn("swd_micro",
+        expr("sum(w1_micro)").over(Window.partitionBy($"label"))
+          .cast("long"))
+      .select($"plane", $"label", $"n_s", $"w1_micro",
+        expr("swd_micro div 4").as("swd_micro"))
+  }
+
   /** q163: bootstrap confidence interval for a per-source corpus metric
     * (mean document length) — the uncertainty band a data report should
     * carry before anyone compares two sources. Deterministic Poisson

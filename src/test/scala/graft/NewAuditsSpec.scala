@@ -114,6 +114,40 @@ class NewAuditsSpec extends SparkSpec {
     }
   }
 
+  test("calibrationEce: equal-count deciles, consistent weighted total") {
+    val rows = Evaluate.calibrationEce(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(n === spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // equal-count within one doc of each other is NOT guaranteed under
+    // ties, but no bin may be empty and counts must be near n/10
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0L)
+      assert(r.getAs[Long]("acc_ppm") >= 0L
+        && r.getAs[Long]("acc_ppm") <= 1000000L)
+      assert(r.getAs[Long]("gap_ppm") ===
+        math.abs(r.getAs[Long]("acc_ppm") - r.getAs[Long]("conf_ppm")))
+    }
+    val ece = rows.head.getAs[Long]("ece_ppm")
+    val expect = rows.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Long]("gap_ppm")).sum / n
+    assert(rows.forall(_.getAs[Long]("ece_ppm") === ece))
+    assert(ece === expect)
+  }
+
+  test("slicedW1: 4 planes per label, nonnegative W1, swd is the plane mean") {
+    val rows = Evaluate.slicedW1(spark, sfDir).collect()
+    val byLabel = rows.groupBy(_.getAs[Long]("label"))
+    byLabel.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("plane")).toSet === Set(0L, 1L, 2L, 3L))
+      assert(rs.map(_.getAs[Long]("n_s")).toSet.size === 1)
+      rs.foreach(r => assert(r.getAs[Long]("w1_micro") >= 0L))
+      val swd = rs.head.getAs[Long]("swd_micro")
+      assert(rs.forall(_.getAs[Long]("swd_micro") === swd))
+      assert(swd === rs.map(_.getAs[Long]("w1_micro")).sum / 4)
+    }
+  }
+
   test("splitOov: val/test only, and OOV counts bounded by totals") {
     val rows = TextAnalysis.splitOov(spark, sfDir).collect()
     val splits = rows.map(_.getAs[String]("split")).toSet
