@@ -262,6 +262,7 @@ object SparkEntry {
     "q240_vocab_overlap"    -> (TextAnalysis.vocabOverlap _),
     "q241_calibration_ece"  -> (Evaluate.calibrationEce _),
     "q242_sliced_w1"        -> (Evaluate.slicedW1 _),
+    "q243_lex_sem"          -> (Dedup.lexSemAgreement _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5728,9 +5729,51 @@ ${base("q62_dup_clusters")})),
            CAST(sz * count(*) AS BIGINT) AS n_docs,
            CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
          FROM cl GROUP BY 1"""
+    // q243: lexical (exact 3-gram Jaccard >= 0.5) vs semantic (q37's
+    // banded cosine >= 0.4) pair-set agreement; the lex side is the
+    // naive-join form (exact == PPJoin by the q25 equivalence), the sem
+    // side reuses q37's SQL verbatim as a derived table
+    val lexSemOracle =
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         shared AS (
+           SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                       JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+           GROUP BY 1, 2),
+         lexp AS (
+           SELECT s.doc_a, s.doc_b
+           FROM shared s JOIN card ca ON ca.doc_id = s.doc_a
+                         JOIN card cb ON cb.doc_id = s.doc_b
+           WHERE s.n_shared / (ca.n + cb.n - s.n_shared) >= 0.5),
+         semp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+${base("q37_cosine_neardup")})),
+         la AS (SELECT CAST(count(*) AS BIGINT) AS n_lex FROM lexp),
+         sa2 AS (SELECT CAST(count(*) AS BIGINT) AS n_sem FROM semp),
+         bo AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+                FROM lexp JOIN semp USING (doc_a, doc_b))
+         SELECT n_lex, n_sem, n_both,
+           CASE WHEN n_lex > 0 THEN (n_both * 1000000) // n_lex
+             ELSE 0 END AS recall_vs_lex_ppm,
+           CASE WHEN n_sem > 0 THEN (n_both * 1000000) // n_sem
+             ELSE 0 END AS precision_vs_lex_ppm,
+           CASE WHEN n_lex + n_sem - n_both > 0
+             THEN (n_both * 1000000) // (n_lex + n_sem - n_both)
+             ELSE 0 END AS pair_jaccard_ppm
+         FROM la, sa2, bo"""
     base + ("q231_transitivity" -> transOracle) +
       ("q235_assortativity" -> assortOracle) +
-      ("q238_cluster_sizes" -> clusterSizesOracle) + ("q230_dup_core" ->
+      ("q238_cluster_sizes" -> clusterSizesOracle) +
+      ("q243_lex_sem" -> lexSemOracle) + ("q230_dup_core" ->
       (s"""WITH pairs AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs

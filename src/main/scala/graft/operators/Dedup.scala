@@ -915,4 +915,46 @@ object Dedup {
           expr("(n_closed * 1000000) div n_wedge_pairs"))
           .otherwise(0L).as("closure_ppm"))
   }
+
+  /** q243: lexical↔semantic dedup agreement — how much of the exact
+    * 3-gram-Jaccard pair relation (q25's PPJoin at t=0.5) does the
+    * embedding-cosine relation (q37's banded sign-LSH at cos≥0.4) find,
+    * and vice versa? The decision this audit feeds is WHICH dedup
+    * family a corpus needs: high recall-vs-lex means the embedding pass
+    * subsumes the lexical one (paraphrase-heavy corpora); low means
+    * surface duplication the embedding space smooths over (template
+    * families) — run both, in the q24-first funnel order. doc_id and
+    * vec_id share the id space by construction (the embedding of doc i
+    * is row i — the q75 clusterTerms contract).
+    *
+    * On THIS testdata the agreement reads exactly 0: the synthetic
+    * embeddings are generated independently of the text, so neither
+    * relation predicts the other — which is precisely the finding the
+    * audit exists to surface (an embedding model that doesn't encode
+    * the similarity your dedup policy assumes is a silent no-op pass).
+    *
+    * Scale shape: the two pair relations are each Ckpt'd once (both
+    * sides' pipelines are the expensive part; the audit adds one
+    * co-partitioned equality join on the canonical (a < b) pair key and
+    * three 1-row aggregates). All ratios are exact integer ppm. */
+  def lexSemAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = Ckpt(ngramJaccardOn(TextOps.docsParallel(spark, dir), 0.5)
+      .select($"doc_a", $"doc_b"), eager = false)
+    val sem = Ckpt(Similarity.cosineNearDup(spark, dir)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")), eager = false)
+    val nl = lex.agg(count(lit(1)).as("n_lex"))
+    val ns = sem.agg(count(lit(1)).as("n_sem"))
+    val nb = lex.join(sem, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    nl.crossJoin(broadcast(ns)).crossJoin(broadcast(nb))
+      .select($"n_lex", $"n_sem", $"n_both",
+        when($"n_lex" > 0L, expr("(n_both * 1000000) div n_lex"))
+          .otherwise(0L).as("recall_vs_lex_ppm"),
+        when($"n_sem" > 0L, expr("(n_both * 1000000) div n_sem"))
+          .otherwise(0L).as("precision_vs_lex_ppm"),
+        when($"n_lex" + $"n_sem" - $"n_both" > 0L,
+          expr("(n_both * 1000000) div (n_lex + n_sem - n_both)"))
+          .otherwise(0L).as("pair_jaccard_ppm"))
+  }
 }

@@ -148,6 +148,17 @@ class NewAuditsSpec extends SparkSpec {
     }
   }
 
+  test("lexSemAgreement: intersection bounded by both pair sets") {
+    val r = graft.operators.Dedup.lexSemAgreement(spark, sfDir)
+      .collect().head
+    val (nl, ns, nb) = (r.getAs[Long]("n_lex"), r.getAs[Long]("n_sem"),
+      r.getAs[Long]("n_both"))
+    assert(nb <= math.min(nl, ns))
+    assert(r.getAs[Long]("pair_jaccard_ppm") <= 1000000L)
+    if (nl > 0)
+      assert(r.getAs[Long]("recall_vs_lex_ppm") === nb * 1000000L / nl)
+  }
+
   test("splitOov: val/test only, and OOV counts bounded by totals") {
     val rows = TextAnalysis.splitOov(spark, sfDir).collect()
     val splits = rows.map(_.getAs[String]("split")).toSet
