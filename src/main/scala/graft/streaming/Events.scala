@@ -267,6 +267,77 @@ object Events {
       .start()
   }
 
+  /** Streaming OOV ingest monitor — q234's vocabulary-generalization
+    * audit run continuously on arriving documents against a FROZEN
+    * training vocabulary: the live answer to "is the feed drifting off
+    * the tokenizer's vocabulary", caught at ingest instead of at the
+    * next training run. Per micro-batch the batch's token occurrences
+    * probe the vocabulary; OOV occurrences accumulate in an additive
+    * state table and the monitor appends a cumulative snapshot
+    * (n_tokens, n_oov, n_oov_types, oov_ppm).
+    *
+    * Exactly-once on the STATE (the driftMonitor contract): each
+    * batch's rows land in a batch_id partition via dynamic partition
+    * overwrite, so a replayed micro-batch overwrites itself. State is
+    * kind-tagged: 'total' rows carry the batch's occurrence count,
+    * 'oov' rows carry per-TOKEN occurrence counts — per-token because
+    * distinct-type counts are NOT additive across batches (the same
+    * novel token arriving twice must count once); the state stays
+    * bounded by the OOV vocabulary, which staying small is precisely
+    * what the monitor watches.
+    *
+    * Scale: the vocabulary probe joins on the token key (the q234
+    * rule — an induced vocabulary outgrows any broadcast); here the
+    * frozen vocab is stream-lifetime localCheckpointed once
+    * (durability belongs to the engine's replay, not Ckpt). */
+  def oovMonitor(stream: DataFrame, trainDocs: DataFrame,
+      stateTarget: String, monitorTarget: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val vocab = trainDocs
+      .select(explode(graft.operators.TextOps.toks(col("text"))).as("tok"))
+      .distinct().withColumn("__in", lit(1L))
+      .localCheckpoint(true)
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
+      import batch.sparkSession.implicits._
+      val spark = batch.sparkSession
+      val probed = batch
+        .select(explode(graft.operators.TextOps.toks($"text")).as("tok"))
+        .join(vocab, Seq("tok"), "left")
+        .localCheckpoint(true)
+      val oovRows = probed.where($"__in".isNull)
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+        .select(lit("oov").as("kind"), $"tok", $"c")
+      val totalRow = probed
+        .agg(count(lit(1)).as("c"))
+        .select(lit("total").as("kind"), lit(null).cast("string").as("tok"),
+          $"c")
+      oovRows.unionByName(totalRow)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stateTarget)
+      graft.operators.Ckpt.release(probed)
+      val st = spark.read.parquet(stateTarget)
+      val tot = st.where($"kind" === "total").agg(sum($"c").as("n_tokens"))
+      val oov = st.where($"kind" === "oov")
+        .agg(coalesce(sum($"c"), lit(0L)).as("n_oov"),
+          countDistinct($"tok").as("n_oov_types"))
+      tot.crossJoin(oov)
+        .select($"n_tokens", $"n_oov", $"n_oov_types",
+          when($"n_tokens" > 0L, expr("(n_oov * 1000000) div n_tokens"))
+            .otherwise(0L).as("oov_ppm"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(monitorTarget)
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+  }
+
   /** Streaming burst monitor — q221's episode census run continuously
     * (the live twin of [[driftMonitor]]'s PSI): each micro-batch's
     * events collapse to (event_type, hour, count) partial counts that

@@ -279,6 +279,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming OOV monitor: final snapshot equals the batch probe over the same delta") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_oov_monitor_${System.nanoTime()}")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val train = docs.where($"doc_id" % 5 =!= 0)
+    val deltaDir = new java.io.File(base, "arriving").getPath
+    docs.where($"doc_id" % 5 === 0).write.parquet(deltaDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(deltaDir)
+    val q = Events.oovMonitor(stream, train,
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.read.parquet(new java.io.File(base, "monitor").getPath)
+      .orderBy($"batch_id".desc).limit(1).collect().head
+    // batch twin: same tokenization, same vocab probe, computed directly
+    val vocab = train.select(explode(
+      graft.operators.TextOps.toks($"text")).as("tok")).distinct()
+      .withColumn("__in", lit(1L))
+    val expect = docs.where($"doc_id" % 5 === 0)
+      .select(explode(graft.operators.TextOps.toks($"text")).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"__in".isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when($"__in".isNull, $"tok")).as("n_oov_types"))
+      .collect().head
+    assert(last.getAs[Long]("n_tokens") === expect.getAs[Long]("n_tokens"))
+    assert(last.getAs[Long]("n_oov") === expect.getAs[Long]("n_oov"))
+    assert(last.getAs[Long]("n_oov_types") === expect.getAs[Long]("n_oov_types"))
+    assert(last.getAs[Long]("oov_ppm") ===
+      expect.getAs[Long]("n_oov") * 1000000L / expect.getAs[Long]("n_tokens"))
+  }
+
   test("streaming drift monitor: final PSI snapshot equals the batch q149 screen") {
     import spark.implicits._
     val base = new java.io.File(sys.props("java.io.tmpdir"),
