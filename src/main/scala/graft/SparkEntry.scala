@@ -263,6 +263,7 @@ object SparkEntry {
     "q241_calibration_ece"  -> (Evaluate.calibrationEce _),
     "q242_sliced_w1"        -> (Evaluate.slicedW1 _),
     "q243_lex_sem"          -> (Dedup.lexSemAgreement _),
+    "q244_cell_label_ari"   -> (Similarity.cellLabelAri _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5770,10 +5771,54 @@ ${base("q37_cosine_neardup")})),
              THEN (n_both * 1000000) // (n_lex + n_sem - n_both)
              ELSE 0 END AS pair_jaccard_ppm
          FROM la, sa2, bo"""
+    // q244: ARI between q38's cell assignment and gold labels — the
+    // assignment CTEs mirror q38's oracle, the agreement math q233's
+    val cellAriOracle =
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         n AS (SELECT vec_id, label, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x*x),
+                   (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+                  FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, label, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, n.label, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]),
+                     (a,b)->a+b) / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         cm AS (SELECT label AS gold, cent_id AS predicted,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM ranked WHERE crk = 1 GROUP BY 1, 2),
+         idx AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS index_pairs,
+                   CAST(sum(n) AS BIGINT) AS n_docs FROM cm),
+         ra AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS sum_a
+                FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM cm GROUP BY gold)),
+         cb AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS sum_b
+                FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM cm GROUP BY predicted)),
+         z AS (SELECT n_docs, index_pairs, sum_a, sum_b,
+                 (n_docs * (n_docs - 1)) // 2 AS c2n FROM idx, ra, cb),
+         f AS (SELECT *,
+                 CAST(index_pairs AS HUGEINT) * c2n
+                   - CAST(sum_a AS HUGEINT) * sum_b AS numh,
+                 CAST(c2n AS HUGEINT) * (sum_a + sum_b)
+                   - CAST(sum_a AS HUGEINT) * sum_b * 2 AS denh
+               FROM z)
+         SELECT n_docs, index_pairs, sum_a, sum_b,
+           CASE WHEN CAST(denh AS DOUBLE) > 0
+             THEN CAST(floor(CAST(numh AS DOUBLE) * 2 * 1000000
+               / CAST(denh AS DOUBLE) + 1.0/3) AS BIGINT)
+             ELSE 0 END AS ari_ppm
+         FROM f"""
     base + ("q231_transitivity" -> transOracle) +
       ("q235_assortativity" -> assortOracle) +
       ("q238_cluster_sizes" -> clusterSizesOracle) +
-      ("q243_lex_sem" -> lexSemOracle) + ("q230_dup_core" ->
+      ("q243_lex_sem" -> lexSemOracle) +
+      ("q244_cell_label_ari" -> cellAriOracle) + ("q230_dup_core" ->
       (s"""WITH pairs AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -740,4 +740,34 @@ object Similarity {
       .select($"q_label".as("label"), $"n_queries", $"n_pairs", $"n_agree",
         expr("(n_agree * 1000000) div n_pairs").as("purity_ppm"))
   }
+
+  /** q244: IVF-cell ↔ gold-label ARI — does the coarse quantizer's
+    * partition agree with the labels, as ONE chance-corrected number?
+    * q225's kNN purity scores the NEIGHBOR graph; this scores the CELL
+    * assignment itself — the quantizer property that decides whether
+    * label-filtered ANN can prune to matching cells (aligned cells) or
+    * must probe everywhere (orthogonal cells). Assignment is q38's
+    * exact rule (first-8 codebook, cosine argmax, min-id tie-break) so
+    * the oracle reproduces it; the agreement math is q233's ariOn on
+    * the (label, cell) pairs.
+    *
+    * Scale shape: assignment is the broadcast-codebook map-only pass;
+    * ariOn reduces it to the ≤|labels|·k contingency table in one
+    * partial-agged shuffle. */
+  def cellLabelAri(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id",
+      $"label".cast("long").as("label"), $"embedding",
+      VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val ranked = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+    Evaluate.ariOn(ranked.where($"crk" === 1)
+      .select($"label".as("gold"), $"cent_id".as("predicted")))
+  }
 }

@@ -159,6 +159,15 @@ class NewAuditsSpec extends SparkSpec {
       assert(r.getAs[Long]("recall_vs_lex_ppm") === nb * 1000000L / nl)
   }
 
+  test("cellLabelAri: one row, ARI within [-1, 1], full collection counted") {
+    val r = graft.operators.Similarity.cellLabelAri(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") ===
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    val ari = r.getAs[Long]("ari_ppm")
+    assert(ari >= -1000000L && ari <= 1000000L)
+  }
+
   test("splitOov: val/test only, and OOV counts bounded by totals") {
     val rows = TextAnalysis.splitOov(spark, sfDir).collect()
     val splits = rows.map(_.getAs[String]("split")).toSet
