@@ -264,6 +264,7 @@ object SparkEntry {
     "q242_sliced_w1"        -> (Evaluate.slicedW1 _),
     "q243_lex_sem"          -> (Dedup.lexSemAgreement _),
     "q244_cell_label_ari"   -> (Similarity.cellLabelAri _),
+    "q245_radius_sweep"     -> (Dedup.radiusSweep _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5814,11 +5815,56 @@ ${base("q37_cosine_neardup")})),
                / CAST(denh AS DOUBLE) + 1.0/3) AS BIGINT)
              ELSE 0 END AS ari_ppm
          FROM f"""
+    // q245: radius sweep — q28's chain with the candidate hamming cap
+    // raised to 2 (sound: <=2 differing bits break <=2 of 4 bands),
+    // then a 3-row census
+    val radiusOracle =
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j.j,
+                  sum(tf * CASE WHEN substr(md5(tok), j.j + 1, 1) >= '8'
+                           THEN 1 ELSE -1 END) AS s
+           FROM tf, range(32) j(j) GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                    AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b.band,
+                           (simhash // (1::BIGINT << (b.band * 8))) % 256 AS byte
+                    FROM sh, range(4) b(band)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                         b.doc_id AS doc_b, b.simhash AS sh_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b,
+                     CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+                   FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2),
+         ex AS (SELECT doc_a, doc_b, hamming,
+                  CAST(unnest(range(hamming, 3)) AS BIGINT) AS radius
+                FROM pairs),
+         counts AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_pairs_cum,
+             CAST(sum(CASE WHEN hamming = radius THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pairs_at
+           FROM ex GROUP BY 1),
+         cover AS (SELECT radius, CAST(count(DISTINCT d) AS BIGINT)
+                     AS n_docs_covered
+                   FROM (SELECT radius, unnest([doc_a, doc_b]) AS d FROM ex)
+                   GROUP BY 1)
+         SELECT CAST(r.radius AS BIGINT) AS radius,
+           CAST(COALESCE(counts.n_pairs_at, 0) AS BIGINT) AS n_pairs_at,
+           CAST(COALESCE(counts.n_pairs_cum, 0) AS BIGINT) AS n_pairs_cum,
+           CAST(COALESCE(cover.n_docs_covered, 0) AS BIGINT) AS n_docs_covered
+         FROM range(3) r(radius)
+         LEFT JOIN counts ON counts.radius = r.radius
+         LEFT JOIN cover ON cover.radius = r.radius"""
     base + ("q231_transitivity" -> transOracle) +
       ("q235_assortativity" -> assortOracle) +
       ("q238_cluster_sizes" -> clusterSizesOracle) +
       ("q243_lex_sem" -> lexSemOracle) +
-      ("q244_cell_label_ari" -> cellAriOracle) + ("q230_dup_core" ->
+      ("q244_cell_label_ari" -> cellAriOracle) +
+      ("q245_radius_sweep" -> radiusOracle) + ("q230_dup_core" ->
       (s"""WITH pairs AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -402,6 +402,56 @@ object Dedup {
       .distinct()
   }
 
+  /** q245: simhash radius sensitivity — the pair count and distinct-doc
+    * coverage at hamming radius 0, 1 and 2, from ONE banded candidate
+    * pass. The tuning table behind q28's radius choice: a production
+    * dedup picks its hamming threshold off exactly this curve (how many
+    * extra pairs each radius step admits, and how many more documents
+    * it touches), instead of re-running the pipeline per candidate
+    * radius. Soundness of the single pass: 4 bands of 8 bits mean a
+    * pair differing in ≤ 3 bits can break at most 3 bands, so every
+    * pair with hamming ≤ 2 still agrees on ≥ 1 band and IS a banded
+    * candidate — the sweep is exact, not a sample.
+    *
+    * Scale shape: identical to q28 up to the candidate join (band
+    * tables shuffle, never the corpus cross), then a ≤3-row census:
+    * per-radius pair counts from one groupBy, cumulative counts and
+    * doc coverage from the bounded pair relation. */
+  def radiusSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shash = simhash(spark, dir)
+    val banded = shash.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("byte",
+        expr("(simhash div shiftleft(CAST(1 AS BIGINT), band * 8)) % 256"))
+    val pairs = Ckpt(banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.byte" === $"b.byte" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
+          .as("hamming"))
+      .where($"hamming" <= 2)
+      .distinct(), eager = false)
+    // each pair contributes to every radius >= its hamming — a 3-row
+    // fan-out of the bounded pair relation, no theta join
+    val expanded = pairs.select($"doc_a", $"doc_b", $"hamming",
+      explode(sequence($"hamming", lit(2L))).as("radius"))
+    val counts = expanded.groupBy($"radius")
+      .agg(count(lit(1)).as("n_pairs_cum"),
+        sum(when($"hamming" === $"radius", 1L).otherwise(0L))
+          .as("n_pairs_at"))
+    val cover = expanded
+      .select($"radius", explode(array($"doc_a", $"doc_b")).as("d"))
+      .groupBy($"radius").agg(countDistinct($"d").as("n_docs_covered"))
+    spark.range(0, 3).select($"id".as("radius"))
+      .join(counts, Seq("radius"), "left")
+      .join(cover, Seq("radius"), "left")
+      .select($"radius",
+        coalesce($"n_pairs_at", lit(0L)).as("n_pairs_at"),
+        coalesce($"n_pairs_cum", lit(0L)).as("n_pairs_cum"),
+        coalesce($"n_docs_covered", lit(0L)).as("n_docs_covered"))
+  }
+
   /** q89: winnowing fingerprints — SUBSTRING-level overlap detection
     * (shared passages, quotations, partial mirrors), the capability
     * whole-doc dedup can't express: two documents that share only a

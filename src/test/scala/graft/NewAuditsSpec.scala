@@ -168,6 +168,22 @@ class NewAuditsSpec extends SparkSpec {
     assert(ari >= -1000000L && ari <= 1000000L)
   }
 
+  test("radiusSweep: cumulative counts are the running sum and monotone") {
+    val rows = graft.operators.Dedup.radiusSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("radius"))
+    assert(rows.map(_.getAs[Long]("radius")).toSeq === Seq(0L, 1L, 2L))
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getAs[Long]("n_pairs_at")
+      assert(r.getAs[Long]("n_pairs_cum") === run)
+    }
+    val cov = rows.map(_.getAs[Long]("n_docs_covered"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    // radius 1 must reproduce q28's relation size exactly
+    val q28 = graft.operators.Dedup.simhashPairs(spark, sfDir).count()
+    assert(rows(1).getAs[Long]("n_pairs_cum") === q28)
+  }
+
   test("splitOov: val/test only, and OOV counts bounded by totals") {
     val rows = TextAnalysis.splitOov(spark, sfDir).collect()
     val splits = rows.map(_.getAs[String]("split")).toSet
