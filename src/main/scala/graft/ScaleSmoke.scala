@@ -74,6 +74,10 @@ object ScaleSmoke {
     // round 9: JL audit is sample-bounded (flat), k-center is k linear
     // scans (~scan ratio)
     "q183_jl_audit", "q187_kcenter",
+    // round 10: z-outliers and sliced-W1 reduce to d-row stats / the
+    // bounded (plane,label,value) grid; cell-label ARI is the broadcast
+    // codebook assign + bounded contingency — ideal ~ scan ratio
+    "q239_z_outliers", "q242_sliced_w1", "q244_cell_label_ari",
     // round 9 (driver round 9): centroid shift and dim variance reduce
     // to |labels|*d / d sums (ideal ~ scan ratio); purity rides q138's
     // banded candidate volume

@@ -265,6 +265,7 @@ object SparkEntry {
     "q243_lex_sem"          -> (Dedup.lexSemAgreement _),
     "q244_cell_label_ari"   -> (Similarity.cellLabelAri _),
     "q245_radius_sweep"     -> (Dedup.radiusSweep _),
+    "q246_dedup_savings"    -> (Graph.dedupSavings _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5859,12 +5860,38 @@ ${base("q37_cosine_neardup")})),
          FROM range(3) r(radius)
          LEFT JOIN counts ON counts.radius = r.radius
          LEFT JOIN cover ON cover.radius = r.radius"""
+    // q246: keep-one-per-cluster token savings, per source, over q62's
+    // labeling (same nested-recursive-CTE reuse as q238)
+    val dedupSavingsOracle =
+      s"""WITH lbl AS (SELECT * FROM (
+${base("q62_dup_clusters")})),
+         tk AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents),
+         j AS (SELECT lbl.doc_id, lbl.cluster_id, tk.source, tk.n_tok
+               FROM lbl JOIN tk USING (doc_id)),
+         kp AS (SELECT cluster_id, min(doc_id) AS keep_id
+                FROM j GROUP BY 1),
+         r AS (SELECT j.source, j.n_tok,
+                 CASE WHEN j.doc_id <> kp.keep_id THEN 1 ELSE 0 END
+                   AS removed
+               FROM j JOIN kp USING (cluster_id))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN removed = 1 THEN n_tok ELSE 0 END)
+             AS BIGINT) AS tokens_removed,
+           (CAST(sum(CASE WHEN removed = 1 THEN n_tok ELSE 0 END)
+             AS BIGINT) * 1000000)
+             // CAST(sum(n_tok) AS BIGINT) AS removed_ppm
+         FROM r GROUP BY 1"""
     base + ("q231_transitivity" -> transOracle) +
       ("q235_assortativity" -> assortOracle) +
       ("q238_cluster_sizes" -> clusterSizesOracle) +
       ("q243_lex_sem" -> lexSemOracle) +
       ("q244_cell_label_ari" -> cellAriOracle) +
-      ("q245_radius_sweep" -> radiusOracle) + ("q230_dup_core" ->
+      ("q245_radius_sweep" -> radiusOracle) +
+      ("q246_dedup_savings" -> dedupSavingsOracle) + ("q230_dup_core" ->
       (s"""WITH pairs AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs

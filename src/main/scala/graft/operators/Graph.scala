@@ -204,6 +204,39 @@ object Graph {
         (($"sz" - 1L) * $"n_clusters").as("n_removable"))
   }
 
+  /** q246: dedup token-savings report, per source — the number a
+    * curation team actually reports upward: if we keep one document per
+    * q62 cluster (the min-id keeper), how many TOKENS does each source
+    * lose, and what fraction of its volume is that? q238 counts
+    * removable ROWS; tokens are what the training budget is priced in,
+    * and the per-source split shows who pays the dedup bill (a mirror
+    * crawl loses half its mass; a curated source loses ~nothing).
+    *
+    * Scale shape: the CC labeling is the cost (shared shape with
+    * q62/q238); the report is one map-side token count, one
+    * co-partitioned join of labels to counts on doc_id, a min-id
+    * keeper window per cluster — partial-agged — and a |sources|-row
+    * groupBy. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"doc_id", $"source",
+        size(graft.operators.TextOps.toks($"text")).cast("long").as("n_tok"))
+    val labeled = dupClusters(spark, dir)
+      .join(toks, "doc_id")
+    val keeper = labeled.groupBy($"cluster_id")
+      .agg(min($"doc_id").as("keep_id"))
+    labeled.join(keeper, "cluster_id")
+      .withColumn("removed", $"doc_id" =!= $"keep_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"removed", 1L).otherwise(0L)).as("n_removed"),
+        sum($"n_tok").as("tokens_total"),
+        sum(when($"removed", $"n_tok").otherwise(0L)).as("tokens_removed"))
+      .withColumn("removed_ppm",
+        expr("(tokens_removed * 1000000) div tokens_total"))
+  }
+
   /** Pipeline-reuse form of q79: keeper selection over PRECOMPUTED
     * clusters and quality scores — a real pipeline runs the CC fixpoint
     * once and feeds its output here, instead of re-deriving pairs+CC

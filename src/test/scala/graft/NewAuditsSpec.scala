@@ -184,6 +184,21 @@ class NewAuditsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_pairs_cum") === q28)
   }
 
+  test("dedupSavings: removal conserves docs and tokens vs the q62 labeling") {
+    val rows = Graph.dedupSavings(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_removed") <= r.getAs[Long]("tokens_total"))
+    }
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // total removed docs == docs minus clusters (one keeper each)
+    val labels = Graph.dupClusters(spark, sfDir)
+    val nClusters = labels.select("cluster_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_removed")).sum === nDocs - nClusters)
+  }
+
   test("splitOov: val/test only, and OOV counts bounded by totals") {
     val rows = TextAnalysis.splitOov(spark, sfDir).collect()
     val splits = rows.map(_.getAs[String]("split")).toSet
