@@ -224,10 +224,12 @@ object Graph {
         size(graft.operators.TextOps.toks($"text")).cast("long").as("n_tok"))
     val labeled = dupClusters(spark, dir)
       .join(toks, "doc_id")
-    val keeper = labeled.groupBy($"cluster_id")
-      .agg(min($"doc_id").as("keep_id"))
-    labeled.join(keeper, "cluster_id")
-      .withColumn("removed", $"doc_id" =!= $"keep_id")
+    // q62's label IS the keeper (cluster_id = min doc_id in the
+    // component), so "removed" is a per-row comparison — no keeper
+    // aggregation or join; the oracle derives its keeper explicitly and
+    // the two definitions coincide by the q62 contract
+    labeled
+      .withColumn("removed", $"doc_id" =!= $"cluster_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"removed", 1L).otherwise(0L)).as("n_removed"),
