@@ -55,6 +55,32 @@ class CkptSpec extends SparkSpec {
       s"release left checkpoint files behind: ${rddDirs(tmp)}")
   }
 
+  test("release through a DERIVED frame is a no-op; double release too") {
+    val tmp = Files.createTempDirectory("graft-ckpt-guard")
+    val s = durableSession(tmp.toString)
+    import s.implicits._
+    val a = Ckpt((1 to 30).toDF("n"), eager = true)
+    val b = Ckpt((1 to 30).toDF("n"), eager = true)
+    assert(rddDirs(tmp).size === 2)
+    // a join of two checkpointed inputs SHARES their LogicalRDD leaves;
+    // releasing through it must not delete storage other plans read
+    val joined = a.join(b, "n")
+    Ckpt.release(joined)
+    assert(rddDirs(tmp).size === 2,
+      "release(derived) deleted a shared checkpoint")
+    assert(a.count() === 30L && b.count() === 30L)
+    // a projection of one checkpoint is likewise derived, not the frame
+    Ckpt.release(a.select(($"n" + 1).as("m")))
+    assert(rddDirs(tmp).size === 2)
+    // releasing the REAL frames frees them exactly once
+    Ckpt.release(a)
+    assert(rddDirs(tmp).size === 1)
+    Ckpt.release(a) // second release: already disowned, no-op
+    assert(rddDirs(tmp).size === 1)
+    Ckpt.release(b)
+    assert(rddDirs(tmp).isEmpty)
+  }
+
   test("lazy Ckpt materializes at first action, not before") {
     val tmp = Files.createTempDirectory("graft-ckpt-lazy")
     val s = durableSession(tmp.toString)
