@@ -266,6 +266,10 @@ object SparkEntry {
     "q244_cell_label_ari"   -> (Similarity.cellLabelAri _),
     "q245_radius_sweep"     -> (Dedup.radiusSweep _),
     "q246_dedup_savings"    -> (Graph.dedupSavings _),
+    "q247_t_closeness"      -> (Curation.tCloseness _),
+    "q248_neyman_alloc"     -> (Sampling.neymanAlloc _),
+    "q249_participation"    -> (Quantize.participationRatio _),
+    "q251_cohen_kappa"      -> (Evaluate.cohenKappa _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5885,7 +5889,155 @@ ${base("q62_dup_clusters")})),
              AS BIGINT) * 1000000)
              // CAST(sum(n_tok) AS BIGINT) AS removed_ppm
          FROM r GROUP BY 1"""
+    // q247: t-closeness — q216's decile construction, per-class vs global
+    // cumulative mass, EMD over the ordered scale
+    val tClosenessOracle =
+      """WITH g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1),
+         a AS (SELECT n_chars,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_gt,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n_tot
+           FROM g),
+         dec_map AS (SELECT n_chars, (cum_gt * 10) // n_tot + 1 AS decile
+                     FROM a),
+         tag AS (SELECT d.lang, d.source, dec_map.decile
+                 FROM documents d JOIN dec_map USING (n_chars)),
+         gdist AS (SELECT decile, CAST(count(*) AS BIGINT) AS g
+                  FROM tag GROUP BY 1),
+         gc AS (SELECT decile,
+             CAST(sum(g) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_g,
+             CAST(sum(g) OVER () AS BIGINT) AS n_total
+           FROM gdist),
+         cls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM tag GROUP BY 1, 2),
+         cc AS (SELECT lang, source, decile, CAST(count(*) AS BIGINT) AS c
+                FROM tag GROUP BY 1, 2, 3),
+         grid AS (SELECT cls.lang, cls.source, cls.n_docs,
+             CAST(r.d AS BIGINT) AS decile,
+             CAST(COALESCE(cc.c, 0) AS BIGINT) AS c
+           FROM cls CROSS JOIN range(1, 11) r(d)
+           LEFT JOIN cc ON cc.lang = cls.lang AND cc.source = cls.source
+             AND cc.decile = r.d),
+         cum AS (SELECT lang, source, n_docs, decile,
+             CAST(sum(c) OVER (PARTITION BY lang, source ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_c
+           FROM grid),
+         j AS (SELECT cum.*, gc.cum_g, gc.n_total
+               FROM cum JOIN gc USING (decile)),
+         e AS (SELECT lang, source, n_docs, any_value(n_total) AS n_total,
+             sum(abs(CAST(cum_c AS HUGEINT) * n_total
+               - CAST(cum_g AS HUGEINT) * n_docs)) AS sd
+           FROM j GROUP BY 1, 2, 3)
+         SELECT lang, source, n_docs,
+           CAST(floor(CAST(sd AS DOUBLE) * 1000000
+             / (9 * CAST(n_docs AS DOUBLE) * CAST(n_total AS DOUBLE))
+             + 1.0/3) AS BIGINT) AS emd_ppm,
+           CAST(CASE WHEN floor(CAST(sd AS DOUBLE) * 1000000
+             / (9 * CAST(n_docs AS DOUBLE) * CAST(n_total AS DOUBLE))
+             + 1.0/3) > 200000 THEN 1 ELSE 0 END AS BIGINT) AS breach
+         FROM e"""
+    // q248: Neyman allocation over per-source n_chars variance
+    val neymanOracle =
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(CAST(n_chars AS HUGEINT)) AS sx,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+           FROM documents GROUP BY 1),
+         v AS (SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+               / (CAST(n_docs AS DOUBLE) * n_docs)) * 1000 + 1.0/3)
+               AS BIGINT) AS sd_milli
+           FROM s),
+         w AS (SELECT source, n_docs, sd_milli,
+             n_docs * sd_milli AS w FROM v),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS t,
+             CAST(sum(n_docs) AS BIGINT) AS n_total,
+             sum(CAST(n_docs AS HUGEINT) * sd_milli * sd_milli) AS b
+           FROM w)
+         SELECT source, n_docs, sd_milli,
+           CAST((10000 * CAST(w AS HUGEINT)) // t AS BIGINT)
+             AS alloc_neyman,
+           (10000 * n_docs) // n_total AS alloc_prop,
+           CAST(floor(CAST(CAST(t AS HUGEINT) * t AS DOUBLE) * 1000000
+             / (CAST(n_total AS DOUBLE) * CAST(b AS DOUBLE)) + 1.0/3)
+             AS BIGINT) AS deff_ppm
+         FROM w, t"""
+    // q249: participation ratio — one aggregate over q224's census
+    val prOracle =
+      s"""WITH dv AS (
+${base("q224_dim_variance")}),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             CAST(sum(dead) AS BIGINT) AS n_dead,
+             sum(CAST(var_micro2 AS HUGEINT)) AS sv,
+             sum(CAST(var_micro2 AS HUGEINT) * var_micro2) AS svv,
+             CAST(max(var_micro2) AS BIGINT) AS max_var
+           FROM dv)
+         SELECT n_dims, n_dead, CAST(sv AS BIGINT) AS sum_var,
+           CASE WHEN svv > 0 THEN CAST(floor(CAST(sv * sv AS DOUBLE) * 1000
+             / CAST(svv AS DOUBLE) + 1.0/3) AS BIGINT) ELSE 0 END
+             AS pr_milli,
+           CASE WHEN sv > 0 THEN CAST(floor(CAST(max_var AS DOUBLE) * 1000000
+             / CAST(sv AS DOUBLE) + 1.0/3) AS BIGINT) ELSE 0 END
+             AS top_share_ppm
+         FROM s"""
+    // q251: Cohen's kappa — q233's langid confusion matrix, marginal
+    // chance correction instead of pair-counting
+    val kappaOracle =
+      """WITH s AS (
+           SELECT lang,
+             CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'nd ', ''))) / 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, 'der', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ein', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'sch', ''))) / 3 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, 'le ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'es ', ''))) / 3 AS BIGINT) AS score_fr,
+             CAST((length(text) - length(replace(text, 'de ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'la ', ''))) / 3 AS BIGINT)
+           + CAST((length(text) - length(replace(text, 'os ', ''))) / 3 AS BIGINT) AS score_es
+           FROM documents),
+         pr AS (
+           SELECT lang AS gold,
+             CASE WHEN score_en >= score_de AND score_en >= score_fr
+                       AND score_en >= score_es THEN 'en'
+                  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                  WHEN score_fr >= score_es THEN 'fr'
+                  ELSE 'es' END AS predicted
+           FROM s),
+         cm AS (SELECT gold, predicted, CAST(count(*) AS BIGINT) AS n
+                FROM pr GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN gold = predicted THEN n ELSE 0 END)
+               AS BIGINT) AS n_agree FROM cm),
+         ma AS (SELECT gold AS lbl, CAST(sum(n) AS BIGINT) AS a
+                FROM cm GROUP BY 1),
+         mb AS (SELECT predicted AS lbl, CAST(sum(n) AS BIGINT) AS b
+                FROM cm GROUP BY 1),
+         pe AS (SELECT sum(CAST(a AS HUGEINT) * b) AS sab
+                FROM ma JOIN mb USING (lbl))
+         SELECT n_docs, n_agree,
+           (n_agree * 1000000) // n_docs AS po_ppm,
+           CAST(floor(CAST(sab AS DOUBLE) * 1000000
+             / (CAST(n_docs AS DOUBLE) * n_docs) + 1.0/3) AS BIGINT)
+             AS pe_ppm,
+           CASE WHEN CAST(n_docs AS HUGEINT) * n_docs <> sab
+             THEN CAST(floor(CAST(CAST(n_docs AS HUGEINT) * n_agree - sab
+               AS DOUBLE) * 1000
+               / CAST(CAST(n_docs AS HUGEINT) * n_docs - sab AS DOUBLE)
+               + 1.0/3) AS BIGINT)
+             ELSE 0 END AS kappa_milli
+         FROM tot, pe"""
     base + ("q231_transitivity" -> transOracle) +
+      ("q247_t_closeness" -> tClosenessOracle) +
+      ("q248_neyman_alloc" -> neymanOracle) +
+      ("q249_participation" -> prOracle) +
+      ("q251_cohen_kappa" -> kappaOracle) +
       ("q235_assortativity" -> assortOracle) +
       ("q238_cluster_sizes" -> clusterSizesOracle) +
       ("q243_lex_sem" -> lexSemOracle) +

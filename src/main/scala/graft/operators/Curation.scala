@@ -651,4 +651,82 @@ object Curation {
       .select($"l", $"n_classes", $"n_records",
         expr("(n_records * 1000000) div total").as("mass_ppm"))
   }
+
+  /** q247: t-closeness — the third member of the privacy triad (q207
+    * k-anonymity counts class sizes, q216 l-diversity counts distinct
+    * sensitive values; neither sees a class whose sensitive DISTRIBUTION
+    * is skewed, the attack t-closeness exists to name). For every
+    * quasi-identifier class (lang, source), the Earth-Mover's Distance
+    * between the class's length-decile distribution and the global one,
+    * over the ORDERED decile scale: EMD = (1/(m-1))·Σ_i |P(≤i) − Q(≤i)|
+    * (Li, Li & Venkatasubramanian 2007's ordered-attribute form). The
+    * decile grid is q216's exact construction, so the triad shares one
+    * sensitive-attribute definition.
+    *
+    * Exactness: cumulative differences as N·cum_c − n_k·cum_g integer
+    * products routed through decimal(38,0) (the q60 discipline — no
+    * silent overflow at any corpus size), one double division floored
+    * with the +1/3 boundary offset.
+    *
+    * Scale shape: one (lang, source, decile) partial-agged shuffle; the
+    * decile map and the 10-row global distribution are broadcasts; the
+    * cumulative window is partitioned per class over ≤10 rows. Output:
+    * |lang×source| rows. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOn(Tables.documents(spark, dir))
+
+  /** Testable core over any `(lang, source, n_chars)` relation. */
+  private[graft] def tClosenessOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val g = docs
+      .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+    val wGt = Window.orderBy($"n_chars".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val deciles = g
+      .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
+      .withColumn("n_tot", sum($"cnt").over(wAll))
+      .select($"n_chars", expr("(cum_gt * 10) div n_tot + 1").as("decile"))
+    val tagged = docs
+      .join(broadcast(deciles), "n_chars")
+      .select($"lang", $"source", $"decile")
+    // global cumulative mass per decile (10 rows, broadcast)
+    val glob = tagged.groupBy($"decile").agg(count(lit(1)).as("g"))
+      .withColumn("cum_g", sum($"g").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_total", sum($"g").over(wAll))
+      .select($"decile", $"cum_g", $"n_total")
+    // dense per-class decile grid: a class missing a decile still
+    // carries its cumulative mass forward
+    val classCnt = tagged.groupBy($"lang", $"source", $"decile")
+      .agg(count(lit(1)).as("c"))
+    val classes = tagged.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+    val grid = classes
+      .select($"lang", $"source", $"n_docs",
+        explode(sequence(lit(1L), lit(10L))).as("decile"))
+      .join(classCnt, Seq("lang", "source", "decile"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+      .withColumn("cum_c", sum($"c").over(
+        Window.partitionBy($"lang", $"source").orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(glob), "decile")
+    grid
+      .withColumn("d_abs", abs($"cum_c".cast(dec) * $"n_total"
+        - $"cum_g".cast(dec) * $"n_docs"))
+      .groupBy($"lang", $"source")
+      .agg(first($"n_docs").as("n_docs"),
+        first($"n_total").as("n_total"),
+        sum($"d_abs").as("sd"))
+      .withColumn("emd_ppm",
+        floor($"sd".cast("double") * 1e6
+          / (lit(9d) * $"n_docs".cast("double") * $"n_total".cast("double"))
+          + lit(1.0 / 3)).cast("long"))
+      .select($"lang", $"source", $"n_docs", $"emd_ppm",
+        when($"emd_ppm" > 200000L, 1L).otherwise(0L).as("breach"))
+  }
 }

@@ -1280,4 +1280,67 @@ object Evaluate {
           .as("pseudo_milli"),
         ($"theta_milli" - $"theta_loo_milli").as("influence_milli"))
   }
+
+  /** q251: Cohen's kappa between the q31 n-gram language classifier and
+    * the gold `lang` column — the chance-corrected PER-LABEL agreement
+    * number q233's ARI deliberately isn't (ARI scores the PARTITIONS and
+    * is label-permutation-invariant; kappa scores the LABELED confusion
+    * matrix, so a classifier that systematically swaps fr↔es keeps its
+    * ARI but loses its kappa). The standard two-rater reliability readout
+    * a weak-labeling pipeline publishes next to q136's R-rater Fleiss.
+    *
+    * κ = (p_o − p_e)/(1 − p_e) with p_e = Σ_i a_i·b_i / N² over matching
+    * label marginals. Exactness: marginal products in decimal(38,0),
+    * the final ratio (N·Σn_ii − Σa_i b_i)/(N² − Σa_i b_i) through one
+    * double division floored at milli with the +1/3 offset — exact under
+    * a label swap that drives κ negative (floor, not trunc, in both
+    * engines).
+    *
+    * Scale shape: one scan to the ≤16-cell confusion matrix; marginals
+    * and their join are driver-free broadcasts over bounded relations.
+    * Output: 1 row. */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = TextAnalysis.profiles.map { case (l, tgs) =>
+      l -> tgs.map(TextAnalysis.occurrences($"text", _)).reduce(_ + _)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val predicted =
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    kappaOn(Tables.documents(spark, dir)
+      .select($"lang".as("gold"), predicted.as("predicted")))
+  }
+
+  /** Testable core: Cohen's kappa over any `(gold, predicted)` relation. */
+  private[graft] def kappaOn(labels: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cm = Ckpt(labels
+      .groupBy($"gold", $"predicted")
+      .agg(count(lit(1)).as("n")), eager = false)
+    val tot = cm.agg(sum($"n").as("n_docs"),
+      sum(when($"gold" === $"predicted", $"n").otherwise(0L))
+        .as("n_agree"))
+    val pe = cm.groupBy($"gold").agg(sum($"n").as("a"))
+      .join(cm.groupBy($"predicted").agg(sum($"n").as("b")),
+        $"gold" === $"predicted")
+      .agg(sum($"a".cast(dec) * $"b").as("sab"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("nd", $"n_docs".cast("double"))
+      .withColumn("sabd", $"sab".cast("double"))
+      .select($"n_docs", $"n_agree",
+        expr("(n_agree * 1000000) div n_docs").as("po_ppm"),
+        floor($"sabd" * 1e6 / ($"nd" * $"nd") + lit(1.0 / 3))
+          .cast("long").as("pe_ppm"),
+        when($"n_docs".cast(dec) * $"n_docs" =!= $"sab",
+          floor(($"n_docs".cast(dec) * $"n_agree" - $"sab")
+            .cast("double") * 1000d
+            / ($"n_docs".cast(dec) * $"n_docs" - $"sab").cast("double")
+            + lit(1.0 / 3)).cast("long"))
+          .otherwise(0L).as("kappa_milli"))
+  }
 }

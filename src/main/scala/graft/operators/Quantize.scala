@@ -423,4 +423,44 @@ object Quantize {
           .orderBy($"score_milli".desc, $"vec_id".asc)).cast("long"))
       .select($"rank", $"vec_id", $"score_milli")
   }
+
+  /** q249: participation ratio — the effective-rank summary of q224's
+    * per-dimension variance census: PR = (Σ_d v_d)² / Σ_d v_d² ∈ [1, d]
+    * (Gao et al.'s neural-dimensionality measure; the diagonal
+    * approximation of erank, deliberate for the same reason q239 stays
+    * diagonal — no d×d eigensolve in a per-ingest audit). PR ≈ d means
+    * isotropic embeddings; PR ≪ d is the rank collapse q224 flags
+    * per-dimension, here compressed to the one number a drift dashboard
+    * tracks, alongside the top-dimension variance share (the anisotropy
+    * that ruins raw-cosine retrieval).
+    *
+    * Scale shape: q224's one-scan d-row census, then a single aggregate
+    * over d rows — sums in decimal(38,0) (v_d is micro²-scale ~1e12, so
+    * Σv² brushes 1e27), two double divisions floored with the +1/3
+    * offset. Output: 1 row. */
+  def participationRatio(spark: SparkSession, dir: String): DataFrame =
+    participationRatioOn(Tables.embeddings(spark, dir))
+
+  /** Testable core over any `(vec_id, embedding)` relation. */
+  private[graft] def participationRatioOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    dimVarianceOn(vecs)
+      .agg(count(lit(1)).as("n_dims"),
+        sum($"dead").as("n_dead"),
+        sum($"var_micro2".cast(dec)).as("svd"),
+        sum($"var_micro2".cast(dec) * $"var_micro2").as("svvd"),
+        max($"var_micro2").as("max_var"))
+      .select($"n_dims", $"n_dead",
+        $"svd".cast("long").as("sum_var"),
+        when($"svvd" > 0L,
+          floor(($"svd" * $"svd").cast("double") * 1000d
+            / $"svvd".cast("double") + lit(1.0 / 3)).cast("long"))
+          .otherwise(0L).as("pr_milli"),
+        when($"svd" > 0L,
+          floor($"max_var".cast("double") * 1e6
+            / $"svd".cast("double") + lit(1.0 / 3)).cast("long"))
+          .otherwise(0L).as("top_share_ppm"))
+  }
 }

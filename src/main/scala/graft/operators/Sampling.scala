@@ -719,4 +719,57 @@ object Sampling {
           / $"n".cast("double")).cast("long").as("exp_milli"),
         $"contrib_micro", $"chi2_micro")
   }
+
+  /** q248: Neyman-optimal stratified allocation — for a fixed labeling /
+    * eval budget of 10,000 docs, how many to draw from each source?
+    * Proportional allocation n_h ∝ N_h wastes budget on strata whose
+    * doc-length variance is tiny; Neyman 1934's n_h ∝ N_h·σ_h minimizes
+    * the estimator variance, and the (Σ N_h σ_h)² / (N · Σ N_h σ_h²)
+    * ratio (≤ 1) is the design-effect gain a sampling plan reports to
+    * justify itself. The audit a quality-annotation campaign runs before
+    * spending its budget.
+    *
+    * Exactness: per-stratum variance numerator V_h = N_h·Σx² − (Σx)² in
+    * decimal(38,0) (exact at any corpus size); σ_h quantized to milli via
+    * one sqrt on a correctly-rounded double quotient (sqrt and / are
+    * IEEE exact-rounded, so both engines agree bit-for-bit); allocations
+    * are pure long arithmetic on the milli grid from there.
+    *
+    * Scale shape: one partial-agged scan to |sources| rows; the
+    * allocation totals are windows over that bounded relation. */
+  def neymanAlloc(spark: SparkSession, dir: String): DataFrame =
+    neymanAllocOn(Tables.documents(spark, dir))
+
+  /** Testable core over any `(source, n_chars)` relation. */
+  private[graft] def neymanAllocOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val strata = docs
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast(dec)).as("sx"),
+        sum($"n_chars".cast(dec) * $"n_chars").as("sxx"))
+      .withColumn("vnum", ($"n_docs".cast(dec) * $"sxx"
+        - $"sx" * $"sx").cast("double"))
+      .withColumn("sd_milli",
+        floor(sqrt($"vnum" / ($"n_docs".cast("double") * $"n_docs"))
+          * 1000d + lit(1.0 / 3)).cast("long"))
+      .withColumn("w", $"n_docs" * $"sd_milli")
+    strata
+      .withColumn("t", sum($"w").over(wAll))
+      .withColumn("n_total", sum($"n_docs").over(wAll))
+      .withColumn("b", sum($"n_docs".cast(dec)
+        * $"sd_milli" * $"sd_milli").over(wAll))
+      .select($"source", $"n_docs", $"sd_milli",
+        expr("(10000 * w) div t").as("alloc_neyman"),
+        expr("(10000 * n_docs) div n_total").as("alloc_prop"),
+        // variance ratio Neyman/proportional (≤ 1e6 ppm); milli scales
+        // cancel between T² and N·B
+        floor(($"t".cast(dec) * $"t").cast("double") * 1e6
+          / ($"n_total".cast("double") * $"b".cast("double"))
+          + lit(1.0 / 3)).cast("long").as("deff_ppm"))
+  }
 }
