@@ -269,7 +269,10 @@ object SparkEntry {
     "q247_t_closeness"      -> (Curation.tCloseness _),
     "q248_neyman_alloc"     -> (Sampling.neymanAlloc _),
     "q249_participation"    -> (Quantize.participationRatio _),
+    "q250_modularity"       -> (Graph.sourceModularity _),
     "q251_cohen_kappa"      -> (Evaluate.cohenKappa _),
+    "q252_lsh_curve"        -> (Dedup.lshOperatingCurve _),
+    "q253_hybrid_rrf"       -> (Similarity.hybridFusion _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6033,7 +6036,120 @@ ${base("q224_dim_variance")}),
                + 1.0/3) AS BIGINT)
              ELSE 0 END AS kappa_milli
          FROM tot, pe"""
+    // q250: source-partition modularity over the q28 near-dup graph
+    val modularityOracle =
+      s"""WITH p0 AS MATERIALIZED (
+${base("q28_simhash_pairs")}),
+         p AS (SELECT doc_a, doc_b FROM p0),
+         pa AS (SELECT p.doc_a, p.doc_b, da.source AS src_a,
+                  db.source AS src_b
+                FROM p JOIN documents da ON p.doc_a = da.doc_id
+                       JOIN documents db ON p.doc_b = db.doc_id),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pa),
+         wi AS (SELECT src_a AS source, CAST(count(*) AS BIGINT)
+                  AS e_within
+                FROM pa WHERE src_a = src_b GROUP BY 1),
+         dg AS (SELECT source, CAST(count(*) AS BIGINT) AS d_sum FROM (
+             SELECT src_a AS source FROM pa
+             UNION ALL SELECT src_b FROM pa) GROUP BY 1)
+         SELECT dg.source,
+           CAST(COALESCE(wi.e_within, 0) AS BIGINT) AS e_within,
+           dg.d_sum,
+           CAST(floor(CAST(CAST(4 * m AS HUGEINT)
+             * COALESCE(wi.e_within, 0)
+             - CAST(d_sum AS HUGEINT) * d_sum AS DOUBLE) * 1000000
+             / CAST(CAST(m AS HUGEINT) * m * 4 AS DOUBLE) + 1.0/3)
+             AS BIGINT) AS contrib_ppm
+         FROM dg LEFT JOIN wi USING (source), mm"""
+    // q252: banding S-curve per (b, r) config over q213's decile
+    // histogram — the power chains are unrolled from the same literal
+    // config list the Spark side uses
+    val lshOcOracle = {
+      val cfgSelects = graft.operators.Dedup.lshConfigs.map { case (b, r) =>
+        val a = (List("CAST(jc AS HUGEINT)") ++ List.fill(r - 1)("jc"))
+          .mkString(" * ")
+        val dr = BigInt(100).pow(r).toString
+        val dd = BigInt(100).pow(r * b).toString
+        val cc = List.fill(b)("bb").mkString(" * ")
+        s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+           decile, jc, n_pairs,
+           1000000 - CAST(floor(CAST($cc AS DOUBLE) * 1000000
+             / CAST(CAST('$dd' AS HUGEINT) AS DOUBLE) + 1.0/3) AS BIGINT)
+             AS p_ppm
+           FROM (SELECT decile, jc, n_pairs,
+                 CAST('$dr' AS HUGEINT) - $a AS bb FROM hist)"""
+      }.mkString("\n         UNION ALL\n")
+      s"""WITH ts AS (
+${base("q213_threshold_sweep")}),
+         hist AS (SELECT decile, n_pairs,
+             least(decile * 10 + 5, 100) AS jc FROM ts),
+         pc AS (
+$cfgSelects)
+         SELECT b, r, decile, jc, n_pairs, p_ppm,
+           CAST((sum(n_pairs * p_ppm) OVER (PARTITION BY b, r))
+             // (sum(n_pairs) OVER (PARTITION BY b, r)) AS BIGINT)
+             AS recall_ppm
+         FROM pc"""
+    }
+    // q253: RRF fusion of the q29 dense ranking (vec_id < 8, top-20)
+    // and the q25 lexical shingle ranking for the same 8 query docs
+    val rrfOracle =
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+               FROM e),
+         q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+               FROM n WHERE vec_id < 8),
+         scored AS (SELECT q.query_id, c.vec_id,
+             list_reduce(list_transform(c.emb, (x, i) -> x * q.qemb[i]),
+               (a, b) -> a + b) / (q.qnrm * c.nrm) AS cos
+           FROM n c, q WHERE c.vec_id <> q.query_id),
+         dense AS (SELECT query_id, vec_id AS doc_id, rank_dense FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank_dense
+             FROM scored) WHERE rank_dense <= 20),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+                 FROM documents),
+         sh AS (SELECT DISTINCT a.doc_id,
+                  a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                    AND b.i = a.i + 1
+                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         qsh AS (SELECT doc_id AS query_id, shingle FROM sh
+                 WHERE doc_id < 8),
+         lexs AS (SELECT qsh.query_id, sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM sh JOIN qsh USING (shingle)
+           WHERE sh.doc_id <> qsh.query_id GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, rank_lex FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY n_shared DESC, doc_id ASC) AS rank_lex
+             FROM lexs) WHERE rank_lex <= 20),
+         fused AS (SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+             COALESCE(d.doc_id, l.doc_id) AS doc_id,
+             d.rank_dense, l.rank_lex,
+             COALESCE(1000000 // (60 + d.rank_dense), 0)
+               + COALESCE(1000000 // (60 + l.rank_lex), 0) AS score_micro
+           FROM dense d FULL OUTER JOIN lex l
+             ON d.query_id = l.query_id AND d.doc_id = l.doc_id)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           score_micro,
+           CAST(CASE WHEN rank_dense IS NOT NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS in_dense,
+           CAST(CASE WHEN rank_lex IS NOT NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS in_lex
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id ASC) AS rank FROM fused)
+         WHERE rank <= 10"""
     base + ("q231_transitivity" -> transOracle) +
+      ("q250_modularity" -> modularityOracle) +
+      ("q252_lsh_curve" -> lshOcOracle) +
+      ("q253_hybrid_rrf" -> rrfOracle) +
       ("q247_t_closeness" -> tClosenessOracle) +
       ("q248_neyman_alloc" -> neymanOracle) +
       ("q249_participation" -> prOracle) +

@@ -1007,4 +1007,62 @@ object Dedup {
           expr("(n_both * 1000000) div (n_lex + n_sem - n_both)"))
           .otherwise(0L).as("pair_jaccard_ppm"))
   }
+
+  /** The (bands, rows) grid q252 evaluates — br = 16 minhashes each, so
+    * the comparison isolates the banding SHAPE, not the signature
+    * budget. Shared with the oracle builder in SparkEntry. */
+  private[graft] val lshConfigs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** q252: LSH operating characteristic — before committing a (bands,
+    * rows) shape for MinHash LSH (q26 ships b=4/r=4), score every
+    * candidate shape against the corpus's OWN similarity profile: the
+    * banding S-curve P(candidate | J=j) = 1 − (1 − j^r)^b (the standard
+    * MinHash-LSH amplification bound) evaluated at each observed Jaccard
+    * decile of q213's verified-pair histogram, plus the expected recall
+    * each shape would achieve on exactly those pairs. The "which curve
+    * fits OUR near-dup mass" table — a corpus whose dup pairs sit at
+    * J≈0.55 needs many narrow bands; one whose pairs are J≈0.95 clones
+    * affords r=8 — computed without running a single extra join.
+    *
+    * Exactness: j at the decile midpoint on the percent grid; j^r and
+    * (100^r − j^r)^b by unrolled decimal(38,0) multiplication (integer-
+    * exact up to the 9.8e37 worst case, inside decimal38/HUGEINT range);
+    * the one division per cell runs on correctly-rounded doubles and
+    * floors with the +1/3 offset. Expected recall is pure long
+    * arithmetic on the resulting ppm grid.
+    *
+    * Scale shape: rides q213's single PPJoin pass; everything after the
+    * histogram is arithmetic on ≤6 rows × 4 configs. Output: ≤24 rows. */
+  def lshOperatingCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lshCurveOn(thresholdSweep(spark, dir)
+      .select($"decile", $"n_pairs",
+        least($"decile" * 10L + 5L, lit(100L)).as("jc")))
+  }
+
+  /** Testable core over any `(decile, n_pairs, jc)` histogram, jc the
+    * Jaccard midpoint on the percent grid. */
+  private[graft] def lshCurveOn(hist: DataFrame): DataFrame = {
+    import hist.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def ppow(c: Column, n: Int): Column =
+      (1 until n).foldLeft(c)((acc, _) => acc * c)
+    val perCfg = lshConfigs.map { case (b, r) =>
+      val a = ppow($"jc".cast(dec), r)
+      val bb = ppow(lit(100L).cast(dec), r) - a
+      val cc = ppow(bb, b)
+      val dd = ppow(lit(100L).cast(dec), r * b)
+      hist.select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+        $"decile", $"jc", $"n_pairs",
+        (lit(1000000L) - floor(cc.cast("double") * 1e6
+          / dd.cast("double") + lit(1.0 / 3)).cast("long")).as("p_ppm"))
+    }.reduce(_ union _)
+    val w = Window.partitionBy($"b", $"r")
+    perCfg
+      .withColumn("caught", sum($"n_pairs" * $"p_ppm").over(w))
+      .withColumn("tot", sum($"n_pairs").over(w))
+      .select($"b", $"r", $"decile", $"jc", $"n_pairs", $"p_ppm",
+        expr("caught div tot").as("recall_ppm"))
+  }
 }

@@ -819,4 +819,60 @@ object Graph {
             / ($"md" * $"sxx" - $"sx" * $"sx") + lit(1.0 / 3)).cast("long"))
           .otherwise(0L).as("r_milli"))
   }
+
+  /** q250: Newman modularity of the SOURCE partition over the near-dup
+    * graph — does duplication live WITHIN sources (mirror crawls,
+    * per-source templates: positive contribution) or cut ACROSS them
+    * (syndicated content every crawl picked up: contribution ≈ 0 or
+    * negative)? Q = Σ_c [e_c/m − (d_c/2m)²] (Newman & Girvan 2004),
+    * reported per community so the mixing review sees WHICH source is a
+    * self-duplicating family; the corpus Q is the column sum. Reads next
+    * to q211 (cross-source dup pair counts) and q235 (degree mixing):
+    * q211 counts the off-diagonal, this scores the whole partition
+    * against the degree-preserving null model.
+    *
+    * Exactness: contributions = (4m·e_c − d_c²)/(4m²) with both integer
+    * products in decimal(38,0), one double division floored at ppm with
+    * the +1/3 offset (negative contributions floor identically in both
+    * engines).
+    *
+    * Scale shape: the pair relation materializes once (Ckpt) and joins
+    * its two endpoint sources co-partitioned on doc id — no node-set
+    * broadcast; within-edges and degree masses are |sources|-bounded
+    * partial aggs; m is a 1-row broadcast. Output: |sources| rows. */
+  def sourceModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    modularityOn(
+      Dedup.simhashPairs(spark, dir).select($"doc_a", $"doc_b"),
+      Tables.documents(spark, dir).select($"doc_id", $"source"))
+  }
+
+  /** Testable core: per-community modularity contributions of the
+    * `doc_id -> source` partition in `comm` over the undirected
+    * `(doc_a, doc_b)` relation. */
+  private[graft] def modularityOn(pairs: DataFrame,
+      comm: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val p = Ckpt(pairs
+      .join(comm.select($"doc_id".as("doc_a"), $"source".as("src_a")),
+        "doc_a")
+      .join(comm.select($"doc_id".as("doc_b"), $"source".as("src_b")),
+        "doc_b"), eager = false)
+    val m = p.agg(count(lit(1)).as("m"))
+    val within = p.where($"src_a" === $"src_b")
+      .groupBy($"src_a".as("source")).agg(count(lit(1)).as("e_within"))
+    val degs = p.select($"src_a".as("source"))
+      .union(p.select($"src_b".as("source")))
+      .groupBy($"source").agg(count(lit(1)).as("d_sum"))
+    degs.join(within, Seq("source"), "left")
+      .withColumn("e_within", coalesce($"e_within", lit(0L)))
+      .crossJoin(broadcast(m))
+      .select($"source", $"e_within", $"d_sum",
+        floor(((lit(4L) * $"m").cast(dec) * $"e_within"
+          - $"d_sum".cast(dec) * $"d_sum").cast("double") * 1e6
+          / ($"m".cast(dec) * $"m" * 4L).cast("double")
+          + lit(1.0 / 3)).cast("long").as("contrib_ppm"))
+  }
 }

@@ -770,4 +770,61 @@ object Similarity {
     Evaluate.ariOn(ranked.where($"crk" === 1)
       .select($"label".as("gold"), $"cent_id".as("predicted")))
   }
+
+  /** q253: CROSS-MODAL reciprocal-rank fusion — q143 fuses two rankers
+    * of the same modality (cosine vs dot over embeddings, a calibration
+    * audit); this is the production hybrid-retrieval case RRF exists
+    * for (Cormack, Clarke & Buettcher 2009): a lexical and a dense
+    * ranker whose scores live on incomparable scales and whose
+    * FAILURE MODES differ. For 8 query documents, fuse the
+    * exact-cosine top-20 over embeddings (the q29 dense path) with the
+    * shared-3-shingle top-20 over text (the q25 lexical substrate) by
+    * score = Σ_rankers 1/(60 + rank), and emit the fused top-10 with
+    * per-ranker provenance. A doc both rankers like beats a doc either
+    * ranker loves — the rank-level AND that makes fusion robust to one
+    * ranker's failure mode (q243 measures how little the two pair SETS
+    * agree; this is how retrieval still wins when they disagree).
+    *
+    * Exactness: 1/(60+rank) on the 1e6 integer grid via `div` — fused
+    * scores and ranks are pure long arithmetic, doc_id tie-break.
+    *
+    * Scale shape: both query sides are 8 docs and broadcast; the dense
+    * scan streams the collection once (no shuffle of the big side); the
+    * lexical side is one posting join against 8 docs' shingles, partial-
+    * agged on (query, doc). At 100 TB the dense side routes through
+    * q38's IVF cells instead of the brute scan — the fusion stage is
+    * unchanged, which is the point of rank-level (not score-level)
+    * fusion. Output: 80 rows. */
+  def hybridFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val dense = bruteTopkOn(vecs,
+      vecs.where($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qemb")), k = 20)
+      .select($"query_id", $"neighbor_id".as("doc_id"),
+        $"rank".as("rank_dense"))
+    val sh = graft.operators.TextOps.shingled(spark, dir, 3)
+    val qsh = sh.where($"doc_id" < 8)
+      .select($"doc_id".as("query_id"), $"shingle")
+    val lex = sh.join(broadcast(qsh), "shingle")
+      .where($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rank_lex", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"n_shared".desc, $"doc_id".asc)).cast("long"))
+      .where($"rank_lex" <= 20L)
+      .select($"query_id", $"doc_id", $"rank_lex")
+    dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("score_micro",
+        coalesce(expr("1000000 div (60 + rank_dense)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"score_micro".desc, $"doc_id".asc)).cast("long"))
+      .where($"rank" <= 10L)
+      .select($"query_id", $"rank", $"doc_id", $"score_micro",
+        when($"rank_dense".isNotNull, 1L).otherwise(0L).as("in_dense"),
+        when($"rank_lex".isNotNull, 1L).otherwise(0L).as("in_lex"))
+  }
 }

@@ -123,6 +123,98 @@ class Round11Spec extends SparkSpec {
     assert(r.getAs[Long]("top_share_ppm") >= 1000000L / d)
   }
 
+  // ---- q250 modularity -----------------------------------------------------
+
+  test("modularityOn: two clean clique communities -> +250000 ppm each") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val comm = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("doc_id", "source")
+    val rows = graft.operators.Graph.modularityOn(pairs, comm).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e_within") === 3L)
+      assert(r.getAs[Long]("d_sum") === 6L)
+      assert(r.getAs[Long]("contrib_ppm") === 250000L) // Q = 1/2 total
+    }
+  }
+
+  test("modularityOn: every edge crossing -> exactly -250000 ppm each") {
+    import spark.implicits._
+    // complete bipartite K(2,2), communities = the two sides: worse
+    // than the degree-preserving null model, contributions go negative
+    val pairs = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val comm = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "source")
+    val rows = graft.operators.Graph.modularityOn(pairs, comm).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e_within") === 0L)
+      assert(r.getAs[Long]("contrib_ppm") === -250000L)
+    }
+  }
+
+  // ---- q252 LSH operating curve --------------------------------------------
+
+  test("lshCurveOn: closed-form S-curve values at j = 0.5") {
+    import spark.implicits._
+    val hist = Seq((4L, 1L, 50L)).toDF("decile", "n_pairs", "jc")
+    val byCfg = graft.operators.Dedup.lshCurveOn(hist).collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("r")) -> r).toMap
+    // 1 - (1 - 0.5^r)^b on the ppm grid, floor+1/3 quantized
+    assert(byCfg((16L, 1L)).getAs[Long]("p_ppm") === 999985L)
+    assert(byCfg((8L, 2L)).getAs[Long]("p_ppm") === 899887L)
+    assert(byCfg((4L, 4L)).getAs[Long]("p_ppm") === 227524L)
+    assert(byCfg((2L, 8L)).getAs[Long]("p_ppm") === 7797L)
+    // single-bucket histogram: recall equals the bucket's p
+    byCfg.values.foreach(r =>
+      assert(r.getAs[Long]("recall_ppm") === r.getAs[Long]("p_ppm")))
+  }
+
+  test("lshOperatingCurve wrapper: more bands -> higher recall, monotone") {
+    val rows = graft.operators.Dedup.lshOperatingCurve(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val recall = rows.map(r =>
+      (r.getAs[Long]("b"), r.getAs[Long]("r")) -> r.getAs[Long]("recall_ppm"))
+      .toMap
+    assert(recall((16L, 1L)) >= recall((8L, 2L)))
+    assert(recall((8L, 2L)) >= recall((4L, 4L)))
+    assert(recall((4L, 4L)) >= recall((2L, 8L)))
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_ppm")
+      assert(p >= 0L && p <= 1000000L)
+      // exact duplicates (jc clamped to 100) are always caught
+      if (r.getAs[Long]("jc") === 100L) assert(p === 1000000L)
+    }
+  }
+
+  // ---- q253 hybrid RRF -------------------------------------------------------
+
+  test("hybridFusion: ranks contiguous, scores monotone, provenance set") {
+    val rows = graft.operators.Similarity.hybridFusion(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq
+        === (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Long]("score_micro")).toSeq
+      assert(scores === scores.sorted.reverse)
+      sorted.foreach { r =>
+        // provenance: a fused row came from at least one ranker, and
+        // its score is consistent with membership
+        val inD = r.getAs[Long]("in_dense")
+        val inL = r.getAs[Long]("in_lex")
+        assert(inD + inL >= 1L)
+        val cap = inD * (1000000L / 61L) + inL * (1000000L / 61L)
+        assert(r.getAs[Long]("score_micro") <= cap)
+      }
+    }
+  }
+
   // ---- q251 Cohen's kappa -------------------------------------------------
 
   test("kappaOn: perfect agreement -> exactly +1000 milli") {
