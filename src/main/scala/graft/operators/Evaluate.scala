@@ -117,8 +117,16 @@ object Evaluate {
     * q120 shape. */
   def conformalThreshold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = Tables.documents(spark, dir)
-      .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    conformalOn(Tables.documents(spark, dir)
+      .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c")))
+  }
+
+  /** Testable core over any counted score grid `(source, n_chars, c)` —
+    * also the per-batch body of the streaming conformal monitor
+    * (`graft.streaming.Events.conformalMonitor`), whose additive state
+    * IS such a grid. */
+  private[graft] def conformalOn(g: DataFrame): DataFrame = {
+    import g.sparkSession.implicits._
     val tot = g.groupBy($"source").agg(sum($"c").as("n"))
       // ceil(9(n+1)/10) = (9(n+1)+9) div 10, clamped to n
       .withColumn("k", least(expr("(9 * (n + 1) + 9) div 10"), $"n"))

@@ -382,6 +382,53 @@ object Events {
       .start()
   }
 
+  /** Streaming split-conformal monitor — q141's distribution-free 90%
+    * accept threshold maintained LIVE per event type: each micro-batch
+    * collapses to (event_type, centi-quantized value, count) partial
+    * counts that merge BY SUM into the additive state grid (exact under
+    * any batch slicing, the [[burstMonitor]] discipline), then the
+    * order-statistic threshold k = ceil(0.9(n+1)) recomputes on the
+    * accumulated grid and appends a batch-stamped snapshot. The
+    * production question it answers: "what score cutoff does a filter
+    * deployed TODAY need for 90% coverage, given everything seen so
+    * far" — recalibrated every batch instead of at the nightly pass.
+    * Shares `Evaluate.conformalOn` with the batch query so stream ==
+    * batch is structural; StreamingSpec proves it on a bounded stream.
+    *
+    * State is the bounded (|types| × |distinct centi-scores|) grid —
+    * the mergeable-histogram reduction (q170's), never raw events. */
+  def conformalMonitor(stream: DataFrame, stateTarget: String,
+      monitorTarget: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
+      import batch.sparkSession.implicits._
+      val spark = batch.sparkSession
+      batch
+        .groupBy($"event_type",
+          floor($"value" * 100d).cast("long").as("score_centi"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stateTarget)
+      val grid = spark.read.parquet(stateTarget)
+        .groupBy($"event_type", $"score_centi").agg(sum($"n").as("c"))
+      graft.operators.Evaluate.conformalOn(grid.select(
+          $"event_type".as("source"), $"score_centi".as("n_chars"), $"c"))
+        .select($"source".as("event_type"), $"n", $"k",
+          $"threshold".as("threshold_centi"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(monitorTarget)
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+  }
+
   case class HourCount(event_type: String, h: Long, x: Long)
   case class EwmaAlert(event_type: String, h: Long, x: Long,
       forecast_milli: Long, alert: Boolean)

@@ -422,4 +422,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming conformal monitor: final snapshot equals the batch order statistic") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_conf_${System.nanoTime()}")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    // 3 micro-batches; same-score counts split across batches must
+    // merge by sum before the order statistic is taken
+    val srcDir = new java.io.File(base, "arriving").getPath
+    ev.repartition(3).write.parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Events.conformalMonitor(stream,
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
+    val nBatches = monitor.select($"batch_id").distinct().count()
+    assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
+    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    val got = monitor.where($"batch_id" === lastBatch)
+      .select($"event_type", $"n", $"k", $"threshold_centi").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch twin: identical grid + shared conformalOn core in one pass
+    val expect = graft.operators.Evaluate.conformalOn(
+        ev.groupBy($"event_type".as("source"),
+            floor($"value" * 100d).cast("long").as("n_chars"))
+          .agg(count(lit(1)).as("c")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+    assert(expect.nonEmpty)
+    // 90% coverage: at least k of n scores sit at or below the threshold
+    got.values.foreach { case (n, k, _) => assert(k >= (9 * (n + 1) + 9) / 10 - 1 && k <= n) }
+  }
 }
