@@ -273,6 +273,7 @@ object SparkEntry {
     "q251_cohen_kappa"      -> (Evaluate.cohenKappa _),
     "q252_lsh_curve"        -> (Dedup.lshOperatingCurve _),
     "q253_hybrid_rrf"       -> (Similarity.hybridFusion _),
+    "q254_bpe_merges"       -> (TextAnalysis.bpeMerges _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6146,7 +6147,53 @@ $cfgSelects)
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY score_micro DESC, doc_id ASC) AS rank FROM fused)
          WHERE rank <= 10"""
+    // q254: 5 BPE merge rounds — each block counts weighted adjacent
+    // pairs, takes the deterministic argmax, and rewrites via greedy
+    // non-overlapping selection (alternate positions within candidate
+    // runs == the Spark side's left-to-right fold)
+    val bpeOracle = {
+      def round(r: Int): String =
+        s"""pc$r AS MATERIALIZED (SELECT a.s AS pa, b.s AS pb,
+             CAST(sum(a.f) AS BIGINT) AS cnt
+           FROM syms$r a JOIN syms$r b ON a.w = b.w AND b.i = a.i + 1
+           GROUP BY 1, 2),
+         mx$r AS MATERIALIZED (SELECT pa, pb, cnt FROM pc$r
+           ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+         cand$r AS MATERIALIZED (SELECT a.w, a.i FROM syms$r a
+           JOIN syms$r b ON a.w = b.w AND b.i = a.i + 1, mx$r
+           WHERE a.s = mx$r.pa AND b.s = mx$r.pb),
+         sel$r AS MATERIALIZED (SELECT w, i FROM (
+             SELECT w, i,
+               i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+             FROM cand$r)
+           QUALIFY (i - min(i) OVER (PARTITION BY w, grp)) % 2 = 0),
+         syms${r + 1} AS MATERIALIZED (SELECT t.w,
+             CAST(row_number() OVER (PARTITION BY t.w ORDER BY t.i)
+               AS BIGINT) AS i,
+             t.s2 AS s, t.f
+           FROM (SELECT y.w, y.i, y.f,
+               CASE WHEN s1.i IS NOT NULL THEN y.s || y.nxt ELSE y.s END
+                 AS s2,
+               s0.i AS dropme
+             FROM (SELECT w, i, s, f,
+                 lead(s) OVER (PARTITION BY w ORDER BY i) AS nxt
+               FROM syms$r) y
+             LEFT JOIN sel$r s1 ON s1.w = y.w AND s1.i = y.i
+             LEFT JOIN sel$r s0 ON s0.w = y.w AND s0.i = y.i - 1) t
+           WHERE t.dropme IS NULL)"""
+      s"""WITH v AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS f FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok <> '' GROUP BY 1),
+         syms1 AS MATERIALIZED (SELECT w, CAST(u + 1 AS BIGINT) AS i,
+             substr(w, CAST(u + 1 AS INTEGER), 1) AS s, f
+           FROM (SELECT w, f, unnest(range(length(w))) AS u FROM v)),
+         ${(1 to 5).map(round).mkString(",\n         ")}
+         ${(1 to 5).map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, " +
+          s"pa AS sym_a, pb AS sym_b, cnt AS pair_count FROM mx$r")
+          .mkString("\n         UNION ALL ")}"""
+    }
     base + ("q231_transitivity" -> transOracle) +
+      ("q254_bpe_merges" -> bpeOracle) +
       ("q250_modularity" -> modularityOracle) +
       ("q252_lsh_curve" -> lshOcOracle) +
       ("q253_hybrid_rrf" -> rrfOracle) +

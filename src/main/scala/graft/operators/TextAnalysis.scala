@@ -969,4 +969,80 @@ object TextAnalysis {
         coalesce($"pairs_hit", lit(0L)).as("pairs_hit"),
         expr("coalesce(s, 0L) div km1").as("mean_overlap_ppm"))
   }
+
+  /** q254: BPE merge learning — the first 5 byte-pair-encoding merges
+    * the corpus induces (Sennrich, Haddow & Birch 2016: repeatedly
+    * count adjacent symbol pairs over the frequency-weighted word-type
+    * vocabulary, merge the most frequent pair greedily left-to-right,
+    * repeat). THE subword-tokenizer training step: q70 applies a fixed
+    * tokenization, q137/q108 audit a chosen vocabulary — this is where
+    * the vocabulary comes from, and running it per-corpus is how a
+    * pipeline detects that its tokenizer no longer fits the data (the
+    * top merges of a code crawl and a news crawl differ from merge 1).
+    *
+    * Exactness: counting is occurrence-weighted long sums (overlapping
+    * pairs counted at every position, the reference implementation's
+    * get_stats); argmax tie-break (count desc, pair asc) is a pure
+    * byte-order comparison; the rewrite is the greedy non-overlapping
+    * left-to-right pass, realized as an array fold here and as
+    * alternate-selection within candidate runs in the oracle — provably
+    * the same pass (consecutive candidate positions require a = b).
+    *
+    * Scale shape: the vocabulary is a (token, freq) relation — DISTRIBUTED,
+    * never collected (at 100 TB the type table alone exceeds driver
+    * memory); each round is one pair-explode + partial-agged count and
+    * a 1-ROW argmax collect (the q187 k-center discipline: k rounds x
+    * one row), then a map-only fold rewrite, lineage truncated per
+    * round via Ckpt exactly like the Graph fixpoints. K is a constant:
+    * 5 rounds, plan depth fixed. Output: 5 rows. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergesOn(TextOps.docsParallel(spark, dir)
+      .select(explode(TextOps.toks($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("freq")), k = 5)
+  }
+
+  /** Testable core: the first `k` merges over any `(tok, freq)`
+    * vocabulary relation. */
+  private[graft] def bpeMergesOn(vocab: DataFrame, k: Int): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    var syms = Ckpt(vocab.select($"freq",
+      expr("transform(sequence(1, length(tok)), i -> substr(tok, i, 1))")
+        .as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = syms
+        .select($"freq", explode(arrays_zip(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1))).as("p"))
+        .select($"freq", $"p".getField("0").as("a"), $"p".getField("1").as("b"))
+        .groupBy($"a", $"b").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a".asc, $"b".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top.head.getAs[String]("a"),
+          top.head.getAs[String]("b"), top.head.getAs[Long]("cnt"))
+        merges += ((r.toLong, a, b, cnt))
+        // greedy left-to-right single pass: replace the tail of the
+        // accumulator when it closes the winning pair; a merged symbol
+        // can never immediately re-open the same pair (a || b != a)
+        val next = Ckpt(syms.withColumn("syms",
+          aggregate($"syms", array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0
+                && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))))
+        Ckpt.release(syms)
+        syms = next
+        r += 1
+      }
+    }
+    Ckpt.release(syms)
+    merges.toSeq.toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+  }
 }

@@ -215,6 +215,39 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- q254 BPE merges --------------------------------------------------------
+
+  test("bpeMergesOn: hand-traced merges, tie-break, and exhaustion") {
+    import spark.implicits._
+    // round 1: (a,b) wins 5 (2 from aaab + 3 from ab) over (a,a) at 4;
+    // round 2: (a,a) ties (a,ab) at 2, byte-order tie-break picks (a,a);
+    // round 3: (aa,ab) at 2; round 4: no pairs left -> 3 rows, not 5
+    val vocab = Seq(("aaab", 2L), ("ab", 3L)).toDF("tok", "freq")
+    val rows = graft.operators.TextAnalysis.bpeMergesOn(vocab, k = 5)
+      .collect().sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b"), r.getAs[Long]("pair_count")))
+    assert(rows.toSeq === Seq(
+      (1L, "a", "b", 5L), (2L, "a", "a", 2L), (3L, "aa", "ab", 2L)))
+  }
+
+  test("bpeMerges wrapper: 5 ranked merges with non-increasing counts") {
+    val rows = graft.operators.TextAnalysis.bpeMerges(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("merge_rank"))
+    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq === (1L to 5L))
+    val counts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    // each round's argmax bounds the next (new pairs inherit at most
+    // the merged pair's occurrence count)
+    assert(counts === counts.sorted.reverse)
+    assert(counts.last > 0L)
+    // a merged symbol from an earlier round may re-enter later pairs;
+    // symbols are always non-empty
+    rows.foreach { r =>
+      assert(r.getAs[String]("sym_a").nonEmpty)
+      assert(r.getAs[String]("sym_b").nonEmpty)
+    }
+  }
+
   // ---- q251 Cohen's kappa -------------------------------------------------
 
   test("kappaOn: perfect agreement -> exactly +1000 milli") {
