@@ -274,6 +274,8 @@ object SparkEntry {
     "q252_lsh_curve"        -> (Dedup.lshOperatingCurve _),
     "q253_hybrid_rrf"       -> (Similarity.hybridFusion _),
     "q254_bpe_merges"       -> (TextAnalysis.bpeMerges _),
+    "q255_cluster_split"    -> (Sampling.clusterSplit _),
+    "q256_translated_dups"  -> (Similarity.translatedDups _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6192,7 +6194,78 @@ $cfgSelects)
           s"pa AS sym_a, pb AS sym_b, cnt AS pair_count FROM mx$r")
           .mkString("\n         UNION ALL ")}"""
     }
+    // q255: naive vs cluster-hash split, leakage measured on q28 pairs
+    // against the q62 CC labeling
+    val clusterSplitOracle =
+      s"""WITH lbl AS MATERIALIZED (SELECT * FROM (
+${base("q62_dup_clusters")})),
+         p0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+${base("q28_simhash_pairs")})),
+         asg AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN hn <= 7 THEN 'train' WHEN hn = 8 THEN 'val'
+               ELSE 'test' END AS naive,
+             CASE WHEN hc <= 7 THEN 'train' WHEN hc = 8 THEN 'val'
+               ELSE 'test' END AS clus
+           FROM (SELECT doc_id,
+               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                 1, 8) AS BIGINT) % 10 AS hn,
+               CAST('0x' || substr(md5('csplit:'
+                 || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 10
+                 AS hc
+             FROM lbl)),
+         sz AS (SELECT 'naive' AS scheme,
+             CAST(sum(CASE WHEN naive = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN naive = 'val' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN naive = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_test
+           FROM asg
+           UNION ALL SELECT 'cluster',
+             CAST(sum(CASE WHEN clus = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(sum(CASE WHEN clus = 'val' THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(sum(CASE WHEN clus = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM asg),
+         pj AS (SELECT a.naive AS na, a.clus AS ca, b.naive AS nb,
+             b.clus AS cb
+           FROM p0 JOIN asg a ON p0.doc_a = a.doc_id
+                   JOIN asg b ON p0.doc_b = b.doc_id),
+         cr AS (SELECT 'naive' AS scheme,
+             CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_pairs,
+             CAST(count(*) AS BIGINT) AS np
+           FROM pj
+           UNION ALL SELECT 'cluster',
+             CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+           FROM pj)
+         SELECT sz.scheme, n_train, n_val, n_test, cross_pairs,
+           CASE WHEN np > 0 THEN (cross_pairs * 1000000) // np
+             ELSE 0 END AS leak_ppm
+         FROM sz JOIN cr USING (scheme)"""
+    // q256: language-pair census of the q37 embedding near-dup relation
+    val translatedDupsOracle =
+      s"""WITH semp AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+${base("q37_cosine_neardup")})),
+         j AS (SELECT least(da.lang, db.lang) AS lang_lo,
+             greatest(da.lang, db.lang) AS lang_hi
+           FROM semp JOIN documents da ON semp.vec_a = da.doc_id
+                     JOIN documents db ON semp.vec_b = db.doc_id),
+         g AS (SELECT lang_lo, lang_hi, CAST(count(*) AS BIGINT)
+                 AS n_pairs
+               FROM j GROUP BY 1, 2)
+         SELECT lang_lo, lang_hi, n_pairs,
+           CAST(CASE WHEN lang_lo <> lang_hi THEN 1 ELSE 0 END AS BIGINT)
+             AS cross_lang,
+           (n_pairs * 1000000) // CAST(sum(n_pairs) OVER () AS BIGINT)
+             AS share_ppm
+         FROM g"""
     base + ("q231_transitivity" -> transOracle) +
+      ("q255_cluster_split" -> clusterSplitOracle) +
+      ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +
       ("q250_modularity" -> modularityOracle) +
       ("q252_lsh_curve" -> lshOcOracle) +

@@ -772,4 +772,59 @@ object Sampling {
           / ($"n_total".cast("double") * $"b".cast("double"))
           + lit(1.0 / 3)).cast("long").as("deff_ppm"))
   }
+
+  /** q255: cluster-aware train/val/test split — the leakage-FREE
+    * assignment, next to the naive one, with the leakage measured. A
+    * per-document hash split (q236's) puts ~32% of near-duplicate pairs
+    * across split boundaries (2·0.8·0.2 + 2·0.1·0.9-ish for 80/10/10) —
+    * the test set then contains near-copies of training documents and
+    * every eval number is inflated (q190 detects this AFTER the fact;
+    * this op prevents it). The fix is standard: hash the q62 CLUSTER id,
+    * not the doc id, so a whole near-dup family lands in one split —
+    * cross-split pair count drops to structurally zero because every
+    * near-dup pair is within-cluster by CC construction.
+    *
+    * Output: one row per scheme (naive, cluster) with split sizes, the
+    * straddling pair count, and its ppm share — the before/after a split
+    * policy review reads.
+    *
+    * Scale shape: rides the q62 CC labeling (the one fixpoint); both
+    * assignments are map-side hashes, sizes are one conditional agg,
+    * leakage is the pair relation joined co-partitioned to the two
+    * endpoint assignments. Output: 2 rows. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Ckpt(Dedup.simhashPairs(spark, dir)
+      .select($"doc_a", $"doc_b"), eager = false)
+    val lbl = Graph.dupClustersFrom(pairs,
+      TextOps.docsParallel(spark, dir).select($"doc_id"))
+    def splitOf(h: Column): Column =
+      when(h <= 7L, "train").when(h === 8L, "val").otherwise("test")
+    val assign = Ckpt(lbl.select($"doc_id",
+      splitOf(hash32("split", $"doc_id") % 10L).as("naive"),
+      splitOf(hash32("csplit", $"cluster_id") % 10L).as("clus")),
+      eager = false)
+    val sizes = assign
+      .select(expr("stack(2, 'naive', naive, 'cluster', clus)")
+        .as(Seq("scheme", "split")))
+      .groupBy($"scheme")
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"split" === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"))
+    val pj = pairs
+      .join(assign.select($"doc_id".as("doc_a"),
+        $"naive".as("na"), $"clus".as("ca")), "doc_a")
+      .join(assign.select($"doc_id".as("doc_b"),
+        $"naive".as("nb"), $"clus".as("cb")), "doc_b")
+    val cross = pj.agg(
+        sum(when($"na" =!= $"nb", 1L).otherwise(0L)).as("ncross"),
+        sum(when($"ca" =!= $"cb", 1L).otherwise(0L)).as("ccross"),
+        count(lit(1)).as("np"))
+      .select(expr("stack(2, 'naive', ncross, 'cluster', ccross)")
+        .as(Seq("scheme", "cross_pairs")), $"np")
+    sizes.join(broadcast(cross), "scheme")
+      .select($"scheme", $"n_train", $"n_val", $"n_test", $"cross_pairs",
+        when($"np" > 0L, expr("(cross_pairs * 1000000) div np"))
+          .otherwise(0L).as("leak_ppm"))
+  }
 }

@@ -827,4 +827,39 @@ object Similarity {
         when($"rank_dense".isNotNull, 1L).otherwise(0L).as("in_dense"),
         when($"rank_lex".isNotNull, 1L).otherwise(0L).as("in_lex"))
   }
+
+  /** q256: cross-language near-duplicate census — the language-pair
+    * breakdown of the q37 embedding near-dup relation. Lexical dedup
+    * (q25/q28) is structurally blind to TRANSLATED duplicates (zero
+    * shared shingles); the embedding relation is the only member of the
+    * dedup family that can see them, and this census says whether it
+    * does: mass on off-diagonal (lang_a ≠ lang_b) pairs = the same
+    * content circulating in multiple languages (the mC4/ROOTS
+    * cross-lingual contamination case), worth routing to a
+    * translation-aware dedup policy instead of the per-language one.
+    *
+    * Scale shape: the pair relation materializes once; language attaches
+    * via two co-partitioned joins on doc id (no node-set broadcast); the
+    * census is a ≤|langs|²-bounded partial agg with the share window on
+    * that bounded relation. Output: ≤ C(|langs|+1, 2) rows. */
+  def translatedDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Ckpt(cosineNearDup(spark, dir)
+      .select($"vec_a", $"vec_b"), eager = false)
+    val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    pairs
+      .join(lang.select($"doc_id".as("vec_a"), $"lang".as("lang_a")),
+        "vec_a")
+      .join(lang.select($"doc_id".as("vec_b"), $"lang".as("lang_b")),
+        "vec_b")
+      .select(least($"lang_a", $"lang_b").as("lang_lo"),
+        greatest($"lang_a", $"lang_b").as("lang_hi"))
+      .groupBy($"lang_lo", $"lang_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("total", sum($"n_pairs").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"lang_lo", $"lang_hi", $"n_pairs",
+        when($"lang_lo" =!= $"lang_hi", 1L).otherwise(0L).as("cross_lang"),
+        expr("(n_pairs * 1000000) div total").as("share_ppm"))
+  }
 }

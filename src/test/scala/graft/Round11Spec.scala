@@ -248,6 +248,42 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- q255 cluster-aware split ---------------------------------------------
+
+  test("clusterSplit: cluster scheme leaks structurally zero pairs") {
+    val rows = graft.operators.Sampling.clusterSplit(spark, sfDir)
+      .collect().map(r => r.getAs[String]("scheme") -> r).toMap
+    assert(rows.keySet === Set("naive", "cluster"))
+    // every near-dup pair is within-cluster by CC construction, so the
+    // cluster-hash split cannot straddle one
+    assert(rows("cluster").getAs[Long]("cross_pairs") === 0L)
+    assert(rows("cluster").getAs[Long]("leak_ppm") === 0L)
+    assert(rows("naive").getAs[Long]("cross_pairs")
+      >= rows("cluster").getAs[Long]("cross_pairs"))
+    // both schemes partition the same document universe
+    def tot(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("n_train") + r.getAs[Long]("n_val") + r.getAs[Long]("n_test")
+    assert(tot(rows("naive")) === tot(rows("cluster")))
+    assert(tot(rows("naive")) > 0L)
+  }
+
+  // ---- q256 translated dups ----------------------------------------------------
+
+  test("translatedDups: census is canonical and shares sum to ~1e6") {
+    val rows = graft.operators.Similarity.translatedDups(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_lo") <= r.getAs[String]("lang_hi"))
+      assert(r.getAs[Long]("cross_lang")
+        === (if (r.getAs[String]("lang_lo") == r.getAs[String]("lang_hi")) 0L
+             else 1L))
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+    val share = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(share <= 1000000L && share > 1000000L - rows.length)
+  }
+
   // ---- q251 Cohen's kappa -------------------------------------------------
 
   test("kappaOn: perfect agreement -> exactly +1000 milli") {
