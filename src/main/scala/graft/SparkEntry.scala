@@ -276,6 +276,8 @@ object SparkEntry {
     "q254_bpe_merges"       -> (TextAnalysis.bpeMerges _),
     "q255_cluster_split"    -> (Sampling.clusterSplit _),
     "q256_translated_dups"  -> (Similarity.translatedDups _),
+    "q257_fs_weights"       -> (Dedup.fsWeights _),
+    "q258_zipf_slope"       -> (TextAnalysis.zipfSlope _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6263,7 +6265,101 @@ ${base("q37_cosine_neardup")})),
            (n_pairs * 1000000) // CAST(sum(n_pairs) OVER () AS BIGINT)
              AS share_ppm
          FROM g"""
+    // q257: Fellegi–Sunter m/u estimation — matched pairs from q28,
+    // exchangeable baseline from the salted-hash adjacent permutation
+    val fsOracle =
+      s"""WITH g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1),
+         a AS (SELECT n_chars,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_gt,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n_tot
+           FROM g),
+         dm AS (SELECT n_chars, (cum_gt * 10) // n_tot + 1 AS dec10
+                FROM a),
+         feat AS MATERIALIZED (SELECT d.doc_id, d.lang, d.source,
+             dm.dec10, string_split(d.text, ' ')[1] AS tok1
+           FROM documents d JOIN dm USING (n_chars)),
+         mp AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+${base("q28_simhash_pairs")})),
+         up AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+             SELECT doc_id AS doc_a,
+               lead(doc_id) OVER (ORDER BY
+                 md5('fs:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                 AS doc_b
+             FROM documents) WHERE doc_b IS NOT NULL),
+         ma AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_lang,
+             CAST(sum(CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_source,
+             CAST(sum(CASE WHEN fa.dec10 = fb.dec10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_decile,
+             CAST(sum(CASE WHEN fa.tok1 = fb.tok1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_tok1
+           FROM mp JOIN feat fa ON mp.doc_a = fa.doc_id
+                   JOIN feat fb ON mp.doc_b = fb.doc_id),
+         ua AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_lang,
+             CAST(sum(CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_source,
+             CAST(sum(CASE WHEN fa.dec10 = fb.dec10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_decile,
+             CAST(sum(CASE WHEN fa.tok1 = fb.tok1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_tok1
+           FROM up JOIN feat fa ON up.doc_a = fa.doc_id
+                   JOIN feat fb ON up.doc_b = fb.doc_id),
+         ms AS (SELECT 'lang' AS field, c_lang AS m_cnt, n AS n_m FROM ma
+           UNION ALL SELECT 'source', c_source, n FROM ma
+           UNION ALL SELECT 'decile', c_decile, n FROM ma
+           UNION ALL SELECT 'tok1', c_tok1, n FROM ma),
+         us AS (SELECT 'lang' AS field, c_lang AS u_cnt, n AS n_u FROM ua
+           UNION ALL SELECT 'source', c_source, n FROM ua
+           UNION ALL SELECT 'decile', c_decile, n FROM ua
+           UNION ALL SELECT 'tok1', c_tok1, n FROM ua),
+         z AS (SELECT field,
+             ((m_cnt + 1) * 1000000) // (n_m + 2) AS m_ppm,
+             ((u_cnt + 1) * 1000000) // (n_u + 2) AS u_ppm
+           FROM ms JOIN us USING (field))
+         SELECT field, m_ppm, u_ppm,
+           CAST(floor(ln(CAST(m_ppm AS DOUBLE) / u_ppm)
+             * 1442.6950408889634 + 1.0/3) AS BIGINT) AS weight_milli
+         FROM z"""
+    // q258: per-language Zipf OLS on the 1e4-quantized ln grid
+    val zipfOracle =
+      """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+         hd AS (SELECT lang,
+             CAST(floor(ln(CAST(rk AS DOUBLE)) * 10000 + 1.0/3)
+               AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000 + 1.0/3)
+               AS BIGINT) AS yq
+           FROM (SELECT lang, cnt,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, tok ASC) AS rk
+             FROM tf)
+           WHERE rk <= 50),
+         s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+             sum(CAST(xq AS HUGEINT)) AS sx,
+             sum(CAST(yq AS HUGEINT)) AS sy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx
+           FROM hd GROUP BY 1)
+         SELECT lang, n_types,
+           CASE WHEN CAST(n_types AS HUGEINT) * sxx <> sx * sx
+             THEN CAST(floor(CAST(CAST(n_types AS HUGEINT) * sxy
+               - sx * sy AS DOUBLE) * 1000
+               / CAST(CAST(n_types AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               + 1.0/3) AS BIGINT)
+             ELSE 0 END AS slope_milli
+         FROM s"""
     base + ("q231_transitivity" -> transOracle) +
+      ("q257_fs_weights" -> fsOracle) +
+      ("q258_zipf_slope" -> zipfOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

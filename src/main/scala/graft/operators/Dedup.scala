@@ -1065,4 +1065,80 @@ object Dedup {
       .select($"b", $"r", $"decile", $"jc", $"n_pairs", $"p_ppm",
         expr("caught div tot").as("recall_ppm"))
   }
+
+  /** q257: Fellegi–Sunter field weights — the probabilistic record-
+    * linkage scoring table (Fellegi & Sunter 1969, the backbone of
+    * every production entity-resolution system): for each blocking-
+    * independent field, m = P(field agrees | matched pair) estimated on
+    * the q28 near-dup relation, u = P(field agrees | random pair)
+    * estimated on the hash-adjacent exchangeable baseline (q217's
+    * trick — salted-hash order is a deterministic random permutation,
+    * so consecutive pairs are an unbiased u-sample with no pair
+    * explosion), and the log-likelihood-ratio weight log2(m/u) a
+    * linkage rule sums per candidate. Add-one smoothing keeps both
+    * probabilities off 0/1 (a field that always agrees on dups would
+    * otherwise emit an infinite weight).
+    *
+    * Fields: lang, source, global length decile (q216's grid), first
+    * token — cheap agreement predicates a real linker starts from.
+    *
+    * Exactness: counts are exact longs; m/u land on the ppm grid by
+    * integer division; the one ln per field runs on those exact ppm
+    * doubles and floors at milli with the +1/3 offset (the q87 libm
+    * discipline).
+    *
+    * Scale shape: the feature frame materializes once (Ckpt) and joins
+    * both pair relations co-partitioned on doc id; the baseline is ONE
+    * rank window over narrow (hash, doc_id) rows + a lead; everything
+    * aggregates to two 1-row relations. Output: 4 rows. */
+  def fsWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsParallel(spark, dir)
+    val g = docs.groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+    val wGt = Window.orderBy($"n_chars".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val deciles = g
+      .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
+      .withColumn("n_tot", sum($"cnt").over(wAll))
+      .select($"n_chars", expr("(cum_gt * 10) div n_tot + 1").as("dec10"))
+    val feat = Ckpt(docs
+      .join(broadcast(deciles), "n_chars")
+      .select($"doc_id", $"lang", $"source", $"dec10",
+        element_at(split($"text", " "), 1).as("tok1")), eager = false)
+    def agree(pairs: DataFrame): DataFrame = pairs
+      .join(feat.select($"doc_id".as("doc_a"), $"lang".as("la"),
+        $"source".as("sa"), $"dec10".as("da"), $"tok1".as("ta")), "doc_a")
+      .join(feat.select($"doc_id".as("doc_b"), $"lang".as("lb"),
+        $"source".as("sb"), $"dec10".as("db"), $"tok1".as("tb")), "doc_b")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"la" === $"lb", 1L).otherwise(0L)).as("c_lang"),
+        sum(when($"sa" === $"sb", 1L).otherwise(0L)).as("c_source"),
+        sum(when($"da" === $"db", 1L).otherwise(0L)).as("c_decile"),
+        sum(when($"ta" === $"tb", 1L).otherwise(0L)).as("c_tok1"))
+    val matched = agree(simhashPairs(spark, dir)
+      .select($"doc_a", $"doc_b"))
+    val wOrd = Window.orderBy(
+      md5(concat(lit("fs:"), $"doc_id".cast("string"))), $"doc_id")
+    val baseline = agree(feat.select($"doc_id")
+      .withColumn("nxt", lead($"doc_id", 1).over(wOrd))
+      .where($"nxt".isNotNull)
+      .select($"doc_id".as("doc_a"), $"nxt".as("doc_b")))
+    val m = matched.select(expr(
+      "stack(4, 'lang', c_lang, 'source', c_source, 'decile', c_decile, " +
+        "'tok1', c_tok1)").as(Seq("field", "m_cnt")), $"n".as("n_m"))
+    val u = baseline.select(expr(
+      "stack(4, 'lang', c_lang, 'source', c_source, 'decile', c_decile, " +
+        "'tok1', c_tok1)").as(Seq("field", "u_cnt")), $"n".as("n_u"))
+    m.join(u, "field")
+      .select($"field",
+        expr("((m_cnt + 1) * 1000000) div (n_m + 2)").as("m_ppm"),
+        expr("((u_cnt + 1) * 1000000) div (n_u + 2)").as("u_ppm"))
+      .withColumn("weight_milli",
+        // 1442.695... = 1000/ln 2 as one shared literal — no second
+        // engine-ln whose last ulp could differ
+        floor(log($"m_ppm".cast("double") / $"u_ppm".cast("double"))
+          * lit(1442.6950408889634) + lit(1.0 / 3)).cast("long"))
+  }
 }

@@ -1045,4 +1045,54 @@ object TextAnalysis {
     Ckpt.release(syms)
     merges.toSeq.toDF("merge_rank", "sym_a", "sym_b", "pair_count")
   }
+
+  /** q258: Zipf rank-frequency slope per language — OLS fit of
+    * ln(freq) on ln(rank) over each language's top-50 types (Zipf's
+    * law predicts slope ≈ −1; the one-number lexical-naturalness check
+    * next to q226's Hill tail and q222's broken stick, which both fit
+    * LENGTH distributions — this fits the VOCABULARY). A corpus whose
+    * slope drifts toward 0 is template/boilerplate-flattened; one far
+    * below −1 is a degenerate head (the q53 top-k eats everything) —
+    * either way the tokenizer and mixture plans change.
+    *
+    * Exactness: both regressors are ln's of exact integers, each
+    * offset-quantized to the 1e4 grid BEFORE the sums (the q87
+    * discipline — order-free long/decimal arithmetic after that); the
+    * slope is one double division floored at milli.
+    *
+    * Scale shape: the (lang, tok) aggregate is the only corpus-sized
+    * shuffle; the rank window and the OLS sums run on the ≤50-row-per-
+    * language head. Output: |langs| rows. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tf = TextOps.docsParallel(spark, dir)
+      .select($"lang", explode(TextOps.toks($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+    val head = tf
+      .withColumn("rk", row_number().over(Window.partitionBy($"lang")
+        .orderBy($"cnt".desc, $"tok".asc)).cast("long"))
+      .where($"rk" <= 50L)
+      .select($"lang",
+        floor(log($"rk".cast("double")) * 10000d + lit(1.0 / 3))
+          .cast("long").as("xq"),
+        floor(log($"cnt".cast("double")) * 10000d + lit(1.0 / 3))
+          .cast("long").as("yq"))
+    head.groupBy($"lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum($"xq".cast(dec)).as("sx"),
+        sum($"yq".cast(dec)).as("sy"),
+        sum($"xq".cast(dec) * $"yq").as("sxy"),
+        sum($"xq".cast(dec) * $"xq").as("sxx"))
+      .select($"lang", $"n_types",
+        when($"n_types".cast(dec) * $"sxx" =!= $"sx" * $"sx",
+          floor(($"n_types".cast(dec) * $"sxy" - $"sx" * $"sy")
+            .cast("double") * 1000d
+            / ($"n_types".cast(dec) * $"sxx" - $"sx" * $"sx")
+              .cast("double")
+            + lit(1.0 / 3)).cast("long"))
+          .otherwise(0L).as("slope_milli"))
+  }
 }

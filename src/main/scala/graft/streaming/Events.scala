@@ -429,6 +429,71 @@ object Events {
       .start()
   }
 
+  /** Streaming count-min heavy-hitter monitor — q102's sketch run
+    * continuously over the USER dimension (the abuse/bot screen a feed
+    * pipeline keeps live): each micro-batch adds its partial d=4 × w=256
+    * cell counts to the additive sketch state (a CMS is mergeable by
+    * cell-wise SUM — exact under any batch slicing, unlike the
+    * estimates it serves) and appends newly-seen user ids to the
+    * candidate state; each snapshot scores all candidates seen so far
+    * against the accumulated sketch and reports those whose CMS
+    * estimate clears total/200. State is 1024 cells + id-only candidate
+    * rows — never raw events; at production scale the candidate side is
+    * each batch's local top-k, same shape.
+    *
+    * StreamingSpec proves the final snapshot equals the one-pass batch
+    * twin (same cell hash, same threshold) across a 3-batch split. */
+  def cmsMonitor(stream: DataFrame, stateTarget: String,
+      monitorTarget: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
+      import batch.sparkSession.implicits._
+      val spark = batch.sparkSession
+      batch
+        .select($"user_id", explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("cell", cmsCell($"j", $"user_id"))
+        .groupBy($"j", $"cell").agg(count(lit(1)).as("n"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$stateTarget/cells")
+      batch.select($"user_id").distinct()
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$stateTarget/users")
+      val sketch = spark.read.parquet(s"$stateTarget/cells")
+        .groupBy($"j", $"cell").agg(sum($"n").as("c"))
+      val total = sketch.where($"j" === 0)
+        .agg(sum($"c").as("tot"))
+      val cands = spark.read.parquet(s"$stateTarget/users")
+        .select($"user_id").distinct()
+        .select($"user_id", explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("cell", cmsCell($"j", $"user_id"))
+      cands.join(broadcast(sketch), Seq("j", "cell"))
+        .groupBy($"user_id").agg(min($"c").as("est"))
+        .crossJoin(broadcast(total))
+        .where($"est" * 200 >= $"tot")
+        .select($"user_id", $"est", $"tot")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(monitorTarget)
+    }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+  }
+
+  /** Row-j CMS cell of a user id — q102's md5 cell family on the user
+    * salt; shared by the monitor and its batch twin in StreamingSpec. */
+  private[graft] def cmsCell(j: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(j.cast("string"), lit("#cmsu:"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long") % 256
   case class HourCount(event_type: String, h: Long, x: Long)
   case class EwmaAlert(event_type: String, h: Long, x: Long,
       forecast_milli: Long, alert: Boolean)

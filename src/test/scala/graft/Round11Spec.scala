@@ -284,7 +284,37 @@ class Round11Spec extends SparkSpec {
     assert(share <= 1000000L && share > 1000000L - rows.length)
   }
 
-  // ---- q251 Cohen's kappa -------------------------------------------------
+  // ---- q257 Fellegi–Sunter weights -------------------------------------------
+
+  test("fsWeights: discriminative fields get positive weights, m >= sane floor") {
+    val rows = graft.operators.Dedup.fsWeights(spark, sfDir).collect()
+      .map(r => r.getAs[String]("field") -> r).toMap
+    assert(rows.keySet === Set("lang", "source", "decile", "tok1"))
+    rows.values.foreach { r =>
+      val m = r.getAs[Long]("m_ppm"); val u = r.getAs[Long]("u_ppm")
+      assert(m > 0L && m <= 1000000L)
+      assert(u > 0L && u <= 1000000L)
+      // weight sign must follow the m/u ratio (floor offset aside)
+      val w = r.getAs[Long]("weight_milli")
+      if (m > u) assert(w >= 0L) else if (m < u) assert(w <= 0L)
+    }
+    // near-dups agree on language at least as often as random pairs
+    assert(rows("lang").getAs[Long]("m_ppm")
+      >= rows("lang").getAs[Long]("u_ppm"))
+  }
+
+  // ---- q258 Zipf slope -------------------------------------------------------
+
+  test("zipfSlope: negative slope per language, exact on a crafted grid") {
+    import spark.implicits._
+    val rows = graft.operators.TextAnalysis.zipfSlope(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("slope_milli") < 0L) // frequencies fall in rank
+      assert(r.getAs[Long]("n_types") > 1L)
+    }
+  }
 
   test("kappaOn: perfect agreement -> exactly +1000 milli") {
     import spark.implicits._

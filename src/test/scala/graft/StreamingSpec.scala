@@ -461,4 +461,44 @@ class StreamingSpec extends SparkSpec {
     // 90% coverage: at least k of n scores sit at or below the threshold
     got.values.foreach { case (n, k, _) => assert(k >= (9 * (n + 1) + 9) / 10 - 1 && k <= n) }
   }
+
+  test("streaming CMS monitor: final heavy-hitter snapshot equals the batch sketch") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cms_${System.nanoTime()}")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val srcDir = new java.io.File(base, "arriving").getPath
+    ev.repartition(3).write.parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Events.cmsMonitor(stream,
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
+    val nBatches = monitor.select($"batch_id").distinct().count()
+    assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
+    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    val got = monitor.where($"batch_id" === lastBatch)
+      .select($"user_id", $"est").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: the same d=4 x w=256 sketch built in one pass
+    val cells = ev
+      .select($"user_id", explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("cell", Events.cmsCell($"j", $"user_id"))
+    val sketch = cells.groupBy($"j", $"cell").agg(count(lit(1)).as("c"))
+    val tot = sketch.where($"j" === 0).agg(sum($"c")).collect().head.getLong(0)
+    val expect = cells.distinct()
+      .join(sketch, Seq("j", "cell"))
+      .groupBy($"user_id").agg(min($"c").as("est"))
+      .where($"est" * 200 >= tot)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // one-sided error: estimates dominate true counts
+    val trueCnt = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, est) => assert(est >= trueCnt(u)) }
+  }
 }
