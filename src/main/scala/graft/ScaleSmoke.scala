@@ -129,6 +129,10 @@ object ScaleSmoke {
       catalogSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
       return
     }
+    if (args.contains("duphub")) {
+      duphubSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(2000))
+      return
+    }
     if (args.contains("trihub")) {
       trihubSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(200000))
       return
@@ -393,6 +397,44 @@ object ScaleSmoke {
     println(f"hub degree $d: id-order broadcast $tb%.2f s, " +
       f"degree-order shuffled $ts%.2f s (${tb / ts}%.1fx), " +
       s"$nb triangle-corner rows")
+    spark.stop()
+  }
+
+  /** q231 MEGAHUB smoke: a near-dup pair relation with one degree-d hub
+    * (doc 0 paired with docs 1..d — the template-family shape a crawl
+    * corpus produces) plus a closure ring among the spokes for real
+    * wedges. Uncapped, the hub alone mints C(d,2) wedge endpoint pairs
+    * — d = 10⁴ is 5·10⁷ rows from ONE document; capped (TransDegCap =
+    * 64, the shipped q231 plan), the hub never enters wedge-center
+    * generation and wedge volume stays within the ring's Σdeg² bound.
+    * Run: runMain graft.ScaleSmoke duphub [degree]. */
+  private def duphubSmoke(d: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.{Ckpt, Dedup}
+    def pairs = Ckpt(
+      ((1L to d.toLong).map(i => (0L, i)) ++
+        (1L until d.toLong).map(i => (i, i + 1)))
+        .toDF("doc_a", "doc_b").repartition(32), eager = false)
+    def run(cap: Option[Long]): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val row = Dedup.transitivityAuditPairs(pairs, cap).collect()(0)
+      ((System.nanoTime() - t0) / 1e9,
+        row.getAs[Long]("n_wedge_pairs"), row.getAs[Long]("n_closed"))
+    }
+    run(Some(Dedup.TransDegCap)); run(Some(Dedup.TransDegCap)) // warm
+    val (tc, wc, cc) = run(Some(Dedup.TransDegCap))
+    val (tu, wu, cu) = run(None)
+    println(f"dup hub degree $d: capped(${Dedup.TransDegCap}) $tc%.2f s " +
+      f"($wc wedge pairs, $cc closed) vs uncapped $tu%.2f s " +
+      f"($wu wedge pairs, $cu closed) — ${tu / tc}%.1fx wall, " +
+      f"${wu.toDouble / math.max(wc, 1)}%.0fx wedge volume")
     spark.stop()
   }
 

@@ -5685,15 +5685,20 @@ object SparkEntry {
          s$r AS MATERIALIZED (SELECT s.u, s.v FROM s${r - 1} s
              JOIN a$r x ON s.u = x.u JOIN a$r y ON s.v = y.u)"""
     }.mkString
-    // q231: wedge-closure audit over the same q28 pair relation
+    // q231: wedge-closure audit over the same q28 pair relation —
+    // wedge centers degree-capped at TransDegCap, mirroring the engine
     val transOracle =
       s"""WITH p0 AS MATERIALIZED (
 ${base("q28_simhash_pairs")}),
          p AS MATERIALIZED (SELECT doc_a, doc_b FROM p0),
          s AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p
            UNION ALL SELECT doc_b, doc_a FROM p),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS du
+                 FROM s GROUP BY 1),
+         sc AS (SELECT s.u, s.v FROM s JOIN deg USING (u)
+                WHERE deg.du <= ${graft.operators.Dedup.TransDegCap}),
          w AS (SELECT DISTINCT x.v AS a, y.v AS c
-               FROM s x JOIN s y ON x.u = y.u AND x.v < y.v),
+               FROM sc x JOIN sc y ON x.u = y.u AND x.v < y.v),
          cl AS (SELECT w.a, w.c,
              CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS closed
            FROM w LEFT JOIN p ON p.doc_a = w.a AND p.doc_b = w.c)

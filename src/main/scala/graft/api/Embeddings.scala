@@ -57,4 +57,27 @@ final case class Embeddings(vecs: DataFrame) {
     * [[outliers]] output) — one shuffled anti-join on the id key. */
   def minus(flagged: DataFrame): DataFrame =
     vecs.join(flagged.select(col("vec_id")), Seq("vec_id"), "left_anti")
+
+  /** SemDeDup over this collection (q94's gated core) with the codebook
+    * size DERIVED from the collection: k = [[Embeddings.autoK]] ≈
+    * max(8, N/4096), Lloyd-refined `lloydIters` rounds (≥ 1 by default
+    * — the production path; the oracle query keeps its fixed k = 8,
+    * iters = 0 pinning). The q94 scale argument is k ~ N/cell-budget:
+    * expected cell size stays ~4096 as the corpus grows, so the
+    * within-cell pair work Σcell² stays ~N·4096 instead of quadratic —
+    * growing the corpus means growing k, not changing the plan. Costs
+    * one count() job up front to size the codebook (a production run
+    * knows its collection size; pass nothing else). */
+  def semdedup(lloydIters: Int = 1): DataFrame =
+    Similarity.semanticDedupVecs(base, Embeddings.autoK(base.count()),
+      lloydIters)
+}
+
+object Embeddings {
+  /** Codebook size for [[Embeddings.semdedup]]: k ≈ max(8, N/4096),
+    * capped at 65536 — beyond that the literal-codebook assignment
+    * (k codegen'd dots per row) should give way to a broadcast-join
+    * assignment; the cap makes the boundary explicit rather than
+    * letting plan size grow unbounded. */
+  def autoK(n: Long): Int = math.min(math.max(8L, n / 4096L), 65536L).toInt
 }

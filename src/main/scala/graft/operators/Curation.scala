@@ -520,9 +520,9 @@ object Curation {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
       .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
-    val wGt = Window.orderBy($"n_chars".desc)
+    val wGt = Window.partitionBy(graft.functions.Win.bounded).orderBy($"n_chars".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val deciles = g
       .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
@@ -545,7 +545,7 @@ object Curation {
         sum(when($"class_size" < 5, $"class_size").otherwise(0L))
           .as("n_at_risk"))
       .withColumn("total", sum($"n_records").over(
-        Window.rowsBetween(Window.unboundedPreceding,
+        Window.partitionBy(graft.functions.Win.bounded).rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .select($"bucket", $"n_classes", $"n_records",
         expr("(n_at_risk * 1000000) div total").as("risk_ppm"))
@@ -629,9 +629,9 @@ object Curation {
     import spark.implicits._
     val g = Tables.documents(spark, dir)
       .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
-    val wGt = Window.orderBy($"n_chars".desc)
+    val wGt = Window.partitionBy(graft.functions.Win.bounded).orderBy($"n_chars".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val deciles = g
       .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
@@ -646,7 +646,7 @@ object Curation {
     classes.groupBy($"l")
       .agg(count(lit(1)).as("n_classes"), sum($"class_size").as("n_records"))
       .withColumn("total", sum($"n_records").over(
-        Window.rowsBetween(Window.unboundedPreceding,
+        Window.partitionBy(graft.functions.Win.bounded).rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .select($"l", $"n_classes", $"n_records",
         expr("(n_records * 1000000) div total").as("mass_ppm"))
@@ -682,9 +682,9 @@ object Curation {
     val dec = DecimalType(38, 0)
     val g = docs
       .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
-    val wGt = Window.orderBy($"n_chars".desc)
+    val wGt = Window.partitionBy(graft.functions.Win.bounded).orderBy($"n_chars".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val deciles = g
       .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
@@ -696,7 +696,7 @@ object Curation {
     // global cumulative mass per decile (10 rows, broadcast)
     val glob = tagged.groupBy($"decile").agg(count(lit(1)).as("g"))
       .withColumn("cum_g", sum($"g").over(
-        Window.orderBy($"decile")
+        Window.partitionBy(graft.functions.Win.bounded).orderBy($"decile")
           .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("n_total", sum($"g").over(wAll))
       .select($"decile", $"cum_g", $"n_total")

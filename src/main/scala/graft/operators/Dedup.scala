@@ -761,6 +761,32 @@ object Dedup {
     * window without its one-partition bottleneck. Window pairs are 3
     * equi-joins on rank+k (co-partitioned), the verify is a per-pair
     * array intersect, and nothing quadratic exists at any scale. */
+  /** Two-phase distributed global rank over `(doc_id, <key>)` rows —
+    * row_number inside each first-char segment of the key (parallel
+    * windows), plus an exclusive prefix offset over the bounded
+    * |alphabet|-row segment-count relation broadcast back. Because all
+    * keys in a segment share their first character, segment order +
+    * in-segment order IS the global (key asc, doc_id asc) order:
+    * bit-identical to `row_number() OVER (ORDER BY key, doc_id)`
+    * without its single-partition WindowExec bottleneck. Shared by
+    * q178's sort key and q257's salted-hash permutation (PlanShapeSpec
+    * asserts neither plan contains an unpartitioned window). */
+  private[graft] def segmentedRank(rows: DataFrame, keyName: String)
+      : DataFrame = {
+    import rows.sparkSession.implicits._
+    val k = col(keyName)
+    val wSeg = Window.partitionBy($"seg").orderBy(k.asc, $"doc_id".asc)
+    val ranked = rows.withColumn("seg", substring(k, 1, 1))
+      .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
+    val wOff = Window.partitionBy(graft.functions.Win.bounded).orderBy($"seg".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy($"seg").agg(count(lit(1)).as("c"))
+      .select($"seg", coalesce(sum($"c").over(wOff), lit(0L)).as("off"))
+    ranked.join(broadcast(offs), "seg")
+      .withColumn("rn", $"rn_seg" + $"off")
+      .drop("seg", "rn_seg", "off")
+  }
+
   def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // rank on NARROW (doc_id, key) rows — the ~50-shingle arrays would
@@ -774,15 +800,7 @@ object Dedup {
         substring(regexp_replace(lower($"text"), " ", ""), 1, 24).as("snk"))
     val docSh = Tables.documents(spark, dir)
       .select($"doc_id", TextOps.shingles(TextOps.toks($"text"), 3).as("sh"))
-    val wSeg = Window.partitionBy($"seg").orderBy($"snk".asc, $"doc_id".asc)
-    val ranked = keys.withColumn("seg", substring($"snk", 1, 1))
-      .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
-    val wOff = Window.orderBy($"seg".asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = ranked.groupBy($"seg").agg(count(lit(1)).as("c"))
-      .select($"seg", coalesce(sum($"c").over(wOff), lit(0L)).as("off"))
-    val rr = ranked.join(broadcast(offs), "seg")
-      .select($"doc_id", ($"rn_seg" + $"off").as("rn"))
+    val rr = segmentedRank(keys, "snk").select($"doc_id", $"rn")
     val cand = rr.as("a")
       .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
       .join(rr.as("b"), $"b.rn" === $"a.rn" + $"k")
@@ -923,7 +941,7 @@ object Dedup {
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("n_at_or_above",
-        sum($"n_pairs").over(Window.orderBy($"decile".desc)))
+        sum($"n_pairs").over(Window.partitionBy(graft.functions.Win.bounded).orderBy($"decile".desc)))
       .select($"decile", $"n_pairs", $"n_at_or_above")
   }
 
@@ -939,19 +957,49 @@ object Dedup {
     * reads 100% at every threshold and the audit is blind.
     *
     * Scale shape: wedge INSTANCES are Σdeg² of the pair graph — the
-    * q202 item-CF bound; a pathological mega-family (m mutual dups =
-    * deg m−1 everywhere) belongs to exact dedup (q24) BEFORE a
-    * near-dup audit, the standard funnel order. The pair relation is
-    * materialized once (Ckpt) for its three consumers (two wedge
-    * sides, closure probe); the closure check is one equality join on
-    * the (a, c) endpoints; output is a single row. */
-  def transitivityAudit(spark: SparkSession, dir: String): DataFrame = {
+    * q202 item-CF bound — so wedge CENTERS are degree-capped at
+    * [[TransDegCap]] (mirrored in the oracle, the q202 discipline): one
+    * 10³-degree hub would otherwise mint 5·10⁵ wedges on its own, and
+    * a megahub family says nothing new about transitivity that its
+    * first 64 neighbors don't (a mega-family of MUTUAL dups belongs to
+    * exact dedup (q24) BEFORE a near-dup audit, the standard funnel
+    * order — the cap is the belt to that suspender; ScaleSmoke's
+    * megahub axis measures what it buys). The pair relation is
+    * materialized once (Ckpt) for its four consumers (degree census,
+    * two wedge sides, closure probe); the closure check is one
+    * equality join on the (a, c) endpoints; output is a single row. */
+  val TransDegCap = 64L
+
+  def transitivityAudit(spark: SparkSession, dir: String): DataFrame =
+    transitivityAuditOn(spark, dir, Some(TransDegCap))
+
+  /** transitivityAudit with an optional wedge-center degree cap —
+    * `cap = None` is the UNCAPPED variant kept only so ScaleSmoke's
+    * megahub mode can demonstrate what the cap buys (never registered
+    * as a query). */
+  private[graft] def transitivityAuditOn(spark: SparkSession, dir: String,
+      cap: Option[Long]): DataFrame = {
     import spark.implicits._
-    val p = Ckpt(simhashPairs(spark, dir).select($"doc_a", $"doc_b"),
-      eager = false)
+    transitivityAuditPairs(
+      Ckpt(simhashPairs(spark, dir).select($"doc_a", $"doc_b"),
+        eager = false), cap)
+  }
+
+  /** Testable core over any materialized `(doc_a, doc_b)` pair relation
+    * — ScaleSmoke's duphub axis injects a synthetic megahub here. */
+  private[graft] def transitivityAuditPairs(p: DataFrame,
+      cap: Option[Long]): DataFrame = {
+    import p.sparkSession.implicits._
     val s = p.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
-    val w = s.as("x").join(s.as("y"),
+    val sc = cap match {
+      case Some(d) =>
+        val keep = s.groupBy($"u").agg(count(lit(1)).as("du"))
+          .where($"du" <= d).select($"u")
+        s.join(keep, "u")
+      case None => s
+    }
+    val w = sc.as("x").join(sc.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.v").as("a"), col("y.v").as("c")).distinct()
     val cl = w.join(
@@ -1059,9 +1107,14 @@ object Dedup {
           / dd.cast("double") + lit(1.0 / 3)).cast("long")).as("p_ppm"))
     }.reduce(_ union _)
     val w = Window.partitionBy($"b", $"r")
+    // caught accumulates n_pairs * p_ppm — at corpus scale that product
+    // is ~1e12 * 1e6 = 1e18 per decile and the SUM exceeds long, while
+    // the oracle sums into HUGEINT. Decimal-before-multiply (the repo's
+    // q224 discipline) keeps both engines exact; `div` on decimal(38,0)
+    // is Spark's IntegralDivide and returns the exact long quotient.
     perCfg
-      .withColumn("caught", sum($"n_pairs" * $"p_ppm").over(w))
-      .withColumn("tot", sum($"n_pairs").over(w))
+      .withColumn("caught", sum($"n_pairs".cast(dec) * $"p_ppm").over(w))
+      .withColumn("tot", sum($"n_pairs".cast(dec)).over(w))
       .select($"b", $"r", $"decile", $"jc", $"n_pairs", $"p_ppm",
         expr("caught div tot").as("recall_ppm"))
   }
@@ -1088,16 +1141,18 @@ object Dedup {
     * discipline).
     *
     * Scale shape: the feature frame materializes once (Ckpt) and joins
-    * both pair relations co-partitioned on doc id; the baseline is ONE
-    * rank window over narrow (hash, doc_id) rows + a lead; everything
-    * aggregates to two 1-row relations. Output: 4 rows. */
+    * both pair relations co-partitioned on doc id; the baseline rides
+    * [[segmentedRank]] over narrow (hash, doc_id) rows — parallel
+    * per-segment windows, never one global one — with adjacency as a
+    * co-partitioned rank+1 equality join; everything aggregates to two
+    * 1-row relations. Output: 4 rows. */
   def fsWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = TextOps.docsParallel(spark, dir)
     val g = docs.groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
-    val wGt = Window.orderBy($"n_chars".desc)
+    val wGt = Window.partitionBy(graft.functions.Win.bounded).orderBy($"n_chars".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val deciles = g
       .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
@@ -1119,12 +1174,16 @@ object Dedup {
         sum(when($"ta" === $"tb", 1L).otherwise(0L)).as("c_tok1"))
     val matched = agree(simhashPairs(spark, dir)
       .select($"doc_a", $"doc_b"))
-    val wOrd = Window.orderBy(
-      md5(concat(lit("fs:"), $"doc_id".cast("string"))), $"doc_id")
-    val baseline = agree(feat.select($"doc_id")
-      .withColumn("nxt", lead($"doc_id", 1).over(wOrd))
-      .where($"nxt".isNotNull)
-      .select($"doc_id".as("doc_a"), $"nxt".as("doc_b")))
+    // hash-adjacent baseline via the q178 segmented global rank — NOT
+    // a lead() over one global window (which serializes the whole
+    // corpus through a single partition); consecutive-rank self-join
+    // yields the identical (rank i, rank i+1) pair set
+    val rr = segmentedRank(feat.select($"doc_id",
+      md5(concat(lit("fs:"), $"doc_id".cast("string"))).as("hk")), "hk")
+      .select($"doc_id", $"rn")
+    val baseline = agree(rr.as("a")
+      .join(rr.as("b"), col("b.rn") === col("a.rn") + 1L)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
     val m = matched.select(expr(
       "stack(4, 'lang', c_lang, 'source', c_source, 'decile', c_decile, " +
         "'tok1', c_tok1)").as(Seq("field", "m_cnt")), $"n".as("n_m"))

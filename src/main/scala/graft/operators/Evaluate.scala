@@ -339,14 +339,14 @@ object Evaluate {
       .agg(expr("sum(rate_ppm) div count(1)").as("pred_ppm"))
     // equal-count decile off the distinct-score grid: bin = rank decile
     // of the doc's score (ties share a bin — same cum-below count)
-    val wG = Window.orderBy($"pred_ppm")
+    val wG = Window.partitionBy(graft.functions.Win.bounded).orderBy($"pred_ppm")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bins = docScore.groupBy($"pred_ppm").agg(count(lit(1)).as("c"))
       .withColumn("cless", coalesce(sum($"c").over(wG), lit(0L)))
       .crossJoin(broadcast(docScore.agg(count(lit(1)).as("n_all"))))
       .select($"pred_ppm", expr("(cless * 10) div n_all").as("bin"))
     val scored = docScore.join(bins, "pred_ppm")
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     scored.groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"),
@@ -642,8 +642,8 @@ object Evaluate {
             * ($"n_a" + $"n_b").cast("double"))))
         * 1e9 + lit(1.0 / 3)).cast("long"))
     // BH step-up on the bounded |types|-row relation: alpha = 0.05
-    val wRank = Window.orderBy($"p_ppb".asc, $"event_type".asc)
-    val wAll = Window.rowsBetween(
+    val wRank = Window.partitionBy(graft.functions.Win.bounded).orderBy($"p_ppb".asc, $"event_type".asc)
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     d.withColumn("m", count(lit(1)).over(wAll))
       .withColumn("rk", row_number().over(wRank).cast("long"))
@@ -855,9 +855,9 @@ object Evaluate {
       .groupBy($"n_chars")
       .agg(count(lit(1)).as("cnt"),
         sum(when($"lang" === "en", 1L).otherwise(0L)).as("rel"))
-    val wGt = Window.orderBy($"n_chars".desc)
+    val wGt = Window.partitionBy(graft.functions.Win.bounded).orderBy($"n_chars".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val deciles = g
       .withColumn("cum_gt", coalesce(sum($"cnt").over(wGt), lit(0L)))
@@ -867,7 +867,7 @@ object Evaluate {
       .groupBy($"decile")
       .agg(sum($"cnt").as("n_docs"), sum($"rel").as("n_rel"),
         max($"n_tot").as("n_tot"), max($"r_tot").as("r_tot"))
-    val wCum = Window.orderBy($"decile")
+    val wCum = Window.partitionBy(graft.functions.Win.bounded).orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, 0)
     deciles
       .withColumn("cum_docs", sum($"n_docs").over(wCum))
@@ -960,7 +960,7 @@ object Evaluate {
       Window.partitionBy($"pop").orderBy($"suppkey".asc)).cast("long"))
     val offs = pop.groupBy($"pop").agg(count(lit(1)).as("c"))
       .select($"pop", coalesce(sum($"c").over(
-        Window.orderBy($"pop".desc)
+        Window.partitionBy(graft.functions.Win.bounded).orderBy($"pop".desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
     val ranked = rnIn.join(broadcast(offs), "pop")
       .select($"suppkey", ($"rn" + $"off").as("r"))
@@ -1241,9 +1241,9 @@ object Evaluate {
       .select($"score".as("rs"), $"m.y".as("y_c"))
     val grid = u.select($"score").distinct()
       .join(rep, $"score" === $"rs", "left")
-    val wPrev = Window.orderBy($"score".asc)
+    val wPrev = Window.partitionBy(graft.functions.Win.bounded).orderBy($"score".asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = Window.orderBy($"score".desc)
+    val wNext = Window.partitionBy(graft.functions.Win.bounded).orderBy($"score".desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = grid
       .withColumn("prev", max(when($"rs".isNotNull,

@@ -75,13 +75,23 @@ object Quantize {
   private[graft] def lloydCentroids(spark: SparkSession, dir: String,
       k: Int, iters: Int): Array[(Long, Array[Double], Double)] = {
     import spark.implicits._
+    lloydCentroidsVecs(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir), $"vec_id"), k, iters)
+  }
+
+  /** Lloyd refinement over ANY `(vec_id, embedding)` collection — the
+    * [[graft.api.Embeddings]] auto-k path. Seeds are the k lowest
+    * vec_ids (TakeOrdered — equals the oracle's `vec_id < k` on dense
+    * ids, well-defined on sparse ones). */
+  private[graft] def lloydCentroidsVecs(vecs: DataFrame,
+      k: Int, iters: Int): Array[(Long, Array[Double], Double)] = {
+    import vecs.sparkSession.implicits._
     val emb = transform($"embedding", x => x.cast("double"))
-    val e = Ckpt(Tables.rebalance(spark, dir, "embeddings",
-        Tables.embeddings(spark, dir), $"vec_id")
+    val e = Ckpt(vecs
       .select($"vec_id", emb.as("emb"),
         VectorOps.l2norm($"embedding").as("nrm")), eager = false)
     var cents: Array[(Long, Array[Double], Double)] =
-      e.where($"vec_id" < k).as[(Long, Array[Double], Double)]
+      e.orderBy($"vec_id".asc).limit(k).as[(Long, Array[Double], Double)]
         .collect().sortBy(_._1)
     for (_ <- 1 to iters) {
       val scoredCells = array(cents.map { case (id, cemb, cnrm) =>

@@ -1058,7 +1058,7 @@ object Relational {
     val h = perUser.groupBy($"v").agg(count(lit(1)).as("m"))
     // constant partition key: the histogram is bounded by distinct
     // activity levels (q53 idiom)
-    val w = Window.partitionBy(lit(1)).orderBy($"v")
+    val w = Window.partitionBy(graft.functions.Win.bounded).orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = h
       .withColumn("s", coalesce(sum($"m").over(w), lit(0L)) + 1L)
@@ -1467,9 +1467,9 @@ object Relational {
     // worst at 1; ties share a code
     def quintile(df: DataFrame, dim: String, bestIsLow: Boolean): DataFrame = {
       val grid = df.groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
-      val wBetter = Window.orderBy(if (bestIsLow) col(dim).asc else col(dim).desc)
+      val wBetter = Window.partitionBy(graft.functions.Win.bounded).orderBy(if (bestIsLow) col(dim).asc else col(dim).desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.rowsBetween(
+      val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       grid
         .withColumn("cum", coalesce(sum($"cnt").over(wBetter), lit(0L)))
@@ -1589,7 +1589,7 @@ object Relational {
         }
       }
       .toDF("doc_id", "n_chars", "ttr_ppm")
-    val wStrict = Window.orderBy($"n_chars".desc)
+    val wStrict = Window.partitionBy(graft.functions.Win.bounded).orderBy($"n_chars".desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     pruned
       .withColumn("strict_max", max($"ttr_ppm").over(wStrict))

@@ -190,7 +190,7 @@ object Sampling {
     // score-grid histogram (bounded 1e6+1 rows), so single-partition is
     // by design. (Spark 4.1 folds the constant away, so WindowExec still
     // logs its move-all-data warning — accurate and benign here.)
-    val wH = Window.partitionBy(lit(1)).orderBy($"score_q".desc)
+    val wH = Window.partitionBy(graft.functions.Win.bounded).orderBy($"score_q".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.withColumn("cum_incl", sum($"tok_s").over(wH))
       .withColumn("cum_before", $"cum_incl" - $"tok_s")
@@ -303,7 +303,7 @@ object Sampling {
       .withColumn("rk",
         // constant partition key: ranking runs on the bounded |sources|
         // relation (the q53 explicit-spec idiom)
-        row_number().over(Window.partitionBy(lit(1))
+        row_number().over(Window.partitionBy(graft.functions.Win.bounded)
           .orderBy($"rem".desc, $"source".asc)).cast("long"))
       .select($"source", $"n_docs", $"base",
         ($"base" + when($"rk" <= $"k", 1L).otherwise(0L)).as("alloc"))
@@ -513,7 +513,7 @@ object Sampling {
     // then sorts 50 rows, not the corpus
     perDoc.orderBy($"w_q".desc, $"doc_id".asc).limit(50)
       .withColumn("rk", row_number().over(
-        Window.orderBy($"w_q".desc, $"doc_id".asc)).cast("long"))
+        Window.partitionBy(graft.functions.Win.bounded).orderBy($"w_q".desc, $"doc_id".asc)).cast("long"))
       .select($"rk", $"doc_id", $"n_toks", $"w_q")
   }
 
@@ -607,7 +607,7 @@ object Sampling {
       .groupBy($"lang").agg(sum($"n").as("n_toks"))
       .withColumn("cap", expr("(n_toks * 6) div 5"))
     val tot = caps.agg(sum($"n_toks").as("b"), count(lit(1)).as("nl"))
-    val ord = Window.orderBy($"cap".asc, $"lang".asc)
+    val ord = Window.partitionBy(graft.functions.Win.bounded).orderBy($"cap".asc, $"lang".asc)
     val ranked = caps.crossJoin(broadcast(tot))
       .withColumn("i", row_number().over(ord).cast("long"))
       .withColumn("c", sum($"cap").over(
@@ -649,7 +649,7 @@ object Sampling {
     val wSeg = Window.partitionBy($"seg").orderBy($"h".asc, $"doc_id".asc)
     val ranked = keys.withColumn("seg", substring($"h", 1, 1))
       .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
-    val wOff = Window.orderBy($"seg".asc)
+    val wOff = Window.partitionBy(graft.functions.Win.bounded).orderBy($"seg".asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = ranked.groupBy($"seg").agg(count(lit(1)).as("cnt"))
       .select($"seg", coalesce(sum($"cnt").over(wOff), lit(0L)).as("off"))
@@ -700,7 +700,7 @@ object Sampling {
         when(h <= 7L, "train").when(h === 8L, "val")
           .otherwise("test").as("split"))
       .groupBy($"lang", $"split").agg(count(lit(1)).as("o"))
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     cell
       .withColumn("n_lang", sum($"o").over(Window.partitionBy($"lang")))
@@ -745,7 +745,7 @@ object Sampling {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val wAll = Window.rowsBetween(
+    val wAll = Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val strata = docs
       .groupBy($"source")
@@ -757,7 +757,11 @@ object Sampling {
       .withColumn("sd_milli",
         floor(sqrt($"vnum" / ($"n_docs".cast("double") * $"n_docs"))
           * 1000d + lit(1.0 / 3)).cast("long"))
-      .withColumn("w", $"n_docs" * $"sd_milli")
+      // w = N_h·σ_h in decimal(38,0): at 1e9 docs × σ~1e6 milli the
+      // long product wraps silently while the oracle's HUGEINT stays
+      // exact — route w (and the 10000·w numerator below, which rides
+      // this type) through decimal like sx/sxx/b already do
+      .withColumn("w", $"n_docs".cast(dec) * $"sd_milli")
     strata
       .withColumn("t", sum($"w").over(wAll))
       .withColumn("n_total", sum($"n_docs").over(wAll))

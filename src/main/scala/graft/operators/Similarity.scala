@@ -269,14 +269,28 @@ object Similarity {
   def semanticDedupOn(spark: SparkSession, dir: String, k: Int,
       lloydIters: Int = 0): DataFrame = {
     import spark.implicits._
-    val e = Tables.rebalance(spark, dir, "embeddings",
-        Tables.embeddings(spark, dir), $"vec_id")
+    semanticDedupVecs(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir), $"vec_id"), k, lloydIters)
+  }
+
+  /** q94 core over ANY `(vec_id, embedding)` collection — the
+    * [[graft.api.Embeddings]] path, where the codebook size is derived
+    * from the collection size instead of pinned by the oracle. Seeds
+    * are the k LOWEST vec_ids (distributed TakeOrdered — identical to
+    * the oracle's `vec_id < k` on dense ids, and well-defined on a
+    * filtered/sparse-id collection where `vec_id < k` might find
+    * nothing). */
+  def semanticDedupVecs(vecs: DataFrame, k: Int,
+      lloydIters: Int = 0): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = vecs
       .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
     val cents: Array[(Long, Array[Double], Double)] =
-      if (lloydIters > 0) Quantize.lloydCentroids(spark, dir, k, lloydIters)
-      else e.where($"vec_id" < k).as[(Long, Array[Float], Double)]
-        .collect().sortBy(_._1)
-        .map { case (id, a, n) => (id, a.map(_.toDouble), n) }
+      if (lloydIters > 0) Quantize.lloydCentroidsVecs(vecs, k, lloydIters)
+      else e.orderBy($"vec_id".asc).limit(k)
+        .select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("emb"), $"nrm")
+        .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
     // argmax by cosine, min-cent_id tie-break: max over struct(cos, -id)
     val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
       struct((VectorOps.dot($"embedding", lit(cemb)) / ($"nrm" * cnrm)).as("c"),
@@ -856,7 +870,7 @@ object Similarity {
         greatest($"lang_a", $"lang_b").as("lang_hi"))
       .groupBy($"lang_lo", $"lang_hi")
       .agg(count(lit(1)).as("n_pairs"))
-      .withColumn("total", sum($"n_pairs").over(Window.rowsBetween(
+      .withColumn("total", sum($"n_pairs").over(Window.partitionBy(graft.functions.Win.bounded).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)))
       .select($"lang_lo", $"lang_hi", $"n_pairs",
         when($"lang_lo" =!= $"lang_hi", 1L).otherwise(0L).as("cross_lang"),

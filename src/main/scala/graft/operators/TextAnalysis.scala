@@ -175,7 +175,7 @@ object TextAnalysis {
     // away, so WindowExec's move-all-data warning still logs — accurate
     // and benign on this bounded relation.)
     top.withColumn("rk", row_number().over(
-      Window.partitionBy(lit(1)).orderBy($"tf".desc, $"tok".asc)))
+      Window.partitionBy(graft.functions.Win.bounded).orderBy($"tf".desc, $"tok".asc)))
   }
 
   /** q78: per-document salient terms — the tf-idf keyword extraction of
@@ -599,7 +599,7 @@ object TextAnalysis {
       .groupBy($"t").agg(min($"dec").as("first_dec"))
       .groupBy($"first_dec").agg(count(lit(1)).as("n_new_types"))
     // constant partition key over the 10-row decile relation (q53 idiom)
-    val w = Window.partitionBy(lit(1)).orderBy($"dec")
+    val w = Window.partitionBy(graft.functions.Win.bounded).orderBy($"dec")
       .rowsBetween(Window.unboundedPreceding, 0)
     perDoc.join(firstSeen, $"dec" === $"first_dec", "left")
       .select($"dec", $"n_docs_dec", $"n_toks_dec",
@@ -628,7 +628,7 @@ object TextAnalysis {
       .select(explode(TextOps.toks($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("tf"))
     // constant partition key over the vocab-bounded relation (q53 idiom)
-    val w = Window.partitionBy(lit(1)).orderBy($"tf".desc, $"tok".asc)
+    val w = Window.partitionBy(graft.functions.Win.bounded).orderBy($"tf".desc, $"tok".asc)
     val tot = counts.agg(sum($"tf").as("total"), count(lit(1)).as("vocab"))
     counts
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -684,7 +684,7 @@ object TextAnalysis {
       .groupBy($"tok").agg(count(lit(1)).as("r"))
       .groupBy($"r").agg(count(lit(1)).as("n_r"))
     // constant partition key over the bounded frequency histogram
-    val w = Window.partitionBy(lit(1)).orderBy($"r")
+    val w = Window.partitionBy(graft.functions.Win.bounded).orderBy($"r")
     nr
       .withColumn("r_next", lead($"r", 1).over(w))
       .withColumn("n_next", lead($"n_r", 1).over(w))

@@ -194,10 +194,10 @@ object Timeseries {
         sum($"cens").as("c"))
     // constant partition key: windows over the bounded distinct-duration
     // relation (q53's explicit-spec idiom)
-    val wPrev = Window.partitionBy(lit(1)).orderBy($"dur_h")
+    val wPrev = Window.partitionBy(graft.functions.Win.bounded).orderBy($"dur_h")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(lit(1))
-    val wCum = Window.partitionBy(lit(1)).orderBy($"dur_h")
+    val wAll = Window.partitionBy(graft.functions.Win.bounded)
+    val wCum = Window.partitionBy(graft.functions.Win.bounded).orderBy($"dur_h")
       .rowsBetween(Window.unboundedPreceding, 0)
     byT
       .withColumn("n_risk",
@@ -398,7 +398,7 @@ object Timeseries {
       .groupBy($"user_id").agg(count(lit(1)).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("m"))
     // constant partition key over the bounded activity-level histogram
-    val w = Window.partitionBy(lit(1)).orderBy($"v")
+    val w = Window.partitionBy(graft.functions.Win.bounded).orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = h.agg(sum($"m").as("n_users"), sum($"v" * $"m").as("n_events"))
     // a histogram run [s, s+m) of users with activity v may straddle
@@ -418,7 +418,7 @@ object Timeseries {
       .groupBy($"d")
       .agg(sum(($"hi" - $"lo") * $"v").as("dec_events"),
         sum($"hi" - $"lo").as("dec_users"))
-    val wc = Window.partitionBy(lit(1)).orderBy($"d")
+    val wc = Window.partitionBy(graft.functions.Win.bounded).orderBy($"d")
       .rowsBetween(Window.unboundedPreceding, 0)
     sliced.crossJoin(broadcast(tot))
       .withColumn("cum_users", sum($"dec_users").over(wc))

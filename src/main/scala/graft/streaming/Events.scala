@@ -206,14 +206,14 @@ object Events {
     * stream distribution vs the reference and append a timestamped
     * snapshot row — the live dashboard a feed-health pipeline reads.
     *
-    * Exactly-once on the STATE: each batch's counts land in a
+    * Exactly-once END TO END: each batch's counts land in a
     * batch_id=<id> partition via dynamic partition overwrite, so a
     * post-crash replayed micro-batch overwrites its own partition
-    * instead of double-appending — the accumulated distribution is
-    * idempotent under replay. The monitor snapshot itself can repeat
-    * after a replay, but it recomputes from the idempotent state so
-    * the repeated row is identical and a latest-batch_id reader is
-    * unaffected. Scale: per batch O(batch) + a |types|×|bins|-bounded
+    * instead of double-appending — and the monitor snapshot is written
+    * the SAME way (its own batch_id partition, dynamic overwrite), so
+    * the entire foreachBatch body is idempotent: a replay rewrites
+    * both partitions byte-identically instead of appending a duplicate
+    * snapshot row. Scale: per batch O(batch) + a |types|×|bins|-bounded
     * state aggregation; the partitioned-parquet state is the toy-sink
     * form of a keyed MERGE.
     *
@@ -257,7 +257,10 @@ object Events {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_bins"), sum($"term_q").as("psi_q"))
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(monitorTarget)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitorTarget)
     }
     stream.writeStream
       .outputMode("append")
@@ -328,7 +331,10 @@ object Events {
           when($"n_tokens" > 0L, expr("(n_oov * 1000000) div n_tokens"))
             .otherwise(0L).as("oov_ppm"))
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(monitorTarget)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitorTarget)
     }
     stream.writeStream
       .outputMode("append")
@@ -372,7 +378,10 @@ object Events {
         .groupBy($"event_type", $"h").agg(sum($"n").as("c"))
       graft.operators.Timeseries.burstEpisodesOn(grid)
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(monitorTarget)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitorTarget)
     }
     stream.writeStream
       .outputMode("append")
@@ -419,7 +428,10 @@ object Events {
         .select($"source".as("event_type"), $"n", $"k",
           $"threshold".as("threshold_centi"))
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(monitorTarget)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitorTarget)
     }
     stream.writeStream
       .outputMode("append")
@@ -478,7 +490,10 @@ object Events {
         .where($"est" * 200 >= $"tot")
         .select($"user_id", $"est", $"tot")
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(monitorTarget)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitorTarget)
     }
     stream.writeStream
       .outputMode("append")

@@ -497,9 +497,14 @@ class PlanShapeSpec extends SparkSpec {
   test("q218 skyline: map-side prune sits BELOW the single-partition window") {
     val plan = finalPlan(Relational.paretoSkyline(spark, sfDir))
     val lines = plan.linesIterator.toVector
-    // the global frontier window needs a SinglePartition exchange — its
+    // the global frontier window needs a single-partition exchange (the
+    // Win.bounded constant key hashes every row to one partition) — its
     // input must be the MapPartitions local-skyline prune, not the corpus
-    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    // (the constant is aliased to _w0 before the exchange, so match the
+    // alias and require the bounded_win_key() projection in-plan)
+    val spIdx = lines.indexWhere(l => l.contains("Exchange SinglePartition")
+      || (l.contains("Exchange hashpartitioning(_w0#")
+        && plan.contains("bounded_win_key() AS _w0#")))
     val mpIdx = lines.indexWhere(_.contains("MapPartitions"))
     assert(spIdx >= 0, s"expected a single-partition frontier window\n$plan")
     assert(mpIdx > spIdx,
@@ -531,5 +536,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("Join") && l.contains("band#") && l.contains("bits#")),
       plan)
+  }
+
+  /** Window nodes of the optimized logical plan with their partition
+    * specs — the gate for "no unpartitioned WindowExec": Spark 4's
+    * EliminateWindowPartitions has already run here, so a foldable
+    * partition key (the old lit(1) idiom) shows up EMPTY, exactly like
+    * the WindowExec runtime warning would. */
+  private def windowParts(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec
+    }
+
+  test("q257 FS weights: every window is partitioned — the hash-adjacent baseline is segmented rank, not one global lead") {
+    val parts = windowParts(graft.operators.Dedup.fsWeights(spark, sfDir))
+    assert(parts.nonEmpty, "expected the segmented-rank windows in-plan")
+    assert(parts.forall(_.nonEmpty),
+      s"unpartitioned window survived optimization: $parts")
+  }
+
+  test("q178 sorted neighborhood: segmented global rank leaves no unpartitioned window") {
+    val parts = windowParts(graft.operators.Dedup.sortedNeighborhood(spark, sfDir))
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.nonEmpty),
+      s"unpartitioned window survived optimization: $parts")
+  }
+
+  test("q231 transitivity: wedge joins are equality joins; centers degree-capped") {
+    val plan = finalPlan(graft.operators.Dedup.transitivityAudit(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // (the one BroadcastNestedLoopJoin is the 1-row n_pairs census
+    // cross-joined back — a broadcast of a single row, not a pair join)
+    // the cap shows as a filter on the degree census feeding the wedge side
+    assert(plan.contains("du#"),
+      s"degree-cap census missing from the wedge plan\n$plan")
   }
 }

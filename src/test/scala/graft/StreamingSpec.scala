@@ -345,7 +345,7 @@ class StreamingSpec extends SparkSpec {
     // snapshots accumulate: one row set per micro-batch
     val nBatches = monitor.select($"batch_id").distinct().count()
     assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
-    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    val lastBatch = monitor.agg(max($"batch_id").cast("long")).collect().head.getLong(0)
     val got = monitor.where($"batch_id" === lastBatch)
       .select($"event_type", $"n_bins", $"psi_q").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -374,7 +374,7 @@ class StreamingSpec extends SparkSpec {
     val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
     val nBatches = monitor.select($"batch_id").distinct().count()
     assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
-    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    val lastBatch = monitor.agg(max($"batch_id").cast("long")).collect().head.getLong(0)
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))
@@ -443,7 +443,7 @@ class StreamingSpec extends SparkSpec {
     val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
     val nBatches = monitor.select($"batch_id").distinct().count()
     assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
-    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    val lastBatch = monitor.agg(max($"batch_id").cast("long")).collect().head.getLong(0)
     val got = monitor.where($"batch_id" === lastBatch)
       .select($"event_type", $"n", $"k", $"threshold_centi").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -460,6 +460,75 @@ class StreamingSpec extends SparkSpec {
     assert(expect.nonEmpty)
     // 90% coverage: at least k of n scores sit at or below the threshold
     got.values.foreach { case (n, k, _) => assert(k >= (9 * (n + 1) + 9) / 10 - 1 && k <= n) }
+  }
+
+  test("streaming conformal monitor: crash replay + checkpoint restart — snapshot unchanged, no duplicate rows") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_confcrash_${System.nanoTime()}")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val srcDir = new java.io.File(base, "arriving").getPath
+    ev.repartition(3).write.parquet(srcDir)
+    def start(ckptDir: String) = Events.conformalMonitor(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath, ckptDir)
+    val ckpt1 = new java.io.File(base, "ckpt").getPath
+    val q1 = start(ckpt1); q1.processAllAvailable(); q1.stop()
+    val monPath = new java.io.File(base, "monitor").getPath
+    // materialize the pre-crash census NOW — the restart below rewrites
+    // the batch_id=<last> partition in place, so a lazy `before` frame
+    // would re-list deleted part files
+    val beforeByBatch = spark.read.parquet(monPath)
+      .groupBy($"batch_id").count().collect()
+      .map(r => r.getAs[Number]("batch_id").longValue -> r.getLong(1)).toMap
+    val lastBatch = beforeByBatch.keys.max
+    assert(lastBatch >= 2, s"expected >=3 micro-batches, got ${lastBatch + 1}")
+    // simulate a crash AFTER the last batch's sink writes but BEFORE its
+    // checkpoint commit landed: restart a "new driver" on a copy of the
+    // checkpoint with commits/<last> missing. The engine replays that
+    // batch with the SAME batch_id and offsets — the foreachBatch body
+    // must absorb the replay idempotently (state AND snapshot are
+    // dynamic-partition overwrites keyed on batch_id)
+    val ckpt2 = new java.io.File(base, "ckpt2")
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    copyDir(new java.io.File(ckpt1), ckpt2)
+    val lostCommit = new java.io.File(ckpt2, s"commits/$lastBatch")
+    assert(lostCommit.exists(), s"checkpoint commit file missing: $lostCommit")
+    assert(lostCommit.delete())
+    // the local FS keeps a hidden Hadoop checksum twin — drop it too or
+    // the replayed commit's rename trips over the stale .crc
+    new java.io.File(ckpt2, s"commits/.$lastBatch.crc").delete()
+    val q2 = start(ckpt2.getPath); q2.processAllAvailable(); q2.stop()
+    val after = spark.read.parquet(monPath)
+    // the replayed batch must OVERWRITE its partition, not append to it:
+    // per-batch row counts are unchanged
+    assert(after.groupBy($"batch_id").count().collect()
+      .map(r => r.getAs[Number]("batch_id").longValue -> r.getLong(1)).toMap
+      === beforeByBatch,
+      "replayed batch appended duplicate snapshot rows")
+    // and the recovered final snapshot still equals the batch twin
+    val got = after.where($"batch_id" === lastBatch)
+      .select($"event_type", $"n", $"k", $"threshold_centi").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val expect = graft.operators.Evaluate.conformalOn(
+        ev.groupBy($"event_type".as("source"),
+            floor($"value" * 100d).cast("long").as("n_chars"))
+          .agg(count(lit(1)).as("c")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+    assert(expect.nonEmpty)
   }
 
   test("streaming CMS monitor: final heavy-hitter snapshot equals the batch sketch") {
@@ -480,7 +549,7 @@ class StreamingSpec extends SparkSpec {
     val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
     val nBatches = monitor.select($"batch_id").distinct().count()
     assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
-    val lastBatch = monitor.agg(max($"batch_id")).collect().head.getLong(0)
+    val lastBatch = monitor.agg(max($"batch_id").cast("long")).collect().head.getLong(0)
     val got = monitor.where($"batch_id" === lastBatch)
       .select($"user_id", $"est").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
