@@ -133,6 +133,10 @@ object ScaleSmoke {
       duphubSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(2000))
       return
     }
+    if (args.contains("ccparts")) {
+      ccPartsSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
+      return
+    }
     if (args.contains("trihub")) {
       trihubSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(200000))
       return
@@ -435,6 +439,54 @@ object ScaleSmoke {
       f"($wc wedge pairs, $cc closed) vs uncapped $tu%.2f s " +
       f"($wu wedge pairs, $cu closed) — ${tu / tc}%.1fx wall, " +
       f"${wu.toDouble / math.max(wc, 1)}%.0fx wedge volume")
+    spark.stop()
+  }
+
+  /** cc.partitions width smoke: time the q62 CC fixpoint at 1x and Nx
+    * near-dup corpora across loop widths (the `spark.graft.cc
+    * .partitions` knob, read caller-side). The question it answers for
+    * cluster tuning: WHERE does widening the loop start paying? At toy
+    * scale the loop is driver-latency-bound, so narrow widths win; the
+    * crossover is the edge volume where per-task work dominates
+    * per-round scheduling. Builds the same docs_xN replica layout as
+    * `docs` mode (so runs compose). Run:
+    * runMain graft.ScaleSmoke ccparts [factor]. */
+  private def ccPartsSmoke(n: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft_scale_docs_x$n"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    if (!new java.io.File(s"$big/documents.parquet").exists()) {
+      spark.read.parquet(s"$base/documents.parquet")
+        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", $"doc_id" * n + $"r")
+        .withColumn("text", concat($"text", lit(" rep"), $"r".cast("string")))
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
+    def time(s: SparkSession, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q62_dup_clusters")(s, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(spark, base); time(spark, big) // warm (JIT + codegen + caches)
+    println(f"${"cc.partitions"}%-14s ${"1x"}%8s ${s"${n}x"}%8s")
+    for (w <- Seq(4, 8, 16, 32, 64)) {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.cc.partitions", w.toString)
+      val a = math.min(time(s, base), time(s, base))
+      val b = math.min(time(s, big), time(s, big))
+      println(f"$w%-14d $a%8.2f $b%8.2f")
+    }
     spark.stop()
   }
 

@@ -27,6 +27,19 @@ import graft.sources.Tables
   */
 object Graph {
 
+  /** Shuffle width for the iterative graph loops (CC, PageRank, HITS,
+    * k-core): `spark.graft.cc.partitions` when set — read on the CALLER
+    * session, because runtime confs do not cross the `newSession()`
+    * clone the loops run on — else max(8, cores/4): the loops move
+    * kilobytes per task at toy scale and are driver-latency-bound, so a
+    * narrow fixed width beats the session default; at cluster scale set
+    * the knob to O(cores). ScaleSmoke's `ccparts` axis measures the
+    * width/data-size crossover. */
+  private def ccLoopParts(caller: SparkSession): Int =
+    caller.conf.getOption("spark.graft.cc.partitions")
+      .map(_.toInt)
+      .getOrElse(math.max(8, caller.sparkContext.defaultParallelism / 4))
+
   /** Connected components of an undirected edge list.
     *
     * @param edges two integral columns, one row per edge (direction
@@ -56,9 +69,10 @@ object Graph {
     // beats the session default; at cluster scale set spark.graft.cc
     // .partitions to O(cores). Everything in the loop (cached sym, every
     // shuffle) uses this ONE width so partitionings line up and reuse.
-    val loopParts = spark.conf.getOption("spark.graft.cc.partitions")
-      .map(_.toInt)
-      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
+    // Read on the CALLER: runtime confs don't cross newSession, so
+    // reading the clone would silently ignore the user's knob (the
+    // trianglesOn discipline; ScaleSmoke's ccparts axis measures it).
+    val loopParts = ccLoopParts(caller)
     // symmetric closure once, so each round is a single join direction;
     // pre-partitioned by dst (the loop's join key) so every round's edge
     // join reuses the cached partitioning instead of re-exchanging the
@@ -312,14 +326,13 @@ object Graph {
     * (plan depth is constant, not data-dependent). */
   private[graft] def pageRankOn(pairs0: DataFrame): DataFrame = {
     val caller = pairs0.sparkSession
+    // knob read on the CALLER (runtime confs don't cross newSession)
+    val loopParts = ccLoopParts(caller)
     val spark = caller.newSession()
     Ckpt.propagate(caller, spark)
     import spark.implicits._
     def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
-    val loopParts = spark.conf.getOption("spark.graft.cc.partitions")
-      .map(_.toInt)
-      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val pairs = rebind(pairs0, spark)
@@ -509,14 +522,13 @@ object Graph {
 
   private[graft] def hitsOn(pairs0: DataFrame): DataFrame = {
     val caller = pairs0.sparkSession
+    // knob read on the CALLER (runtime confs don't cross newSession)
+    val loopParts = ccLoopParts(caller)
     val spark = caller.newSession()
     Ckpt.propagate(caller, spark)
     import spark.implicits._
     def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
-    val loopParts = spark.conf.getOption("spark.graft.cc.partitions")
-      .map(_.toInt)
-      .getOrElse(math.max(8, spark.sparkContext.defaultParallelism / 4))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val pairs = rebind(pairs0, spark)
@@ -678,12 +690,12 @@ object Graph {
     val caller = pairs.sparkSession
     // q62's clone discipline: loop confs (AQE off, narrow width) live on
     // a cloned session so concurrent planning on the caller is untouched
+    val loopParts = ccLoopParts(caller)
     val spark = caller.newSession()
     Ckpt.propagate(caller, spark)
     import spark.implicits._
     def rebind(df: DataFrame, to: SparkSession): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
-    val loopParts = math.max(8, spark.sparkContext.defaultParallelism / 4)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     // materialize the PAIR relation once before orienting: the union's

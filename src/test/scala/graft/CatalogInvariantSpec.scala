@@ -1,93 +1,93 @@
 package graft
 
-import graft.catalog.SignalCatalog
+import scala.jdk.CollectionConverters._
 
-/** The reference's own structural test invariants
-  * (/root/reference/fdf/tests/tests.py:36-131), ported per SURVEY §5 and
-  * run over EVERY real module XML the reference ships — including ip,
-  * vloop, and equilibria, which the reference's suite hard-codes as
-  * exclusions (tests.py:46,66,102,121 — its dim_of/template paths were
-  * known-flaky; ours are not exempt):
-  *  - every container yields at least one signal (tests.py:36-57);
-  *  - every signal's axes resolve — each canonical axis name is backed
-  *    by axis metadata or declared via dim_of indirection
-  *    (tests.py:59-93);
-  *  - every signal has a time axis, and canonical order puts it first
-  *    (tests.py:114-131 `hasTime`);
-  *  - the long-format table schema is well-formed: shot + axes + value
-  *    (+error only when declared), unique column names.
-  */
+import org.apache.spark.sql.Row
+
+import graft.api.SignalFrame
+import graft.catalog.{SignalCatalog, SignalMeta}
+
+/** The engine twin of the reference's whole-surface plot invariant
+  * (`/root/reference/tests/tests.py:95-112` walks every container
+  * attribute and asserts every signal has a callable `plot`): here,
+  * EVERY signal declared by EVERY reference module XML must drive the
+  * full read path end-to-end — catalog parse → long-format schema →
+  * axis slice → bounded `collectTrace` (the plot-sink boundary, SURVEY
+  * S11) — on synthetic data shaped exactly by its declared schema. A
+  * catalog row this test can't push through slice→collect would be a
+  * signal a user could list but not plot, the exact regression the
+  * reference test exists to catch. */
 class CatalogInvariantSpec extends SparkSpec {
 
   private val refModules = "/root/reference/fdf/modules"
-  private val catalogs: Seq[(String, SignalCatalog)] = Seq(
-    "bes" -> SignalCatalog.fromFile(s"$refModules/bes/bes.xml"),
-    "chers" -> SignalCatalog.fromFile(s"$refModules/chers/chers.xml"),
-    "efit" -> SignalCatalog.fromFile(s"$refModules/equilibria/efit.xml",
-      Map("efit" -> Seq("efit01", "efit02", "lrdfit01"))),
-    "filterscopes" -> SignalCatalog.fromFile(s"$refModules/filterscopes/filterscopes.xml"),
-    "ip" -> SignalCatalog.fromFile(s"$refModules/ip/ip.xml"),
-    "magnetics" -> SignalCatalog.fromFile(s"$refModules/magnetics/magnetics.xml"),
-    "mpts" -> SignalCatalog.fromFile(s"$refModules/mpts/mpts.xml"),
-    "usxr" -> SignalCatalog.fromFile(s"$refModules/usxr/usxr.xml"),
-    "vloop" -> SignalCatalog.fromFile(s"$refModules/vloop/vloop.xml"))
+  // every module XML the reference ships (equilibria.xml declares only
+  // containers — it parses to an empty catalog and contributes 0);
+  // efit.xml needs its [efit] run-template instantiated, same as the
+  // reference factory does per-shot
+  private val moduleXmls = Seq(
+    "bes/bes.xml", "chers/chers.xml", "equilibria/equilibria.xml",
+    "equilibria/efit.xml", "filterscopes/filterscopes.xml", "ip/ip.xml",
+    "magnetics/magnetics.xml", "mpts/mpts.xml", "usxr/usxr.xml",
+    "vloop/vloop.xml")
+  private val templates = Map("efit" -> Seq("efit01", "lrdfit01"))
 
-  test("every reference module yields at least one signal") {
-    catalogs.foreach { case (m, c) =>
-      assert(c.signals.nonEmpty, s"$m: empty catalog")
+  // 2 shots × (4 time points × 3^(rank-1) spatial points), value a
+  // deterministic function of the coordinates, value_err present iff
+  // the declaration carries an error node
+  private def synthetic(meta: SignalMeta) = {
+    val timeGrid = Seq(0.0, 0.1, 0.2, 0.3)
+    val otherGrid = Seq(0.0, 1.0, 2.0)
+    def combos(axes: Seq[String]): Seq[Seq[Double]] = axes match {
+      case Seq() => Seq(Seq.empty)
+      case a +: rest =>
+        val g = if (meta.axes.headOption.contains(a)) timeGrid else otherGrid
+        for (v <- g; tail <- combos(rest)) yield v +: tail
     }
-    // equilibria.xml is methods-only BY DESIGN: its signals arrive via
-    // the runtime [efit] tree probe (factory.py:498-500), covered by the
-    // "efit" entry above. The invariant here: the parser tolerates a
-    // method-only container and yields an empty (not erroring) catalog.
-    val eq = SignalCatalog.fromFile(s"$refModules/equilibria/equilibria.xml")
-    assert(eq.signals.isEmpty)
+    val hasErr = meta.schema.fieldNames.contains("value_err")
+    val rows: Seq[Row] = for {
+      shot <- Seq(1, 2); ax <- combos(meta.axes)
+    } yield Row.fromSeq(
+      (shot +: ax :+ (ax.sum + shot)) ++ (if (hasErr) Seq(0.5) else Nil))
+    spark.createDataFrame(rows.asJava, meta.schema)
   }
 
-  test("every signal's axes resolve to axis metadata or dim_of") {
-    catalogs.foreach { case (m, c) =>
-      c.signals.foreach { s =>
-        s.axes.foreach { a =>
-          // an axis resolves through an <axis> declaration, through the
-          // signal's own dim_of, or through a SIBLING SIGNAL of the axis
-          // name carrying dim_of (ip.xml: data's time base is the `time`
-          // signal bound to dim_of(0) of the ip node)
-          val resolved = s.axisMeta.exists(_.name == a) ||
-            s.dimOf.isDefined ||
-            c.signals.exists(x =>
-              x.qualifiedName.endsWith(s".$a") && x.dimOf.isDefined)
-          assert(resolved, s"$m ${s.qualifiedName}: axis '$a' unresolved")
+  test("every declared signal of every reference module XML drives slice -> collectTrace end-to-end") {
+    var nSignals = 0
+    val perModule = scala.collection.mutable.LinkedHashMap[String, Int]()
+    for (x <- moduleXmls) {
+      val cat = SignalCatalog.fromFile(s"$refModules/$x", templates)
+      perModule(x) = cat.signals.length
+      for (meta <- cat.signals) {
+        nSignals += 1
+        val sf = SignalFrame(meta, synthetic(meta))
+        val trace =
+          if (meta.axes.isEmpty) sf.collectTrace()
+          else sf.slice(meta.axes.head, 0.05, 0.35).collectTrace()
+        val expected =
+          if (meta.axes.isEmpty) 2
+          else 2 * 3 * math.pow(3, meta.axes.size - 1).toInt
+        assert(trace.length === expected,
+          s"${meta.qualifiedName} (axes=${meta.axes}) sliced trace size")
+        // the trace is plot-ready: value present, axes ordered, and the
+        // declared display metadata survived into the collected schema
+        assert(trace.head.schema.fieldNames.contains("value"),
+          meta.qualifiedName)
+        meta.units.foreach { u =>
+          assert(trace.head.schema("value").metadata.getString("units") === u,
+            s"${meta.qualifiedName} units metadata")
+        }
+        if (meta.axes.nonEmpty) {
+          val ts = trace.map(_.getAs[Double](meta.axes.head))
+          assert(ts.sameElements(ts.sorted), s"${meta.qualifiedName} order")
         }
       }
     }
-  }
-
-  test("every signal has a time axis and canonical order puts it first") {
-    catalogs.foreach { case (m, c) =>
-      c.signals.foreach { s =>
-        // time-base signals themselves (dim_of indirection targets like
-        // ip.time) ARE the time axis — the invariant applies to data
-        // signals, i.e. those declaring any axes at all
-        if (s.axes.nonEmpty) {
-          assert(s.axes.head == "time",
-            s"$m ${s.qualifiedName}: canonical axes ${s.axes} not time-first")
-        }
-      }
-    }
-  }
-
-  test("every signal's long-format schema is well-formed") {
-    catalogs.foreach { case (m, c) =>
-      c.signals.foreach { s =>
-        val schema = s.schema
-        val names = schema.fieldNames.toSeq
-        assert(names.distinct.size == names.size,
-          s"$m ${s.qualifiedName}: duplicate columns in $names")
-        assert(names.head == "shot" && names.contains("value"),
-          s"$m ${s.qualifiedName}: schema $names")
-        assert(names.contains("value_err") == s.errorPath.isDefined,
-          s"$m ${s.qualifiedName}: error column mismatch")
-      }
-    }
+    // the reference surface: BES fans out 32+ channels, USXR 48, etc. —
+    // a parser regression that silently drops fan-out or a module would
+    // show up as a count collapse here
+    assert(nSignals >= 100, s"per-module signal counts: $perModule")
+    assert(perModule("bes/bes.xml") >= 32)
+    assert(perModule("usxr/usxr.xml") >= 48)
+    assert(perModule("equilibria/efit.xml") >= 6)
   }
 }
