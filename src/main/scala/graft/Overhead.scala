@@ -61,7 +61,8 @@ object Overhead {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

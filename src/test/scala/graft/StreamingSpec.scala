@@ -570,4 +570,59 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (u, est) => assert(est >= trueCnt(u)) }
   }
+
+  test("streaming CMS monitor: crash replay across its TWO state tables stays idempotent") {
+    import spark.implicits._
+    // the cms body writes cells AND candidate ids AND the snapshot —
+    // three writes per batch; a replayed batch must rewrite all three
+    // partitions, or the sketch double-counts (cells are summed!) and
+    // every estimate silently inflates
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cmscrash_${System.nanoTime()}")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val srcDir = new java.io.File(base, "arriving").getPath
+    ev.repartition(3).write.parquet(srcDir)
+    def start(ckptDir: String) = Events.cmsMonitor(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath, ckptDir)
+    val ckpt1 = new java.io.File(base, "ckpt").getPath
+    val q1 = start(ckpt1); q1.processAllAvailable(); q1.stop()
+    val monPath = new java.io.File(base, "monitor").getPath
+    val beforeLast = spark.read.parquet(monPath)
+      .agg(max($"batch_id").cast("long")).collect().head.getLong(0)
+    val ckpt2 = new java.io.File(base, "ckpt2")
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    copyDir(new java.io.File(ckpt1), ckpt2)
+    assert(new java.io.File(ckpt2, s"commits/$beforeLast").delete())
+    new java.io.File(ckpt2, s"commits/.$beforeLast.crc").delete()
+    val q2 = start(ckpt2.getPath); q2.processAllAvailable(); q2.stop()
+    // estimates after the replay still equal the one-pass batch sketch —
+    // if the replayed batch had double-appended its cell counts, the
+    // min-over-rows estimates would inflate and this set would differ
+    val got = spark.read.parquet(monPath)
+      .where($"batch_id" === beforeLast)
+      .select($"user_id", $"est").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = ev
+      .select($"user_id", explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("cell", Events.cmsCell($"j", $"user_id"))
+    val sketch = cells.groupBy($"j", $"cell").agg(count(lit(1)).as("c"))
+    val tot = sketch.where($"j" === 0).agg(sum($"c")).collect().head.getLong(0)
+    val expect = cells.distinct()
+      .join(sketch, Seq("j", "cell"))
+      .groupBy($"user_id").agg(min($"c").as("est"))
+      .where($"est" * 200 >= tot)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
 }
