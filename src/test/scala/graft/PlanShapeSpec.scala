@@ -538,6 +538,14 @@ class PlanShapeSpec extends SparkSpec {
       plan)
   }
 
+  test("q23 multi-distinct: no Expand — two narrow distinct aggs + one key join") {
+    val plan = finalPlan(Relational.distinctCount(spark, sfDir))
+    assert(!plan.contains("Expand"),
+      s"multi-countDistinct Expand resurfaced\n$plan")
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4, plan)
+  }
+
   /** Window nodes of the optimized logical plan with their partition
     * specs — the gate for "no unpartitioned WindowExec": Spark 4's
     * EliminateWindowPartitions has already run here, so a foldable
