@@ -68,8 +68,11 @@ object Overhead {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else DefaultTail
-    val tiny = "/root/testdata/sf0.001"
-    val big = "/root/testdata/sf0.1"
+    // override to probe other layouts (e.g. a ScaleSmoke replica dir as
+    // GRAFT_BIG_DIR to read a query's 1x->Nx ratio instead of its
+    // overhead split)
+    val tiny = sys.env.getOrElse("GRAFT_TINY_DIR", "/root/testdata/sf0.001")
+    val big = sys.env.getOrElse("GRAFT_BIG_DIR", "/root/testdata/sf0.1")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

@@ -59,7 +59,12 @@ object ScaleSmoke {
     // cluster-size census rides the CC fixpoint (replica families form
     // larger true clusters — read output shift, not plan degradation)
     "q233_ari_langid", "q234_split_oov", "q236_split_balance",
-    "q237_spearman", "q238_cluster_sizes", "q240_vocab_overlap")
+    "q237_spearman", "q238_cluster_sizes", "q240_vocab_overlap",
+    // round 12: the two hardened audits, tracked so a cap/segment
+    // regression shows up as a ratio blowup here (their 10x ratios
+    // measured 9.4x / 5.8x — note q231's input pair relation itself
+    // grows superlinearly: replica families are true near-dup cliques)
+    "q231_transitivity", "q257_fs_weights")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
