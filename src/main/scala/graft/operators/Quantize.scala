@@ -427,9 +427,12 @@ object Quantize {
           .otherwise(0L))
       .groupBy($"vec_id")
       .agg(sum($"term_milli").as("score_milli"))
+    // distributed top-N (TakeOrdered) first; the rank window then sorts
+    // topN rows — bounded by construction, so it carries Win.bounded
     scored.orderBy($"score_milli".desc, $"vec_id".asc).limit(topN)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.Win.bounded)
           .orderBy($"score_milli".desc, $"vec_id".asc)).cast("long"))
       .select($"rank", $"vec_id", $"score_milli")
   }
