@@ -122,7 +122,11 @@ object ScaleSmoke {
   // in cluster volume (pairs within a family are quadratic in family
   // size, which is the factor — read q28's ratio as candidate volume)
   private val GRAPH_QUERIES = Seq("q28_simhash_pairs", "q62_dup_clusters",
-    "q79_cluster_keepers", "q103_pagerank")
+    "q79_cluster_keepers", "q103_pagerank",
+    // round 12: the CC-riding split/census consumers — replica families
+    // form larger true clusters, so read their ratios as output shift
+    // plus the (measured, ~4.6x at 10x) fixpoint cost, not plan drift
+    "q238_cluster_sizes", "q246_dedup_savings", "q255_cluster_split")
 
   def main(args: Array[String]): Unit = {
     if (args.contains("megacust")) { megaCustSmoke(); return }
