@@ -25,9 +25,11 @@ class Round9Spec extends SparkSpec {
       .select($"doc_id",
         substring(regexp_replace(lower($"text"), " ", ""), 1, 24).as("snk"))
     val global = docs.withColumn("rn_g",
-      row_number().over(Window.orderBy($"snk".asc, $"doc_id".asc)).cast("long"))
+      row_number().over(Window.partitionBy(graft.functions.Win.bounded)
+        .orderBy($"snk".asc, $"doc_id".asc)).cast("long"))
     val wSeg = Window.partitionBy($"seg").orderBy($"snk".asc, $"doc_id".asc)
-    val wOff = Window.orderBy($"seg".asc)
+    val wOff = Window.partitionBy(graft.functions.Win.bounded)
+      .orderBy($"seg".asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = docs.withColumn("seg", substring($"snk", 1, 1))
       .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
