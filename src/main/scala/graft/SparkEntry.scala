@@ -278,6 +278,17 @@ object SparkEntry {
     "q256_translated_dups"  -> (Similarity.translatedDups _),
     "q257_fs_weights"       -> (Dedup.fsWeights _),
     "q258_zipf_slope"       -> (TextAnalysis.zipfSlope _),
+    "q259_cdc_chunks"       -> (Dedup.cdcChunks _),
+    "q260_burstiness"       -> (TextAnalysis.termBurstiness _),
+    "q261_sttr"             -> (TextAnalysis.sttr _),
+    "q262_readability"      -> (TextAnalysis.readability _),
+    "q263_isotropy"         -> (Similarity.isotropy _),
+    "q264_quant_fidelity"   -> (Quantize.quantFidelity _),
+    "q265_pq_distortion"    -> (Quantize.pqDistortion _),
+    "q266_mcnemar"          -> (Evaluate.mcnemar _),
+    "q267_brier_decomp"     -> (Evaluate.brierDecomp _),
+    "q268_welch_psd"        -> (Spectral.welchPsd _),
+    "q269_hjorth"           -> (Timeseries.hjorth _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6332,6 +6343,295 @@ ${base("q28_simhash_pairs")})),
            CAST(floor(ln(CAST(m_ppm AS DOUBLE) / u_ppm)
              * 1442.6950408889634 + 1.0/3) AS BIGINT) AS weight_milli
          FROM z"""
+    // q259: token-granular CDC chunk census — boundary token = md5 first
+    // hex >= 'c'; chunk id = count of strictly-preceding boundaries;
+    // chunk hash = md5 of the space-joined span; ppm through HUGEINT.
+    val cdcOracle =
+      """WITH t AS (SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS tok,
+             CAST(generate_subscripts(string_split(text, ' '), 1)
+               AS BIGINT) AS pos
+           FROM documents),
+         b AS (SELECT doc_id, source, tok, pos,
+             CASE WHEN substr(md5(tok), 1, 1) >= 'c'
+               THEN 1 ELSE 0 END AS bf
+           FROM t),
+         c AS (SELECT doc_id, source, tok, pos,
+             coalesce(sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk
+           FROM b),
+         ch AS (SELECT doc_id, source, chunk,
+             CAST(count(*) AS BIGINT) AS len,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+           FROM c GROUP BY 1, 2, 3),
+         g AS (SELECT source, chash, CAST(count(*) AS BIGINT) AS cnt,
+             max(len) AS len
+           FROM ch GROUP BY 1, 2)
+         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST((CAST(sum(cnt) - count(*) AS HUGEINT) * 1000000)
+             // sum(cnt) AS BIGINT) AS dup_chunk_ppm,
+           CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_tokens
+         FROM g GROUP BY 1"""
+    // q260: Church–Gale VMR over per-doc counts incl. zeros — pure
+    // integer moments in HUGEINT, one floor division to milli.
+    val burstOracle =
+      """WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+         st AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             sum(CAST(tf AS HUGEINT)) AS cf,
+             sum(CAST(tf AS HUGEINT) * tf) AS s2
+           FROM tf GROUP BY 1),
+         top AS (SELECT * FROM st ORDER BY df DESC, tok ASC LIMIT 50),
+         n AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs FROM documents)
+         SELECT tok, df, CAST(cf AS BIGINT) AS cf,
+           CAST((1000 * (n.n_docs * s2 - cf * cf)) // (n.n_docs * cf)
+             AS BIGINT) AS vmr_milli
+         FROM top, n"""
+    // q261: STTR — distinct-per-complete-25-token-segment, mean per
+    // source; ttr_milli = distinct * 40 exactly.
+    val sttrOracle =
+      """WITH t AS (SELECT source, doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             CAST(generate_subscripts(string_split(text, ' '), 1)
+               AS BIGINT) AS pos
+           FROM documents),
+         nz AS (SELECT source, doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+               AS rn0
+           FROM t WHERE tok <> ''),
+         seg AS (SELECT source, doc_id, rn0 // 25 AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+           FROM nz GROUP BY 1, 2, 3)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(n_types * 40) // count(*) AS BIGINT) AS mean_ttr_milli
+         FROM seg WHERE n = 25 GROUP BY 1"""
+    // q262: Flesch reading ease — vowel-run syllables, terminator-run
+    // sentences (>= 1 guards), identical left-associated double chain.
+    val readabilityOracle =
+      """WITH w AS (SELECT source, doc_id, tok FROM (
+             SELECT source, doc_id,
+               unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE text IS NOT NULL)
+           WHERE tok <> ''),
+         ws AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(greatest(1,
+               len(regexp_extract_all(lower(tok), '[aeiouy]+'))))
+               AS BIGINT) AS y
+           FROM w GROUP BY 1, 2),
+         ss AS (SELECT source, doc_id,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS BIGINT) AS s
+           FROM documents WHERE text IS NOT NULL),
+         j AS (SELECT ws.source, ws.w, ws.y, ss.s
+           FROM ws JOIN ss USING (source, doc_id))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(s) AS BIGINT) AS n_sentences,
+           CAST(sum(y) AS BIGINT) AS n_syllables,
+           CAST(floor((206.835
+             - 1.015 * (CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS BIGINT))
+             - 84.6 * (CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS BIGINT)))
+             * 1000 + 1.0/3) AS BIGINT) AS flesch_milli
+         FROM j GROUP BY 1 HAVING sum(w) > 0"""
+    // q263: mean pairwise cosine over the vec_id<100 sample; per-pair
+    // milli quantization, +1000 shift so trunc-div == floor-div.
+    val isotropyOracle =
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE vec_id < 100),
+         n AS (SELECT vec_id, emb,
+             sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b))
+               AS nrm
+           FROM e),
+         p AS (SELECT CAST(floor(
+             (list_reduce(list_transform(a.emb, (x,i) -> x * b.emb[i]),
+               (s,t)->s+t) / (a.nrm * b.nrm)) * 1000 + 1.0/3) AS BIGINT)
+               AS cq
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cq + 1000) // count(*) - 1000 AS BIGINT)
+             AS mean_cos_milli,
+           CAST((sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS pos_ppm,
+           CAST((sum(CASE WHEN cq >= 500 THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS hi_ppm
+         FROM p"""
+    // q264: Kendall concordance between float-cosine and dequantized
+    // int8-cosine rankings; 1e6 quantization before pairing, shifted div.
+    val quantFidelityOracle =
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE vec_id < 60),
+         r AS (SELECT vec_id, emb, list_min(emb) AS lo,
+             (list_max(emb) - list_min(emb)) / 255.0 AS scale FROM e),
+         q AS (SELECT vec_id, emb, lo, scale,
+             list_transform(emb, x ->
+               CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                 ELSE least(CAST(255 AS BIGINT),
+                   CAST(floor((x - lo) / scale) AS BIGINT)) END) AS codes
+           FROM r),
+         rec AS (SELECT vec_id, emb,
+             list_transform(codes, c -> lo + c * scale) AS rec
+           FROM q),
+         n AS (SELECT vec_id, emb, rec,
+             sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b)->a+b))
+               AS enrm,
+             sqrt(list_reduce(list_transform(rec, x -> x*x), (a,b)->a+b))
+               AS rnrm
+           FROM rec),
+         qry AS (SELECT vec_id AS query_id, emb AS qemb, rec AS qrec,
+             enrm AS qenrm, rnrm AS qrnrm
+           FROM n WHERE vec_id < 10),
+         cand AS (SELECT * FROM n WHERE vec_id >= 10),
+         scored AS (SELECT q.query_id, c.vec_id,
+             CAST(floor((list_reduce(
+               list_transform(q.qemb, (x,i) -> x * c.emb[i]), (s,t)->s+t)
+               / (q.qenrm * c.enrm)) * 1e6 + 1.0/3) AS BIGINT) AS eq,
+             CAST(floor((list_reduce(
+               list_transform(q.qrec, (x,i) -> x * c.rec[i]), (s,t)->s+t)
+               / (q.qrnrm * c.rnrm)) * 1e6 + 1.0/3) AS BIGINT) AS aq
+           FROM cand c, qry q),
+         p AS (SELECT x.query_id, x.eq - y.eq AS de, x.aq - y.aq AS da
+           FROM scored x JOIN scored y
+             ON x.query_id = y.query_id AND x.vec_id < y.vec_id)
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN de*da > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conc,
+           CAST(sum(CASE WHEN de*da < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disc,
+           CAST(sum(CASE WHEN de = 0 OR da = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_tie,
+           CAST((((sum(CASE WHEN de*da > 0 THEN 1 ELSE 0 END)
+             - sum(CASE WHEN de*da < 0 THEN 1 ELSE 0 END))
+             + 1000 * count(*)) * 1000) // count(*) - 1000000 AS BIGINT)
+             AS tau_milli
+         FROM p GROUP BY 1"""
+    // q265: per-subspace PQ distortion — rides the q98 encode verbatim.
+    val pqDistortionOracle =
+      s"""WITH enc AS (
+${base("q98_pq_encode")})
+         SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist_q) // count(*) AS BIGINT) AS mean_dist_q,
+           CAST(max(dist_q) AS BIGINT) AS max_dist_q,
+           CAST((sum(CASE WHEN dist_q = 0 THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS zero_ppm
+         FROM enc GROUP BY 1"""
+    // q266: McNemar contingency — hash-margin filter vs stopword LF
+    // against the length rule; chi² with continuity correction.
+    val mcnemarOracle =
+      """WITH s AS (SELECT
+             (coalesce(list_sum(list_transform(string_split(text, ' '),
+               t -> (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 201)
+                 - 100)), 0) > 0) AS a,
+             (instr(lower(text), ' the ') > 0) AS b,
+             (n_chars >= 200) AS y
+           FROM documents),
+         r AS (SELECT (a = y) AS a_right, (b = y) AS b_right FROM s),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a_right AND b_right THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a_only,
+             CAST(sum(CASE WHEN NOT a_right AND b_right THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b_only,
+             CAST(sum(CASE WHEN NOT a_right AND NOT b_right
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+           FROM r)
+         SELECT n, n_both, n_a_only, n_b_only, n_neither,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             CAST(((CAST(abs(n_a_only - n_b_only) - 1 AS HUGEINT)
+               * (abs(n_a_only - n_b_only) - 1)) * 1000)
+               // (n_a_only + n_b_only) AS BIGINT)
+           ELSE 0 END AS chi2_milli
+         FROM c"""
+    // q267: Murphy decomposition of the Brier score at forecast deciles;
+    // per-bin floor divisions mirrored, one global ppm division each.
+    val brierOracle =
+      """WITH b0 AS (SELECT (n_chars * 1000000) // (n_chars + 500) AS p_ppm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         b1 AS (SELECT p_ppm, y, p_ppm // 100000 AS bin FROM b0),
+         bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+             sum(CAST(p_ppm AS HUGEINT)) AS a_k,
+             CAST(sum(y) AS BIGINT) AS p_k,
+             sum(CAST(p_ppm - y * 1000000 AS HUGEINT)
+               * (p_ppm - y * 1000000)) AS sq_k
+           FROM b1 GROUP BY 1),
+         g AS (SELECT CAST(sum(n_k) AS HUGEINT) AS n,
+             CAST(sum(p_k) AS HUGEINT) AS p FROM bins),
+         t AS (SELECT g.n AS n, g.p AS p,
+             sum(sq_k) AS bs,
+             sum(((a_k - CAST(p_k AS HUGEINT) * 1000000)
+               * (a_k - CAST(p_k AS HUGEINT) * 1000000)) // n_k) AS rel,
+             sum(((p_k * 1000000 * g.n - g.p * 1000000 * n_k)
+               * (p_k * 1000000 * g.n - g.p * 1000000 * n_k))
+               // (CAST(n_k AS HUGEINT) * g.n * g.n)) AS res
+           FROM bins, g GROUP BY g.n, g.p)
+         SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(bs // (n * 1000000) AS BIGINT) AS brier_ppm,
+           CAST(rel // (n * 1000000) AS BIGINT) AS rel_ppm,
+           CAST(res // (n * 1000000) AS BIGINT) AS res_ppm,
+           CAST((p * 1000000 * (n - p)) // (n * n) AS BIGINT) AS unc_ppm
+         FROM t"""
+    // q268: Welch PSD — integer mean of the q116 per-frame powers.
+    val welchOracle =
+      s"""WITH sp AS (
+${base("q116_spectrogram")})
+         SELECT user_id, bin, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(qpower) // count(*) AS BIGINT) AS welch_qpower
+         FROM sp GROUP BY 1, 2"""
+    // q269: Hjorth activity/mobility/complexity on the 1e3 sample grid;
+    // exact HUGEINT variance numerators, double ratios + sqrt at milli.
+    val hjorthOracle =
+      """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         d AS (SELECT user_id, ts, event_id, vq,
+             vq - lag(vq) OVER w AS d1
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         dd AS (SELECT user_id, vq, d1,
+             d1 - lag(d1) OVER w AS d2
+           FROM d
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n0,
+             sum(CAST(vq AS HUGEINT)) AS s0,
+             sum(CAST(vq AS HUGEINT) * vq) AS q0,
+             CAST(count(d1) AS BIGINT) AS n1,
+             sum(CAST(d1 AS HUGEINT)) AS s1,
+             sum(CAST(d1 AS HUGEINT) * d1) AS q1,
+             CAST(count(d2) AS BIGINT) AS n2,
+             sum(CAST(d2 AS HUGEINT)) AS s2,
+             sum(CAST(d2 AS HUGEINT) * d2) AS q2
+           FROM dd GROUP BY 1 HAVING count(d2) >= 2),
+         v AS (SELECT user_id, n0, n1, n2,
+             CAST(n0 AS HUGEINT) * q0 - s0 * s0 AS v0,
+             CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS v1,
+             CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS v2
+           FROM m)
+         SELECT user_id, n0,
+           CAST(v0 // (CAST(n0 AS HUGEINT) * n0) AS BIGINT) AS activity_q,
+           CAST(floor(sqrt((CAST(v1 AS DOUBLE)
+               * CAST(CAST(n0 AS HUGEINT) * n0 AS DOUBLE))
+             / (CAST(v0 AS DOUBLE)
+               * CAST(CAST(n1 AS HUGEINT) * n1 AS DOUBLE)))
+             * 1000 + 1.0/3) AS BIGINT) AS mobility_milli,
+           CAST(floor(sqrt(
+             ((CAST(v2 AS DOUBLE)
+               * CAST(CAST(n1 AS HUGEINT) * n1 AS DOUBLE))
+              / (CAST(v1 AS DOUBLE)
+               * CAST(CAST(n2 AS HUGEINT) * n2 AS DOUBLE)))
+             / ((CAST(v1 AS DOUBLE)
+               * CAST(CAST(n0 AS HUGEINT) * n0 AS DOUBLE))
+              / (CAST(v0 AS DOUBLE)
+               * CAST(CAST(n1 AS HUGEINT) * n1 AS DOUBLE))))
+             * 1000 + 1.0/3) AS BIGINT) AS complexity_milli
+         FROM v WHERE v0 > 0 AND v1 > 0"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -6365,6 +6665,17 @@ ${base("q28_simhash_pairs")})),
     base + ("q231_transitivity" -> transOracle) +
       ("q257_fs_weights" -> fsOracle) +
       ("q258_zipf_slope" -> zipfOracle) +
+      ("q259_cdc_chunks" -> cdcOracle) +
+      ("q260_burstiness" -> burstOracle) +
+      ("q261_sttr" -> sttrOracle) +
+      ("q262_readability" -> readabilityOracle) +
+      ("q263_isotropy" -> isotropyOracle) +
+      ("q264_quant_fidelity" -> quantFidelityOracle) +
+      ("q265_pq_distortion" -> pqDistortionOracle) +
+      ("q266_mcnemar" -> mcnemarOracle) +
+      ("q267_brier_decomp" -> brierOracle) +
+      ("q268_welch_psd" -> welchOracle) +
+      ("q269_hjorth" -> hjorthOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

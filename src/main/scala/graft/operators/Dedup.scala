@@ -1200,4 +1200,55 @@ object Dedup {
         floor(log($"m_ppm".cast("double") / $"u_ppm".cast("double"))
           * lit(1442.6950408889634) + lit(1.0 / 3)).cast("long"))
   }
+
+  /** q259: content-defined-chunking dedup census — the storage-side
+    * dedup family (rsync/LBFS/backup dedup) applied at token
+    * granularity: a token closes its chunk iff the first hex digit of
+    * its md5 is >= 'c' (P = 1/4, mean chunk ~4 tokens), so chunk
+    * boundaries move WITH the content — an insertion re-chunks only its
+    * neighborhood instead of shifting every downstream fixed-width
+    * block (the content-defined property that makes CDC robust where
+    * fixed-size chunking is not). Chunks sharing an md5 of their joined
+    * tokens are duplicates; the census reports, per source, how much
+    * sub-document redundancy exact/near dedup (q24/q26, whole-doc
+    * granularity) cannot see: boilerplate headers, quoted replies,
+    * license blocks.
+    *
+    * Scale shape: the prefix-sum window partitions per doc_id (bounded
+    * by document length, never corpus-wide); chunk assembly is one
+    * (doc, chunk) groupBy whose collect_list is bounded by the
+    * geometric chunk length; the census is two partial-agged groupBys
+    * on (source, chunk-hash) then (source). No pairing step exists at
+    * all — dup detection is hash-equality, linear in corpus tokens.
+    * The ppm ratio routes through decimal(38,0): at 100 TB n_chunks
+    * ~2.5e12 and the 1e6 cross-multiply would sit one order from long
+    * wrap. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOn(TextOps.docsParallel(spark, dir))
+
+  private[graft] def cdcChunksOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select($"doc_id", $"source",
+        posexplode(TextOps.toks($"text")).as(Seq("pos", "tok")))
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = when(substring(md5($"tok"), 1, 1) >= "c", 1L).otherwise(0L)
+    val chunks = toks
+      .withColumn("chunk", coalesce(sum(boundary).over(wPrev), lit(0L)))
+      .groupBy($"doc_id", $"source", $"chunk")
+      .agg(count(lit(1)).as("len"),
+        md5(array_join(transform(array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok")), " ")).as("chash"))
+    chunks.groupBy($"source", $"chash")
+      .agg(count(lit(1)).as("cnt"), max($"len").as("len"))
+      .groupBy($"source")
+      .agg(sum($"cnt").as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(($"cnt" - 1L) * $"len").as("dup_tokens"))
+      .select($"source", $"n_chunks", $"n_distinct_chunks",
+        expr("""(cast(n_chunks - n_distinct_chunks as decimal(38,0))
+                 * 1000000) div n_chunks""").cast("long").as("dup_chunk_ppm"),
+        $"dup_tokens")
+  }
 }

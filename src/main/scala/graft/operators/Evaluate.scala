@@ -1351,4 +1351,113 @@ object Evaluate {
             + lit(1.0 / 3)).cast("long"))
           .otherwise(0L).as("kappa_milli"))
   }
+
+  /** q266: McNemar's paired test between two cheap document filters —
+    * classifier A = the q95 hashed-feature margin (> 0), classifier B =
+    * the q123 stopword labeling function — against the length rule
+    * (n_chars >= 200) as the reference label. The test a curation team
+    * runs before SWAPPING one filter for another: accuracy deltas on
+    * paired data are driven entirely by the DISCORDANT cells (A right/B
+    * wrong vs B right/A wrong), and McNemar's chi² with continuity
+    * correction, (|b−c|−1)²/(b+c), is the right significance screen —
+    * overall accuracy can be identical while the filters disagree on
+    * half the corpus.
+    *
+    * Exactness: every cell is a count; chi² is one integer floor
+    * division on the milli grid ((|b−c|−1)² ≤ ~N² needs decimal past
+    * ~3e9 docs — routed through decimal(38,0) here).
+    *
+    * Scale shape: the q95 margin is a map-only fold; the LF and label
+    * are per-row predicates on the SAME scan (no join — one corpus
+    * pass), and the contingency table is a 1-row full aggregation. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame =
+    mcnemarOn(graft.operators.TextOps.docsParallel(spark, dir))
+
+  private[graft] def mcnemarOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = graft.operators.TextOps.toks($"text")
+    val w = (c: Column) =>
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 201 - 100
+    val scored = docs
+      .select(
+        (aggregate(transform(t, w), lit(0L), (acc, x) => acc + x) > 0L)
+          .as("a"),
+        (instr(lower($"text"), " the ") > 0).as("b"),
+        ($"n_chars" >= 200L).as("y"))
+      .select(($"a" === $"y").as("a_right"), ($"b" === $"y").as("b_right"))
+    scored.agg(count(lit(1)).as("n"),
+        sum(when($"a_right" && $"b_right", 1L).otherwise(0L)).as("n_both"),
+        sum(when($"a_right" && !$"b_right", 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!$"a_right" && $"b_right", 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!$"a_right" && !$"b_right", 1L).otherwise(0L)).as("n_neither"))
+      .select($"n", $"n_both", $"n_a_only", $"n_b_only", $"n_neither",
+        when($"n_a_only" + $"n_b_only" > 0L,
+          expr("""((cast(abs(n_a_only - n_b_only) - 1 as decimal(38,0))
+                   * (abs(n_a_only - n_b_only) - 1)) * 1000)
+                  div (n_a_only + n_b_only)""").cast("long"))
+          .otherwise(0L).as("chi2_milli"))
+  }
+
+  /** q267: Brier score decomposition (Murphy 1973) — reliability,
+    * resolution, and uncertainty of a probabilistic forecast, binned at
+    * forecast deciles: BS = REL − RES + UNC. The forecast is the
+    * length-squash p = n_chars/(n_chars+500) predicting lang='en' (the
+    * same cheap-feature-vs-label frame as q120/q121); REL says how far
+    * the forecast drifts from the within-bin truth (what calibration
+    * fixes), RES how much the bins actually separate outcomes (what no
+    * recalibration can buy), UNC the outcome's own variance floor. ECE
+    * (q241) reads |gap| only; this is the full budget.
+    *
+    * Exactness: the forecast is an exact integer ppm ratio; each
+    * component is exact decimal(38,0) cross-arithmetic with per-bin
+    * floor division mirrored verbatim in the oracle (the RES
+    * cross-multiply (1e6·P_k·N − 1e6·P·n_k)² exceeds decimal38 past
+    * ~3e8 docs — at that scale drop the 1e6 pre-factor and carry ppm²
+    * units; flagged, not hidden). The spec pins the Murphy identity
+    * within the flooring tolerance.
+    *
+    * Scale shape: one map-only forecast tag, ONE partial-agged groupBy
+    * bounded at 11 bins, a 1-row global broadcast — a single corpus
+    * scan. */
+  def brierDecomp(spark: SparkSession, dir: String): DataFrame =
+    brierDecompOn(Tables.documents(spark, dir))
+
+  private[graft] def brierDecompOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val base = docs
+      .select(expr("(n_chars * 1000000) div (n_chars + 500)").as("p_ppm"),
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("bin", expr("p_ppm div 100000"))
+    val bins = base.groupBy($"bin")
+      .agg(count(lit(1)).as("n_k"), sum($"p_ppm".cast(dec)).as("a_k"),
+        sum($"y").as("p_k"),
+        sum(($"p_ppm".cast(dec) - $"y".cast(dec) * 1000000L)
+          * ($"p_ppm" - $"y" * 1000000L)).as("sq_k"))
+    val glob = bins.agg(sum($"n_k").as("n"), sum($"p_k").as("p")).select(
+      $"n".cast(dec).as("n"), $"p".cast(dec).as("p"))
+    bins.crossJoin(broadcast(glob))
+      .select($"bin", $"n_k", $"p_k",
+        // BS sums raw squares (one global div); REL/RES floor per bin —
+        // both mirrored verbatim in the oracle
+        $"sq_k".as("bs_k"),
+        expr("""((a_k - cast(p_k as decimal(38,0)) * 1000000)
+                 * (a_k - cast(p_k as decimal(38,0)) * 1000000))
+                div n_k""").cast(dec).as("rel_k"),
+        expr("""((p_k * 1000000 * n - p * 1000000 * n_k)
+                 * (p_k * 1000000 * n - p * 1000000 * n_k))
+                div (cast(n_k as decimal(38,0)) * n * n)""").cast(dec)
+          .as("res_k"),
+        $"n", $"p")
+      .groupBy($"n", $"p")
+      .agg(sum($"bs_k").as("bs"), sum($"rel_k").as("rel"),
+        sum($"res_k").as("res"))
+      .select($"n".cast("long").as("n_docs"),
+        expr("bs div (n * 1000000)").cast("long").as("brier_ppm"),
+        expr("rel div (n * 1000000)").cast("long").as("rel_ppm"),
+        expr("res div (n * 1000000)").cast("long").as("res_ppm"),
+        expr("(p * 1000000 * (n - p)) div (n * n)").cast("long")
+          .as("unc_ppm"))
+  }
 }

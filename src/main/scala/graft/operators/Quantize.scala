@@ -476,4 +476,99 @@ object Quantize {
             / $"svd".cast("double") + lit(1.0 / 3)).cast("long"))
           .otherwise(0L).as("top_share_ppm"))
   }
+
+  /** q264: int8-quantization rank fidelity — does q67's int8 encoding
+    * PRESERVE THE RANKING the float vectors induce? For each of 10
+    * query vectors (vec_id < 10) against a fixed 50-candidate panel
+    * (10 <= vec_id < 60), every candidate pair is scored concordant /
+    * discordant / tied between the exact float cosine and the cosine of
+    * the dequantized int8 reconstruction (lo + code·scale, q67's exact
+    * grid) — Kendall's tau per query. This is the acceptance test a
+    * quantized index must pass before serving: a compressor can have
+    * tiny per-element error (q67's err_max) yet still reorder
+    * neighbors, and it's the ORDER an ANN index returns.
+    *
+    * Exactness: both cosines ride the engines' shared left-to-right
+    * dot/norm fold and are 1e6-quantized per (query, candidate) BEFORE
+    * the pair comparison, so concordance is exact integer sign algebra;
+    * tau's numerator can be negative, so the division runs on the
+    * +1000·n_pairs-shifted nonnegative form (where Spark's trunc-div
+    * and DuckDB's floor-div agree) and shifts back — the q263 recipe.
+    *
+    * Scale shape: constant-bounded — 10×50 scored rows, 10×C(50,2) =
+    * 12,250 pair rows, independent of collection size; both scans are
+    * id-pruned. */
+  def quantFidelity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 60)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+      .select($"vec_id", $"emb",
+        array_min($"emb").as("lo"), array_max($"emb").as("hi"))
+      .select($"vec_id", $"emb", $"lo",
+        (($"hi" - $"lo") / 255.0).as("scale"))
+    val codes = transform($"emb", x =>
+      when($"scale" === 0.0, lit(0L))
+        .otherwise(least(lit(255L), floor((x - $"lo") / $"scale").cast("long"))))
+    val recon = e.select($"vec_id", $"emb",
+        transform(codes, q => $"lo" + q * $"scale").as("rec"))
+      .select($"vec_id", $"emb", $"rec",
+        VectorOps.l2norm($"emb").as("enrm"),
+        VectorOps.l2norm($"rec").as("rnrm"))
+    val q = recon.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"rec".as("qrec"),
+        $"enrm".as("qenrm"), $"rnrm".as("qrnrm"))
+    val c = recon.where($"vec_id" >= 10)
+    val scored = c.join(broadcast(q), c("vec_id") =!= q("query_id"))
+      .select($"query_id", $"vec_id",
+        floor((VectorOps.dot($"qemb", $"emb") / ($"qenrm" * $"enrm"))
+          * 1e6 + lit(1.0 / 3)).cast("long").as("eq"),
+        floor((VectorOps.dot($"qrec", $"rec") / ($"qrnrm" * $"rnrm"))
+          * 1e6 + lit(1.0 / 3)).cast("long").as("aq"))
+    val p = scored.as("x").join(scored.as("y"),
+        col("x.query_id") === col("y.query_id")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.query_id").as("query_id"),
+        (col("x.eq") - col("y.eq")).as("de"),
+        (col("x.aq") - col("y.aq")).as("da"))
+    p.groupBy($"query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"de" * $"da" > 0L, 1L).otherwise(0L)).as("n_conc"),
+        sum(when($"de" * $"da" < 0L, 1L).otherwise(0L)).as("n_disc"),
+        sum(when($"de" === 0L || $"da" === 0L, 1L).otherwise(0L)).as("n_tie"))
+      .select($"query_id", $"n_pairs", $"n_conc", $"n_disc", $"n_tie",
+        // shift by +1000·n_pairs so the dividend is nonnegative:
+        // trunc-div (Spark) == floor-div (DuckDB) on nonnegatives
+        (expr("(((n_conc - n_disc) + 1000 * n_pairs) * 1000) div n_pairs")
+          - 1000000L).as("tau_milli"))
+  }
+
+  /** q265: PQ reconstruction distortion per subspace — the codebook
+    * acceptance table that CONSUMES q98's encoding: per subspace, the
+    * mean and max quantized sub-distance ‖x_s − c_s‖² and the share of
+    * exactly-zero encodings (codebook members encode to themselves —
+    * q98's cancellation argument makes 0 exact). A subspace whose mean
+    * distortion is an outlier needs more codebook bits (or an OPQ
+    * rotation to re-balance variance, q99's direction); this table is
+    * how that call is made.
+    *
+    * Scale shape: rides q98's map-only encode (zero shuffles) plus ONE
+    * partial-agged groupBy bounded at m = 8 rows. The long sum of
+    * dist_q is exact under any merge order. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqEncode(spark, dir)
+      .groupBy($"sub")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"dist_q").as("sum_dist"),
+        max($"dist_q").as("max_dist_q"),
+        sum(when($"dist_q" === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select($"sub", $"n_vecs",
+        // dist_q >= 0 up to the +1/3 offset (a cancellation can land at
+        // -1 only if the float dist dips below -1/3, impossible for a
+        // true squared distance) — the sum is nonnegative, div is safe
+        expr("sum_dist div n_vecs").as("mean_dist_q"),
+        $"max_dist_q",
+        expr("(n_zero * 1000000) div n_vecs").as("zero_ppm"))
+  }
 }

@@ -876,4 +876,49 @@ object Similarity {
         when($"lang_lo" =!= $"lang_hi", 1L).otherwise(0L).as("cross_lang"),
         expr("(n_pairs * 1000000) div total").as("share_ppm"))
   }
+
+  /** q263: embedding isotropy — the mean pairwise cosine over a bounded
+    * deterministic sample (vec_id < 100), plus the share of positive
+    * and high-similarity pairs. An isotropic embedding space has mean
+    * pairwise cosine near 0; a collapsed/anisotropic one (the classic
+    * "representation degeneration" failure — all vectors in a narrow
+    * cone) sits far above, which silently breaks every cosine-threshold
+    * consumer upstream: q37's near-dup screen starts flagging unrelated
+    * docs and q94's SemDeDup cells stop separating. This is the
+    * one-number health probe to read BEFORE trusting any cosine cutoff.
+    *
+    * Exactness: each pair's cosine is the engines' shared left-to-right
+    * dot/norm fold (the q37 discipline), milli-quantized per PAIR
+    * before the sum — so the aggregate is exact long arithmetic, immune
+    * to shuffle order.
+    *
+    * Scale shape: the sample is a constant-bounded id-pruned scan
+    * (vec_id < 100 pushes down); the pair join is sample², a constant
+    * ~5k rows regardless of collection size. O(1) after the scan. */
+  def isotropy(spark: SparkSession, dir: String): DataFrame =
+    isotropyOn(Tables.embeddings(spark, dir), sampleN = 100)
+
+  private[graft] def isotropyOn(vecs: DataFrame, sampleN: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val s = vecs.where($"vec_id" < sampleN)
+      .select($"vec_id", $"embedding",
+        VectorOps.l2norm($"embedding").as("nrm"))
+    val pairs = s.as("a").join(broadcast(s.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(floor(
+        (VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))) * 1000 + lit(1.0 / 3))
+        .cast("long").as("cq"))
+    // mean over the +1000-shifted grid: the sum stays nonnegative, so
+    // Spark's trunc-div and DuckDB's floor-div agree (cos can be < 0;
+    // a raw negative sum would trunc/floor differently — the q99 trap)
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum($"cq" + 1000L).as("sum_cq1k"),
+        sum(when($"cq" > 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"cq" >= 500L, 1L).otherwise(0L)).as("n_hi"))
+      .select($"n_pairs",
+        (expr("sum_cq1k div n_pairs") - 1000L).as("mean_cos_milli"),
+        expr("(n_pos * 1000000) div n_pairs").as("pos_ppm"),
+        expr("(n_hi * 1000000) div n_pairs").as("hi_ppm"))
+  }
 }

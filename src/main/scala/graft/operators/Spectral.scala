@@ -113,6 +113,33 @@ object Spectral {
         floor($"power" + lit(0.3333333333333333)).cast("long").as("qpower"))
   }
 
+  /** q268: Welch power-spectral-density estimate — the frame-averaged
+    * refinement of q116's spectrogram (Welch 1967, rectangular window,
+    * non-overlapping segments): per (user, frequency bin), the mean of
+    * the per-frame quantized powers. Averaging K independent frames
+    * cuts the periodogram's variance by K — the estimator a turbulence
+    * analysis actually trusts, where a single q36 periodogram is only a
+    * sample (reference analog: the windowed spectra of
+    * `/root/reference/fdf/modules/bes/fft.py`, which exist precisely to
+    * be averaged).
+    *
+    * Exactness: each frame's power is already on the integer grid
+    * (q116's +1/3-offset floor), so the Welch mean is one exact long
+    * sum and one floor division — shuffle-order-free.
+    *
+    * Scale shape: rides the spectrogram (one bounded-frame shuffle,
+    * map-only FFT) plus ONE partial-agged groupBy on (user, bin). A
+    * long production trace contributes |trace|/width frames and the
+    * average stays a two-column aggregate. */
+  def welchPsd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spectrogram(spark, dir)
+      .groupBy($"user_id", $"bin")
+      .agg(count(lit(1)).as("n_frames"), sum($"qpower").as("sum_q"))
+      .select($"user_id", $"bin", $"n_frames",
+        expr("sum_q div n_frames").as("welch_qpower"))
+  }
+
   /** q198: magnitude-squared coherence between the click and purchase
     * hourly series — the two-signal cross-spectral diagnostic (Welch-
     * averaged over 16-hour segments, rectangular window): γ²(f) =

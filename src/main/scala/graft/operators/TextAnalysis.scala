@@ -1095,4 +1095,127 @@ object TextAnalysis {
             + lit(1.0 / 3)).cast("long"))
           .otherwise(0L).as("slope_milli"))
   }
+
+  /** q260: term burstiness (Church & Gale 1995) — for the 50 highest-df
+    * terms, the variance-to-mean ratio (VMR) of the per-document count
+    * INCLUDING the zeros: a Poisson-scattered term sits at VMR ≈ 1, a
+    * bursty content term (all its mass in few docs) far above, and a
+    * template/boilerplate term pinned once-per-doc BELOW 1. The
+    * one-number split between "function word", "topic word", and
+    * "boilerplate artifact" that q84's rule list approximates by hand —
+    * and the feature a stop-list or df-cut should be derived from.
+    *
+    * Exactness: VMR = (N·Σtf² − (Σtf)²) / (N·Σtf) is a pure integer
+    * ratio (zeros contribute nothing to either sum, so the per-doc
+    * relation never needs densifying); both moments accumulate in
+    * decimal(38,0) (HUGEINT twin) and the milli result is one floor
+    * division — no doubles anywhere.
+    *
+    * Scale shape: one (doc, tok) partial-agged shuffle, one
+    * vocabulary-sized moment agg, a TakeOrderedAndProject top-50, and a
+    * 1-row broadcast for N. The corpus is touched once. */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame =
+    termBurstinessOn(TextOps.docsParallel(spark, dir))
+
+  private[graft] def termBurstinessOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tf = docs
+      .select($"doc_id", explode(TextOps.toks($"text")).as("tok"))
+      .where($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val moments = tf.groupBy($"tok")
+      .agg(count(lit(1)).as("df"),
+        sum($"tf".cast(dec)).as("cf"),
+        sum($"tf".cast(dec) * $"tf").as("s2"))
+    val nDocs = docs.agg(count(lit(1)).cast(dec).as("n_docs"))
+    moments.orderBy($"df".desc, $"tok".asc).limit(50)
+      .crossJoin(broadcast(nDocs))
+      .select($"tok", $"df", $"cf".cast("long").as("cf"),
+        expr("""(1000 * (n_docs * s2 - cf * cf)) div (n_docs * cf)""")
+          .cast("long").as("vmr_milli"))
+  }
+
+  /** q261: standardized type-token ratio (STTR) — mean TTR over
+    * consecutive 25-token segments, per source. Raw TTR falls with
+    * document length (Heaps' law, q137), so corpora of different doc
+    * lengths aren't comparable on it; fixing the segment size removes
+    * the length confound (the STTR standard in corpus linguistics).
+    * A source whose STTR sags is template-flooded even when its q32
+    * quality score looks fine.
+    *
+    * Exactness: TTR per complete segment = distinct·1000/25 =
+    * distinct·40 — exact integers; the per-source mean is one floor
+    * division. Incomplete tail segments (< 25 tokens) are dropped, so
+    * every segment contributes at identical weight.
+    *
+    * Scale shape: token renumbering is a per-doc window (bounded by
+    * document length); the distinct count per (doc, segment) and the
+    * per-source mean are partial-agged groupBys. One corpus scan. */
+  def sttr(spark: SparkSession, dir: String): DataFrame =
+    sttrOn(TextOps.docsParallel(spark, dir))
+
+  private[graft] def sttrOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segLen = 25
+    val toks = docs
+      .select($"source", $"doc_id",
+        posexplode(TextOps.toks($"text")).as(Seq("pos", "tok")))
+      .where($"tok" =!= "")
+    val perSeg = toks
+      .withColumn("seg", expr(s"(row_number() over (partition by doc_id order by pos) - 1) div $segLen"))
+      .groupBy($"source", $"doc_id", $"seg")
+      .agg(count(lit(1)).as("n"), countDistinct($"tok").as("n_types"))
+      .where($"n" === segLen.toLong)
+    perSeg.groupBy($"source")
+      .agg(count(lit(1)).as("n_segments"),
+        sum($"n_types" * lit(1000L / segLen)).as("sum_ttr"))
+      .select($"source", $"n_segments",
+        expr("sum_ttr div n_segments").as("mean_ttr_milli"))
+  }
+
+  /** q262: Flesch reading-ease per source — the classic readability
+    * screen (Flesch 1948): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with syllables approximated by vowel-group
+    * runs `[aeiouy]+` (≥ 1 per word) and sentences by terminator runs
+    * `[.!?]+` (≥ 1 per document — the synthetic corpus carries no
+    * terminators, so there the formula degrades to words-per-doc, which
+    * the guard makes explicit rather than dividing by zero). A quality
+    * gate reads this next to q32's ratio score: a source whose grade
+    * level explodes is OCR noise or code, not prose.
+    *
+    * Exactness: both ratios are exact-integer divisions evaluated once
+    * in double, the constant chain is left-associated identically in
+    * both engines, and the result is milli-floored with the +1/3
+    * offset.
+    *
+    * Scale shape: map-only per-token regexp counts, then two
+    * partial-agged groupBys ((source, doc) then source). One scan. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOn(TextOps.docsParallel(spark, dir))
+
+  private[graft] def readabilityOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.where($"text".isNotNull)
+    val words = base
+      .select($"source", $"doc_id", explode(TextOps.toks($"text")).as("tok"))
+      .where($"tok" =!= "")
+      .groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).as("w"),
+        sum(greatest(lit(1L),
+          regexp_count(lower($"tok"), lit("[aeiouy]+")).cast("long"))).as("y"))
+    val sents = base.select($"source", $"doc_id",
+      greatest(lit(1L), regexp_count($"text", lit("[.!?]+")).cast("long")).as("s"))
+    words.join(sents, Seq("source", "doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("n_words"),
+        sum($"s").as("n_sentences"), sum($"y").as("n_syllables"))
+      .where($"n_words" > 0L)
+      .select($"source", $"n_docs", $"n_words", $"n_sentences", $"n_syllables",
+        floor((lit(206.835)
+          - lit(1.015) * ($"n_words".cast("double") / $"n_sentences")
+          - lit(84.6) * ($"n_syllables".cast("double") / $"n_words")) * 1000
+          + lit(1.0 / 3)).cast("long").as("flesch_milli"))
+  }
 }

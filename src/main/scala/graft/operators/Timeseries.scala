@@ -808,4 +808,68 @@ object Timeseries {
         max(when($"side" === 1L, $"slope_milli")).as("slope_post_milli"))
       .withColumn("delta_milli", $"slope_post_milli" - $"slope_pre_milli")
   }
+
+  /** q269: Hjorth parameters (Hjorth 1970) per user signal — activity
+    * (variance), mobility (sqrt of the derivative-to-signal variance
+    * ratio, the dominant-frequency proxy), and complexity (mobility of
+    * the derivative over mobility of the signal, the bandwidth proxy).
+    * The three-number time-domain summary EEG/fusion-diagnostic
+    * pipelines compute when a full q36 spectrum is overkill — a
+    * drifting mobility flags a frequency shift with no FFT at all
+    * (reference analog: the per-signal summary stats fdf postprocess
+    * hooks derive from raw traces).
+    *
+    * Exactness: samples quantize to the 1e3 grid FIRST (floor(v·1000 +
+    * 1/3)), so first/second differences and all three variance
+    * numerators N·Σx² − (Σx)² are exact decimal(38,0) integers; each
+    * reported parameter spends ONE double ratio of decimal-cast exact
+    * integers and one correctly-rounded sqrt, identically ordered in
+    * both engines.
+    *
+    * Scale shape: the lag/lead differences are per-user windows
+    * (bounded by a user's trace, the same shape as q46/q118); the
+    * moment sums partial-agg; output is |users| rows. One scan. */
+  def hjorth(spark: SparkSession, dir: String): DataFrame =
+    hjorthOn(Tables.events(spark, dir))
+
+  private[graft] def hjorthOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val s = events
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .withColumn("d1", $"vq" - lag($"vq", 1).over(w))
+      .withColumn("d2", $"d1" - lag($"d1", 1).over(w))
+    val m = s.groupBy($"user_id").agg(
+      count(lit(1)).as("n0"),
+      sum($"vq".cast(dec)).as("s0"), sum($"vq".cast(dec) * $"vq").as("q0"),
+      count($"d1").as("n1"),
+      sum($"d1".cast(dec)).as("s1"), sum($"d1".cast(dec) * $"d1").as("q1"),
+      count($"d2").as("n2"),
+      sum($"d2".cast(dec)).as("s2"), sum($"d2".cast(dec) * $"d2").as("q2"))
+      .where($"n2" >= 2L)
+      .select($"user_id", $"n0",
+        ($"n0".cast(dec) * $"q0" - $"s0" * $"s0").as("v0"),
+        ($"n1".cast(dec) * $"q1" - $"s1" * $"s1").as("v1"),
+        ($"n2".cast(dec) * $"q2" - $"s2" * $"s2").as("v2"),
+        $"n1", $"n2")
+    // var(x) = v/n² on the 1e3 sample grid; ratios cancel the grid scale
+    // n² through decimal too: a 3e9-sample trace would wrap long n·n
+    val nn0 = ($"n0".cast(dec) * $"n0").cast("double")
+    val nn1 = ($"n1".cast(dec) * $"n1").cast("double")
+    val nn2 = ($"n2".cast(dec) * $"n2").cast("double")
+    m.where($"v0" > 0 && $"v1" > 0)
+      .select($"user_id", $"n0",
+        expr("v0 div (cast(n0 as decimal(38,0)) * n0)").cast("long")
+          .as("activity_q"),
+        floor(sqrt(($"v1".cast("double") * nn0)
+          / ($"v0".cast("double") * nn1))
+          * 1000 + lit(1.0 / 3)).cast("long").as("mobility_milli"),
+        floor(sqrt(
+          (($"v2".cast("double") * nn1) / ($"v1".cast("double") * nn2))
+          / (($"v1".cast("double") * nn0) / ($"v0".cast("double") * nn1)))
+          * 1000 + lit(1.0 / 3)).cast("long").as("complexity_milli"))
+  }
 }

@@ -1,0 +1,360 @@
+package graft
+
+import graft.operators.{Dedup, Evaluate, Quantize, Similarity, Spectral,
+  TextAnalysis, Timeseries}
+
+/** q259-q262: CDC chunk census, term burstiness, STTR, Flesch
+  * readability. Cores on handcrafted inputs with closed-form answers;
+  * wrappers on the sf0.001 sample for the invariants the oracle gate
+  * can't express (bounds, monotonicity).
+  */
+class Round12Spec extends SparkSpec {
+
+  // ---- q259 CDC chunks ---------------------------------------------------
+
+  test("cdcChunksOn: a duplicated doc halves distinct chunks exactly") {
+    import spark.implicits._
+    // two byte-identical docs -> every chunk appears exactly twice:
+    // dup_chunk_ppm = 500000 and dup_tokens = one doc's token count
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, text, "s"), (2L, text, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.cdcChunksOn(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_chunks") === 2 * row.getAs[Long]("n_distinct_chunks"))
+    assert(row.getAs[Long]("dup_chunk_ppm") === 500000L)
+    assert(row.getAs[Long]("dup_tokens") === 10L)
+  }
+
+  test("cdcChunksOn: all-distinct tokens in one doc -> zero duplication") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 40).map(i => s"tok$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.cdcChunksOn(docs).collect().head
+    assert(r.getAs[Long]("n_chunks") === r.getAs[Long]("n_distinct_chunks"))
+    assert(r.getAs[Long]("dup_chunk_ppm") === 0L)
+    assert(r.getAs[Long]("dup_tokens") === 0L)
+  }
+
+  test("cdcChunksOn: chunk lengths partition the token stream") {
+    import spark.implicits._
+    // n_chunks counted with multiplicity must cover every token:
+    // sum over chunk instances of len == total tokens
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p", "s"),
+      (2L, "q r s t u v w x y z", "t"))
+      .toDF("doc_id", "text", "source")
+    val total = Dedup.cdcChunksOn(docs)
+      .agg(org.apache.spark.sql.functions.sum("dup_tokens"))
+      .collect().head.getLong(0)
+    assert(total === 0L) // all tokens distinct -> no dup chunk anywhere
+  }
+
+  test("cdcChunks wrapper: census bounds hold on the sample") {
+    val rows = Dedup.cdcChunks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_chunks") <= r.getAs[Long]("n_chunks"))
+      val ppm = r.getAs[Long]("dup_chunk_ppm")
+      assert(ppm >= 0L && ppm < 1000000L)
+    }
+  }
+
+  // ---- q260 term burstiness ----------------------------------------------
+
+  test("termBurstinessOn: once-per-doc term has VMR exactly 0") {
+    import spark.implicits._
+    // "the" once in every doc: S1 = N, S2 = N -> N*S2 - S1^2 = 0
+    val docs = (1 to 8).map(i => (i.toLong, s"the filler$i"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.termBurstinessOn(docs).collect()
+      .map(x => x.getAs[String]("tok") -> x).toMap
+    assert(r("the").getAs[Long]("vmr_milli") === 0L)
+    assert(r("the").getAs[Long]("df") === 8L)
+    assert(r("the").getAs[Long]("cf") === 8L)
+  }
+
+  test("termBurstinessOn: single-doc burst scores k(N-1)/N exactly") {
+    import spark.implicits._
+    // "boom" 5 times in one of 10 docs: VMR = (10*25 - 25)/(10*5) = 4.5
+    val docs = ((1 to 9).map(i => (i.toLong, s"pad$i")) :+
+      (10L, "boom boom boom boom boom")).toDF("doc_id", "text")
+    val r = TextAnalysis.termBurstinessOn(docs).collect()
+      .map(x => x.getAs[String]("tok") -> x).toMap
+    assert(r("boom").getAs[Long]("vmr_milli") === 4500L)
+    assert(r("boom").getAs[Long]("df") === 1L)
+    assert(r("boom").getAs[Long]("cf") === 5L)
+  }
+
+  test("termBurstiness wrapper: VMR nonnegative, df-ordered top cut") {
+    val rows = TextAnalysis.termBurstiness(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vmr_milli") >= 0L)
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"))
+    }
+  }
+
+  // ---- q261 STTR -----------------------------------------------------------
+
+  test("sttrOn: distinct-then-constant doc gives mean (1000+40)/2") {
+    import spark.implicits._
+    // segment 0: 25 distinct types -> ttr 1000; segment 1: 1 type -> 40
+    val text = ((1 to 25).map(i => s"w$i") ++ Seq.fill(25)("same")).mkString(" ")
+    val docs = Seq((1L, text, "s")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sttrOn(docs).collect().head
+    assert(r.getAs[Long]("n_segments") === 2L)
+    assert(r.getAs[Long]("mean_ttr_milli") === 520L)
+  }
+
+  test("sttrOn: docs shorter than one segment contribute nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.sttrOn(docs).collect().isEmpty)
+  }
+
+  test("sttr wrapper: TTR bounded by (40, 1000] on the sample") {
+    val rows = TextAnalysis.sttr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("mean_ttr_milli")
+      assert(t >= 40L && t <= 1000L)
+    }
+  }
+
+  // ---- q262 readability -----------------------------------------------------
+
+  test("readabilityOn: closed-form Flesch on a two-word sentence") {
+    import spark.implicits._
+    // "aa bb.": words 2, sentences 1, syllables 1 + guard(0->1) = 2
+    // flesch = 206.835 - 1.015*2 - 84.6*1 = 120.205 -> 120205 milli
+    val docs = Seq((1L, "aa bb.", "s")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.readabilityOn(docs).collect().head
+    assert(r.getAs[Long]("n_words") === 2L)
+    assert(r.getAs[Long]("n_sentences") === 1L)
+    assert(r.getAs[Long]("n_syllables") === 2L)
+    assert(r.getAs[Long]("flesch_milli") === 120205L)
+  }
+
+  test("readabilityOn: more syllables per word lowers the score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "be do it. so we go.", "simple"),
+      (2L, "audacious operatic idiosyncrasies perpetuate onerous anomalies.",
+        "ornate")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.readabilityOn(docs).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("flesch_milli")).toMap
+    assert(r("simple") > r("ornate"))
+  }
+
+  test("readability wrapper: every source reports with positive counts") {
+    val rows = TextAnalysis.readability(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") > 0L)
+      assert(r.getAs[Long]("n_syllables") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_sentences") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  // ---- q263 isotropy ---------------------------------------------------------
+
+  test("isotropyOn: identical vectors give mean cosine exactly 1000") {
+    import spark.implicits._
+    val v = Array(1f, 2f, 3f)
+    val vecs = Seq((0L, v), (1L, v), (2L, v)).toDF("vec_id", "embedding")
+    val r = Similarity.isotropyOn(vecs, sampleN = 10).collect().head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Long]("mean_cos_milli") === 1000L)
+    assert(r.getAs[Long]("pos_ppm") === 1000000L)
+    assert(r.getAs[Long]("hi_ppm") === 1000000L)
+  }
+
+  test("isotropyOn: an orthonormal basis has mean cosine 0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val r = Similarity.isotropyOn(vecs, sampleN = 10).collect().head
+    assert(r.getAs[Long]("mean_cos_milli") === 0L)
+    assert(r.getAs[Long]("pos_ppm") === 0L)
+    assert(r.getAs[Long]("hi_ppm") === 0L)
+  }
+
+  test("isotropyOn: antipodal pair reports a negative mean (shifted div)") {
+    import spark.implicits._
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.isotropyOn(vecs, sampleN = 10).collect().head
+    assert(r.getAs[Long]("mean_cos_milli") === -1000L)
+  }
+
+  test("isotropy wrapper: bounds hold on the sample") {
+    val r = Similarity.isotropy(spark, sfDir).collect().head
+    val m = r.getAs[Long]("mean_cos_milli")
+    assert(m >= -1000L && m <= 1000L)
+    assert(r.getAs[Long]("pos_ppm") >= r.getAs[Long]("hi_ppm"))
+  }
+
+  // ---- q264 quantization rank fidelity ----------------------------------------
+
+  test("quantFidelity: conc/disc/tie partition every pair; tau bounded") {
+    val rows = Quantize.quantFidelity(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      assert(n === 1225L) // C(50,2)
+      assert(r.getAs[Long]("n_conc") + r.getAs[Long]("n_disc")
+        + r.getAs[Long]("n_tie") === n)
+      val tau = r.getAs[Long]("tau_milli")
+      assert(tau >= -1000L && tau <= 1000L)
+      // 64-dim int8 reconstruction must broadly preserve neighbor order
+      assert(tau > 0L)
+    }
+  }
+
+  // ---- q266 McNemar ------------------------------------------------------------
+
+  test("mcnemarOn: cells partition the corpus; discordance drives chi2") {
+    import spark.implicits._
+    // doc text chosen so classifier A's margin sign is whatever md5
+    // gives — the test pins the INVARIANTS, the oracle pins the values
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"some words the number$i text goes here", 150L + 10L * i))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Evaluate.mcnemarOn(docs).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n === 20L)
+    assert(r.getAs[Long]("n_both") + r.getAs[Long]("n_a_only")
+      + r.getAs[Long]("n_b_only") + r.getAs[Long]("n_neither") === n)
+    assert(r.getAs[Long]("chi2_milli") >= 0L)
+  }
+
+  test("mcnemarOn: zero discordance gives chi2 exactly 0") {
+    import spark.implicits._
+    // token weights (md5 family): spark 82, the 26, data 55, query 85,
+    // value 56, fast 50 -> margin 354 > 0, so A votes keep; " the "
+    // present so B votes keep; n_chars >= 200 -> y true: both right,
+    // b = c = 0 and the CASE guard must return 0, not divide
+    val docs = Seq((1L, "spark the data query value fast", 300L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Evaluate.mcnemarOn(docs).collect().head
+    assert(r.getAs[Long]("n_a_only") + r.getAs[Long]("n_b_only") === 0L)
+    assert(r.getAs[Long]("chi2_milli") === 0L)
+  }
+
+  // ---- q267 Brier decomposition -------------------------------------------------
+
+  test("brierDecompOn: constant-forecast corpus satisfies Murphy exactly") {
+    import spark.implicits._
+    // all docs n_chars=500 -> p_ppm = 500000 (one bin); half positive:
+    // BS = 250000 ppm, REL = 0, RES = 0, UNC = 250000 -> identity exact
+    val docs = (1 to 10).map(i =>
+      (i.toLong, 500L, if (i <= 5) "en" else "de"))
+      .toDF("doc_id", "n_chars", "lang")
+    val r = Evaluate.brierDecompOn(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 10L)
+    assert(r.getAs[Long]("brier_ppm") === 250000L)
+    assert(r.getAs[Long]("rel_ppm") === 0L)
+    assert(r.getAs[Long]("res_ppm") === 0L)
+    assert(r.getAs[Long]("unc_ppm") === 250000L)
+  }
+
+  test("brierDecompOn: perfectly-sharp forecast has RES == UNC") {
+    import spark.implicits._
+    // two bins, outcomes fully separated by bin: resolution captures
+    // all the outcome variance (res == unc), reliability is the only
+    // miss term
+    val docs = ((1 to 5).map(i => (i.toLong, 100L, "de")) ++
+      (6 to 10).map(i => (i.toLong, 4500L, "en")))
+      .toDF("doc_id", "n_chars", "lang")
+    val r = Evaluate.brierDecompOn(docs).collect().head
+    assert(r.getAs[Long]("res_ppm") === r.getAs[Long]("unc_ppm"))
+    assert(r.getAs[Long]("unc_ppm") === 250000L)
+    assert(r.getAs[Long]("brier_ppm") >= 0L)
+  }
+
+  test("brierDecomp wrapper: components bounded, UNC <= 250000") {
+    val r = Evaluate.brierDecomp(spark, sfDir).collect().head
+    assert(r.getAs[Long]("unc_ppm") <= 250000L)
+    assert(r.getAs[Long]("rel_ppm") >= 0L)
+    assert(r.getAs[Long]("res_ppm") >= 0L)
+    assert(r.getAs[Long]("brier_ppm") >= 0L)
+  }
+
+  // ---- q268 Welch PSD ------------------------------------------------------------
+
+  test("welchPsd equals the integer mean of the spectrogram frames") {
+    import org.apache.spark.sql.functions._
+    val sp = Spectral.spectrogram(spark, sfDir)
+      .groupBy(col("user_id"), col("bin"))
+      .agg(count(lit(1)).as("nf"), sum(col("qpower")).as("sq"))
+      .select(col("user_id"), col("bin"), col("nf"),
+        expr("sq div nf").as("expect"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = Spectral.welchPsd(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length === sp.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("bin"))
+      assert((r.getAs[Long]("n_frames"), r.getAs[Long]("welch_qpower")) === sp(k))
+    }
+  }
+
+  // ---- q269 Hjorth parameters ------------------------------------------------------
+
+  test("hjorthOn: quadratic ramp has closed-form mobility, zero complexity") {
+    import spark.implicits._
+    // x_t = t^2, t = 0..4 on the 1e3 grid: v0 = 8.7e8, v1 = 8e7, v2 = 0
+    // activity = 8.7e8 div 25 = 34800000
+    // mobility = sqrt((8e7*25)/(8.7e8*16)) = 0.37904... -> 379
+    val events = (0 to 4).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, (t * t).toDouble))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.hjorthOn(events).collect().head
+    assert(r.getAs[Long]("n0") === 5L)
+    assert(r.getAs[Long]("activity_q") === 34800000L)
+    assert(r.getAs[Long]("mobility_milli") === 379L)
+    assert(r.getAs[Long]("complexity_milli") === 0L)
+  }
+
+  test("hjorthOn: constant and linear traces are guarded out") {
+    import spark.implicits._
+    val events = ((0 to 4).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, 7.0)) ++ // constant: v0 = 0
+      (0 to 4).map(t =>
+        (2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+          t.toLong, t.toDouble))) // linear: v1 = 0
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(Timeseries.hjorthOn(events).collect().isEmpty)
+  }
+
+  test("hjorth wrapper: mobility of a real signal is positive and finite") {
+    val rows = Timeseries.hjorth(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("activity_q") >= 0L)
+      assert(r.getAs[Long]("mobility_milli") >= 0L)
+      assert(r.getAs[Long]("complexity_milli") >= 0L)
+    }
+  }
+
+  // ---- q265 PQ distortion ------------------------------------------------------
+
+  test("pqDistortion: 8 subspaces, codebook self-encodings give zero_ppm > 0") {
+    val rows = Quantize.pqDistortion(spark, sfDir).collect()
+    assert(rows.length === 8)
+    val n = rows.head.getAs[Long]("n_vecs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Long]("mean_dist_q") >= 0L)
+      assert(r.getAs[Long]("max_dist_q") >= r.getAs[Long]("mean_dist_q"))
+      // the 8 codebook vectors encode to themselves at exactly 0
+      assert(r.getAs[Long]("zero_ppm") > 0L)
+    }
+  }
+}
