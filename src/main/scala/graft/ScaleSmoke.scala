@@ -64,7 +64,16 @@ object ScaleSmoke {
     // regression shows up as a ratio blowup here (their 10x ratios
     // measured 9.4x / 5.8x — note q231's input pair relation itself
     // grows superlinearly: replica families are true near-dup cliques)
-    "q231_transitivity", "q257_fs_weights")
+    "q231_transitivity", "q257_fs_weights",
+    // round 12 additions: the CDC chunk census is linear in corpus
+    // tokens with NO pairing step (replica families share every chunk,
+    // so dup_chunk_ppm rises while the plan stays scan-shaped);
+    // burstiness/STTR/readability/McNemar reduce to top-k moments /
+    // per-segment counts / per-source sums; q270 rides q28's capped
+    // wedge machinery (same densification caveat as q231)
+    "q259_cdc_chunks", "q260_burstiness", "q261_sttr",
+    "q262_readability", "q266_mcnemar", "q267_brier_decomp",
+    "q270_local_cc")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -86,7 +95,11 @@ object ScaleSmoke {
     // round 9 (driver round 9): centroid shift and dim variance reduce
     // to |labels|*d / d sums (ideal ~ scan ratio); purity rides q138's
     // banded candidate volume
-    "q223_centroid_shift", "q224_dim_variance", "q225_knn_purity")
+    "q223_centroid_shift", "q224_dim_variance", "q225_knn_purity",
+    // round 12: isotropy and rank fidelity are constant-bounded samples
+    // (ideal ~ flat after the id-pruned scan); PQ distortion rides the
+    // map-only q98 encode (ideal ~ scan ratio)
+    "q263_isotropy", "q264_quant_fidelity", "q265_pq_distortion")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and
@@ -113,7 +126,11 @@ object ScaleSmoke {
     // grid (constant); PSM reduces to one row per user then matches on
     // the bounded score grid — user growth = more rows in the one
     // partial agg, ideal ~ scan ratio
-    "q221_burst_episodes", "q222_broken_stick", "q227_psm_att")
+    "q221_burst_episodes", "q222_broken_stick", "q227_psm_att",
+    // round 12: Welch reduces to the bounded (user, frame, bin) grid;
+    // Hjorth is per-user windows + moment sums — user growth = more
+    // groups of the same size, ideal ~ scan ratio
+    "q268_welch_psd", "q269_hjorth", "q271_variance_ratio")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

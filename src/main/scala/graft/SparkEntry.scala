@@ -289,6 +289,8 @@ object SparkEntry {
     "q267_brier_decomp"     -> (Evaluate.brierDecomp _),
     "q268_welch_psd"        -> (Spectral.welchPsd _),
     "q269_hjorth"           -> (Timeseries.hjorth _),
+    "q270_local_cc"         -> (Dedup.localClustering _),
+    "q271_variance_ratio"   -> (Timeseries.varianceRatio _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6632,6 +6634,61 @@ ${base("q116_spectrogram")})
                * CAST(CAST(n1 AS HUGEINT) * n1 AS DOUBLE))))
              * 1000 + 1.0/3) AS BIGINT) AS complexity_milli
          FROM v WHERE v0 > 0 AND v1 > 0"""
+    // q270: per-node clustering coefficient on the q28 graph, decile
+    // histogram; centers degree-capped at 64 exactly as Spark does.
+    val localCcOracle =
+      s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+${base("q28_simhash_pairs")})),
+         s AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+           FROM s GROUP BY 1),
+         ctr AS (SELECT u, d FROM deg WHERE d >= 2 AND d <= 64),
+         w AS (SELECT x.u AS u, x.v AS a, y.v AS c
+           FROM s x JOIN s y ON x.u = y.u AND x.v < y.v
+           JOIN ctr ON ctr.u = x.u),
+         cl AS (SELECT w.u,
+             CAST(sum(CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS t
+           FROM w LEFT JOIN pairs p ON p.doc_a = w.a AND p.doc_b = w.c
+           GROUP BY 1),
+         cc AS (SELECT (coalesce(cl.t, 0) * 2000000)
+             // (ctr.d * (ctr.d - 1)) AS cc_ppm
+           FROM ctr LEFT JOIN cl ON cl.u = ctr.u)
+         SELECT cc_ppm // 100000 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(cc_ppm) // count(*) AS BIGINT) AS mean_cc_ppm
+         FROM cc GROUP BY 1"""
+    // q271: Lo–MacKinlay VR(4) per user — q269's exact-variance recipe
+    // with two lags, one fixed-order double chain to milli.
+    val vrOracle =
+      """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         d AS (SELECT user_id, vq,
+             vq - lag(vq, 1) OVER w AS d1,
+             vq - lag(vq, 4) OVER w AS d4
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(d1) AS BIGINT) AS n1,
+             sum(CAST(d1 AS HUGEINT)) AS s1,
+             sum(CAST(d1 AS HUGEINT) * d1) AS q1,
+             CAST(count(d4) AS BIGINT) AS n4,
+             sum(CAST(d4 AS HUGEINT)) AS s4,
+             sum(CAST(d4 AS HUGEINT) * d4) AS q4
+           FROM d GROUP BY 1 HAVING count(d4) >= 2),
+         v AS (SELECT user_id, n0, n1, n4,
+             CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS v1,
+             CAST(n4 AS HUGEINT) * q4 - s4 * s4 AS v4
+           FROM m)
+         SELECT user_id, n0,
+           CAST(floor((CAST(v4 AS DOUBLE)
+               * CAST(CAST(n1 AS HUGEINT) * n1 AS DOUBLE))
+             / (CAST(v1 AS DOUBLE)
+               * CAST(CAST(n4 AS HUGEINT) * n4 AS DOUBLE))
+             / 4 * 1000 + 1.0/3) AS BIGINT) AS vr_milli
+         FROM v WHERE v1 > 0"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -6676,6 +6733,8 @@ ${base("q116_spectrogram")})
       ("q267_brier_decomp" -> brierOracle) +
       ("q268_welch_psd" -> welchOracle) +
       ("q269_hjorth" -> hjorthOracle) +
+      ("q270_local_cc" -> localCcOracle) +
+      ("q271_variance_ratio" -> vrOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

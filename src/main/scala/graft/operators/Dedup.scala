@@ -1014,6 +1014,53 @@ object Dedup {
           .otherwise(0L).as("closure_ppm"))
   }
 
+  /** q270: local clustering-coefficient histogram of the near-dup
+    * graph — per node, cc(v) = closed wedges at v / C(deg v, 2),
+    * bucketed at deciles. The STRUCTURE refinement of q231's single
+    * closure number: a dup graph whose mass sits at cc ≈ 1 is clean
+    * clique families (whole-cluster dedup is safe); mass at low cc is
+    * chain/star topology where connected components over-merge and the
+    * q230 2-core / per-pair verification is mandatory. Reading this
+    * histogram is how the cluster-vs-pairwise dedup policy call is
+    * made.
+    *
+    * Scale shape: wedge enumeration is Σ C(deg, 2) over CENTERS, so
+    * centers ride the same [[TransDegCap]] as q231 (mirrored in the
+    * oracle; a 10³-degree template hub would mint 5·10⁵ wedges and its
+    * cc is already known to be degenerate — q202's cap discipline).
+    * The pair relation is Ckpt'd once for its three consumers
+    * (degrees, wedge sides, closure probe); closure is one equality
+    * join on canonical (a < c) endpoints; output is ≤ 11 buckets. */
+  def localClustering(spark: SparkSession, dir: String): DataFrame =
+    localClusteringPairs(
+      Ckpt(simhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        eager = false), TransDegCap)
+
+  /** Testable core over any canonical (doc_a < doc_b) pair relation. */
+  private[graft] def localClusteringPairs(p: DataFrame,
+      cap: Long): DataFrame = {
+    import p.sparkSession.implicits._
+    val s = p.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val deg = s.groupBy($"u").agg(count(lit(1)).as("d"))
+    val ctr = deg.where($"d" >= 2L && $"d" <= cap)
+    val sc = s.join(ctr.select($"u"), "u")
+    val w = sc.as("x").join(sc.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("u"), col("x.v").as("a"), col("y.v").as("c"))
+    val t = w.join(
+        p.select($"doc_a".as("a"), $"doc_b".as("c"), lit(1L).as("hit")),
+        Seq("a", "c"), "left")
+      .groupBy($"u").agg(sum(coalesce($"hit", lit(0L))).as("t"))
+    ctr.join(t, Seq("u"), "left")
+      .select(expr("(coalesce(t, 0) * 2000000) div (d * (d - 1))")
+        .as("cc_ppm"))
+      .groupBy(expr("cc_ppm div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"cc_ppm").as("sq"))
+      .select($"bucket", $"n_nodes",
+        expr("sq div n_nodes").as("mean_cc_ppm"))
+  }
+
   /** q243: lexical↔semantic dedup agreement — how much of the exact
     * 3-gram-Jaccard pair relation (q25's PPJoin at t=0.5) does the
     * embedding-cosine relation (q37's banded sign-LSH at cos≥0.4) find,
@@ -1226,21 +1273,32 @@ object Dedup {
   def cdcChunks(spark: SparkSession, dir: String): DataFrame =
     cdcChunksOn(TextOps.docsParallel(spark, dir))
 
-  private[graft] def cdcChunksOn(docs: DataFrame): DataFrame = {
+  /** The q259 chunker as a reusable relation: one row per (doc, chunk)
+    * with its token length and content hash. `carry` names doc-level
+    * columns to keep alongside (q259 carries `source`; the streaming
+    * chunk-novelty gate carries nothing). Shared so the batch census
+    * and the ingest gate can never chunk differently. */
+  private[graft] def cdcChunkRelation(docs: DataFrame,
+      carry: Seq[String]): DataFrame = {
     import docs.sparkSession.implicits._
+    val cs = carry.map(col)
     val toks = docs
-      .select($"doc_id", $"source",
-        posexplode(TextOps.toks($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id" +: cs :+
+        posexplode(TextOps.toks($"text")).as(Seq("pos", "tok")): _*)
     val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val boundary = when(substring(md5($"tok"), 1, 1) >= "c", 1L).otherwise(0L)
-    val chunks = toks
+    toks
       .withColumn("chunk", coalesce(sum(boundary).over(wPrev), lit(0L)))
-      .groupBy($"doc_id", $"source", $"chunk")
+      .groupBy($"doc_id" +: cs :+ $"chunk": _*)
       .agg(count(lit(1)).as("len"),
         md5(array_join(transform(array_sort(collect_list(struct($"pos", $"tok"))),
           x => x.getField("tok")), " ")).as("chash"))
-    chunks.groupBy($"source", $"chash")
+  }
+
+  private[graft] def cdcChunksOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    cdcChunkRelation(docs, Seq("source")).groupBy($"source", $"chash")
       .agg(count(lit(1)).as("cnt"), max($"len").as("len"))
       .groupBy($"source")
       .agg(sum($"cnt").as("n_chunks"),

@@ -832,6 +832,53 @@ object Timeseries {
   def hjorth(spark: SparkSession, dir: String): DataFrame =
     hjorthOn(Tables.events(spark, dir))
 
+  /** q271: Lo–MacKinlay variance-ratio test per user signal —
+    * VR(q=4) = Var(4-step increments) / (4·Var(1-step increments)).
+    * A random walk sits at exactly 1 (increments uncorrelated, variance
+    * linear in horizon); mean-reverting/oscillating signals fall below
+    * (long steps cancel), trending signals rise above. The cheap
+    * long-range-dependence screen next to q181's ACF and q269's Hjorth
+    * mobility — the number a drift monitor reads to tell noise from
+    * regime persistence before fitting anything.
+    *
+    * Exactness: the q269 recipe verbatim — samples on the 1e3 grid,
+    * exact decimal variance numerators N·Σd² − (Σd)² for both lags,
+    * one fixed-order double ratio chain, milli floor.
+    *
+    * Scale shape: two lag columns over the same per-user window (ONE
+    * window exec), moment sums partial-agg, |users| rows out. */
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame =
+    varianceRatioOn(Tables.events(spark, dir))
+
+  private[graft] def varianceRatioOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val s = events
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .withColumn("d1", $"vq" - lag($"vq", 1).over(w))
+      .withColumn("d4", $"vq" - lag($"vq", 4).over(w))
+    val m = s.groupBy($"user_id").agg(
+      count(lit(1)).as("n0"),
+      count($"d1").as("n1"),
+      sum($"d1".cast(dec)).as("s1"), sum($"d1".cast(dec) * $"d1").as("q1"),
+      count($"d4").as("n4"),
+      sum($"d4".cast(dec)).as("s4"), sum($"d4".cast(dec) * $"d4").as("q4"))
+      .where($"n4" >= 2L)
+      .select($"user_id", $"n0", $"n1", $"n4",
+        ($"n1".cast(dec) * $"q1" - $"s1" * $"s1").as("v1"),
+        ($"n4".cast(dec) * $"q4" - $"s4" * $"s4").as("v4"))
+    val nn1 = ($"n1".cast(dec) * $"n1").cast("double")
+    val nn4 = ($"n4".cast(dec) * $"n4").cast("double")
+    m.where($"v1" > 0)
+      .select($"user_id", $"n0",
+        floor(($"v4".cast("double") * nn1)
+          / ($"v1".cast("double") * nn4) / 4d * 1000d + lit(1.0 / 3))
+          .cast("long").as("vr_milli"))
+  }
+
   private[graft] def hjorthOn(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.types.DecimalType

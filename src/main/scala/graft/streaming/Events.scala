@@ -197,6 +197,81 @@ object Events {
       .start()
   }
 
+  /** Streaming CHUNK-novelty ingest gate — q259's content-defined
+    * chunker run at ingestion time, against an accumulated chunk-hash
+    * store: each arriving document is chunked (the shared
+    * `Dedup.cdcChunkRelation`, so stream and batch can never chunk
+    * differently), its chunks are probed against every PRIOR batch's
+    * store partition, and the per-doc verdict (novel-token fraction vs
+    * `minNoveltyPpm`) lands in a snapshot table. This is sub-document
+    * dedup in the ingest path — the screen that catches a "new" doc
+    * which is 90% boilerplate already ingested, which whole-doc gates
+    * (dedupIngestGate) admit.
+    *
+    * Exactly-once: both writes are dynamic-partition overwrites keyed
+    * by batch_id, and the store probe reads only `batch_id < current`
+    * — so a replayed batch sees the IDENTICAL prior state and rewrites
+    * its own partitions byte-identically (the conformal/CMS monitor
+    * discipline). Within-batch repeats count as novel (novelty is
+    * defined against the store, not the batch — deterministic under
+    * replay either way).
+    *
+    * Scale shape: per batch O(batch chunks + store collisions) — the
+    * store is an equality join on chash (at 100 TB a bucketed table on
+    * chash); only arriving docs are chunked. State is chunk HASHES,
+    * never text. */
+  def chunkNoveltyGate(newDocs: DataFrame, storeDir: String,
+      snapshotDir: String, checkpoint: String,
+      minNoveltyPpm: Long = 500000L,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val gate: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        import batch.sparkSession.implicits._
+        val spark = batch.sparkSession
+        val chunks = graft.operators.Dedup
+          .cdcChunkRelation(batch, Seq.empty)
+          .localCheckpoint(true) // batch-scoped; replay covers loss
+        val known =
+          if (new java.io.File(storeDir).exists())
+            spark.read.parquet(storeDir)
+              .where($"batch_id" < batchId) // replay must not see itself
+              .select($"chash").distinct()
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("chash",
+                org.apache.spark.sql.types.StringType))))
+        val flagged = chunks.join(known.withColumn("seen", lit(1L)),
+            Seq("chash"), "left")
+        flagged.groupBy($"doc_id")
+          .agg(sum($"len").as("n_tokens"),
+            sum(when($"seen".isNull, $"len").otherwise(0L))
+              .as("novel_tokens"))
+          .select($"doc_id", $"n_tokens", $"novel_tokens",
+            expr("(novel_tokens * 1000000) div n_tokens").as("novelty_ppm"),
+            lit(batchId).as("batch_id"))
+          .withColumn("admit", $"novelty_ppm" >= minNoveltyPpm)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(snapshotDir)
+        flagged.where($"seen".isNull).select($"chash").distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        graft.operators.Ckpt.release(chunks)
+      }
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(gate)
+      .start()
+  }
+
   /** Streaming PSI drift monitor — q149's population-stability screen
     * run continuously against a frozen reference distribution. Each
     * micro-batch: (1) bin the arriving values with the SAME broadcast

@@ -580,4 +580,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("du#"),
       s"degree-cap census missing from the wedge plan\n$plan")
   }
+
+  test("q259/q261/q269: every window in the new per-key operators is partitioned") {
+    Seq(
+      graft.operators.Dedup.cdcChunks(spark, sfDir),
+      graft.operators.TextAnalysis.sttr(spark, sfDir),
+      graft.operators.Timeseries.hjorth(spark, sfDir)).foreach { df =>
+      val parts = windowParts(df)
+      assert(parts.nonEmpty, "expected per-doc/per-user windows in-plan")
+      assert(parts.forall(_.nonEmpty),
+        s"unpartitioned window survived optimization: $parts")
+    }
+  }
+
+  test("q263/q264/q270: bounded-sample pair joins never degrade to CartesianProduct") {
+    Seq(
+      graft.operators.Similarity.isotropy(spark, sfDir),
+      graft.operators.Quantize.quantFidelity(spark, sfDir),
+      graft.operators.Dedup.localClustering(spark, sfDir)).foreach { df =>
+      val plan = finalPlan(df)
+      // the a<b self-joins on constant-bounded samples must broadcast
+      // (BroadcastNestedLoop on ~100 rows), not cartesian the big side
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
 }

@@ -343,6 +343,67 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q271 variance ratio -------------------------------------------------------
+
+  test("varianceRatioOn: quadratic ramp closed-form VR, oscillator reads 0") {
+    import spark.implicits._
+    // user 1: x_t = t^2, t = 0..7 -> v1 = 784e6 (N1=7), v4 = 1280e6
+    // (N4=4): VR = (1280e6*49)/(784e6*16)/4 = 1.25 -> 1250 milli
+    // user 2: x alternates 0/1 -> every 4-step increment is 0 -> VR 0
+    val events = ((0 to 7).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, (t * t).toDouble)) ++
+      (0 to 7).map(t =>
+        (2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+          t.toLong, (t % 2).toDouble)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.varianceRatioOn(events).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("vr_milli")).toMap
+    assert(r === Map(1L -> 1250L, 2L -> 0L))
+  }
+
+  test("varianceRatio wrapper: VR positive and bounded on real traces") {
+    val rows = Timeseries.varianceRatio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vr_milli")
+      assert(v >= 0L && v < 100000L)
+    }
+  }
+
+  // ---- q270 local clustering coefficient ----------------------------------------
+
+  test("localClusteringPairs: triangle + pendant, closed-form buckets") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4 on node 1:
+    // cc(1) = 1/C(3,2) = 1/3 -> 333333 ppm (bucket 3)
+    // cc(2) = cc(3) = 1/C(2,2)... = 1/1 -> 1000000 ppm (bucket 10)
+    // node 4 (deg 1) is excluded
+    val p = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.localClusteringPairs(p, cap = 64L).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("n_nodes"), x.getAs[Long]("mean_cc_ppm"))).toMap
+    assert(r === Map(3L -> (1L, 333333L), 10L -> (2L, 1000000L)))
+  }
+
+  test("localClusteringPairs: an over-cap hub is excluded from centers") {
+    import spark.implicits._
+    // star: center 1 with 70 leaves -> deg 70 > cap 64; leaves deg 1
+    val p = (2 to 71).map(i => (1L, i.toLong)).toDF("doc_a", "doc_b")
+    assert(Dedup.localClusteringPairs(p, cap = 64L).collect().isEmpty)
+  }
+
+  test("localClustering wrapper: buckets within the ppm decile range") {
+    val rows = Dedup.localClustering(spark, sfDir).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 10L)
+      assert(r.getAs[Long]("n_nodes") > 0L)
+      assert(r.getAs[Long]("mean_cc_ppm") <= 1000000L)
+    }
+  }
+
   // ---- q265 PQ distortion ------------------------------------------------------
 
   test("pqDistortion: 8 subspaces, codebook self-encodings give zero_ppm > 0") {

@@ -625,4 +625,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect)
     assert(expect.nonEmpty)
   }
+
+  test("chunk novelty gate: verdicts match the batch chunker across two sequential ingests") {
+    import spark.implicits._
+    import graft.streaming.Events
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_chunk_gate_${System.nanoTime()}")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val first = docs.where($"doc_id" % 5 =!= 0)
+    val second = docs.where($"doc_id" % 5 === 0)
+    val store = new java.io.File(base, "store").getPath
+    val snap = new java.io.File(base, "snap").getPath
+    // ONE logical stream across a stop/restart: same source dir, same
+    // checkpoint — the file source's seen-files log hands the second
+    // wave to the resumed query as batch_id 1 (also the gate's
+    // restart-recovery proof)
+    val arriving = new java.io.File(base, "arriving").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
+    def ingest(part: org.apache.spark.sql.DataFrame): Unit = {
+      part.write.mode("append").parquet(arriving)
+      val q = Events.chunkNoveltyGate(
+        spark.readStream.schema(docs.schema).parquet(arriving),
+        store, snap, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    ingest(first)  // batch 0: empty store, everything is novel
+    ingest(second) // batch 1: probed against the first wave's chunks
+    val got = spark.read.parquet(snap)
+      // partition-column type is inferred (int) on read-back — cast
+      .select($"doc_id", $"novelty_ppm", $"batch_id".cast("long")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch twin: wave-1 docs are 100% novel; wave-2 novelty counts
+    // tokens of chunks absent from wave 1's distinct chunk set
+    val c1 = graft.operators.Dedup.cdcChunkRelation(first, Seq.empty)
+    val c2 = graft.operators.Dedup.cdcChunkRelation(second, Seq.empty)
+    val expect2 = c2.join(c1.select($"chash").distinct()
+        .withColumn("seen", lit(1L)), Seq("chash"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"len").as("n"),
+        sum(when($"seen".isNull, $"len").otherwise(0L)).as("nv"))
+      .select($"doc_id", expr("(nv * 1000000) div n").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    first.select($"doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(got(id) === (1000000L, 0L))
+    }
+    second.select($"doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(got(id)._1 === expect2(id))
+      assert(got(id)._2 === 1L) // the resumed query's second batch
+    }
+    // the synthetic corpus shares template chunks across docs: the
+    // second wave must see SOME non-novel mass or the probe is dead
+    assert(second.count() > 0 && expect2.values.exists(_ < 1000000L))
+  }
 }
