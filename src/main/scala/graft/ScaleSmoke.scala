@@ -73,7 +73,10 @@ object ScaleSmoke {
     // wedge machinery (same densification caveat as q231)
     "q259_cdc_chunks", "q260_burstiness", "q261_sttr",
     "q262_readability", "q266_mcnemar", "q267_brier_decomp",
-    "q270_local_cc")
+    "q270_local_cc",
+    // q272 reduces to |sources| moment rows, q273 to the (lang, tf)
+    // grid — both ideal ~ scan ratio
+    "q272_spiegelhalter", "q273_vocab_gini")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should

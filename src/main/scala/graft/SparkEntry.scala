@@ -291,6 +291,8 @@ object SparkEntry {
     "q269_hjorth"           -> (Timeseries.hjorth _),
     "q270_local_cc"         -> (Dedup.localClustering _),
     "q271_variance_ratio"   -> (Timeseries.varianceRatio _),
+    "q272_spiegelhalter"    -> (Evaluate.spiegelhalterZ _),
+    "q273_vocab_gini"       -> (TextAnalysis.vocabGini _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6689,6 +6691,47 @@ ${base("q28_simhash_pairs")})),
                * CAST(CAST(n4 AS HUGEINT) * n4 AS DOUBLE))
              / 4 * 1000 + 1.0/3) AS BIGINT) AS vr_milli
          FROM v WHERE v1 > 0"""
+    // q272: Spiegelhalter calibration Z per source — exact decimal
+    // moment terms, one double ratio + sqrt, milli floor of a double
+    // (identical in both engines for negatives; no integer division).
+    val spiegelhalterOracle =
+      """WITH t AS (SELECT source,
+             (n_chars * 1000000) // (n_chars + 500) AS p,
+             CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+           FROM documents),
+         s AS (SELECT source,
+             (CAST(y AS HUGEINT) - p) * (1000000 - p * 2) AS num_t,
+             (CAST(1000000 AS HUGEINT) - p * 2) * (1000000 - p * 2)
+               * p * (1000000 - p) AS den_t
+           FROM t)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(CAST(sum(num_t) AS DOUBLE)
+             / sqrt(CAST(sum(den_t) AS DOUBLE)) * 1000 + 1.0/3)
+             AS BIGINT) AS z_milli
+         FROM s GROUP BY 1 HAVING sum(den_t) > 0"""
+    // q273: per-language vocabulary Gini on the (lang, tf) grid —
+    // equal-frequency blocks contribute tf·c·(2·cumB + c − n) exactly.
+    val vocabGiniOracle =
+      """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+         grid AS (SELECT lang, tf, CAST(count(*) AS BIGINT) AS c
+           FROM tf GROUP BY 1, 2),
+         gx AS (SELECT lang, tf, c,
+             coalesce(sum(c) OVER (PARTITION BY lang ORDER BY tf ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_b,
+             sum(c) OVER (PARTITION BY lang) AS n,
+             sum(CAST(tf AS HUGEINT) * c) OVER (PARTITION BY lang) AS tot
+           FROM grid),
+         agg AS (SELECT lang, max(n) AS n_types, max(tot) AS tot,
+             sum(CAST(tf AS HUGEINT) * c * (cum_b * 2 + c - n)) AS num
+           FROM gx GROUP BY 1)
+         SELECT lang, CAST(n_types AS BIGINT) AS n_types,
+           CAST((num * 1000000) // (CAST(n_types AS HUGEINT) * tot)
+             AS BIGINT) AS gini_ppm
+         FROM agg"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -6735,6 +6778,8 @@ ${base("q28_simhash_pairs")})),
       ("q269_hjorth" -> hjorthOracle) +
       ("q270_local_cc" -> localCcOracle) +
       ("q271_variance_ratio" -> vrOracle) +
+      ("q272_spiegelhalter" -> spiegelhalterOracle) +
+      ("q273_vocab_gini" -> vocabGiniOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

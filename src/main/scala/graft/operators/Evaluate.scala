@@ -1460,4 +1460,49 @@ object Evaluate {
         expr("(p * 1000000 * (n - p)) div (n * n)").cast("long")
           .as("unc_ppm"))
   }
+
+  /** q272: Spiegelhalter's Z — is the miscalibration SIGNIFICANT, or
+    * noise at this sample size? Z = Σ(y−p)(1−2p) / sqrt(Σ(1−2p)²p(1−p))
+    * per source, over the q267 length-squash forecast: the
+    * decomposition (q267) and ECE (q241) report the SIZE of the
+    * calibration gap; this is the test statistic that says whether a
+    * recalibration pass is chasing signal or sampling error — the
+    * number that stops a team from re-fitting on every bench wiggle.
+    * Under a calibrated forecast Z is asymptotically standard normal,
+    * so |z_milli| > 1960 is the conventional 5% flag.
+    *
+    * Exactness: with the forecast on the exact ppm grid, the numerator
+    * terms (1e6·y − p)(1e6 − 2p) and denominator terms
+    * (1e6 − 2p)²·p·(1e6 − p) are exact decimal(38,0) integers (per-term
+    * up to 1e24 — inside decimal38/HUGEINT to ~1e13 docs); the single
+    * float step is one double ratio with one correctly-rounded sqrt,
+    * milli-floored (floor of a possibly-negative DOUBLE is identical
+    * in both engines — no integer division anywhere).
+    *
+    * Scale shape: map-only term tagging, one partial-agged groupBy to
+    * |sources| rows. One scan. */
+  def spiegelhalterZ(spark: SparkSession, dir: String): DataFrame =
+    spiegelhalterZOn(Tables.documents(spark, dir))
+
+  private[graft] def spiegelhalterZOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val terms = docs
+      .select($"source",
+        expr("(n_chars * 1000000) div (n_chars + 500)").as("p"),
+        when($"lang" === "en", 1000000L).otherwise(0L).as("y"))
+      .select($"source",
+        (($"y".cast(dec) - $"p") * (lit(1000000L) - $"p" * 2L)).as("num_t"),
+        ((lit(1000000L).cast(dec) - $"p" * 2L)
+          * (lit(1000000L) - $"p" * 2L)
+          * $"p" * (lit(1000000L) - $"p")).as("den_t"))
+    terms.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"num_t").as("num"),
+        sum($"den_t").as("den"))
+      .where($"den" > 0)
+      .select($"source", $"n",
+        floor($"num".cast("double") / sqrt($"den".cast("double")) * 1000
+          + lit(1.0 / 3)).cast("long").as("z_milli"))
+  }
 }

@@ -1175,6 +1175,58 @@ object TextAnalysis {
         expr("sum_ttr div n_segments").as("mean_ttr_milli"))
   }
 
+  /** q273: per-language vocabulary Gini — inequality of type
+    * frequencies (0 = uniform vocabulary, → 1 = a few types own the
+    * corpus). The distribution-wide companion to q258's Zipf slope (a
+    * two-parameter fit) and q260's per-term burstiness: a language
+    * whose Gini drifts up is template-flooding; one whose Gini drifts
+    * down is losing its natural head (over-aggressive stopword/df
+    * cuts). Computed on the GROUPED (lang, tf, count) relation — the
+    * q120/q144 grid trick — so no vocabulary-sized window ever sorts
+    * through one task: equal-frequency blocks contribute
+    * tf·c·(2·cumBefore + c − n) to the Gini numerator exactly,
+    * independent of within-block order.
+    *
+    * Exactness: pure integers end to end — numerator terms in
+    * decimal(38,0) (can be negative per block; the total is ≥ 0, so
+    * the single ppm floor division runs on nonnegatives where
+    * trunc-div == floor-div), denominator n·Σtf exact.
+    *
+    * Scale shape: one (lang, tok) corpus shuffle, one (lang, tf) grid
+    * aggregate, a per-lang cumulative window over the grid (bounded by
+    * distinct frequency VALUES, not vocabulary size), |langs| rows
+    * out. */
+  def vocabGini(spark: SparkSession, dir: String): DataFrame =
+    vocabGiniOn(TextOps.docsParallel(spark, dir))
+
+  private[graft] def vocabGiniOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tf = docs
+      .select($"lang", explode(TextOps.toks($"text")).as("tok"))
+      .where($"tok" =!= "")
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("tf"))
+    val grid = tf.groupBy($"lang", $"tf").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"lang").orderBy($"tf".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy($"lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("cum_b", coalesce(sum($"c").over(w), lit(0L)))
+      .withColumn("n", sum($"c").over(wAll))
+      .withColumn("tot", sum($"tf".cast(dec) * $"c").over(wAll))
+      .select($"lang", $"n", $"tot",
+        ($"tf".cast(dec) * $"c" * ($"cum_b" * 2L + $"c" - $"n"))
+          .as("num_t"))
+      .groupBy($"lang")
+      .agg(max($"n").as("n_types"), max($"tot").as("tot"),
+        sum($"num_t").as("num"))
+      .select($"lang", $"n_types",
+        expr("(num * 1000000) div (cast(n_types as decimal(38,0)) * tot)")
+          .cast("long").as("gini_ppm"))
+  }
+
   /** q262: Flesch reading-ease per source — the classic readability
     * screen (Flesch 1948): 206.835 − 1.015·(words/sentences) −
     * 84.6·(syllables/words), with syllables approximated by vowel-group

@@ -343,6 +343,63 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q272 Spiegelhalter Z --------------------------------------------------------
+
+  test("spiegelhalterZOn: single overconfident-miss doc, closed-form Z") {
+    import spark.implicits._
+    // n_chars=1500 -> p = 750000 ppm, y = 1e6:
+    // num = (1e6-75e4)*(1e6-15e5) = -1.25e11
+    // den = (-5e5)^2 * 75e4 * 25e4; Z = -1/sqrt(3) -> floor(-577.35+1/3)
+    val docs = Seq((1L, 1500L, "en", "s")).toDF("doc_id", "n_chars", "lang", "source")
+    val r = Evaluate.spiegelhalterZOn(docs).collect().head
+    assert(r.getAs[Long]("n") === 1L)
+    assert(r.getAs[Long]("z_milli") === -578L)
+  }
+
+  test("spiegelhalterZOn: p=1/2 everywhere has zero denominator -> no row") {
+    import spark.implicits._
+    // n_chars=500 -> p exactly 500000 -> (1-2p) = 0 -> den 0, guarded
+    val docs = (1 to 4).map(i => (i.toLong, 500L, "en", "s"))
+      .toDF("doc_id", "n_chars", "lang", "source")
+    assert(Evaluate.spiegelhalterZOn(docs).collect().isEmpty)
+  }
+
+  test("spiegelhalterZ wrapper: |Z| finite and sane on the sample") {
+    val rows = Evaluate.spiegelhalterZ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Long]("z_milli")
+      assert(math.abs(z) < 1000000L)
+    }
+  }
+
+  // ---- q273 vocabulary Gini ----------------------------------------------------------
+
+  test("vocabGiniOn: uniform vocabulary is exactly 0; skewed head is exact") {
+    import spark.implicits._
+    // lang a: 4 types once each -> G = 0
+    // lang b: freqs [1,1,1,97]: num = 1*3*(0+3-4) + 97*1*(6+1-4) = 288
+    //         den = 4*100 -> G = 720000 ppm exactly
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4", "a"),
+      (2L, (Seq.fill(97)("big") ++ Seq("x1", "x2", "x3")).mkString(" "), "b"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.vocabGiniOn(docs).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    assert(r("a").getAs[Long]("gini_ppm") === 0L)
+    assert(r("a").getAs[Long]("n_types") === 4L)
+    assert(r("b").getAs[Long]("gini_ppm") === 720000L)
+  }
+
+  test("vocabGini wrapper: Gini in [0, 1e6) per language") {
+    val rows = TextAnalysis.vocabGini(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_ppm")
+      assert(g >= 0L && g < 1000000L)
+    }
+  }
+
   // ---- q271 variance ratio -------------------------------------------------------
 
   test("varianceRatioOn: quadratic ramp closed-form VR, oscillator reads 0") {
