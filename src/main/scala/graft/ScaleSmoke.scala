@@ -133,7 +133,9 @@ object ScaleSmoke {
     // round 12: Welch reduces to the bounded (user, frame, bin) grid;
     // Hjorth is per-user windows + moment sums — user growth = more
     // groups of the same size, ideal ~ scan ratio
-    "q268_welch_psd", "q269_hjorth", "q271_variance_ratio")
+    "q268_welch_psd", "q269_hjorth", "q271_variance_ratio",
+    // q274/q275: per-user lag/lead windows + moment sums, scan-shaped
+    "q274_savgol", "q275_peaks")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

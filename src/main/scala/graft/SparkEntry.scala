@@ -293,6 +293,8 @@ object SparkEntry {
     "q271_variance_ratio"   -> (Timeseries.varianceRatio _),
     "q272_spiegelhalter"    -> (Evaluate.spiegelhalterZ _),
     "q273_vocab_gini"       -> (TextAnalysis.vocabGini _),
+    "q274_savgol"           -> (Timeseries.savgol _),
+    "q275_peaks"            -> (Timeseries.peaks _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6732,6 +6734,59 @@ ${base("q28_simhash_pairs")})),
            CAST((num * 1000000) // (CAST(n_types AS HUGEINT) * tot)
              AS BIGINT) AS gini_ppm
          FROM agg"""
+    // q274: 5-point Savitzky–Golay on the UNNORMALIZED ×35 grid — the
+    // /35 never happens, so everything is exact integers to one floor.
+    val savgolOracle =
+      """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         f AS (SELECT user_id, vq,
+             lag(vq, 2) OVER w * -3 + lag(vq, 1) OVER w * 12 + vq * 17
+               + lead(vq, 1) OVER w * 12 + lead(vq, 2) OVER w * -3 AS num
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         g AS (SELECT user_id, num, vq * 35 - num AS r
+           FROM f WHERE num IS NOT NULL)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_interior,
+           CAST(sum(num) AS BIGINT) AS sm_sum,
+           CAST(max(abs(num)) AS BIGINT) AS sm_abs_max,
+           CAST((CAST(count(*) AS HUGEINT) * sum(CAST(r AS HUGEINT) * r)
+             - sum(CAST(r AS HUGEINT)) * sum(CAST(r AS HUGEINT)))
+             // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT)
+             AS resid_var_q
+         FROM g GROUP BY 1 HAVING count(*) >= 2"""
+    // q275: strict local maxima above mean + 2·sd, the sigma test
+    // cross-multiplied and squared — no sqrt, no division, no float.
+    val peaksOracle =
+      """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         s AS (SELECT user_id, vq,
+             row_number() OVER w AS rn,
+             lag(vq, 1) OVER w AS prev,
+             lead(vq, 1) OVER w AS next,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             sum(CAST(vq AS HUGEINT)) OVER (PARTITION BY user_id) AS s1,
+             sum(CAST(vq AS HUGEINT) * vq) OVER (PARTITION BY user_id)
+               AS s2
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         p AS (SELECT user_id, n, rn, vq,
+             CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+               AND vq > prev AND vq > next
+               AND (CAST(n AS HUGEINT) * vq - s1) > 0
+               AND (CAST(n AS HUGEINT) * vq - s1)
+                 * (CAST(n AS HUGEINT) * vq - s1)
+                 >= (CAST(n AS HUGEINT) * s2 - s1 * s1) * 4
+               THEN 1 ELSE 0 END AS pk
+           FROM s)
+         SELECT user_id, max(n) AS n,
+           CAST(sum(pk) AS BIGINT) AS n_peaks,
+           CAST(coalesce(min(CASE WHEN pk = 1 THEN rn END), 0) AS BIGINT)
+             AS first_peak_rn,
+           CAST(coalesce(max(CASE WHEN pk = 1 THEN vq END), 0) AS BIGINT)
+             AS max_peak_q
+         FROM p GROUP BY 1"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -6780,6 +6835,8 @@ ${base("q28_simhash_pairs")})),
       ("q271_variance_ratio" -> vrOracle) +
       ("q272_spiegelhalter" -> spiegelhalterOracle) +
       ("q273_vocab_gini" -> vocabGiniOracle) +
+      ("q274_savgol" -> savgolOracle) +
+      ("q275_peaks" -> peaksOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

@@ -832,6 +832,98 @@ object Timeseries {
   def hjorth(spark: SparkSession, dir: String): DataFrame =
     hjorthOn(Tables.events(spark, dir))
 
+  /** q274: Savitzky–Golay smoothing census — the 5-point quadratic SG
+    * filter (coefficients (−3, 12, 17, 12, −3)/35, Savitzky & Golay
+    * 1964) applied per user trace, reporting per user the interior
+    * count, the exact filtered-sum checksum, the peak filtered
+    * magnitude, and the residual variance (the noise-power estimate a
+    * smoothing pass exists to produce — reference analog: the
+    * denoise-before-feature postprocess hooks fdf modules apply to raw
+    * diagnostics before peak/threshold logic).
+    *
+    * Exactness: the convolution runs UNNORMALIZED on the 1e3 sample
+    * grid — num = −3x₋₂+12x₋₁+17x₀+12x₊₁−3x₊₂ is an exact long (the
+    * /35 never happens; every reported stat lives on the ×35 grid), and
+    * the residual r = 35x₀ − num is exact too, so the variance
+    * numerator N·Σr² − (Σr)² is exact decimal — no division until the
+    * single reported floor.
+    *
+    * Scale shape: two lags + two leads over ONE per-user window exec,
+    * moment sums partial-agg, |users| rows out. One scan. */
+  def savgol(spark: SparkSession, dir: String): DataFrame =
+    savgolOn(Tables.events(spark, dir))
+
+  private[graft] def savgolOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val s = events
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .select($"user_id", $"vq",
+        (lag($"vq", 2).over(w) * -3L + lag($"vq", 1).over(w) * 12L
+          + $"vq" * 17L + lead($"vq", 1).over(w) * 12L
+          + lead($"vq", 2).over(w) * -3L).as("num"))
+      .where($"num".isNotNull)
+      .withColumn("r", $"vq" * 35L - $"num")
+    s.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_interior"),
+        sum($"num").as("sm_sum"),
+        max(abs($"num")).as("sm_abs_max"),
+        sum($"r".cast(dec)).as("sr"),
+        sum($"r".cast(dec) * $"r").as("qr"))
+      .where($"n_interior" >= 2L)
+      .select($"user_id", $"n_interior", $"sm_sum", $"sm_abs_max",
+        expr("""(cast(n_interior as decimal(38,0)) * qr - sr * sr)
+                div (cast(n_interior as decimal(38,0)) * n_interior)""")
+          .cast("long").as("resid_var_q"))
+  }
+
+  /** q275: 2-sigma peak census per user trace — strict local maxima
+    * whose height clears mean + 2·sd, with the sigma test done ENTIRELY
+    * in integers: vq ≥ μ + 2σ ⇔ (N·vq − Σx) > 0 AND (N·vq − Σx)² ≥
+    * 4·(N·Σx² − (Σx)²) — cross-multiplied and squared, so no sqrt, no
+    * division, no float anywhere (the q118/q221 threshold family,
+    * sharpened to exactness; reference analog: ELM/sawtooth counting
+    * over fusion diagnostics, the canonical fdf postprocess).
+    *
+    * Scale shape: lag/lead + the per-user moment window share one
+    * partitioning (two window execs, zero extra shuffles); output is
+    * |users| rows. One scan. */
+  def peaks(spark: SparkSession, dir: String): DataFrame =
+    peaksOn(Tables.events(spark, dir))
+
+  private[graft] def peaksOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wAll = Window.partitionBy($"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s = events
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag($"vq", 1).over(w))
+      .withColumn("next", lead($"vq", 1).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s1", sum($"vq".cast(dec)).over(wAll))
+      .withColumn("s2", sum($"vq".cast(dec) * $"vq").over(wAll))
+    val d = ($"n".cast(dec) * $"vq" - $"s1")
+    val isPeak = $"prev".isNotNull && $"next".isNotNull &&
+      $"vq" > $"prev" && $"vq" > $"next" && d > 0 &&
+      (d * d) >= ($"n".cast(dec) * $"s2" - $"s1" * $"s1") * 4L
+    s.groupBy($"user_id")
+      .agg(max($"n").as("n"),
+        sum(when(isPeak, 1L).otherwise(0L)).as("n_peaks"),
+        min(when(isPeak, $"rn".cast("long"))).as("first_peak_rn"),
+        max(when(isPeak, $"vq")).as("max_peak_q"))
+      .select($"user_id", $"n".cast("long").as("n"), $"n_peaks",
+        coalesce($"first_peak_rn", lit(0L)).as("first_peak_rn"),
+        coalesce($"max_peak_q", lit(0L)).as("max_peak_q"))
+  }
+
   /** q271: Lo–MacKinlay variance-ratio test per user signal —
     * VR(q=4) = Var(4-step increments) / (4·Var(1-step increments)).
     * A random walk sits at exactly 1 (increments uncorrelated, variance

@@ -343,6 +343,68 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q274 Savitzky–Golay ----------------------------------------------------------
+
+  test("savgolOn: the SG filter reproduces a linear ramp exactly (zero residual)") {
+    import spark.implicits._
+    // value = t: num = 35000*t at interior points (SG is exact on
+    // polynomials of degree <= 2) -> residual identically 0
+    val events = (0 to 5).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, t.toDouble)).toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.savgolOn(events).collect().head
+    assert(r.getAs[Long]("n_interior") === 2L)
+    assert(r.getAs[Long]("sm_sum") === 175000L)   // 35000*(2+3)
+    assert(r.getAs[Long]("sm_abs_max") === 105000L)
+    assert(r.getAs[Long]("resid_var_q") === 0L)
+  }
+
+  test("savgolOn: an impulse leaves a nonzero residual") {
+    import spark.implicits._
+    val vals = Seq(0.0, 0.0, 5.0, 0.0, 0.0, 0.0)
+    val events = vals.zipWithIndex.map { case (v, t) =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, v) }.toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.savgolOn(events).collect().head
+    assert(r.getAs[Long]("resid_var_q") > 0L)
+  }
+
+  // ---- q275 peak census ----------------------------------------------------------------
+
+  test("peaksOn: only the 2-sigma local maximum counts as a peak") {
+    import spark.implicits._
+    // [0,10,0,1,0,1,0,1]: three strict local maxima; only the 10
+    // clears mean + 2*sd ((N*vq - S1)^2 >= 4*(N*S2 - S1^2))
+    val vals = Seq(0.0, 10.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0)
+    val events = vals.zipWithIndex.map { case (v, t) =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, v) }.toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.peaksOn(events).collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("n_peaks") === 1L)
+    assert(r.getAs[Long]("first_peak_rn") === 2L)
+    assert(r.getAs[Long]("max_peak_q") === 10000L)
+  }
+
+  test("peaksOn: a flat trace has zero peaks, zeroed coalesced fields") {
+    import spark.implicits._
+    val events = (0 to 5).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, 3.0)).toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.peaksOn(events).collect().head
+    assert(r.getAs[Long]("n_peaks") === 0L)
+    assert(r.getAs[Long]("first_peak_rn") === 0L)
+    assert(r.getAs[Long]("max_peak_q") === 0L)
+  }
+
+  test("peaks wrapper: peak counts bounded by interior size") {
+    val rows = Timeseries.peaks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_peaks") <= math.max(0L, r.getAs[Long]("n") - 2L))
+    }
+  }
+
   // ---- q272 Spiegelhalter Z --------------------------------------------------------
 
   test("spiegelhalterZOn: single overconfident-miss doc, closed-form Z") {
