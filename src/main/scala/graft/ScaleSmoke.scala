@@ -102,7 +102,8 @@ object ScaleSmoke {
     // round 12: isotropy and rank fidelity are constant-bounded samples
     // (ideal ~ flat after the id-pruned scan); PQ distortion rides the
     // map-only q98 encode (ideal ~ scan ratio)
-    "q263_isotropy", "q264_quant_fidelity", "q265_pq_distortion")
+    "q263_isotropy", "q264_quant_fidelity", "q265_pq_distortion",
+    "q276_rank_stability")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and

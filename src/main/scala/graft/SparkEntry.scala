@@ -295,6 +295,7 @@ object SparkEntry {
     "q273_vocab_gini"       -> (TextAnalysis.vocabGini _),
     "q274_savgol"           -> (Timeseries.savgol _),
     "q275_peaks"            -> (Timeseries.peaks _),
+    "q276_rank_stability"   -> (Quantize.rankStability _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6469,7 +6470,8 @@ ${base("q28_simhash_pairs")})),
          FROM p"""
     // q264: Kendall concordance between float-cosine and dequantized
     // int8-cosine rankings; 1e6 quantization before pairing, shifted div.
-    val quantFidelityOracle =
+    // shared q264/q276 scoring CTEs (float + dequantized-int8 cosines)
+    val qfScoredCtes =
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings WHERE vec_id < 60),
@@ -6501,7 +6503,9 @@ ${base("q28_simhash_pairs")})),
              CAST(floor((list_reduce(
                list_transform(q.qrec, (x,i) -> x * c.rec[i]), (s,t)->s+t)
                / (q.qrnrm * c.rnrm)) * 1e6 + 1.0/3) AS BIGINT) AS aq
-           FROM cand c, qry q),
+           FROM cand c, qry q)"""
+    val quantFidelityOracle =
+      s"""$qfScoredCtes,
          p AS (SELECT x.query_id, x.eq - y.eq AS de, x.aq - y.aq AS da
            FROM scored x JOIN scored y
              ON x.query_id = y.query_id AND x.vec_id < y.vec_id)
@@ -6517,6 +6521,25 @@ ${base("q28_simhash_pairs")})),
              + 1000 * count(*)) * 1000) // count(*) - 1000000 AS BIGINT)
              AS tau_milli
          FROM p GROUP BY 1"""
+    // q276: float-vs-int8 top-10 set overlap per query — both rankings
+    // on the shared quantized scores with vec_id tie-break.
+    val rankStabilityOracle =
+      s"""$qfScoredCtes,
+         te AS (SELECT query_id, vec_id FROM scored
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY eq DESC, vec_id ASC) <= 10),
+         ta AS (SELECT query_id, vec_id FROM scored
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY aq DESC, vec_id ASC) <= 10),
+         j AS (SELECT coalesce(te.query_id, ta.query_id) AS query_id,
+             CASE WHEN te.vec_id IS NOT NULL AND ta.vec_id IS NOT NULL
+               THEN 1 ELSE 0 END AS b
+           FROM te FULL JOIN ta
+             ON te.query_id = ta.query_id AND te.vec_id = ta.vec_id)
+         SELECT query_id, CAST(sum(b) AS BIGINT) AS n_both,
+           CAST((sum(b) * 1000000) // (20 - sum(b)) AS BIGINT)
+             AS jaccard_ppm
+         FROM j GROUP BY 1"""
     // q265: per-subspace PQ distortion — rides the q98 encode verbatim.
     val pqDistortionOracle =
       s"""WITH enc AS (
@@ -6837,6 +6860,7 @@ ${base("q28_simhash_pairs")})),
       ("q273_vocab_gini" -> vocabGiniOracle) +
       ("q274_savgol" -> savgolOracle) +
       ("q275_peaks" -> peaksOracle) +
+      ("q276_rank_stability" -> rankStabilityOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

@@ -500,6 +500,29 @@ object Quantize {
     * id-pruned. */
   def quantFidelity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val scored = fidelityScored(spark, dir)
+    val p = scored.as("x").join(scored.as("y"),
+        col("x.query_id") === col("y.query_id")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.query_id").as("query_id"),
+        (col("x.eq") - col("y.eq")).as("de"),
+        (col("x.aq") - col("y.aq")).as("da"))
+    p.groupBy($"query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"de" * $"da" > 0L, 1L).otherwise(0L)).as("n_conc"),
+        sum(when($"de" * $"da" < 0L, 1L).otherwise(0L)).as("n_disc"),
+        sum(when($"de" === 0L || $"da" === 0L, 1L).otherwise(0L)).as("n_tie"))
+      .select($"query_id", $"n_pairs", $"n_conc", $"n_disc", $"n_tie",
+        // shift by +1000·n_pairs so the dividend is nonnegative:
+        // trunc-div (Spark) == floor-div (DuckDB) on nonnegatives
+        (expr("(((n_conc - n_disc) + 1000 * n_pairs) * 1000) div n_pairs")
+          - 1000000L).as("tau_milli"))
+  }
+
+  /** The shared (query, candidate) scoring relation of q264/q276: exact
+    * float cosine and dequantized-int8 cosine, both 1e6-quantized. */
+  private[graft] def fidelityScored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .where($"vec_id" < 60)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
@@ -519,28 +542,45 @@ object Quantize {
       .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"rec".as("qrec"),
         $"enrm".as("qenrm"), $"rnrm".as("qrnrm"))
     val c = recon.where($"vec_id" >= 10)
-    val scored = c.join(broadcast(q), c("vec_id") =!= q("query_id"))
+    c.join(broadcast(q), c("vec_id") =!= q("query_id"))
       .select($"query_id", $"vec_id",
         floor((VectorOps.dot($"qemb", $"emb") / ($"qenrm" * $"enrm"))
           * 1e6 + lit(1.0 / 3)).cast("long").as("eq"),
         floor((VectorOps.dot($"qrec", $"rec") / ($"qrnrm" * $"rnrm"))
           * 1e6 + lit(1.0 / 3)).cast("long").as("aq"))
-    val p = scored.as("x").join(scored.as("y"),
-        col("x.query_id") === col("y.query_id")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.query_id").as("query_id"),
-        (col("x.eq") - col("y.eq")).as("de"),
-        (col("x.aq") - col("y.aq")).as("da"))
-    p.groupBy($"query_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when($"de" * $"da" > 0L, 1L).otherwise(0L)).as("n_conc"),
-        sum(when($"de" * $"da" < 0L, 1L).otherwise(0L)).as("n_disc"),
-        sum(when($"de" === 0L || $"da" === 0L, 1L).otherwise(0L)).as("n_tie"))
-      .select($"query_id", $"n_pairs", $"n_conc", $"n_disc", $"n_tie",
-        // shift by +1000·n_pairs so the dividend is nonnegative:
-        // trunc-div (Spark) == floor-div (DuckDB) on nonnegatives
-        (expr("(((n_conc - n_disc) + 1000 * n_pairs) * 1000) div n_pairs")
-          - 1000000L).as("tau_milli"))
+  }
+
+  /** q276: top-10 rank stability under int8 quantization — the
+    * retrieval-facing complement of q264's Kendall tau: per query, how
+    * many of the float-cosine top-10 candidates survive in the
+    * dequantized-int8 top-10 (set overlap + Jaccard). Tau penalizes
+    * every transposition equally; an ANN SERVING check only cares
+    * whether the returned set changes — this is the number an index
+    * rollout gate reads.
+    *
+    * Exactness: both rankings order the shared 1e6-quantized scores
+    * with vec_id tie-break — exact integer comparisons; the overlap
+    * and Jaccard are pure counts.
+    *
+    * Scale shape: two rank windows over the constant 10×50 scored
+    * relation (per-query partitions of 50 rows), one full outer join
+    * of two ≤100-row sets. O(1) after the id-pruned scans. */
+  def rankStability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = fidelityScored(spark, dir)
+    val we = Window.partitionBy($"query_id").orderBy($"eq".desc, $"vec_id".asc)
+    val wa = Window.partitionBy($"query_id").orderBy($"aq".desc, $"vec_id".asc)
+    val te = scored.withColumn("rk", row_number().over(we))
+      .where($"rk" <= 10).select($"query_id", $"vec_id", lit(1L).as("in_e"))
+    val ta = scored.withColumn("rk", row_number().over(wa))
+      .where($"rk" <= 10).select($"query_id", $"vec_id", lit(1L).as("in_a"))
+    te.join(ta, Seq("query_id", "vec_id"), "full")
+      .groupBy($"query_id")
+      .agg(sum(when($"in_e".isNotNull && $"in_a".isNotNull, 1L)
+        .otherwise(0L)).as("n_both"))
+      .select($"query_id", $"n_both",
+        expr("(n_both * 1000000) div (20 - n_both)").as("jaccard_ppm"))
   }
 
   /** q265: PQ reconstruction distortion per subspace — the codebook

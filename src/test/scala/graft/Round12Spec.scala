@@ -523,6 +523,20 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q276 rank stability --------------------------------------------------------
+
+  test("rankStability: overlap bounded by 10, Jaccard consistent with it") {
+    val rows = Quantize.rankStability(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("n_both")
+      assert(b >= 0L && b <= 10L)
+      assert(r.getAs[Long]("jaccard_ppm") === (b * 1000000L) / (20L - b))
+      // int8 at 64 dims must preserve MOST of the top-10 set
+      assert(b >= 5L)
+    }
+  }
+
   // ---- q265 PQ distortion ------------------------------------------------------
 
   test("pqDistortion: 8 subspaces, codebook self-encodings give zero_ppm > 0") {
