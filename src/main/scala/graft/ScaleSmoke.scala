@@ -76,7 +76,8 @@ object ScaleSmoke {
     "q270_local_cc",
     // q272 reduces to |sources| moment rows, q273 to the (lang, tf)
     // grid — both ideal ~ scan ratio
-    "q272_spiegelhalter", "q273_vocab_gini")
+    "q272_spiegelhalter", "q273_vocab_gini", "q277_auc_ci",
+    "q278_kendall_w")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -136,7 +137,7 @@ object ScaleSmoke {
     // groups of the same size, ideal ~ scan ratio
     "q268_welch_psd", "q269_hjorth", "q271_variance_ratio",
     // q274/q275: per-user lag/lead windows + moment sums, scan-shaped
-    "q274_savgol", "q275_peaks")
+    "q274_savgol", "q275_peaks", "q279_mode_track")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

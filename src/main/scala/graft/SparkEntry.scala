@@ -296,6 +296,9 @@ object SparkEntry {
     "q274_savgol"           -> (Timeseries.savgol _),
     "q275_peaks"            -> (Timeseries.peaks _),
     "q276_rank_stability"   -> (Quantize.rankStability _),
+    "q277_auc_ci"           -> (Evaluate.aucCi _),
+    "q278_kendall_w"        -> (Evaluate.kendallW _),
+    "q279_mode_track"       -> (Spectral.modeTrack _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6810,6 +6813,104 @@ ${base("q28_simhash_pairs")})),
            CAST(coalesce(max(CASE WHEN pk = 1 THEN vq END), 0) AS BIGINT)
              AS max_peak_q
          FROM p GROUP BY 1"""
+    // q277: DeLong AUC variance on the grouped score grid — exact
+    // decimal deviation sums, one fixed-order double chain + sqrt.
+    val aucCiOracle =
+      """WITH g AS (SELECT source, n_chars,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS q
+           FROM documents GROUP BY 1, 2),
+         r1 AS (SELECT source, n_chars, p, q,
+             coalesce(sum(q) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cq,
+             coalesce(sum(p) OVER (PARTITION BY source
+               ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cp_above
+           FROM g),
+         r2 AS (SELECT *,
+             sum(p) OVER (PARTITION BY source) AS m,
+             sum(q) OVER (PARTITION BY source) AS n,
+             sum(p * cq * 2 + p * q) OVER (PARTITION BY source) AS num2
+           FROM r1),
+         t AS (SELECT source, m, n, num2,
+             CAST(p AS HUGEINT)
+               * ((CAST(cq AS HUGEINT) * 2 + q) * m - num2)
+               * ((CAST(cq AS HUGEINT) * 2 + q) * m - num2) AS sa_t,
+             CAST(q AS HUGEINT)
+               * ((CAST(cp_above AS HUGEINT) * 2 + p) * n - num2)
+               * ((CAST(cp_above AS HUGEINT) * 2 + p) * n - num2) AS sb_t
+           FROM r2 WHERE m > 1 AND n > 1),
+         a AS (SELECT source, m, n, num2,
+             sum(sa_t) AS sa, sum(sb_t) AS sb
+           FROM t GROUP BY 1, 2, 3, 4),
+         f AS (SELECT source, m, n, num2,
+             sqrt(CAST(sa AS DOUBLE)
+               / (CAST(CAST(m AS HUGEINT) * (m - 1) AS DOUBLE)
+                 * CAST((CAST(n AS HUGEINT) * m * 2)
+                   * (CAST(n AS HUGEINT) * m * 2) AS DOUBLE))
+             + CAST(sb AS DOUBLE)
+               / (CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+                 * CAST((CAST(n AS HUGEINT) * m * 2)
+                   * (CAST(n AS HUGEINT) * m * 2) AS DOUBLE))) AS se
+           FROM a),
+         o AS (SELECT source,
+             CAST(m AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+             CAST((CAST(num2 AS HUGEINT) * 1000000) // (2 * m * n)
+               AS BIGINT) AS auc_ppm,
+             CAST(floor(se * 1e6 + 1.0/3) AS BIGINT) AS se_ppm
+           FROM f)
+         SELECT source, n_pos, n_neg, auc_ppm, se_ppm,
+           CAST(greatest(0, auc_ppm - (se_ppm * 1960) // 1000)
+             AS BIGINT) AS lo_ppm,
+           CAST(least(1000000, auc_ppm + (se_ppm * 1960) // 1000)
+             AS BIGINT) AS hi_ppm
+         FROM o"""
+    // q278: Kendall's W over three rankers; exact global permutation
+    // ranks with doc_id tie-break, doubled-deviation integer form.
+    val kendallWOracle =
+      """WITH base AS (SELECT doc_id, n_chars AS s1,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS s2,
+             CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+               t -> (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 201)
+                 - 100)), 0) AS BIGINT) AS s3
+           FROM documents),
+         r AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s1 ASC, doc_id ASC)
+               + row_number() OVER (ORDER BY s2 ASC, doc_id ASC)
+               + row_number() OVER (ORDER BY s3 ASC, doc_id ASC)
+               AS BIGINT) AS rsum
+           FROM base),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+         d AS (SELECT n1.n,
+             (CAST(rsum AS HUGEINT) * 2 - 3 * (n1.n + 1))
+               * (CAST(rsum AS HUGEINT) * 2 - 3 * (n1.n + 1)) AS d2
+           FROM r, n1)
+         SELECT n AS n_docs,
+           CAST((sum(d2) * 1000000)
+             // (CAST(n AS HUGEINT) * 3 * (n * n - 1)) AS BIGINT)
+             AS w_ppm
+         FROM d WHERE n > 1 GROUP BY 1"""
+    // q279: dominant spectrogram bin per frame + hop census.
+    val modeTrackOracle =
+      s"""WITH sp AS (
+${base("q116_spectrogram")}),
+         dom AS (SELECT user_id, frame, bin AS dom_bin FROM sp
+           QUALIFY row_number() OVER (PARTITION BY user_id, frame
+             ORDER BY qpower DESC, bin ASC) = 1),
+         h AS (SELECT user_id, frame, dom_bin,
+             lag(dom_bin) OVER (PARTITION BY user_id ORDER BY frame ASC)
+               AS prev
+           FROM dom)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> dom_bin
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_hops,
+           CAST(arg_min(dom_bin, frame) AS BIGINT) AS dom_first,
+           CAST(arg_max(dom_bin, frame) AS BIGINT) AS dom_last
+         FROM h GROUP BY 1"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -6861,6 +6962,9 @@ ${base("q28_simhash_pairs")})),
       ("q274_savgol" -> savgolOracle) +
       ("q275_peaks" -> peaksOracle) +
       ("q276_rank_stability" -> rankStabilityOracle) +
+      ("q277_auc_ci" -> aucCiOracle) +
+      ("q278_kendall_w" -> kendallWOracle) +
+      ("q279_mode_track" -> modeTrackOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

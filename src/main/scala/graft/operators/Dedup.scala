@@ -787,6 +787,33 @@ object Dedup {
       .drop("seg", "rn_seg", "off")
   }
 
+  /** The numeric twin of [[segmentedRank]]: global dense row-number of
+    * `(doc_id, key: long)` rows by (key asc, doc_id asc) with NO
+    * single-partition window — keys shift to nonnegative by the
+    * broadcast global min (exact long), segment on div 1024, and the
+    * q178 two-phase rank (parallel per-segment windows + broadcast
+    * prefix offsets) does the rest. The shift matters: Spark's integer
+    * div truncates toward zero, so negative raw keys would interleave
+    * segments around 0. */
+  private[graft] def segmentedRankLong(rows: DataFrame, keyName: String)
+      : DataFrame = {
+    import rows.sparkSession.implicits._
+    val mn = rows.agg(min(col(keyName)).as("mn"))
+    val shifted = rows.crossJoin(broadcast(mn))
+      .withColumn("sk", col(keyName) - $"mn")
+    val wSeg = Window.partitionBy($"seg").orderBy($"sk".asc, $"doc_id".asc)
+    val ranked = shifted.withColumn("seg", expr("sk div 1024"))
+      .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
+    val wOff = Window.partitionBy(graft.functions.Win.bounded)
+      .orderBy($"seg".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy($"seg").agg(count(lit(1)).as("c"))
+      .select($"seg", coalesce(sum($"c").over(wOff), lit(0L)).as("off"))
+    ranked.join(broadcast(offs), "seg")
+      .withColumn("rn", $"rn_seg" + $"off")
+      .drop("seg", "rn_seg", "off", "sk", "mn")
+  }
+
   def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // rank on NARROW (doc_id, key) rows — the ~50-shingle arrays would

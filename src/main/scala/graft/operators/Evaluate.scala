@@ -1481,6 +1481,134 @@ object Evaluate {
     *
     * Scale shape: map-only term tagging, one partial-agged groupBy to
     * |sources| rows. One scan. */
+  /** q277: DeLong confidence interval for the q120 per-source AUC —
+    * the variance of the Mann–Whitney estimator from its structural
+    * components (DeLong, DeLong & Clarke-Pearson 1988): V10 per
+    * positive = fraction of negatives below (+½ ties), V01 per
+    * negative symmetric; var(θ) = S10/m + S01/n. q120 reports the
+    * point estimate; this is the number that says whether source A's
+    * 0.61 actually beats source B's 0.58 at their sample sizes — the
+    * difference between a ranking and a finding.
+    *
+    * Exactness: everything runs on the grouped (source, score) grid
+    * (the q120 shape — positives at a score share one V10). With
+    * A_s = 2·cq_below + q_at and num2 = the q120 doubled pair count,
+    * V10_s − θ = (A_s·m − num2)/(2nm): the squared deviation sums are
+    * exact decimal(38,0) (the (2nm)² cross-scale exceeds decimal38
+    * past ~10⁹ score-side pairs — flagged like q267, not hidden); the
+    * variance is one fixed-order double chain + sqrt, and the interval
+    * bounds clamp on the exact ppm grid.
+    *
+    * Scale shape: identical to q120 — one partial-agged corpus reduce
+    * to the grid, cumulative windows per source over the grid,
+    * |sources| rows out. */
+  def aucCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val g = Tables.documents(spark, dir)
+      .groupBy($"source", $"n_chars")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("p"),
+        sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("q"))
+    val wUp = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDn = Window.partitionBy($"source").orderBy($"n_chars".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = g
+      .withColumn("cq", coalesce(sum($"q").over(wUp), lit(0L)))
+      .withColumn("cp_above", coalesce(sum($"p").over(wDn), lit(0L)))
+      .withColumn("m", sum($"p").over(wAll))
+      .withColumn("n", sum($"q").over(wAll))
+      .withColumn("num2", sum($"p" * $"cq" * 2 + $"p" * $"q").over(wAll))
+      .where($"m" > 1L && $"n" > 1L)
+      .select($"source", $"m", $"n", $"num2",
+        // per-grid-score squared deviations, weighted by class counts
+        ($"p".cast(dec)
+          * (($"cq".cast(dec) * 2 + $"q") * $"m" - $"num2")
+          * (($"cq".cast(dec) * 2 + $"q") * $"m" - $"num2")).as("sa_t"),
+        ($"q".cast(dec)
+          * (($"cp_above".cast(dec) * 2 + $"p") * $"n" - $"num2")
+          * (($"cp_above".cast(dec) * 2 + $"p") * $"n" - $"num2")).as("sb_t"))
+    val se = sqrt(
+      $"sa".cast("double")
+        / (($"m".cast(dec) * ($"m" - 1L)).cast("double")
+          * (($"n".cast(dec) * $"m" * 2L)
+            * ($"n".cast(dec) * $"m" * 2L)).cast("double"))
+      + $"sb".cast("double")
+        / (($"n".cast(dec) * ($"n" - 1L)).cast("double")
+          * (($"n".cast(dec) * $"m" * 2L)
+            * ($"n".cast(dec) * $"m" * 2L)).cast("double")))
+    rows.groupBy($"source", $"m", $"n", $"num2")
+      .agg(sum($"sa_t").as("sa"), sum($"sb_t").as("sb"))
+      .select($"source", $"m".as("n_pos"), $"n".as("n_neg"),
+        expr("(num2 * 1000000) div (2 * m * n)").as("auc_ppm"),
+        floor(se * 1e6 + lit(1.0 / 3)).cast("long").as("se_ppm"))
+      .select($"source", $"n_pos", $"n_neg", $"auc_ppm", $"se_ppm",
+        greatest(lit(0L), $"auc_ppm"
+          - expr("(se_ppm * 1960) div 1000")).as("lo_ppm"),
+        least(lit(1000000L), $"auc_ppm"
+          + expr("(se_ppm * 1960) div 1000")).as("hi_ppm"))
+  }
+
+  /** q278: Kendall's coefficient of concordance (W) across three cheap
+    * document rankers — length (n_chars), token count, and the q95
+    * hash-classifier margin. W = 1 means the rankers induce one
+    * ordering (any of them is a fine curation key); W near 0 means
+    * they disagree and a quality gate built on one of them is NOT a
+    * proxy for the others — the multi-ranker generalization of q237's
+    * pairwise Spearman, and the number to read before collapsing
+    * several quality signals into one.
+    *
+    * Exactness: ranks are exact global row numbers with doc_id
+    * tie-break (ties-as-permutation, documented — both engines rank
+    * identically), computed by the segmented numeric rank (q178's
+    * two-phase shape; never one global window). With doubled
+    * deviations D = 2·(R₁+R₂+R₃) − k(n+1), ΣD² = 4S is an exact
+    * decimal and W_ppm = (ΣD²·10⁶) div (3·n·(n²−1)) for k = 3 — pure
+    * integer arithmetic end to end.
+    *
+    * Scale shape: three segmented ranks over narrow (doc_id, key)
+    * rows, a 3-way co-partitioned join on doc_id, one 1-row agg. */
+  def kendallW(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = graft.operators.TextOps.toks($"text")
+    val w = (c: Column) =>
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 201 - 100
+    val base = graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"doc_id", $"n_chars",
+        size(t).cast("long").as("n_toks"),
+        aggregate(transform(t, w), lit(0L), (acc, x) => acc + x)
+          .as("margin"))
+    kendallWOn(
+      base.select($"doc_id", $"n_chars".as("s1"), $"n_toks".as("s2"),
+        $"margin".as("s3")))
+  }
+
+  /** Testable core over any `(doc_id, s1, s2, s3)` score frame. */
+  private[graft] def kendallWOn(scores: DataFrame): DataFrame = {
+    import scores.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def rk(c: String) = graft.operators.Dedup
+      .segmentedRankLong(scores.select($"doc_id", col(c)), c)
+      .select($"doc_id", $"rn".as(s"r_$c"))
+    val joined = rk("s1").join(rk("s2"), "doc_id").join(rk("s3"), "doc_id")
+      .select($"doc_id", ($"r_s1" + $"r_s2" + $"r_s3").as("rsum"))
+    val n1 = joined.agg(count(lit(1)).as("n"))
+    joined.crossJoin(broadcast(n1))
+      .select($"n",
+        (($"rsum".cast(dec) * 2 - lit(3L) * ($"n" + 1L))
+          * ($"rsum" * 2 - lit(3L) * ($"n" + 1L))).as("d2"))
+      .groupBy($"n").agg(sum($"d2").as("s4"))
+      .where($"n" > 1L)
+      .select($"n".as("n_docs"),
+        expr("""(s4 * 1000000)
+                div (cast(n as decimal(38,0)) * 3 * (n * n - 1))""")
+          .cast("long").as("w_ppm"))
+  }
+
   def spiegelhalterZ(spark: SparkSession, dir: String): DataFrame =
     spiegelhalterZOn(Tables.documents(spark, dir))
 

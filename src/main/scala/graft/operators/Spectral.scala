@@ -140,6 +140,41 @@ object Spectral {
         expr("sum_q div n_frames").as("welch_qpower"))
   }
 
+  /** q279: dominant-mode tracking — per user, the argmax frequency bin
+    * of each q116 spectrogram frame (lowest bin on power ties) and how
+    * often it MOVES between consecutive frames. The time-frequency
+    * summary a mode-tracking analysis reads (reference analog: the
+    * frequency-vs-time ridge the fdf fft module's windowed spectra
+    * exist to expose — mode hops are the event of interest): a stable
+    * dominant bin is a coherent mode, a hopping one is mode activity
+    * or a chirp.
+    *
+    * Exactness: argmax over already-quantized integer powers via
+    * struct-max with (-bin) tie-break — exact; the hop count is a lag
+    * compare over the ≤-frames-per-user relation.
+    *
+    * Scale shape: rides the spectrogram; the argmax is one partial-agg
+    * per (user, frame), the hop census a per-user window over the
+    * frame-count-bounded relation. |users| rows out. */
+  def modeTrack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dom = spectrogram(spark, dir)
+      .groupBy($"user_id", $"frame")
+      .agg(max(struct($"qpower", (-$"bin").as("nb"))).as("top"))
+      .select($"user_id", $"frame", (-$"top.nb").as("dom_bin"))
+    val w = Window.partitionBy($"user_id").orderBy($"frame".asc)
+    dom
+      .withColumn("prev", lag($"dom_bin", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when($"prev".isNotNull && $"prev" =!= $"dom_bin", 1L)
+          .otherwise(0L)).as("n_hops"),
+        min(struct($"frame", $"dom_bin")).getField("dom_bin")
+          .as("dom_first"),
+        max(struct($"frame", $"dom_bin")).getField("dom_bin")
+          .as("dom_last"))
+  }
+
   /** q198: magnitude-squared coherence between the click and purchase
     * hourly series — the two-signal cross-spectral diagnostic (Welch-
     * averaged over 16-hour segments, rectangular window): γ²(f) =

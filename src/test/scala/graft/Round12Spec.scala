@@ -343,6 +343,70 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q277 DeLong AUC CI ------------------------------------------------------------
+
+  test("aucCi: point estimate matches q120 exactly; interval brackets it") {
+    val auc = Evaluate.aucBySource(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("auc_ppm")).toMap
+    val rows = Evaluate.aucCi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("auc_ppm") === auc(s))
+      assert(r.getAs[Long]("se_ppm") > 0L)
+      assert(r.getAs[Long]("lo_ppm") <= r.getAs[Long]("auc_ppm"))
+      assert(r.getAs[Long]("hi_ppm") >= r.getAs[Long]("auc_ppm"))
+      assert(r.getAs[Long]("lo_ppm") >= 0L
+        && r.getAs[Long]("hi_ppm") <= 1000000L)
+    }
+  }
+
+  // ---- q278 Kendall's W ----------------------------------------------------------------
+
+  test("kendallWOn: concordant rankers score exactly 1e6; one reversal drops") {
+    import spark.implicits._
+    val concordant = Seq((1L, 10L, 100L, 5L), (2L, 20L, 200L, 6L),
+      (3L, 30L, 300L, 7L)).toDF("doc_id", "s1", "s2", "s3")
+    val w1 = Evaluate.kendallWOn(concordant).collect().head
+    assert(w1.getAs[Long]("n_docs") === 3L)
+    assert(w1.getAs[Long]("w_ppm") === 1000000L)
+    // third ranker reversed: rsum = (5,6,7), sum D^2 = 8 -> 111111 ppm
+    val mixed = Seq((1L, 10L, 100L, 7L), (2L, 20L, 200L, 6L),
+      (3L, 30L, 300L, 5L)).toDF("doc_id", "s1", "s2", "s3")
+    val w2 = Evaluate.kendallWOn(mixed).collect().head
+    assert(w2.getAs[Long]("w_ppm") === 111111L)
+  }
+
+  test("kendallW wrapper: W in [0, 1e6] on the sample") {
+    val r = Evaluate.kendallW(spark, sfDir).collect().head
+    val w = r.getAs[Long]("w_ppm")
+    assert(w >= 0L && w <= 1000000L)
+  }
+
+  // ---- q279 mode tracking -----------------------------------------------------------------
+
+  test("modeTrack agrees with an independent spectrogram argmax") {
+    import org.apache.spark.sql.functions._
+    val sp = Spectral.spectrogram(spark, sfDir).collect()
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("frame")))
+      .map { case (k, rs) =>
+        k -> rs.minBy(r => (-r.getAs[Long]("qpower"), r.getAs[Long]("bin")))
+          .getAs[Long]("bin") }
+    val byUser = sp.groupBy(_._1._1).map { case (u, m) =>
+      val doms = m.toSeq.sortBy(_._1._2).map(_._2)
+      u -> (doms.length.toLong,
+        doms.sliding(2).count(w => w.length == 2 && w(0) != w(1)).toLong,
+        doms.head, doms.last)
+    }
+    val got = Spectral.modeTrack(spark, sfDir).collect()
+    assert(got.length === byUser.size)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert((r.getAs[Long]("n_frames"), r.getAs[Long]("n_hops"),
+        r.getAs[Long]("dom_first"), r.getAs[Long]("dom_last")) === byUser(u))
+    }
+  }
+
   // ---- q274 Savitzky–Golay ----------------------------------------------------------
 
   test("savgolOn: the SG filter reproduces a linear ramp exactly (zero residual)") {
