@@ -137,7 +137,8 @@ object ScaleSmoke {
     // groups of the same size, ideal ~ scan ratio
     "q268_welch_psd", "q269_hjorth", "q271_variance_ratio",
     // q274/q275: per-user lag/lead windows + moment sums, scan-shaped
-    "q274_savgol", "q275_peaks", "q279_mode_track")
+    "q274_savgol", "q275_peaks", "q279_mode_track", "q280_hurst",
+    "q281_runs_test")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -299,6 +299,8 @@ object SparkEntry {
     "q277_auc_ci"           -> (Evaluate.aucCi _),
     "q278_kendall_w"        -> (Evaluate.kendallW _),
     "q279_mode_track"       -> (Spectral.modeTrack _),
+    "q280_hurst"            -> (Timeseries.hurst _),
+    "q281_runs_test"        -> (Timeseries.runsTest _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6911,6 +6913,90 @@ ${base("q116_spectrogram")}),
            CAST(arg_min(dom_bin, frame) AS BIGINT) AS dom_first,
            CAST(arg_max(dom_bin, frame) AS BIGINT) AS dom_last
          FROM h GROUP BY 1"""
+    // q280: R/S Hurst at sizes 8/16/32 — scaled integer partial-sum
+    // deviations, per-block double ratio quantized BEFORE the mean,
+    // q258-style quantized-ln OLS over the 3 points.
+    val hurstOracle =
+      """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         r AS (SELECT user_id, vq,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS BIGINT) - 1 AS rn0
+           FROM e),
+         b AS (SELECT user_id, rn0, vq, CAST(s.s AS BIGINT) AS s,
+             rn0 // s.s AS blk, rn0 % s.s + 1 AS k
+           FROM r, (VALUES (8), (16), (32)) s(s) WHERE rn0 < 32),
+         d AS (SELECT user_id, s, blk, vq, k,
+             sum(vq) OVER (PARTITION BY user_id, s, blk ORDER BY rn0
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+             sum(vq) OVER (PARTITION BY user_id, s, blk) AS s1
+           FROM b),
+         blocks AS (SELECT user_id, s, blk,
+             CAST(count(*) AS BIGINT) AS n,
+             max(s * pk - k * s1) - min(s * pk - k * s1) AS rng,
+             CAST(s AS HUGEINT) * sum(CAST(vq AS HUGEINT) * vq)
+               - sum(CAST(vq AS HUGEINT)) * sum(CAST(vq AS HUGEINT))
+               AS vnum
+           FROM d GROUP BY 1, 2, 3),
+         rs AS (SELECT user_id, s,
+             CAST(floor(CAST(rng AS DOUBLE) / sqrt(CAST(vnum AS DOUBLE))
+               * 1000 + 1.0/3) AS BIGINT) AS rs_q
+           FROM blocks WHERE n = s AND vnum > 0),
+         bysize AS (SELECT user_id,
+             CAST(floor(ln(CAST(s AS DOUBLE)) * 10000 + 1.0/3)
+               AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(sum(rs_q) // count(*) AS DOUBLE))
+               * 10000 + 1.0/3) AS BIGINT) AS yq
+           FROM rs GROUP BY user_id, s
+           HAVING count(*) = 32 // s AND sum(rs_q) > 0),
+         ols AS (SELECT user_id, CAST(count(*) AS BIGINT) AS np,
+             sum(CAST(xq AS HUGEINT)) AS sx,
+             sum(CAST(yq AS HUGEINT)) AS sy,
+             sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+             sum(CAST(xq AS HUGEINT) * xq) AS sxx
+           FROM bysize GROUP BY 1 HAVING count(*) = 3)
+         SELECT user_id,
+           CAST(floor(CAST(CAST(np AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             * 1000
+             / CAST(CAST(np AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             + 1.0/3) AS BIGINT) AS hurst_milli
+         FROM ols"""
+    // q281: Wald–Wolfowitz runs test — exact cross-multiplied
+    // above-mean dichotomy, exact decimal z numerator, one sqrt.
+    val runsOracle =
+      """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events),
+         s AS (SELECT user_id, ts, event_id, vq,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             sum(CAST(vq AS HUGEINT)) OVER (PARTITION BY user_id) AS s1
+           FROM e),
+         bt AS (SELECT user_id, n, ts, event_id,
+             CASE WHEN CAST(n AS HUGEINT) * vq > s1
+               THEN 1 ELSE 0 END AS b
+           FROM s),
+         c AS (SELECT user_id, n, b,
+             lag(b) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS pb
+           FROM bt),
+         m AS (SELECT user_id, max(n) AS n,
+             CAST(sum(b) AS BIGINT) AS n1,
+             max(n) - CAST(sum(b) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN pb IS NOT NULL AND pb <> b
+               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+           FROM c GROUP BY 1),
+         v AS (SELECT user_id, n, n1, n2, n_runs,
+             CAST(n AS HUGEINT) * (n_runs - 1)
+               - CAST(n1 AS HUGEINT) * n2 * 2 AS num,
+             (CAST(n1 AS HUGEINT) * n2 * 2)
+               * (CAST(n1 AS HUGEINT) * n2 * 2 - n) AS vnum
+           FROM m WHERE n1 > 0 AND n2 > 0)
+         SELECT user_id, CAST(n AS BIGINT) AS n, n_runs,
+           CAST(floor(CAST(num AS DOUBLE)
+             / sqrt(CAST(vnum AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+             * 1000 + 1.0/3) AS BIGINT) AS z_milli
+         FROM v WHERE vnum > 0"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -6965,6 +7051,8 @@ ${base("q116_spectrogram")}),
       ("q277_auc_ci" -> aucCiOracle) +
       ("q278_kendall_w" -> kendallWOracle) +
       ("q279_mode_track" -> modeTrackOracle) +
+      ("q280_hurst" -> hurstOracle) +
+      ("q281_runs_test" -> runsOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

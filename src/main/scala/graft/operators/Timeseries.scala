@@ -924,6 +924,134 @@ object Timeseries {
         coalesce($"max_peak_q", lit(0L)).as("max_peak_q"))
   }
 
+  /** q280: Hurst exponent by rescaled range (Hurst 1951, Mandelbrot &
+    * Wallis 1969) — per user, R/S over non-overlapping blocks at sizes
+    * 8/16/32 of the first 32 samples, then the OLS slope of
+    * ln(mean R/S) on ln(size): H ≈ 0.5 is a random walk, H > 0.5
+    * long-range persistence (trending turbulence), H < 0.5
+    * anti-persistence (mean reversion). The MULTI-SCALE complement of
+    * q271's fixed-lag variance ratio — VR asks "is 4-step variance
+    * linear", Hurst asks "what power law does the range grow by".
+    *
+    * Exactness: partial-sum deviations scale by the block size
+    * (dev_k = s·P_k − k·Σx — exact longs, the q198 mean-removal
+    * trick), (S·s)² = s·Σx² − (Σx)² exact decimal; each block's R/S is
+    * ONE double ratio + sqrt milli-quantized BEFORE the per-size mean
+    * (integer mean, shuffle-order-free); the final regression is q258's
+    * quantized-ln OLS over the 3 (ln s, ln mean) points.
+    *
+    * Scale shape: per-(user, size, block) windows over ≤ 32 rows per
+    * user; the per-size means and the 3-point OLS are |users|-bounded.
+    * One scan. */
+  def hurst(spark: SparkSession, dir: String): DataFrame =
+    hurstOn(Tables.events(spark, dir))
+
+  private[graft] def hurstOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val base = events
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .withColumn("rn0", row_number().over(w).cast("long") - 1L)
+      .where($"rn0" < 32L)
+      .select($"user_id", $"rn0", $"vq",
+        explode(typedLit(Seq(8L, 16L, 32L))).as("s"))
+      .withColumn("blk", expr("rn0 div s"))
+      .withColumn("k", expr("rn0 % s") + 1L)
+    val wBlk = Window.partitionBy($"user_id", $"s", $"blk").orderBy($"rn0")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBlkAll = Window.partitionBy($"user_id", $"s", $"blk")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val devs = base
+      .withColumn("pk", sum($"vq").over(wBlk))
+      .withColumn("s1", sum($"vq").over(wBlkAll))
+      .withColumn("dev", $"s" * $"pk" - $"k" * $"s1")
+    val blocks = devs.groupBy($"user_id", $"s", $"blk")
+      .agg(count(lit(1)).as("n"),
+        // k = s gives dev = 0, so the 0 baseline is always in range
+        (max($"dev") - min($"dev")).as("rng"),
+        ($"s".cast(dec) * sum($"vq".cast(dec) * $"vq")
+          - sum($"vq".cast(dec)) * sum($"vq")).as("vnum"))
+      .where($"n" === $"s" && $"vnum" > 0)
+      .select($"user_id", $"s",
+        floor($"rng".cast("double") / sqrt($"vnum".cast("double"))
+          * 1000 + lit(1.0 / 3)).cast("long").as("rs_q"))
+    val bySize = blocks.groupBy($"user_id", $"s")
+      .agg(count(lit(1)).as("nb"), sum($"rs_q").as("rs_sum"))
+      .where(expr("nb = 32 div s") && $"rs_sum" > 0)
+      .select($"user_id",
+        floor(log(($"s").cast("double")) * 10000 + lit(1.0 / 3))
+          .cast("long").as("xq"),
+        floor(log(expr("rs_sum div nb").cast("double")) * 10000
+          + lit(1.0 / 3)).cast("long").as("yq"))
+    bySize.groupBy($"user_id")
+      .agg(count(lit(1)).as("np"),
+        sum($"xq".cast(dec)).as("sx"), sum($"yq".cast(dec)).as("sy"),
+        sum($"xq".cast(dec) * $"yq").as("sxy"),
+        sum($"xq".cast(dec) * $"xq").as("sxx"))
+      .where($"np" === 3L)
+      .select($"user_id",
+        floor(($"np".cast(dec) * $"sxy" - $"sx" * $"sy").cast("double")
+          * 1000d
+          / ($"np".cast(dec) * $"sxx" - $"sx" * $"sx").cast("double")
+          + lit(1.0 / 3)).cast("long").as("hurst_milli"))
+  }
+
+  /** q281: Wald–Wolfowitz runs test per user trace — randomness of the
+    * above/below-mean sign sequence: too FEW runs is positive serial
+    * dependence (regimes, trends — the same persistence q280 sizes),
+    * too MANY is oscillation. The distribution-free first screen a
+    * drift monitor runs before parametric modeling; z is standard
+    * normal under independence.
+    *
+    * Exactness: the dichotomy is the exact cross-multiplied predicate
+    * N·x > Σx (no mean division); runs count via one lag compare; the
+    * z statistic's numerator n(R−1) − 2·n₁·n₂ is exact decimal and the
+    * denominator spends one double division inside one sqrt
+    * (z = num / sqrt(2n₁n₂(2n₁n₂−n)/(n−1))) — fixed order, milli floor
+    * of a double (negative-safe, no integer division).
+    *
+    * Scale shape: one moment window + one lag window per user (shared
+    * partitioning), one partial-agged groupBy. |users| rows. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOn(Tables.events(spark, dir))
+
+  private[graft] def runsTestOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wAll = Window.partitionBy($"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s = events
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s1", sum($"vq".cast(dec)).over(wAll))
+      .withColumn("b",
+        when($"n".cast(dec) * $"vq" > $"s1", 1L).otherwise(0L))
+      .withColumn("chg",
+        when(lag($"b", 1).over(w).isNotNull
+          && lag($"b", 1).over(w) =!= $"b", 1L).otherwise(0L))
+    val m = s.groupBy($"user_id")
+      .agg(max($"n").as("n"), sum($"b").as("n1"),
+        (max($"n") - sum($"b")).as("n2"),
+        (sum($"chg") + 1L).as("n_runs"))
+      .where($"n1" > 0L && $"n2" > 0L)
+      .select($"user_id", $"n".cast("long").as("n"), $"n1", $"n2", $"n_runs",
+        ($"n".cast(dec) * ($"n_runs" - 1L)
+          - $"n1".cast(dec) * $"n2" * 2L).as("num"),
+        ($"n1".cast(dec) * $"n2" * 2L
+          * ($"n1".cast(dec) * $"n2" * 2L - $"n")).as("vnum"))
+    m.where($"vnum" > 0)
+      .select($"user_id", $"n", $"n_runs",
+        floor($"num".cast("double")
+          / sqrt($"vnum".cast("double") / ($"n" - 1L).cast("double"))
+          * 1000 + lit(1.0 / 3)).cast("long").as("z_milli"))
+  }
+
   /** q271: Lo–MacKinlay variance-ratio test per user signal —
     * VR(q=4) = Var(4-step increments) / (4·Var(1-step increments)).
     * A random walk sits at exactly 1 (increments uncorrelated, variance

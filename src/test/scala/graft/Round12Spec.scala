@@ -407,6 +407,64 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q280 Hurst exponent ------------------------------------------------------------
+
+  test("hurstOn: a ramp is maximally persistent, an oscillator exactly 0") {
+    import spark.implicits._
+    // offset-invariance of the scaled deviations makes every block of
+    // a ramp identical; R/S grows ~linearly with size -> H near 1.
+    // The period-2 oscillator has rs_q = 1000 at EVERY size -> the ln
+    // points are constant -> OLS slope exactly 0.
+    val events = ((0 until 32).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${t / 60}%02d"
+        + f".${t % 60}%02d0"), t.toLong, t.toDouble)) ++
+      (0 until 32).map(t =>
+        (2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${t / 60}%02d"
+          + f".${t % 60}%02d0"), t.toLong, (t % 2).toDouble)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.hurstOn(events).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("hurst_milli")).toMap
+    assert(r(1L) >= 950L && r(1L) <= 1050L)
+    assert(r(2L) === 0L)
+  }
+
+  test("hurst wrapper: H within the theoretical (0, 1.2) band") {
+    val rows = Timeseries.hurst(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hurst_milli")
+      assert(h > -200L && h < 1300L)
+    }
+  }
+
+  // ---- q281 runs test -------------------------------------------------------------------
+
+  test("runsTestOn: alternation and a monotone ramp give symmetric z") {
+    import spark.implicits._
+    // alternating 0/1 over 8 points: runs = 8, z = +24/sqrt(768/7)
+    // -> 2291 milli; the 0..7 ramp: runs = 2, num = -24 -> -2291
+    val events = ((0 until 8).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, (t % 2).toDouble)) ++
+      (0 until 8).map(t =>
+        (2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+          t.toLong, t.toDouble)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.runsTestOn(events).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_runs"), x.getAs[Long]("z_milli"))).toMap
+    assert(r(1L) === (8L, 2291L))
+    assert(r(2L) === (2L, -2291L))
+  }
+
+  test("runsTestOn: a constant trace is guarded out (one-sided dichotomy)") {
+    import spark.implicits._
+    val events = (0 until 8).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
+        t.toLong, 5.0)).toDF("user_id", "ts", "event_id", "value")
+    assert(Timeseries.runsTestOn(events).collect().isEmpty)
+  }
+
   // ---- q274 Savitzky–Golay ----------------------------------------------------------
 
   test("savgolOn: the SG filter reproduces a linear ramp exactly (zero residual)") {
