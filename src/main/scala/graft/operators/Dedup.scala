@@ -798,11 +798,23 @@ object Dedup {
   private[graft] def segmentedRankLong(rows: DataFrame, keyName: String)
       : DataFrame = {
     import rows.sparkSession.implicits._
-    val mn = rows.agg(min(col(keyName)).as("mn"))
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val mn = rows.agg(min(col(keyName)).as("mn"), max(col(keyName)).as("mx"))
     val shifted = rows.crossJoin(broadcast(mn))
-      .withColumn("sk", col(keyName) - $"mn")
+      // the shift and the range both ride decimal: a key span wider
+      // than 2^63 (full-range longs) wraps the long subtraction
+      .withColumn("sk", col(keyName).cast(dec) - $"mn")
+      // segment width derives from the KEY RANGE so the segment count
+      // is bounded (~256) no matter how wide or skewed the values —
+      // a fixed width of 1024 minted range/1024 segments and the
+      // offsets relation stopped being broadcastable on wide keys
+      .withColumn("segw",
+        greatest(lit(1024L).cast(dec),
+          expr("((cast(mx as decimal(38,0)) - mn) div 256) + 1")))
     val wSeg = Window.partitionBy($"seg").orderBy($"sk".asc, $"doc_id".asc)
-    val ranked = shifted.withColumn("seg", expr("sk div 1024"))
+    val ranked = shifted
+      .withColumn("seg", expr("cast(sk div segw as long)"))
       .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
     val wOff = Window.partitionBy(graft.functions.Win.bounded)
       .orderBy($"seg".asc)
@@ -811,7 +823,7 @@ object Dedup {
       .select($"seg", coalesce(sum($"c").over(wOff), lit(0L)).as("off"))
     ranked.join(broadcast(offs), "seg")
       .withColumn("rn", $"rn_seg" + $"off")
-      .drop("seg", "rn_seg", "off", "sk", "mn")
+      .drop("seg", "rn_seg", "off", "sk", "mn", "mx", "segw")
   }
 
   def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {

@@ -1581,9 +1581,12 @@ object Evaluate {
         size(t).cast("long").as("n_toks"),
         aggregate(transform(t, w), lit(0L), (acc, x) => acc + x)
           .as("margin"))
-    kendallWOn(
+    // three rank passes consume this relation — materialize the narrow
+    // (doc_id, s1, s2, s3) rows once instead of re-hashing the corpus
+    // per ranker (the checkpoint-pays-iff-reused rule, SCALE.md)
+    kendallWOn(graft.operators.Ckpt(
       base.select($"doc_id", $"n_chars".as("s1"), $"n_toks".as("s2"),
-        $"margin".as("s3")))
+        $"margin".as("s3")), eager = false))
   }
 
   /** Testable core over any `(doc_id, s1, s2, s3)` score frame. */

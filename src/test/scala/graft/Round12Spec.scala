@@ -377,6 +377,24 @@ class Round12Spec extends SparkSpec {
     assert(w2.getAs[Long]("w_ppm") === 111111L)
   }
 
+  test("segmentedRankLong: wide/skewed/negative keys rank exactly like a sort") {
+    import spark.implicits._
+    // range spans ~9e18 with negatives and duplicate keys: segments
+    // stay bounded (~256) and ranks must equal the plain sorted order
+    // with doc_id tie-break
+    val rows = Seq(
+      (1L, -4611686018427387904L), (2L, 4611686018427387904L),
+      (3L, 0L), (4L, 0L), (5L, -17L), (6L, 123456789L), (7L, -17L))
+      .toDF("doc_id", "k")
+    val got = graft.operators.Dedup.segmentedRankLong(rows, "k")
+      .select($"doc_id", $"rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Seq((1L, -4611686018427387904L), (5L, -17L), (7L, -17L),
+      (3L, 0L), (4L, 0L), (6L, 123456789L), (2L, 4611686018427387904L))
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got === expect)
+  }
+
   test("kendallW wrapper: W in [0, 1e6] on the sample") {
     val r = Evaluate.kendallW(spark, sfDir).collect().head
     val w = r.getAs[Long]("w_ppm")
