@@ -64,7 +64,7 @@ object ScaleSmoke {
     // regression shows up as a ratio blowup here (their 10x ratios
     // measured 9.4x / 5.8x — note q231's input pair relation itself
     // grows superlinearly: replica families are true near-dup cliques)
-    "q231_transitivity", "q257_fs_weights",
+    "q231_transitivity", "q257_fs_weights", "q283_phash_radius",
     // round 12 additions: the CDC chunk census is linear in corpus
     // tokens with NO pairing step (replica families share every chunk,
     // so dup_chunk_ppm rises while the plan stays scan-shaped);
@@ -138,7 +138,7 @@ object ScaleSmoke {
     "q268_welch_psd", "q269_hjorth", "q271_variance_ratio",
     // q274/q275: per-user lag/lead windows + moment sums, scan-shaped
     "q274_savgol", "q275_peaks", "q279_mode_track", "q280_hurst",
-    "q281_runs_test")
+    "q281_runs_test", "q282_xcorr_matrix")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -301,6 +301,8 @@ object SparkEntry {
     "q279_mode_track"       -> (Spectral.modeTrack _),
     "q280_hurst"            -> (Timeseries.hurst _),
     "q281_runs_test"        -> (Timeseries.runsTest _),
+    "q282_xcorr_matrix"     -> (Timeseries.xcorrMatrix _),
+    "q283_phash_radius"     -> (Multimodal.phashRadius _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6997,6 +6999,65 @@ ${base("q116_spectrogram")}),
              / sqrt(CAST(vnum AS DOUBLE) / CAST(n - 1 AS DOUBLE))
              * 1000 + 1.0/3) AS BIGINT) AS z_milli
          FROM v WHERE vnum > 0"""
+    // q282: pairwise channel cross-correlation at lags -2..2 — exact
+    // decimal moments per (pair, lag), per-r quantize, integer argmax.
+    val xcorrMatrixOracle =
+      """WITH chans AS (SELECT DISTINCT user_id FROM events
+           ORDER BY 1 LIMIT 8),
+         e AS (SELECT ev.user_id, ev.ts, ev.event_id,
+             CAST(floor(ev.value * 1000 + 1.0/3) AS BIGINT) AS vq
+           FROM events ev JOIN chans USING (user_id)),
+         s AS (SELECT user_id, vq,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS BIGINT) AS k
+           FROM e QUALIFY k <= 32),
+         l AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+             b.k - a.k AS lag, a.vq AS x, b.vq AS y
+           FROM s a JOIN s b ON a.user_id < b.user_id
+             AND b.k >= a.k - 2 AND b.k <= a.k + 2),
+         m AS (SELECT user_a, user_b, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM l GROUP BY 1, 2, 3),
+         r AS (SELECT user_a, user_b, lag,
+             CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+               AS DOUBLE) * 1000
+               / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                 * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+               + 1.0/3) AS BIGINT) AS r_milli
+           FROM m
+           WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
+             AND CAST(n AS HUGEINT) * syy - sy * sy > 0),
+         best AS (SELECT user_a, user_b, lag, r_milli FROM r
+           QUALIFY row_number() OVER (PARTITION BY user_a, user_b
+             ORDER BY abs(r_milli) DESC, lag ASC) = 1),
+         g AS (SELECT user_a, user_b,
+             max(CASE WHEN lag = 0 THEN r_milli END) AS r0_milli
+           FROM r GROUP BY 1, 2)
+         SELECT g.user_a, g.user_b, g.r0_milli,
+           CAST(b.lag AS BIGINT) AS best_lag,
+           b.r_milli AS best_r_milli
+         FROM g JOIN best b USING (user_a, user_b)"""
+    // q283: hamming radius 0..3 census over the q201 aHash relation —
+    // exact by the 4x16-bit band soundness argument.
+    val phashRadiusOracle =
+      s"""WITH pp AS (SELECT doc_a, doc_b, hamming FROM (
+${base("q201_blob_phash")}) WHERE hamming <= 3),
+         rr AS (SELECT CAST(r.r AS BIGINT) AS radius FROM range(4) r(r)),
+         byr AS (SELECT rr.radius, pp.doc_a, pp.doc_b
+           FROM rr LEFT JOIN pp ON pp.hamming <= rr.radius),
+         census AS (SELECT radius, CAST(count(doc_a) AS BIGINT) AS n_pairs
+           FROM byr GROUP BY 1),
+         cov AS (SELECT radius, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+           FROM (SELECT radius, unnest([doc_a, doc_b]) AS d
+                 FROM byr WHERE doc_a IS NOT NULL)
+           GROUP BY 1)
+         SELECT census.radius, census.n_pairs,
+           CAST(coalesce(cov.n_docs, 0) AS BIGINT) AS n_docs
+         FROM census LEFT JOIN cov USING (radius)"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -7053,6 +7114,8 @@ ${base("q116_spectrogram")}),
       ("q279_mode_track" -> modeTrackOracle) +
       ("q280_hurst" -> hurstOracle) +
       ("q281_runs_test" -> runsOracle) +
+      ("q282_xcorr_matrix" -> xcorrMatrixOracle) +
+      ("q283_phash_radius" -> phashRadiusOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

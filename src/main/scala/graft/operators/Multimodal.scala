@@ -185,4 +185,35 @@ object Multimodal {
       .select($"doc_a", $"doc_b", $"lo_a", $"hi_a", $"lo_b", $"hi_b",
         $"hamming")
   }
+
+  /** q283: perceptual-hash radius sweep — q245's tuning table for the
+    * BLOB modality: cumulative near-dup pair count and distinct-blob
+    * coverage at hamming radius 0..3 over the q201 aHash relation, from
+    * ONE banded pass. Soundness: 4 bands of 16 bits mean a pair
+    * differing in <= 3 bits can break at most 3 bands, so every pair
+    * with hamming <= 3 still agrees on >= 1 band and IS a candidate —
+    * the census is exact, not a sample (the q245 argument at q201's
+    * geometry). This is how the image-dedup hamming threshold gets
+    * picked: what each radius step admits, and how many more blobs it
+    * touches.
+    *
+    * Scale shape: rides q201 (band-equality joins, never all-pairs);
+    * the census is a <= 4-row aggregation plus a bounded distinct-doc
+    * count per radius. */
+  def phashRadius(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.operators.Ckpt(
+      blobPhash(spark, dir)
+        .where($"hamming" <= 3L)
+        .select($"doc_a", $"doc_b", $"hamming"), eager = false)
+    val radii = spark.range(4).select($"id".as("radius"))
+    val byR = radii.join(pairs, $"hamming" <= $"radius", "left")
+    val census = byR.groupBy($"radius").agg(count($"doc_a").as("n_pairs"))
+    val covered = byR.where($"doc_a".isNotNull)
+      .select($"radius", explode(array($"doc_a", $"doc_b")).as("d"))
+      .groupBy($"radius").agg(countDistinct($"d").as("n_docs"))
+    census.join(covered, Seq("radius"), "left")
+      .select($"radius", $"n_pairs",
+        coalesce($"n_docs", lit(0L)).as("n_docs"))
+  }
 }

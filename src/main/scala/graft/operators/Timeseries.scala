@@ -924,6 +924,70 @@ object Timeseries {
         coalesce($"max_peak_q", lit(0L)).as("max_peak_q"))
   }
 
+  /** q282: multi-channel cross-correlation matrix — Pearson r at lags
+    * −2..+2 between every pair of the 8 lowest-id user traces (first
+    * 32 samples, rn-aligned), reporting the lag-0 correlation and the
+    * best |r| lag per pair. THE multi-channel diagnostic of the
+    * reference domain (BES array cross-channel correlation — poloidal
+    * mode structure falls out of exactly this matrix); q113 correlates
+    * two EVENT TYPE series, this correlates CHANNELS pairwise.
+    *
+    * Exactness: all five moment sums per (pair, lag) are exact decimal
+    * on the 1e3 grid; each r spends one double chain + sqrt and
+    * quantizes to milli INDEPENDENTLY (no cross-r float arithmetic);
+    * the best-lag argmax runs on quantized |r| with lowest-lag
+    * tie-break — exact integer comparisons.
+    *
+    * Scale shape: the channel panel is a bounded TakeOrdered broadcast
+    * (8 ids); series are rank-pruned to 32 rows each; the lag join is
+    * a bounded range join over 8×32 rows. O(1) after the scan. At a
+    * real array (hundreds of channels) the same plan bounds work by
+    * |channels|²·window, never by trace length. */
+  def xcorrMatrix(spark: SparkSession, dir: String): DataFrame =
+    xcorrMatrixOn(Tables.events(spark, dir))
+
+  private[graft] def xcorrMatrixOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val chans = events.select($"user_id").distinct()
+      .orderBy($"user_id".asc).limit(8)
+    val series = events
+      .join(broadcast(chans), "user_id")
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000 + lit(1.0 / 3)).cast("long").as("vq"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .where($"k" <= 32L)
+      .select($"user_id", $"k", $"vq")
+    val lagged = series.as("a").join(series.as("b"),
+        col("a.user_id") < col("b.user_id")
+          && col("b.k") >= col("a.k") - 2 && col("b.k") <= col("a.k") + 2)
+      .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+        (col("b.k") - col("a.k")).as("lag"),
+        col("a.vq").as("x"), col("b.vq").as("y"))
+    val m = lagged.groupBy($"user_a", $"user_b", $"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y").as("sxy"),
+        sum($"x".cast(dec) * $"x").as("sxx"),
+        sum($"y".cast(dec) * $"y").as("syy"))
+      .withColumn("vx", $"n".cast(dec) * $"sxx" - $"sx" * $"sx")
+      .withColumn("vy", $"n".cast(dec) * $"syy" - $"sy" * $"sy")
+      .where($"vx" > 0 && $"vy" > 0)
+      .select($"user_a", $"user_b", $"lag",
+        floor(($"n".cast(dec) * $"sxy" - $"sx" * $"sy").cast("double")
+          * 1000d
+          / sqrt($"vx".cast("double") * $"vy".cast("double"))
+          + lit(1.0 / 3)).cast("long").as("r_milli"))
+    m.groupBy($"user_a", $"user_b")
+      .agg(max(when($"lag" === 0L, $"r_milli")).as("r0_milli"),
+        max(struct(abs($"r_milli").as("a"), (-$"lag").as("nl"),
+          $"r_milli".as("r"))).as("best"))
+      .select($"user_a", $"user_b", $"r0_milli",
+        (-$"best.nl").as("best_lag"), $"best.r".as("best_r_milli"))
+  }
+
   /** q280: Hurst exponent by rescaled range (Hurst 1951, Mandelbrot &
     * Wallis 1969) — per user, R/S over non-overlapping blocks at sizes
     * 8/16/32 of the first 32 samples, then the OLS slope of

@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, Evaluate, Quantize, Similarity, Spectral,
-  TextAnalysis, Timeseries}
+import graft.operators.{Dedup, Evaluate, Multimodal, Quantize, Similarity,
+  Spectral, TextAnalysis, Timeseries}
 
 /** q259-q262: CDC chunk census, term burstiness, STTR, Flesch
   * readability. Cores on handcrafted inputs with closed-form answers;
@@ -481,6 +481,54 @@ class Round12Spec extends SparkSpec {
       (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$t"),
         t.toLong, 5.0)).toDF("user_id", "ts", "event_id", "value")
     assert(Timeseries.runsTestOn(events).collect().isEmpty)
+  }
+
+  // ---- q282 cross-correlation matrix -----------------------------------------------
+
+  test("xcorrMatrixOn: a one-sample shift puts best_lag at exactly +1") {
+    import spark.implicits._
+    // x = impulse at t=5, y = impulse at t=6: at lag +1 the aligned
+    // windows are identical vectors -> r exactly 1000
+    val events = ((0 until 32).map(t =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${t / 60}%02d"
+        + f".${t % 60}%02d0"), t.toLong, if (t == 5) 9.0 else 0.0)) ++
+      (0 until 32).map(t =>
+        (2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${t / 60}%02d"
+          + f".${t % 60}%02d0"), t.toLong, if (t == 6) 9.0 else 0.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Timeseries.xcorrMatrixOn(events).collect().head
+    assert(r.getAs[Long]("user_a") === 1L)
+    assert(r.getAs[Long]("user_b") === 2L)
+    assert(r.getAs[Long]("best_lag") === 1L)
+    assert(r.getAs[Long]("best_r_milli") === 1000L)
+    assert(r.getAs[Long]("r0_milli") < 0L) // misaligned impulses
+  }
+
+  test("xcorrMatrix wrapper: C(8,2) pairs, r bounded, best dominates lag 0") {
+    val rows = Timeseries.xcorrMatrix(spark, sfDir).collect()
+    assert(rows.length === 28)
+    rows.foreach { r =>
+      val r0 = r.getAs[Long]("r0_milli")
+      val br = r.getAs[Long]("best_r_milli")
+      assert(math.abs(r0) <= 1000L && math.abs(br) <= 1000L)
+      assert(math.abs(br) >= math.abs(r0))
+      val l = r.getAs[Long]("best_lag")
+      assert(l >= -2L && l <= 2L)
+    }
+  }
+
+  // ---- q283 phash radius sweep --------------------------------------------------------
+
+  test("phashRadius: cumulative census is monotone in the radius") {
+    val rows = Multimodal.phashRadius(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("radius"))
+    assert(rows.length === 4)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_pairs") >= a.getAs[Long]("n_pairs"))
+        assert(b.getAs[Long]("n_docs") >= a.getAs[Long]("n_docs"))
+      case _ =>
+    }
   }
 
   // ---- q274 Savitzky–Golay ----------------------------------------------------------
