@@ -6540,12 +6540,14 @@ ${base("q28_simhash_pairs")})),
              ORDER BY aq DESC, vec_id ASC) <= 10),
          j AS (SELECT coalesce(te.query_id, ta.query_id) AS query_id,
              CASE WHEN te.vec_id IS NOT NULL AND ta.vec_id IS NOT NULL
-               THEN 1 ELSE 0 END AS b
+               THEN 1 ELSE 0 END AS b,
+             CASE WHEN te.vec_id IS NOT NULL THEN 1 ELSE 0 END AS e,
+             CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END AS a
            FROM te FULL JOIN ta
              ON te.query_id = ta.query_id AND te.vec_id = ta.vec_id)
          SELECT query_id, CAST(sum(b) AS BIGINT) AS n_both,
-           CAST((sum(b) * 1000000) // (20 - sum(b)) AS BIGINT)
-             AS jaccard_ppm
+           CAST((sum(b) * 1000000) // (sum(e) + sum(a) - sum(b))
+             AS BIGINT) AS jaccard_ppm
          FROM j GROUP BY 1"""
     // q265: per-subspace PQ distortion — rides the q98 encode verbatim.
     val pqDistortionOracle =

@@ -1461,26 +1461,6 @@ object Evaluate {
           .as("unc_ppm"))
   }
 
-  /** q272: Spiegelhalter's Z — is the miscalibration SIGNIFICANT, or
-    * noise at this sample size? Z = Σ(y−p)(1−2p) / sqrt(Σ(1−2p)²p(1−p))
-    * per source, over the q267 length-squash forecast: the
-    * decomposition (q267) and ECE (q241) report the SIZE of the
-    * calibration gap; this is the test statistic that says whether a
-    * recalibration pass is chasing signal or sampling error — the
-    * number that stops a team from re-fitting on every bench wiggle.
-    * Under a calibrated forecast Z is asymptotically standard normal,
-    * so |z_milli| > 1960 is the conventional 5% flag.
-    *
-    * Exactness: with the forecast on the exact ppm grid, the numerator
-    * terms (1e6·y − p)(1e6 − 2p) and denominator terms
-    * (1e6 − 2p)²·p·(1e6 − p) are exact decimal(38,0) integers (per-term
-    * up to 1e24 — inside decimal38/HUGEINT to ~1e13 docs); the single
-    * float step is one double ratio with one correctly-rounded sqrt,
-    * milli-floored (floor of a possibly-negative DOUBLE is identical
-    * in both engines — no integer division anywhere).
-    *
-    * Scale shape: map-only term tagging, one partial-agged groupBy to
-    * |sources| rows. One scan. */
   /** q277: DeLong confidence interval for the q120 per-source AUC —
     * the variance of the Mann–Whitney estimator from its structural
     * components (DeLong, DeLong & Clarke-Pearson 1988): V10 per
@@ -1543,7 +1523,12 @@ object Evaluate {
     rows.groupBy($"source", $"m", $"n", $"num2")
       .agg(sum($"sa_t").as("sa"), sum($"sb_t").as("sb"))
       .select($"source", $"m".as("n_pos"), $"n".as("n_neg"),
-        expr("(num2 * 1000000) div (2 * m * n)").as("auc_ppm"),
+        // num2 routed through decimal38 like sa_t/sb_t: num2*1e6 in LONG
+        // wraps past ~9.2e12 doubled pairs (~2e6 pos x 2e6 neg per
+        // source) while the oracle's HUGEINT does not
+        expr("""(cast(num2 as decimal(38,0)) * 1000000)
+                div (cast(m as decimal(38,0)) * n * 2)""")
+          .cast("long").as("auc_ppm"),
         floor(se * 1e6 + lit(1.0 / 3)).cast("long").as("se_ppm"))
       .select($"source", $"n_pos", $"n_neg", $"auc_ppm", $"se_ppm",
         greatest(lit(0L), $"auc_ppm"
@@ -1612,6 +1597,26 @@ object Evaluate {
           .cast("long").as("w_ppm"))
   }
 
+  /** q272: Spiegelhalter's Z — is the miscalibration SIGNIFICANT, or
+    * noise at this sample size? Z = Σ(y−p)(1−2p) / sqrt(Σ(1−2p)²p(1−p))
+    * per source, over the q267 length-squash forecast: the
+    * decomposition (q267) and ECE (q241) report the SIZE of the
+    * calibration gap; this is the test statistic that says whether a
+    * recalibration pass is chasing signal or sampling error — the
+    * number that stops a team from re-fitting on every bench wiggle.
+    * Under a calibrated forecast Z is asymptotically standard normal,
+    * so |z_milli| > 1960 is the conventional 5% flag.
+    *
+    * Exactness: with the forecast on the exact ppm grid, the numerator
+    * terms (1e6·y − p)(1e6 − 2p) and denominator terms
+    * (1e6 − 2p)²·p·(1e6 − p) are exact decimal(38,0) integers (per-term
+    * up to 1e24 — inside decimal38/HUGEINT to ~1e13 docs); the single
+    * float step is one double ratio with one correctly-rounded sqrt,
+    * milli-floored (floor of a possibly-negative DOUBLE is identical
+    * in both engines — no integer division anywhere).
+    *
+    * Scale shape: map-only term tagging, one partial-agged groupBy to
+    * |sources| rows. One scan. */
   def spiegelhalterZ(spark: SparkSession, dir: String): DataFrame =
     spiegelhalterZOn(Tables.documents(spark, dir))
 

@@ -578,9 +578,15 @@ object Quantize {
     te.join(ta, Seq("query_id", "vec_id"), "full")
       .groupBy($"query_id")
       .agg(sum(when($"in_e".isNotNull && $"in_a".isNotNull, 1L)
-        .otherwise(0L)).as("n_both"))
+          .otherwise(0L)).as("n_both"),
+        // union from the ACTUAL set sizes (|A|+|B|−|A∩B|), not the
+        // 20−n_both constant: with <10 scored candidates per query
+        // both top-10 sets shrink and the constant overstates the union
+        sum(when($"in_e".isNotNull, 1L).otherwise(0L)).as("n_e"),
+        sum(when($"in_a".isNotNull, 1L).otherwise(0L)).as("n_a"))
       .select($"query_id", $"n_both",
-        expr("(n_both * 1000000) div (20 - n_both)").as("jaccard_ppm"))
+        expr("(n_both * 1000000) div (n_e + n_a - n_both)")
+          .as("jaccard_ppm"))
   }
 
   /** q265: PQ reconstruction distortion per subspace — the codebook

@@ -148,13 +148,12 @@ object Events {
   /** Streaming dedup INGEST GATE — the q109 delta-dedup screen run at
     * ingestion time: each micro-batch of arriving documents is
     * band-joined against the STATIC corpus shingle index, and only docs
-    * with no verified near-dup (Jaccard >= 0.5) are appended to the
-    * admitted table; rejected docs land in a quarantine table with
-    * their matched corpus doc. Exactly-once: appends are
-    * checkpoint-guarded (a replayed batch re-appends only after a crash
-    * BEFORE checkpoint commit, and downstream exact dedup by doc_id —
-    * q24 — absorbs that at-least-once tail; a transactional sink makes
-    * it exact, the screen logic is unchanged).
+    * with no verified near-dup (Jaccard >= 0.5) are admitted; rejected
+    * docs land in a quarantine table with their matched corpus doc.
+    * Exactly-once: both writes are dynamic-partition overwrites keyed
+    * by batch_id (the chunk-novelty/monitor discipline) — a replayed
+    * micro-batch rewrites its own partitions byte-identically instead
+    * of double-appending, so no downstream dedup absorption is needed.
     *
     * Scale shape: per batch O(delta + collisions) — the corpus index is
     * the persisted artifact (at 100 TB a bucketed table on (band,
@@ -164,7 +163,7 @@ object Events {
       trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val corpusSh = graft.operators.Dedup.docShingles(corpus)
-    val gate: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+    val gate: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
       import batch.sparkSession.implicits._
       // deliberately localCheckpoint, NOT the Ckpt durability knob: the
       // truncation only shares the batch across the two writes INSIDE
@@ -179,11 +178,19 @@ object Events {
         .localCheckpoint(true)
       b.join(matches.select($"new_doc".as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-        .write.mode("append").parquet(admittedTarget)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(admittedTarget)
       b.join(matches.groupBy($"new_doc".as("doc_id"))
             .agg(min($"corpus_doc").as("dup_of"), max($"jaccard").as("max_jaccard")),
           Seq("doc_id"), "inner")
-        .write.mode("append").parquet(rejectedTarget)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(rejectedTarget)
       // batch-scoped blocks must not outlive the batch: a long-running
       // stream would otherwise pin batches x |batch| rows until GC
       graft.operators.Ckpt.release(matches)
@@ -232,8 +239,15 @@ object Events {
         val chunks = graft.operators.Dedup
           .cdcChunkRelation(batch, Seq.empty)
           .localCheckpoint(true) // batch-scoped; replay covers loss
+        // probe through the session's Hadoop FileSystem, not java.io.File:
+        // on HDFS/S3 (the 100 TB target) a local-file probe always
+        // returns false, which would silently report 100% novelty
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val storeExists = storePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(storePath)
         val known =
-          if (new java.io.File(storeDir).exists())
+          if (storeExists)
             spark.read.parquet(storeDir)
               .where($"batch_id" < batchId) // replay must not see itself
               .select($"chash").distinct()

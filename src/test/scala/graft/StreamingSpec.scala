@@ -279,6 +279,75 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedup ingest gate: crash replay — admitted/rejected partitions overwritten, no duplicates") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_gatecrash_${System.nanoTime()}")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = docs.where($"doc_id" % 5 =!= 0)
+    val deltaDir = new java.io.File(base, "arriving").getPath
+    // 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+    docs.where($"doc_id" % 5 === 0).repartition(3).write.parquet(deltaDir)
+    def start(ckptDir: String) = Events.dedupIngestGate(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir),
+      corpus,
+      new java.io.File(base, "admitted").getPath,
+      new java.io.File(base, "rejected").getPath, ckptDir)
+    val ckpt1 = new java.io.File(base, "ckpt").getPath
+    val q1 = start(ckpt1); q1.processAllAvailable(); q1.stop()
+    val admPath = new java.io.File(base, "admitted").getPath
+    // materialize the pre-crash census NOW — the restart rewrites the
+    // replayed batch_id partition in place under a lazy reader's feet
+    val beforeByBatch = spark.read.parquet(admPath)
+      .groupBy($"batch_id").count().collect()
+      .map(r => r.getAs[Number]("batch_id").longValue -> r.getLong(1)).toMap
+    val beforeAdmitted = spark.read.parquet(admPath)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val lastBatch = beforeByBatch.keys.max
+    assert(lastBatch >= 2, s"expected >=3 micro-batches, got ${lastBatch + 1}")
+    // crash AFTER the last batch's sink writes but BEFORE its checkpoint
+    // commit: restart on a checkpoint copy with commits/<last> removed —
+    // the engine replays that batch with the same batch_id, and the
+    // dynamic-partition overwrite must absorb it without duplicates
+    val ckpt2 = new java.io.File(base, "ckpt2")
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    copyDir(new java.io.File(ckpt1), ckpt2)
+    val lostCommit = new java.io.File(ckpt2, s"commits/$lastBatch")
+    assert(lostCommit.exists(), s"checkpoint commit file missing: $lostCommit")
+    assert(lostCommit.delete())
+    new java.io.File(ckpt2, s"commits/.$lastBatch.crc").delete()
+    val q2 = start(ckpt2.getPath); q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(admPath)
+      .groupBy($"batch_id").count().collect()
+      .map(r => r.getAs[Number]("batch_id").longValue -> r.getLong(1)).toMap
+      === beforeByBatch,
+      "replayed batch appended duplicate admitted rows")
+    assert(spark.read.parquet(admPath)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === beforeAdmitted)
+    // and the recovered gate still partitions exactly like the q109 twin
+    val admitted = spark.read.parquet(admPath)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val rejected = spark.read
+      .parquet(new java.io.File(base, "rejected").getPath)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val deltaIds = docs.where($"doc_id" % 5 === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchRejects = SparkEntry.queries("q109_delta_dedup")(spark, sfDir)
+      .select($"new_doc").distinct().collect().map(_.getLong(0)).toSet
+    assert(admitted.intersect(rejected).isEmpty)
+    assert(admitted.union(rejected) === deltaIds)
+    assert(rejected === batchRejects)
+  }
+
   test("streaming OOV monitor: final snapshot equals the batch probe over the same delta") {
     import spark.implicits._
     val base = new java.io.File(sys.props("java.io.tmpdir"),
