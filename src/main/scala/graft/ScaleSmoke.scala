@@ -104,7 +104,12 @@ object ScaleSmoke {
     // (ideal ~ flat after the id-pruned scan); PQ distortion rides the
     // map-only q98 encode (ideal ~ scan ratio)
     "q263_isotropy", "q264_quant_fidelity", "q265_pq_distortion",
-    "q276_rank_stability")
+    "q276_rank_stability",
+    // round 13: the compressed-domain scan — candidates come from q38's
+    // probed cells but score 8-long PQ codes against a broadcast LUT,
+    // and only 32 survivors/query read full vectors: ideal ~ q38's
+    // probe ratio with a smaller constant as the corpus grows
+    "q284_ivf_pq_adc")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and

@@ -303,6 +303,7 @@ object SparkEntry {
     "q281_runs_test"        -> (Timeseries.runsTest _),
     "q282_xcorr_matrix"     -> (Timeseries.xcorrMatrix _),
     "q283_phash_radius"     -> (Multimodal.phashRadius _),
+    "q284_ivf_pq_adc"       -> (Similarity.ivfPqAdc _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7060,6 +7061,71 @@ ${base("q201_blob_phash")}) WHERE hamming <= 3),
          SELECT census.radius, census.n_pairs,
            CAST(coalesce(cov.n_docs, 0) AS BIGINT) AS n_docs
          FROM census LEFT JOIN cov USING (radius)"""
+    // q284: IVF-PQ ADC — q38's cell probe scoring q98's PQ codes via a
+    // per-query 1e6-quantized cosine-ADC LUT (q_s·c_s and ‖c_s‖², same
+    // left-to-right float order as the q98 encode), shortlist of 32 by
+    // the double ratio, exact cosine rerank of the survivors only.
+    val ivfPqAdcOracle =
+      s"""WITH enc AS (
+${base("q98_pq_encode")}),
+         e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x*x),
+                   (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+                  FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]),
+                     (a,b)->a+b) / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         assigned AS (SELECT vec_id, cent_id AS cell FROM ranked
+                      WHERE crk = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+                    WHERE crk <= 2 AND vec_id < 10),
+         cb AS (SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 8),
+         q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 10),
+         lut AS (
+           SELECT q.query_id, s.s AS sub, cb.code,
+             CAST(floor(list_reduce(list_transform(
+                 q.emb[CAST(s.s*8+1 AS INT):CAST(s.s*8+8 AS INT)],
+                 (x, i) -> x * cb.cemb[CAST(s.s*8 + i AS INT)]),
+                 (a, b) -> a + b) * 1000000 + 1.0/3)
+               AS BIGINT) AS ip_q,
+             CAST(floor(list_reduce(list_transform(
+                 cb.cemb[CAST(s.s*8+1 AS INT):CAST(s.s*8+8 AS INT)],
+                 x -> x*x), (a, b) -> a + b) * 1000000 + 1.0/3)
+               AS BIGINT) AS rn_q
+           FROM q, range(8) s(s), cb),
+         cand AS (SELECT p.query_id, a.vec_id
+                  FROM probes p JOIN assigned a
+                    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         adc AS (SELECT c.query_id, c.vec_id,
+                   CAST(sum(l.ip_q) AS DOUBLE)
+                     / sqrt(CAST(sum(l.rn_q) AS DOUBLE)) AS adc_cos
+                 FROM cand c JOIN enc t ON t.vec_id = c.vec_id
+                      JOIN lut l ON l.query_id = c.query_id
+                        AND l.sub = t.sub AND l.code = t.code
+                 GROUP BY 1, 2),
+         short AS (SELECT query_id, vec_id FROM adc
+                   QUALIFY row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_cos DESC, vec_id ASC) <= 32),
+         rer AS (SELECT s.query_id, s.vec_id,
+                   list_reduce(list_transform(qe.emb, (x,i) -> x * te.emb[i]),
+                     (a,b)->a+b) / (qe.nrm*te.nrm) AS cos
+                 FROM short s JOIN n qe ON qe.vec_id = s.query_id
+                      JOIN n te ON te.vec_id = s.vec_id)
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT query_id, vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM rer) WHERE rank <= 3"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -7118,6 +7184,7 @@ ${base("q201_blob_phash")}) WHERE hamming <= 3),
       ("q281_runs_test" -> runsOracle) +
       ("q282_xcorr_matrix" -> xcorrMatrixOracle) +
       ("q283_phash_radius" -> phashRadiusOracle) +
+      ("q284_ivf_pq_adc" -> ivfPqAdcOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

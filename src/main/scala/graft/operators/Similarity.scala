@@ -236,6 +236,117 @@ object Similarity {
     topk(scored, 3)
   }
 
+  /** q284: IVF-PQ ADC search — the compressed-domain scan that closes
+    * the production ANN stack: q38's coarse cell probe generates
+    * candidates, but instead of reading the candidates' FULL vectors it
+    * scores q98's 8-byte PQ codes against a per-query asymmetric-
+    * distance lookup table (Jégou, Douze & Schmid 2011), keeps the
+    * `shortlist` (32) best ADC scores per query, and only THOSE survivors
+    * are reranked with exact full-precision cosine. At 100 TB this is
+    * the difference between a probe that reads 2/8 of 256-byte vectors
+    * and one that reads 2/8 of 8-long code rows (the codes being the
+    * persisted artifact — `ivfPqAdcOn` takes the code relation as an
+    * input so a bucketed codes table drops in) plus full vectors for
+    * only ~shortlist rows per query.
+    *
+    * The compressed score is COSINE-ADC, not L2-ADC: the ground-truth
+    * metric here (q29/q38) is cosine, and on unnormalized vectors the
+    * L2 shortlist ranks large-norm neighbors out (measured: recall@3
+    * 0.37 vs 0.90 for the exact probe). Per candidate the score is
+    * Σ_s q_s·c_{code,s} / sqrt(Σ_s ‖c_{code,s}‖²) — the asymmetric
+    * inner product against the PQ reconstruction over the
+    * reconstruction's own norm, both terms sums of per-(sub, code) LUT
+    * entries.
+    *
+    * Engine portability: LUT entries ride q98's float discipline —
+    * left-to-right dots, driver-folded codebook norms, floor-quantized
+    * at 1e6 — so both ADC sums are exact longs (order-free under
+    * shuffle); the one float step per candidate is a fixed-form
+    * double ratio with a correctly-rounded sqrt that both engines
+    * compute identically (vec_id tie-breaks).
+    *
+    * Scale shape: assignment/probes are q38's broadcast-codebook pass;
+    * the LUT is |queries|·m·k rows (640 here) and broadcasts; the ADC
+    * join is equality on (query_id, sub, code) against only probed-cell
+    * code rows; the exact rerank touches shortlist·|queries| full
+    * vectors. No all-pairs product ever forms. */
+  def ivfPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ivfPqAdcOn(spark, dir,
+      Quantize.pqEncode(spark, dir).select($"vec_id", $"sub", $"code"))
+  }
+
+  /** q284 core with the PQ code relation injected (the production path
+    * passes a persisted, cell-bucketed codes table). */
+  private[graft] def ivfPqAdcOn(spark: SparkSession, dir: String,
+      codes: DataFrame, nprobe: Int = 2, shortlist: Int = 32,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val m = 8; val subDim = 8
+    val e = Tables.embeddings(spark, dir).select(
+      $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    // coarse quantizer: q38's pinned first-8 codebook, cosine argmax
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val rankedCells = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+    val assigned = rankedCells.where($"crk" === 1)
+      .select($"vec_id", $"cent_id".as("cell"))
+    val probes = rankedCells.where($"crk" <= nprobe && $"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+    // per-query ADC LUT: q_s·c_{code,s} (asymmetric inner product) plus
+    // the query-independent ‖c_{code,s}‖², both on q98's exact float
+    // path and 1e6-quantized — |queries|·m·k rows, broadcast
+    val codebook: Array[(Long, Array[Double])] =
+      e.where($"vec_id" < 8)
+        .select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("emb"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val qSub = e.where($"vec_id" < 10).select($"vec_id".as("query_id"),
+      posexplode(array((0 until m).map(s =>
+        slice($"embedding", s * subDim + 1, subDim)): _*)).as(Seq("sub", "sl")))
+    val lut = qSub.select($"query_id", $"sub".cast("long").as("sub"),
+        explode(array(codebook.map { case (id, cemb) =>
+          val subs: Seq[Seq[Double]] =
+            (0 until m).map(s => cemb.slice(s * subDim, s * subDim + subDim).toSeq)
+          val sccs: Seq[Double] = subs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+          struct(lit(id).as("code"),
+            floor(VectorOps.dot($"sl",
+              element_at(typedLit(subs), $"sub" + 1)) * 1e6
+              + lit(1.0 / 3)).cast("long").as("ip_q"),
+            floor(element_at(typedLit(sccs), $"sub" + 1) * 1e6
+              + lit(1.0 / 3)).cast("long").as("rn_q"))
+        }: _*)).as("ent"))
+      .select($"query_id", $"sub", $"ent.code".as("code"),
+        $"ent.ip_q".as("ip_q"), $"ent.rn_q".as("rn_q"))
+    val cand = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+    // compressed-domain score: two sums of 8 LUT longs per candidate,
+    // one double ratio — approximate cosine against the reconstruction
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"ip_q").as("ip"), sum($"rn_q").as("rn2"))
+      .withColumn("adc_cos", $"ip".cast("double") / sqrt($"rn2".cast("double")))
+    val short = adc.withColumn("ark", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"adc_cos".desc, $"vec_id".asc)))
+      .where($"ark" <= shortlist)
+      .select($"query_id", $"vec_id")
+    // exact rerank on the shortlist survivors only
+    val scored = short
+      .join(e, Seq("vec_id"))
+      .join(broadcast(e.where($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qemb"),
+          $"nrm".as("qnrm"))), Seq("query_id"))
+      .withColumn("cos", VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
+    topk(scored, k)
+  }
+
   /** q94: SemDeDup-style semantic deduplication — cluster the embedding
     * collection with a coarse codebook, then mark a vector a duplicate iff
     * an EARLIER (lower vec_id) vector in the SAME cell has cosine >= 0.35.

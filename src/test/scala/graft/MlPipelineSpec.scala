@@ -290,6 +290,54 @@ class MlPipelineSpec extends SparkSpec {
       f"lloyd-3 balance $bLloyd%.2f not better than first-k $bSeed%.2f")
   }
 
+  test("ivfPqAdc: recall >= q38 bar vs brute truth; persisted codes table drops in; probed bytes fold") {
+    import spark.implicits._
+    val truth = Similarity.annBrute(spark, sfDir)
+      .where($"rank" <= 3).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivfTruth = Similarity.ivfAnn(spark, sfDir)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("q284_ivf_pq_adc")(spark, sfDir)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(g: Map[Long, Set[Long]]): Double = truth.map { case (q, t) =>
+      g.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    val rAdc = recall(got)
+    val rIvf = recall(ivfTruth)
+    info(f"ivf-pq adc recall@3 = $rAdc%.2f (exact-rerank ivf = $rIvf%.2f)")
+    // the q38 bar: the compressed-domain shortlist must not cost recall
+    // below the exact-scoring probe's own gate
+    assert(rAdc >= 0.6)
+    // production drop-in: a PERSISTED codes table yields the identical
+    // result (the artifact a 100 TB deployment scans instead of vectors)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_codes_${System.nanoTime()}")
+    graft.operators.Quantize.pqEncode(spark, sfDir)
+      .select($"vec_id", $"sub", $"code")
+      .write.parquet(new java.io.File(tmp, "codes").getPath)
+    val persisted = Similarity.ivfPqAdcOn(spark, sfDir,
+      spark.read.parquet(new java.io.File(tmp, "codes").getPath))
+    val direct = SparkEntry.queries("q284_ivf_pq_adc")(spark, sfDir)
+    assert(persisted.except(direct).count() === 0)
+    assert(direct.except(persisted).count() === 0)
+    // the scale claim, measured: the compressed artifact a probe scans
+    // is a fraction of the full-vector bytes it replaces
+    def dataBytes(d: java.io.File): Long =
+      if (d.isFile) d.length
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val codeBytes = dataBytes(new java.io.File(tmp, "codes"))
+    val embBytes = dataBytes(new java.io.File(sfDir, "embeddings.parquet"))
+    info(s"codes parquet $codeBytes B vs embeddings parquet $embBytes B " +
+      f"(fold ${embBytes.toDouble / codeBytes}%.1fx)")
+    assert(codeBytes * 2 < embBytes,
+      s"PQ codes ($codeBytes B) not materially smaller than vectors ($embBytes B)")
+  }
+
   test("ivfAnnOn lloyd path keeps recall >= 0.6 vs brute-force truth") {
     import spark.implicits._
     val truth = Similarity.annBrute(spark, sfDir)
