@@ -156,7 +156,12 @@ object ScaleSmoke {
     // round 12: the CC-riding split/census consumers — replica families
     // form larger true clusters, so read their ratios as output shift
     // plus the (measured, ~4.6x at 10x) fixpoint cost, not plan drift
-    "q238_cluster_sizes", "q246_dedup_savings", "q255_cluster_split")
+    "q238_cluster_sizes", "q246_dedup_savings", "q255_cluster_split",
+    // round 13: the sampled wedge estimator — K=2000 closure probes
+    // regardless of wedge volume, so the ideal ratio is the pair-scan
+    // ratio (the duphub axis shows the capped-exact audit diverging
+    // from truth while this tracks it)
+    "q285_wedge_sample")
 
   def main(args: Array[String]): Unit = {
     if (args.contains("megacust")) { megaCustSmoke(); return }
@@ -474,10 +479,17 @@ object ScaleSmoke {
     run(Some(Dedup.TransDegCap)); run(Some(Dedup.TransDegCap)) // warm
     val (tc, wc, cc) = run(Some(Dedup.TransDegCap))
     val (tu, wu, cu) = run(None)
+    val t0 = System.nanoTime()
+    val sRow = Dedup.wedgeSamplePairs(pairs, 2000L).collect()(0)
+    val ts = (System.nanoTime() - t0) / 1e9
     println(f"dup hub degree $d: capped(${Dedup.TransDegCap}) $tc%.2f s " +
       f"($wc wedge pairs, $cc closed) vs uncapped $tu%.2f s " +
       f"($wu wedge pairs, $cu closed) — ${tu / tc}%.1fx wall, " +
       f"${wu.toDouble / math.max(wc, 1)}%.0fx wedge volume")
+    println(f"q285 sampler $ts%.2f s: est ${sRow.getAs[Long]("est_ppm")} ppm " +
+      f"over ${sRow.getAs[Long]("n_wedges")} true wedges " +
+      f"(K=${sRow.getAs[Long]("k_samples")}) — constant probe budget " +
+      "while the exact audit's wedge volume grows with the hub")
     spark.stop()
   }
 

@@ -304,6 +304,7 @@ object SparkEntry {
     "q282_xcorr_matrix"     -> (Timeseries.xcorrMatrix _),
     "q283_phash_radius"     -> (Multimodal.phashRadius _),
     "q284_ivf_pq_adc"       -> (Similarity.ivfPqAdc _),
+    "q285_wedge_sample"     -> (Dedup.wedgeSample _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7126,6 +7127,59 @@ ${base("q98_pq_encode")}),
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, vec_id ASC) AS rank
            FROM rer) WHERE rank <= 3"""
+    // q285: Schank–Wagner sampled wedge closure — md5-deterministic
+    // draws (center ∝ C(deg,2) via prefix-sum lookup, neighbor pair by
+    // exact combinatorial unranking), K = 2000 closure probes.
+    val wedgeSampleOracle =
+      s"""WITH pairs AS MATERIALIZED (
+${base("q28_simhash_pairs")}),
+         s AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         adj AS (SELECT u, v,
+                   row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+                 FROM s),
+         cw AS (SELECT u, count(*) AS d, (count(*)*(count(*)-1))//2 AS w
+                FROM s GROUP BY 1 HAVING count(*) >= 2),
+         cum AS (SELECT u, d, w,
+                   coalesce(sum(w) OVER (ORDER BY u
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_lo
+                 FROM cw),
+         tot AS (SELECT sum(w) AS wtot, count(*) AS n_centers FROM cw),
+         probes AS (SELECT r.i AS i,
+             CAST('0x' || substr(md5('ws:' || r.i), 1, 15) AS BIGINT)
+               % (SELECT wtot FROM tot) AS pp
+           FROM range(2000) r(i)),
+         chosen0 AS (SELECT p.i, c.u, c.w,
+             CAST('0x' || substr(md5('wp:' || p.i), 1, 15) AS BIGINT)
+               % c.w AS m
+           FROM probes p JOIN cum c
+             ON p.pp >= c.cum_lo AND p.pp < c.cum_lo + c.w),
+         unrk AS (SELECT i, u, m,
+             CAST(floor((1.0 + sqrt(1.0 + 8.0 * CAST(m AS DOUBLE))) / 2)
+               AS BIGINT) AS k0
+           FROM chosen0),
+         k1t AS (SELECT i, u, m,
+             CASE WHEN (k0*(k0-1))//2 > m THEN k0-1 ELSE k0 END AS k1
+           FROM unrk),
+         jk AS (SELECT i, u, m - (kk*(kk-1))//2 AS jj, kk
+           FROM (SELECT i, u, m,
+                   CASE WHEN ((k1+1)*k1)//2 <= m THEN k1+1 ELSE k1 END AS kk
+                 FROM k1t)),
+         sampled AS (SELECT jk.i, least(a.v, c.v) AS lo,
+                       greatest(a.v, c.v) AS hi
+           FROM jk JOIN adj a ON a.u = jk.u AND a.idx = jk.jj
+                JOIN adj c ON c.u = jk.u AND c.idx = jk.kk),
+         cl AS (SELECT s2.i,
+             CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS closed
+           FROM sampled s2 LEFT JOIN pairs p
+             ON p.doc_a = s2.lo AND p.doc_b = s2.hi)
+         SELECT CAST((SELECT n_centers FROM tot) AS BIGINT) AS n_centers,
+           CAST((SELECT wtot FROM tot) AS BIGINT) AS n_wedges,
+           CAST(count(*) AS BIGINT) AS k_samples,
+           CAST(sum(closed) AS BIGINT) AS n_closed,
+           CAST((sum(closed) * 1000000) // count(*) AS BIGINT) AS est_ppm
+         FROM cl"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -7185,6 +7239,7 @@ ${base("q98_pq_encode")}),
       ("q282_xcorr_matrix" -> xcorrMatrixOracle) +
       ("q283_phash_radius" -> phashRadiusOracle) +
       ("q284_ivf_pq_adc" -> ivfPqAdcOracle) +
+      ("q285_wedge_sample" -> wedgeSampleOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

@@ -1053,6 +1053,120 @@ object Dedup {
           .otherwise(0L).as("closure_ppm"))
   }
 
+  /** q285: Schank–Wagner sampled wedge closure — the UNCAPPED-scale
+    * estimator for the q231/q270 family: instead of enumerating
+    * Σ C(deg, 2) wedges (which [[TransDegCap]] bounds by DISCARDING hub
+    * structure), draw `kSamples` wedges uniformly — a center with
+    * probability ∝ C(deg, 2) via one prefix-sum lookup, then a uniform
+    * neighbor pair by combinatorial unranking — and probe each for
+    * closure (Schank & Wagner, WEA 2005: ±ε at 95% needs O(1/ε²)
+    * samples INDEPENDENT of graph size). This is the audit that still
+    * answers "is the dup graph cliquey?" when a megahub makes the
+    * capped-exact number measure only the graph the cap kept
+    * (ScaleSmoke's duphub axis shows the two diverging by design).
+    *
+    * Determinism: both random draws are md5 streams over the sample
+    * index (15 hex digits = 60-bit probe space; the mod-W bias is
+    * ≤ W/2⁶⁰, negligible), so the estimate is a pure function of the
+    * pair relation — the DuckDB oracle reproduces it row for row.
+    * Per-center unranking solves m = C(k,2)+j exactly: a double sqrt
+    * seed corrected by ±1 integer CASEs, then exact integer j — both
+    * engines land on the identical (j, k).
+    *
+    * Scale shape: NO wedge enumeration anywhere. Adjacency ranking is
+    * per-center windows (bounded by max degree); the center CDF is the
+    * q178 two-phase prefix sum (per-segment windows + broadcast
+    * offsets, decimal-routed — Σ C(deg,2) can pass 2⁶³); probes are a
+    * K-row broadcast against the center intervals; the closure check is
+    * K equality lookups. Work is O(|pairs| + K), not O(Σ C(deg, 2)). */
+  val WedgeSampleK = 2000L
+
+  def wedgeSample(spark: SparkSession, dir: String): DataFrame =
+    wedgeSamplePairs(
+      Ckpt(simhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+        eager = false), WedgeSampleK)
+
+  /** Testable core over any canonical (doc_a < doc_b) pair relation. */
+  private[graft] def wedgeSamplePairs(p: DataFrame,
+      kSamples: Long): DataFrame = {
+    import p.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val spark = p.sparkSession
+    val s = p.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
+    // neighbor index per center: v asc — a per-center window, bounded
+    // by max degree (parallel across centers)
+    val adj = s.withColumn("idx", row_number().over(
+      Window.partitionBy($"u").orderBy($"v".asc)).cast("long") - 1L)
+    val cw = s.groupBy($"u").agg(count(lit(1)).as("d"))
+      .where($"d" >= 2L)
+      .withColumn("w", expr("cast((d * (d - 1)) div 2 as decimal(38,0))"))
+    // exclusive prefix sum of w over centers ordered by u — the q178
+    // two-phase shape (never one global window): per-segment window
+    // cumsum + broadcast per-segment offsets
+    val mn = cw.agg(min($"u").as("mnu"), max($"u").as("mxu"))
+    val seg = cw.crossJoin(broadcast(mn))
+      .withColumn("segw", greatest(lit(1024L).cast(dec),
+        expr("((cast(mxu as decimal(38,0)) - mnu) div 256) + 1")))
+      .withColumn("seg",
+        expr("cast((cast(u as decimal(38,0)) - mnu) div segw as long)"))
+    val wSeg = Window.partitionBy($"seg").orderBy($"u".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inSeg = seg.withColumn("cum_in",
+      coalesce(sum($"w").over(wSeg), lit(0L).cast(dec)))
+    val wOff = Window.partitionBy(graft.functions.Win.bounded)
+      .orderBy($"seg".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = inSeg.groupBy($"seg").agg(sum($"w").as("c"))
+      .select($"seg", coalesce(sum($"c").over(wOff), lit(0L).cast(dec)).as("off"))
+    val centers = inSeg.join(broadcast(offs), "seg")
+      .select($"u", $"d", $"w", ($"cum_in" + $"off").as("cum_lo"))
+    val tot = cw.agg(sum($"w").as("wtot"), count(lit(1)).as("n_centers"))
+    val probes = spark.range(kSamples).toDF("i")
+      .crossJoin(broadcast(tot))
+      .where($"wtot" > 0)
+      .select($"i",
+        (conv(substring(md5(concat(lit("ws:"), $"i")), 1, 15), 16, 10)
+          .cast("long").cast(dec) % $"wtot").as("pp"))
+    val chosen = centers.join(broadcast(probes),
+        probes("pp") >= centers("cum_lo")
+          && probes("pp") < centers("cum_lo") + centers("w"))
+      .withColumn("m",
+        (conv(substring(md5(concat(lit("wp:"), $"i")), 1, 15), 16, 10)
+          .cast("long").cast(dec) % $"w").cast("long"))
+      // unrank m = C(kk,2)+jj: sqrt seed, ±1 integer corrections
+      .withColumn("k0", floor((lit(1.0)
+        + sqrt(lit(1.0) + $"m".cast("double") * 8)) / 2).cast("long"))
+      .withColumn("k1",
+        when(expr("(k0 * (k0 - 1)) div 2") > $"m", $"k0" - 1).otherwise($"k0"))
+      .withColumn("kk",
+        when(expr("((k1 + 1) * k1) div 2") <= $"m", $"k1" + 1).otherwise($"k1"))
+      .withColumn("jj", $"m" - expr("(kk * (kk - 1)) div 2"))
+      .select($"i", $"u", $"jj", $"kk")
+    // materialize the K-row chosen relation before the adjacency joins:
+    // re-planning the interval-join subtree under two stacked hash joins
+    // is pathological (measured 282 s -> 0.9 s on the duphub megahub),
+    // and K rows are bounded by construction
+    val chosenM = Ckpt(chosen)
+    val sampled = chosenM
+      .join(adj.select($"u", $"idx".as("jj"), $"v".as("a")), Seq("u", "jj"))
+      .join(adj.select($"u", $"idx".as("kk"), $"v".as("c")), Seq("u", "kk"))
+      .select($"i", least($"a", $"c").as("lo"), greatest($"a", $"c").as("hi"))
+    val cl = sampled.join(
+      p.select($"doc_a".as("lo"), $"doc_b".as("hi"), lit(1L).as("closed")),
+      Seq("lo", "hi"), "left")
+    cl.agg(count(lit(1)).as("k_samples"),
+        sum(coalesce($"closed", lit(0L))).as("n_closed"))
+      .crossJoin(broadcast(tot))
+      .select($"n_centers",
+        $"wtot".cast("long").as("n_wedges"),
+        $"k_samples", $"n_closed",
+        when($"k_samples" > 0L,
+          expr("(n_closed * 1000000) div k_samples"))
+          .otherwise(0L).as("est_ppm"))
+  }
+
   /** q270: local clustering-coefficient histogram of the near-dup
     * graph — per node, cc(v) = closed wedges at v / C(deg v, 2),
     * bucketed at deciles. The STRUCTURE refinement of q231's single
