@@ -105,4 +105,54 @@ class CatalogSqlSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("table") ||
       err.getMessage.contains("nope"))
   }
+
+  private def samePlanResults(sql: String, core: org.apache.spark.sql.DataFrame): Unit = {
+    val viaSql = spark.sql(sql)
+    assert(viaSql.schema.fieldNames.sorted === core.schema.fieldNames.sorted)
+    // collected compare, not except(): Spark's ReplaceExceptWithFilter
+    // trips PLAN_VALIDATION on except-ing a view against its own plan
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.schema.fieldNames.sorted.map(org.apache.spark.sql.functions.col)
+      df.select(cols.toSeq: _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    }
+    assert(rows(viaSql) === rows(core))
+  }
+
+  test("pipeline verbs from pure SQL: every registered view equals its gated core") {
+    graft.api.PipelineSql.register(spark, sfDir)
+    graft.api.PipelineSql.Verbs.foreach { case (view, f) =>
+      samePlanResults(s"SELECT * FROM $view", f(spark, sfDir))
+    }
+  }
+
+  test("pipeline verbs from pure SQL: minhash pairs, semdedup verdicts, curation funnel") {
+    import spark.implicits._
+    graft.api.PipelineSql.register(spark, sfDir)
+    // minhash pairs — the TVF parameterizes the verified-Jaccard floor
+    samePlanResults("SELECT * FROM minhash_pairs(0.5)",
+      SparkEntry.queries("q26_minhash_lsh")(spark, sfDir)
+        .where($"jaccard" >= 0.5))
+    // a tighter floor strictly narrows (and is reachable from SQL only)
+    val all = spark.sql("SELECT count(*) FROM minhash_pairs(0.5)").collect()(0).getLong(0)
+    val tight = spark.sql("SELECT count(*) FROM minhash_pairs(0.9)").collect()(0).getLong(0)
+    assert(tight < all && tight > 0, s"tvf floor did not narrow: $tight vs $all")
+    // semdedup verdicts — at the core's own floor the TVF reproduces the
+    // gated verdicts exactly
+    samePlanResults("SELECT * FROM semdedup_verdicts(350000)",
+      SparkEntry.queries("q94_semantic_dedup")(spark, sfDir)
+        .select($"vec_id", $"cell", $"max_cos_q", $"kept"))
+    // curation funnel — verbs compose with arbitrary SQL
+    samePlanResults(
+      "SELECT stage, survivors_after FROM graft_curation_funnel",
+      SparkEntry.queries("q210_filter_funnel")(spark, sfDir)
+        .select($"stage", $"survivors_after"))
+    // and a cross-verb SQL join runs without leaving SQL: keepers of
+    // near-dup clusters joined back to their language
+    val joined = spark.sql(
+      """SELECT l.predicted, count(*) AS n
+         FROM graft_cluster_keepers k JOIN graft_langid l
+           ON k.keeper_id = l.doc_id AND k.is_keeper
+         GROUP BY l.predicted""").collect()
+    assert(joined.nonEmpty)
+  }
 }
