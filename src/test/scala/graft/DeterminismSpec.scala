@@ -43,4 +43,44 @@ class DeterminismSpec extends SparkSpec {
       assert(a.nonEmpty || name == "q201_blob_phash", s"$name empty")
     }
   }
+
+  test("cloned-session isolation: CC fixpoint and AQE window queries planned concurrently on one shared session") {
+    // Graph.connectedComponents clones the caller session so its
+    // loop conf (AQE off, narrow shuffles) cannot race concurrently
+    // planned queries. The claim was backed by "Verify runs a thread
+    // pool"; this pins it directly: many CC fixpoints and many
+    // AQE-dependent windowed aggregates planned AT THE SAME TIME on the
+    // SAME caller session, every result equal to its serial twin.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val serialCc = collectCanon(SparkEntry.queries("q62_dup_clusters")(spark, sfDir))
+    val serialWin = collectCanon(SparkEntry.queries("q17_topk_per_group")(spark, sfDir))
+    val serialAgg = collectCanon(SparkEntry.queries("q01_agg_pushdown")(spark, sfDir))
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") === "true")
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val rounds = 3
+      val futures = (0 until rounds).flatMap { _ =>
+        Seq(
+          Future(("cc", collectCanon(
+            SparkEntry.queries("q62_dup_clusters")(spark, sfDir)))),
+          Future(("win", collectCanon(
+            SparkEntry.queries("q17_topk_per_group")(spark, sfDir)))),
+          Future(("agg", collectCanon(
+            SparkEntry.queries("q01_agg_pushdown")(spark, sfDir)))))
+      }
+      val results = Await.result(Future.sequence(futures), 10.minutes)
+      results.foreach {
+        case ("cc", r)  => assert(r === serialCc, "CC diverged under concurrency")
+        case ("win", r) => assert(r === serialWin, "window query diverged under concurrency")
+        case ("agg", r) => assert(r === serialAgg, "agg query diverged under concurrency")
+        case other      => fail(s"unexpected tag $other")
+      }
+      // the shared caller session's conf must be untouched by the
+      // cloned loops (AQE still on, width still the session default)
+      assert(spark.conf.get("spark.sql.adaptive.enabled", "true") === "true")
+    } finally pool.shutdown()
+  }
 }

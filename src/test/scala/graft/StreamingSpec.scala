@@ -109,6 +109,80 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("stream-stream interval join: crash replay + checkpoint restart equals the batch twin") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_attrcrash_${System.nanoTime()}")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val srcDir = new java.io.File(base, "arriving").getPath
+    // stage TIME-ORDERED terciles, one file per micro-batch (mod-time
+    // order = processing order): an event-time-unordered split would
+    // make the 1 h watermark legitimately drop late rows — that's
+    // watermark semantics, not the replay behavior under test
+    val ts = ev.select(unix_millis($"ts").as("ms")).orderBy($"ms")
+      .collect().map(_.getLong(0))
+    val cuts = Seq(ts((ts.length / 3).min(ts.length - 1)),
+      ts((2 * ts.length / 3).min(ts.length - 1)))
+    Seq(
+      ev.where(unix_millis($"ts") < cuts(0)),
+      ev.where(unix_millis($"ts") >= cuts(0) && unix_millis($"ts") < cuts(1)),
+      ev.where(unix_millis($"ts") >= cuts(1))
+    ).foreach { part =>
+      part.coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // separate file mod times: source orders by them
+    }
+    val outDir = new java.io.File(base, "joined").getPath
+    def start(ckptDir: String) = Events.attributedJoin(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        "view", "click", 30)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val ckpt1 = new java.io.File(base, "ckpt").getPath
+    val q1 = start(ckpt1); q1.processAllAvailable(); q1.stop()
+    // manifest-aware read (the file sink's _spark_metadata is the
+    // exactly-once ledger — a replayed batch must not mint extra rows)
+    val before = spark.read.parquet(outDir).count()
+    val commits = new java.io.File(ckpt1, "commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).map(_.getName.toLong)
+    val lastBatch = commits.max
+    assert(lastBatch >= 2, s"expected >=3 micro-batches, got ${lastBatch + 1}")
+    val ckpt2 = new java.io.File(base, "ckpt2")
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    copyDir(new java.io.File(ckpt1), ckpt2)
+    assert(new java.io.File(ckpt2, s"commits/$lastBatch").delete())
+    new java.io.File(ckpt2, s"commits/.$lastBatch.crc").delete()
+    val q2 = start(ckpt2.getPath); q2.processAllAvailable(); q2.stop()
+    val streamed = spark.read.parquet(outDir)
+    // no duplicate rows from the replay (ids are unique per event)
+    assert(streamed.count() === before)
+    assert(streamed.select($"probe_id", $"cause_id").distinct().count() === before)
+    // and the recovered output still equals the batch interval join
+    val cause = ev.where($"event_type" === "view")
+      .select($"user_id".as("c_user"), $"event_id".as("cause_id"), $"ts".as("c_ts"))
+    val probe = ev.where($"event_type" === "click")
+      .select($"user_id".as("p_user"), $"event_id".as("probe_id"), $"ts".as("p_ts"))
+    val batch = probe.join(cause,
+        $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"p_user".as("user_id"), $"probe_id", $"cause_id",
+        unix_millis($"p_ts").as("probe_ms"), unix_millis($"c_ts").as("cause_ms"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming dedup keeps one event per (user, type)") {
     import spark.implicits._
     val stream = Events.readEventStream(spark, sfDir)
