@@ -77,7 +77,14 @@ object ScaleSmoke {
     // q272 reduces to |sources| moment rows, q273 to the (lang, tf)
     // grid — both ideal ~ scan ratio
     "q272_spiegelhalter", "q273_vocab_gini", "q277_auc_ci",
-    "q278_kendall_w")
+    "q278_kendall_w",
+    // round 13: the Poisson bootstrap is a map-side 200-way weight
+    // fan-out absorbed by the partial agg (ideal ~ scan ratio x the
+    // in-row fan-out constant); doc-CE is two count shuffles + one
+    // posting join, linear in bigram volume; the contamination matrix
+    // is posting-join-shaped — replica families share every shingle,
+    // so n_contam rises while the plan stays linear in postings
+    "q288_bootstrap_ci", "q289_doc_ce", "q291_ngram_contam")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -108,8 +115,11 @@ object ScaleSmoke {
     // round 13: the compressed-domain scan — candidates come from q38's
     // probed cells but score 8-long PQ codes against a broadcast LUT,
     // and only 32 survivors/query read full vectors: ideal ~ q38's
-    // probe ratio with a smaller constant as the corpus grows
-    "q284_ivf_pq_adc")
+    // probe ratio with a smaller constant as the corpus grows; the
+    // recall audit adds the brute truth pass over 10 pinned queries;
+    // cell-label JS reduces to the k·|labels| grid after the
+    // broadcast-codebook assignment scan
+    "q284_ivf_pq_adc", "q290_adc_recall", "q286_cell_label_js")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and
@@ -143,7 +153,10 @@ object ScaleSmoke {
     "q268_welch_psd", "q269_hjorth", "q271_variance_ratio",
     // q274/q275: per-user lag/lead windows + moment sums, scan-shaped
     "q274_savgol", "q275_peaks", "q279_mode_track", "q280_hurst",
-    "q281_runs_test", "q282_xcorr_matrix")
+    "q281_runs_test", "q282_xcorr_matrix",
+    // round 13: Benford reduces to the 9·|types| digit grid — ideal ~
+    // scan ratio
+    "q287_benford")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -305,6 +305,12 @@ object SparkEntry {
     "q283_phash_radius"     -> (Multimodal.phashRadius _),
     "q284_ivf_pq_adc"       -> (Similarity.ivfPqAdc _),
     "q285_wedge_sample"     -> (Dedup.wedgeSample _),
+    "q286_cell_label_js"    -> (Similarity.cellLabelJs _),
+    "q287_benford"          -> (Evaluate.benford _),
+    "q288_bootstrap_ci"     -> (Sampling.bootstrapCi _),
+    "q289_doc_ce"           -> (TextAnalysis.docCrossEntropy _),
+    "q290_adc_recall"       -> (Similarity.adcRecall _),
+    "q291_ngram_contam"     -> (Dedup.ngramContam _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7180,6 +7186,187 @@ ${base("q28_simhash_pairs")}),
            CAST(sum(closed) AS BIGINT) AS n_closed,
            CAST((sum(closed) * 1000000) // count(*) AS BIGINT) AS est_ppm
          FROM cl"""
+    // q286: embedding-cell JS per label pair — q38's pinned cell
+    // assignment feeding q182's integer JS machinery on the
+    // (label, cell) histogram.
+    val cellLabelJsOracle =
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+         n AS (SELECT vec_id, label, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x*x),
+                   (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+                  FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, label, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, n.label, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]),
+                     (a,b)->a+b) / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         stc AS (SELECT label AS source, cent_id AS tok,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM ranked WHERE crk = 1 GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt
+                 FROM stc GROUP BY 1),
+         sh AS (SELECT a.source AS src_a, b.source AS src_b,
+             ta.nt AS n_a, tb.nt AS n_b, a.n AS n_at, b.n AS n_bt
+           FROM stc a JOIN stc b ON a.tok = b.tok AND a.source < b.source
+           JOIN tot ta ON ta.source = a.source
+           JOIN tot tb ON tb.source = b.source),
+         agg AS (SELECT src_a, src_b, n_a, n_b,
+             CAST(sum(n_at * CAST(floor(
+               ln(CAST(2 * n_at * n_b AS DOUBLE)
+                 / CAST(n_at * n_b + n_bt * n_a AS DOUBLE)) * 10000
+               + 1.0/3) AS BIGINT)) AS BIGINT) AS sh_a_q,
+             CAST(sum(n_bt * CAST(floor(
+               ln(CAST(2 * n_bt * n_a AS DOUBLE)
+                 / CAST(n_at * n_b + n_bt * n_a AS DOUBLE)) * 10000
+               + 1.0/3) AS BIGINT)) AS BIGINT) AS sh_b_q,
+             CAST(sum(n_at) AS BIGINT) AS m_a,
+             CAST(sum(n_bt) AS BIGINT) AS m_b
+           FROM sh GROUP BY 1, 2, 3, 4)
+         SELECT src_a AS label_a, src_b AS label_b, n_a, n_b,
+           (((sh_a_q + (n_a - m_a)
+                * CAST(floor(ln(2) * 10000 + 1.0/3) AS BIGINT)) * n_b
+             + (sh_b_q + (n_b - m_b)
+                * CAST(floor(ln(2) * 10000 + 1.0/3) AS BIGINT)) * n_a)
+            * 50) // (n_a * n_b) AS js_ppm
+         FROM agg"""
+    // q287: Benford first-digit χ² per event type — exact integer-cents
+    // digits, shared 1e6-grid expected-mass literals, decimal-routed
+    // squared terms.
+    val benfordOracle =
+      """WITH dg AS (SELECT event_type,
+             CAST(substr(CAST(CAST(floor(abs(value)*100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS d
+           FROM events
+           WHERE CAST(floor(abs(value)*100) AS BIGINT) >= 1),
+         o AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS o
+               FROM dg GROUP BY 1, 2),
+         nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM dg GROUP BY 1),
+         grid AS (SELECT nn.event_type, nn.n, r.r + 1 AS d,
+             ([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51152, 45757])[CAST(r.r + 1 AS INT)] AS p
+           FROM nn, range(9) r(r)),
+         t AS (SELECT g.event_type, g.n,
+             ((CAST(coalesce(o.o, 0) AS HUGEINT) * 1000000
+                - CAST(g.n AS HUGEINT) * g.p)
+              * (CAST(coalesce(o.o, 0) AS HUGEINT) * 1000000
+                - CAST(g.n AS HUGEINT) * g.p) * 1000)
+             // (CAST(g.n AS HUGEINT) * g.p * 1000000) AS term
+           FROM grid g LEFT JOIN o
+             ON o.event_type = g.event_type AND o.d = g.d)
+         SELECT event_type, n, CAST(sum(term) AS BIGINT) AS chi2_milli,
+           CAST(sum(term) AS BIGINT) <= 15507 AS benford_ok
+         FROM t GROUP BY 1, 2"""
+    // q288: Poisson-bootstrap CI — per-row md5 Poisson(1) multiplicities
+    // (tail truncated at 5), 200 replicate means on the exact ppm grid,
+    // (5th smallest, 5th largest) order statistics.
+    val bootstrapCiOracle =
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+         rows_ AS (SELECT d.source, d.n_chars,
+             b.b AS b,
+             CAST('0x' || substr(md5(d.doc_id || ':' || b.b), 1, 15)
+               AS BIGINT) % 1000000 AS u
+           FROM d, range(200) b(b)),
+         w AS (SELECT source, b, n_chars,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                  WHEN u < 996340 THEN 4 ELSE 5 END AS w
+           FROM rows_),
+         means AS (SELECT source, b,
+             (sum(w * n_chars) * 1000000) // sum(w) AS m_ppm
+           FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+         rk AS (SELECT source, m_ppm,
+             row_number() OVER (PARTITION BY source
+               ORDER BY m_ppm ASC, b ASC) AS ra,
+             row_number() OVER (PARTITION BY source
+               ORDER BY m_ppm DESC, b DESC) AS rd
+           FROM means),
+         ci AS (SELECT source, CAST(count(*) AS BIGINT) AS n_reps,
+             CAST(max(CASE WHEN ra = 5 THEN m_ppm END) AS BIGINT) AS lo_ppm,
+             CAST(max(CASE WHEN rd = 5 THEN m_ppm END) AS BIGINT) AS hi_ppm
+           FROM rk GROUP BY 1),
+         pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS mean_ppm
+           FROM d GROUP BY 1)
+         SELECT pt.source, pt.n_docs, pt.mean_ppm, ci.n_reps,
+           ci.lo_ppm, ci.hi_ppm
+         FROM pt JOIN ci ON ci.source = pt.source"""
+    // q289: per-doc bigram cross-entropy under the corpus bigram LM —
+    // ln quantized per bigram TYPE at 1e4, exact long sums per doc.
+    val docCeOracle =
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         p AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+               FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM p GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                FROM p GROUP BY 1),
+         terms AS (SELECT w1, w2,
+             CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+               * 10000 + 1.0/3) AS BIGINT) AS lnq
+           FROM c12 JOIN c1 USING (w1)),
+         s AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(t.lnq) AS BIGINT) AS s
+           FROM p JOIN terms t ON t.w1 = p.w1 AND t.w2 = p.w2
+           GROUP BY 1)
+         SELECT doc_id, n_bigrams,
+           CAST((-s) // n_bigrams AS BIGINT) AS ce_e4
+         FROM s"""
+    // q290: ADC recall audit — q284's pipeline joined against the q29
+    // brute truth, per-query hit census.
+    val adcRecallOracle =
+      s"""WITH adc AS (
+$ivfPqAdcOracle),
+         brute AS (
+${base("q29_ann_brute")}),
+         b3 AS (SELECT query_id, neighbor_id FROM brute WHERE rank <= 3),
+         j AS (SELECT b3.query_id,
+             CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM b3 LEFT JOIN adc
+             ON adc.query_id = b3.query_id
+               AND adc.neighbor_id = b3.neighbor_id)
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         FROM j GROUP BY 1"""
+    // q291: cross-source 8-gram contamination — distinct doc×source
+    // shingle hits over the full ordered source-pair grid.
+    val ngramContamOracle =
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+         tk AS (SELECT doc_id, source, toks,
+             generate_subscripts(toks, 1) AS i
+           FROM t),
+         sh AS (SELECT DISTINCT doc_id, source,
+             array_to_string(toks[CAST(i AS INT):CAST(i+7 AS INT)],
+               ' ') AS sh
+           FROM tk WHERE i + 7 <= len(toks)),
+         ss AS (SELECT DISTINCT source AS src_b, sh FROM sh),
+         hits AS (SELECT DISTINCT sh.source AS src_a, ss.src_b, sh.doc_id
+           FROM sh JOIN ss ON ss.sh = sh.sh AND ss.src_b <> sh.source),
+         per AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_contam
+                 FROM hits GROUP BY 1, 2),
+         tot AS (SELECT source AS src_a, CAST(count(*) AS BIGINT) AS n_docs_a
+                 FROM documents GROUP BY 1),
+         grid AS (SELECT a.src_a, b.src_a AS src_b, a.n_docs_a
+                  FROM tot a JOIN tot b ON a.src_a <> b.src_a)
+         SELECT g.src_a, g.src_b, g.n_docs_a,
+           CAST(coalesce(per.n_contam, 0) AS BIGINT) AS n_contam,
+           CAST((coalesce(per.n_contam, 0) * 1000000) // g.n_docs_a
+             AS BIGINT) AS contam_ppm
+         FROM grid g LEFT JOIN per
+           ON per.src_a = g.src_a AND per.src_b = g.src_b"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -7240,6 +7427,12 @@ ${base("q28_simhash_pairs")}),
       ("q283_phash_radius" -> phashRadiusOracle) +
       ("q284_ivf_pq_adc" -> ivfPqAdcOracle) +
       ("q285_wedge_sample" -> wedgeSampleOracle) +
+      ("q286_cell_label_js" -> cellLabelJsOracle) +
+      ("q287_benford" -> benfordOracle) +
+      ("q288_bootstrap_ci" -> bootstrapCiOracle) +
+      ("q289_doc_ce" -> docCeOracle) +
+      ("q290_adc_recall" -> adcRecallOracle) +
+      ("q291_ngram_contam" -> ngramContamOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

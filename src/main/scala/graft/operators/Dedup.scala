@@ -1167,6 +1167,45 @@ object Dedup {
           .otherwise(0L).as("est_ppm"))
   }
 
+  /** q291: cross-source 8-gram contamination matrix — for every ordered
+    * source pair (a, b): how many of a's documents share at least one
+    * 8-token shingle with ANY document of b. The train/test-
+    * contamination screen scaled to the corpus level (the reason
+    * published-benchmark leakage audits exist; q190 runs the same idea
+    * WITHIN a split assignment, this runs it between FEEDS before any
+    * split exists): a feed pair with a high ordered rate means
+    * ingesting both is double-counting, and the asymmetry says which
+    * side is the copier (a mirrors b ⇒ rate(a→b) ≫ rate(b→a) when b is
+    * the larger original).
+    *
+    * Scale shape: shingling is the native map-only kernel; source
+    * shingle SETS are one distinct; the probe is an equality join on
+    * the shingle — per shingle the work is docs(sh)·sources(sh) ≤
+    * |postings|·|sources|, LINEAR in shingle volume (sources is a
+    * small constant), and the distinct collapses straight to
+    * ≤ |docs|·|sources| verdict rows. No pair-of-docs relation ever
+    * forms — unlike dedup, contamination only needs doc×source. */
+  def ngramContam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSh = graft.operators.TextOps.docsParallel(spark, dir)
+      .select($"source", $"doc_id",
+        explode(TextOps.shingles(TextOps.toks($"text"), 8)).as("sh"))
+    val ss = docSh.select($"source".as("src_b"), $"sh").distinct()
+    val hits = docSh.join(ss, Seq("sh"))
+      .where($"src_b" =!= $"source")
+      .select($"source".as("src_a"), $"src_b", $"doc_id").distinct()
+    val per = hits.groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_contam"))
+    val tot = graft.operators.TextOps.docsParallel(spark, dir)
+      .groupBy($"source".as("src_a")).agg(count(lit(1)).as("n_docs_a"))
+    // full ordered-pair grid so clean pairs report an explicit zero
+    val pairs = tot.crossJoin(broadcast(tot.select($"src_a".as("src_b"))))
+      .where($"src_a" =!= $"src_b")
+    pairs.join(per, Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b", $"n_docs_a",
+        coalesce($"n_contam", lit(0L)).as("n_contam"))
+      .withColumn("contam_ppm", expr("(n_contam * 1000000) div n_docs_a"))
+  }
+
   /** q270: local clustering-coefficient histogram of the near-dup
     * graph — per node, cc(v) = closed wedges at v / C(deg v, 2),
     * bucketed at deciles. The STRUCTURE refinement of q231's single

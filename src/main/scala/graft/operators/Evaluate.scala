@@ -1617,6 +1617,53 @@ object Evaluate {
     *
     * Scale shape: map-only term tagging, one partial-agged groupBy to
     * |sources| rows. One scan. */
+  /** q287: Benford first-digit goodness-of-fit per event type — the
+    * classic fabricated/synthetic-feed screen (Benford 1938; Nigrini's
+    * audit practice): natural multi-magnitude measurements put digit d
+    * first with probability log10(1+1/d); a feed whose χ² against that
+    * law explodes is clipped, defaulted, or generated. Run per
+    * event_type so one synthetic feed can't hide inside an organic
+    * mixture. The 15.507 flag is the χ²₈ 5% critical value.
+    *
+    * Exactness: the digit comes from the exact integer cents
+    * (floor(|value|·100), first character of its decimal rendering —
+    * no float log10 at row level); the expected masses are nine shared
+    * 1e6-grid literals baked into BOTH engines (so no libm log10
+    * parity risk); each χ² term is exact integer arithmetic routed
+    * through decimal38 ((n·10⁶)²·10³ caps the safe n at ~10¹¹ rows per
+    * type) with one trunc-div.
+    *
+    * Scale shape: one map-only digit projection, a (type, digit)
+    * partial agg to a ≤ 9·|types| grid, the χ² on that grid. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // floor(log10(1+1/d)*1e6 + 1/3), d = 1..9 — identical literals in
+    // the oracle SQL
+    val pq: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51152L, 45757L)
+    val digits = Tables.events(spark, dir)
+      .select($"event_type", floor(abs($"value") * 100).cast("long").as("iv"))
+      .where($"iv" >= 1L)
+      .select($"event_type",
+        substring($"iv".cast("string"), 1, 1).cast("long").as("d"))
+    val o = digits.groupBy($"event_type", $"d").agg(count(lit(1)).as("o"))
+    val n = digits.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val grid = n.select($"event_type", $"n",
+        explode(typedLit((1L to 9L).toSeq)).as("d"))
+      .withColumn("p", element_at(typedLit(pq), $"d".cast("int")))
+    grid.join(o, Seq("event_type", "d"), "left")
+      .select($"event_type", $"n",
+        expr("""((cast(coalesce(o, 0) as decimal(38,0)) * 1000000
+                  - cast(n as decimal(38,0)) * p)
+                 * (cast(coalesce(o, 0) as decimal(38,0)) * 1000000
+                  - cast(n as decimal(38,0)) * p) * 1000)
+                div (cast(n as decimal(38,0)) * p * 1000000)""").as("term"))
+      .groupBy($"event_type", $"n")
+      .agg(sum($"term").as("chi2_milli"))
+      .select($"event_type", $"n", $"chi2_milli",
+        ($"chi2_milli" <= 15507L).as("benford_ok"))
+  }
+
   def spiegelhalterZ(spark: SparkSession, dir: String): DataFrame =
     spiegelhalterZOn(Tables.documents(spark, dir))
 

@@ -796,6 +796,72 @@ object Sampling {
     * assignments are map-side hashes, sizes are one conditional agg,
     * leakage is the pair relation joined co-partitioned to the two
     * endpoint assignments. Output: 2 rows. */
+  /** q288: Poisson-bootstrap confidence interval for per-source mean
+    * document length — the distributed bootstrap (Chamandy et al. 2012,
+    * Google's "Estimating Uncertainty for Massive Data Streams"
+    * formulation): classic resampling needs n draws WITH replacement
+    * per replicate (a shuffle per replicate at scale); the Poisson
+    * bootstrap instead mints each row's B = 200 replicate
+    * multiplicities LOCALLY (w ~ Poisson(1), here from the row's md5
+    * stream — deterministic, reshard-stable, the Sampling discipline),
+    * so the whole thing is one map-side weight fan-out + one partial
+    * agg to the |sources|·B grid. This is the error bar every other
+    * per-source point estimate in the suite (means, rates, drifts)
+    * should be read against.
+    *
+    * The draw truncates the Poisson tail at w = 5 (P ≈ 6·10⁻⁴ lumped
+    * into 5 — bias far below the CI's own Monte-Carlo noise at
+    * B = 200); the interval is the (5th smallest, 5th largest)
+    * replicate-mean order statistics = a 95% percentile bootstrap on
+    * the exact ppm grid (0.025·B = 5), replicate index as tie-break.
+    * All arithmetic is exact integers: weighted sums of longs, one
+    * trunc-div per replicate, order statistics.
+    *
+    * Scale shape: one corpus scan with a 200-way in-row fan-out
+    * absorbed by the map-side partial agg (no 200x shuffle rows reach
+    * the reducer beyond the |sources|·B grid); bounded 200-row
+    * per-source windows for the order statistics. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reps = 200L
+    // cumulative Poisson(1) on the 1e6 grid: floor(CDF(k)·1e6)
+    val cum = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+    val rows = docs
+      .withColumn("b", explode(typedLit((0L until reps).toSeq)))
+      .withColumn("u",
+        conv(substring(md5(concat($"doc_id", lit(":"), $"b")), 1, 15), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("w",
+        when($"u" < cum(0), 0L).when($"u" < cum(1), 1L)
+          .when($"u" < cum(2), 2L).when($"u" < cum(3), 3L)
+          .when($"u" < cum(4), 4L).otherwise(5L))
+    val means = rows.groupBy($"source", $"b")
+      .agg(sum($"w" * $"n_chars").as("sx"), sum($"w").as("sw"))
+      .where($"sw" > 0L)
+      .select($"source", $"b",
+        // decimal-routed like the oracle's HUGEINT: sx*1e6 wraps a long
+        // past ~9.2e12 weighted chars per (source, replicate)
+        expr("(cast(sx as decimal(38,0)) * 1000000) div sw").as("m_ppm"))
+    val wAsc = Window.partitionBy($"source").orderBy($"m_ppm".asc, $"b".asc)
+    val wDesc = Window.partitionBy($"source").orderBy($"m_ppm".desc, $"b".desc)
+    val ci = means
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_reps"),
+        max(when($"ra" === 5, $"m_ppm")).as("lo_ppm"),
+        max(when($"rd" === 5, $"m_ppm")).as("hi_ppm"))
+    val point = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sx"))
+      .select($"source", $"n_docs",
+        expr("(cast(sx as decimal(38,0)) * 1000000) div n_docs").as("mean_ppm"))
+    point.join(ci, Seq("source"))
+      .select($"source", $"n_docs", $"mean_ppm", $"n_reps",
+        $"lo_ppm", $"hi_ppm")
+  }
+
   def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = Ckpt(Dedup.simhashPairs(spark, dir)

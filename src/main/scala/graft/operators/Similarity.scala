@@ -276,6 +276,33 @@ object Similarity {
       Quantize.pqEncode(spark, dir).select($"vec_id", $"sub", $"code"))
   }
 
+  /** q290: ADC recall audit — the q284 compressed-domain scan scored
+    * against the q29 brute-force truth INSIDE the engine: per query,
+    * how many of the exact cosine top-3 the IVF-PQ pipeline returned.
+    * This is the rollout gate an ANN index deployment reads
+    * continuously (recall is corpus-dependent: a codebook that hit 0.9
+    * on last month's embedding distribution can silently rot) — the
+    * production twin of the spec-level recall assertion, expressed as
+    * a query so it rides the same oracle/bench machinery as everything
+    * else.
+    *
+    * Scale shape: q284's plan + q29's broadcast-query brute pass (the
+    * truth side exists only for the 10 audit queries — never run over
+    * the full query log) + a 30-row join. */
+  def adcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val adc = ivfPqAdc(spark, dir)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    val brute = annBrute(spark, dir).where($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    brute.join(adc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"query_id", $"n_truth", $"n_hits",
+        expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+  }
+
   /** q284 core with the PQ code relation injected (the production path
     * passes a persisted, cell-bucketed codes table). */
   private[graft] def ivfPqAdcOn(spark: SparkSession, dir: String,
@@ -345,6 +372,46 @@ object Similarity {
           $"nrm".as("qnrm"))), Seq("query_id"))
       .withColumn("cos", VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
     topk(scored, k)
+  }
+
+  /** q286: embedding-cell JS divergence between gold labels — q182's
+    * Jensen–Shannon machinery run in EMBEDDING space: every vector is
+    * assigned to its q38 coarse cell (pinned first-8 codebook so the
+    * oracle reproduces the assignment), each label's distribution over
+    * cells is the histogram, and every label pair gets the q182
+    * closed-form JS. The drift audit q182 can't do: two labels can
+    * share every TOKEN and still separate cleanly in embedding space
+    * (paraphrase corpora) or share no tokens and collapse into one cell
+    * (translations) — this is the number that says whether the
+    * embedding space actually SEES the label structure, the
+    * distribution-level complement of q244's per-point ARI.
+    *
+    * Engine portability: the cell assignment is q38's exact rule; the
+    * JS rides q182's integer discipline verbatim (per-term offset-
+    * quantized ln of exact long ratios, closed-form ln 2 tail for
+    * cells only one label occupies).
+    *
+    * Scale shape: one broadcast-codebook map-only assignment, one
+    * (label, cell) partial agg to a k·|labels| grid, a grid-sized pair
+    * join — corpus volume touches only the assignment scan. */
+  def cellLabelJs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding",
+      $"label", VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val ranked = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+    val counts = ranked.where($"crk" === 1)
+      .groupBy($"label".cast("long").as("source"), $"cent_id".as("tok"))
+      .agg(count(lit(1)).as("n"))
+    TextAnalysis.jsOnCounts(counts)
+      .select($"src_a".as("label_a"), $"src_b".as("label_b"),
+        $"n_a", $"n_b", $"js_ppm")
   }
 
   /** q94: SemDeDup-style semantic deduplication — cluster the embedding

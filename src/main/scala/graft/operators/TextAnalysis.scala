@@ -785,9 +785,15 @@ object TextAnalysis {
     * to the corpus — and a |pairs|-row reduction. */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val st = TextOps.docsParallel(spark, dir)
+    jsOnCounts(TextOps.docsParallel(spark, dir)
       .select($"source", explode(TextOps.toks($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n")))
+  }
+
+  /** q182 core over ANY `(source, tok, n)` count relation — q286 feeds
+    * it embedding-cell histograms (label -> source, cell -> tok). */
+  private[graft] def jsOnCounts(st: DataFrame): DataFrame = {
+    import st.sparkSession.implicits._
     val tot = st.groupBy($"source").agg(sum($"n").as("nt"))
     val ln2q = floor(log(lit(2.0)) * 10000 + lit(1.0 / 3)).cast("long")
     val shared = st.select($"source".as("src_a"), $"tok", $"n".as("n_at"))
@@ -809,6 +815,49 @@ object TextAnalysis {
       .select($"src_a", $"src_b", $"n_a", $"n_b", $"js_a_q", $"js_b_q",
         expr("((js_a_q * n_b + js_b_q * n_a) * 50) div (n_a * n_b)")
           .as("js_ppm"))
+  }
+
+  /** q289: per-document bigram cross-entropy under the corpus bigram LM
+    * — the perplexity-style quality ranker real curation pipelines run
+    * (CCNet's LM filter, Wenzek et al. 2020, with the corpus itself as
+    * the LM): ce(doc) = −(1/n)·Σ ln p(w2|w1) with p = c(w1,w2)/c(w1,·)
+    * from corpus counts. Low CE = the doc is made of the corpus's own
+    * predictable constructions (boilerplate reads LOWEST — this pairs
+    * with q65's repetition screen); high CE = rare constructions —
+    * either valuable diversity or garbage, the two tails a curation
+    * policy cuts differently. Self-scoring means every observed bigram
+    * has c ≥ 1: no smoothing term, no OOV path.
+    *
+    * Engine portability: each bigram's ln(c12/c1) is quantized at 1e4
+    * ON THE COUNT TABLE (one ln per bigram TYPE, not per occurrence),
+    * so the per-doc sum is exact longs; the final division is one
+    * trunc-div of nonnegatives. Docs with < 2 tokens have no bigrams
+    * and no row.
+    *
+    * Scale shape: bigrams from the q97 map-side tail zip; two
+    * partial-agged count shuffles build the LM; the scoring join is
+    * equality on (w1, w2) — occurrences meet their type's term, output
+    * is one partial-agged groupBy per doc. Nothing quadratic. */
+  def docCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextOps.toks($"text")
+    val bg = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val terms = c12.join(c1, "w1")
+      .select($"w1", $"w2",
+        floor(log($"c12".cast("double") / $"c1".cast("double")) * 10000
+          + lit(1.0 / 3)).cast("long").as("lnq"))
+    bg.join(terms, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lnq").as("s"))
+      .select($"doc_id", $"n_bigrams",
+        expr("(-s) div n_bigrams").as("ce_e4"))
   }
 
   /** q219: Chao1 unseen-type richness per language — how much of each
