@@ -604,4 +604,31 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan)
     }
   }
+
+  test("q284/q285/q288: every window in the round-13 operators is partitioned") {
+    Seq(
+      SparkEntry.queries("q284_ivf_pq_adc")(spark, sfDir),
+      SparkEntry.queries("q285_wedge_sample")(spark, sfDir),
+      SparkEntry.queries("q288_bootstrap_ci")(spark, sfDir)).foreach { df =>
+      val parts = windowParts(df)
+      assert(parts.nonEmpty, "expected per-key/segment windows in-plan")
+      assert(parts.forall(_.nonEmpty),
+        s"unpartitioned window survived optimization: $parts")
+    }
+  }
+
+  test("q284/q290/q291: no CartesianProduct; the ADC LUT and probe sides broadcast") {
+    Seq(
+      SparkEntry.queries("q284_ivf_pq_adc")(spark, sfDir),
+      SparkEntry.queries("q290_adc_recall")(spark, sfDir),
+      SparkEntry.queries("q291_ngram_contam")(spark, sfDir)).foreach { df =>
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+    // the ADC score join must be an equality hash join on
+    // (query_id, sub, code) with the LUT broadcast — never a loop join
+    // over the code rows
+    val adc = finalPlan(SparkEntry.queries("q284_ivf_pq_adc")(spark, sfDir))
+    assert(adc.contains("BroadcastHashJoin"), adc)
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: invariant tests complementing the DuckDB oracle
+  * gate (which pins exact values) — these pin the SEMANTICS on testdata
+  * and on planted fixtures the oracle never sees. The heavy-duty proofs
+  * for q284/q285 live in MlPipelineSpec (ADC recall + persisted-codes
+  * drop-in + byte fold) and TriangleSpec (4-sigma sampler CIs, megahub
+  * cap divergence). */
+class Round13Spec extends SparkSpec {
+
+  test("q286 cell-label JS: bounded by ln 2, full unordered label grid") {
+    import spark.implicits._
+    val js = SparkEntry.queries("q286_cell_label_js")(spark, sfDir).collect()
+    assert(js.nonEmpty)
+    // JS <= ln 2 (693147 on the 1e6 grid; +1 for quantization slack)
+    js.foreach { r =>
+      val v = r.getAs[Long]("js_ppm")
+      assert(v >= 0L && v <= 693148L, s"js_ppm out of [0, ln2]: $v")
+      assert(r.getAs[Long]("label_a") < r.getAs[Long]("label_b"))
+    }
+    val nLabels = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"label").distinct().count()
+    assert(js.length === (nLabels * (nLabels - 1) / 2).toInt)
+  }
+
+  test("q287 Benford: chi2 nonnegative, flag consistent, and a planted uniform-digit feed flags") {
+    import spark.implicits._
+    val b = SparkEntry.queries("q287_benford")(spark, sfDir).collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      val chi2 = r.getAs[Long]("chi2_milli")
+      assert(chi2 >= 0L)
+      assert(r.getAs[Boolean]("benford_ok") === (chi2 <= 15507L))
+    }
+    // planted feeds: digits 1..9 uniform (must flag — uniform is the
+    // classic fabricated shape) vs an exact-Benford census (must pass)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_benford_${System.nanoTime()}")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val uniform = (0 until 9000).map(i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i)), i.toLong,
+        "uniform", (i % 9 + 1) * 1.0, ""))
+    // Benford frequencies on 10000 rows: floor(log10(1+1/d)*10000)
+    val benfordCounts = Seq(3010, 1760, 1249, 969, 791, 669, 579, 511, 462)
+    val benford = benfordCounts.zipWithIndex.flatMap { case (c, d0) =>
+      (0 until c).map(j => ((d0 * 10000 + j).toLong,
+        java.sql.Timestamp.from(base.plusSeconds(j)), j.toLong,
+        "benford", (d0 + 1) * 1.0, ""))
+    }
+    (uniform ++ benford)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(new java.io.File(tmp, "events.parquet").getPath)
+    val planted = SparkEntry.queries("q287_benford")(spark, tmp.getPath)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("chi2_milli"), r.getAs[Boolean]("benford_ok"))).toMap
+    assert(!planted("uniform")._2,
+      s"uniform digits not flagged: chi2=${planted("uniform")._1}")
+    assert(planted("benford")._2,
+      s"exact Benford census flagged: chi2=${planted("benford")._1}")
+    assert(planted("uniform")._1 > 10 * planted("benford")._1)
+  }
+
+  test("q288 bootstrap CI: 200 replicates, lo <= point mean <= hi per source") {
+    val ci = SparkEntry.queries("q288_bootstrap_ci")(spark, sfDir).collect()
+    assert(ci.nonEmpty)
+    ci.foreach { r =>
+      assert(r.getAs[Long]("n_reps") === 200L)
+      val (lo, m, hi) = (r.getAs[Long]("lo_ppm"), r.getAs[Long]("mean_ppm"),
+        r.getAs[Long]("hi_ppm"))
+      assert(lo <= hi)
+      // the percentile bootstrap brackets the point estimate on any
+      // non-degenerate source (testdata sources are 20+ docs)
+      assert(lo <= m && m <= hi, s"point $m outside [$lo, $hi]")
+    }
+  }
+
+  test("q289 doc CE: nonnegative, covers exactly the multi-token docs, verbatim dup scores below its unique twin") {
+    import spark.implicits._
+    val ce = SparkEntry.queries("q289_doc_ce")(spark, sfDir)
+    assert(ce.where($"ce_e4" < 0L).count() === 0)
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .where(size(split($"text", " ")) >= 2).count()
+    assert(ce.count() === expected)
+    // planted corpus: docs 1 and 2 are verbatim copies of "a b a b …",
+    // doc 3 is "a c a c …" — the context 'a' branches (b twice as often
+    // as c corpus-wide), so the copies' bigrams are the PREDICTABLE
+    // branch (p = 2/3) and the unique doc's the rare one (p = 1/3):
+    // boilerplate must score strictly lower CE
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_docce_${System.nanoTime()}")
+    val boiler = (1 to 20).flatMap(_ => Seq("a", "b")).mkString(" ")
+    val unique = (1 to 20).flatMap(_ => Seq("a", "c")).mkString(" ")
+    Seq((1L, boiler, "en", "a", 40L), (2L, boiler, "en", "a", 40L),
+        (3L, unique, "en", "a", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val planted = SparkEntry.queries("q289_doc_ce")(spark, tmp.getPath)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ce_e4")).toMap
+    assert(planted(1L) === planted(2L))
+    assert(planted(1L) < planted(3L),
+      s"verbatim dup ${planted(1L)} not below unique ${planted(3L)}")
+  }
+
+  test("q290 ADC recall audit: ppm bounded, aggregate recall clears the q38 bar") {
+    val r = SparkEntry.queries("q290_adc_recall")(spark, sfDir).collect()
+    assert(r.length === 10) // the 10 pinned audit queries
+    r.foreach { row =>
+      val ppm = row.getAs[Long]("recall_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(row.getAs[Long]("n_hits") <= row.getAs[Long]("n_truth"))
+    }
+    val agg = r.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      r.map(_.getAs[Long]("n_truth")).sum
+    assert(agg >= 0.6, f"aggregate ADC recall $agg%.2f below the 0.6 bar")
+  }
+
+  test("q291 contamination: full ordered grid, bounded counts, planted cross-source copy detected") {
+    import spark.implicits._
+    val c = SparkEntry.queries("q291_ngram_contam")(spark, sfDir)
+    val nSources = graft.sources.Tables.documents(spark, sfDir)
+      .select($"source").distinct().count()
+    assert(c.count() === nSources * (nSources - 1))
+    assert(c.where($"n_contam" > $"n_docs_a" || $"n_contam" < 0).count() === 0)
+    // planted: source b republishes one of a's docs verbatim — the
+    // (a -> b) AND (b -> a) rates must both light up; the clean pair
+    // (a, c) stays zero
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_contam_${System.nanoTime()}")
+    val txt = (1 to 20).map(i => s"t$i").mkString(" ")
+    val other = (1 to 20).map(i => s"x$i").mkString(" ")
+    Seq((1L, txt, "en", "a", 20L), (2L, other, "en", "a", 20L),
+        (3L, txt, "en", "b", 20L), (4L, (1 to 20).map(i => s"y$i").mkString(" "), "en", "c", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val planted = SparkEntry.queries("q291_ngram_contam")(spark, tmp.getPath)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_contam")).toMap
+    assert(planted(("a", "b")) === 1L) // doc 1 contaminated by b's copy
+    assert(planted(("b", "a")) === 1L)
+    assert(planted(("a", "c")) === 0L)
+    assert(planted(("c", "a")) === 0L)
+  }
+}
