@@ -84,7 +84,11 @@ object ScaleSmoke {
     // posting join, linear in bigram volume; the contamination matrix
     // is posting-join-shaped — replica families share every shingle,
     // so n_contam rises while the plan stays linear in postings
-    "q288_bootstrap_ci", "q289_doc_ce", "q291_ngram_contam")
+    "q288_bootstrap_ci", "q289_doc_ce", "q291_ngram_contam",
+    // HLL is the mergeable-sketch fixed-grid shape (ideal ~ scan ratio;
+    // its exact-distinct audit twin is the cost being replaced); blob
+    // entropy is one char explode + (doc, byte) partial agg
+    "q292_hll_distinct", "q293_blob_entropy")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -119,7 +123,10 @@ object ScaleSmoke {
     // recall audit adds the brute truth pass over 10 pinned queries;
     // cell-label JS reduces to the k·|labels| grid after the
     // broadcast-codebook assignment scan
-    "q284_ivf_pq_adc", "q290_adc_recall", "q286_cell_label_js")
+    "q284_ivf_pq_adc", "q290_adc_recall", "q286_cell_label_js",
+    // silhouette is the pinned 60-vector panel — ideal ~ flat after
+    // the id-pruned scan
+    "q294_cell_silhouette")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and

@@ -311,6 +311,9 @@ object SparkEntry {
     "q289_doc_ce"           -> (TextAnalysis.docCrossEntropy _),
     "q290_adc_recall"       -> (Similarity.adcRecall _),
     "q291_ngram_contam"     -> (Dedup.ngramContam _),
+    "q292_hll_distinct"     -> (TextAnalysis.hllDistinct _),
+    "q293_blob_entropy"     -> (Multimodal.blobEntropy _),
+    "q294_cell_silhouette"  -> (Similarity.cellSilhouette _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7367,6 +7370,101 @@ ${base("q29_ann_brute")}),
              AS BIGINT) AS contam_ppm
          FROM grid g LEFT JOIN per
            ON per.src_a = g.src_a AND per.src_b = g.src_b"""
+    // q292: deterministic HyperLogLog (m=256) vs exact distinct —
+    // integer bit-length ranks, exact long harmonic sum, one shared
+    // double literal chain.
+    val hllOracle =
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         h AS (SELECT lang,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+           FROM t),
+         r AS (SELECT lang, h % 256 AS b,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+           FROM h),
+         regs AS (SELECT lang, b, CAST(max(rho) AS BIGINT) AS m
+                  FROM r GROUP BY 1, 2),
+         s AS (SELECT lang,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - m AS INT)) AS BIGINT)
+               + (256 - count(*)) * 9007199254740992 AS s,
+             256 - CAST(count(*) AS BIGINT) AS v
+           FROM regs GROUP BY 1),
+         ex AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT)
+               AS exact_distinct
+           FROM t GROUP BY 1),
+         est AS (SELECT s.lang, ex.exact_distinct, s.v,
+             CAST(floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               * 9007199254740992.0) / CAST(s.s AS DOUBLE)) AS BIGINT)
+               AS raw
+           FROM s JOIN ex ON ex.lang = s.lang)
+         SELECT lang, exact_distinct,
+           CASE WHEN v > 0 AND raw < 640
+             THEN CAST(floor(256.0 * ln(256.0 / CAST(v AS DOUBLE))
+               + 1.0/3) AS BIGINT)
+             ELSE raw END AS hll_est,
+           CAST((abs((CASE WHEN v > 0 AND raw < 640
+             THEN CAST(floor(256.0 * ln(256.0 / CAST(v AS DOUBLE))
+               + 1.0/3) AS BIGINT)
+             ELSE raw END) - exact_distinct) * 1000000) // exact_distinct
+             AS BIGINT) AS err_ppm
+         FROM est"""
+    // q293: per-blob byte-histogram entropy — c·lnq(c/n) exact long
+    // sums on the 1e4 ln grid.
+    val blobEntropyOracle =
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                    FROM documents),
+         cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k
+                 FROM c GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n
+               FROM cnt GROUP BY 1),
+         t AS (SELECT cnt.doc_id, n.n,
+             cnt.k * CAST(floor(ln(CAST(cnt.k AS DOUBLE)
+               / CAST(n.n AS DOUBLE)) * 10000 + 1.0/3) AS BIGINT) AS t
+           FROM cnt JOIN n ON n.doc_id = cnt.doc_id)
+         SELECT doc_id, n AS n_bytes,
+           CAST((-sum(t)) // n AS BIGINT) AS ent_e4
+         FROM t GROUP BY 1, 2"""
+    // q294: silhouette of the coarse cell assignment on the pinned
+    // 60-vector audit panel — quantized cosine distances, trunc-div
+    // means, +max shift for the one signed division.
+    val cellSilhouetteOracle =
+      """WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 60),
+         n AS (SELECT vec_id, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x*x),
+                   (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+                  FROM n WHERE vec_id < 8),
+         assigned AS (
+           SELECT vec_id, emb, nrm, cent_id AS cell FROM (
+             SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+                    row_number() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_reduce(list_transform(n.emb,
+                          (x,i) -> x * c.cemb[i]), (a,b)->a+b)
+                        / (n.nrm*c.cnrm) DESC, c.cent_id ASC) AS crk
+             FROM n, cent c) WHERE crk = 1),
+         pairs AS (SELECT x.vec_id, x.cell, y.cell AS ocell,
+             1000000 - CAST(floor(list_reduce(list_transform(x.emb,
+                 (v,i) -> v * y.emb[i]), (a,b)->a+b)
+               / (x.nrm*y.nrm) * 1000000 + 1.0/3) AS BIGINT) AS dq
+           FROM assigned x JOIN assigned y ON x.vec_id <> y.vec_id),
+         bycell AS (SELECT vec_id, cell, ocell,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(dq) AS BIGINT) AS sd
+           FROM pairs GROUP BY 1, 2, 3),
+         a AS (SELECT vec_id, cell, sd // cnt AS a_q
+               FROM bycell WHERE ocell = cell),
+         b AS (SELECT vec_id, min(sd // cnt) AS b_q
+               FROM bycell WHERE ocell <> cell GROUP BY 1)
+         SELECT a.vec_id, a.cell, CAST(a.a_q AS BIGINT) AS a_q,
+           CAST(b.b_q AS BIGINT) AS b_q,
+           CAST(((b.b_q - a.a_q + greatest(a.a_q, b.b_q)) * 1000)
+             // greatest(a.a_q, b.b_q) - 1000 AS BIGINT) AS sil_milli
+         FROM a JOIN b ON b.vec_id = a.vec_id
+         WHERE greatest(a.a_q, b.b_q) > 0"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -7433,6 +7531,9 @@ ${base("q29_ann_brute")}),
       ("q289_doc_ce" -> docCeOracle) +
       ("q290_adc_recall" -> adcRecallOracle) +
       ("q291_ngram_contam" -> ngramContamOracle) +
+      ("q292_hll_distinct" -> hllOracle) +
+      ("q293_blob_entropy" -> blobEntropyOracle) +
+      ("q294_cell_silhouette" -> cellSilhouetteOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

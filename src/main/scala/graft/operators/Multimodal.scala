@@ -216,4 +216,38 @@ object Multimodal {
       .select($"radius", $"n_pairs",
         coalesce($"n_docs", lit(0L)).as("n_docs"))
   }
+  /** q293: byte-histogram entropy per blob — the corrupt/encrypted/
+    * compressed-content detector a media-ingest pipeline runs before
+    * wasting decoder time: natural text sits far below the 8-bit
+    * ceiling (ln 256 ≈ 5.545), already-compressed or encrypted bytes
+    * pin to it, and truncated/zero-padded blobs crater toward 0. Runs
+    * on the repo's ASCII blob stand-in (the q39/q40 convention: these
+    * documents are single-byte text, so char frequencies ARE byte
+    * frequencies).
+    *
+    * Engine portability: H = −Σ(c/n)·ln(c/n) decomposes into exact
+    * long sums of c·lnq(c/n) with the per-TERM 1e4 offset quantization
+    * (the q96/q182 ln discipline); ent_e4 is one trunc-div of
+    * nonnegatives.
+    *
+    * Scale shape: one char explode (linear in bytes), one
+    * (doc, byte) partial agg, per-doc reduction. At 100 TB with real
+    * binary columns the same plan runs over a mapPartitions byte
+    * histogram (the blobFeatures shape) — the relational tail is
+    * unchanged. */
+  def blobEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("k"))
+    val n = cnt.groupBy($"doc_id").agg(sum($"k").as("n"))
+    cnt.join(n, Seq("doc_id"))
+      .select($"doc_id", $"n",
+        ($"k" * floor(log($"k".cast("double") / $"n".cast("double"))
+          * 10000 + lit(1.0 / 3)).cast("long")).as("t"))
+      .groupBy($"doc_id", $"n")
+      .agg(sum($"t").as("s"))
+      .select($"doc_id", $"n".as("n_bytes"),
+        expr("(-s) div n").as("ent_e4"))
+  }
 }

@@ -414,6 +414,62 @@ object Similarity {
         $"n_a", $"n_b", $"js_ppm")
   }
 
+  /** q294: silhouette audit of the coarse cell assignment — per sampled
+    * vector, a = mean cosine distance to its OWN cell's other samples,
+    * b = the nearest OTHER cell's mean distance, s = (b−a)/max(a,b)
+    * (Rousseeuw 1987). The clustering-quality number the whole
+    * IVF/SemDeDup stack rests on: q244's ARI says whether cells track
+    * LABELS; this says whether cells are GEOMETRICALLY tight at all —
+    * a near-zero mean silhouette means the codebook needs more
+    * centroids (or an OPQ rotation) before any cell-local screen
+    * (q94's within-cell dedup, q38's probes) can be trusted.
+    *
+    * Bounded sample (vec_id < 60, the q263/q264 panel convention): the
+    * pair relation is ≤ 60², broadcast-joined — silhouette is O(n²) by
+    * definition, which is exactly why production runs it on a pinned
+    * audit sample, never the collection.
+    *
+    * Engine portability: distances are 1e6 − cos_q on the exact
+    * quantized grid; a and b are trunc-divs of nonneg sums; the final
+    * (b−a)·1000/max shifts by +max so the one signed division is a
+    * floor-equals-trunc nonnegative div in both engines. */
+  def cellSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).where($"vec_id" < 60)
+      .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+      .where($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell"))
+    val pairs = assigned.as("x").join(broadcast(assigned.as("y")),
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.cell").as("cell"),
+        col("y.cell").as("ocell"),
+        (lit(1000000L) - floor(
+          VectorOps.dot(col("x.embedding"), col("y.embedding"))
+            / (col("x.nrm") * col("y.nrm")) * 1e6 + lit(1.0 / 3))
+          .cast("long")).as("dq"))
+    val byCell = pairs.groupBy($"vec_id", $"cell", $"ocell")
+      .agg(count(lit(1)).as("cnt"), sum($"dq").as("sd"))
+      .withColumn("mean_q", expr("sd div cnt"))
+    val a = byCell.where($"ocell" === $"cell")
+      .select($"vec_id", $"cell", $"mean_q".as("a_q"))
+    val b = byCell.where($"ocell" =!= $"cell")
+      .groupBy($"vec_id").agg(min($"mean_q").as("b_q"))
+    a.join(b, Seq("vec_id"))
+      .where(greatest($"a_q", $"b_q") > 0L)
+      .select($"vec_id", $"cell", $"a_q", $"b_q",
+        // (b−a)·1000 div max(a,b), written as a nonneg div via +max
+        expr("""((b_q - a_q + greatest(a_q, b_q)) * 1000)
+                div greatest(a_q, b_q) - 1000""").as("sil_milli"))
+  }
+
   /** q94: SemDeDup-style semantic deduplication — cluster the embedding
     * collection with a coarse codebook, then mark a vector a duplicate iff
     * an EARLIER (lower vec_id) vector in the SAME cell has cosine >= 0.35.

@@ -860,6 +860,63 @@ object TextAnalysis {
         expr("(-s) div n_bigrams").as("ce_e4"))
   }
 
+  /** q292: HyperLogLog vocabulary cardinality per language, audited
+    * against the exact distinct — the cardinality sketch (Flajolet et
+    * al. 2007, m = 256 registers) every 100 TB census actually runs,
+    * implemented DETERMINISTICALLY so the oracle reproduces it: the
+    * md5 60-bit hash splits into an 8-bit register index and a 52-bit
+    * suffix whose leading-zero rank comes from the INTEGER bit length
+    * (length of the binary rendering — no float log2), registers are
+    * a max-agg, and the harmonic sum Σ2^(−M) is computed as the exact
+    * long Σ2^(53−M) (≤ 2⁶¹) with absent registers contributing 2⁵³ —
+    * one fixed-form double division at the end, plus the standard
+    * linear-counting small-range branch on exact integer conditions.
+    * The audit value is err_ppm against the exact distinct: the number
+    * that says whether sketching the 100 TB vocab census is safe.
+    *
+    * Scale shape: one map-only hash projection, one (lang, register)
+    * max-agg to a ≤ 256·|langs| grid (the sketch — mergeable across
+    * any partitioning by construction), the estimate on that grid.
+    * The exact-distinct twin is the expensive two-phase distinct the
+    * sketch replaces — kept here BECAUSE this is the audit. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextOps.docsParallel(spark, dir)
+      .select($"lang", explode(TextOps.toks($"text")).as("tok"))
+    val hashed = toks
+      .select($"lang",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+      .select($"lang", expr("h % 256").as("b"), expr("h div 256").as("w"))
+      .select($"lang", $"b",
+        (lit(53L) - when($"w" === 0L, lit(0L))
+          .otherwise(length(bin($"w")).cast("long"))).as("rho"))
+    val regs = hashed.groupBy($"lang", $"b").agg(max($"rho").as("m"))
+    val s = regs.groupBy($"lang")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select($"lang",
+        ($"s_present"
+          + (lit(256L) - $"n_present") * lit(9007199254740992L)).as("s"),
+        (lit(256L) - $"n_present").as("v"))
+    val exact = toks.groupBy($"lang")
+      .agg(countDistinct($"tok").as("exact_distinct"))
+    s.join(exact, Seq("lang"))
+      // alpha_256·m²·2⁵³ — literal chain written identically in the
+      // oracle so both engines fold to the same double
+      .withColumn("raw", floor(
+        lit((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0)
+          / $"s".cast("double")).cast("long"))
+      .withColumn("hll_est",
+        when($"v" > 0L && $"raw" < 640L,
+          floor(lit(256.0) * log(lit(256.0) / $"v".cast("double"))
+            + lit(1.0 / 3)).cast("long"))
+          .otherwise($"raw"))
+      .select($"lang", $"exact_distinct", $"hll_est",
+        expr("(abs(hll_est - exact_distinct) * 1000000) div exact_distinct")
+          .as("err_ppm"))
+  }
+
   /** q219: Chao1 unseen-type richness per language — how much of each
     * language's BIGRAM-type space the corpus has NOT yet seen. Where q137
     * (Heaps growth) and q140 (Good–Turing mass) describe the observed

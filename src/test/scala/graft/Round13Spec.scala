@@ -116,6 +116,77 @@ class Round13Spec extends SparkSpec {
     assert(agg >= 0.6, f"aggregate ADC recall $agg%.2f below the 0.6 bar")
   }
 
+  test("q292 HLL: estimate within the published m=256 error envelope of the exact distinct") {
+    val r = SparkEntry.queries("q292_hll_distinct")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val exact = row.getAs[Long]("exact_distinct")
+      val est = row.getAs[Long]("hll_est")
+      assert(exact > 0 && est > 0)
+      // 1.04/sqrt(256) = 6.5% standard error; gate at 5 sigma plus the
+      // linear-counting regime's own integer-grid slack
+      val tol = math.max(5 * 0.065 * exact, 3.0)
+      assert(math.abs(est - exact) <= tol,
+        s"HLL est $est vs exact $exact (tol $tol)")
+    }
+  }
+
+  test("q293 blob entropy: bounded by ln(alphabet); uniform bytes pin the ceiling, constant bytes hit zero") {
+    import spark.implicits._
+    val ent = SparkEntry.queries("q293_blob_entropy")(spark, sfDir)
+    assert(ent.where($"ent_e4" < 0L).count() === 0)
+    // ln 256 = 5.545 -> 55452 on the 1e4 grid is the 8-bit ceiling
+    assert(ent.where($"ent_e4" > 55452L).count() === 0)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_blobent_${System.nanoTime()}")
+    // 64 distinct chars uniformly vs one repeated char
+    val uniform = (0 until 256).map(i => ('0' + i % 64).toChar).mkString
+    Seq((1L, uniform, "en", "a", 256L), (2L, "a" * 256, "en", "a", 256L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val planted = SparkEntry.queries("q293_blob_entropy")(spark, tmp.getPath)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ent_e4")).toMap
+    assert(planted(2L) === 0L, s"constant blob entropy ${planted(2L)}")
+    // uniform over 64 symbols: exactly ln 64 = 4.1588 -> 41588 e4
+    assert(math.abs(planted(1L) - 41588L) <= 2L,
+      s"uniform-64 blob entropy ${planted(1L)}")
+  }
+
+  test("q294 silhouette: milli-bounded, own-cell mean positive, clean synthetic clusters score high") {
+    import spark.implicits._
+    val s = SparkEntry.queries("q294_cell_silhouette")(spark, sfDir).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      val v = r.getAs[Long]("sil_milli")
+      assert(v >= -1000L && v <= 1000L, s"sil_milli out of range: $v")
+    }
+    // planted: two tight orthogonal clusters (coords on axis 0 vs axis
+    // 1) -> every point's nearest other cell is far, silhouette ~ 1
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sil_${System.nanoTime()}")
+    val dim = 64
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.001f * jitter)
+      a(axis) = 1.0f; a
+    }
+    (0 until 40).map { i =>
+      val axis = i % 2
+      // vec_id < 8 seed the codebook: keep them jitter-free so the 4
+      // same-axis centroids are IDENTICAL and the min-id tie-break
+      // collapses the assignment to exactly two cells (0 and 1)
+      val jitter = if (i < 8) 0f else ((i / 2 % 5) + 1).toFloat
+      (i.toLong, vec(axis, jitter), axis)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(new java.io.File(tmp, "embeddings.parquet").getPath)
+    val planted = SparkEntry.queries("q294_cell_silhouette")(spark, tmp.getPath)
+      .collect()
+    assert(planted.length === 40)
+    planted.foreach { r =>
+      assert(r.getAs[Long]("sil_milli") >= 900L,
+        s"tight orthogonal clusters scored ${r.getAs[Long]("sil_milli")}")
+    }
+  }
+
   test("q291 contamination: full ordered grid, bounded counts, planted cross-source copy detected") {
     import spark.implicits._
     val c = SparkEntry.queries("q291_ngram_contam")(spark, sfDir)
