@@ -314,6 +314,7 @@ object SparkEntry {
     "q292_hll_distinct"     -> (TextAnalysis.hllDistinct _),
     "q293_blob_entropy"     -> (Multimodal.blobEntropy _),
     "q294_cell_silhouette"  -> (Similarity.cellSilhouette _),
+    "q295_retention"        -> (Timeseries.retentionCohorts _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7465,6 +7466,25 @@ ${base("q29_ann_brute")}),
              // greatest(a.a_q, b.b_q) - 1000 AS BIGINT) AS sil_milli
          FROM a JOIN b ON b.vec_id = a.vec_id
          WHERE greatest(a.a_q, b.b_q) > 0"""
+    // q295: weekly retention cohorts — exact epoch-ms week grid,
+    // distinct (user, week) relation, trunc-div retention.
+    val retentionOracle =
+      """WITH w AS (SELECT DISTINCT user_id,
+             CAST(epoch_ms(ts) AS BIGINT) // 604800000 AS wk
+           FROM events),
+         f AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort
+               FROM w GROUP BY 1),
+         sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM f GROUP BY 1),
+         act AS (SELECT f.cohort, w.wk - f.cohort AS offset,
+             CAST(count(*) AS BIGINT) AS n_active
+           FROM w JOIN f ON f.user_id = w.user_id
+           GROUP BY 1, 2)
+         SELECT act.cohort, CAST(act.offset AS BIGINT) AS offset,
+           sz.n_cohort, act.n_active,
+           CAST((act.n_active * 1000000) // sz.n_cohort AS BIGINT)
+             AS retained_ppm
+         FROM act JOIN sz ON sz.cohort = act.cohort"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -7534,6 +7554,7 @@ ${base("q29_ann_brute")}),
       ("q292_hll_distinct" -> hllOracle) +
       ("q293_blob_entropy" -> blobEntropyOracle) +
       ("q294_cell_silhouette" -> cellSilhouetteOracle) +
+      ("q295_retention" -> retentionOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

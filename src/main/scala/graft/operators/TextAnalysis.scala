@@ -881,17 +881,38 @@ object TextAnalysis {
     * sketch replaces — kept here BECAUSE this is the audit. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = TextOps.docsParallel(spark, dir)
+    val docs = TextOps.docsParallel(spark, dir)
+    val exact = docs
       .select($"lang", explode(TextOps.toks($"text")).as("tok"))
-    val hashed = toks
+      .groupBy($"lang")
+      .agg(countDistinct($"tok").as("exact_distinct"))
+    hllEstimate(hllRegisters(docs)).join(exact, Seq("lang"))
+      .select($"lang", $"exact_distinct", $"hll_est",
+        expr("(abs(hll_est - exact_distinct) * 1000000) div exact_distinct")
+          .as("err_ppm"))
+  }
+
+  /** q292's register relation over ANY `(lang, text)` docs — one row
+    * per (lang, register) with the max rank. This IS the mergeable
+    * sketch state: registers from disjoint batches merge by max, so
+    * the streaming monitor accumulates exactly these rows. */
+  private[graft] def hllRegisters(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"lang", explode(TextOps.toks($"text")).as("tok"))
       .select($"lang",
         conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
       .select($"lang", expr("h % 256").as("b"), expr("h div 256").as("w"))
       .select($"lang", $"b",
         (lit(53L) - when($"w" === 0L, lit(0L))
           .otherwise(length(bin($"w")).cast("long"))).as("rho"))
-    val regs = hashed.groupBy($"lang", $"b").agg(max($"rho").as("m"))
-    val s = regs.groupBy($"lang")
+      .groupBy($"lang", $"b").agg(max($"rho").as("m"))
+  }
+
+  /** The HLL estimate from a `(lang, b, m)` register relation. */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
+    import regs.sparkSession.implicits._
+    regs.groupBy($"lang")
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
           .as("s_present"),
         count(lit(1)).as("n_present"))
@@ -899,9 +920,6 @@ object TextAnalysis {
         ($"s_present"
           + (lit(256L) - $"n_present") * lit(9007199254740992L)).as("s"),
         (lit(256L) - $"n_present").as("v"))
-    val exact = toks.groupBy($"lang")
-      .agg(countDistinct($"tok").as("exact_distinct"))
-    s.join(exact, Seq("lang"))
       // alpha_256·m²·2⁵³ — literal chain written identically in the
       // oracle so both engines fold to the same double
       .withColumn("raw", floor(
@@ -912,9 +930,7 @@ object TextAnalysis {
           floor(lit(256.0) * log(lit(256.0) / $"v".cast("double"))
             + lit(1.0 / 3)).cast("long"))
           .otherwise($"raw"))
-      .select($"lang", $"exact_distinct", $"hll_est",
-        expr("(abs(hll_est - exact_distinct) * 1000000) div exact_distinct")
-          .as("err_ppm"))
+      .select($"lang", $"hll_est")
   }
 
   /** q219: Chao1 unseen-type richness per language — how much of each

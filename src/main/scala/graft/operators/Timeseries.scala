@@ -1203,4 +1203,37 @@ object Timeseries {
           / (($"v1".cast("double") * nn0) / ($"v0".cast("double") * nn1)))
           * 1000 + lit(1.0 / 3)).cast("long").as("complexity_milli"))
   }
+
+  /** q295: weekly retention cohort matrix — the product-analytics
+    * staple the funnel (q114) and survival (q134) screens bracket but
+    * don't produce: users grouped by FIRST-activity week (the cohort),
+    * then for every later week-offset the share of the cohort still
+    * active. The triangle a feed-health dashboard reads to separate
+    * "acquisition is up" from "retention is up" — and, for a training-
+    * data pipeline, the shape that says whether a event source's user
+    * base is stable enough for temporal splits (q135) to be
+    * stationary.
+    *
+    * Exactness: weeks are exact integer epoch-ms div 604800000; the
+    * (user, week) relation is made DISTINCT first, so per-(cohort,
+    * offset) counts are exact distinct-user counts without a
+    * count(distinct) expand; retained_ppm is one trunc-div.
+    *
+    * Scale shape: one (user, week) distinct shuffle (partial-agged),
+    * a per-user min for the cohort, one co-partitioned join back on
+    * user_id, and a bounded (cohorts × offsets) grid out. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_millis(ts) div 604800000").as("wk"))
+      .distinct()
+    val first = weeks.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("n_cohort"))
+    weeks.join(first, Seq("user_id"))
+      .groupBy($"cohort", ($"wk" - $"cohort").as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select($"cohort", $"offset", $"n_cohort", $"n_active",
+        expr("(n_active * 1000000) div n_cohort").as("retained_ppm"))
+  }
 }

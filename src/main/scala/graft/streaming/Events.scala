@@ -530,6 +530,54 @@ object Events {
       .start()
   }
 
+  /** Streaming HLL vocabulary monitor — q292's cardinality sketch run
+    * continuously over an arriving document stream: each micro-batch
+    * computes its own (lang, register, rank) relation with the SHARED
+    * `TextAnalysis.hllRegisters` (stream and batch can never hash
+    * differently), lands it in a batch_id partition, and the snapshot
+    * re-estimates from the max-merged accumulated registers. This is
+    * the sketch the streaming state story is FOR: HLL registers merge
+    * by max under ANY batch slicing — the state is ≤ 256·|langs| rows
+    * per batch, never tokens — so the live estimate is exactly the
+    * batch estimate over everything ingested so far.
+    *
+    * Exactly-once: both writes are batch_id dynamic-partition
+    * overwrites (the conformal/CMS discipline) — a replayed batch
+    * rewrites its own partitions byte-identically; the snapshot reads
+    * the full store, and max-merge is idempotent to replayed registers
+    * by construction.
+    *
+    * StreamingSpec proves the final snapshot equals q292's hll_est
+    * column over the same corpus across a 3-batch split. */
+  def hllMonitor(docs: DataFrame, stateTarget: String,
+      monitorTarget: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
+      import batch.sparkSession.implicits._
+      val spark = batch.sparkSession
+      graft.operators.TextAnalysis.hllRegisters(batch.toDF())
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stateTarget)
+      val merged = spark.read.parquet(stateTarget)
+        .groupBy($"lang", $"b").agg(max($"m").as("m"))
+      graft.operators.TextAnalysis.hllEstimate(merged)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(monitorTarget)
+    }
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+  }
+
   /** Streaming count-min heavy-hitter monitor — q102's sketch run
     * continuously over the USER dimension (the abuse/bot screen a feed
     * pipeline keeps live): each micro-batch adds its partial d=4 × w=256

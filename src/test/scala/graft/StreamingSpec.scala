@@ -422,6 +422,40 @@ class StreamingSpec extends SparkSpec {
     assert(rejected === batchRejects)
   }
 
+  test("streaming HLL vocab monitor: final snapshot equals the q292 batch estimate") {
+    import spark.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hll_monitor_${System.nanoTime()}")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val srcDir = new java.io.File(base, "arriving").getPath
+    docs.repartition(3).write.parquet(srcDir)
+    val q = Events.hllMonitor(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      new java.io.File(base, "state").getPath,
+      new java.io.File(base, "monitor").getPath,
+      new java.io.File(base, "ckpt").getPath)
+    q.processAllAvailable()
+    q.stop()
+    val monitor = spark.read.parquet(new java.io.File(base, "monitor").getPath)
+    assert(monitor.select($"batch_id").distinct().count() >= 2)
+    val lastBatch = monitor.agg(max($"batch_id").cast("long"))
+      .collect().head.getLong(0)
+    val got = monitor.where($"batch_id" === lastBatch)
+      .select($"lang", $"hll_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch twin: the register-merge is max, so any batch slicing must
+    // land on the one-pass q292 estimate exactly
+    val expect = SparkEntry.queries("q292_hll_distinct")(spark, sfDir)
+      .select($"lang", $"hll_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty)
+    // and the state is registers, never tokens: bounded row count
+    val state = spark.read.parquet(new java.io.File(base, "state").getPath)
+    assert(state.count() <= 256L * expect.size * (lastBatch + 1))
+  }
+
   test("streaming OOV monitor: final snapshot equals the batch probe over the same delta") {
     import spark.implicits._
     val base = new java.io.File(sys.props("java.io.tmpdir"),
