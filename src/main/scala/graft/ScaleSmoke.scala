@@ -161,9 +161,10 @@ object ScaleSmoke {
     // q274/q275: per-user lag/lead windows + moment sums, scan-shaped
     "q274_savgol", "q275_peaks", "q279_mode_track", "q280_hurst",
     "q281_runs_test", "q282_xcorr_matrix",
-    // round 13: Benford reduces to the 9·|types| digit grid — ideal ~
-    // scan ratio
-    "q287_benford")
+    // round 13: Benford reduces to the 9·|types| digit grid, retention
+    // to the (cohort, offset) grid after one distinct — ideal ~ scan
+    // ratio
+    "q287_benford", "q295_retention")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while
