@@ -88,7 +88,9 @@ object ScaleSmoke {
     // HLL is the mergeable-sketch fixed-grid shape (ideal ~ scan ratio;
     // its exact-distinct audit twin is the cost being replaced); blob
     // entropy is one char explode + (doc, byte) partial agg
-    "q292_hll_distinct", "q293_blob_entropy")
+    "q292_hll_distinct", "q293_blob_entropy",
+    // weighted median = two per-source ordered passes (q105's shape)
+    "q298_weighted_median")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -125,8 +127,11 @@ object ScaleSmoke {
     // broadcast-codebook assignment scan
     "q284_ivf_pq_adc", "q290_adc_recall", "q286_cell_label_js",
     // silhouette is the pinned 60-vector panel — ideal ~ flat after
-    // the id-pruned scan
-    "q294_cell_silhouette")
+    // the id-pruned scan; code usage rides the map-only encode; the
+    // compressed SemDeDup funnel's pair count is q94's Σcell² (the ADC
+    // saving is scoring COST per pair, not pair count — read its ratio
+    // against q94's)
+    "q294_cell_silhouette", "q297_code_usage", "q299_pq_semdedup")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and
@@ -164,7 +169,9 @@ object ScaleSmoke {
     // round 13: Benford reduces to the 9·|types| digit grid, retention
     // to the (cohort, offset) grid after one distinct — ideal ~ scan
     // ratio
-    "q287_benford", "q295_retention")
+    "q287_benford", "q295_retention",
+    // inter-arrival burstiness = per-user lag windows + moment sums
+    "q296_interarrival_b")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -315,6 +315,10 @@ object SparkEntry {
     "q293_blob_entropy"     -> (Multimodal.blobEntropy _),
     "q294_cell_silhouette"  -> (Similarity.cellSilhouette _),
     "q295_retention"        -> (Timeseries.retentionCohorts _),
+    "q296_interarrival_b"   -> (Timeseries.interarrivalBurstiness _),
+    "q297_code_usage"       -> (Quantize.codeUsage _),
+    "q298_weighted_median"  -> (Relational.weightedMedian _),
+    "q299_pq_semdedup"      -> (Similarity.pqSemDedup _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7485,6 +7489,152 @@ ${base("q29_ann_brute")}),
            CAST((act.n_active * 1000000) // sz.n_cohort AS BIGINT)
              AS retained_ppm
          FROM act JOIN sz ON sz.cohort = act.cohort"""
+    // q296: Goh–Barabási inter-arrival burstiness per user — exact
+    // decimal moments, one double chain + sqrt, milli floor.
+    val interarrivalBOracle =
+      """WITH g AS (SELECT user_id,
+             CAST(epoch_ms(ts) AS BIGINT)
+               - lag(CAST(epoch_ms(ts) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               AS g
+           FROM events),
+         m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(g AS HUGEINT)) AS sg,
+             sum(CAST(g AS HUGEINT) * g) AS sg2
+           FROM g WHERE g IS NOT NULL GROUP BY 1
+           HAVING count(*) >= 2 AND sum(g) > 0)
+         SELECT user_id, n AS n_gaps,
+           CAST(sg // n AS BIGINT) AS mean_gap_ms,
+           CAST(floor(
+             (sqrt(CAST(sg2 * n - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE))
+             / (sqrt(CAST(sg2 * n - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE))
+             * 1000 + 1.0/3) AS BIGINT) AS b_milli
+         FROM m"""
+    // q297: PQ code usage per subspace — q293's entropy discipline on
+    // the (sub, code) histogram over the q98 encode.
+    val codeUsageOracle =
+      s"""WITH enc AS (
+${base("q98_pq_encode")}),
+         cnt AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS k
+                 FROM enc GROUP BY 1, 2),
+         nn AS (SELECT sub, CAST(sum(k) AS BIGINT) AS n
+                FROM cnt GROUP BY 1),
+         t AS (SELECT cnt.sub, nn.n, cnt.k,
+             cnt.k * CAST(floor(ln(CAST(cnt.k AS DOUBLE)
+               / CAST(nn.n AS DOUBLE)) * 10000 + 1.0/3) AS BIGINT) AS t
+           FROM cnt JOIN nn ON nn.sub = cnt.sub)
+         SELECT sub, CAST(count(*) AS BIGINT) AS n_codes_used,
+           CAST((-sum(t)) // n AS BIGINT) AS usage_ent_e4,
+           CAST((max(k) * 1000000) // n AS BIGINT) AS top_code_share_ppm
+         FROM t GROUP BY sub, n"""
+    // q298: token-weighted vs unweighted lower-median doc length per
+    // source — rank/weight-rank select on exact integers.
+    val weightedMedianOracle =
+      """WITH d AS (SELECT source, doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+           FROM documents),
+         c AS (SELECT source, doc_id, n_chars, w,
+             sum(w) OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(w) OVER (PARTITION BY source) AS totw,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM d),
+         wm AS (SELECT source, CAST(n AS BIGINT) AS n_docs,
+             CAST(totw AS BIGINT) AS n_tokens,
+             n_chars AS wmedian_len
+           FROM c WHERE cumw * 2 >= totw
+           QUALIFY row_number() OVER (PARTITION BY source
+             ORDER BY n_chars ASC, doc_id ASC) = 1),
+         dm AS (SELECT source, n_chars AS median_len
+           FROM c WHERE rk * 2 >= n
+           QUALIFY row_number() OVER (PARTITION BY source
+             ORDER BY n_chars ASC, doc_id ASC) = 1)
+         SELECT wm.source, wm.n_docs, wm.n_tokens, dm.median_len,
+           wm.wmedian_len
+         FROM wm JOIN dm ON dm.source = wm.source"""
+    // q299: compressed-domain SemDeDup funnel — q94's cell pairs scored
+    // symmetric-ADC from the 512-entry code LUT, 0.25 pre-filter, exact
+    // 0.35 verify on survivors only.
+    val pqSemDedupOracle =
+      s"""WITH enc AS (
+${base("q98_pq_encode")}),
+         e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x*x),
+                   (a,b)->a+b)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+                  FROM n WHERE vec_id < 8),
+         ranked AS (
+           SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, c.cent_id,
+                   list_reduce(list_transform(n.emb, (x,i) -> x * c.cemb[i]),
+                     (a,b)->a+b) / (n.nrm*c.cnrm) AS ccos
+                 FROM n, cent c)),
+         assigned AS (SELECT r.vec_id, r.cent_id AS cell, n.emb, n.nrm
+                      FROM ranked r JOIN n USING (vec_id) WHERE crk = 1),
+         cb AS (SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 8),
+         lut AS (SELECT s.s AS sub, a.code AS code_a, b.code AS code_b,
+             CAST(floor(list_reduce(list_transform(
+                 a.cemb[CAST(s.s*8+1 AS INT):CAST(s.s*8+8 AS INT)],
+                 (x, i) -> x * b.cemb[CAST(s.s*8 + i AS INT)]),
+                 (p, q) -> p + q) * 1000000 + 1.0/3) AS BIGINT) AS ip_q
+           FROM cb a, cb b, range(8) s(s)),
+         rnlut AS (SELECT s.s AS sub, a.code,
+             CAST(floor(list_reduce(list_transform(
+                 a.cemb[CAST(s.s*8+1 AS INT):CAST(s.s*8+8 AS INT)],
+                 x -> x*x), (p, q) -> p + q) * 1000000 + 1.0/3)
+               AS BIGINT) AS rn_q
+           FROM cb a, range(8) s(s)),
+         rn2 AS (SELECT enc.vec_id, CAST(sum(r.rn_q) AS BIGINT) AS rn2
+                 FROM enc JOIN rnlut r
+                   ON r.sub = enc.sub AND r.code = enc.code
+                 GROUP BY 1),
+         pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
+                   FROM assigned a JOIN assigned b
+                     ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         sdc AS (SELECT p.va, p.vb, p.cell,
+             CAST(sum(l.ip_q) AS BIGINT) AS ip
+           FROM pairs p
+             JOIN enc ea ON ea.vec_id = p.va
+             JOIN enc eb ON eb.vec_id = p.vb AND eb.sub = ea.sub
+             JOIN lut l ON l.sub = ea.sub AND l.code_a = ea.code
+               AND l.code_b = eb.code
+           GROUP BY 1, 2, 3),
+         adcpass AS (SELECT s.va, s.vb, s.cell
+           FROM sdc s JOIN rn2 ra ON ra.vec_id = s.va
+                JOIN rn2 rb ON rb.vec_id = s.vb
+           WHERE CAST(s.ip AS DOUBLE)
+             / sqrt(CAST(ra.rn2 AS DOUBLE) * CAST(rb.rn2 AS DOUBLE))
+             >= 0.25),
+         ver AS (SELECT p.va, p.vb,
+             CASE WHEN list_reduce(list_transform(a.emb,
+                 (x,i) -> x * b.emb[i]), (p2,q2)->p2+q2)
+               / (a.nrm*b.nrm) >= 0.35 THEN 1 ELSE 0 END AS hit
+           FROM adcpass p JOIN assigned a ON a.vec_id = p.va
+                JOIN assigned b ON b.vec_id = p.vb),
+         nc AS (SELECT vb AS vec_id, CAST(count(*) AS BIGINT) AS n_cands
+                FROM pairs GROUP BY 1),
+         np AS (SELECT vb AS vec_id, CAST(count(*) AS BIGINT) AS n_adc_pass
+                FROM adcpass GROUP BY 1),
+         nv AS (SELECT vb AS vec_id, CAST(sum(hit) AS BIGINT) AS n_verified
+                FROM ver GROUP BY 1)
+         SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(coalesce(nc.n_cands, 0) AS BIGINT) AS n_cands,
+           CAST(coalesce(np.n_adc_pass, 0) AS BIGINT) AS n_adc_pass,
+           CAST(coalesce(nv.n_verified, 0) AS BIGINT) AS n_verified,
+           coalesce(nv.n_verified, 0) = 0 AS kept
+         FROM assigned a
+           LEFT JOIN nc ON nc.vec_id = a.vec_id
+           LEFT JOIN np ON np.vec_id = a.vec_id
+           LEFT JOIN nv ON nv.vec_id = a.vec_id"""
     // q258: per-language Zipf OLS on the 1e4-quantized ln grid
     val zipfOracle =
       """WITH tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -7555,6 +7705,10 @@ ${base("q29_ann_brute")}),
       ("q293_blob_entropy" -> blobEntropyOracle) +
       ("q294_cell_silhouette" -> cellSilhouetteOracle) +
       ("q295_retention" -> retentionOracle) +
+      ("q296_interarrival_b" -> interarrivalBOracle) +
+      ("q297_code_usage" -> codeUsageOracle) +
+      ("q298_weighted_median" -> weightedMedianOracle) +
+      ("q299_pq_semdedup" -> pqSemDedupOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

@@ -601,6 +601,37 @@ object Quantize {
     * Scale shape: rides q98's map-only encode (zero shuffles) plus ONE
     * partial-agged groupBy bounded at m = 8 rows. The long sum of
     * dist_q is exact under any merge order. */
+  /** q297: PQ codebook usage census per subspace — the bit-efficiency
+    * audit that completes q265's distortion table: per subspace, how
+    * many of the k codes are LIVE, the usage entropy (in e4 nats —
+    * ln k = full utilization of the code budget), and the share of the
+    * hottest code. A subspace whose mass collapses onto one code
+    * carries ~0 bits (dead budget — re-train or rotate, the OPQ
+    * signal); distortion (q265) can look fine while utilization says
+    * the codebook wastes its budget on empty cells.
+    *
+    * Exactness: the entropy is q293's c·lnq(c/n) exact-long-sum
+    * discipline on the (sub, code) histogram; shares are trunc-divs.
+    *
+    * Scale shape: rides the map-only q98 encode + one agg bounded at
+    * m·k = 64 rows. */
+  def codeUsage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = pqEncode(spark, dir)
+      .groupBy($"sub", $"code").agg(count(lit(1)).as("k"))
+    val n = cnt.groupBy($"sub").agg(sum($"k").as("n"))
+    cnt.join(n, Seq("sub"))
+      .select($"sub", $"n", $"k",
+        ($"k" * floor(log($"k".cast("double") / $"n".cast("double"))
+          * 10000 + lit(1.0 / 3)).cast("long")).as("t"))
+      .groupBy($"sub", $"n")
+      .agg(count(lit(1)).as("n_codes_used"), sum($"t").as("s"),
+        max($"k").as("top_k"))
+      .select($"sub", $"n_codes_used",
+        expr("(-s) div n").as("usage_ent_e4"),
+        expr("(top_k * 1000000) div n").as("top_code_share_ppm"))
+  }
+
   def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pqEncode(spark, dir)

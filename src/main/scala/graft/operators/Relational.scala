@@ -783,6 +783,52 @@ object Relational {
     * An exact median fundamentally needs a per-group order; at extreme
     * group sizes swap rank-select for a fixed-grid histogram median
     * (the q93 bounded-histogram trick) without changing the contract. */
+  /** q298: token-weighted median document length per source, next to
+    * the unweighted one — the packing-relevant length statistic: the
+    * unweighted median is the length of a random DOCUMENT, the
+    * token-weighted median is the length a random TOKEN sits in. On a
+    * crawl with many stubs and a few monsters the two diverge wildly,
+    * and the WEIGHTED one is what sets context-window budgets (q49/q93
+    * consumers) — budgeting off the doc median under-provisions
+    * exactly when the tail matters.
+    *
+    * Exactness: both medians are LOWER medians by rank/weight-rank
+    * select on exact integers (the q105 discipline — no interpolation,
+    * no percentile_cont float): weighted pick = first (n_chars,
+    * doc_id)-ordered row with 2·cumweight ≥ totalweight.
+    *
+    * Scale shape: two per-source ordered passes over a narrow
+    * (source, doc_id, n_chars, w) projection, |sources| rows out — the
+    * q105 rank-select shape; per-source partitions sort-spill, never
+    * collect. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("w"))
+    val ord = Window.partitionBy($"source").orderBy($"n_chars".asc, $"doc_id".asc)
+    val tot = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = docs
+      .withColumn("cumw", sum($"w").over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("totw", sum($"w").over(tot))
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(tot))
+    val wmed = c.where($"cumw" * 2 >= $"totw")
+      .withColumn("pick", row_number().over(ord))
+      .where($"pick" === 1)
+      .select($"source", $"n".as("n_docs"), $"totw".as("n_tokens"),
+        $"n_chars".as("wmedian_len"))
+    val dmed = c.where($"rk" * 2 >= $"n")
+      .withColumn("pick", row_number().over(ord))
+      .where($"pick" === 1)
+      .select($"source", $"n_chars".as("median_len"))
+    wmed.join(dmed, Seq("source"))
+      .select($"source", $"n_docs", $"n_tokens", $"median_len",
+        $"wmedian_len")
+  }
+
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {

@@ -470,6 +470,104 @@ object Similarity {
                 div greatest(a_q, b_q) - 1000""").as("sil_milli"))
   }
 
+  /** q299: compressed-domain SemDeDup funnel — q94's within-cell screen
+    * with the pair SCORING moved into PQ space: candidate pairs come
+    * from the same pinned cell assignment, but each pair is first
+    * scored symmetric-ADC (SDC: code-to-code inner products from a
+    * 512-entry broadcast LUT over the q98 codebook, normalized by the
+    * reconstructions' own norms) and only pairs clearing the loose
+    * 0.25 pre-filter read FULL vectors for the exact cos ≥ 0.35
+    * verify. At 100 TB this is the q284 argument applied to DEDUP: the
+    * quadratic-in-cell-size scoring pass reads 8-long code rows, and
+    * full vectors surface only for the pre-filtered survivors. The
+    * funnel census (candidates → ADC passes → verified) is the
+    * operator's own recall audit: SDC is approximate, so the gap
+    * between n_verified here and q94's exact screen is MEASURED, not
+    * assumed (`Round13Spec` gates agreement on testdata).
+    *
+    * Engine portability: LUT entries are driver-folded left-to-right
+    * doubles floor-quantized at 1e6 (the q98 discipline), both ADC
+    * sums are exact longs, the SDC ratio is one fixed-form double
+    * chain (rna·rnb ≤ ~6.4e13 — exact in double), and the verify is
+    * the standard exact-cosine compare. */
+  def pqSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 8; val subDim = 8
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val cents: Array[(Long, Array[Double], Double)] = e.where($"vec_id" < 8)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("emb"), $"nrm")
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    // q94's pinned assignment: cosine argmax, min-cent_id tie-break
+    val scoredCells = array(cents.map { case (id, cemb, cnrm) =>
+      struct((VectorOps.dot($"embedding", lit(cemb)) / ($"nrm" * cnrm)).as("c"),
+        lit(-id).as("nid"))
+    }: _*)
+    val assigned = e.select($"vec_id", $"embedding", $"nrm",
+      (-array_max(scoredCells).getField("nid")).as("cell"))
+    val codes = Quantize.pqEncode(spark, dir).select($"vec_id", $"sub", $"code")
+    // driver LUTs from the same first-8 codebook (q98's): code-to-code
+    // sub inner products and per-code sub norms, 1e6-quantized
+    val cb: Array[Array[Double]] = cents.map(_._2)
+    def subSlice(c: Array[Double], s: Int): Array[Double] =
+      c.slice(s * subDim, s * subDim + subDim)
+    val lut = (for {
+      s <- 0 until m; a <- cb.indices; b <- cb.indices
+    } yield {
+      val va = subSlice(cb(a), s); val vb = subSlice(cb(b), s)
+      val ip = va.indices.foldLeft(0.0)((acc, i) => acc + va(i) * vb(i))
+      (s.toLong, a.toLong, b.toLong,
+        math.floor(ip * 1e6 + 1.0 / 3).toLong)
+    }).toDF("sub", "code_a", "code_b", "ip_q")
+    val rnLut = (for { s <- 0 until m; a <- cb.indices } yield {
+      val va = subSlice(cb(a), s)
+      (s.toLong, a.toLong,
+        math.floor(va.foldLeft(0.0)((acc, x) => acc + x * x) * 1e6
+          + 1.0 / 3).toLong)
+    }).toDF("sub", "code", "rn_q")
+    val rn2 = codes.join(broadcast(rnLut), Seq("sub", "code"))
+      .groupBy($"vec_id").agg(sum($"rn_q").as("rn2"))
+    val slim = assigned.select($"vec_id", $"cell")
+    val pairs = slim.as("a").join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.cell").as("cell"))
+    val ca = codes.select($"vec_id".as("va"), $"sub", $"code".as("code_a"))
+    val cbd = codes.select($"vec_id".as("vb"), $"sub", $"code".as("code_b"))
+    val sdc = pairs.join(ca, Seq("va")).join(cbd, Seq("vb", "sub"))
+      .join(broadcast(lut), Seq("sub", "code_a", "code_b"))
+      .groupBy($"va", $"vb", $"cell").agg(sum($"ip_q").as("ip"))
+      .join(rn2.select($"vec_id".as("va"), $"rn2".as("rna")), Seq("va"))
+      .join(rn2.select($"vec_id".as("vb"), $"rn2".as("rnb")), Seq("vb"))
+      .withColumn("sdc_cos", $"ip".cast("double")
+        / sqrt($"rna".cast("double") * $"rnb".cast("double")))
+    val adcPass = sdc.where($"sdc_cos" >= 0.25)
+      .select($"va", $"vb", $"cell")
+    val emb = assigned.select($"vec_id", $"embedding", $"nrm")
+    val verified = adcPass
+      .join(emb.select($"vec_id".as("va"), $"embedding".as("ea"),
+        $"nrm".as("na")), Seq("va"))
+      .join(emb.select($"vec_id".as("vb"), $"embedding".as("eb"),
+        $"nrm".as("nb")), Seq("vb"))
+      .withColumn("hit",
+        (VectorOps.dot($"ea", $"eb") / ($"na" * $"nb") >= 0.35)
+          .cast("long"))
+    val nc = pairs.groupBy($"vb".as("vec_id")).agg(count(lit(1)).as("n_cands"))
+    val np = adcPass.groupBy($"vb".as("vec_id"))
+      .agg(count(lit(1)).as("n_adc_pass"))
+    val nv = verified.groupBy($"vb".as("vec_id"))
+      .agg(sum($"hit").as("n_verified"))
+    slim.join(nc, Seq("vec_id"), "left")
+      .join(np, Seq("vec_id"), "left")
+      .join(nv, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        coalesce($"n_cands", lit(0L)).as("n_cands"),
+        coalesce($"n_adc_pass", lit(0L)).as("n_adc_pass"),
+        coalesce($"n_verified", lit(0L)).as("n_verified"))
+      .withColumn("kept", $"n_verified" === 0L)
+  }
+
   /** q94: SemDeDup-style semantic deduplication — cluster the embedding
     * collection with a coarse codebook, then mark a vector a duplicate iff
     * an EARLIER (lower vec_id) vector in the SAME cell has cosine >= 0.35.

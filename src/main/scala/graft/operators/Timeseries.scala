@@ -1204,6 +1204,47 @@ object Timeseries {
           * 1000 + lit(1.0 / 3)).cast("long").as("complexity_milli"))
   }
 
+  /** q296: Goh–Barabási inter-arrival burstiness per user —
+    * B = (σ−μ)/(σ+μ) of the millisecond gaps between a user's
+    * consecutive events (Goh & Barabási 2008): B → −1 is a metronome
+    * (cron/bot), B ≈ 0 Poisson-organic, B → +1 heavy-tailed bursts —
+    * the per-USER companion to q148's population Gini and q203's
+    * per-TYPE exponential fit, and the number a bot screen reads
+    * before the CMS heavy-hitter (q102) even fires: a scripted client
+    * is periodic long before it is heavy.
+    *
+    * Exactness: gaps are exact ms longs via per-user lag windows;
+    * μ and σ² come from exact decimal moment sums (n·Σg² − (Σg)²);
+    * the single float step is one fixed-order double chain with a
+    * correctly-rounded sqrt, milli-floored with the +1/3 offset.
+    *
+    * Scale shape: per-user windows (more users = more groups of the
+    * same size), one partial-agged groupBy to |users| rows. */
+  def interarrivalBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val gaps = Tables.events(spark, dir)
+      .withColumn("prev", lag(unix_millis($"ts"), 1).over(w))
+      .where($"prev".isNotNull)
+      .select($"user_id", (unix_millis($"ts") - $"prev").as("g"))
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"g".cast(dec)).as("sg"),
+        sum(($"g".cast(dec) * $"g")).as("sg2"))
+      .where($"n" >= 2L && $"sg" > 0)
+      // sigma = sqrt((n·Σg² − (Σg)²)/n²)·(1/1) on the exact grid;
+      // B = (n·sigma − Σg)/(n·sigma + Σg) — both scaled by n so no
+      // early division loses exactness
+      .withColumn("var_num", ($"sg2" * $"n" - $"sg" * $"sg").cast("double"))
+      .withColumn("nsigma", sqrt($"var_num"))
+      .select($"user_id", $"n".as("n_gaps"),
+        expr("sg div n").cast("long").as("mean_gap_ms"),
+        floor(($"nsigma" - $"sg".cast("double"))
+          / ($"nsigma" + $"sg".cast("double")) * 1000 + lit(1.0 / 3))
+          .cast("long").as("b_milli"))
+  }
+
   /** q295: weekly retention cohort matrix — the product-analytics
     * staple the funnel (q114) and survival (q134) screens bracket but
     * don't produce: users grouped by FIRST-activity week (the cohort),

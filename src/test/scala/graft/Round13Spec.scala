@@ -187,6 +187,91 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("q296 inter-arrival burstiness: bounded; planted metronome reads exactly -1000") {
+    import spark.implicits._
+    val b = SparkEntry.queries("q296_interarrival_b")(spark, sfDir)
+    assert(b.where($"b_milli" < -1000L || $"b_milli" > 1000L).count() === 0)
+    assert(b.count() > 0)
+    // planted: user 1 fires every 60 s exactly (sigma = 0 -> B = -1);
+    // user 2 is a burst of 1 s gaps plus one 5000 s silence — the
+    // heavy-tailed shape that pushes sigma >> mu and B toward +1
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_burst_${System.nanoTime()}")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val metro = (0 until 50).map(i => (i.toLong,
+      java.sql.Timestamp.from(base.plusSeconds(60L * i)), 1L, "click", 1.0, ""))
+    val bursty = (0 until 51).map { i =>
+      val t = if (i < 50) i.toLong else 5049L
+      ((100 + i).toLong, java.sql.Timestamp.from(base.plusSeconds(t)),
+        2L, "click", 1.0, "")
+    }
+    (metro ++ bursty)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(new java.io.File(tmp, "events.parquet").getPath)
+    val planted = SparkEntry.queries("q296_interarrival_b")(spark, tmp.getPath)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("b_milli")).toMap
+    assert(planted(1L) === -1000L, s"metronome B = ${planted(1L)}")
+    assert(planted(2L) > 500L, s"bursty B = ${planted(2L)}")
+  }
+
+  test("q297 code usage: bounded by ln k, shares and counts consistent") {
+    val r = SparkEntry.queries("q297_code_usage")(spark, sfDir).collect()
+    assert(r.length === 8) // one row per subspace
+    r.foreach { row =>
+      val used = row.getAs[Long]("n_codes_used")
+      val ent = row.getAs[Long]("usage_ent_e4")
+      val share = row.getAs[Long]("top_code_share_ppm")
+      assert(used >= 1L && used <= 8L)
+      // ln 8 = 2.0794 -> 20795 with quantization slack
+      assert(ent >= 0L && ent <= 20795L, s"entropy out of [0, ln 8]: $ent")
+      assert(share * used >= 1000000L - used, // max >= mean
+        s"top share $share inconsistent with $used codes")
+      if (used === 1L) assert(ent === 0L && share === 1000000L)
+    }
+  }
+
+  test("q298 weighted median: stub-heavy planted source separates doc vs token median") {
+    import spark.implicits._
+    val m = SparkEntry.queries("q298_weighted_median")(spark, sfDir)
+    assert(m.count() > 0)
+    assert(m.where($"wmedian_len" < 0 || $"median_len" < 0).count() === 0)
+    // planted: 9 one-token stubs (len 10) + 1 monster (len 1000, 999
+    // tokens): doc median 10, token-weighted median 1000
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_wmed_${System.nanoTime()}")
+    val stubs = (1 to 9).map(i => (i.toLong, "stub", "en", "a", 10L))
+    val monster = Seq((10L, (1 to 999).map(i => s"w$i").mkString(" "),
+      "en", "a", 1000L))
+    (stubs ++ monster)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val row = SparkEntry.queries("q298_weighted_median")(spark, tmp.getPath)
+      .collect().head
+    assert(row.getAs[Long]("median_len") === 10L)
+    assert(row.getAs[Long]("wmedian_len") === 1000L)
+    assert(row.getAs[Long]("n_tokens") === 9L + 999L)
+  }
+
+  test("q299 PQ SemDeDup: funnel monotone, verified dups subset of q94's exact screen") {
+    import spark.implicits._
+    val pq = SparkEntry.queries("q299_pq_semdedup")(spark, sfDir)
+    assert(pq.where($"n_adc_pass" > $"n_cands"
+      || $"n_verified" > $"n_adc_pass").count() === 0)
+    val exact = SparkEntry.queries("q94_semantic_dedup")(spark, sfDir)
+      .select($"vec_id", $"n_earlier_dups", $"kept".as("exact_kept"))
+    val j = pq.join(exact, Seq("vec_id"))
+    // exact verify means every q299 dup IS a q94 dup (subset per vec)
+    assert(j.where($"n_verified" > $"n_earlier_dups").count() === 0)
+    // kept=false here implies kept=false exactly
+    assert(j.where(!$"kept" && $"exact_kept").count() === 0)
+    // and the 0.25 SDC pre-filter's measured recall vs the exact screen
+    val tot = j.agg(sum($"n_verified"), sum($"n_earlier_dups")).collect()(0)
+    val recall = tot.getLong(0).toDouble / math.max(tot.getLong(1), 1L)
+    info(f"SDC pre-filter dup recall vs q94 = $recall%.2f " +
+      f"(${tot.getLong(0)}/${tot.getLong(1)})")
+    assert(recall >= 0.5, f"compressed-domain screen recall $recall%.2f")
+  }
+
   test("q291 contamination: full ordered grid, bounded counts, planted cross-source copy detected") {
     import spark.implicits._
     val c = SparkEntry.queries("q291_ngram_contam")(spark, sfDir)
