@@ -25,7 +25,13 @@ class DeterminismSpec extends SparkSpec {
     // round-10 rewrites: explicit repartition widths + checkpointed
     // self-joins + two-phase rank — exactly the machinery a partition-
     // width change would shake loose
-    "q151_theil_sen", "q158_basket_lift", "q196_mrr_eval", "q202_item_cf")
+    "q151_theil_sen", "q158_basket_lift", "q196_mrr_eval", "q202_item_cf",
+    // round 13: the md5-draw samplers (wedge CDF lookup, Poisson
+    // bootstrap), the HLL register/harmonic-sum path, the ADC LUT
+    // pipeline, and the weighted rank select — exactly the new
+    // machinery a width change would shake loose
+    "q285_wedge_sample", "q288_bootstrap_ci", "q292_hll_distinct",
+    "q284_ivf_pq_adc", "q298_weighted_median")
 
   private def collectCanon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq

@@ -631,4 +631,17 @@ class PlanShapeSpec extends SparkSpec {
     val adc = finalPlan(SparkEntry.queries("q284_ivf_pq_adc")(spark, sfDir))
     assert(adc.contains("BroadcastHashJoin"), adc)
   }
+
+  test("q296/q298/q299: per-key windows partitioned; SDC funnel joins are equality joins") {
+    Seq(
+      SparkEntry.queries("q296_interarrival_b")(spark, sfDir),
+      SparkEntry.queries("q298_weighted_median")(spark, sfDir)).foreach { df =>
+      val parts = windowParts(df)
+      assert(parts.nonEmpty, "expected per-user/per-source windows in-plan")
+      assert(parts.forall(_.nonEmpty),
+        s"unpartitioned window survived optimization: $parts")
+    }
+    val plan = finalPlan(SparkEntry.queries("q299_pq_semdedup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
