@@ -89,6 +89,24 @@ object Ckpt {
     }
   }
 
+  /** Thread-local collector: while a [[collecting]] body runs, every frame
+    * [[apply]] returns on this thread is also appended to the caller's
+    * buffer — so surfaces that BUILD plans containing internal checkpoints
+    * (PipelineSql views) can [[release]] them when the plan is replaced,
+    * without the operator cores having to thread a registry parameter. */
+  private val collector =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]()
+
+  /** Run `body`, appending every checkpoint [[apply]] mints on this thread
+    * to `buf`. Nesting restores the outer collector on exit. */
+  def collecting[T](buf: scala.collection.mutable.Buffer[DataFrame])(body: => T): T = {
+    val prev = collector.get()
+    collector.set(buf)
+    try body finally {
+      if (prev == null) collector.remove() else collector.set(prev)
+    }
+  }
+
   /** Copy the durability knob from a caller session onto a loop clone
     * (`newSession()` starts from the base conf, dropping runtime-set
     * values — without this the clone would silently fall back to
@@ -100,6 +118,12 @@ object Ckpt {
     * `spark.graft.checkpointDir` is set, `localCheckpoint()` otherwise. */
   def apply(df: DataFrame, eager: Boolean): DataFrame = {
     sweep()
+    val out0 = applyInner(df, eager)
+    Option(collector.get()).foreach(_ += out0)
+    out0
+  }
+
+  private def applyInner(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirConf) match {
       case Some(dir) =>

@@ -1144,11 +1144,14 @@ object Dedup {
         when(expr("((k1 + 1) * k1) div 2") <= $"m", $"k1" + 1).otherwise($"k1"))
       .withColumn("jj", $"m" - expr("(kk * (kk - 1)) div 2"))
       .select($"i", $"u", $"jj", $"kk")
-    // materialize the K-row chosen relation before the adjacency joins:
-    // re-planning the interval-join subtree under two stacked hash joins
-    // is pathological (measured 282 s -> 0.9 s on the duphub megahub),
-    // and K rows are bounded by construction
-    val chosenM = Ckpt(chosen)
+    // truncate the K-row chosen relation's PLAN before the adjacency
+    // joins: re-planning the interval-join subtree under two stacked hash
+    // joins is pathological (measured 282 s -> 0.9 s on the duphub
+    // megahub), and K rows are bounded by construction. Lazy: the
+    // LogicalRDD truncation (the fix) happens at plan time either way,
+    // but lazy keeps BUILDING this frame job-free — PipelineSql.register
+    // constructs the view without running the pipeline.
+    val chosenM = Ckpt(chosen, eager = false)
     val sampled = chosenM
       .join(adj.select($"u", $"idx".as("jj"), $"v".as("a")), Seq("u", "jj"))
       .join(adj.select($"u", $"idx".as("kk"), $"v".as("c")), Seq("u", "kk"))

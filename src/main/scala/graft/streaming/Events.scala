@@ -154,6 +154,18 @@ object Events {
     * by batch_id (the chunk-novelty/monitor discipline) — a replayed
     * micro-batch rewrites its own partitions byte-identically instead
     * of double-appending, so no downstream dedup absorption is needed.
+    * PREREQUISITE: the source must replay a batch_id with the same rows
+    * (true of file sources and Kafka by offset range; NOT of a
+    * rate-limited or non-deterministic source, where a replayed batch
+    * emitting different rows would leave its partition holding the new
+    * rows only — at-least-once there, not exactly-once).
+    *
+    * Output layout note (changed from plain append in round 13): both
+    * tables gained a `batch_id` partition column, one directory per
+    * micro-batch. Long-running gates compact periodically — rewrite
+    * closed batches into a consolidated `batch_id=-1` baseline partition
+    * (admit/reject verdicts are immutable once their batch commits, so
+    * compaction commutes with replay of LIVE batches).
     *
     * Scale shape: per batch O(delta + collisions) — the corpus index is
     * the persisted artifact (at 100 TB a bucketed table on (band,
@@ -548,7 +560,13 @@ object Events {
     * by construction.
     *
     * StreamingSpec proves the final snapshot equals q292's hll_est
-    * column over the same corpus across a 3-batch split. */
+    * column over the same corpus across a 3-batch split.
+    *
+    * Like every batch_id-partitioned monitor here, the state store grows
+    * one partition per micro-batch; a long-running deployment compacts
+    * it periodically by rewriting the max-merged registers as a single
+    * baseline partition (max-merge is idempotent, so compaction commutes
+    * with replay). */
   def hllMonitor(docs: DataFrame, stateTarget: String,
       monitorTarget: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -561,14 +579,21 @@ object Events {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(stateTarget)
-      val merged = spark.read.parquet(stateTarget)
-        .groupBy($"lang", $"b").agg(max($"m").as("m"))
-      graft.operators.TextAnalysis.hllEstimate(merged)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(monitorTarget)
+      // a first micro-batch with zero register rows (all-empty docs)
+      // writes no parquet files — schema inference on the bare store
+      // directory would throw and kill the stream; skip the snapshot
+      // until the store holds at least one file (the next non-empty
+      // batch snapshots everything accumulated so far)
+      if (hasParquetFiles(spark, stateTarget)) {
+        val merged = spark.read.parquet(stateTarget)
+          .groupBy($"lang", $"b").agg(max($"m").as("m"))
+        graft.operators.TextAnalysis.hllEstimate(merged)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(monitorTarget)
+      }
     }
     docs.writeStream
       .outputMode("append")
@@ -642,6 +667,23 @@ object Events {
 
   /** Row-j CMS cell of a user id — q102's md5 cell family on the user
     * salt; shared by the monitor and its batch twin in StreamingSpec. */
+  /** True when `dir` holds at least one parquet part file (recursively —
+    * monitor stores are batch_id-partitioned). Probed through the
+    * session's Hadoop FileSystem so the guard works on HDFS/S3 too, the
+    * chunkNoveltyGate discipline. Guards schema inference over stores a
+    * zero-row first batch left file-less. */
+  private[graft] def hasParquetFiles(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
   private[graft] def cmsCell(j: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(concat(j.cast("string"), lit("#cmsu:"),

@@ -155,4 +155,42 @@ class CatalogSqlSpec extends SparkSpec {
          GROUP BY l.predicted""").collect()
     assert(joined.nonEmpty)
   }
+
+  test("TVF domain floors are ENFORCED: out-of-range thresholds fail loudly") {
+    graft.api.PipelineSql.register(spark, sfDir)
+    // below the banding design floor the candidates were never generated —
+    // the call must throw, not silently under-report
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM minhash_pairs(0.3)").collect())
+    assert(e1.getMessage.contains("banding design floor"),
+      s"wrong error: ${e1.getMessage}")
+    // the guard fires even when the in-domain result would be empty
+    // (a WHERE-side guard would never evaluate on zero surviving rows)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT count(*) FROM minhash_pairs(0.0)").collect())
+    assert(e2.getMessage.contains("banding design floor"))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT * FROM semdedup_verdicts(100000)").collect())
+    assert(e3.getMessage.contains("verify floor"),
+      s"wrong error: ${e3.getMessage}")
+    // at and above the floors the functions answer normally
+    assert(spark.sql("SELECT * FROM minhash_pairs(0.5)").collect().nonEmpty)
+    assert(spark.sql("SELECT * FROM semdedup_verdicts(500000)").collect().nonEmpty)
+  }
+
+  test("re-registration releases the prior registration's checkpoints") {
+    val s2 = spark.newSession()
+    graft.api.PipelineSql.register(s2, sfDir)
+    // materialize the wedge-sample view (forces its internal checkpoints)
+    val r1 = s2.sql("SELECT * FROM graft_wedge_sample").collect()
+    assert(r1.nonEmpty)
+    // re-register: must not throw, must release the superseded
+    // checkpoints (Ckpt.release is identity-guarded, so this passing
+    // means only owned storage was touched), and the fresh views must
+    // still answer
+    graft.api.PipelineSql.register(s2, sfDir)
+    val r2 = s2.sql("SELECT * FROM graft_wedge_sample").collect()
+    assert(r2.map(_.toSeq.mkString("|")).sorted.toSeq ===
+      r1.map(_.toSeq.mkString("|")).sorted.toSeq)
+  }
 }
