@@ -64,6 +64,28 @@ object Bench {
       .getOrElse(sfDir)
     warmAll(warmDir)
     warmAll(sfDir)
+    // Pinned self-calibration probe (VERDICT r13 item 3): a fixed
+    // data-independent CPU+scheduler workload (64M xxhash64 over 32
+    // tasks) timed around the measured passes. Host-window variance
+    // dominated round-over-round comparison (identical code measured
+    // 183 s vs 240 s in different windows); `calib_s` carries the
+    // window's own speed constant in the artifact, so cross-round
+    // per-query ratios can be normalized (r_norm = r_raw *
+    // calib_then/calib_now) without manual worktree A/Bs.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      // modulo keeps the ANSI sum inside long range (64M × 1e9 < 2^63)
+      spark.range(0, 64L << 20, 1, 32)
+        .selectExpr("sum(xxhash64(id) % 1000000007) AS h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibMedian(n: Int): Double = {
+      val xs = Seq.fill(n)(calibOnce()).sorted
+      xs(xs.size / 2)
+    }
+    calibOnce() // codegen warm-up for the probe itself, untimed
+    val calibPre = calibMedian(5)
     // Best-of-3 timed passes: host/VM contention inflates individual runs
     // 2-4x non-deterministically (measured: identical back-to-back FULL
     // bench totals of 30.7 s and 43.8 s); the per-query minimum across
@@ -71,6 +93,10 @@ object Bench {
     def timedPass(): Map[String, Either[String, Double]] =
       SparkEntry.queries.map { case (name, fn) => name -> runOne(sfDir, name, fn) }
     val passes = Seq(timedPass(), timedPass(), timedPass())
+    val calibPost = calibMedian(5)
+    // the suite's normalization constant: median of the two brackets —
+    // robust to a window shift DURING the run showing up in only one
+    val calib = (calibPre + calibPost) / 2
     val results = passes.head.keys.map { name =>
       val rs = passes.map(_(name))
       val best = rs.collect { case Right(v) => v }
@@ -85,7 +111,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     // Full-precision record goes to the file; stdout gets ONE compact line
     // as the LAST output. The driver tail-captures stdout and the 79-query
     // full-precision map outgrew it (BENCH_r03/r04 read "parsed": null) —
@@ -117,12 +143,12 @@ object Bench {
     val qsC = ok.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${ms3(v)}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"failed":$fs,"queries":$qsC}""")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","calib_s":${ms3(calib)},"sf":"$sfDir","n_queries":${ok.size},"failed":$fs,"queries":$qsC}""")
     // The driver keeps only the LAST ~2000 chars of stdout; the 158-query
     // line above is ~3.3 KB so its front (where the total sits) falls off
     // the capture. This tiny FINAL line always lands inside the tail.
     println(
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_s":${ms3(total)},"n":${ok.size},"failed":${failed.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_s":${ms3(total)},"calib_s":${ms3(calib)},"n":${ok.size},"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

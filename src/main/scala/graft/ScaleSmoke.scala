@@ -213,6 +213,10 @@ object ScaleSmoke {
       trihubSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(200000))
       return
     }
+    if (args.contains("pqprobe")) {
+      pqProbeSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
+      return
+    }
     val graphMode = args.contains("graph")
     val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
@@ -318,6 +322,92 @@ object ScaleSmoke {
       }
       println(f"cell balance max/mean (k=8): first-k=${balance(0)}%.2f " +
         f"lloyd-3=${balance(3)}%.2f (lower is better)")
+    }
+    spark.stop()
+  }
+
+  /** Persisted IVF-PQ probe smoke on the COLLECTION-GROWTH axis: build
+    * the cell-partitioned, vec_id-bucketed codes table at 1x and Nx,
+    * then measure (a) probe wall for the persisted-table path vs the
+    * in-query q284 path (the table path re-derives neither assignment
+    * nor codes, so its advantage should WIDEN with N) and (b) probed vs
+    * total layout bytes — the nprobe/k pruning claim measured on the
+    * artifact itself, per scale. Run: runMain graft.ScaleSmoke pqprobe [n] */
+  private def pqProbeSmoke(n: Int): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft_scale_emb_x$n"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    if (!new java.io.File(s"$big/embeddings.parquet").exists()) {
+      // the emb-mode replication recipe: distinct vec_ids, small
+      // deterministic perturbation, query/centroid prefixes keep size
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("vec_id", $"vec_id" * n + $"r")
+        .withColumn("embedding", transform($"embedding",
+          (x, i) => (x + sin($"vec_id" * 131 + i * 17) * 0.01).cast("float")))
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
+    def timeIt(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"axis"}%-6s ${"build_s"}%8s ${"inquery_s"}%10s ${"table_s"}%8s " +
+      f"${"probed_B"}%10s ${"total_B"}%10s  frac")
+    for ((label, dir) <- Seq("1x" -> base, s"${n}x" -> big)) {
+      val tbl = s"pq_smoke_${label.stripSuffix("x")}x"
+      val path = s"/tmp/graft_pq_codes_$label"
+      val tBuild = timeIt(
+        graft.operators.Similarity.writePqCodes(spark, dir, tbl, path))
+      def runInQuery(): Unit = graft.operators.Similarity.ivfPqAdc(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      def runTable(): Unit = graft.operators.Similarity
+        .ivfPqAdcProbeTable(spark, dir, tbl)
+        .write.format("noop").mode("overwrite").save()
+      runInQuery(); runTable() // warm
+      val tIn = math.min(timeIt(runInQuery()), timeIt(runInQuery()))
+      val tTb = math.min(timeIt(runTable()), timeIt(runTable()))
+      // probed cells: the same bounded relation the probe collects
+      val e = graft.sources.Tables.embeddings(spark, dir).select($"vec_id",
+        $"embedding", graft.functions.VectorOps.l2norm($"embedding").as("nrm"))
+      val cent = e.where($"vec_id" < 8).select($"vec_id".as("cent_id"),
+        $"embedding".as("cemb"), $"nrm".as("cnrm"))
+      def cellsFor(maxQ: Long): Set[Long] =
+        e.where($"vec_id" < maxQ).join(broadcast(cent), lit(true))
+          .withColumn("ccos", graft.functions.VectorOps.dot($"embedding", $"cemb")
+            / ($"nrm" * $"cnrm"))
+          .withColumn("crk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+          .where($"crk" <= 2).select($"cent_id").distinct()
+          .as[Long].collect().toSet
+      // the 10-query panel's UNION can cover every cell; the nprobe/k
+      // byte claim is per PROBE, so report the single-query fraction too
+      val probedCells = cellsFor(10L)
+      val oneQueryCells = cellsFor(1L)
+      val cellDirs = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("cell="))
+      def dirBytes(d: java.io.File): Long =
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      def bytesOf(cells: Set[Long]): Long = cellDirs.filter(d =>
+        cells.contains(d.getName.stripPrefix("cell=").toLong))
+        .map(dirBytes).sum
+      val probedB = bytesOf(probedCells)
+      val oneB = bytesOf(oneQueryCells)
+      val totalB = cellDirs.map(dirBytes).sum
+      println(f"$label%-6s $tBuild%8.2f $tIn%10.2f $tTb%8.2f " +
+        f"$probedB%10d $totalB%10d  ${probedB.toDouble / totalB}%.2f" +
+        f"  (single-query frac ${oneB.toDouble / totalB}%.2f, " +
+        f"${oneQueryCells.size}/${cellDirs.length} cells)")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
     spark.stop()
   }

@@ -1086,22 +1086,33 @@ object Dedup {
       Ckpt(simhashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
         eager = false), WedgeSampleK)
 
-  /** Testable core over any canonical (doc_a < doc_b) pair relation. */
-  private[graft] def wedgeSamplePairs(p: DataFrame,
-      kSamples: Long): DataFrame = {
+  /** Per-center wedge census shared by [[wedgeChosen]] and the final
+    * report: (wtot = Σ C(d,2), n_centers). */
+  private def wedgeTot(p: DataFrame): DataFrame = {
+    import p.sparkSession.implicits._
+    wedgeCw(p).agg(sum($"w").as("wtot"), count(lit(1)).as("n_centers"))
+  }
+
+  private def wedgeCw(p: DataFrame): DataFrame = {
+    import p.sparkSession.implicits._
+    p.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .groupBy($"u").agg(count(lit(1)).as("d"))
+      .where($"d" >= 2L)
+      .withColumn("w", expr("cast((d * (d - 1)) div 2 as decimal(38,0))"))
+  }
+
+  /** The K chosen (center, neighbor-index pair) draws — everything up to
+    * (but not including) the adjacency joins. Exposed private[graft] so
+    * PlanShapeSpec can pin the probe→CDF interval lookup's plan (it sits
+    * behind a lineage-truncation checkpoint in the full query). */
+  private[graft] def wedgeChosen(p: DataFrame, kSamples: Long): DataFrame = {
     import p.sparkSession.implicits._
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val spark = p.sparkSession
-    val s = p.select($"doc_a".as("u"), $"doc_b".as("v"))
-      .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
-    // neighbor index per center: v asc — a per-center window, bounded
-    // by max degree (parallel across centers)
-    val adj = s.withColumn("idx", row_number().over(
-      Window.partitionBy($"u").orderBy($"v".asc)).cast("long") - 1L)
-    val cw = s.groupBy($"u").agg(count(lit(1)).as("d"))
-      .where($"d" >= 2L)
-      .withColumn("w", expr("cast((d * (d - 1)) div 2 as decimal(38,0))"))
+    val cw = wedgeCw(p)
+    val tot = wedgeTot(p)
     // exclusive prefix sum of w over centers ordered by u — the q178
     // two-phase shape (never one global window): per-segment window
     // cumsum + broadcast per-segment offsets
@@ -1122,16 +1133,34 @@ object Dedup {
       .select($"seg", coalesce(sum($"c").over(wOff), lit(0L).cast(dec)).as("off"))
     val centers = inSeg.join(broadcast(offs), "seg")
       .select($"u", $"d", $"w", ($"cum_in" + $"off").as("cum_lo"))
-    val tot = cw.agg(sum($"w").as("wtot"), count(lit(1)).as("n_centers"))
+    // probe -> center-interval lookup as a BUCKETED equi-join (the
+    // RangeJoin/RangeJoinRule rewrite shape), not a nested-loop: a plain
+    // `cum_lo <= pp < cum_lo + w` join evaluates every center row against
+    // all K probe intervals (fine at K=2000 constant, a 2000x per-center
+    // constant at billion-center scale). Bucket width = wtot/256 — the
+    // CDF-domain twin of the 256-segment prefix-sum grid above — is
+    // data-dependent, so the static-width rule conf can't express it;
+    // the rewrite is inlined with exact decimal div (no double rounding
+    // anywhere near 2^63). Each center explodes to its overlapped
+    // buckets (Σ <= 256 + 2·n_centers rows), each probe maps to exactly
+    // one, so a matching pair meets in precisely one bucket — the hash
+    // join needs no post-dedup, only the exact interval re-check.
     val probes = spark.range(kSamples).toDF("i")
       .crossJoin(broadcast(tot))
       .where($"wtot" > 0)
       .select($"i",
         (conv(substring(md5(concat(lit("ws:"), $"i")), 1, 15), 16, 10)
-          .cast("long").cast(dec) % $"wtot").as("pp"))
-    val chosen = centers.join(broadcast(probes),
-        probes("pp") >= centers("cum_lo")
-          && probes("pp") < centers("cum_lo") + centers("w"))
+          .cast("long").cast(dec) % $"wtot").as("pp"),
+        expr("(wtot div 256) + 1").as("bw"))
+      .select($"i", $"pp", expr("cast(pp div bw as long)").as("bucket"))
+    val centersB = centers.crossJoin(broadcast(tot))
+      .select($"u", $"d", $"w", $"cum_lo",
+        expr("(wtot div 256) + 1").as("bw"))
+      .withColumn("bucket", explode(sequence(
+        expr("cast(cum_lo div bw as long)"),
+        expr("cast((cum_lo + w - 1) div bw as long)"))))
+    centersB.join(broadcast(probes), Seq("bucket"))
+      .where($"pp" >= $"cum_lo" && $"pp" < $"cum_lo" + $"w")
       .withColumn("m",
         (conv(substring(md5(concat(lit("wp:"), $"i")), 1, 15), 16, 10)
           .cast("long").cast(dec) % $"w").cast("long"))
@@ -1144,6 +1173,20 @@ object Dedup {
         when(expr("((k1 + 1) * k1) div 2") <= $"m", $"k1" + 1).otherwise($"k1"))
       .withColumn("jj", $"m" - expr("(kk * (kk - 1)) div 2"))
       .select($"i", $"u", $"jj", $"kk")
+  }
+
+  /** Testable core over any canonical (doc_a < doc_b) pair relation. */
+  private[graft] def wedgeSamplePairs(p: DataFrame,
+      kSamples: Long): DataFrame = {
+    import p.sparkSession.implicits._
+    val s = p.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(p.select($"doc_b".as("u"), $"doc_a".as("v")))
+    // neighbor index per center: v asc — a per-center window, bounded
+    // by max degree (parallel across centers)
+    val adj = s.withColumn("idx", row_number().over(
+      Window.partitionBy($"u").orderBy($"v".asc)).cast("long") - 1L)
+    val tot = wedgeTot(p)
+    val chosen = wedgeChosen(p, kSamples)
     // truncate the K-row chosen relation's PLAN before the adjacency
     // joins: re-planning the interval-join subtree under two stacked hash
     // joins is pathological (measured 282 s -> 0.9 s on the duphub

@@ -325,9 +325,18 @@ object Similarity {
       .select($"vec_id", $"cent_id".as("cell"))
     val probes = rankedCells.where($"crk" <= nprobe && $"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
-    // per-query ADC LUT: q_s·c_{code,s} (asymmetric inner product) plus
-    // the query-independent ‖c_{code,s}‖², both on q98's exact float
-    // path and 1e6-quantized — |queries|·m·k rows, broadcast
+    val lut = adcLut(e, m, subDim)
+    val cand = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+    adcShortlistRerank(e, cand.join(codes, Seq("vec_id")), lut, shortlist, k)
+  }
+
+  /** Per-query ADC LUT: q_s·c_{code,s} (asymmetric inner product) plus
+    * the query-independent ‖c_{code,s}‖², both on q98's exact float
+    * path and 1e6-quantized — |queries|·m·k rows, broadcast. */
+  private def adcLut(e: DataFrame, m: Int, subDim: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val codebook: Array[(Long, Array[Double])] =
       e.where($"vec_id" < 8)
         .select($"vec_id",
@@ -336,7 +345,7 @@ object Similarity {
     val qSub = e.where($"vec_id" < 10).select($"vec_id".as("query_id"),
       posexplode(array((0 until m).map(s =>
         slice($"embedding", s * subDim + 1, subDim)): _*)).as(Seq("sub", "sl")))
-    val lut = qSub.select($"query_id", $"sub".cast("long").as("sub"),
+    qSub.select($"query_id", $"sub".cast("long").as("sub"),
         explode(array(codebook.map { case (id, cemb) =>
           val subs: Seq[Seq[Double]] =
             (0 until m).map(s => cemb.slice(s * subDim, s * subDim + subDim).toSeq)
@@ -350,12 +359,17 @@ object Similarity {
         }: _*)).as("ent"))
       .select($"query_id", $"sub", $"ent.code".as("code"),
         $"ent.ip_q".as("ip_q"), $"ent.rn_q".as("rn_q"))
-    val cand = assigned.join(broadcast(probes),
-        assigned("cell") === probes("cell") && $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id")
+  }
+
+  /** Shared tail of the ADC scan: compressed-domain scoring of candidate
+    * code rows, per-query shortlist, exact rerank. `candCodes` is
+    * (query_id, vec_id, sub, code); `e` is (vec_id, embedding, nrm). */
+  private def adcShortlistRerank(e: DataFrame, candCodes: DataFrame,
+      lut: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
     // compressed-domain score: two sums of 8 LUT longs per candidate,
     // one double ratio — approximate cosine against the reconstruction
-    val adc = cand.join(codes, Seq("vec_id"))
+    val adc = candCodes
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy($"query_id", $"vec_id")
       .agg(sum($"ip_q").as("ip"), sum($"rn_q").as("rn2"))
@@ -372,6 +386,74 @@ object Similarity {
           $"nrm".as("qnrm"))), Seq("query_id"))
       .withColumn("cos", VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
     topk(scored, k)
+  }
+
+  /** Write the IVF-PQ index ARTIFACT: every vector's 8 (sub, code) rows
+    * tagged with its pinned coarse cell, laid out cell-PARTITIONED (a
+    * probe's `cell IN (...)` predicate prunes to nprobe/k of the
+    * directories — probe bytes scale with nprobe/k of the already
+    * ~20x-folded code table, never with the corpus) and vec_id-BUCKETED
+    * within each cell (candidate joins/aggs on vec_id are co-located).
+    * This is the persisted layout `ivfPqAdcProbeTable` scans; the
+    * write-side shuffle is paid once at index-build time. */
+  def writePqCodes(spark: SparkSession, dir: String, table: String,
+      path: String, buckets: Int = 4): Unit = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(
+      $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+      .where($"crk" === 1)
+      .select($"vec_id", $"cent_id".as("cell"))
+    val codes = Quantize.pqEncode(spark, dir)
+      .select($"vec_id", $"sub", $"code")
+    graft.sources.Bucketing.writePartitionedBucketed(
+      codes.join(assigned, Seq("vec_id")), table, path,
+      partCol = "cell", key = "vec_id", buckets = buckets)
+  }
+
+  /** q284 over the PERSISTED index: the probe never recomputes the
+    * corpus assignment (the table's `cell` partition column IS the
+    * assignment) and never scans full vectors for candidates — only the
+    * probed cells' code rows plus full vectors for the queries, the
+    * codebook, and the ~shortlist rerank survivors. The probed cell ids
+    * are a BOUNDED collect (≤ nprobe·|queries| longs) pushed as a
+    * literal IN so the scan statically prunes cell directories — the
+    * strongest plan (no runtime DPP dependence); MlPipelineSpec pins the
+    * pruned scan and row-identity with the in-query q284 path. */
+  def ivfPqAdcProbeTable(spark: SparkSession, dir: String, table: String,
+      nprobe: Int = 2, shortlist: Int = 32, k: Int = 3,
+      nQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val m = 8; val subDim = 8
+    val e = Tables.embeddings(spark, dir).select(
+      $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    // rank cells for the QUERY vectors only — corpus assignment lives
+    // in the table
+    val probes = e.where($"vec_id" < nQueries).join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+      .where($"crk" <= nprobe)
+      .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+    val probedCells: Seq[Long] =
+      probes.select($"cell").distinct().as[Long].collect().toSeq.sorted
+    val candCodes = graft.sources.Bucketing.table(spark, table)
+      .where($"cell".isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"sub", $"code")
+    adcShortlistRerank(e, candCodes, adcLut(e, m, subDim), shortlist, k)
   }
 
   /** q286: embedding-cell JS divergence between gold labels — q182's

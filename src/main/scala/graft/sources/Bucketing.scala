@@ -30,5 +30,23 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Write `df` PARTITIONED by `partCol` (directory-level pruning: a
+    * probe filtering on partCol scans only matching directories) AND
+    * bucketed+sorted by `key` within each partition (key joins/aggs are
+    * merge-ready without a per-query exchange on this side). The layout
+    * for probe-then-join artifacts — e.g. the IVF-PQ codes table: cell
+    * partitions bound probe bytes to nprobe/k of the table, vec_id
+    * buckets keep the candidate join co-located. */
+  def writePartitionedBucketed(df: DataFrame, table: String, path: String,
+      partCol: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

@@ -36,6 +36,56 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ codes table: cell partitions prune to the probe; identical to in-query q284") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_codes_tbl_${System.nanoTime()}")
+    Similarity.writePqCodes(spark, sfDir, "pq_codes_tbl", base.getPath)
+    try {
+      // (1) row identity: the persisted cell-partitioned layout answers
+      // exactly what the in-query q284 path answers
+      val viaTable = Similarity.ivfPqAdcProbeTable(spark, sfDir, "pq_codes_tbl")
+      val direct = SparkEntry.queries("q284_ivf_pq_adc")(spark, sfDir)
+      assert(viaTable.except(direct).count() === 0)
+      assert(direct.except(viaTable).count() === 0)
+      // (2) plan pin: a single query's probe must reach the scan as a
+      // STATIC partition filter on cell — the scan reads nprobe cell
+      // directories, not the table
+      val one = Similarity.ivfPqAdcProbeTable(spark, sfDir, "pq_codes_tbl",
+        nQueries = 1)
+      one.write.format("noop").mode("overwrite").save()
+      val plan = (one.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("FileScan") && l.contains("pq_codes_tbl"))
+        .getOrElse(fail(s"no codes-table scan in plan:\n$plan"))
+      assert(scanLine.contains("PartitionFilters"), scanLine)
+      assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN \\([^)]*\\).*"),
+        scanLine)
+      // (3) probe bytes ∝ nprobe/k, measured on the layout itself: the
+      // probed cell directories hold a strict fraction of the table
+      val cellDirs = base.listFiles().filter(_.getName.startsWith("cell="))
+      def dirBytes(d: java.io.File): Long =
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val probedCells = scanLine
+        .replaceAll(".*IN \\(([^)]*)\\).*", "$1").split(",").map(_.trim.toLong).toSet
+      val probedBytes = cellDirs.filter(d =>
+        probedCells.contains(d.getName.stripPrefix("cell=").toLong)).map(dirBytes).sum
+      val totalBytes = cellDirs.map(dirBytes).sum
+      info(f"probe reads ${probedCells.size}/${cellDirs.length} cells, " +
+        f"$probedBytes B of $totalBytes B (${probedBytes.toDouble / totalBytes}%.2f)")
+      assert(probedCells.size < cellDirs.length,
+        s"single-query probe did not prune: $probedCells of ${cellDirs.length} cells")
+      assert(probedBytes < totalBytes)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_codes_tbl")
+    }
+  }
+
   test("groupBy on the bucket key of a bucketed table needs no exchange") {
     val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_bucketed")
     Bucketing.writeBucketed(

@@ -644,4 +644,27 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlan(SparkEntry.queries("q299_pq_semdedup")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q285 probe->CDF lookup is a bucketed hash join, not a nested loop") {
+    // the probe↔center-interval join is the RangeJoin bucketed rewrite
+    // (CDF-grid width wtot/256). It sits behind the lineage-truncation
+    // checkpoint in the full query, so pin the pre-checkpoint chosen
+    // relation's plan directly: the only sanctioned loop joins are
+    // conditionless 1-row census crosses — a CONDITIONED nested loop
+    // would mean the interval bracket regressed to a loop join.
+    val pairs = graft.operators.Dedup.simhashPairs(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+    val chosen = graft.operators.Dedup.wedgeChosen(pairs, 2000L)
+    val plan = finalPlan(chosen)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nljCond = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(l => l.contains(">=") || l.contains("<="))
+    assert(nljCond.isEmpty,
+      s"interval bracket planned as nested loop: ${nljCond.mkString("\n")}")
+    // the bucketed lookup itself: an equality hash join on the bucket id
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("bucket"), plan)
+  }
 }

@@ -27,16 +27,27 @@ def main(argv):
     prev, cur = hist[-1 - back], hist[-1]
     pq, cq = prev["queries"], cur["queries"]
     common = sorted(set(pq) & set(cq))
-    ratios = [cq[k] / pq[k] for k in common if pq[k] > 0]
+    # calib_s is the run's pinned self-calibration probe (64M xxhash64
+    # on 32 tasks, median-of-brackets): when both entries carry it,
+    # normalize the current run onto the previous run's host window so
+    # ratios measure CODE, not window speed. Raw numbers stay printed.
+    norm = 1.0
+    if prev.get("calib_s") and cur.get("calib_s"):
+        norm = prev["calib_s"] / cur["calib_s"]
+    ratios = [cq[k] * norm / pq[k] for k in common if pq[k] > 0]
     med = statistics.median(ratios)
     print(f"prev {prev['ts'][:19]} total {sum(pq.values()):.1f} s "
-          f"({len(pq)} queries)")
+          f"({len(pq)} queries, calib {prev.get('calib_s', 'n/a')})")
     print(f"cur  {cur['ts'][:19]} total {sum(cq.values()):.1f} s "
-          f"({len(cq)} queries)")
+          f"({len(cq)} queries, calib {cur.get('calib_s', 'n/a')})")
+    if norm != 1.0:
+        print(f"window normalization prev/cur calib = {norm:.3f} "
+              f"(ratios below are calib-normalized)")
     print(f"median per-query ratio {med:.3f} "
           f"({'host-noise window likely' if med > 1.15 or med < 0.87 else 'comparable conditions'})")
-    flagged = [(k, pq[k], cq[k]) for k in common
-               if pq[k] > 0 and cq[k] / pq[k] > 1.3 and cq[k] - pq[k] > 0.5]
+    flagged = [(k, pq[k], cq[k] * norm) for k in common
+               if pq[k] > 0 and cq[k] * norm / pq[k] > 1.3
+               and cq[k] * norm - pq[k] > 0.5]
     flagged.sort(key=lambda r: -(r[2] - r[1]))
     if flagged:
         print(f"\n{len(flagged)} regressions (>1.3x AND >+0.5 s):")
