@@ -217,6 +217,10 @@ object ScaleSmoke {
       pqProbeSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
       return
     }
+    if (args.contains("starcc")) {
+      starCcSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(100000))
+      return
+    }
     val graphMode = args.contains("graph")
     val docsMode = args.contains("docs") || graphMode
     val embMode = args.contains("emb")
@@ -322,6 +326,62 @@ object ScaleSmoke {
       }
       println(f"cell balance max/mean (k=8): first-k=${balance(0)}%.2f " +
         f"lloyd-3=${balance(3)}%.2f (lower is better)")
+    }
+    spark.stop()
+  }
+
+  /** Star-contraction vs label-propagation CC on a DIAMETER-heavy
+    * graph: an n-node chain with shuffled ids (worst case for one-hop
+    * label travel) plus a dup-family hub mixture (the realistic near-dup
+    * shape). Label-prop iterates |nodes| label rows against a STATIC
+    * edge table every round; star contraction rewrites the edge relation
+    * itself, shrinking each round's shuffle as components collapse — the
+    * big-graph trade Graph.scala's header names. Identity is
+    * spec-gated (GraphCurationSpec); this measures wall at 1x/10x. Run
+    * with GRAFT_STAGE_LOG=1 to see per-round edge counts / label sums.
+    * Run: runMain graft.ScaleSmoke starcc [n] */
+  private def starCcSmoke(n: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def graph(sz: Long): (DataFrame, DataFrame) = {
+      // chain over a permuted id space (id = 37i mod sz is a bijection
+      // for sz coprime with 37) + 100-node dup families every 1000 ids
+      val chain = spark.range(sz - 1)
+        .select((($"id" * 37) % sz).as("a"), ((($"id" + 1) * 37) % sz).as("b"))
+      val hubs = spark.range(sz / 10)
+        .select((expr("id div 100") * 100 + sz).as("a"), ($"id" + sz).as("b"))
+      val edges = chain.union(hubs)
+      val nodes = spark.range(sz + sz / 10).toDF("node")
+      (graft.operators.Ckpt(edges.toDF("a", "b")),
+        graft.operators.Ckpt(nodes))
+    }
+    def timeIt(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // label-prop is the SHALLOW-component algorithm (its docs say so) —
+    // on a diameter-heavy chain its min label travels hops, so cap it
+    // and report DNF honestly instead of crashing the smoke. Star
+    // contraction's round count is ~log d regardless of diameter.
+    val cap = 60
+    println(f"${"axis"}%-8s ${"labelprop_s"}%12s ${"starcc_s"}%10s")
+    for ((label, sz) <- Seq("1x" -> n.toLong, "10x" -> n.toLong * 10)) {
+      val (e, v) = graph(sz)
+      def run(f: (DataFrame, DataFrame) => DataFrame): Unit =
+        f(e, v).write.format("noop").mode("overwrite").save()
+      run(graft.operators.Graph.connectedComponentsStar(_, _, 200)) // warm
+      val tStar = timeIt(run(graft.operators.Graph.connectedComponentsStar(_, _, 200)))
+      val tProp =
+        try timeIt(run(graft.operators.Graph.connectedComponents(_, _, cap)))
+        catch { case _: IllegalStateException => -1.0 }
+      val propCol = if (tProp < 0) f"DNF(>$cap rounds)" else f"$tProp%12.2f"
+      println(f"$label%-8s $propCol%12s $tStar%10.2f")
+      graft.operators.Ckpt.release(e); graft.operators.Ckpt.release(v)
     }
     spark.stop()
   }

@@ -319,6 +319,8 @@ object SparkEntry {
     "q297_code_usage"       -> (Quantize.codeUsage _),
     "q298_weighted_median"  -> (Relational.weightedMedian _),
     "q299_pq_semdedup"      -> (Similarity.pqSemDedup _),
+    "q300_opq_permute"      -> (Quantize.opqPermute _),
+    "q301_unigram_em"       -> (TextAnalysis.unigramEmStep _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7527,6 +7529,135 @@ ${base("q98_pq_encode")}),
            CAST((-sum(t)) // n AS BIGINT) AS usage_ent_e4,
            CAST((max(k) * 1000000) // n AS BIGINT) AS top_code_share_ppm
          FROM t GROUP BY sub, n"""
+    // q300: parametric OPQ by variance-balanced dimension permutation —
+    // q92-grid moments rank the dims, a snake draft assigns them to
+    // subspaces, both layouts re-encode on q98's float discipline
+    // (permuted gather order pinned by list(vi ORDER BY pos)), and the
+    // q297/q265 stats ride their exact-long paths per variant.
+    val opqOracle =
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         x AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i,
+                 unnest(emb) AS vi
+               FROM e),
+         mom AS (SELECT i,
+             CAST(sum(CAST(floor(vi * vi * 1000000 + 1.0/3) AS BIGINT))
+               AS BIGINT) AS mm
+           FROM x GROUP BY 1),
+         rnk AS (SELECT i AS dim,
+             row_number() OVER (ORDER BY mm DESC, i ASC) - 1 AS r
+           FROM mom),
+         asg AS (SELECT dim, r // 8 AS pos,
+             CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS sub
+           FROM rnk),
+         pv AS (SELECT x.vec_id, asg.sub, list(x.vi ORDER BY asg.pos) AS sl
+               FROM x JOIN asg ON asg.dim = x.i
+               GROUP BY 1, 2),
+         cbp AS (SELECT vec_id AS code, sub, sl AS csl FROM pv WHERE vec_id < 8),
+         sdp AS (SELECT pv.vec_id, pv.sub, cbp.code,
+             (list_reduce(list_transform(pv.sl, x -> x*x), (a, b) -> a + b)
+              - 2.0 * list_reduce(list_transform(pv.sl,
+                  (x, i) -> x * cbp.csl[i]), (a, b) -> a + b))
+             + list_reduce(list_transform(cbp.csl, x -> x*x),
+                 (a, b) -> a + b) AS dist
+           FROM pv JOIN cbp USING (sub)),
+         rp AS (SELECT vec_id, sub, code, dist,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist ASC, code ASC) AS rk
+               FROM sdp),
+         encp AS (SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+             CAST(code AS BIGINT) AS code,
+             CAST(floor(dist * 1000000 + 1.0/3) AS BIGINT) AS dist_q
+           FROM rp WHERE rk = 1),
+         encb AS (
+${base("q98_pq_encode")}),
+         allenc AS (SELECT 'base' AS variant, vec_id, sub, code, dist_q FROM encb
+                    UNION ALL
+                    SELECT 'opq', vec_id, sub, code, dist_q FROM encp),
+         cnt AS (SELECT variant, sub, code, CAST(count(*) AS BIGINT) AS k
+                 FROM allenc GROUP BY 1, 2, 3),
+         nn AS (SELECT variant, sub, CAST(sum(k) AS BIGINT) AS n
+                FROM cnt GROUP BY 1, 2),
+         t AS (SELECT cnt.variant, cnt.sub, nn.n, cnt.k,
+             cnt.k * CAST(floor(ln(CAST(cnt.k AS DOUBLE)
+               / CAST(nn.n AS DOUBLE)) * 10000 + 1.0/3) AS BIGINT) AS t
+           FROM cnt JOIN nn ON nn.variant = cnt.variant AND nn.sub = cnt.sub),
+         ent AS (SELECT variant, sub, n,
+             CAST(count(*) AS BIGINT) AS n_codes_used,
+             CAST((-sum(t)) // n AS BIGINT) AS usage_ent_e4
+           FROM t GROUP BY variant, sub, n),
+         dst AS (SELECT variant, sub, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(dist_q) // count(*) AS BIGINT) AS mean_dist_q
+           FROM allenc GROUP BY 1, 2)
+         SELECT ent.variant, ent.sub, dst.n_vecs, ent.n_codes_used,
+           ent.usage_ent_e4, dst.mean_dist_q
+         FROM ent JOIN dst ON dst.variant = ent.variant AND dst.sub = ent.sub"""
+    // q301: unigram-LM Viterbi-EM round — candidate substring pieces
+    // scored by quantized log-frequency, the 8-position max-score DP and
+    // the 8-step backtrack unrolled as CTEs (the q254/q99 recipe), then
+    // the M-step recount. Tie-breaks: (score desc, piece-length asc) in
+    // the DP, (count desc, piece asc) in the report.
+    val unigramOracle: String = {
+      val dpCtes = (1 to 8).map { i =>
+        val branches = (1 to math.min(4, i)).map { l =>
+          s"""SELECT wl.w, dp${i - l}.sc + sc.sq AS nsc, $l AS l
+             FROM wl JOIN dp${i - l} ON dp${i - l}.w = wl.w
+             JOIN sc ON sc.piece = substr(wl.w, ${i - l + 1}, $l)
+             WHERE wl.len >= $i"""
+        }.mkString("\nUNION ALL\n")
+        s"""dp$i AS MATERIALIZED (
+           SELECT w, nsc AS sc, l AS bl FROM (
+             SELECT w, nsc, l, row_number() OVER (PARTITION BY w
+               ORDER BY nsc DESC, l ASC) AS rk
+             FROM ($branches) br) rkd WHERE rk = 1)"""
+      }.mkString(",\n")
+      val dpAll = (1 to 8).map(i =>
+        s"SELECT w, $i AS pos, bl FROM dp$i").mkString("\nUNION ALL\n")
+      val walkCtes = (1 to 8).map { k =>
+        s"""em$k AS MATERIALIZED (
+             SELECT b.w, substr(b.w, CAST(d.pos - d.bl + 1 AS INT),
+               CAST(d.bl AS INT)) AS piece, d.pos - d.bl AS npos
+             FROM bw${k - 1} b JOIN dpall d ON d.w = b.w AND d.pos = b.pos
+             WHERE b.pos > 0),
+           bw$k AS (SELECT w, npos AS pos FROM em$k)"""
+      }.mkString(",\n")
+      val emAll = (1 to 8).map(k => s"SELECT w, piece FROM em$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         wv AS (SELECT substr(tok, 1, 8) AS w,
+             CAST(count(*) AS BIGINT) AS freq
+           FROM tok WHERE length(tok) > 0 GROUP BY 1),
+         wl AS MATERIALIZED (SELECT w, freq, length(w) AS len FROM wv),
+         occ AS (SELECT substr(wl.w, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece,
+             wl.freq
+           FROM wl, range(1, 9) i(i), range(1, 5) l(l)
+           WHERE i.i + l.l - 1 <= wl.len),
+         kept AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM occ GROUP BY 1
+           HAVING sum(freq) >= 5 OR length(piece) = 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM kept),
+         sc AS MATERIALIZED (SELECT piece,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+               * 1000000 + 1.0/3) AS BIGINT) AS sq
+           FROM kept, tot),
+         dp0 AS (SELECT w, CAST(0 AS BIGINT) AS sc FROM wl),
+         $dpCtes,
+         dpall AS MATERIALIZED (
+$dpAll),
+         bw0 AS (SELECT w, len AS pos FROM wl),
+         $walkCtes,
+         emall AS (
+$emAll),
+         emc AS (SELECT piece, CAST(sum(wl.freq) AS BIGINT) AS em_count
+           FROM emall JOIN wl USING (w) GROUP BY 1),
+         top AS (SELECT piece, em_count,
+             row_number() OVER (ORDER BY em_count DESC, piece ASC) AS r
+           FROM emc)
+         SELECT piece, em_count, CAST(r AS BIGINT) AS vit_rank
+         FROM top WHERE r <= 50"""
+    }
     // q298: token-weighted vs unweighted lower-median doc length per
     // source — rank/weight-rank select on exact integers.
     val weightedMedianOracle =
@@ -7709,6 +7840,8 @@ ${base("q98_pq_encode")}),
       ("q297_code_usage" -> codeUsageOracle) +
       ("q298_weighted_median" -> weightedMedianOracle) +
       ("q299_pq_semdedup" -> pqSemDedupOracle) +
+      ("q300_opq_permute" -> opqOracle) +
+      ("q301_unigram_em" -> unigramOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

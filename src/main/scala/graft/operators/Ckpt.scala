@@ -138,14 +138,20 @@ object Ckpt {
         // re-runs the internal RDD) scans blocks instead of recomputing
         // the lineage the truncation exists to sever
         val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        val out = cached.checkpoint(eager)
+        // clampStats: checkpoint copies the pre-checkpoint plan's stats
+        // onto the LogicalRDD; iterative self-joins SQUARE sizeInBytes
+        // per round and the driver livelocks on million-digit BigInt
+        // multiplication past ~20 rounds (see RddBridge.clampStats)
+        val out = org.apache.spark.sql.graft.RddBridge
+          .clampStats(cached.checkpoint(eager))
         if (eager) cached.unpersist()
         else pendingCache.put(out, cached)
         org.apache.spark.sql.graft.RddBridge.leafRdds(out)
           .foreach(r => owned.add(r.id))
         out
       case None =>
-        val out = df.localCheckpoint(eager)
+        val out = org.apache.spark.sql.graft.RddBridge
+          .clampStats(df.localCheckpoint(eager))
         org.apache.spark.sql.graft.RddBridge.leafRdds(out)
           .foreach(r => owned.add(r.id))
         out

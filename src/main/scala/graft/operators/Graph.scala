@@ -175,6 +175,101 @@ object Graph {
     rebind(out, caller)
   }
 
+  /** Connected components by LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the big-graph
+    * alternative Graph.scala's header names: [[connectedComponents]]
+    * keeps the FULL edge table static and iterates |nodes| label rows
+    * per round; star contraction rewrites the EDGE relation itself, so
+    * each round's shuffle shrinks as components collapse into stars —
+    * the property that matters when edges, not labels, dominate (the
+    * 100 TB near-dup graph). Same join-agg building blocks, same
+    * cloned-session/AQE/Ckpt discipline, O(log d) rounds.
+    *
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ u)
+    *  - small-star(u): every smaller neighbor (and u itself) re-points
+    *    to m
+    *
+    * Both steps strictly shrink the edge potential; the fixpoint is a
+    * union of stars rooted at component minima, so the final edge list
+    * IS the label table. Convergence is an exact edge-set equality probe
+    * (one signed-union aggregate job per round), not a checksum.
+    * GraphCurationSpec gates bit-identity against [[connectedComponents]]
+    * on the testdata pair graphs; ScaleSmoke's `starcc` axis measures the
+    * round/wall crossover on a diameter-heavy chain graph. */
+  def connectedComponentsStar(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val caller = edges.sparkSession
+    val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
+    import spark.implicits._
+    def rebind(df: DataFrame, to: SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    val loopParts = ccLoopParts(caller)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val e0 = rebind(edges, spark).toDF("src", "dst")
+    // state: directed (u, v) with v < u — "u points down to v"
+    var cur = Ckpt(e0
+      .select(greatest($"src", $"dst").as("u"), least($"src", $"dst").as("v"))
+      .where($"u" =!= $"v").distinct(), eager = false)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val m = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      sym.join(m, "u")
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .where($"u" =!= $"v")
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input edges all point down (v < u), so min(N⁺(u)) = min(N(u))
+      val m = e.groupBy($"u").agg(min($"v").as("m"))
+      e.join(m, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(m.select($"u", $"m".as("v")))
+        .where($"u" =!= $"v")
+        .distinct()
+    }
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // one checkpoint per round: cur is a LogicalRDD leaf, so the fused
+      // large∘small plan has constant depth — checkpointing the
+      // intermediate large-star relation would only double the
+      // materialization cost (measured: the per-round ACTION count is
+      // what dominates this loop, not data)
+      val next = Ckpt(smallStar(largeStar(cur)), eager = false)
+      // exact set-equality probe in ONE job (the 3-action count+except
+      // probe made the loop action-bound): signed union — any (u,v)
+      // whose side-sum is nonzero is in exactly one of the two sets
+      converged = next.select($"u", $"v", lit(1L).as("side"))
+        .union(cur.select($"u", $"v", lit(-1L).as("side")))
+        .groupBy($"u", $"v").agg(sum($"side").as("s"))
+        .where($"s" =!= 0L)
+        .isEmpty
+      if (!converged) { Ckpt.release(cur); cur = next }
+      else Ckpt.release(next)
+      round += 1
+      if (sys.env.contains("GRAFT_STAGE_LOG"))
+        System.err.println(s"[graft.starcc] round $round converged=$converged")
+    }
+    if (!converged) {
+      Ckpt.release(cur)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds " +
+          "(raise maxRounds)")
+    }
+    // at the star fixpoint every edge is (child, root); roots and
+    // isolated nodes label themselves
+    val out = rebind(nodes, spark).toDF("node").distinct()
+      .join(cur.select($"u".as("node"), $"v".as("__c")), Seq("node"), "left")
+      .select($"node", coalesce($"__c", $"node").as("comp"))
+    rebind(out, caller)
+  }
+
   /** Pipeline-reuse form of q62: clusters from PRECOMPUTED near-dup pairs
     * — any pair source (q25 Jaccard, q26 MinHash, q28 SimHash) plugs in,
     * and a pipeline that also needs keeper selection computes CC once.

@@ -632,6 +632,113 @@ object Quantize {
         expr("(top_k * 1000000) div n").as("top_code_share_ppm"))
   }
 
+  /** q300: parametric OPQ by variance-balanced dimension PERMUTATION —
+    * the rotation-training step the q297/q265 audits call for, in the
+    * cheapest orthogonal family (a permutation matrix IS a rotation up
+    * to sign): rank dimensions by their exact second moment (q92's Gram
+    * diagonal discipline), snake-draft them into the m subspaces (rank
+    * block b gives each subspace one dim, alternating direction — the
+    * classic balanced allocation of parametric OPQ, Ge, He, Ke & Sun,
+    * CVPR 2013, §4's eigenvalue-allocation idea with moments standing in
+    * for eigenvalues), re-encode in the permuted space with the same
+    * first-8 codebook rule, and report BOTH layouts' q297 usage entropy
+    * and q265 distortion per subspace — the before/after table that says
+    * whether the rotation bought back dead code budget.
+    *
+    * Engine portability: moments are exact long sums of
+    * floor(x²·1e6 + 1/3) (q92's grid); the rank/snake assignment is
+    * integer; the permuted encode reuses q98's fixed-order float
+    * discipline on the gathered sub-vectors (gather order = snake
+    * position, identical in the oracle via list(x ORDER BY pos));
+    * entropy/distortion ride q297/q265's exact-long paths verbatim.
+    *
+    * Scale shape: one map-side partial-agged moment pass (d rows out),
+    * a d-bounded driver sort (the q99 discipline: driver math is bounded
+    * by DIMENSION, never collection), then q98's map-only encode twice
+    * and two m-bounded aggs. Zero unbounded shuffles. */
+  def opqPermute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    opqPermuteVecs(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir), $"vec_id")
+      .select($"vec_id", $"embedding"))
+  }
+
+  private[graft] def opqPermuteVecs(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val m = 8; val subDim = 8; val k = 8
+    val e = vecs.select($"vec_id", $"embedding")
+    // per-dim second moments on q92's exact grid (its Gram diagonal)
+    val moments: Array[(Int, Long)] = e
+      .select(posexplode(transform($"embedding", x => x.cast("double")))
+        .as(Seq("i", "x")))
+      .select($"i", floor($"x" * $"x" * 1e6 + lit(1.0 / 3)).cast("long").as("mq"))
+      .groupBy($"i").agg(sum($"mq").as("mom"))
+      .as[(Int, Long)].collect()
+    val d = moments.map(_._1).max + 1
+    require(d == m * subDim, s"opqPermute expects d=${m * subDim}, got $d")
+    // rank by (moment desc, dim asc); snake-draft rank r: position
+    // pos = r/m, subspace = pos even ? r%m : m-1-r%m
+    val ranked: Array[Int] = moments.sortBy { case (i, mm) => (-mm, i) }.map(_._1)
+    val perm: Array[Array[Int]] = {
+      val a = Array.fill(m, subDim)(-1)
+      for ((dim, r) <- ranked.zipWithIndex) {
+        val pos = r / m; val within = r % m
+        val sub = if (pos % 2 == 0) within else m - 1 - within
+        a(sub)(pos) = dim
+      }
+      a
+    }
+    def encoded(sl: Int => Column, cb: Array[(Long, Array[Double])],
+        subsOf: Array[Double] => Seq[Seq[Double]]): DataFrame = {
+      val withSub = e.select($"vec_id",
+        posexplode(array((0 until m).map(sl): _*)).as(Seq("sub", "sl")))
+      val sxx = VectorOps.dot($"sl", $"sl")
+      val best = array_min(array(cb.map { case (id, cemb) =>
+        val subs = subsOf(cemb)
+        val sccs: Seq[Double] = subs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+        val dist = (sxx - lit(2.0) * VectorOps.dot($"sl",
+          element_at(typedLit(subs), $"sub" + 1)))
+          .+(element_at(typedLit(sccs), $"sub" + 1))
+        struct(dist.as("dist"), lit(id).as("code"))
+      }: _*))
+      withSub.select($"vec_id", $"sub".cast("long").as("sub"),
+        best.getField("code").as("code"),
+        floor(best.getField("dist") * 1e6 + lit(1.0 / 3)).cast("long").as("dist_q"))
+    }
+    val codebook: Array[(Long, Array[Double])] =
+      e.where($"vec_id" < k).as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, a) => (id, a.map(_.toDouble)) }
+    // identity layout: q98's contiguous slices
+    val base = encoded(
+      s => slice($"embedding", s * subDim + 1, subDim),
+      codebook,
+      cemb => (0 until m).map(s => cemb.slice(s * subDim, s * subDim + subDim).toSeq))
+    // OPQ layout: snake-permuted gathers (same float discipline — the
+    // gathered array is float elements in pos order, dot runs on it
+    // exactly as on a contiguous slice)
+    val opq = encoded(
+      s => array(perm(s).map(dd => $"embedding"(dd)): _*),
+      codebook,
+      cemb => (0 until m).map(s => perm(s).toSeq.map(cemb(_))))
+    def stats(enc: DataFrame, tag: String): DataFrame = {
+      val cnt = enc.groupBy($"sub", $"code").agg(count(lit(1)).as("k"))
+      val n = cnt.groupBy($"sub").agg(sum($"k").as("n"))
+      val ent = cnt.join(n, Seq("sub"))
+        .select($"sub", $"n", $"k",
+          ($"k" * floor(log($"k".cast("double") / $"n".cast("double"))
+            * 10000 + lit(1.0 / 3)).cast("long")).as("t"))
+        .groupBy($"sub", $"n")
+        .agg(count(lit(1)).as("n_codes_used"), sum($"t").as("s"))
+        .select($"sub", $"n_codes_used", expr("(-s) div n").as("usage_ent_e4"))
+      val dist = enc.groupBy($"sub")
+        .agg(count(lit(1)).as("n_vecs"), sum($"dist_q").as("sum_dist"))
+        .select($"sub", $"n_vecs", expr("sum_dist div n_vecs").as("mean_dist_q"))
+      ent.join(dist, Seq("sub")).select(lit(tag).as("variant"), $"sub",
+        $"n_vecs", $"n_codes_used", $"usage_ent_e4", $"mean_dist_q")
+    }
+    stats(base, "base").unionByName(stats(opq, "opq"))
+  }
+
   def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pqEncode(spark, dir)

@@ -418,6 +418,115 @@ object Similarity {
       partCol = "cell", key = "vec_id", buckets = buckets)
   }
 
+  /** PQ codes + coarse cell for arbitrary vectors against an EXPLICIT
+    * collected codebook — the shared kernel of the persisted-index write
+    * path and the streaming embedding-novelty gate (stream and batch can
+    * never encode differently because this is the only encoder either
+    * calls). Map-only: codebook sub-vectors are literals (q98's
+    * discipline); cells are the cosine argmax over literal centroids
+    * with the (ccos desc, cent_id asc) tie-break. */
+  private[graft] def encodeAgainst(vecs: DataFrame,
+      codebook: Array[(Long, Array[Double])]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val m = 8; val subDim = 8
+    val cellOf = array_max(array(codebook.map { case (id, cemb) =>
+      val cn = math.sqrt(cemb.foldLeft(0.0)((a, x) => a + x * x))
+      struct(
+        (VectorOps.dot($"embedding", typedLit(cemb.toSeq))
+          / (VectorOps.l2norm($"embedding") * lit(cn))).as("ccos"),
+        lit(-id).as("negid"))
+    }: _*))
+    val withCell = vecs.select($"vec_id", $"embedding",
+      (-cellOf.getField("negid")).as("cell"))
+    val withSub = withCell.select($"vec_id", $"cell",
+      posexplode(array((0 until m).map(s =>
+        slice($"embedding", s * subDim + 1, subDim)): _*)).as(Seq("sub", "sl")))
+    val sxx = VectorOps.dot($"sl", $"sl")
+    val best = array_min(array(codebook.map { case (id, cemb) =>
+      val subs: Seq[Seq[Double]] =
+        (0 until m).map(s => cemb.slice(s * subDim, s * subDim + subDim).toSeq)
+      val sccs: Seq[Double] = subs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+      val dist = (sxx - lit(2.0) * VectorOps.dot($"sl",
+        element_at(typedLit(subs), $"sub" + 1)))
+        .+(element_at(typedLit(sccs), $"sub" + 1))
+      struct(dist.as("dist"), lit(id).as("code"))
+    }: _*))
+    withSub.select($"vec_id", $"cell", $"sub".cast("long").as("sub"),
+      best.getField("code").as("code"))
+  }
+
+  /** ADC novelty screen — the vector twin of the chunk-novelty probe:
+    * each arriving vector is scored compressed-domain (its per-subspace
+    * ADC LUT against the STORE's PQ codes, cell-blocked to its nprobe
+    * nearest cells), and its verdict is the max ADC cosine seen.
+    * Returns (vec_id, max_cos_ppm, admit): admit when no stored
+    * neighbor reaches `maxCosPpm` (max_cos_ppm is the -2000000 sentinel
+    * when the probed cells hold nothing — q94's convention).
+    *
+    * Scale shape: arrivals never meet the store full-vector side at all
+    * — the join is (cell)-blocked code rows against a per-arrival
+    * 8·k-entry LUT relation, then two long sums per candidate. Work is
+    * O(batch · store-codes-in-probed-cells / k), never O(batch · store). */
+  private[graft] def adcNoveltyVerdicts(arrivals: DataFrame,
+      storeCodes: DataFrame, codebook: Array[(Long, Array[Double])],
+      maxCosPpm: Long, nprobe: Int = 2): DataFrame = {
+    import arrivals.sparkSession.implicits._
+    val m = 8; val subDim = 8
+    // nprobe nearest cells per arrival: sort the literal-centroid cosine
+    // structs desc (ccos desc, then negid desc = cent_id asc)
+    val rankArr = sort_array(array(codebook.map { case (id, cemb) =>
+      val cn = math.sqrt(cemb.foldLeft(0.0)((a, x) => a + x * x))
+      struct(
+        (VectorOps.dot($"embedding", typedLit(cemb.toSeq))
+          / (VectorOps.l2norm($"embedding") * lit(cn))).as("ccos"),
+        lit(-id).as("negid"))
+    }: _*), asc = false)
+    val probes = arrivals.select($"vec_id".as("qid"),
+        explode(slice(rankArr, 1, nprobe)).as("pr"))
+      .select($"qid", (-$"pr".getField("negid")).as("cell"))
+    // per-arrival ADC LUT (q284's table, one relation instead of a
+    // broadcast panel — arrivals are a micro-batch, not 10 audit queries)
+    val qSub = arrivals.select($"vec_id".as("qid"),
+      posexplode(array((0 until m).map(s =>
+        slice($"embedding", s * subDim + 1, subDim)): _*)).as(Seq("sub", "sl")))
+    val lut = qSub.select($"qid", $"sub".cast("long").as("sub"),
+        explode(array(codebook.map { case (id, cemb) =>
+          val subs: Seq[Seq[Double]] =
+            (0 until m).map(s => cemb.slice(s * subDim, s * subDim + subDim).toSeq)
+          val sccs: Seq[Double] = subs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+          struct(lit(id).as("code"),
+            floor(VectorOps.dot($"sl",
+              element_at(typedLit(subs), $"sub" + 1)) * 1e6
+              + lit(1.0 / 3)).cast("long").as("ip_q"),
+            floor(element_at(typedLit(sccs), $"sub" + 1) * 1e6
+              + lit(1.0 / 3)).cast("long").as("rn_q"))
+        }: _*)).as("ent"))
+      .select($"qid", $"sub", $"ent.code".as("code"),
+        $"ent.ip_q".as("ip_q"), $"ent.rn_q".as("rn_q"))
+    val cand = storeCodes.join(probes, Seq("cell"))
+      .select($"qid", $"vec_id".as("store_vec"), $"sub", $"code")
+    // q284's ranking score ip/√rn2 omits the query norm (constant per
+    // query, ranking-neutral); a THRESHOLD gate needs the actual cosine,
+    // so divide by the arrival's norm too
+    val qNrm = arrivals.select($"vec_id".as("qid"),
+      VectorOps.l2norm($"embedding").as("qnrm"))
+    val scored = cand.join(lut, Seq("qid", "sub", "code"))
+      .groupBy($"qid", $"store_vec")
+      .agg(sum($"ip_q").as("ip"), sum($"rn_q").as("rn2"))
+      .join(qNrm, Seq("qid"))
+      // units: ip_q ≈ ip·1e6, rn_q ≈ rn2·1e6 ⇒ cos = ip_q/(1e3·√rn_q·‖q‖);
+      // ×1e3 lands the report on the ppm grid
+      .select($"qid", floor($"ip".cast("double")
+        / (sqrt($"rn2".cast("double")) * $"qnrm") * 1e3 + lit(1.0 / 3))
+        .cast("long").as("cos_ppm"))
+      .groupBy($"qid").agg(max($"cos_ppm").as("max_cos_ppm"))
+    arrivals.select($"vec_id").join(
+        scored.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"max_cos_ppm", lit(-2000000L)).as("max_cos_ppm"))
+      .withColumn("admit", $"max_cos_ppm" < maxCosPpm)
+  }
+
   /** q284 over the PERSISTED index: the probe never recomputes the
     * corpus assignment (the table's `cell` partition column IS the
     * assignment) and never scans full vectors for candidates — only the

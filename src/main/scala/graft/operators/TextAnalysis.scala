@@ -1092,6 +1092,102 @@ object TextAnalysis {
         expr("coalesce(s, 0L) div km1").as("mean_overlap_ppm"))
   }
 
+  /** q301: unigram-LM (SentencePiece-style) tokenizer training — ONE
+    * hard-EM (Viterbi) round over a substring candidate vocabulary
+    * (Kudo 2018, "Subword Regularization", §3.2's EM with the E-step
+    * taken at the Viterbi point): candidate pieces are all substrings
+    * of length ≤ 4 of the (8-char-truncated) word types, scored by
+    * corpus log-frequency; every word type is segmented by an exact
+    * max-score dynamic program over those scores; the M-step re-counts
+    * pieces along the chosen segmentations, frequency-weighted. The
+    * training-side complement of q254 (BPE builds a vocab bottom-up by
+    * merges; unigram-LM starts from an over-complete candidate set and
+    * lets EM concentrate mass) — together they are the two tokenizer
+    * training families in production use; q70/q108 consume what these
+    * produce.
+    *
+    * Exactness: piece scores are floor(ln(cnt/tot)·1e6 + 1/3) longs;
+    * the DP is integer addition with a (score desc, piece-length asc)
+    * tie-break — both engines walk the identical 8-position lattice
+    * (the oracle unrolls the 8 DP stages and the 8 backtrack steps as
+    * CTEs, the q254/q99 recipe); single-char pieces are always kept so
+    * every word is segmentable.
+    *
+    * Scale shape: the vocabulary is a distributed (word, freq) relation
+    * (never collected — the q254 discipline); candidate counting is one
+    * bounded explode (≤ 8·4 pieces per word type) + partial agg; each
+    * of the 8 DP stages is a vocab-bounded join against the broadcast
+    * piece scores; the backtrack is 8 more bounded joins. Constant plan
+    * depth, zero unbounded shuffles, output = top-50 rows. */
+  def unigramEmStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramEmStepOn(TextOps.docsParallel(spark, dir)
+      .select(explode(TextOps.toks($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .select(substring($"tok", 1, 8).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq")), topN = 50)
+  }
+
+  /** Testable core over any `(w, freq)` word-type relation (w ≤ 8 chars). */
+  private[graft] def unigramEmStepOn(words: DataFrame, topN: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val w = Ckpt(words.select($"w", $"freq", length($"w").as("len")),
+      eager = false)
+    // candidate pieces: every substring occurrence of length 1..4,
+    // frequency-weighted; keep cnt >= 5 or single chars (segmentability)
+    val occs = w.select($"freq",
+      explode(expr("flatten(transform(sequence(1, len), i -> " +
+        "transform(sequence(1, least(4, len - i + 1)), " +
+        "l -> substr(w, i, l))))")).as("piece"))
+    val kept = occs.groupBy($"piece").agg(sum($"freq").as("cnt"))
+      .where($"cnt" >= 5L || length($"piece") === 1)
+    val tot = kept.agg(sum($"cnt").as("tot"))
+    val sc = Ckpt(kept.crossJoin(broadcast(tot))
+      .select($"piece",
+        floor(log($"cnt".cast("double") / $"tot".cast("double")) * 1e6
+          + lit(1.0 / 3)).cast("long").as("sq")), eager = false)
+    // Viterbi DP, positions 1..8: dp(i) = max over piece lengths l of
+    // dp(i-l) + score(substr(i-l+1, l)); ties -> smaller l. Each dp(i)
+    // is checkpointed so later stages reference a LEAF (4 references per
+    // stage would otherwise grow the plan 4^8)
+    val dp = new Array[DataFrame](9)
+    dp(0) = Ckpt(w.select($"w", lit(0L).as("sc")), eager = false)
+    for (i <- 1 to 8) {
+      val branches = (1 to math.min(4, i)).map { l =>
+        dp(i - l).join(w.where($"len" >= i).select($"w"), Seq("w"))
+          .select($"w", expr(s"substr(w, ${i - l + 1}, $l)").as("piece"),
+            $"sc", lit(l).as("l"))
+          .join(sc, Seq("piece"))
+          .select($"w", ($"sc" + $"sq").as("nsc"), $"l")
+      }
+      val best = branches.reduce(_ unionByName _)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"w").orderBy($"nsc".desc, $"l".asc)))
+        .where($"rk" === 1)
+      dp(i) = Ckpt(best.select($"w", $"nsc".as("sc"), $"l".as("bl")),
+        eager = false)
+    }
+    val dpAll = (1 to 8).map(i =>
+      dp(i).select($"w", lit(i).as("pos"), $"bl")).reduce(_ unionByName _)
+    // backtrack: emit the chosen piece at each position, walk to pos-bl
+    var cur = w.select($"w", $"len".as("pos"), $"freq")
+    val emits = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to 8) {
+      val j = cur.where($"pos" > 0).join(dpAll, Seq("w", "pos"))
+      emits += j.select($"freq",
+        expr("substr(w, pos - bl + 1, bl)").as("piece"))
+      cur = Ckpt(j.select($"w", ($"pos" - $"bl").as("pos"), $"freq"),
+        eager = false)
+    }
+    val emc = emits.reduce(_ unionByName _)
+      .groupBy($"piece").agg(sum($"freq").as("em_count"))
+    emc.orderBy($"em_count".desc, $"piece".asc).limit(topN)
+      .withColumn("vit_rank", row_number().over(
+        Window.partitionBy(graft.functions.Win.bounded)
+          .orderBy($"em_count".desc, $"piece".asc)).cast("long"))
+  }
+
   /** q254: BPE merge learning — the first 5 byte-pair-encoding merges
     * the corpus induces (Sennrich, Haddow & Birch 2016: repeatedly
     * count adjacent symbol pairs over the frequency-weighted word-type

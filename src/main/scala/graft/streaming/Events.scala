@@ -298,6 +298,86 @@ object Events {
       .start()
   }
 
+  /** Streaming EMBEDDING-novelty ingest gate — the vector twin of
+    * [[chunkNoveltyGate]], closing the loop between the ANN stack and
+    * the ingest-gate family: each arriving vector is PQ-encoded with the
+    * SHARED `Similarity.encodeAgainst` kernel (stream and batch can
+    * never encode differently), ADC-screened against the accumulated
+    * COMPRESSED store (`Similarity.adcNoveltyVerdicts` — cell-blocked
+    * code rows, never full vectors), and admitted when no stored
+    * neighbor reaches `maxCosPpm`. Admitted vectors' CODES join the
+    * store; verdicts land in a snapshot table. State is 8 longs per
+    * admitted vector — the 20x byte fold is what makes a
+    * billion-vector novelty store feasible.
+    *
+    * Exactly-once: both writes are batch_id dynamic-partition
+    * overwrites and the store probe reads only `batch_id < current`
+    * (the chunk-gate discipline) — a replayed batch sees the identical
+    * prior state and rewrites its own partitions byte-identically.
+    * Deterministic-replay prerequisite as documented on
+    * [[dedupIngestGate]].
+    *
+    * `codebook` is the persisted quantizer artifact (at 100 TB: the
+    * trained PQ codebook every encoder shares); it is collected ONCE at
+    * gate construction, k·d doubles. */
+  def embeddingNoveltyGate(newVecs: DataFrame,
+      codebook: Array[(Long, Array[Double])],
+      storeDir: String, snapshotDir: String, checkpoint: String,
+      maxCosPpm: Long = 950000L, nprobe: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val gate: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        import batch.sparkSession.implicits._
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint(true) // batch-scoped; replay covers loss
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val storeExists = storePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(storePath)
+        val store =
+          if (storeExists)
+            spark.read.parquet(storeDir)
+              .where($"batch_id" < batchId) // replay must not see itself
+              .select($"vec_id", $"cell", $"sub", $"code")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("vec_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cell",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sub",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("code",
+                org.apache.spark.sql.types.LongType))))
+        val verdicts = graft.operators.Similarity
+          .adcNoveltyVerdicts(b.toDF(), store, codebook, maxCosPpm, nprobe)
+          .localCheckpoint(true)
+        verdicts
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(snapshotDir)
+        graft.operators.Similarity.encodeAgainst(b.toDF(), codebook)
+          .join(verdicts.where($"admit").select($"vec_id"), Seq("vec_id"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        graft.operators.Ckpt.release(verdicts)
+        graft.operators.Ckpt.release(b)
+      }
+    newVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(gate)
+      .start()
+  }
+
   /** Streaming PSI drift monitor — q149's population-stability screen
     * run continuously against a frozen reference distribution. Each
     * micro-batch: (1) bin the arriving values with the SAME broadcast

@@ -24,6 +24,42 @@ object RddBridge {
   def leafRdds(df: DataFrame): Seq[RDD[_]] =
     df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }.toSeq
 
+  /** Clamp a checkpoint-returned frame's propagated statistics.
+    *
+    * `Dataset.checkpoint`/`localCheckpoint` copy the PRE-checkpoint
+    * plan's `Statistics` onto the returned [[LogicalRDD]] (so downstream
+    * broadcast decisions survive the truncation). In an iterative loop
+    * whose round SELF-JOINS the previous checkpoint (pointer jumping in
+    * connectedComponents), `SizeInBytesOnlyStatsPlanVisitor` SQUARES
+    * sizeInBytes every round — the BigInt's digit count doubles per
+    * round, and past ~20 rounds the driver livelocks multiplying
+    * million-digit integers inside stats estimation (observed: main
+    * thread pinned in BigInteger.multiplyToomCook3 on a diameter-heavy
+    * graph). Clamping each checkpoint's stats at Long.MaxValue keeps
+    * every loop's stats arithmetic on word-sized integers while leaving
+    * REAL (small) stats — the ones broadcast planning needs — untouched.
+    * Returns `df` unchanged unless its plan is exactly a LogicalRDD with
+    * oversized stats. */
+  def clampStats(df: DataFrame): DataFrame = {
+    val cap = BigInt(Long.MaxValue)
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD
+          if lr.stats.sizeInBytes > cap || lr.stats.rowCount.exists(_ > cap) =>
+        val s = lr.stats
+        val clamped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = s.sizeInBytes.min(cap),
+          rowCount = s.rowCount.map(_.min(cap)),
+          attributeStats = s.attributeStats,
+          isRuntime = s.isRuntime)
+        val fresh = new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(clamped), None)
+        DatasetBridge.ofRows(df.sparkSession, fresh)
+      case _ => df
+    }
+  }
+
   /** True iff `df`'s analyzed plan is exactly one [[LogicalRDD]] leaf —
     * the shape checkpoint/localCheckpoint return. A frame DERIVED from a
     * checkpoint (projection, join of two checkpointed inputs) is not. */

@@ -24,6 +24,39 @@ class GraphCurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
   }
 
+  test("connectedComponentsStar: bit-identical to label-prop CC on handcrafted, chain, and testdata pair graphs") {
+    import spark.implicits._
+    // handcrafted: chain + triangle + self-loop + isolated + dups
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 20L), (3L, 2L), (2L, 3L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 30L).toDF("node")
+    val star = Graph.connectedComponentsStar(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
+    // a diameter-heavy chain (the round-count stressor) with shuffled ids
+    // so min labels must travel against the edge order
+    val ids = (0L until 64L).map(i => (i * 37L) % 64L + 100L)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val chainNodes = ids.toDF("node")
+    val viaStar = Graph.connectedComponentsStar(chain, chainNodes)
+      .as[(Long, Long)].collect().toMap
+    val viaProp = Graph.connectedComponents(chain, chainNodes)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar === viaProp)
+    assert(viaStar.values.toSet.size === 1, "chain is one component")
+    // the real near-dup pair graph: identical labels, row for row
+    val pairs = graft.operators.Dedup.simhashPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    val docs = graft.operators.TextOps.docsParallel(spark, sfDir)
+      .select($"doc_id")
+    val p1 = Graph.connectedComponentsStar(pairs, docs)
+      .as[(Long, Long)].collect().toMap
+    val p2 = Graph.connectedComponents(pairs, docs)
+      .as[(Long, Long)].collect().toMap
+    assert(p1 === p2)
+  }
+
   test("kCore peels to the exact fixpoint of a sequential model, incl. handcrafted cascade") {
     import spark.implicits._
     // chain 1-2-3-4 hanging off triangle 4-5-6: peeling 1 exposes 2,

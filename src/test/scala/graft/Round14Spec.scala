@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: OPQ dimension-permutation training (q300) and its
+  * relationship to the q297/q265 audits it exists to answer. */
+class Round14Spec extends SparkSpec {
+
+  test("q300 opqPermute: planted anisotropy — permutation raises usage entropy, cuts distortion") {
+    import spark.implicits._
+    // fixture: ALL the variance lives in dims 0..7 — exactly the
+    // identity layout's subspace 0; dims 8..63 are a shared constant.
+    // Identity PQ spends one subspace's 8 codes on an 8-D spread and
+    // wastes the other 7 subspaces' budget on a point mass (the q297
+    // collapsed-subspace signal); the snake draft deals one hot dim to
+    // each subspace, so every subspace's codes quantize a 1-D spread.
+    val vecs = (0L until 512L).map { id =>
+      val arr = Array.tabulate(64) { j =>
+        if (j < 8) ((id * 131 + j * 17) % 997).toFloat / 100f
+        else 0.25f
+      }
+      (id, arr)
+    }.toDF("vec_id", "embedding")
+    val rows = graft.operators.Quantize.opqPermuteVecs(vecs)
+      .select($"variant", $"sub", $"n_vecs", $"n_codes_used",
+        $"usage_ent_e4", $"mean_dist_q")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val base = rows.filter(_._1 == "base")
+    val opq = rows.filter(_._1 == "opq")
+    assert(base.length === 8 && opq.length === 8)
+    assert(rows.forall(_._3 == 512L))
+    // identity layout: the 7 cold subspaces collapse onto one code
+    // (zero entropy, zero distortion), the hot one carries everything
+    val coldBase = base.filter(_._5 == 0L)
+    assert(coldBase.length >= 7,
+      s"expected >=7 collapsed base subspaces, got ${coldBase.length}")
+    // the permutation spreads the budget: EVERY subspace uses >1 code...
+    assert(opq.forall(_._4 > 1L),
+      s"opq left a collapsed subspace: ${opq.mkString(", ")}")
+    // ...total usage entropy rises and total distortion falls
+    val entBase = base.map(_._5).sum; val entOpq = opq.map(_._5).sum
+    val distBase = base.map(_._6).sum; val distOpq = opq.map(_._6).sum
+    info(s"usage entropy e4: base $entBase -> opq $entOpq; " +
+      s"mean distortion q: base $distBase -> opq $distOpq")
+    assert(entOpq > entBase,
+      s"entropy did not rise: $entBase -> $entOpq")
+    assert(distOpq < distBase,
+      s"distortion did not fall: $distBase -> $distOpq")
+  }
+
+  test("q301 unigramEmStepOn matches an in-memory Viterbi-EM model") {
+    import spark.implicits._
+    val wordFreqs = Seq("hello" -> 10L, "help" -> 6L, "hell" -> 3L,
+      "lo" -> 8L, "ohh" -> 2L, "shellfish" -> 4L, "she" -> 7L)
+      .map { case (w, f) => (w.take(8), f) }
+    val got = graft.operators.TextAnalysis
+      .unigramEmStepOn(wordFreqs.toDF("w", "freq"), topN = 50)
+      .as[(String, Long, Long)].collect()
+      .map { case (p, c, r) => (p, c, r) }.toSeq.sortBy(_._3)
+    // in-memory model: same candidate rule, same quantized scores, same
+    // DP tie-breaks, same M-step
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wordFreqs; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      cnt(w.substring(i, i + l)) = cnt.getOrElse(w.substring(i, i + l), 0L) + f
+    val kept = cnt.filter { case (p, c) => c >= 5L || p.length == 1 }
+    val tot = kept.values.sum
+    val sq = kept.map { case (p, c) =>
+      p -> math.floor(math.log(c.toDouble / tot.toDouble) * 1e6 + 1.0 / 3).toLong
+    }
+    def segment(w: String): Seq[String] = {
+      val sc = Array.fill(w.length + 1)(Long.MinValue)
+      val bl = Array.fill(w.length + 1)(0)
+      sc(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i)) {
+        val piece = w.substring(i - l, i)
+        if (sc(i - l) != Long.MinValue && sq.contains(piece)) {
+          val s = sc(i - l) + sq(piece)
+          // ties -> smaller l; l ascends here, so strict > keeps the first
+          if (s > sc(i)) { sc(i) = s; bl(i) = l }
+        }
+      }
+      var pos = w.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos > 0) { out += w.substring(pos - bl(pos), pos); pos -= bl(pos) }
+      out.toSeq
+    }
+    val emc = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wordFreqs; p <- segment(w))
+      emc(p) = emc.getOrElse(p, 0L) + f
+    val expected = emc.toSeq.sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, c), i) => (p, c, (i + 1).toLong) }
+      .take(50)
+    assert(got === expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
+  test("q300 base variant IS q297/q265 on the shared columns (one report, same disciplines)") {
+    import spark.implicits._
+    val base = SparkEntry.queries("q300_opq_permute")(spark, sfDir)
+      .where($"variant" === "base")
+    val ent = graft.operators.Quantize.codeUsage(spark, sfDir)
+      .select($"sub", $"n_codes_used", $"usage_ent_e4")
+    val dist = graft.operators.Quantize.pqDistortion(spark, sfDir)
+      .select($"sub", $"n_vecs", $"mean_dist_q")
+    val joined = base.join(ent.withColumnRenamed("n_codes_used", "e_ncu")
+        .withColumnRenamed("usage_ent_e4", "e_ent"), Seq("sub"))
+      .join(dist.withColumnRenamed("n_vecs", "d_nv")
+        .withColumnRenamed("mean_dist_q", "d_mdq"), Seq("sub"))
+    assert(joined.count() === 8)
+    assert(joined.where($"n_codes_used" =!= $"e_ncu"
+      || $"usage_ent_e4" =!= $"e_ent"
+      || $"n_vecs" =!= $"d_nv"
+      || $"mean_dist_q" =!= $"d_mdq").isEmpty,
+      "q300 base stats diverge from q297/q265")
+  }
+}

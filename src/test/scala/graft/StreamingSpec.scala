@@ -803,6 +803,94 @@ class StreamingSpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("embedding novelty gate: planted dups rejected, stream==batch core, crash replay idempotent") {
+    import spark.implicits._
+    import graft.streaming.Events
+    import graft.operators.Similarity
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_embgate_${System.nanoTime()}")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val wave1 = emb.where($"vec_id" % 2 === 0)
+    // wave 2: the odd vectors plus EXACT copies of 20 admitted vectors
+    // under fresh ids — the planted duplicates the gate must catch
+    val copies = emb.where($"vec_id" % 2 === 0 && $"vec_id" < 40)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val wave2 = emb.where($"vec_id" % 2 === 1).unionByName(copies)
+    val codebook: Array[(Long, Array[Double])] =
+      emb.where($"vec_id" < 8).as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, a) => (id, a.map(_.toDouble)) }
+    // batch twin FIRST: wave-2 verdicts against wave-1's code store —
+    // also picks the threshold (reject every planted copy)
+    val store1 = Similarity.encodeAgainst(wave1, codebook)
+    val v2 = Similarity.adcNoveltyVerdicts(wave2, store1, codebook,
+        maxCosPpm = Long.MaxValue)
+      .select($"vec_id", $"max_cos_ppm")
+      .as[(Long, Long)].collect().toMap
+    val copyScores = v2.filter(_._1 >= 1000000L).values
+    assert(copyScores.size === 20 && copyScores.min > 0,
+      s"planted copies scored nonpositive: ${copyScores.min}")
+    val thr = copyScores.min // reject all copies (novel odd vecs near it too — fine)
+    val storeDir = new java.io.File(base, "store").getPath
+    val snapDir = new java.io.File(base, "snap").getPath
+    val arriving = new java.io.File(base, "arriving").getPath
+    val ckpt = new java.io.File(base, "ckpt")
+    def ingest(part: org.apache.spark.sql.DataFrame, ckptDir: String): Unit = {
+      part.write.mode("append").parquet(arriving)
+      val q = Events.embeddingNoveltyGate(
+        spark.readStream.schema(emb.schema).parquet(arriving),
+        codebook, storeDir, snapDir, ckptDir, maxCosPpm = thr)
+      q.processAllAvailable(); q.stop()
+    }
+    ingest(wave1, ckpt.getPath) // batch 0: empty store, all admitted
+    ingest(wave2, ckpt.getPath) // batch 1: screened against wave 1
+    val got = spark.read.parquet(snapDir)
+      .select($"vec_id", $"max_cos_ppm", $"admit", $"batch_id".cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    // wave 1: no candidates -> sentinel score, all admitted, batch 0
+    wave1.select($"vec_id").as[Long].collect().foreach { id =>
+      assert(got(id) === ((-2000000L, true, 0L)), s"vec $id: ${got(id)}")
+    }
+    // wave 2: stream verdicts == the batch core, copies all rejected
+    wave2.select($"vec_id").as[Long].collect().foreach { id =>
+      assert(got(id)._1 === v2(id), s"vec $id stream/batch diverge")
+      assert(got(id)._2 === (v2(id) < thr))
+      assert(got(id)._3 === 1L)
+    }
+    assert((1000000L until 1000040L by 2).forall(id => !got(id)._2),
+      "a planted duplicate was admitted")
+    // store holds codes for exactly the admitted ids
+    val storeIds = spark.read.parquet(storeDir)
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(storeIds === got.filter(_._2._2).keySet)
+    // crash replay: drop batch 1's commit on a checkpoint copy; the
+    // replayed batch must rewrite its partitions byte-identically
+    val ckpt2 = new java.io.File(base, "ckpt2")
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    copyDir(ckpt, ckpt2)
+    assert(new java.io.File(ckpt2, "commits/1").delete())
+    new java.io.File(ckpt2, "commits/.1.crc").delete()
+    val q2 = Events.embeddingNoveltyGate(
+      spark.readStream.schema(emb.schema).parquet(arriving),
+      codebook, storeDir, snapDir, ckpt2.getPath, maxCosPpm = thr)
+    q2.processAllAvailable(); q2.stop()
+    val replayed = spark.read.parquet(snapDir)
+      .select($"vec_id", $"max_cos_ppm", $"admit", $"batch_id".cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(replayed === got, "replay changed the snapshot")
+    assert(spark.read.parquet(storeDir)
+      .select($"vec_id").distinct().as[Long].collect().toSet === storeIds)
+  }
+
   test("chunk novelty gate: verdicts match the batch chunker across two sequential ingests") {
     import spark.implicits._
     import graft.streaming.Events
