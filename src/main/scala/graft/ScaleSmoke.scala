@@ -90,7 +90,12 @@ object ScaleSmoke {
     // entropy is one char explode + (doc, byte) partial agg
     "q292_hll_distinct", "q293_blob_entropy",
     // weighted median = two per-source ordered passes (q105's shape)
-    "q298_weighted_median")
+    "q298_weighted_median",
+    // round 14: unigram-EM's DP/backtrack run on the distinct-word-type
+    // relation (grows sublinearly under replication — replicas repeat
+    // word types), the piece count pass is a bounded explode: ideal
+    // well under the scan ratio
+    "q301_unigram_em")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -131,7 +136,10 @@ object ScaleSmoke {
     // compressed SemDeDup funnel's pair count is q94's Σcell² (the ADC
     // saving is scoring COST per pair, not pair count — read its ratio
     // against q94's)
-    "q294_cell_silhouette", "q297_code_usage", "q299_pq_semdedup")
+    "q294_cell_silhouette", "q297_code_usage", "q299_pq_semdedup",
+    // round 14: OPQ permutation rides two map-only encodes + one
+    // d-bounded moment collect — ideal ~ 2x the q98 scan ratio
+    "q300_opq_permute")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and

@@ -321,6 +321,8 @@ object SparkEntry {
     "q299_pq_semdedup"      -> (Similarity.pqSemDedup _),
     "q300_opq_permute"      -> (Quantize.opqPermute _),
     "q301_unigram_em"       -> (TextAnalysis.unigramEmStep _),
+    "q302_sketch_jaccard"   -> (TextAnalysis.sketchJaccard _),
+    "q303_unigram_comp"     -> (TextAnalysis.unigramCompression _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7598,7 +7600,7 @@ ${base("q98_pq_encode")}),
     // the 8-step backtrack unrolled as CTEs (the q254/q99 recipe), then
     // the M-step recount. Tie-breaks: (score desc, piece-length asc) in
     // the DP, (count desc, piece asc) in the report.
-    val unigramOracle: String = {
+    val unigramCtes: String = {
       val dpCtes = (1 to 8).map { i =>
         val branches = (1 to math.min(4, i)).map { l =>
           s"""SELECT wl.w, dp${i - l}.sc + sc.sq AS nsc, $l AS l
@@ -7649,7 +7651,10 @@ $dpAll),
          bw0 AS (SELECT w, len AS pos FROM wl),
          $walkCtes,
          emall AS (
-$emAll),
+$emAll)"""
+    }
+    val unigramOracle: String =
+      s"""$unigramCtes,
          emc AS (SELECT piece, CAST(sum(wl.freq) AS BIGINT) AS em_count
            FROM emall JOIN wl USING (w) GROUP BY 1),
          top AS (SELECT piece, em_count,
@@ -7657,7 +7662,96 @@ $emAll),
            FROM emc)
          SELECT piece, em_count, CAST(r AS BIGINT) AS vit_rank
          FROM top WHERE r <= 50"""
-    }
+    // q303: compression rate of the q301 segmentation — same CTE body,
+    // per-word piece counts folded into one frequency-weighted row.
+    val unigramCompressionOracle: String =
+      s"""$unigramCtes,
+         perw AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+           FROM emall GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+             CAST(sum(wl.freq) AS BIGINT) AS n_tokens,
+             CAST(sum(wl.freq * wl.len) AS BIGINT) AS n_chars,
+             CAST(sum(wl.freq * perw.np) AS BIGINT) AS n_pieces
+           FROM perw JOIN wl USING (w))
+         SELECT n_word_types, n_tokens, n_chars, n_pieces,
+           CAST((n_pieces * 1000) // n_tokens AS BIGINT)
+             AS pieces_per_kilotok,
+           CAST((n_chars * 1000000) // n_pieces AS BIGINT)
+             AS chars_per_piece_ppm
+         FROM agg"""
+    // q302: HLL sketch-algebra Jaccard between sources vs the exact
+    // vocabulary Jaccard — q292's register/estimate formulas keyed by
+    // source, union = per-bucket MAX of the two sources' registers.
+    val sketchJaccardOracle =
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         h AS (SELECT source,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+         r AS (SELECT source, h % 256 AS b,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+           FROM h),
+         regs AS (SELECT source, b, CAST(max(rho) AS BIGINT) AS m
+                  FROM r GROUP BY 1, 2),
+         est1 AS (SELECT source,
+             CASE WHEN v > 0 AND raw < 640
+               THEN CAST(floor(256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                 + 1.0/3) AS BIGINT)
+               ELSE raw END AS hll_est
+           FROM (SELECT source,
+               CAST(floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * 9007199254740992.0) / CAST(s AS DOUBLE)) AS BIGINT) AS raw,
+               v
+             FROM (SELECT source,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(53 - m AS INT))
+                   AS BIGINT) + (256 - count(*)) * 9007199254740992 AS s,
+                 256 - CAST(count(*) AS BIGINT) AS v
+               FROM regs GROUP BY 1) s0) e0),
+         prs AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM (SELECT DISTINCT source FROM regs) a,
+                (SELECT DISTINCT source FROM regs) b
+           WHERE a.source < b.source),
+         mreg AS (SELECT prs.src_a, prs.src_b, regs.b,
+             CAST(max(regs.m) AS BIGINT) AS m
+           FROM prs JOIN regs
+             ON regs.source = prs.src_a OR regs.source = prs.src_b
+           GROUP BY 1, 2, 3),
+         estu AS (SELECT src_a, src_b,
+             CASE WHEN v > 0 AND raw < 640
+               THEN CAST(floor(256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                 + 1.0/3) AS BIGINT)
+               ELSE raw END AS hll_union
+           FROM (SELECT src_a, src_b,
+               CAST(floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * 9007199254740992.0) / CAST(s AS DOUBLE)) AS BIGINT) AS raw,
+               v
+             FROM (SELECT src_a, src_b,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(53 - m AS INT))
+                   AS BIGINT) + (256 - count(*)) * 9007199254740992 AS s,
+                 256 - CAST(count(*) AS BIGINT) AS v
+               FROM mreg GROUP BY 1, 2) s1) e1),
+         tsrc AS (SELECT DISTINCT source AS src, tok FROM t),
+         ns AS (SELECT src, CAST(count(*) AS BIGINT) AS n
+                FROM tsrc GROUP BY 1),
+         inter AS (SELECT x.src AS src_a, y.src AS src_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+           FROM tsrc x JOIN tsrc y ON x.tok = y.tok AND x.src < y.src
+           GROUP BY 1, 2)
+         SELECT prs.src_a, prs.src_b, na.n AS n_a, nb.n AS n_b,
+           CAST(COALESCE(inter.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST((COALESCE(inter.n_inter, 0) * 1000000)
+             // (na.n + nb.n - COALESCE(inter.n_inter, 0)) AS BIGINT)
+             AS exact_jaccard_ppm,
+           ea.hll_est AS hll_a, eb.hll_est AS hll_b, estu.hll_union,
+           CAST((greatest(0, ea.hll_est + eb.hll_est - estu.hll_union)
+             * 1000000) // estu.hll_union AS BIGINT) AS sketch_jaccard_ppm
+         FROM prs
+         LEFT JOIN inter ON inter.src_a = prs.src_a AND inter.src_b = prs.src_b
+         JOIN ns na ON na.src = prs.src_a
+         JOIN ns nb ON nb.src = prs.src_b
+         JOIN est1 ea ON ea.source = prs.src_a
+         JOIN est1 eb ON eb.source = prs.src_b
+         JOIN estu ON estu.src_a = prs.src_a AND estu.src_b = prs.src_b"""
     // q298: token-weighted vs unweighted lower-median doc length per
     // source — rank/weight-rank select on exact integers.
     val weightedMedianOracle =
@@ -7842,6 +7936,8 @@ ${base("q98_pq_encode")}),
       ("q299_pq_semdedup" -> pqSemDedupOracle) +
       ("q300_opq_permute" -> opqOracle) +
       ("q301_unigram_em" -> unigramOracle) +
+      ("q302_sketch_jaccard" -> sketchJaccardOracle) +
+      ("q303_unigram_comp" -> unigramCompressionOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

@@ -65,7 +65,9 @@ object PipelineSql {
     "graft_pii_redact"          -> (Curation.piiRedact _),
     "graft_semdedup"            -> (Similarity.semanticDedup _),
     "graft_curation_funnel"     -> (Curation.filterFunnel _),
-    "graft_wedge_sample"        -> (Dedup.wedgeSample _))
+    "graft_wedge_sample"        -> (Dedup.wedgeSample _),
+    "graft_unigram_em"          -> (TextAnalysis.unigramEmStep _),
+    "graft_sketch_jaccard"      -> (TextAnalysis.sketchJaccard _))
 
   /** Internal checkpoints minted while building each session's views —
     * released (executor blocks + durable files) when [[register]] replaces

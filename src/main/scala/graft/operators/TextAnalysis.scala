@@ -909,6 +909,65 @@ object TextAnalysis {
       .groupBy($"lang", $"b").agg(max($"rho").as("m"))
   }
 
+  /** q302: sketch-algebra vocabulary Jaccard between SOURCES — the HLL
+    * register story (q292) extended to the set operation dedup planning
+    * actually needs: J(A,B) from |A|, |B| and |A∪B|, where the union
+    * estimate comes from MAX-MERGING the two sources' 256-register
+    * sketches (the sketch-union identity that makes this exact sketch
+    * algebra, not a heuristic), audited pair-by-pair against the exact
+    * distinct-token Jaccard (q240's number). At 100 TB the exact side
+    * is a vocabulary self-join; the sketch side is |sources|·256 rows
+    * of state — this query is the audit that says how much Jaccard
+    * accuracy the 20,000x state fold costs.
+    *
+    * Exactness: registers/estimates ride q292's integer discipline
+    * verbatim; the union is a per-bucket MAX (order-free); the Jaccard
+    * ratios are trunc-divs on exact longs (sketch inclusion–exclusion
+    * clamped at 0 — estimates can make A+B−A∪B slightly negative).
+    *
+    * Scale shape: one token scan → 256·|sources| register rows; pair
+    * work is C(|sources|,2)·256; the exact audit side is the distinct
+    * vocabulary join (the cost being replaced — at scale it drops). */
+  def sketchJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.docsParallel(spark, dir)
+      .select($"source".as("lang"), $"text")
+    val regs = hllRegisters(docs)
+    val single = hllEstimate(regs).select($"lang", $"hll_est")
+    val pairs = regs.select($"lang").distinct().select($"lang".as("sa"))
+      .crossJoin(regs.select($"lang").distinct().select($"lang".as("sb")))
+      .where($"sa" < $"sb")
+    val merged = pairs.join(regs, $"lang" === $"sa" || $"lang" === $"sb")
+      .select(concat($"sa", lit("|"), $"sb").as("lang"), $"b", $"m")
+      .groupBy($"lang", $"b").agg(max($"m").as("m"))
+    val unionEst = hllEstimate(merged)
+      .select(split($"lang", "\\|").getItem(0).as("src_a"),
+        split($"lang", "\\|").getItem(1).as("src_b"),
+        $"hll_est".as("hll_union"))
+    val tokSrc = docs
+      .select($"lang".as("src"), explode(TextOps.toks($"text")).as("tok"))
+      .distinct()
+    val nSrc = tokSrc.groupBy($"src").agg(count(lit(1)).as("n"))
+    val inter = tokSrc.as("x").join(tokSrc.as("y"),
+        $"x.tok" === $"y.tok" && $"x.src" < $"y.src")
+      .groupBy($"x.src".as("src_a"), $"y.src".as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs.select($"sa".as("src_a"), $"sb".as("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+      .join(nSrc.select($"src".as("src_a"), $"n".as("n_a")), Seq("src_a"))
+      .join(nSrc.select($"src".as("src_b"), $"n".as("n_b")), Seq("src_b"))
+      .join(single.select($"lang".as("src_a"), $"hll_est".as("hll_a")), Seq("src_a"))
+      .join(single.select($"lang".as("src_b"), $"hll_est".as("hll_b")), Seq("src_b"))
+      .join(unionEst, Seq("src_a", "src_b"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_inter",
+        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+          .as("exact_jaccard_ppm"),
+        $"hll_a", $"hll_b", $"hll_union",
+        expr("(greatest(0L, hll_a + hll_b - hll_union) * 1000000) div hll_union")
+          .as("sketch_jaccard_ppm"))
+  }
+
   /** The HLL estimate from a `(lang, b, m)` register relation. */
   private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
     import regs.sparkSession.implicits._
@@ -1130,6 +1189,19 @@ object TextAnalysis {
 
   /** Testable core over any `(w, freq)` word-type relation (w ≤ 8 chars). */
   private[graft] def unigramEmStepOn(words: DataFrame, topN: Int): DataFrame = {
+    import words.sparkSession.implicits._
+    val emc = unigramSegments(words)
+      .groupBy($"piece").agg(sum($"freq").as("em_count"))
+    emc.orderBy($"em_count".desc, $"piece".asc).limit(topN)
+      .withColumn("vit_rank", row_number().over(
+        Window.partitionBy(graft.functions.Win.bounded)
+          .orderBy($"em_count".desc, $"piece".asc)).cast("long"))
+  }
+
+  /** The Viterbi segmentation relation: one `(w, freq, piece)` row per
+    * emitted piece of every word type — shared by the q301 M-step and
+    * the q303 compression audit. */
+  private[graft] def unigramSegments(words: DataFrame): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val w = Ckpt(words.select($"w", $"freq", length($"w").as("len")),
@@ -1174,18 +1246,51 @@ object TextAnalysis {
     var cur = w.select($"w", $"len".as("pos"), $"freq")
     val emits = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to 8) {
+      // no per-step checkpoint: each cur is referenced ONCE by the next
+      // step and once by its emit, so the walk's plan grows linearly
+      // (unlike the 4-ary DP above) — and each dropped checkpoint is a
+      // whole job off the fixed floor (Overhead probe: the query was
+      // 100% job floor, 0% data)
       val j = cur.where($"pos" > 0).join(dpAll, Seq("w", "pos"))
-      emits += j.select($"freq",
+      emits += j.select($"w", $"freq",
         expr("substr(w, pos - bl + 1, bl)").as("piece"))
-      cur = Ckpt(j.select($"w", ($"pos" - $"bl").as("pos"), $"freq"),
-        eager = false)
+      cur = j.select($"w", ($"pos" - $"bl").as("pos"), $"freq")
     }
-    val emc = emits.reduce(_ unionByName _)
-      .groupBy($"piece").agg(sum($"freq").as("em_count"))
-    emc.orderBy($"em_count".desc, $"piece".asc).limit(topN)
-      .withColumn("vit_rank", row_number().over(
-        Window.partitionBy(graft.functions.Win.bounded)
-          .orderBy($"em_count".desc, $"piece".asc)).cast("long"))
+    emits.reduce(_ unionByName _)
+  }
+
+  /** q303: compression rate of the q301-trained segmentation — the
+    * effect metric tokenizer training exists FOR: over the
+    * frequency-weighted corpus, how many pieces the Viterbi
+    * segmentation spends per token and how many characters each piece
+    * carries. The q301/q254 training steps report WHAT was learned;
+    * this reports what it BUYS (pieces/kilotoken is the context-window
+    * budget a tokenizer change moves). One row.
+    *
+    * Scale shape: rides [[unigramSegments]] (vocab-bounded DP) + one
+    * global agg; corpus volume touches only the word-count scan. */
+  def unigramCompression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramCompressionOn(TextOps.docsParallel(spark, dir)
+      .select(explode(TextOps.toks($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .select(substring($"tok", 1, 8).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq")))
+  }
+
+  private[graft] def unigramCompressionOn(words: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
+    val perWord = unigramSegments(words)
+      .groupBy($"w", $"freq").agg(count(lit(1)).as("np"))
+      .withColumn("len", length($"w").cast("long"))
+    perWord.agg(
+        count(lit(1)).as("n_word_types"),
+        sum($"freq").as("n_tokens"),
+        sum($"freq" * $"len").as("n_chars"),
+        sum($"freq" * $"np").as("n_pieces"))
+      .select($"n_word_types", $"n_tokens", $"n_chars", $"n_pieces",
+        expr("(n_pieces * 1000) div n_tokens").as("pieces_per_kilotok"),
+        expr("(n_chars * 1000000) div n_pieces").as("chars_per_piece_ppm"))
   }
 
   /** q254: BPE merge learning — the first 5 byte-pair-encoding merges

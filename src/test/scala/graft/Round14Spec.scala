@@ -94,6 +94,41 @@ class Round14Spec extends SparkSpec {
     assert(got === expected, s"\ngot:      $got\nexpected: $expected")
   }
 
+  test("q302 sketch-Jaccard: union estimate dominates singles, tracks the exact Jaccard") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q302_sketch_jaccard")(spark, sfDir)
+      .select($"src_a", $"src_b", $"hll_a", $"hll_b", $"hll_union",
+        $"exact_jaccard_ppm", $"sketch_jaccard_ppm")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ha, hb, hu) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // max-merged registers dominate each side's registers, and the
+      // estimate is monotone in the registers
+      assert(hu >= math.max(ha, hb), s"union est below a side: $r")
+      assert(hu <= ha + hb, s"union est above the sum: $r")
+      // 256 registers ≈ 6.5% per-cardinality error; the Jaccard composed
+      // through inclusion–exclusion stays within coarse agreement
+      val (ej, sj) = (r.getLong(5), r.getLong(6))
+      assert(math.abs(ej - sj) < 300000L,
+        s"sketch Jaccard off by ${math.abs(ej - sj)} ppm: $r")
+    }
+  }
+
+  test("q303 compression: consistent with the q301 segmentation's totals") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q303_unigram_comp")(spark, sfDir).collect()(0)
+    val (types, toks, chars, pieces) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(types > 0 && toks >= types)
+    // multi-char pieces exist, so the segmentation spends strictly fewer
+    // pieces than characters; and at least one piece per word occurrence
+    assert(pieces < chars, s"no compression: $pieces pieces / $chars chars")
+    assert(pieces >= toks, s"fewer pieces than tokens: $pieces < $toks")
+    assert(row.getLong(4) === pieces * 1000 / toks)
+    assert(row.getLong(5) === chars * 1000000 / pieces)
+  }
+
   test("q300 base variant IS q297/q265 on the shared columns (one report, same disciplines)") {
     import spark.implicits._
     val base = SparkEntry.queries("q300_opq_permute")(spark, sfDir)
