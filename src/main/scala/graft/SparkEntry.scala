@@ -323,6 +323,7 @@ object SparkEntry {
     "q301_unigram_em"       -> (TextAnalysis.unigramEmStep _),
     "q302_sketch_jaccard"   -> (TextAnalysis.sketchJaccard _),
     "q303_unigram_comp"     -> (TextAnalysis.unigramCompression _),
+    "q304_probe_sweep"      -> (Similarity.ivfRecallSweep _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7752,6 +7753,63 @@ $emAll)"""
          JOIN est1 ea ON ea.source = prs.src_a
          JOIN est1 eb ON eb.source = prs.src_b
          JOIN estu ON estu.src_a = prs.src_a AND estu.src_b = prs.src_b"""
+    // q304: IVF recall-vs-nprobe tuning curve — shared cell ranking +
+    // brute truth CTEs, one probe/score/top-3/recall block per sweep
+    // point, unioned.
+    val probeSweepOracle: String = {
+      val sweep = Seq(1, 2, 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+             CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+             CAST((sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               * 1000000) // count(*) AS BIGINT) AS recall_ppm
+           FROM truth t LEFT JOIN (
+             SELECT query_id, neighbor_id FROM (
+               SELECT p.query_id, a.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY list_reduce(list_transform(q.emb,
+                       (x, i) -> x * c.emb[i]), (a2, b2) -> a2 + b2)
+                     / (q.nrm * c.nrm) DESC, a.vec_id ASC) AS rank
+               FROM (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+                     WHERE crk <= $np AND vec_id < 10) p
+               JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+               JOIN n q ON q.vec_id = p.query_id
+               JOIN n c ON c.vec_id = a.vec_id) rk
+             WHERE rank <= 3) s
+           ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         n AS (SELECT vec_id, emb,
+             sqrt(list_reduce(list_transform(emb, x -> x*x),
+               (a, b) -> a + b)) AS nrm
+           FROM e),
+         cent AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+                  FROM n WHERE vec_id < 8),
+         ranked AS MATERIALIZED (
+           SELECT vec_id, cent_id, ccos,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cent_id ASC) AS crk
+           FROM (SELECT n.vec_id, c.cent_id,
+               list_reduce(list_transform(n.emb, (x, i) -> x * c.cemb[i]),
+                 (a, b) -> a + b) / (n.nrm * c.cnrm) AS ccos
+             FROM n, cent c)),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+         truth AS MATERIALIZED (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_reduce(list_transform(c.emb,
+                     (x, i) -> x * q.emb[i]), (a, b) -> a + b)
+                   / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+             FROM n c, (SELECT * FROM n WHERE vec_id < 10) q
+             WHERE c.vec_id <> q.vec_id) b
+           WHERE rank <= 3)
+         $sweep"""
+    }
     // q298: token-weighted vs unweighted lower-median doc length per
     // source — rank/weight-rank select on exact integers.
     val weightedMedianOracle =
@@ -7938,6 +7996,7 @@ ${base("q98_pq_encode")}),
       ("q301_unigram_em" -> unigramOracle) +
       ("q302_sketch_jaccard" -> sketchJaccardOracle) +
       ("q303_unigram_comp" -> unigramCompressionOracle) +
+      ("q304_probe_sweep" -> probeSweepOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

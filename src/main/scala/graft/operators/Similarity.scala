@@ -236,6 +236,52 @@ object Similarity {
     topk(scored, 3)
   }
 
+  /** q304: IVF recall-vs-nprobe sweep — the tuning curve an ANN
+    * deployment reads before fixing its probe budget: recall@3 against
+    * the q29 brute truth at nprobe = 1, 2, 4 (of 8 cells), aggregated
+    * over the 10 pinned audit queries. q290 gates ONE operating point
+    * alive; this is the curve that says what the next probe buys — the
+    * knee is where a deployment stops paying. Cell ranking/assignment
+    * are computed once and shared across the sweep (the probe set is
+    * the only thing that varies).
+    *
+    * Scale shape: q38's broadcast-codebook pass once, then per sweep
+    * point one cell-equality join against probed cells only + a 30-row
+    * truth join. The sweep adds probe work, never assignment work. */
+  def ivfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = annBrute(spark, dir).where($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val e = Tables.embeddings(spark, dir).select(
+      $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
+    val cent = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val rankedCells = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        VectorOps.dot($"embedding", $"cemb") / ($"nrm" * $"cnrm"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id".asc)))
+    val assigned = rankedCells.where($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell"))
+    Seq(1, 2, 4).map { np =>
+      val probes = rankedCells.where($"crk" <= np && $"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qemb"),
+          $"nrm".as("qnrm"), $"cent_id".as("cell"))
+      val scored = assigned.join(broadcast(probes),
+          assigned("cell") === probes("cell") && $"vec_id" =!= $"query_id")
+        .withColumn("cos",
+          VectorOps.dot($"qemb", $"embedding") / ($"qnrm" * $"nrm"))
+      val sys = topk(scored, 3)
+        .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+      truth.join(sys, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce($"hit", lit(0L))).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), $"n_truth", $"n_hits",
+          expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q284: IVF-PQ ADC search — the compressed-domain scan that closes
     * the production ANN stack: q38's coarse cell probe generates
     * candidates, but instead of reading the candidates' FULL vectors it

@@ -129,6 +129,20 @@ class Round14Spec extends SparkSpec {
     assert(row.getLong(5) === chars * 1000000 / pieces)
   }
 
+  test("q304 probe sweep: recall is monotone in nprobe and matches q290 at the q284 operating point") {
+    import spark.implicits._
+    val sweep = SparkEntry.queries("q304_probe_sweep")(spark, sfDir)
+      .select($"nprobe", $"recall_ppm")
+      .as[(Long, Long)].collect().toMap
+    assert(sweep.keySet === Set(1L, 2L, 4L))
+    // more probes can only add candidates — recall is non-decreasing
+    assert(sweep(1L) <= sweep(2L) && sweep(2L) <= sweep(4L),
+      s"recall not monotone in nprobe: $sweep")
+    // nprobe=2 is q38/q284's operating point; the exact-scoring recall
+    // there must clear the deployment gate the ADC path is held to
+    assert(sweep(2L) >= 600000L, s"nprobe=2 recall below gate: ${sweep(2L)}")
+  }
+
   test("q300 base variant IS q297/q265 on the shared columns (one report, same disciplines)") {
     import spark.implicits._
     val base = SparkEntry.queries("q300_opq_permute")(spark, sfDir)
