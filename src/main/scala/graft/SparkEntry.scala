@@ -324,6 +324,12 @@ object SparkEntry {
     "q302_sketch_jaccard"   -> (TextAnalysis.sketchJaccard _),
     "q303_unigram_comp"     -> (TextAnalysis.unigramCompression _),
     "q304_probe_sweep"      -> (Similarity.ivfRecallSweep _),
+    "q305_lomb_scargle"     -> (Spectral.lombScargle _),
+    "q306_suffix_dup"       -> (Dedup.suffixDup _),
+    "q307_session_overlap"  -> (RangeJoin.sessionEpisodeOverlap _),
+    "q308_rq_encode"        -> (Quantize.rqEncode _),
+    "q309_isotonic"         -> (Evaluate.isotonicCalibration _),
+    "q310_kmv_intersect"    -> (TextAnalysis.kmvIntersect _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7810,6 +7816,263 @@ $emAll)"""
            WHERE rank <= 3)
          $sweep"""
     }
+    // q305: Lomb–Scargle — 9 quantized sufficient sums per (series, k),
+    // closing algebra in doubles over identical longs (same literal
+    // chain as Spectral.lombScargle).
+    val lombScargleOracle: String =
+      """WITH ev AS (SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) AS tms,
+             value AS v FROM events),
+         b AS (SELECT event_type, min(tms) AS t0,
+                 max(tms) - min(tms) AS span, CAST(count(*) AS BIGINT) AS n
+               FROM ev GROUP BY 1
+               HAVING max(tms) - min(tms) > 0 AND count(*) >= 16),
+         tt AS (SELECT ev.event_type, CAST(k.k AS BIGINT) AS k, b.n,
+                  (CAST(k.k * (ev.tms - b.t0) AS DOUBLE)
+                    / CAST(b.span AS DOUBLE)) * 6.283185307179586 AS ang,
+                  ev.v
+                FROM ev JOIN b USING (event_type), range(1, 9) k(k)),
+         q AS (SELECT event_type, k, n,
+                 CAST(floor(cos(ang) * 1000000 + 1.0/3) AS BIGINT) AS qc,
+                 CAST(floor(sin(ang) * 1000000 + 1.0/3) AS BIGINT) AS qs,
+                 CAST(floor(cos(ang) * cos(ang) * 1000000 + 1.0/3) AS BIGINT) AS qcc,
+                 CAST(floor(sin(ang) * sin(ang) * 1000000 + 1.0/3) AS BIGINT) AS qss,
+                 CAST(floor(cos(ang) * sin(ang) * 1000000 + 1.0/3) AS BIGINT) AS qcs,
+                 CAST(floor(v * cos(ang) * 1000 + 1.0/3) AS BIGINT) AS qvc,
+                 CAST(floor(v * sin(ang) * 1000 + 1.0/3) AS BIGINT) AS qvs,
+                 CAST(floor(v * 100 + 1.0/3) AS BIGINT) AS qv,
+                 CAST(floor(v * v * 100 + 1.0/3) AS BIGINT) AS qvv
+               FROM tt),
+         s AS (SELECT event_type, k, max(n) AS n,
+                 CAST(sum(qc) AS BIGINT) AS s_qc,
+                 CAST(sum(qs) AS BIGINT) AS s_qs,
+                 CAST(sum(qcc) AS BIGINT) AS s_qcc,
+                 CAST(sum(qss) AS BIGINT) AS s_qss,
+                 CAST(sum(qcs) AS BIGINT) AS s_qcs,
+                 CAST(sum(qvc) AS BIGINT) AS s_qvc,
+                 CAST(sum(qvs) AS BIGINT) AS s_qvs,
+                 CAST(sum(qv) AS BIGINT) AS s_qv,
+                 CAST(sum(qvv) AS BIGINT) AS s_qvv
+               FROM q GROUP BY 1, 2),
+         d AS (SELECT event_type, k, n, CAST(n AS DOUBLE) AS n_d,
+                 CAST(s_qc AS DOUBLE) / 1000000.0 AS sc,
+                 CAST(s_qs AS DOUBLE) / 1000000.0 AS ssn,
+                 CAST(s_qcc AS DOUBLE) / 1000000.0 AS scc,
+                 CAST(s_qss AS DOUBLE) / 1000000.0 AS sss,
+                 CAST(s_qcs AS DOUBLE) / 1000000.0 AS scs,
+                 CAST(s_qvc AS DOUBLE) / 1000.0 AS svc,
+                 CAST(s_qvs AS DOUBLE) / 1000.0 AS svs,
+                 CAST(s_qv AS DOUBLE) / 100.0 AS sv,
+                 CAST(s_qvv AS DOUBLE) / 100.0 AS svv
+               FROM s),
+         e AS (SELECT event_type, k, n, n_d,
+                 svc - sv * sc / n_d AS cbar,
+                 svs - sv * ssn / n_d AS sbar,
+                 scc - sc * sc / n_d AS ccbar,
+                 sss - ssn * ssn / n_d AS ssbar,
+                 scs - sc * ssn / n_d AS csbar,
+                 svv - sv * sv / n_d AS vv
+               FROM d),
+         f AS (SELECT *, ccbar * ssbar - csbar * csbar AS det FROM e)
+         SELECT event_type, k, n,
+           CAST(floor((ssbar * cbar * cbar + ccbar * sbar * sbar
+             - 2.0 * csbar * cbar * sbar) / det / vv * 1000.0 + 1.0/3)
+             AS BIGINT) AS power_milli
+         FROM f WHERE det > 0.000000001 AND vv > 0.000000001"""
+    // q310: KMV bottom-k sketch intersection — k smallest distinct
+    // 60-bit token hashes per source; pair merge re-ranks ≤2k rows;
+    // ρ/k is the direct Jaccard estimate; (k−1)·2⁶⁰ rides HUGEINT.
+    val kmvOracle: String =
+      """WITH t0 AS (SELECT source AS src,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         t AS (SELECT DISTINCT src, tok FROM t0),
+         h0 AS (SELECT DISTINCT src,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+         sk AS (SELECT src, h,
+             row_number() OVER (PARTITION BY src ORDER BY h ASC) AS rk
+           FROM h0),
+         s AS (SELECT src, h FROM sk WHERE rk <= 128),
+         ps AS (SELECT src, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+                FROM s GROUP BY 1),
+         pe AS (SELECT src, CASE WHEN n_kept < 128 THEN n_kept
+                  ELSE CAST((CAST(127 AS HUGEINT) * 1152921504606846976)
+                    // hk AS BIGINT) END AS kmv
+                FROM ps),
+         prs AS (SELECT a.src AS src_a, b.src AS src_b
+                 FROM pe a, pe b WHERE a.src < b.src),
+         mg AS (SELECT prs.src_a, prs.src_b, s.h,
+                  max(CASE WHEN s.src = prs.src_a THEN 1 ELSE 0 END) AS in_a,
+                  max(CASE WHEN s.src = prs.src_b THEN 1 ELSE 0 END) AS in_b
+                FROM prs JOIN s ON s.src = prs.src_a OR s.src = prs.src_b
+                GROUP BY 1, 2, 3),
+         mk AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                  ORDER BY h ASC) AS rk FROM mg),
+         pu AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_kept,
+                  max(h) AS hk,
+                  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rho
+                FROM mk WHERE rk <= 128 GROUP BY 1, 2),
+         pu2 AS (SELECT src_a, src_b, rho, n_kept,
+                   CASE WHEN n_kept < 128 THEN n_kept
+                     ELSE CAST((CAST(127 AS HUGEINT) * 1152921504606846976)
+                       // hk AS BIGINT) END AS kmv_union
+                 FROM pu),
+         pe2 AS (SELECT src_a, src_b, rho, kmv_union,
+                   (rho * 1000000) // n_kept AS kmv_jac_ppm,
+                   CAST((CAST(rho AS HUGEINT) * kmv_union) // n_kept
+                     AS BIGINT) AS kmv_inter
+                 FROM pu2),
+         ns AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+         iv AS (SELECT x.src AS src_a, y.src AS src_b,
+                  CAST(count(*) AS BIGINT) AS n_inter
+                FROM t x JOIN t y ON x.tok = y.tok AND x.src < y.src
+                GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, na.n AS n_a, nb.n AS n_b,
+           coalesce(iv.n_inter, 0) AS n_inter,
+           (coalesce(iv.n_inter, 0) * 1000000)
+             // (na.n + nb.n - coalesce(iv.n_inter, 0)) AS exact_jac_ppm,
+           ea.kmv AS kmv_a, eb.kmv AS kmv_b, p.kmv_union, p.rho,
+           p.kmv_jac_ppm, p.kmv_inter
+         FROM pe2 p
+         LEFT JOIN iv ON iv.src_a = p.src_a AND iv.src_b = p.src_b
+         JOIN ns na ON na.src = p.src_a
+         JOIN ns nb ON nb.src = p.src_b
+         JOIN pe ea ON ea.src = p.src_a
+         JOIN pe eb ON eb.src = p.src_b"""
+    // q309: isotonic calibration fit via the Ayer minimax identity over
+    // the 10-char score-bin grid — ppm-exact prefix-sum block averages,
+    // min/max over longs (monotone by construction of the formula).
+    val isotonicOracle: String =
+      """WITH b AS (SELECT n_chars // 10 AS bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+           FROM documents GROUP BY 1),
+         p AS (SELECT bin, n, n_pos,
+                 CAST(sum(n) OVER w AS BIGINT) AS cn,
+                 CAST(sum(n_pos) OVER w AS BIGINT) AS cp
+               FROM b WINDOW w AS (ORDER BY bin ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pr AS (SELECT j.bin AS jb, k.bin AS kb,
+                  ((k.cp - (j.cp - j.n_pos)) * 1000000)
+                    // (k.cn - (j.cn - j.n)) AS avg_ppm
+                FROM p j JOIN p k ON k.bin >= j.bin),
+         t AS (SELECT i.bin AS ib, pr.jb, min(pr.avg_ppm) AS mn
+               FROM p i JOIN pr ON pr.jb <= i.bin AND pr.kb >= i.bin
+               GROUP BY 1, 2),
+         iso AS (SELECT ib, CAST(max(mn) AS BIGINT) AS iso_ppm
+                 FROM t GROUP BY 1)
+         SELECT b.bin, b.n, b.n_pos,
+           (b.n_pos * 1000000) // b.n AS raw_ppm, iso.iso_ppm
+         FROM b JOIN iso ON iso.ib = b.bin"""
+    // q308: residual quantization — stage-1 coarse snap on the FULL
+    // vector, stage-2 residual codebook (residuals of vecs 8..15 under
+    // their own stage-1 assignment), both argmins (dist asc, code asc);
+    // the q98 left-fold double chain end to end.
+    val rqEncodeOracle: String =
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         cb1 AS (SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 8),
+         d1 AS (SELECT e.vec_id, cb1.code,
+             list_reduce(list_transform(e.emb, x -> x * x), (a, b) -> a + b)
+             - 2.0 * list_reduce(list_transform(e.emb,
+                 (x, i) -> x * cb1.cemb[CAST(i AS INT)]), (a, b) -> a + b)
+             + list_reduce(list_transform(cb1.cemb, x -> x * x),
+                 (a, b) -> a + b) AS dist
+           FROM e, cb1),
+         a1 AS (SELECT vec_id, code, dist,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, code ASC) AS rk
+           FROM d1),
+         s1 AS (SELECT vec_id, code AS code1, dist AS dist1
+                FROM a1 WHERE rk = 1),
+         res AS (SELECT e.vec_id, s1.code1, s1.dist1,
+             list_transform(e.emb,
+               (x, i) -> x - cb1.cemb[CAST(i AS INT)]) AS r
+           FROM e JOIN s1 USING (vec_id) JOIN cb1 ON cb1.code = s1.code1),
+         cb2 AS (SELECT vec_id - 8 AS code2, r AS cemb2
+                 FROM res WHERE vec_id >= 8 AND vec_id < 16),
+         d2 AS (SELECT res.vec_id, res.code1, res.dist1, cb2.code2,
+             list_reduce(list_transform(res.r, x -> x * x), (a, b) -> a + b)
+             - 2.0 * list_reduce(list_transform(res.r,
+                 (x, i) -> x * cb2.cemb2[CAST(i AS INT)]), (a, b) -> a + b)
+             + list_reduce(list_transform(cb2.cemb2, x -> x * x),
+                 (a, b) -> a + b) AS dist
+           FROM res, cb2),
+         a2 AS (SELECT vec_id, code1, dist1, code2, dist,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, code2 ASC) AS rk
+           FROM d2)
+         SELECT vec_id, CAST(code1 AS BIGINT) AS code1,
+           CAST(code2 AS BIGINT) AS code2,
+           CAST(floor(dist1 * 1000000 + 1.0/3) AS BIGINT) AS d1_q,
+           CAST(floor(dist * 1000000 + 1.0/3) AS BIGINT) AS d2_q
+         FROM a2 WHERE rk = 1"""
+    // q306: longest cross-document repeated substring per doc — the
+    // suffix-sort dedup primitive; oracle = same word-start 48-capped
+    // suffix relation, one global row_number sort, adjacent
+    // different-doc LCPs credited to both sides (the adjacent-pair
+    // reduction proof is at Dedup.suffixDup).
+    val suffixDupOracle: String =
+      """WITH sfx AS (
+           -- static position range (docs are < 4096 chars; DuckDB's
+           -- generate_series rejects lateral column bounds)
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 48) AS sfx
+           FROM documents, range(1, 4097) AS g(i)
+           WHERE i <= length(text)
+             AND (i = 1 OR substr(text, CAST(i - 1 AS INT), 1) = ' ')
+             AND substr(text, CAST(i AS INT), 1) <> ' '),
+         r AS (SELECT doc_id, sfx,
+                 row_number() OVER (ORDER BY sfx ASC, doc_id ASC) AS rn
+               FROM sfx),
+         p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sfx AS sa, b.sfx AS sb
+                FROM r a JOIN r b ON b.rn = a.rn + 1
+                WHERE a.doc_id <> b.doc_id),
+         p AS (SELECT doc_a, doc_b,
+                 coalesce(list_min(list_filter(
+                     range(1, 1 + least(length(sa), length(sb))),
+                     j -> substr(sa, CAST(j AS INT), 1)
+                       <> substr(sb, CAST(j AS INT), 1))) - 1,
+                   least(length(sa), length(sb))) AS lcp,
+                 sa
+               FROM p0),
+         c AS (SELECT doc_a AS doc_id, lcp,
+                 substr(sa, 1, CAST(lcp AS INT)) AS sub FROM p
+               UNION ALL
+               SELECT doc_b, lcp, substr(sa, 1, CAST(lcp AS INT)) FROM p),
+         ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sfx
+                FROM sfx GROUP BY 1),
+         m AS (SELECT doc_id, CAST(lcp AS BIGINT) AS max_lcp, sub AS top_sub,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY lcp DESC, sub DESC) AS rk
+               FROM c)
+         SELECT m.doc_id, ns.n_sfx, m.max_lcp, m.top_sub
+         FROM m JOIN ns USING (doc_id) WHERE rk = 1"""
+    // q307: session×episode interval-overlap census — q22 sessions
+    // joined to q221 burst episodes on inclusive ms overlap; the Spark
+    // side is the bucketed rewrite, the oracle the direct inequality
+    // join (exact-long overlap arithmetic on both).
+    val sessionOverlapOracle: String =
+      s"""WITH sess AS (
+${base("q22_sessionize")}),
+         ep0 AS (
+${base("q221_burst_episodes")}),
+         ep AS (SELECT event_type, start_h,
+                  start_h * 3600000 AS e_lo,
+                  (end_h + 1) * 3600000 - 1 AS e_hi
+                FROM ep0),
+         ov AS (SELECT ep.event_type, ep.start_h, sess.user_id,
+                  least(sess.session_end_ms, ep.e_hi)
+                    - greatest(sess.session_start_ms, ep.e_lo) AS o
+                FROM sess JOIN ep
+                  ON sess.session_start_ms <= ep.e_hi
+                 AND ep.e_lo <= sess.session_end_ms)
+         SELECT event_type, start_h,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(o) AS BIGINT) AS total_overlap_ms,
+           CAST(max(o) AS BIGINT) AS max_overlap_ms
+         FROM ov GROUP BY 1, 2"""
     // q298: token-weighted vs unweighted lower-median doc length per
     // source — rank/weight-rank select on exact integers.
     val weightedMedianOracle =
@@ -7997,6 +8260,12 @@ ${base("q98_pq_encode")}),
       ("q302_sketch_jaccard" -> sketchJaccardOracle) +
       ("q303_unigram_comp" -> unigramCompressionOracle) +
       ("q304_probe_sweep" -> probeSweepOracle) +
+      ("q305_lomb_scargle" -> lombScargleOracle) +
+      ("q306_suffix_dup" -> suffixDupOracle) +
+      ("q308_rq_encode" -> rqEncodeOracle) +
+      ("q309_isotonic" -> isotonicOracle) +
+      ("q310_kmv_intersect" -> kmvOracle) +
+      ("q307_session_overlap" -> sessionOverlapOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +
       ("q254_bpe_merges" -> bpeOracle) +

@@ -1547,4 +1547,68 @@ object Dedup {
                  * 1000000) div n_chunks""").cast("long").as("dup_chunk_ppm"),
         $"dup_tokens")
   }
+
+  /** q306: longest CROSS-DOCUMENT repeated substring per doc — the
+    * suffix-array dedup primitive (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every n-gram family
+    * (q25/q291) fixes the match length in advance; the suffix order
+    * finds the longest verbatim overlap at CHARACTER granularity
+    * without choosing n. Word-start suffixes (the standard stride that
+    * never splits a token) are truncated to [[SuffixCap]] chars — the
+    * truncated-prefix sort is exactly round ⌈log₂ cap⌉ of
+    * prefix-doubling suffix ranking, sufficient whenever the reported
+    * LCP is below the cap, and the cap is the operator's explicit
+    * contract (a 100 TB run raises it or chains a second doubling
+    * round on the capped survivors only).
+    *
+    * Correctness of the adjacent-pair reduction: for suffixes i < j in
+    * sorted order, LCP(i,j) = min of adjacent LCPs over [i, j); if i
+    * and j come from different docs, SOME adjacent boundary in [i, j)
+    * changes doc, and its LCP ≥ the range min — so the per-doc max
+    * over adjacent different-doc pairs (credited to both sides) equals
+    * the true per-doc max over ALL cross-doc suffix pairs. Rows are
+    * distinct (doc_id, suffix) so the global (sfx, doc_id) order is
+    * unique and the rank deterministic.
+    *
+    * Scale shape: the global sort is the q178 two-phase segmentedRank
+    * (parallel per-first-char windows + broadcast prefix offsets — no
+    * single-partition window); the neighbor pair is one co-partitioned
+    * equi-join on rank; the LCP is a bounded 48-position map-side
+    * compare. Everything is linear in total word-start positions. */
+  val SuffixCap = 48
+  def suffixDup(spark: SparkSession, dir: String): DataFrame =
+    suffixDupOn(TextOps.docsParallel(spark, dir))
+
+  /** Testable core over any `(doc_id, text)` relation. */
+  private[graft] def suffixDupOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cap = SuffixCap
+    val sfx = docs
+      .select($"doc_id", $"text",
+        explode(expr("sequence(1, length(text))")).as("pos"))
+      .where($"pos" === 1 || expr("substring(text, pos - 1, 1) = ' '"))
+      .where(expr("substring(text, pos, 1) <> ' '"))
+      .select($"doc_id", expr(s"substring(text, pos, $cap)").as("sfx"))
+      .distinct()
+    val ranked = segmentedRank(sfx, "sfx").select($"doc_id", $"sfx", $"rn")
+    val pairs = ranked.select($"doc_id".as("doc_a"), $"sfx".as("sa"), $"rn")
+      .join(ranked.select($"doc_id".as("doc_b"), $"sfx".as("sb"),
+        ($"rn" - 1L).as("rn")), "rn")
+      .where($"doc_a" =!= $"doc_b")
+      .withColumn("lcp", expr(
+        s"""coalesce(array_min(filter(
+              sequence(1, least(length(sa), length(sb))),
+              j -> substring(sa, j, 1) <> substring(sb, j, 1))) - 1,
+            least(length(sa), length(sb)))""").cast("long"))
+      .select($"doc_a", $"doc_b", $"lcp",
+        expr("substring(sa, 1, cast(lcp as int))").as("sub"))
+    val credited = pairs.select($"doc_a".as("doc_id"), $"lcp", $"sub")
+      .unionAll(pairs.select($"doc_b".as("doc_id"), $"lcp", $"sub"))
+    val nSfx = sfx.groupBy($"doc_id").agg(count(lit(1)).as("n_sfx"))
+    credited.groupBy($"doc_id")
+      .agg(max(struct($"lcp", $"sub")).as("top"))
+      .select($"doc_id", $"top.lcp".as("max_lcp"), $"top.sub".as("top_sub"))
+      .join(nSfx, "doc_id")
+      .select($"doc_id", $"n_sfx", $"max_lcp", $"top_sub")
+  }
 }

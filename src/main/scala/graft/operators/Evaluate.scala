@@ -1688,4 +1688,64 @@ object Evaluate {
         floor($"num".cast("double") / sqrt($"den".cast("double")) * 1000
           + lit(1.0 / 3)).cast("long").as("z_milli"))
   }
+
+  /** q309: isotonic (monotone) calibration — the FIT the calibration
+    * diagnostics family (q121 reliability bins, q241 ECE, q267 Brier,
+    * q272 Spiegelhalter) measures but never produces: the
+    * nondecreasing step function closest in L2 to the per-bin positive
+    * rates, i.e. what `sklearn.isotonic` / Zadrozny & Elkan 2002 fit
+    * before serving calibrated scores. Computed via the minimax
+    * identity fit_i = max_{j≤i} min_{k≥i} avg(j..k) (Ayer et al. 1955)
+    * over the BOUNDED score-bin grid — not sequential PAVA, whose
+    * pool-adjacent scan is inherently serial; the minimax form is three
+    * joins over a |bins|²-sized relation, embarrassingly parallel and
+    * identical in result.
+    *
+    * Exactness: weighted block averages are ppm integer divs of exact
+    * long prefix sums; min/max over longs. (The minimax runs over the
+    * ppm-quantized averages — a ≤1 ppm perturbation of the real-valued
+    * fit, monotone regardless: the j-range grows and the k-range
+    * shrinks with i for ANY avg table.) Monotonicity is spec-gated.
+    *
+    * Scale shape: one partial-agged scan to the |bins| grid (the only
+    * pass over data); everything after is O(|bins|³) arithmetic on
+    * broadcast-sized relations — the q277/q126 bounded-grid
+    * discipline. Score resolution is the scale knob: 10-char bins keep
+    * the grid ≤ ~10² rows at any corpus size. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    isotonicOn(Tables.documents(spark, dir)
+      .select(expr("n_chars div 10").as("bin"),
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos")))
+  }
+
+  /** Testable core over any `(bin, n, n_pos)` grid (the spec drives
+    * handcrafted PAVA examples). */
+  private[graft] def isotonicOn(bins: DataFrame): DataFrame = {
+    import bins.sparkSession.implicits._
+    val wCum = Window.partitionBy(graft.functions.Win.bounded)
+      .orderBy($"bin".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = bins.select($"bin", $"n", $"n_pos",
+      sum($"n").over(wCum).as("cn"), sum($"n_pos").over(wCum).as("cp"))
+    val js = pref.select($"bin".as("jb"),
+      ($"cn" - $"n").as("nj_prev"), ($"cp" - $"n_pos").as("pj_prev"))
+    val ks = pref.select($"bin".as("kb"), $"cn".as("nk"), $"cp".as("pk"))
+    // block averages over every (j..k) bin range — |bins|² rows, the
+    // bounded-grid inequality join (broadcast NLJ over ~50² is fine;
+    // the DATA never enters it)
+    val pairs = js.join(broadcast(ks), $"kb" >= $"jb")
+      .withColumn("avg_ppm",
+        expr("((pk - pj_prev) * 1000000) div (nk - nj_prev)"))
+      .select($"jb", $"kb", $"avg_ppm")
+    val is = pref.select($"bin".as("ib"))
+    val iso = is.join(broadcast(pairs), $"jb" <= $"ib" && $"kb" >= $"ib")
+      .groupBy($"ib", $"jb").agg(min($"avg_ppm").as("mn"))
+      .groupBy($"ib").agg(max($"mn").as("iso_ppm"))
+    bins.join(iso, $"bin" === $"ib")
+      .select($"bin", $"n", $"n_pos",
+        expr("(n_pos * 1000000) div n").as("raw_ppm"), $"iso_ppm")
+  }
 }

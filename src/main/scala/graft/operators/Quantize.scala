@@ -755,4 +755,81 @@ object Quantize {
         $"max_dist_q",
         expr("(n_zero * 1000000) div n_vecs").as("zero_ppm"))
   }
+
+  /** q308: residual quantization (RQ) — the additive-codebook
+    * alternative to q98's product quantization (Chen, Guan & Wang 2010;
+    * the RQ/LSQ family behind modern additive quantizers): stage 1
+    * snaps the FULL 64-dim vector to its nearest coarse center, stage 2
+    * quantizes the residual against a second codebook, and the
+    * reconstruction is the SUM c₁ + c₂ — unlike PQ, every stage sees
+    * the whole vector, so correlated dimensions cost one code, not m.
+    * Emitted per vector: both codes and the stage-1 vs stage-2 squared
+    * error (d2 ≤ d1 wherever code₂ ≠ degenerate; the spec gates the
+    * mean drop). q297's usage-entropy audit applies to stage-2 codes
+    * unchanged.
+    *
+    * Codebooks follow the q98/q68 fixed-seed discipline: stage 1 =
+    * vectors 0..7, stage 2 = the residuals of vectors 8..15 under their
+    * own stage-1 assignment — a bounded 16-row driver collect (the
+    * codebook-collect pattern), with the driver-side fold written in
+    * the same ascending left-fold double chain as the oracle's
+    * list_reduce, so both engines derive bit-identical codebooks.
+    *
+    * Scale shape: map-only — one scan, 16 nested-literal distance
+    * evaluations per row inside whole-stage codegen, no shuffle at all
+    * (the output is per-vector). At 100 TB this is the encode pass a
+    * vector store runs once per ingest batch. */
+  def rqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rqEncodeOn(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir), $"vec_id"))
+  }
+
+  /** Testable core over any `(vec_id, embedding)` relation. */
+  private[graft] def rqEncodeOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val k = 8
+    val e = vecs.select($"vec_id", $"embedding")
+    def dotD(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val head: Array[(Long, IndexedSeq[Double])] =
+      e.where($"vec_id" < 2L * k).as[(Long, Array[Float])].collect()
+        .sortBy(_._1).map { case (id, a) =>
+          (id, a.map(_.toDouble).toIndexedSeq) }
+    val cb1: Seq[(Long, IndexedSeq[Double])] =
+      head.filter(_._1 < k).toSeq
+    // stage-2 codebook: residuals of vecs 8..15 under their own stage-1
+    // assignment, same (dist asc, code asc) tie rule as the column path
+    val cb2: Seq[(Long, IndexedSeq[Double])] =
+      head.filter(t => t._1 >= k && t._1 < 2L * k).toSeq.map { case (id, x) =>
+        val sxx = dotD(x, x)
+        val bestCode = cb1.map { case (c, ce) =>
+          (sxx - 2.0 * dotD(x, ce) + dotD(ce, ce), c)
+        }.reduceLeft { (p, q) =>
+          if (q._1 < p._1 || (q._1 == p._1 && q._2 < p._2)) q else p
+        }._2
+        val ce = cb1.find(_._1 == bestCode).get._2
+        (id - k, x.indices.map(i => x(i) - ce(i)))
+      }
+    def nearest(vec: Column, cb: Seq[(Long, IndexedSeq[Double])]): Column = {
+      val sxx = VectorOps.dot(vec, vec)
+      array_min(array(cb.map { case (id, ce) =>
+        val scc = dotD(ce, ce)
+        struct(
+          (sxx - lit(2.0) * VectorOps.dot(vec, typedLit(ce.toSeq))
+            + lit(scc)).as("dist"),
+          lit(id).as("code"))
+      }: _*))
+    }
+    val cb1Lit = typedLit(cb1.map(_._2.toSeq))
+    val s1 = e.withColumn("b1", nearest($"embedding", cb1))
+      .select($"vec_id", $"b1.code".as("code1"), $"b1.dist".as("dist1"),
+        zip_with($"embedding",
+          element_at(cb1Lit, ($"b1.code" + 1L).cast("int")),
+          (a, b) => a - b).as("r"))
+    s1.withColumn("b2", nearest($"r", cb2))
+      .select($"vec_id", $"code1", $"b2.code".as("code2"),
+        floor($"dist1" * 1e6 + lit(1.0 / 3)).cast("long").as("d1_q"),
+        floor($"b2.dist" * 1e6 + lit(1.0 / 3)).cast("long").as("d2_q"))
+  }
 }

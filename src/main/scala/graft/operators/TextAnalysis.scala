@@ -1593,4 +1593,99 @@ object TextAnalysis {
           - lit(84.6) * ($"n_syllables".cast("double") / $"n_words")) * 1000
           + lit(1.0 / 3)).cast("long").as("flesch_milli"))
   }
+
+  /** q310: KMV (bottom-k / k-minimum-values) sketch intersection — the
+    * OTHER mergeable distinct sketch (Beyer et al. 2007), completing
+    * q302's HLL set algebra with the operation HLL does badly:
+    * inclusion–exclusion on HLL subtracts two noisy estimates, while a
+    * KMV pair gives the Jaccard DIRECTLY (the matched fraction ρ/k of
+    * the merged bottom-k is an unbiased Jaccard estimator — exactly
+    * MinHash with one k-row signature), so |A∩B| = (ρ/k)·n̂(∪) comes
+    * from one ratio. Audited pair-by-pair against the exact
+    * distinct-token intersection, like q302.
+    *
+    * Exactness: token hashes are the house 60-bit md5 longs; a KMV
+    * sketch is literally the k smallest DISTINCT hash values, so every
+    * estimate is integer arithmetic on exact longs ((k−1)·2⁶⁰ rides
+    * decimal(38,0)/HUGEINT — it overflows a long); sketches smaller
+    * than k fall back to their exact count (both engines, same CASE).
+    *
+    * Scale shape: per-source bottom-k is the q17 rank-window idiom on
+    * the distinct-hash relation; everything downstream operates on
+    * |sources|·k sketch rows — merge is a rank over ≤2k rows per pair.
+    * Only the EXACT audit columns touch the vocabulary self-join; drop
+    * them in production and the query never sees more than the
+    * sketches. */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmvIntersectOn(TextOps.docsParallel(spark, dir)
+      .select($"source".as("src"), explode(TextOps.toks($"text")).as("tok"))
+      .distinct())
+  }
+
+  /** Testable core over any distinct `(src, tok)` relation. */
+  private[graft] def kmvIntersectOn(tokSrc: DataFrame): DataFrame = {
+    import tokSrc.sparkSession.implicits._
+    val k = 128
+    val M = 1152921504606846976L // 16^15 = 2^60, the hash range
+    val hashes = tokSrc
+      .select($"src",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val wRk = Window.partitionBy($"src").orderBy($"h".asc)
+    val sketch = hashes
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .where($"rk" <= k)
+    def kmvEst(nKept: Column, hk: Column): Column =
+      when(nKept < k, nKept).otherwise(
+        expr(s"cast((cast(${k - 1} as decimal(38,0))" +
+          s" * $M) div hk as bigint)"))
+    val perSrc = sketch.groupBy($"src")
+      .agg(count(lit(1)).as("n_kept"), max($"h").as("hk"))
+      .select($"src", kmvEst($"n_kept", $"hk").as("kmv"))
+    val prs = perSrc.select($"src".as("src_a")).crossJoin(
+        perSrc.select($"src".as("src_b")))
+      .where($"src_a" < $"src_b")
+    // merged bottom-k of each pair: distinct hashes of the two sketches
+    // ranked again; ρ = merged-k values present in BOTH sketches
+    val merged = prs.join(sketch,
+        $"src" === $"src_a" || $"src" === $"src_b")
+      .groupBy($"src_a", $"src_b", $"h")
+      .agg(max(when($"src" === $"src_a", 1L).otherwise(0L)).as("in_a"),
+        max(when($"src" === $"src_b", 1L).otherwise(0L)).as("in_b"))
+    val wPair = Window.partitionBy($"src_a", $"src_b").orderBy($"h".asc)
+    val kept = merged
+      .withColumn("rk", row_number().over(wPair).cast("long"))
+      .where($"rk" <= k)
+    val pairEst = kept.groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_kept"), max($"h").as("hk"),
+        sum(when($"in_a" === 1L && $"in_b" === 1L, 1L).otherwise(0L))
+          .as("rho"))
+      .select($"src_a", $"src_b", $"rho",
+        kmvEst($"n_kept", $"hk").as("kmv_union"),
+        $"n_kept")
+      .select($"src_a", $"src_b", $"rho", $"kmv_union",
+        expr("(rho * 1000000) div n_kept").as("kmv_jac_ppm"),
+        expr("cast((cast(rho as decimal(38,0)) * kmv_union)" +
+          " div n_kept as bigint)").as("kmv_inter"))
+    val nSrc = tokSrc.groupBy($"src").agg(count(lit(1)).as("n"))
+    val inter = tokSrc.as("x").join(tokSrc.as("y"),
+        $"x.tok" === $"y.tok" && $"x.src" < $"y.src")
+      .groupBy($"x.src".as("src_a"), $"y.src".as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairEst
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+      .join(nSrc.select($"src".as("src_a"), $"n".as("n_a")), Seq("src_a"))
+      .join(nSrc.select($"src".as("src_b"), $"n".as("n_b")), Seq("src_b"))
+      .join(perSrc.select($"src".as("src_a"), $"kmv".as("kmv_a")),
+        Seq("src_a"))
+      .join(perSrc.select($"src".as("src_b"), $"kmv".as("kmv_b")),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_inter",
+        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+          .as("exact_jac_ppm"),
+        $"kmv_a", $"kmv_b", $"kmv_union", $"rho", $"kmv_jac_ppm",
+        $"kmv_inter")
+  }
 }

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 second batch: Lomb–Scargle (q305), suffix-sort cross-doc
+  * repeats (q306), interval-overlap join (q307), residual quantization
+  * (q308), isotonic calibration (q309), KMV sketch intersection (q310).
+  * Each test drives the operator core on a planted fixture with a known
+  * analytic or brute-force answer. */
+class Round14bSpec extends SparkSpec {
+
+  test("q305 lombScargle: planted uneven-sampled sinusoid peaks at its true frequency") {
+    import spark.implicits._
+    // 64 samples with deterministic irregular jitter; value is a pure
+    // k=3 sinusoid of the rebased phase — the grid the operator scans
+    val times = (0 until 64).map(i => i * 1000L + (i.toLong * i * 37) % 500)
+    val t0 = times.min; val span = times.max - t0
+    val sine = times.map { t =>
+      val phase = (3.0 * (t - t0) / span) * 2 * math.Pi
+      ("sine", t, 100.0 + 50.0 * math.sin(phase))
+    }
+    // a flat series (zero variance — the VV guard must drop it) and a
+    // short one (n < 16 — the length guard must drop it)
+    val flat = (0 until 32).map(i => ("flat", i * 997L, 42.0))
+    val short = (0 until 5).map(i => ("short", i * 1000L, i.toDouble))
+    val ev = (sine ++ flat ++ short).toDF("event_type", "tms", "value")
+    val rows = graft.operators.Spectral.lombScargleOn(ev)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.forall(_._1 == "sine"),
+      s"guards failed: ${rows.map(_._1).distinct.mkString(",")}")
+    assert(rows.length === 8)
+    val byK = rows.map(r => r._2 -> r._4).toMap
+    info(s"power_milli by k: ${byK.toSeq.sortBy(_._1).mkString(", ")}")
+    // normalized power ≈ 1 at the true frequency, small leakage elsewhere
+    assert(byK(3L) > 900L, s"k=3 power ${byK(3L)}")
+    assert((1L to 8L).filter(_ != 3L).forall(k => byK(k) < byK(3L)),
+      s"k=3 is not the argmax: $byK")
+  }
+
+  test("q306 suffixDupOn matches a brute-force cross-doc LCP model") {
+    import spark.implicits._
+    val p = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta $p and then some xxa"),
+      (2L, s"gamma delta $p and then some yyb"),
+      (3L, "completely unrelated words only here zebra"),
+      (4L, "more unrelated text zebra plus padding words")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.suffixDupOn(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // brute model: word-start suffixes capped at 48, all cross-doc pairs
+    val texts = Map(1L -> s"alpha beta $p and then some xxa",
+      2L -> s"gamma delta $p and then some yyb",
+      3L -> "completely unrelated words only here zebra",
+      4L -> "more unrelated text zebra plus padding words")
+    val sfx = texts.toSeq.flatMap { case (id, t) =>
+      (0 until t.length).filter(i => i == 0 || t(i - 1) == ' ')
+        .filter(i => t(i) != ' ')
+        .map(i => (id, t.substring(i, math.min(t.length, i + 48))))
+    }.distinct
+    def lcp(a: String, b: String): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val expect = texts.keys.map { id =>
+      val best = (for {
+        (da, sa) <- sfx if da == id
+        (db, sb) <- sfx if db != id
+      } yield (lcp(sa, sb).toLong,
+        sa.substring(0, lcp(sa, sb)))).max
+      id -> best
+    }.toMap
+    texts.keys.foreach { id =>
+      assert(got(id)._2 === expect(id)._1,
+        s"doc $id max_lcp: got ${got(id)._2}, brute ${expect(id)._1}")
+      assert(got(id)._3 === expect(id)._2,
+        s"doc $id top_sub: got '${got(id)._3}', brute '${expect(id)._2}'")
+    }
+    // the planted phrase dominates docs 1/2 and respects the 48-char cap
+    assert(got(1L)._2 >= p.length && got(1L)._2 <= 48L)
+    assert(got(1L)._3.startsWith("the quick brown fox"))
+  }
+
+  test("q307 intervalOverlap equals the brute inequality join, duplicate-free") {
+    import spark.implicits._
+    // nested / touching / disjoint / spanning intervals on both sides
+    val as = Seq((1L, 0L, 100L), (2L, 90L, 110L), (3L, 200L, 200L),
+      (4L, 50L, 60L), (5L, 500L, 5000L), (6L, 109L, 150L))
+      .toDF("aid", "s_lo", "s_hi")
+    val bs = Seq((10L, 100L, 200L), (11L, 0L, 49L), (12L, 1000L, 1001L),
+      (13L, 55L, 58L), (14L, 201L, 300L))
+      .toDF("bid", "e_lo", "e_hi")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(as, bs, "s_lo", "s_hi", "e_lo", "e_hi", width = 64L)
+      .select($"aid", $"bid").as[(Long, Long)].collect().sorted.toSeq
+    val brute = as.as("a").join(bs.as("b"),
+        $"s_lo" <= $"e_hi" && $"e_lo" <= $"s_hi")
+      .select($"aid", $"bid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === brute, s"got $got, brute $brute")
+    assert(got.distinct.size === got.size, "bucketed rewrite duplicated a pair")
+    // the touching pair (2, 10) at point 100 and (1, 10) at 100 are in
+    assert(got.contains((2L, 10L)) && got.contains((1L, 10L)))
+  }
+
+  test("q308 rqEncodeOn: stage-2 residual codebook zeroes the planted residual patterns") {
+    import spark.implicits._
+    // centers c_i = 10 at dim i (vecs 0..7); residual patterns p_m = 0.5
+    // at dim 8+m, planted on vecs 8..15 (one per center) and on every
+    // later vector — so stage 2 must reconstruct exactly: d2 == 0
+    def mk(center: Int, pat: Int): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(center) = 10f
+      if (pat >= 0) a(8 + pat) = 0.5f
+      a
+    }
+    val vecs = ((0 until 8).map(i => (i.toLong, mk(i, -1))) ++
+      (8 until 16).map(j => (j.toLong, mk(j - 8, j - 8))) ++
+      (16 until 256).map { id =>
+        (id.toLong, mk(id % 8, (id / 8) % 8))
+      }).toDF("vec_id", "embedding")
+    val rows = graft.operators.Quantize.rqEncodeOn(vecs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 256)
+    val tail = rows.filter(_._1 >= 16L)
+    // stage 1 lands on the planted center; d1 = ‖p‖² = 0.25
+    assert(tail.forall(r => r._2 == r._1 % 8),
+      "stage-1 assignment missed the planted center")
+    assert(tail.forall(_._4 === 250000L),
+      s"d1_q: ${tail.map(_._4).distinct.mkString(",")}")
+    // stage 2 finds the exact residual pattern: d2 == 0, code = pattern
+    assert(tail.forall(_._5 === 0L),
+      s"d2_q nonzero: ${tail.filter(_._5 != 0L).take(3).mkString(",")}")
+    assert(tail.forall(r => r._3 == (r._1 / 8) % 8),
+      "stage-2 code is not the planted pattern")
+  }
+
+  test("q309 isotonicOn equals the brute minimax model and is monotone") {
+    import spark.implicits._
+    // a classic violator sequence: rates 1, 0, 1, 1, 0, 0, 1, 1 with
+    // unequal weights — PAVA must pool the middle blocks
+    val bins = Seq((0L, 2L, 2L), (1L, 3L, 0L), (2L, 1L, 1L), (3L, 2L, 2L),
+      (4L, 4L, 0L), (5L, 1L, 0L), (6L, 3L, 3L), (7L, 2L, 2L))
+      .toDF("bin", "n", "n_pos")
+    val got = graft.operators.Evaluate.isotonicOn(bins)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // brute minimax over ppm-quantized block averages — the operator's
+    // exact contract
+    val b = Seq((0L, 2L, 2L), (1L, 3L, 0L), (2L, 1L, 1L), (3L, 2L, 2L),
+      (4L, 4L, 0L), (5L, 1L, 0L), (6L, 3L, 3L), (7L, 2L, 2L))
+    def avg(j: Int, k: Int): Long = {
+      val n = b.slice(j, k + 1).map(_._2).sum
+      val p = b.slice(j, k + 1).map(_._3).sum
+      p * 1000000L / n
+    }
+    val expect = b.indices.map { i =>
+      (0 to i).map(j => (i until b.size).map(k => avg(j, k)).min).max
+    }
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r._5 === expect(i), s"bin $i: got ${r._5}, brute ${expect(i)}")
+    }
+    assert(got.map(_._5).sliding(2).forall(w => w(0) <= w(1)),
+      s"isotonic fit not monotone: ${got.map(_._5).mkString(",")}")
+    // pooling really happened: raw rates violate, fit differs from raw
+    assert(got.exists(r => r._4 != r._5))
+  }
+
+  test("q310 kmvIntersectOn: sketches below k are exact — estimates equal the truth") {
+    import spark.implicits._
+    val xs = ('a' to 'j').map(c => ("x", s"tok_$c"))
+    val ys = ('f' to 'o').map(c => ("y", s"tok_$c"))
+    val rows = graft.operators.TextAnalysis
+      .kmvIntersectOn((xs ++ ys).toDF("src", "tok"))
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("n_b") === 10L)
+    assert(r.getAs[Long]("n_inter") === 5L)
+    // vocab < k = 128: the sketch IS the set, every estimate is exact
+    assert(r.getAs[Long]("kmv_a") === 10L && r.getAs[Long]("kmv_b") === 10L)
+    assert(r.getAs[Long]("kmv_union") === 15L)
+    assert(r.getAs[Long]("rho") === 5L)
+    assert(r.getAs[Long]("kmv_inter") === 5L)
+    assert(r.getAs[Long]("kmv_jac_ppm") === 333333L)
+    assert(r.getAs[Long]("exact_jac_ppm") === 333333L)
+  }
+
+  test("q310 kmvIntersect on testdata: sketch Jaccard tracks the exact Jaccard") {
+    import spark.implicits._
+    val rows = graft.operators.TextAnalysis.kmvIntersect(spark, sfDir)
+      .select($"exact_jac_ppm", $"kmv_jac_ppm").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // k = 128 gives σ(J) ≈ sqrt(J(1−J)/k) ≲ 0.045 — gate at 4σ
+    rows.foreach { case (exact, kmv) =>
+      assert(math.abs(exact - kmv) < 180000L,
+        s"sketch Jaccard off by ${math.abs(exact - kmv)} ppm")
+    }
+  }
+}
