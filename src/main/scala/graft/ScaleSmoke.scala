@@ -95,7 +95,23 @@ object ScaleSmoke {
     // relation (grows sublinearly under replication — replicas repeat
     // word types), the piece count pass is a bounded explode: ideal
     // well under the scan ratio
-    "q301_unigram_em")
+    "q301_unigram_em",
+    // round 14 batch 2: the suffix sort is linear in word-start
+    // positions (replicas share text, so identical-suffix runs grow
+    // but pairs stay one-per-adjacent-row — output |docs| rows); the
+    // isotonic grid is bin-bounded after one partial-agged scan; KMV's
+    // sketch path is |sources|·k rows — only its exact AUDIT columns
+    // ride the vocabulary self-join (vocab grows sublinearly under
+    // replication)
+    "q306_suffix_dup", "q309_isotonic", "q310_kmv_intersect",
+    // round 14 batch 3: the Bloom filter is fixed m-row state + a
+    // broadcast probe join (ideal ~ scan ratio); KN reduces to
+    // bigram-TYPE relations then one posting join; confident-joint is
+    // a map-only score + two broadcast thresholds; the ensemble rides
+    // q26+q28+CC (read its ratio against theirs — replica families
+    // densify true pairs)
+    "q311_bloom_fp", "q313_kn_entropy", "q314_confident_joint",
+    "q312_ensemble_dedup")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -139,7 +155,10 @@ object ScaleSmoke {
     "q294_cell_silhouette", "q297_code_usage", "q299_pq_semdedup",
     // round 14: OPQ permutation rides two map-only encodes + one
     // d-bounded moment collect — ideal ~ 2x the q98 scan ratio
-    "q300_opq_permute")
+    "q300_opq_permute",
+    // round 14 batch 2: RQ is two map-only nested-literal encode
+    // passes over the 16-row driver codebooks — ideal ~ scan ratio
+    "q308_rq_encode")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and
@@ -179,7 +198,13 @@ object ScaleSmoke {
     // ratio
     "q287_benford", "q295_retention",
     // inter-arrival burstiness = per-user lag windows + moment sums
-    "q296_interarrival_b")
+    "q296_interarrival_b",
+    // round 14 batch 2: Lomb–Scargle is one scan with a map-side 8-way
+    // frequency fan-out to a |types|×8 grid (ideal ~ scan ratio ×
+    // the in-row trig constant); the session×episode overlap join
+    // buckets both interval sides — user growth = more sessions,
+    // episode side stays hour-grid-bounded
+    "q305_lomb_scargle", "q307_session_overlap")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while

@@ -330,6 +330,10 @@ object SparkEntry {
     "q308_rq_encode"        -> (Quantize.rqEncode _),
     "q309_isotonic"         -> (Evaluate.isotonicCalibration _),
     "q310_kmv_intersect"    -> (TextAnalysis.kmvIntersect _),
+    "q311_bloom_fp"         -> (TextAnalysis.bloomFpAudit _),
+    "q312_ensemble_dedup"   -> (Dedup.ensembleDedup _),
+    "q313_kn_entropy"       -> (TextAnalysis.knCrossEntropy _),
+    "q314_confident_joint"  -> (Evaluate.confidentJoint _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7878,6 +7882,163 @@ $emAll)"""
              - 2.0 * csbar * cbar * sbar) / det / vv * 1000.0 + 1.0/3)
              AS BIGINT) AS power_milli
          FROM f WHERE det > 0.000000001 AND vv > 0.000000001"""
+    // q311: Bloom FP audit — m=8192/k=3 filter from three md5-slice
+    // positions over the 'en' vocabulary; probes are other-language
+    // tokens verifiably NOT in it; theory column is the (fill)^3
+    // chain over exact longs.
+    val bloomFpOracle: String =
+      """WITH t0 AS (SELECT source AS src, doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         t AS (SELECT a.src, a.tok || ' ' || b.tok || ' ' || c.tok AS tok
+               FROM t0 a
+               JOIN t0 b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+               JOIN t0 c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         ix AS (SELECT min(src) AS idx_src FROM t),
+         env AS (SELECT DISTINCT tok FROM t, ix WHERE t.src = ix.idx_src),
+         bits AS (SELECT DISTINCT b FROM (
+             SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 8192
+               AS b FROM env
+             UNION ALL
+             SELECT CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) % 8192
+               FROM env
+             UNION ALL
+             SELECT CAST('0x' || substr(md5(tok), 17, 8) AS BIGINT) % 8192
+               FROM env)),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+         pr0 AS (SELECT DISTINCT src, tok FROM t, ix WHERE t.src <> ix.idx_src),
+         probes AS (SELECT pr0.src, pr0.tok FROM pr0
+                    LEFT JOIN env ON env.tok = pr0.tok
+                    WHERE env.tok IS NULL),
+         ph AS (SELECT src, tok,
+                  CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 8192 AS b
+                FROM probes
+                UNION ALL
+                SELECT src, tok,
+                  CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) % 8192
+                FROM probes
+                UNION ALL
+                SELECT src, tok,
+                  CAST('0x' || substr(md5(tok), 17, 8) AS BIGINT) % 8192
+                FROM probes),
+         fps AS (SELECT src, CAST(count(*) AS BIGINT) AS n_fp FROM (
+                   SELECT ph.src, ph.tok FROM ph JOIN bits USING (b)
+                   GROUP BY 1, 2 HAVING count(*) = 3) f0 GROUP BY 1),
+         np AS (SELECT src, CAST(count(*) AS BIGINT) AS n_probes
+                FROM probes GROUP BY 1)
+         SELECT np.src, np.n_probes, coalesce(fps.n_fp, 0) AS n_fp,
+           (coalesce(fps.n_fp, 0) * 1000000) // np.n_probes AS fp_ppm,
+           nb.n_bits_set,
+           (nb.n_bits_set * 1000000) // 8192 AS fill_ppm,
+           CAST(floor((CAST(nb.n_bits_set AS DOUBLE) / 8192.0)
+             * (CAST(nb.n_bits_set AS DOUBLE) / 8192.0)
+             * (CAST(nb.n_bits_set AS DOUBLE) / 8192.0) * 1000000.0
+             + 1.0/3) AS BIGINT) AS theory_fp_ppm
+         FROM np LEFT JOIN fps ON fps.src = np.src, nb"""
+    // q312: ensemble dedup — exact/minhash/simhash pairs unioned with
+    // detector bits, one combined-graph CC (q62's reach closure),
+    // mask census + union summary (-1 sentinels keep the gate
+    // NULL-free).
+    val ensembleOracle: String =
+      s"""WITH RECURSIVE
+         mh AS (SELECT doc_a, doc_b, 1 AS det FROM (
+${base("q26_minhash_lsh")}) m0),
+         sh2 AS (SELECT doc_a, doc_b, 2 AS det FROM (
+${base("q28_simhash_pairs")}) s0),
+         exh AS (SELECT doc_id, md5(text) AS h FROM documents),
+         ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 4 AS det
+                FROM exh a JOIN exh b
+                  ON a.h = b.h AND a.doc_id < b.doc_id),
+         tagged AS (SELECT * FROM mh UNION ALL SELECT * FROM sh2
+                    UNION ALL SELECT * FROM ex),
+         prs AS (SELECT doc_a, doc_b, CAST(sum(DISTINCT det) AS BIGINT)
+                   AS mask
+                 FROM tagged GROUP BY 1, 2),
+         pm AS (SELECT 'mask_' || CAST(mask AS VARCHAR) AS part,
+                  CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(-1 AS BIGINT) AS n_clusters,
+                  CAST(-1 AS BIGINT) AS max_cluster
+                FROM prs GROUP BY mask),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(s, d) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         mn AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY 1),
+         nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+         lab AS (SELECT n.doc_id,
+                   least(n.doc_id, coalesce(mn.mn, n.doc_id)) AS comp
+                 FROM nodes n LEFT JOIN mn USING (doc_id)),
+         sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+                   FROM lab GROUP BY 1),
+         un AS (SELECT 'union' AS part,
+                  (SELECT CAST(count(*) AS BIGINT) FROM prs) AS n_pairs,
+                  CAST(count(*) AS BIGINT) AS n_clusters,
+                  CAST(max(sz) AS BIGINT) AS max_cluster
+                FROM sizes)
+         SELECT * FROM pm UNION ALL SELECT * FROM un"""
+    // q313: interpolated Kneser–Ney bigram cross-entropy per source —
+    // D = 0.75 discount, continuation-count backoff, ln quantized per
+    // bigram TYPE before the frequency-weighted sum.
+    val knOracle: String =
+      """WITH t0 AS (SELECT source, doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         bg AS (SELECT a.source, a.tok AS w1, b.tok AS w2
+                FROM t0 a JOIN t0 b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1r
+                FROM c12 GROUP BY 1),
+         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
+                  FROM c12 GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM c12),
+         probs AS (SELECT c12.w1, c12.w2,
+             CAST(floor(ln(
+               greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+               + ((0.75 * CAST(n1r AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                 * (CAST(cont AS DOUBLE) / CAST(nb AS DOUBLE))
+             ) * 10000 + 1.0/3) AS BIGINT) AS lnq
+           FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2), tot)
+         SELECT bg.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST((-sum(lnq)) // count(*) AS BIGINT) AS kn_ce_e4
+         FROM bg JOIN probs USING (w1, w2) GROUP BY 1"""
+    // q314: confident-joint label noise — q95 scores shifted to the
+    // positive lattice (floor == trunc), per-label mean thresholds,
+    // both-confident ties to the larger margin then 'en'.
+    val confidentJointOracle: String =
+      s"""WITH sc AS (SELECT doc_id, n_tokens, margin FROM (
+${base("q95_hash_classifier")}) q95 WHERE n_tokens > 0),
+         lab AS (SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS y
+                 FROM documents),
+         s AS (SELECT sc.doc_id, lab.y,
+                 ((margin + 100 * n_tokens) * 1000000) // n_tokens AS s
+               FROM sc JOIN lab USING (doc_id)),
+         th AS (SELECT y, CAST(sum(s) // count(*) AS BIGINT) AS t_pos,
+                  CAST(sum(200000000 - s) // count(*) AS BIGINT) AS t_neg
+                FROM s GROUP BY 1),
+         te AS (SELECT t_pos AS t_en FROM th WHERE y = 'en'),
+         tox AS (SELECT t_neg AS t_oth FROM th WHERE y = 'other'),
+         a AS (SELECT s.y, s.s, te.t_en, tox.t_oth,
+                 s.s >= te.t_en AS c_en,
+                 (200000000 - s.s) >= tox.t_oth AS c_oth
+               FROM s, te, tox),
+         b AS (SELECT y,
+                 CASE WHEN c_en AND c_oth THEN
+                     CASE WHEN (s - t_en) >= (200000000 - s - t_oth)
+                       THEN 'en' ELSE 'other' END
+                   WHEN c_en THEN 'en' ELSE 'other' END AS j_hat
+               FROM a WHERE c_en OR c_oth),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_assigned FROM b)
+         SELECT y, j_hat, CAST(count(*) AS BIGINT) AS n,
+           (CAST(count(*) AS BIGINT) * 1000000) // n_assigned AS frac_ppm
+         FROM b, tot GROUP BY 1, 2, n_assigned"""
     // q310: KMV bottom-k sketch intersection — k smallest distinct
     // 60-bit token hashes per source; pair merge re-ranks ≤2k rows;
     // ρ/k is the direct Jaccard estimate; (k−1)·2⁶⁰ rides HUGEINT.
@@ -8265,6 +8426,10 @@ ${base("q98_pq_encode")}),
       ("q308_rq_encode" -> rqEncodeOracle) +
       ("q309_isotonic" -> isotonicOracle) +
       ("q310_kmv_intersect" -> kmvOracle) +
+      ("q311_bloom_fp" -> bloomFpOracle) +
+      ("q312_ensemble_dedup" -> ensembleOracle) +
+      ("q313_kn_entropy" -> knOracle) +
+      ("q314_confident_joint" -> confidentJointOracle) +
       ("q307_session_overlap" -> sessionOverlapOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +

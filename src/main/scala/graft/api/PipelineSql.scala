@@ -67,7 +67,11 @@ object PipelineSql {
     "graft_curation_funnel"     -> (Curation.filterFunnel _),
     "graft_wedge_sample"        -> (Dedup.wedgeSample _),
     "graft_unigram_em"          -> (TextAnalysis.unigramEmStep _),
-    "graft_sketch_jaccard"      -> (TextAnalysis.sketchJaccard _))
+    "graft_sketch_jaccard"      -> (TextAnalysis.sketchJaccard _),
+    "graft_suffix_dup"          -> (Dedup.suffixDup _),
+    "graft_kmv_jaccard"         -> (TextAnalysis.kmvIntersect _),
+    "graft_ensemble_dedup"      -> (Dedup.ensembleDedup _),
+    "graft_kn_entropy"          -> (TextAnalysis.knCrossEntropy _))
 
   /** Internal checkpoints minted while building each session's views —
     * released (executor blocks + durable files) when [[register]] replaces

@@ -1548,6 +1548,57 @@ object Dedup {
         $"dup_tokens")
   }
 
+  /** q312: ensemble dedup — the production blocking composition: exact
+    * (md5), MinHash-LSH (q26), and SimHash (q28) candidates UNIONED
+    * into one detector-tagged pair relation, connected components run
+    * ONCE over the combined graph, and the agreement census reported
+    * per detector mask (mask = Σ of distinct detector bits: 1 =
+    * minhash, 2 = simhash, 4 = exact). This is how real pipelines
+    * dedup — no single detector's recall is trusted alone (exact
+    * misses near-dups, minhash misses short docs, simhash misses
+    * re-orderings), and the mask histogram is the standing audit of
+    * how much each detector uniquely contributes.
+    *
+    * Output grain: one row per observed mask plus one 'union' summary
+    * row carrying the combined-graph cluster stats (mask rows carry -1
+    * there — no NULLs so the hash gate stays engine-portable).
+    *
+    * Scale shape: each detector keeps its own banded/blocked candidate
+    * discipline; the union adds one (doc_a, doc_b) partial-agged
+    * groupBy; CC runs once on the combined pair set (the q62 fixpoint,
+    * shared not repeated — running CC per detector would triple the
+    * iterative cost for numbers the mask census already implies). */
+  def ensembleDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = minhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("det"))
+    val sh = simhashPairs(spark, dir)
+      .select($"doc_a", $"doc_b", lit(2L).as("det"))
+    val hashed = TextOps.docsParallel(spark, dir)
+      .select($"doc_id", md5($"text").as("h"))
+    val ex = hashed.as("a").join(hashed.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        lit(4L).as("det"))
+    val pairs = Ckpt(mh.unionByName(sh).unionByName(ex)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum_distinct($"det").as("mask")), eager = false)
+    val perMask = pairs.groupBy($"mask").agg(count(lit(1)).as("n_pairs"))
+      .select(concat(lit("mask_"), $"mask".cast("string")).as("part"),
+        $"n_pairs", lit(-1L).as("n_clusters"), lit(-1L).as("max_cluster"))
+    val nodes = pairs.select($"doc_a".as("doc_id"))
+      .unionAll(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val sizes = Graph.connectedComponents(
+        pairs.select($"doc_a", $"doc_b"), nodes)
+      .groupBy($"comp").agg(count(lit(1)).as("sz"))
+    val unionRow = pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(sizes.agg(count(lit(1)).as("n_clusters"),
+        max($"sz").as("max_cluster")))
+      .select(lit("union").as("part"), $"n_pairs", $"n_clusters",
+        $"max_cluster")
+    perMask.unionByName(unionRow)
+  }
+
   /** q306: longest CROSS-DOCUMENT repeated substring per doc — the
     * suffix-array dedup primitive (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"): every n-gram family

@@ -1689,6 +1689,57 @@ object Evaluate {
           + lit(1.0 / 3)).cast("long").as("z_milli"))
   }
 
+  /** q314: confident-joint label-noise estimate (Northcutt et al. 2021,
+    * "Confident Learning") — the estimator behind cleanlab, the
+    * standard tool for finding mislabeled training examples: using the
+    * q95 hash classifier's per-token score as the model and lang='en'
+    * as the given label, each class's threshold is the MEAN predicted
+    * score among examples GIVEN that label; an example joins the
+    * confident joint C[y][ŷ] only where its score clears ŷ's
+    * threshold. Off-diagonal mass is the label-noise rate estimate —
+    * what share of the 'en' labels the model confidently contradicts.
+    *
+    * Exactness: scores shift to the positive lattice BEFORE the
+    * integer division (((margin + 100·n_tokens)·10⁶) div n_tokens —
+    * Spark's div truncates toward zero while DuckDB's // floors, so a
+    * negative dividend would diverge; the shift makes floor == trunc),
+    * thresholds are positive-long mean divs, the both-confident tie
+    * resolves by larger margin-over-threshold then 'en'.
+    *
+    * Scale shape: one map-only scoring scan (q95's fold), two 1-row
+    * threshold aggregates broadcast back, one partial-agged census to
+    * ≤4 rows. */
+  def confidentJoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.hashClassifier(spark, dir)
+      .where($"n_tokens" > 0L)
+    val lab = Tables.documents(spark, dir)
+      .select($"doc_id",
+        when($"lang" === "en", "en").otherwise("other").as("y"))
+    val s = scored.join(lab, "doc_id")
+      .select($"doc_id", $"y",
+        expr("((margin + 100 * n_tokens) * 1000000) div n_tokens").as("s"))
+    val th = s.groupBy($"y").agg(
+      expr("sum(s) div count(1)").as("t_pos"),
+      expr("sum(200000000 - s) div count(1)").as("t_neg"))
+    val tEn = th.where($"y" === "en").select($"t_pos".as("t_en"))
+    val tOth = th.where($"y" === "other").select($"t_neg".as("t_oth"))
+    val assigned = s.crossJoin(broadcast(tEn)).crossJoin(broadcast(tOth))
+      .withColumn("c_en", $"s" >= $"t_en")
+      .withColumn("c_oth", (lit(200000000L) - $"s") >= $"t_oth")
+      .where($"c_en" || $"c_oth")
+      .withColumn("j_hat",
+        when($"c_en" && $"c_oth",
+          when(($"s" - $"t_en") >= (lit(200000000L) - $"s" - $"t_oth"),
+            "en").otherwise("other"))
+          .when($"c_en", "en").otherwise("other"))
+    val tot = assigned.agg(count(lit(1)).as("n_assigned"))
+    assigned.groupBy($"y", $"j_hat").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"y", $"j_hat", $"n",
+        expr("(n * 1000000) div n_assigned").as("frac_ppm"))
+  }
+
   /** q309: isotonic (monotone) calibration — the FIT the calibration
     * diagnostics family (q121 reliability bins, q241 ECE, q267 Brier,
     * q272 Spiegelhalter) measures but never produces: the

@@ -1222,7 +1222,15 @@ object TextAnalysis {
     // Viterbi DP, positions 1..8: dp(i) = max over piece lengths l of
     // dp(i-l) + score(substr(i-l+1, l)); ties -> smaller l. Each dp(i)
     // is checkpointed so later stages reference a LEAF (4 references per
-    // stage would otherwise grow the plan 4^8)
+    // stage would otherwise grow the plan 4^8). A stride-2 variant
+    // (checkpoint even stages only, re-derive odd ones in their ≤4
+    // consumers) was tried in round 14 to halve the checkpoint-job
+    // floor and REVERTED: at sf0.1 the uncheckpointed stages' nested
+    // recomputation multiplies AQE's per-shuffle re-planning passes and
+    // the driver spun >15 min inside AdaptiveSparkPlanExec plan updates
+    // on a plan that runs in 4 s with per-stage leaves — like the
+    // all-cache variant before it (COVERAGE), the checkpoints are
+    // load-bearing; the job floor is the price of a bounded plan.
     val dp = new Array[DataFrame](9)
     dp(0) = Ckpt(w.select($"w", lit(0L).as("sc")), eager = false)
     for (i <- 1 to 8) {
@@ -1592,6 +1600,135 @@ object TextAnalysis {
           - lit(1.015) * ($"n_words".cast("double") / $"n_sentences")
           - lit(84.6) * ($"n_syllables".cast("double") / $"n_words")) * 1000
           + lit(1.0 / 3)).cast("long").as("flesch_milli"))
+  }
+
+  /** q313: interpolated Kneser–Ney bigram cross-entropy per source —
+    * the SMOOTHED language-model score the unsmoothed q289 (MLE
+    * cross-entropy) and q140 (Good–Turing mass) each cover half of:
+    * KN (Kneser & Ney 1995; Chen & Goodman 1999's benchmark winner) is
+    * what production LM-based quality filters (CCNet-style perplexity
+    * scoring) actually run. Absolute discount D = 0.75 off every seen
+    * bigram, the freed mass backed off to the CONTINUATION unigram
+    * P_cont(w2) = N1+(·w2)/B — the "how many contexts does this word
+    * complete" distribution that distinguishes KN from naive backoff.
+    * Per source: the cross-entropy of its own bigram stream under the
+    * corpus-trained model.
+    *
+    * Exactness: all model quantities (c, c(w1·), N1+(w1·), N1+(·w2),
+    * B) are exact longs; ln of the one fixed-form double chain is
+    * quantized per BIGRAM TYPE before the frequency-weighted sum (the
+    * q87/q289 recipe), so shuffled sums stay order-free.
+    *
+    * Scale shape: bigram counting is one explode + partial agg; the
+    * three model relations are groupBys OF THE COUNTS (bigram-type-
+    * bounded, not corpus-bounded); scoring is one posting join of the
+    * per-source stream against the type-level score table. */
+  def knCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    knCrossEntropyOn(TextOps.docsParallel(spark, dir))
+
+  /** Testable core over any `(source, text)` relation. */
+  private[graft] def knCrossEntropyOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = TextOps.toks($"text")
+    val bg = docs
+      .select($"source", explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"source", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c12 = Ckpt(bg.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c")), eager = false)
+    val c1 = c12.groupBy($"w1")
+      .agg(sum($"c").as("c1"), count(lit(1)).as("n1r"))
+    val cont = c12.groupBy($"w2").agg(count(lit(1)).as("cont"))
+    val totB = c12.agg(count(lit(1)).as("nb"))
+    val probs = c12.join(c1, "w1").join(cont, "w2")
+      .crossJoin(broadcast(totB))
+      .select($"w1", $"w2", expr(
+        """CAST(floor(ln(
+             greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+             + ((0.75 * CAST(n1r AS DOUBLE)) / CAST(c1 AS DOUBLE))
+               * (CAST(cont AS DOUBLE) / CAST(nb AS DOUBLE))
+           ) * 10000 + 1.0/3) AS BIGINT)""").as("lnq"))
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lnq").as("s"))
+      .select($"source", $"n_bigrams",
+        expr("(-s) div n_bigrams").as("kn_ce_e4"))
+  }
+
+  /** q311: Bloom-filter false-positive audit — the missing measurement
+    * for the engine's whole Bloom surface (q83 builds and USES a Bloom
+    * semi-join; nothing measures what the m/k choice costs in false
+    * positives on real key distributions). The 'en' vocabulary is
+    * folded into an m=8192-bit, k=3 filter (bit positions from three
+    * md5 slices — the same engine-portable hash family as everything
+    * else); every OTHER language's token NOT actually in the 'en'
+    * vocabulary probes it; a probe whose 3 bits are all set is a false
+    * positive. Reported per probe language against the analytic
+    * (fill)³ expectation, so the audit also validates the classic
+    * formula on a Zipfian, non-uniform key set.
+    *
+    * Exactness: bit positions are exact longs; the measured side is
+    * pure counting; only the THEORY column touches doubles — one
+    * literal chain over two exact longs, identical in the oracle.
+    *
+    * Scale shape: the filter is a ≤m-row distinct-position relation
+    * (the mergeable-sketch state shape: build is one scan + partial
+    * agg, union of filters = union of position sets); probes explode
+    * ×3 and hash-join the broadcast bit set. Nothing is ever
+    * quadratic; m is the state knob exactly as in production. */
+  def bloomFpAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // keyed on per-source word 3-SHINGLES, not tokens: the synthetic
+    // corpus draws every language/source from one ~31-word pool (a
+    // token filter would see zero out-of-set probes), while the shingle
+    // space is combinatorial — at sf0.01 the indexed source holds ~1.4k
+    // shingles and other sources probe ~23k unseen ones. Shingles are
+    // also the production key: a Bloom pre-filter in front of a
+    // contamination screen (q291) tests shingle membership.
+    bloomFpOn(TextOps.docsParallel(spark, dir)
+      .select($"source".as("src"), TextOps.toks($"text").as("toks"))
+      .select($"src", explode(TextOps.shingles($"toks", 3)).as("tok")))
+  }
+
+  /** Testable core over any `(src, tok)` relation; the
+    * lexicographically-first src is the indexed set. */
+  private[graft] def bloomFpOn(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    val m = 8192
+    val idx = toks.agg(min($"src").as("idx_src"))
+    val idxVocab = toks.crossJoin(broadcast(idx))
+      .where($"src" === $"idx_src").select($"tok").distinct()
+    def pos(j: Int) =
+      (conv(substring(md5($"tok"), j * 8 + 1, 8), 16, 10)
+        .cast("long") % m).as(s"p$j")
+    val bits = idxVocab.select(pos(0), pos(1), pos(2))
+      .select(explode(array($"p0", $"p1", $"p2")).as("b")).distinct()
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    // probes: every other source's tokens NOT in the indexed vocabulary
+    val probes = toks.crossJoin(broadcast(idx))
+      .where($"src" =!= $"idx_src").select($"src", $"tok").distinct()
+      .join(idxVocab.select($"tok"), Seq("tok"), "left_anti")
+    val hits = probes.select($"src", $"tok", pos(0), pos(1), pos(2))
+      .select($"src", $"tok",
+        explode(array($"p0", $"p1", $"p2")).as("b"))
+      .join(broadcast(bits), Seq("b"))
+      .groupBy($"src", $"tok").agg(count(lit(1)).as("n_hit"))
+      .where($"n_hit" === 3L)
+      .groupBy($"src").agg(count(lit(1)).as("n_fp"))
+    probes.groupBy($"src").agg(count(lit(1)).as("n_probes"))
+      .join(hits, Seq("src"), "left")
+      .withColumn("n_fp", coalesce($"n_fp", lit(0L)))
+      .crossJoin(broadcast(nBits))
+      .select($"src", $"n_probes", $"n_fp",
+        expr("(n_fp * 1000000) div n_probes").as("fp_ppm"),
+        $"n_bits_set",
+        expr(s"(n_bits_set * 1000000) div $m").as("fill_ppm"),
+        expr(s"CAST(floor((CAST(n_bits_set AS DOUBLE) / $m.0)" +
+          s" * (CAST(n_bits_set AS DOUBLE) / $m.0)" +
+          s" * (CAST(n_bits_set AS DOUBLE) / $m.0) * 1000000.0 + 1.0/3)" +
+          " AS BIGINT)").as("theory_fp_ppm"))
   }
 
   /** q310: KMV (bottom-k / k-minimum-values) sketch intersection — the

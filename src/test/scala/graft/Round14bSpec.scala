@@ -182,6 +182,128 @@ class Round14bSpec extends SparkSpec {
     assert(r.getAs[Long]("exact_jac_ppm") === 333333L)
   }
 
+  test("q311 bloomFpOn matches a brute-force filter model on a planted vocabulary") {
+    import spark.implicits._
+    // 'aaa' sorts first -> it is the indexed set
+    val en = (0 until 400).map(i => ("aaa", s"en_tok_$i"))
+    val de = (0 until 300).map(i => ("bbb", s"de_tok_$i"))
+    val fr = (0 until 100).map(i => ("ccc", s"fr_tok_$i")) ++
+      Seq(("ccc", "en_tok_7")) // a TRUE member probe — must be excluded
+    val rows = graft.operators.TextAnalysis
+      .bloomFpOn((en ++ de ++ fr).toDF("src", "tok")).collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    // brute model: same md5-slice positions mod 8192
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def positions(tok: String): Seq[Long] = {
+      val h = md5hex(tok)
+      Seq(0, 8, 16).map(o => java.lang.Long.parseLong(h.substring(o, o + 8), 16) % 8192L)
+    }
+    val bits = en.map(_._2).flatMap(positions).toSet
+    def fps(probes: Seq[String]) =
+      probes.count(t => positions(t).forall(bits.contains))
+    assert(rows("bbb").getAs[Long]("n_bits_set") === bits.size.toLong)
+    assert(rows("bbb").getAs[Long]("n_probes") === 300L)
+    assert(rows("ccc").getAs[Long]("n_probes") === 100L,
+      "true-member probe was not excluded")
+    assert(rows("bbb").getAs[Long]("n_fp") === fps(de.map(_._2)).toLong)
+    assert(rows("ccc").getAs[Long]("n_fp") ===
+      fps(fr.map(_._2).filterNot(_ == "en_tok_7")).toLong)
+    val fill = bits.size.toDouble / 8192
+    val theory = math.floor(fill * fill * fill * 1e6 + 1.0 / 3).toLong
+    assert(rows("bbb").getAs[Long]("theory_fp_ppm") === theory)
+  }
+
+  test("q312 ensembleDedup: mask census sums to the union, detectors agree with their cores") {
+    import spark.implicits._
+    val out = graft.operators.Dedup.ensembleDedup(spark, sfDir).collect()
+      .map(r => r.getAs[String]("part") -> r).toMap
+    val maskRows = out.filter { case (k, _) => k.startsWith("mask_") }
+    val union = out("union")
+    assert(maskRows.values.map(_.getAs[Long]("n_pairs")).sum ===
+      union.getAs[Long]("n_pairs"),
+      "mask census does not sum to the union pair count")
+    assert(maskRows.keys.forall(k =>
+      (1L to 7L).contains(k.stripPrefix("mask_").toLong)))
+    assert(union.getAs[Long]("n_clusters") >= 1L)
+    assert(union.getAs[Long]("max_cluster") >= 2L)
+    // per-detector totals re-derived from the cores: a pair carries
+    // detector bit b iff that core emitted it
+    val mh = graft.operators.Dedup.minhashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val minhashMass = maskRows.collect {
+      case (k, r) if (k.stripPrefix("mask_").toLong & 1L) != 0 =>
+        r.getAs[Long]("n_pairs")
+    }.sum
+    assert(minhashMass === mh.size.toLong,
+      s"minhash mask mass $minhashMass != core pairs ${mh.size}")
+  }
+
+  test("q313 knCrossEntropyOn matches an in-memory Kneser-Ney model") {
+    import spark.implicits._
+    val docs = Seq(("A", "a b a c a b"), ("A", "b c a b"),
+      ("B", "c c a b a"), ("B", "a c"))
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.knCrossEntropyOn(docs)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // brute: same discount, same continuation counts, same quantization
+    val corpus = Seq(("A", "a b a c a b"), ("A", "b c a b"),
+      ("B", "c c a b a"), ("B", "a c"))
+    val bgs = corpus.flatMap { case (s, t) =>
+      val w = t.split(" ", -1); w.indices.dropRight(1).map(i => (s, w(i), w(i + 1)))
+    }
+    val c12 = bgs.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1r = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val cont = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nb = c12.size.toLong
+    def lnq(w1: String, w2: String): Long = {
+      val p = math.max(c12((w1, w2)).toDouble - 0.75, 0.0) / c1(w1) +
+        ((0.75 * n1r(w1)) / c1(w1)) * (cont(w2).toDouble / nb)
+      math.floor(math.log(p) * 10000 + 1.0 / 3).toLong
+    }
+    corpus.map(_._1).distinct.foreach { src =>
+      val mine = bgs.filter(_._1 == src)
+      val ce = -mine.map(b => lnq(b._2, b._3)).sum / mine.size
+      assert(got(src)._2 === mine.size.toLong, s"$src n_bigrams")
+      assert(got(src)._3 === ce, s"$src ce: got ${got(src)._3}, brute $ce")
+    }
+  }
+
+  test("q314 confidentJoint matches a driver-side re-derivation on testdata") {
+    import spark.implicits._
+    val scored = graft.operators.TextAnalysis.hashClassifier(spark, sfDir)
+      .where($"n_tokens" > 0L)
+      .select($"doc_id", $"n_tokens", $"margin")
+      .as[(Long, Long, Long)].collect()
+    val labs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val s = scored.map { case (id, n, m) =>
+      (if (labs(id) == "en") "en" else "other",
+        (m + 100 * n) * 1000000L / n)
+    }
+    def mean(xs: Seq[Long]) = xs.sum / xs.size
+    val tEn = mean(s.filter(_._1 == "en").map(_._2).toSeq)
+    val tOth = mean(s.filter(_._1 == "other").map(_._2).map(2e8.toLong - _).toSeq)
+    val assigned = s.flatMap { case (y, sc) =>
+      val cEn = sc >= tEn; val cOth = (200000000L - sc) >= tOth
+      if (cEn && cOth)
+        Some((y, if ((sc - tEn) >= (200000000L - sc - tOth)) "en" else "other"))
+      else if (cEn) Some((y, "en"))
+      else if (cOth) Some((y, "other"))
+      else None
+    }
+    val expect = assigned.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Evaluate.confidentJoint(spark, sfDir)
+      .select($"y", $"j_hat", $"n").as[(String, String, Long)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap === expect,
+      s"confident joint mismatch: got ${got.mkString(",")}, expect $expect")
+    // the estimator found SOME confident off-diagonal mass or none —
+    // either way the census must cover every assigned doc exactly once
+    assert(got.map(_._3).sum === assigned.size.toLong)
+  }
+
   test("q310 kmvIntersect on testdata: sketch Jaccard tracks the exact Jaccard") {
     import spark.implicits._
     val rows = graft.operators.TextAnalysis.kmvIntersect(spark, sfDir)
