@@ -158,7 +158,10 @@ object ScaleSmoke {
     "q300_opq_permute",
     // round 14 batch 2: RQ is two map-only nested-literal encode
     // passes over the 16-row driver codebooks — ideal ~ scan ratio
-    "q308_rq_encode")
+    "q308_rq_encode",
+    // round 14 batch 3: Hopkins is a 32-probe broadcast panel + one
+    // min-by-probe partial-agg scan — ideal ~ scan ratio
+    "q315_hopkins")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and

@@ -334,6 +334,7 @@ object SparkEntry {
     "q312_ensemble_dedup"   -> (Dedup.ensembleDedup _),
     "q313_kn_entropy"       -> (TextAnalysis.knCrossEntropy _),
     "q314_confident_joint"  -> (Evaluate.confidentJoint _),
+    "q315_hopkins"          -> (Similarity.hopkins _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -8039,6 +8040,44 @@ ${base("q95_hash_classifier")}) q95 WHERE n_tokens > 0),
          SELECT y, j_hat, CAST(count(*) AS BIGINT) AS n,
            (CAST(count(*) AS BIGINT) * 1000000) // n_assigned AS frac_ppm
          FROM b, tot GROUP BY 1, 2, n_assigned"""
+    // q315: Hopkins clusterability — real probes (vec_ids 16..31) vs
+    // md5-chain uniform pseudo-points in the per-dim box; each nearest
+    // distance floor-quantized before the two sums; H in exact ppm.
+    val hopkinsOracle: String =
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         box AS (SELECT generate_subscripts(emb, 1) - 1 AS dim,
+                   unnest(emb) AS v FROM e),
+         bx AS (SELECT dim, min(v) AS lo, max(v) AS hi
+                FROM box GROUP BY 1),
+         u AS (SELECT 1000 + i.i AS pid, bx.dim,
+                 bx.lo + ((CAST('0x' || substr(md5(CAST(i.i AS VARCHAR)
+                   || ':' || CAST(bx.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 10001) / 10000.0) * (bx.hi - bx.lo) AS v
+               FROM range(16) i(i), bx),
+         up AS (SELECT pid, list(v ORDER BY dim) AS pv FROM u GROUP BY 1),
+         rp AS (SELECT vec_id AS pid, emb AS pv FROM e
+                WHERE vec_id >= 16 AND vec_id < 32),
+         wd AS (SELECT rp.pid,
+                  min(list_reduce(list_transform(e.emb,
+                    (x, i2) -> (x - rp.pv[i2]) * (x - rp.pv[i2])),
+                    (a, b) -> a + b)) AS d2
+                FROM rp, e WHERE e.vec_id <> rp.pid GROUP BY 1),
+         ud AS (SELECT up.pid,
+                  min(list_reduce(list_transform(e.emb,
+                    (x, i2) -> (x - up.pv[i2]) * (x - up.pv[i2])),
+                    (a, b) -> a + b)) AS d2
+                FROM up, e GROUP BY 1),
+         wq AS (SELECT CAST(sum(CAST(floor(d2 * 1000000 + 1.0/3)
+                    AS BIGINT)) AS BIGINT) AS sum_w_q,
+                  CAST(count(*) AS BIGINT) AS n_real FROM wd),
+         uq AS (SELECT CAST(sum(CAST(floor(d2 * 1000000 + 1.0/3)
+                    AS BIGINT)) AS BIGINT) AS sum_u_q,
+                  CAST(count(*) AS BIGINT) AS n_uniform FROM ud)
+         SELECT n_real, n_uniform, sum_w_q, sum_u_q,
+           (sum_u_q * 1000000) // (sum_u_q + sum_w_q) AS hopkins_ppm
+         FROM wq, uq"""
     // q310: KMV bottom-k sketch intersection — k smallest distinct
     // 60-bit token hashes per source; pair merge re-ranks ≤2k rows;
     // ρ/k is the direct Jaccard estimate; (k−1)·2⁶⁰ rides HUGEINT.
@@ -8430,6 +8469,7 @@ ${base("q98_pq_encode")}),
       ("q312_ensemble_dedup" -> ensembleOracle) +
       ("q313_kn_entropy" -> knOracle) +
       ("q314_confident_joint" -> confidentJointOracle) +
+      ("q315_hopkins" -> hopkinsOracle) +
       ("q307_session_overlap" -> sessionOverlapOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +

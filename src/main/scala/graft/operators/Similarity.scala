@@ -1505,4 +1505,77 @@ object Similarity {
         expr("(n_pos * 1000000) div n_pairs").as("pos_ppm"),
         expr("(n_hi * 1000000) div n_pairs").as("hi_ppm"))
   }
+
+  /** q315: Hopkins clusterability statistic — the pre-clustering audit
+    * the k-means/IVF family (q68, q38, q294) silently assumes: Hopkins
+    * (Hopkins & Skellam 1954; Banerjee & Davé 2004's H for cluster
+    * tendency) compares nearest-real-neighbor distances from (a) real
+    * points and (b) uniform pseudo-points in the data's bounding box.
+    * H = Σu/(Σu + Σw) ≈ 0.5 means Poisson-random (clustering is
+    * noise-chasing); → 1 means clustered. The answer to "should this
+    * corpus be cells at all" BEFORE spending the codebook budget.
+    *
+    * Determinism: the real probe panel is vec_ids [16, 32) (disjoint
+    * from the 0..15 codebook prefix); the uniform panel is md5-hash
+    * points in the per-dim [lo, hi] box — the oracle regenerates the
+    * identical 16 points from the identical hash chain; each
+    * nearest-neighbor distance is floor-quantized to a long before the
+    * two sums, so H is an exact ppm ratio of longs.
+    *
+    * Scale shape: the d-bounded per-dim box is one partial agg
+    * (64 rows collected — the q92 d-bounded-driver discipline); the
+    * 32-probe panel broadcasts; one scan computes every (probe, x)
+    * distance map-side into a min-by-probe partial agg. Linear in N,
+    * constant output. */
+  def hopkins(spark: SparkSession, dir: String): DataFrame =
+    hopkinsOn(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir),
+      org.apache.spark.sql.functions.col("vec_id")))
+
+  /** Testable core over any `(vec_id, embedding)` relation. */
+  private[graft] def hopkinsOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val nP = 16
+    val e = vecs.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("emb"))
+    // per-dim bounding box: d-bounded collect (64 rows)
+    val box = e.select(posexplode($"emb").as(Seq("dim", "v")))
+      .groupBy($"dim").agg(min($"v").as("lo"), max($"v").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // uniform pseudo-points from the md5 chain the oracle replays:
+    // u_ij = lo_j + ((h % 10001) / 10000.0) * (hi_j - lo_j)
+    val uniform: Seq[(Long, Seq[Double])] = (0 until nP).map { i =>
+      (1000L + i, box.toSeq.map { case (j, lo, hi) =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"$i:$j").substring(0, 8), 16)
+        lo + ((h % 10001L) / 10000.0) * (hi - lo)
+      })
+    }
+    val realProbes = e.where($"vec_id" >= 16L && $"vec_id" < 16L + nP)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v) }.toSeq
+    def minDistQ(probes: Seq[(Long, Seq[Double])], excludeSelf: Boolean) = {
+      val panel = probes.map { case (id, p) =>
+        struct(lit(id).as("pid"), typedLit(p).as("pv"))
+      }
+      e.select($"vec_id", $"emb", explode(array(panel: _*)).as("pr"))
+        .where(if (excludeSelf) $"vec_id" =!= $"pr.pid" else lit(true))
+        .select($"pr.pid".as("pid"),
+          aggregate(zip_with($"emb", $"pr.pv", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+        .groupBy($"pid")
+        .agg(floor(min($"d2") * 1e6 + lit(1.0 / 3)).cast("long").as("dq"))
+    }
+    val w = minDistQ(realProbes, excludeSelf = true)
+      .agg(sum($"dq").as("sum_w_q"), count(lit(1)).as("n_real"))
+    val u = minDistQ(uniform, excludeSelf = false)
+      .agg(sum($"dq").as("sum_u_q"), count(lit(1)).as("n_uniform"))
+    w.crossJoin(u).select($"n_real", $"n_uniform", $"sum_w_q", $"sum_u_q",
+      expr("(sum_u_q * 1000000) div (sum_u_q + sum_w_q)")
+        .as("hopkins_ppm"))
+  }
 }

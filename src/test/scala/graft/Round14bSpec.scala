@@ -304,6 +304,39 @@ class Round14bSpec extends SparkSpec {
     assert(got.map(_._3).sum === assigned.size.toLong)
   }
 
+  test("q315 hopkinsOn separates clustered from quasi-uniform data") {
+    import spark.implicits._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    // 3 tight 2-D blobs far apart — strongly clustered
+    val clustered = (0 until 300).map { i =>
+      val c = i % 3
+      val (cx, cy) = Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0))(c)
+      (i.toLong, Array((cx + (h32(s"x$i") % 100) / 100.0).toFloat,
+        (cy + (h32(s"y$i") % 100) / 100.0).toFloat))
+    }
+    val hC = graft.operators.Similarity
+      .hopkinsOn(clustered.toDF("vec_id", "embedding"))
+      .select($"hopkins_ppm").as[Long].head()
+    // hash-scattered quasi-uniform square
+    val uniform = (0 until 300).map { i =>
+      (i.toLong, Array((h32(s"u$i") % 10000) / 100.0f,
+        (h32(s"v$i") % 10000) / 100.0f))
+    }
+    val hU = graft.operators.Similarity
+      .hopkinsOn(uniform.toDF("vec_id", "embedding"))
+      .select($"hopkins_ppm").as[Long].head()
+    info(s"hopkins: clustered $hC ppm, uniform $hU ppm")
+    assert(hC > 800000L, s"clustered corpus read as unclustered: $hC")
+    assert(hU > 300000L && hU < 700000L,
+      s"uniform corpus did not read ~0.5: $hU")
+    assert(hC > hU + 200000L)
+  }
+
   test("q310 kmvIntersect on testdata: sketch Jaccard tracks the exact Jaccard") {
     import spark.implicits._
     val rows = graft.operators.TextAnalysis.kmvIntersect(spark, sfDir)
