@@ -111,7 +111,10 @@ object ScaleSmoke {
     // q26+q28+CC (read its ratio against theirs — replica families
     // densify true pairs)
     "q311_bloom_fp", "q313_kn_entropy", "q314_confident_joint",
-    "q312_ensemble_dedup")
+    "q312_ensemble_dedup",
+    // dup coverage rides the q306 suffix sort + per-(doc, run) windows;
+    // replicas share text so the marked-span volume grows ~linearly
+    "q316_dup_coverage")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should

@@ -335,6 +335,7 @@ object SparkEntry {
     "q313_kn_entropy"       -> (TextAnalysis.knCrossEntropy _),
     "q314_confident_joint"  -> (Evaluate.confidentJoint _),
     "q315_hopkins"          -> (Similarity.hopkins _),
+    "q316_dup_coverage"     -> (Dedup.dupCoverage _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -8040,6 +8041,67 @@ ${base("q95_hash_classifier")}) q95 WHERE n_tokens > 0),
          SELECT y, j_hat, CAST(count(*) AS BIGINT) AS n,
            (CAST(count(*) AS BIGINT) * 1000000) // n_assigned AS frac_ppm
          FROM b, tot GROUP BY 1, 2, n_assigned"""
+    // q316: exact-substring dup coverage — per-suffix best cross-doc
+    // LCP via segmented running mins over the global suffix order
+    // (range-min lemma), ≥20-char spans merged per doc (q214 islands).
+    val dupCoverageOracle: String =
+      """WITH sfx AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substr(text, CAST(i AS INT), 48) AS sfx
+           FROM documents, range(1, 4097) AS g(i)
+           WHERE i <= length(text)
+             AND (i = 1 OR substr(text, CAST(i - 1 AS INT), 1) = ' ')
+             AND substr(text, CAST(i AS INT), 1) <> ' '),
+         r AS (SELECT doc_id, pos, sfx,
+                 row_number() OVER (ORDER BY sfx ASC, doc_id ASC, pos ASC)
+                   AS rn
+               FROM sfx),
+         adj AS (SELECT a.rn,
+                   coalesce(list_min(list_filter(
+                     range(1, 1 + least(length(a.sfx), length(b.sfx))),
+                     j -> substr(a.sfx, CAST(j AS INT), 1)
+                       <> substr(b.sfx, CAST(j AS INT), 1))) - 1,
+                     least(length(a.sfx), length(b.sfx))) AS lcp
+                 FROM r a JOIN r b ON b.rn = a.rn + 1),
+         rows0 AS (SELECT r.doc_id, r.pos, r.rn,
+                     coalesce(p.lcp, -1) AS lp,
+                     coalesce(nx.lcp, -1) AS ln2
+                   FROM r LEFT JOIN adj p ON p.rn = r.rn - 1
+                          LEFT JOIN adj nx ON nx.rn = r.rn),
+         runs AS (SELECT *, rn - row_number() OVER
+                    (PARTITION BY doc_id ORDER BY rn) AS run
+                  FROM rows0),
+         mm AS (SELECT doc_id, pos,
+                  greatest(
+                    min(lp) OVER (PARTITION BY doc_id, run ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    min(ln2) OVER (PARTITION BY doc_id, run ORDER BY rn
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  ) AS m
+                FROM runs),
+         sp AS (SELECT doc_id, pos, pos + m AS e FROM mm WHERE m >= 20),
+         il AS (SELECT doc_id, pos, e,
+                  CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+                       THEN 1 ELSE 0 END AS newi
+                FROM sp
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         il2 AS (SELECT doc_id, pos, e,
+                   sum(newi) OVER (PARTITION BY doc_id ORDER BY pos, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS isl
+                 FROM il),
+         pi AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e2
+                FROM il2 GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e2 - s) AS BIGINT) AS covered
+                FROM pi GROUP BY 1)
+         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           coalesce(pd.n_spans, 0) AS n_spans,
+           coalesce(pd.covered, 0) AS covered_chars,
+           (coalesce(pd.covered, 0) * 1000000) // length(d.text)
+             AS coverage_ppm
+         FROM documents d LEFT JOIN pd USING (doc_id)"""
     // q315: Hopkins clusterability — real probes (vec_ids 16..31) vs
     // md5-chain uniform pseudo-points in the per-dim box; each nearest
     // distance floor-quantized before the two sums; H in exact ppm.
@@ -8470,6 +8532,7 @@ ${base("q98_pq_encode")}),
       ("q313_kn_entropy" -> knOracle) +
       ("q314_confident_joint" -> confidentJointOracle) +
       ("q315_hopkins" -> hopkinsOracle) +
+      ("q316_dup_coverage" -> dupCoverageOracle) +
       ("q307_session_overlap" -> sessionOverlapOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +

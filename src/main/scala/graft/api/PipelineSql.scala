@@ -71,7 +71,8 @@ object PipelineSql {
     "graft_suffix_dup"          -> (Dedup.suffixDup _),
     "graft_kmv_jaccard"         -> (TextAnalysis.kmvIntersect _),
     "graft_ensemble_dedup"      -> (Dedup.ensembleDedup _),
-    "graft_kn_entropy"          -> (TextAnalysis.knCrossEntropy _))
+    "graft_kn_entropy"          -> (TextAnalysis.knCrossEntropy _),
+    "graft_dup_coverage"        -> (Dedup.dupCoverage _))
 
   /** Internal checkpoints minted while building each session's views —
     * released (executor blocks + durable files) when [[register]] replaces

@@ -1548,6 +1548,108 @@ object Dedup {
         $"dup_tokens")
   }
 
+  /** q316: exact-substring duplication COVERAGE per document — the
+    * deletion target the q306 suffix order exists to feed (Lee et al.
+    * 2021 §4: mark every position whose suffix shares a ≥L-char prefix
+    * with a suffix of ANOTHER document, merge the marked ranges, count
+    * the chars). q306 reports each doc's single longest cross-doc
+    * repeat; this reports how much of the doc is duplicated text at
+    * all — the number a dedup policy actually budgets against.
+    *
+    * Method: in global suffix order, a suffix's best cross-doc LCP is
+    * max(LCP to its nearest other-doc neighbor above, below), and by
+    * the classic range-min lemma LCP(sᵢ, sⱼ) = min of ADJACENT LCPs
+    * over (i, j] — so both directions are segmented running mins of
+    * the adjacent-LCP relation within runs of consecutive same-doc
+    * rows (the run boundary IS the nearest other-doc neighbor).
+    * Positions with best-LCP ≥ L become [pos, pos+LCP) spans; the
+    * per-doc gaps-and-islands merge (q214's pattern) yields covered
+    * chars. A missing neighbor (global first/last row) enters the min
+    * as −1, which can never clear L.
+    *
+    * Determinism under rank ties: rows tying on (sfx, doc_id) are
+    * byte-identical suffixes of one doc at different positions — any
+    * interleaving yields the same adjacent-LCP multiset and the same
+    * per-row best-LCP, so the hash gate is order-free (same argument
+    * as q306).
+    *
+    * Scale shape: one suffix scan, the q178 two-phase rank, ONE
+    * rn-equijoin for adjacent LCPs (6-probe binary search), then only
+    * per-(doc, run) and per-doc windows — all partitioned, nothing
+    * global after the rank. Linear in word-start positions. */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageOn(TextOps.docsParallel(spark, dir), minLen = 20)
+
+  /** Testable core over any `(doc_id, text)` relation. */
+  private[graft] def dupCoverageOn(docs: DataFrame, minLen: Int)
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    val cap = SuffixCap
+    val sfx = docs
+      .select($"doc_id", $"text",
+        explode(expr("sequence(1, length(text))")).as("pos"))
+      .where($"pos" === 1 || expr("substring(text, pos - 1, 1) = ' '"))
+      .where(expr("substring(text, pos, 1) <> ' '"))
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        expr(s"substring(text, pos, $cap)").as("sfx"))
+    // three consumers (both adjacency sides + the row relation) — the
+    // checkpoint-pays-iff-the-reused-subtree-shuffles rule
+    val ranked = Ckpt(segmentedRank(sfx, "sfx")
+      .select($"doc_id", $"pos", $"sfx", $"rn"), eager = false)
+    val joined = ranked.select($"sfx".as("sa"), $"rn")
+      .join(ranked.select($"sfx".as("sb"), ($"rn" - 1L).as("rn")), "rn")
+    val withL = Seq(32, 16, 8, 4, 2, 1)
+      .foldLeft(joined.withColumn("l", lit(0))) { (df, s) =>
+        df.withColumn("l", expr(
+          s"CASE WHEN substring(sa, 1, l + $s) = substring(sb, 1, l + $s)" +
+            s" THEN l + $s ELSE l END"))
+      }
+    val adj = Ckpt(withL.select($"rn",
+      expr("CAST(least(l, length(sa), length(sb)) AS BIGINT)").as("lcp")),
+      eager = false)
+    // adj is keyed at the boundary ABOVE row rn+1: lcp_prev(i) = adj(i-1
+    // boundary) arrives via rn+1; lcp_next(i) = that same boundary seen
+    // from the row above
+    val rows = ranked
+      .join(adj.select(($"rn" + 1L).as("rn"), $"lcp".as("lcp_prev")),
+        Seq("rn"), "left")
+      .join(adj.select($"rn", $"lcp".as("lcp_next")), Seq("rn"), "left")
+      .withColumn("lp", coalesce($"lcp_prev", lit(-1L)))
+      .withColumn("ln2", coalesce($"lcp_next", lit(-1L)))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"rn")
+    val withRun = rows.withColumn("run",
+      $"rn" - row_number().over(wDoc).cast("long"))
+    val wUp = Window.partitionBy($"doc_id", $"run").orderBy($"rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = Window.partitionBy($"doc_id", $"run").orderBy($"rn")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = withRun
+      .withColumn("p", min($"lp").over(wUp))
+      .withColumn("nn", min($"ln2").over(wDn))
+      .withColumn("m", greatest($"p", $"nn"))
+      .where($"m" >= minLen.toLong)
+      .select($"doc_id", $"pos", ($"pos" + $"m").as("e"))
+    val wSpan = Window.partitionBy($"doc_id").orderBy($"pos", $"e")
+    val isl = marked
+      .withColumn("maxe", max($"e").over(
+        wSpan.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newi",
+        when($"maxe".isNull || $"pos" > $"maxe", 1L).otherwise(0L))
+      .withColumn("isl", sum($"newi").over(
+        wSpan.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = isl.groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("s"), max($"e").as("e2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"e2" - $"s").as("covered"))
+    docs.select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"covered", lit(0L)).as("covered_chars"),
+        expr("(coalesce(covered, 0) * 1000000) div n_chars")
+          .as("coverage_ppm"))
+  }
+
   /** q312: ensemble dedup — the production blocking composition: exact
     * (md5), MinHash-LSH (q26), and SimHash (q28) candidates UNIONED
     * into one detector-tagged pair relation, connected components run

@@ -304,6 +304,53 @@ class Round14bSpec extends SparkSpec {
     assert(got.map(_._3).sum === assigned.size.toLong)
   }
 
+  test("q316 dupCoverageOn matches a brute interval-merge model") {
+    import spark.implicits._
+    val p = "the quick brown fox jumps over the lazy dog"
+    val q1 = "one two three four five six seven"
+    val q2 = "eight nine ten eleven twelve thirteen"
+    val texts = Map(
+      1L -> s"alpha beta $p and then some xxa",
+      2L -> s"gamma delta $p and then some yyb",
+      3L -> "completely unrelated words only here zebra",
+      5L -> s"$q1 spacer filler words $q2",
+      6L -> s"$q1 other unrelated middle $q2")
+    val got = graft.operators.Dedup
+      .dupCoverageOn(texts.toSeq.toDF("doc_id", "text"), minLen = 20)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // brute: per word-start suffix, best cross-doc LCP (48-capped);
+    // spans >= 20 merged per doc
+    val sfx = texts.toSeq.flatMap { case (id, t) =>
+      (0 until t.length).filter(i => i == 0 || t(i - 1) == ' ')
+        .filter(i => t(i) != ' ')
+        .map(i => (id, i + 1, t.substring(i, math.min(t.length, i + 48))))
+    }
+    def lcp(a: String, b: String): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    texts.foreach { case (id, t) =>
+      val spans = sfx.filter(_._1 == id).flatMap { case (_, pos, s) =>
+        val m = sfx.filter(_._1 != id).map(o => lcp(s, o._3))
+          .foldLeft(-1)(math.max)
+        if (m >= 20) Some((pos.toLong, pos.toLong + m)) else None
+      }.sortBy(x => (x._1, x._2))
+      val merged = spans.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+          case _ => (s, e) :: acc
+        }
+      }
+      val covered = merged.map { case (s, e) => e - s }.sum
+      assert(got(id)._3 === merged.size.toLong, s"doc $id n_spans")
+      assert(got(id)._4 === covered, s"doc $id covered: got ${got(id)._4}, brute $covered")
+      assert(got(id)._5 === covered * 1000000L / t.length, s"doc $id ppm")
+    }
+    // the two-phrase docs produce exactly two islands each
+    assert(got(5L)._3 === 2L && got(6L)._3 === 2L)
+    // the unrelated doc is uncovered
+    assert(got(3L)._4 === 0L)
+  }
+
   test("q315 hopkinsOn separates clustered from quasi-uniform data") {
     import spark.implicits._
     def h32(s: String): Long = {
