@@ -114,7 +114,12 @@ object ScaleSmoke {
     "q312_ensemble_dedup",
     // dup coverage rides the q306 suffix sort + per-(doc, run) windows;
     // replicas share text so the marked-span volume grows ~linearly
-    "q316_dup_coverage")
+    "q316_dup_coverage",
+    // round 14 batch 4: keyness is q96's (source, token) shuffle plus
+    // a vocab-partitioned window; TextRank rounds run on the
+    // distinct-adjacency graph (grows sublinearly under replication —
+    // replicas repeat bigrams) — both ideal ~ scan ratio
+    "q317_keyness", "q320_textrank")
 
   // embeddings-only queries for the similarity/ANN family scale check.
   // q29 (brute) is the deliberate linear-scan baseline — its time should
@@ -164,7 +169,18 @@ object ScaleSmoke {
     "q308_rq_encode",
     // round 14 batch 3: Hopkins is a 32-probe broadcast panel + one
     // min-by-probe partial-agg scan — ideal ~ scan ratio
-    "q315_hopkins")
+    "q315_hopkins",
+    // round 14 batch 4: gap statistic = 3 (assign + W) scan pairs per
+    // side with k×d-bounded collects (ref side constant) — ideal ~
+    // scan ratio × the fixed k set; k-means|| = 3 (min-dist + φ +
+    // draw) scans + one weight pass (candidate count is ~1+3ℓ by
+    // design, independent of N); DBSCAN census rides q37's banded
+    // joins at ε = 0.3 (replica families are true dense blobs — read
+    // core counts as output shift); facility location = 8 gain scans
+    // over the 32-wide coverage array (bounded candidates, bounded
+    // rounds — ideal ~ 8× scan)
+    "q319_gap_statistic", "q321_kmeans_par", "q322_dbscan_core",
+    "q323_facility_select")
 
   // events-only queries for the timeseries/drift family scale check.
   // Replication remaps user_id/event_id but keeps ts, event_type, and
@@ -210,7 +226,11 @@ object ScaleSmoke {
     // the in-row trig constant); the session×episode overlap join
     // buckets both interval sides — user growth = more sessions,
     // episode side stays hour-grid-bounded
-    "q305_lomb_scargle", "q307_session_overlap")
+    "q305_lomb_scargle", "q307_session_overlap",
+    // round 14 batch 4: Ljung–Box reduces to the same bounded hourly
+    // grid as q181 (ideal ~ scan ratio); Fisher's g adds a per-user
+    // 3-row agg onto q36's bounded-trace plan
+    "q318_ljung_box", "q326_fisher_g")
 
   // graph/CC family over the docs replicas: each replica family is one
   // near-dup cluster, so cluster COUNT scales with the factor while
@@ -228,7 +248,13 @@ object ScaleSmoke {
     // regardless of wedge volume, so the ideal ratio is the pair-scan
     // ratio (the duphub axis shows the capped-exact audit diverging
     // from truth while this tracks it)
-    "q285_wedge_sample")
+    "q285_wedge_sample",
+    // round 14 batch 4: PPR's frontier is seed-local (3 fixed seeds —
+    // ideal ~ the pair-scan ratio, round work is frontier-sized, not
+    // graph-sized); LPA rounds are join-aggs over the same edge
+    // relation as CC (replica families = denser true communities —
+    // read census counts as output shift)
+    "q324_ppr_seeds", "q325_lpa_communities")
 
   def main(args: Array[String]): Unit = {
     if (args.contains("megacust")) { megaCustSmoke(); return }

@@ -336,6 +336,16 @@ object SparkEntry {
     "q314_confident_joint"  -> (Evaluate.confidentJoint _),
     "q315_hopkins"          -> (Similarity.hopkins _),
     "q316_dup_coverage"     -> (Dedup.dupCoverage _),
+    "q317_keyness"          -> (TextAnalysis.keyness _),
+    "q318_ljung_box"        -> (Timeseries.ljungBox _),
+    "q319_gap_statistic"    -> (Similarity.gapStatistic _),
+    "q320_textrank"         -> (TextAnalysis.textrank _),
+    "q321_kmeans_par"       -> (Quantize.kmeansParInit _),
+    "q322_dbscan_core"      -> (Similarity.dbscanCore _),
+    "q323_facility_select"  -> (Similarity.facilitySelect _),
+    "q324_ppr_seeds"        -> (Graph.pprSeeds _),
+    "q325_lpa_communities"  -> (Graph.lpaCommunities _),
+    "q326_fisher_g"         -> (Spectral.fisherG _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -8140,6 +8150,371 @@ ${base("q95_hash_classifier")}) q95 WHERE n_tokens > 0),
          SELECT n_real, n_uniform, sum_w_q, sum_u_q,
            (sum_u_q * 1000000) // (sum_u_q + sum_w_q) AS hopkins_ppm
          FROM wq, uq"""
+    // q317: Dunning G² keyness — four exact-long contingency cells, each
+    // ln term is ln of one IEEE division of long products quantized at
+    // 1e4 (the q96 recipe); top 10 per source, positive keyness only
+    val keynessOracle: String =
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+                FROM t GROUP BY 1, 2),
+         tt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS n_t FROM st GROUP BY 1),
+         srct AS (SELECT source, CAST(sum(a) AS BIGINT) AS n_s
+                  FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS nn FROM tt),
+         cells AS (SELECT st.source, st.tok, st.a, tt.n_t - st.a AS b,
+                     tt.n_t, srct.n_s, tot.nn
+                   FROM st JOIN tt USING (tok) JOIN srct USING (source)
+                   CROSS JOIN tot),
+         sc AS (SELECT source, tok, a, b,
+             2 * ((CASE WHEN a > 0 THEN a * CAST(floor(ln(
+                     CAST(a * nn AS DOUBLE) / CAST(n_t * n_s AS DOUBLE))
+                     * 10000 + 1.0/3) AS BIGINT) ELSE 0 END)
+               + (CASE WHEN b > 0 THEN b * CAST(floor(ln(
+                     CAST(b * nn AS DOUBLE)
+                     / CAST(n_t * (nn - n_s) AS DOUBLE))
+                     * 10000 + 1.0/3) AS BIGINT) ELSE 0 END)
+               + (CASE WHEN n_s - a > 0 THEN (n_s - a) * CAST(floor(ln(
+                     CAST((n_s - a) * nn AS DOUBLE)
+                     / CAST((nn - n_t) * n_s AS DOUBLE))
+                     * 10000 + 1.0/3) AS BIGINT) ELSE 0 END)
+               + (CASE WHEN nn - n_s - b > 0
+                   THEN (nn - n_s - b) * CAST(floor(ln(
+                     CAST((nn - n_s - b) * nn AS DOUBLE)
+                     / CAST((nn - n_t) * (nn - n_s) AS DOUBLE))
+                     * 10000 + 1.0/3) AS BIGINT) ELSE 0 END)) AS g2_q
+           FROM cells
+           WHERE a * (nn - n_s) > b * n_s)
+         SELECT source, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY g2_q DESC, tok ASC) AS BIGINT) AS rk,
+           tok, a, b, g2_q
+         FROM sc
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY g2_q DESC, tok ASC) <= 10"""
+    // q318: Ljung–Box Q on the q181 ACF longs — all-integer after the
+    // shared r_ppm quantization; decimal(38)/HUGEINT for n(n+2)·Σterm
+    val ljungBoxOracle: String =
+      """WITH cells AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT min(h) AS lo, max(h) AS hi FROM cells),
+         hours AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+         types AS (SELECT DISTINCT event_type FROM cells),
+         grid AS (SELECT t.event_type, hh.h, coalesce(c.x, 0) AS x
+           FROM types t CROSS JOIN hours hh
+           LEFT JOIN cells c ON c.event_type = t.event_type
+             AND c.h = hh.h),
+         nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+                FROM grid GROUP BY 1),
+         l AS (SELECT unnest(range(1, 7)) AS lag_k),
+         m AS (SELECT a.event_type, CAST(l.lag_k AS BIGINT) AS lag_k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.x) AS BIGINT) AS sx,
+             CAST(sum(bb.x) AS BIGINT) AS sy,
+             CAST(sum(a.x * bb.x) AS BIGINT) AS sxy,
+             CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(sum(bb.x * bb.x) AS BIGINT) AS syy
+           FROM grid a CROSS JOIN l
+           JOIN grid bb ON bb.event_type = a.event_type
+             AND bb.h = a.h - l.lag_k
+           GROUP BY 1, 2),
+         r AS (SELECT event_type, lag_k, n,
+             CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE))
+               * 1000000 + 1.0/3) AS BIGINT) AS r_ppm
+           FROM m
+           WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+         agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_lags,
+             CAST(sum((r_ppm * r_ppm * 1000) // n) AS BIGINT) AS sum_term
+           FROM r GROUP BY 1)
+         SELECT agg.event_type, nh.n_hours, agg.n_lags,
+           CAST((CAST(nh.n_hours AS HUGEINT) * (nh.n_hours + 2)
+             * agg.sum_term) // 1000000000000 AS BIGINT) AS q_milli,
+           CAST(CASE WHEN (CAST(nh.n_hours AS HUGEINT) * (nh.n_hours + 2)
+             * agg.sum_term) // 1000000000000 > 12592
+             THEN 1 ELSE 0 END AS BIGINT) AS reject_white
+         FROM agg JOIN nh USING (event_type)"""
+    // q324: PPR from the 3 lowest-id near-dup-graph nodes — q103's
+    // integer lattice with a per-seed restart union, 5 unrolled rounds
+    val pprOracle: String = {
+      def round(i: Int): String =
+        s"""pr$i AS (SELECT seed, node, CAST(sum(r) AS BIGINT) AS r FROM (
+              SELECT p.seed, e.dst AS node,
+                CAST((85 * CAST(sum(p.r // d.deg) AS BIGINT)) // 100
+                  AS BIGINT) AS r
+              FROM e JOIN pr${i - 1} p ON p.node = e.src
+                JOIN deg d ON d.src = e.src
+              GROUP BY 1, 2
+              UNION ALL SELECT seed, seed, 150000 FROM seeds)
+            GROUP BY 1, 2)"""
+      s"""WITH prs AS (SELECT doc_a, doc_b FROM (
+${base("q28_simhash_pairs")})),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+               UNION ALL SELECT doc_b, doc_a FROM prs),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                 FROM e GROUP BY 1),
+         seeds AS (SELECT src AS seed FROM deg ORDER BY src ASC LIMIT 3),
+         pr0 AS (SELECT seed, seed AS node, CAST(1000000 AS BIGINT) AS r
+                 FROM seeds),
+         ${(1 to 5).map(round).mkString(",\n         ")}
+         SELECT seed, CAST(row_number() OVER (PARTITION BY seed
+             ORDER BY r DESC, node ASC) AS BIGINT) AS rk,
+           node AS doc_id, r AS rank_q
+         FROM pr5
+         QUALIFY row_number() OVER (PARTITION BY seed
+           ORDER BY r DESC, node ASC) <= 10"""
+    }
+    // q325: synchronous LPA, 4 unrolled rounds; adoption is an exact
+    // (count desc, label asc) argmax
+    val lpaOracle: String = {
+      def round(i: Int): String =
+        s"""g$i AS (SELECT e.dst AS node, l.label AS lb,
+              CAST(count(*) AS BIGINT) AS c
+            FROM e JOIN lbl${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+           lbl$i AS (SELECT node, lb AS label FROM g$i
+            QUALIFY row_number() OVER (PARTITION BY node
+              ORDER BY c DESC, lb ASC) = 1)"""
+      s"""WITH prs AS (SELECT doc_a, doc_b FROM (
+${base("q28_simhash_pairs")})),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+               UNION ALL SELECT doc_b, doc_a FROM prs),
+         lbl0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         ${(1 to 4).map(round).mkString(",\n         ")}
+         SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+           min(node) AS min_node
+         FROM lbl4 GROUP BY 1"""
+    }
+    // q326: Fisher's g on the q36 quantized ordinates k=1..3 —
+    // p = 3(1−g)² exactly rational, HUGEINT-routed
+    val fisherGOracle: String =
+      s"""WITH spec AS (SELECT user_id, bin, qpower FROM (
+${base("q36_fft_power")})),
+         agg AS (SELECT user_id,
+             CAST(max(qpower) AS BIGINT) AS maxq,
+             CAST(sum(qpower) AS BIGINT) AS sumq,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(min(CASE WHEN qpower = mq THEN bin END) AS BIGINT)
+               AS k_peak
+           FROM (SELECT user_id, bin, qpower,
+                   max(qpower) OVER (PARTITION BY user_id) AS mq
+                 FROM spec WHERE bin >= 1 AND bin <= 3)
+           GROUP BY 1)
+         SELECT user_id, k_peak, maxq, sumq,
+           (maxq * 1000000) // sumq AS g_ppm,
+           CAST((3000000 * CAST(sumq - maxq AS HUGEINT) * (sumq - maxq))
+             // (CAST(sumq AS HUGEINT) * sumq) AS BIGINT) AS p_ppm
+         FROM agg WHERE sumq > 0"""
+    // q321: k-means‖ — 3 unrolled oversampling rounds; the Bernoulli
+    // draw is an exact HUGEINT/decimal product comparison on the
+    // shared md5 hash and quantized-long distances
+    val kmeansParOracle: String = {
+      // MATERIALIZED: c_i is referenced by both d_{i+1} and c_{i+1},
+      // so inlining would re-expand the whole prior chain per reference
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (SELECT p.vec_id,
+              CAST(floor(min(list_reduce(list_transform(p.emb,
+                (x, ii) -> (x - c.emb[ii]) * (x - c.emb[ii])),
+                (a, b) -> a + b)) * 1000000 + 1.0/3) AS BIGINT) AS dq
+            FROM e p JOIN c${i - 1} c ON TRUE GROUP BY 1),
+           p$i AS (SELECT CAST(sum(dq) AS BIGINT) AS phi FROM d$i),
+           n$i AS MATERIALIZED (SELECT d$i.vec_id FROM d$i, p$i
+            WHERE CAST((CAST('0x' || substr(md5('kp$i:' ||
+                CAST(d$i.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000)
+                AS HUGEINT) * phi
+              < 8 * CAST(dq AS HUGEINT) * 1000000),
+           c$i AS MATERIALIZED (SELECT * FROM c${i - 1} UNION ALL
+            SELECT vec_id, emb FROM e
+            WHERE vec_id IN (SELECT vec_id FROM n$i))"""
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         c0 AS (SELECT vec_id, emb FROM e WHERE vec_id = 0),
+         ${round(1)}, ${round(2)}, ${round(3)},
+         rounds AS (SELECT vec_id, CAST(0 AS BIGINT) AS round_added FROM c0
+           UNION ALL SELECT vec_id, 1 FROM n1
+           UNION ALL SELECT vec_id, 2 FROM n2
+           UNION ALL SELECT vec_id, 3 FROM n3),
+         asg AS (SELECT p.vec_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_reduce(list_transform(p.emb,
+                 (x, ii) -> (x - c.emb[ii]) * (x - c.emb[ii])),
+                 (a, b) -> a + b) ASC, c.vec_id ASC) AS rk
+           FROM e p JOIN c3 c ON TRUE),
+         w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight
+               FROM asg WHERE rk = 1 GROUP BY 1)
+         SELECT r.vec_id AS cand_id, r.round_added,
+           coalesce(w.weight, 0) AS weight
+         FROM rounds r LEFT JOIN w ON w.cand_id = r.vec_id"""
+    }
+    // q322: DBSCAN census over the q37 banded candidate pairs at the
+    // looser ε = 0.3 density radius (the 0.4 near-dup cut yields a
+    // constant-status census on this corpus — q311's degenerate-set
+    // lesson); the literal swap reuses q37's band pipeline verbatim
+    val dbscanCoreOracle: String =
+      s"""WITH semp AS (SELECT vec_a, vec_b FROM (
+${base("q37_cosine_neardup").replace(">= 0.4", ">= 0.3")})),
+         sym AS (SELECT vec_a AS vec_id, vec_b AS nb FROM semp
+                 UNION ALL SELECT vec_b, vec_a FROM semp),
+         deg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nb
+                 FROM sym GROUP BY 1),
+         core AS (SELECT vec_id FROM deg WHERE n_nb >= 3),
+         nearc AS (SELECT DISTINCT s.vec_id
+                   FROM sym s JOIN core c ON s.nb = c.vec_id)
+         SELECT em.vec_id, coalesce(deg.n_nb, 0) AS n_nb,
+           CAST(CASE WHEN core.vec_id IS NOT NULL THEN 2
+             WHEN nearc.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS status
+         FROM embeddings em
+         LEFT JOIN deg ON deg.vec_id = em.vec_id
+         LEFT JOIN core ON core.vec_id = em.vec_id
+         LEFT JOIN nearc ON nearc.vec_id = em.vec_id"""
+    // q323: facility-location greedy — 8 unrolled rounds over the
+    // clamped quantized coverage relation; argmax by (gain, cand_id)
+    val facilityOracle: String = {
+      // every CTE here MATERIALIZED: b_i/sel_i are referenced twice
+      // downstream, so un-materialized inlining re-expands the whole
+      // prior-round tree per reference — 2^8 copies of pc (measured:
+      // the oracle never returned at sf0.001 without this)
+      def round(i: Int): String =
+        s"""g$i AS MATERIALIZED (SELECT pc.cand_id,
+              CAST(sum(greatest(0, pc.covq - b${i - 1}.best)) AS BIGINT)
+                AS gain
+            FROM pc JOIN b${i - 1} USING (vec_id)
+            WHERE pc.cand_id NOT IN (SELECT cand_id FROM sel${i - 1})
+            GROUP BY 1),
+           s$i AS MATERIALIZED (SELECT cand_id, gain FROM g$i
+            ORDER BY gain DESC, cand_id ASC LIMIT 1),
+           sel$i AS MATERIALIZED (SELECT cand_id FROM sel${i - 1}
+            UNION ALL SELECT cand_id FROM s$i),
+           b$i AS MATERIALIZED (SELECT b${i - 1}.vec_id,
+              greatest(b${i - 1}.best, pc.covq) AS best
+            FROM b${i - 1} JOIN pc ON pc.vec_id = b${i - 1}.vec_id
+            JOIN s$i ON pc.cand_id = s$i.cand_id)"""
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                 sqrt(list_reduce(list_transform(emb, x -> x * x),
+                   (a, b) -> a + b)) AS nrm
+               FROM e),
+         cd AS (SELECT vec_id AS cand_id, emb AS cemb, nrm AS cnrm
+                FROM n WHERE vec_id < 32),
+         pc AS MATERIALIZED (SELECT p.vec_id, c.cand_id,
+             greatest(0, CAST(floor(
+               list_reduce(list_transform(p.emb, (x, ii) -> x * c.cemb[ii]),
+                 (a, b) -> a + b) / (p.nrm * c.cnrm) * 1000000 + 1.0/3)
+               AS BIGINT)) AS covq
+           FROM n p JOIN cd c ON TRUE),
+         b0 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS best
+           FROM n),
+         sel0 AS MATERIALIZED (SELECT cand_id FROM cd WHERE FALSE),
+         ${(1 to 8).map(round).mkString(",\n         ")},
+         allsel AS (
+           ${(1 to 8).map(i =>
+             s"SELECT $i AS rk, cand_id, gain FROM s$i")
+             .mkString("\n           UNION ALL ")})
+         SELECT CAST(rk AS BIGINT) AS rk, cand_id, gain AS gain_q,
+           CAST(sum(gain) OVER (ORDER BY rk) AS BIGINT) AS obj_q
+         FROM allsel"""
+    }
+    // q319: gap statistic — one Lloyd step per (side, k); centroid
+    // means replay the q68 recipe ((xq AS DOUBLE)/1e6/n, same division
+    // order); W quantized per point before the sum; empty cells keep
+    // their seed (LEFT JOIN coalesce)
+    val gapStatOracle: String = {
+      def side(pts: String, tag: String): String =
+        s"""seeds_$tag AS (SELECT ks.k, p.vec_id AS cid, p.emb AS cemb
+              FROM $pts p, ks WHERE p.vec_id < ks.k),
+            asg_$tag AS (SELECT k, vec_id, cid FROM (
+                SELECT s.k, p.vec_id, s.cid,
+                  row_number() OVER (PARTITION BY s.k, p.vec_id
+                    ORDER BY list_reduce(list_transform(p.emb,
+                      (x, i) -> (x - s.cemb[i]) * (x - s.cemb[i])),
+                      (a, b) -> a + b) ASC, s.cid ASC) AS rk
+                FROM $pts p JOIN seeds_$tag s ON TRUE)
+              WHERE rk = 1),
+            sx_$tag AS (SELECT a.k, a.cid,
+                generate_subscripts(p.emb, 1) - 1 AS dim,
+                unnest(p.emb) AS x
+              FROM asg_$tag a JOIN $pts p ON p.vec_id = a.vec_id),
+            sums_$tag AS (SELECT k, cid, dim,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+                  AS xq
+              FROM sx_$tag GROUP BY 1, 2, 3),
+            cent_$tag AS (SELECT s.k, s.cid,
+                coalesce(list(CAST(m.xq AS DOUBLE) / 1000000.0 / m.n
+                    ORDER BY m.dim),
+                  any_value(s.cemb)) AS cemb
+              FROM seeds_$tag s LEFT JOIN sums_$tag m
+                ON m.k = s.k AND m.cid = s.cid
+              GROUP BY 1, 2),
+            w_$tag AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(dmin * 1000000 + 1.0/3) AS BIGINT))
+                  AS BIGINT) AS w_q
+              FROM (SELECT c.k, p.vec_id,
+                  min(list_reduce(list_transform(p.emb,
+                    (x, i) -> (x - c.cemb[i]) * (x - c.cemb[i])),
+                    (a, b) -> a + b)) AS dmin
+                FROM $pts p JOIN cent_$tag c ON TRUE
+                GROUP BY 1, 2)
+              GROUP BY 1)"""
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+         box AS (SELECT generate_subscripts(emb, 1) - 1 AS dim,
+                   unnest(emb) AS v FROM e),
+         bx AS (SELECT dim, min(v) AS lo, max(v) AS hi
+                FROM box GROUP BY 1),
+         uu AS (SELECT i.i AS vec_id, bx.dim,
+                 bx.lo + ((CAST('0x' || substr(md5('g' ||
+                   CAST(i.i AS VARCHAR) || ':' ||
+                   CAST(bx.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 10001) / 10000.0) * (bx.hi - bx.lo) AS v
+               FROM range(256) i(i), bx),
+         up AS (SELECT vec_id, list(v ORDER BY dim) AS emb
+                FROM uu GROUP BY 1),
+         ${side("e", "d")},
+         ${side("up", "r")}
+         SELECT d.k, d.n AS n_data, d.w_q AS w_data_q,
+           r.n AS n_ref, r.w_q AS w_ref_q,
+           CAST(floor((ln(CAST(r.w_q AS DOUBLE) / r.n)
+             - ln(CAST(d.w_q AS DOUBLE) / d.n)) * 1000 + 1.0/3)
+             AS BIGINT) AS gap_milli
+         FROM w_d d JOIN w_r r USING (k)"""
+    }
+    // q320: TextRank — 5 unrolled integer-lattice PageRank rounds over
+    // the undirected adjacency graph; every op is a long product or
+    // trunc-div on nonnegative values, no float at any round
+    val textrankOracle: String = {
+      val round = (i: Int) =>
+        s"""r$i AS (SELECT e2.v AS tok,
+              CAST(150 + (850 * CAST(sum((e2.w * r${i - 1}.r) // e2.wu)
+                AS BIGINT)) // 1000 AS BIGINT) AS r
+            FROM e2 JOIN r${i - 1} ON r${i - 1}.tok = e2.u GROUP BY 1)"""
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         p AS (SELECT a.tok AS w1, b.tok AS w2
+               FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                 AND b.i = a.i + 1
+               WHERE a.tok <> b.tok),
+         ed AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w
+                FROM (SELECT w1 AS u, w2 AS v FROM p
+                      UNION ALL SELECT w2, w1 FROM p)
+                GROUP BY 1, 2),
+         wd AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM ed GROUP BY 1),
+         e2 AS (SELECT ed.u, ed.v, ed.w, wd.wu FROM ed JOIN wd USING (u)),
+         r0 AS (SELECT DISTINCT u AS tok, CAST(1000 AS BIGINT) AS r
+                FROM ed),
+         ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}, ${round(5)}
+         SELECT r5.tok, r5.r AS r_milli, wd.wu AS strength
+         FROM r5 JOIN wd ON wd.u = r5.tok
+         ORDER BY r_milli DESC, tok ASC LIMIT 20"""
+    }
     // q310: KMV bottom-k sketch intersection — k smallest distinct
     // 60-bit token hashes per source; pair merge re-ranks ≤2k rows;
     // ρ/k is the direct Jaccard estimate; (k−1)·2⁶⁰ rides HUGEINT.
@@ -8533,6 +8908,16 @@ ${base("q98_pq_encode")}),
       ("q314_confident_joint" -> confidentJointOracle) +
       ("q315_hopkins" -> hopkinsOracle) +
       ("q316_dup_coverage" -> dupCoverageOracle) +
+      ("q317_keyness" -> keynessOracle) +
+      ("q318_ljung_box" -> ljungBoxOracle) +
+      ("q319_gap_statistic" -> gapStatOracle) +
+      ("q320_textrank" -> textrankOracle) +
+      ("q321_kmeans_par" -> kmeansParOracle) +
+      ("q322_dbscan_core" -> dbscanCoreOracle) +
+      ("q323_facility_select" -> facilityOracle) +
+      ("q324_ppr_seeds" -> pprOracle) +
+      ("q325_lpa_communities" -> lpaOracle) +
+      ("q326_fisher_g" -> fisherGOracle) +
       ("q307_session_overlap" -> sessionOverlapOracle) +
       ("q255_cluster_split" -> clusterSplitOracle) +
       ("q256_translated_dups" -> translatedDupsOracle) +

@@ -72,7 +72,18 @@ object PipelineSql {
     "graft_kmv_jaccard"         -> (TextAnalysis.kmvIntersect _),
     "graft_ensemble_dedup"      -> (Dedup.ensembleDedup _),
     "graft_kn_entropy"          -> (TextAnalysis.knCrossEntropy _),
-    "graft_dup_coverage"        -> (Dedup.dupCoverage _))
+    "graft_dup_coverage"        -> (Dedup.dupCoverage _),
+    "graft_keyness"             -> (TextAnalysis.keyness _),
+    "graft_textrank"            -> (TextAnalysis.textrank _),
+    "graft_ljung_box"           -> (Timeseries.ljungBox _),
+    "graft_dbscan_core"         -> (Similarity.dbscanCore _),
+    "graft_lpa_communities"     -> (Graph.lpaCommunities _))
+  // NOT registered as views (deliberate): gapStatistic, kmeansParInit,
+  // facilitySelect, pprSeeds — each runs driver-side collect rounds at
+  // plan-construction time, so a view would execute Spark jobs during
+  // register() (the ADVICE r13 "views are LAZY" accuracy issue). They
+  // remain Scala-API verbs; a SQL surface for them belongs behind an
+  // explicitly-invoked TVF, not a session view.
 
   /** Internal checkpoints minted while building each session's views —
     * released (executor blocks + durable files) when [[register]] replaces

@@ -450,6 +450,126 @@ object Graph {
     rebind(ranks.select($"node".as("doc_id"), $"r".as("rank_q")), caller)
   }
 
+  /** q324: personalized PageRank (PPR) from the 3 lowest-id documents
+    * of the near-dup graph — the ATTRIBUTION twin of q103's global
+    * rank: "which documents does the duplication structure connect to
+    * THIS one, and how strongly?" (random walk with 0.15 restart at
+    * the seed; the standard provenance/influence primitive on a dedup
+    * graph). Top-10 per seed.
+    *
+    * Determinism: q103's integer milli-ppm lattice per (seed, node) —
+    * r₀ = 10⁶ at the seed; each round propagates (85·Σ r div deg)
+    * div 100 and re-injects 150000 at the seed via a union (a node
+    * with no in-mass this round simply has no row = 0); trunc-div on
+    * nonnegative longs everywhere, 5 unrolled rounds, no float.
+    *
+    * Scale shape: q103's exact loop discipline — edges symmetrized +
+    * degree-joined once, Ckpt'd, pre-partitioned on the join key;
+    * rounds are one hash-join + partial agg each over (seed × frontier)
+    * rows, all three seeds ride the SAME plan (seed is just a key
+    * column); fixed unrolling keeps the whole recurrence one lazy
+    * plan, one job. */
+  def pprSeeds(spark: SparkSession, dir: String): DataFrame =
+    pprSeedsOn(Dedup.simhashPairs(spark, dir).select(
+      col("doc_a"), col("doc_b")))
+
+  /** Testable core over any undirected `(doc_a, doc_b)` pair relation. */
+  private[graft] def pprSeedsOn(pairs0: DataFrame): DataFrame = {
+    val caller = pairs0.sparkSession
+    val loopParts = ccLoopParts(caller)
+    val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
+    import spark.implicits._
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val pairs = rebind(pairs0, spark)
+    val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+      eager = false)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val withDeg = Ckpt(edges.join(deg, "src").repartition(loopParts, $"src"),
+      eager = false)
+    val seeds = deg.select($"src").orderBy($"src".asc).limit(3)
+      .as[Long].collect().sorted.toSeq
+    val seedDf = seeds.map(s => (s, s, 1000000L))
+      .toDF("seed", "node", "r")
+    val restart = seeds.map(s => (s, s, 150000L))
+      .toDF("seed", "node", "r")
+    var ranks = seedDf
+    for (_ <- 1 to 5) {
+      val prop = withDeg.join(ranks, $"node" === $"src")
+        .select($"seed", $"dst", expr("r div deg").as("contrib"))
+        .groupBy($"seed", $"dst")
+        .agg(sum($"contrib").as("s"))
+        .select($"seed", $"dst".as("node"),
+          expr("(85 * s) div 100").as("r"))
+      ranks = prop.unionByName(restart)
+        .groupBy($"seed", $"node").agg(sum($"r").as("r"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"seed").orderBy($"r".desc, $"node".asc)
+    rebind(ranks
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 10)
+      .select($"seed", $"rk".cast("long").as("rk"),
+        $"node".as("doc_id"), $"r".as("rank_q")), caller)
+  }
+
+  /** q325: label-propagation community detection (Raghavan et al.
+    * 2007) over the near-dup graph — the finer-than-CC structure
+    * detector: CC (q62) answers "transitively connected at all?", LPA
+    * communities split a weak bridge between two dense clusters that
+    * CC necessarily merges. 4 synchronous rounds, every node adopts
+    * its neighborhood's plurality label.
+    *
+    * Determinism: labels start as node ids; each round's adoption is
+    * an exact (count desc, label asc) argmax — integer counts, integer
+    * labels, both engines walk identical label states (synchronous
+    * update dodges the asynchronous-LPA order-dependence by design).
+    *
+    * Scale shape: rides the q103 loop discipline (Ckpt'd symmetric
+    * edges, AQE-off cloned session, fixed unrolling = one lazy plan);
+    * each round is one join + one partial-agged group + one bounded
+    * per-node window. Census output is community-count-sized. */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaCommunitiesOn(Dedup.simhashPairs(spark, dir).select(
+      col("doc_a"), col("doc_b")))
+
+  /** Testable core over any undirected `(doc_a, doc_b)` pair relation. */
+  private[graft] def lpaCommunitiesOn(pairs0: DataFrame): DataFrame = {
+    val caller = pairs0.sparkSession
+    val loopParts = ccLoopParts(caller)
+    val spark = caller.newSession()
+    Ckpt.propagate(caller, spark)
+    import spark.implicits._
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val pairs = rebind(pairs0, spark)
+    val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+      eager = false)
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"node").orderBy($"c".desc, $"lb".asc)
+    for (_ <- 1 to 4) {
+      labels = edges.join(labels, $"node" === $"src")
+        .groupBy($"dst", $"label")
+        .agg(count(lit(1)).as("c"))
+        .select($"dst".as("node"), $"label".as("lb"), $"c")
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" === 1)
+        .select($"node", $"lb".as("label"))
+    }
+    rebind(labels.groupBy($"label".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"node").as("min_node")),
+      caller)
+  }
+
   /** q127: triangle count per node over the supplier co-occurrence graph
     * (suppliers sharing >= 3 distinct orders are adjacent) — the classic
     * distributed graph kernel for community density, here the "vendors

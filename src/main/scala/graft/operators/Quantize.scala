@@ -779,6 +779,72 @@ object Quantize {
     * evaluations per row inside whole-stage codegen, no shuffle at all
     * (the output is per-vector). At 100 TB this is the encode pass a
     * vector store runs once per ingest batch. */
+  /** q321: k-means‖ oversampling initialization (Bahmani et al. 2012,
+    * "Scalable k-means++") — the DISTRIBUTED seeding the Lloyd family
+    * (q68, q38, q319) assumes someone already did: instead of k
+    * sequential k-means++ draws (k full passes), 3 oversampling rounds
+    * each sample ~ℓ = 8 candidates in parallel with probability
+    * ℓ·d²(x)/φ, then the candidate set is weighted by how many points
+    * it attracts (the input to the final cheap clustering step). The
+    * canonical at-scale answer to "k-means++ is inherently serial".
+    *
+    * Determinism: the Bernoulli draw is a content-hash
+    * (md5("kp<round>:<vec_id>") % 10⁶, the q47 sampling discipline)
+    * compared against ℓ·dq·10⁶ < h·φq entirely in integers — dq is the
+    * floor-quantized min-L2² to the current centers, φq = Σdq an exact
+    * long, and the product comparison routes through decimal(38,0)
+    * (h·φq can reach ~10²⁰). Both engines walk the identical candidate
+    * chain; already-selected centers have dq = 0 and can never re-draw.
+    *
+    * Scale shape: each round is one scan (min-distance map over a
+    * broadcast center literal + a 1-row φ agg + an expected-ℓ-row
+    * candidate collect); the weight pass is one more scan with a
+    * partial-agged groupBy bounded by the candidate count. Candidates
+    * ~ 1 + 3ℓ stay driver-sized by design (the paper's point). */
+  def kmeansParInit(spark: SparkSession, dir: String): DataFrame =
+    kmeansParInitOn(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir),
+      org.apache.spark.sql.functions.col("vec_id")))
+
+  private[graft] def kmeansParInitOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val ell = 8L
+    val e = vecs.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("emb"))
+    def d2(c: Seq[Double]): Column =
+      aggregate(zip_with($"emb", typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    def dqCol(cents: Seq[(Long, Seq[Double])]): Column =
+      floor(array_min(array(cents.map { case (_, c) => d2(c) }: _*))
+        * 1e6 + lit(1.0 / 3)).cast("long")
+    var centers: Seq[(Long, Seq[Double], Long)] =
+      e.where($"vec_id" === 0L).as[(Long, Seq[Double])].collect()
+        .map { case (id, v) => (id, v, 0L) }.toSeq
+    for (r <- 1 to 3) {
+      val dq = dqCol(centers.map { case (id, v, _) => (id, v) })
+      val phi = e.agg(sum(dq)).collect()(0).getLong(0)
+      val h = conv(substring(md5(concat(lit(s"kp$r:"),
+        $"vec_id".cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+      val picked = e
+        .where(h.cast("decimal(38,0)") * lit(phi)
+          < lit(ell) * dq.cast("decimal(38,0)") * lit(1000000L))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      centers = centers ++ picked.map { case (id, v) => (id, v, r.toLong) }
+    }
+    // weight pass: every point votes for its nearest candidate
+    // (min (L2², id) via the struct-argmax idiom)
+    val cid = -array_max(array(centers.map { case (id, v, _) =>
+      struct((-d2(v)).as("c"), lit(-id).as("nid"))
+    }: _*)).getField("nid")
+    val weights = e.select(cid.as("cand_id"))
+      .groupBy($"cand_id").agg(count(lit(1)).as("weight"))
+    val cands = centers.map { case (id, _, r) => (id, r) }
+      .toDF("cand_id", "round_added")
+    cands.join(weights, Seq("cand_id"), "left")
+      .select($"cand_id", $"round_added",
+        coalesce($"weight", lit(0L)).as("weight"))
+  }
+
   def rqEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     rqEncodeOn(Tables.rebalance(spark, dir, "embeddings",

@@ -157,12 +157,17 @@ object Similarity {
         $"doc_id", $"rel_ppm", $"mmr_q"))
   }
 
-  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupOn(Tables.embeddings(spark, dir))
+
+  /** Testable core over any 64-dim `(vec_id, embedding)` relation. */
+  private[graft] def cosineNearDupOn(vecs: DataFrame,
+      minCos: Double = 0.4): DataFrame = {
+    import vecs.sparkSession.implicits._
     val nBands = 6
     val bandBits = 6
     val signs = signMatrix(nBands * bandBits, 64)
-    val e = Tables.embeddings(spark, dir).select(
+    val e = vecs.select(
       $"vec_id", $"embedding", VectorOps.l2norm($"embedding").as("nrm"))
     // band b uses planes [b*6, b*6+5]; banded rows stay narrow
     val banded = e.select($"vec_id",
@@ -176,10 +181,11 @@ object Similarity {
     // than a shuffle): duplicates from multi-band agreement carry identical
     // cos, so the dedup runs on the few post-threshold survivors instead
     // of the full candidate set
-    scoreBandCandidates(e, banded)
+    scoreBandCandidates(e, banded, minCos)
   }
 
-  private def scoreBandCandidates(e: DataFrame, banded: DataFrame): DataFrame = {
+  private def scoreBandCandidates(e: DataFrame, banded: DataFrame,
+      minCos: Double = 0.4): DataFrame = {
     import e.sparkSession.implicits._
     val withEmb = banded.join(e, "vec_id")
     withEmb.as("a").join(withEmb.as("b"),
@@ -187,7 +193,7 @@ object Similarity {
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         (VectorOps.dot($"a.embedding", $"b.embedding")
           / ($"a.nrm" * $"b.nrm")).as("cos"))
-      .where($"cos" >= 0.4)
+      .where($"cos" >= minCos)
       .distinct()
   }
 
@@ -1577,5 +1583,250 @@ object Similarity {
     w.crossJoin(u).select($"n_real", $"n_uniform", $"sum_w_q", $"sum_u_q",
       expr("(sum_u_q * 1000000) div (sum_u_q + sum_w_q)")
         .as("hopkins_ppm"))
+  }
+
+  /** q322: DBSCAN core/border/noise census (Ester et al. 1996) over
+    * embedding cosine — the density screen that tells a curation
+    * pipeline which vectors sit in dense semantic regions (cores and
+    * their borders — near-dup/template mass, SemDeDup targets) and
+    * which are isolated (noise — the long tail worth keeping): a
+    * vector is CORE iff it has ≥ 3 neighbors at cos ≥ 0.3, BORDER iff
+    * non-core with a core neighbor, NOISE otherwise. ε = 0.3 (looser
+    * than q37's 0.4 near-dup cut) is the density radius: at 0.4 this
+    * corpus has NO points of degree ≥ 3 at any sf — a constant status
+    * column, the silent-coverage-hole the q311 lesson warns about; at
+    * 0.3 all three strata populate (59/105/175 of 500 measured).
+    *
+    * Neighborhoods are the q37 banded-LSH candidate set (6 bands × 6
+    * hyperplane bits, exact-cosine verified) — the documented
+    * candidate-restricted lower bound every banded audit here carries:
+    * a pair missed by all 6 bands is not counted, identically in both
+    * engines (band agreement thins fast below cos ≈ 0.5, so this
+    * census reads as "dense under the index's own reachability").
+    *
+    * Scale shape: rides q37's banded equality joins (never all-pairs);
+    * the census adds two vocabulary-of-pairs-sized aggs and a
+    * broadcast-able core-id semi-join — everything after the band join
+    * is bounded by the verified-pair relation, not the corpus. */
+  def dbscanCore(spark: SparkSession, dir: String): DataFrame =
+    dbscanCoreOn(Tables.embeddings(spark, dir))
+
+  /** Testable core over any 64-dim `(vec_id, embedding)` relation. */
+  private[graft] def dbscanCoreOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val pairs = cosineNearDupOn(vecs, minCos = 0.3)
+      .select($"vec_a", $"vec_b")
+    val sym = pairs.union(pairs.select($"vec_b", $"vec_a"))
+      .toDF("vec_id", "nb")
+    val deg = sym.groupBy($"vec_id").agg(count(lit(1)).as("n_nb"))
+    val core = deg.where($"n_nb" >= 3L).select($"vec_id")
+    val nearCore = sym.join(core.withColumnRenamed("vec_id", "nb"), "nb")
+      .select($"vec_id").distinct()
+    vecs.select($"vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .join(core.withColumn("is_core", lit(1L)), Seq("vec_id"), "left")
+      .join(nearCore.withColumn("near_core", lit(1L)), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"n_nb", lit(0L)).as("n_nb"),
+        when($"is_core" === 1L, 2L)
+          .when($"near_core" === 1L, 1L).otherwise(0L).as("status"))
+  }
+
+  /** q323: facility-location greedy selection (the submodular
+    * data-selection objective: F(S) = Σ_v max_{c∈S} cov(v, c) with
+    * cov = max(0, cos) — maximize corpus coverage by k representative
+    * vectors; Nemhauser greedy gives the (1−1/e) guarantee). The
+    * "pick k exemplar documents" step of coreset/curriculum pipelines,
+    * complementary to MMR (q175: query-relevance diversification) and
+    * SemDeDup (q94: remove redundancy) — this SELECTS the cover.
+    *
+    * Determinism: per-candidate coverage is floor-quantized at 1e6
+    * (+1/3) and clamped at 0 BEFORE any max/sum, so each greedy round
+    * compares exact longs (ties → lowest cand_id), and the objective
+    * is an exact running sum; both engines unroll the identical 8
+    * rounds.
+    *
+    * Scale shape: candidates are the 32-vector prefix (bounded); each
+    * round is ONE scan computing all remaining candidates' marginal
+    * gains as parallel partial aggs over the 32-wide quantized
+    * coverage array (map-side; the array is computed once per row per
+    * scan) followed by a 1-row argmax collect — the k=8 loop is the
+    * q254 BPE shape: k driver round-trips, never a driver-sized
+    * collect. */
+  def facilitySelect(spark: SparkSession, dir: String): DataFrame =
+    facilitySelectOn(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir),
+      org.apache.spark.sql.functions.col("vec_id")))
+
+  private[graft] def facilitySelectOn(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val nCand = 32; val k = 8
+    val e = vecs.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("emb"))
+    val cands = e.where($"vec_id" < nCand.toLong)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def nrm(v: Seq[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val rowNrm = sqrt(aggregate($"emb", lit(0.0), (a, x) => a + x * x))
+    // covq(c) = max(0, floor(cos·1e6 + 1/3)) — one array, reused by
+    // best-so-far and every candidate gain in the same scan
+    val covArr = array(cands.map { case (_, cemb) =>
+      greatest(lit(0L), floor(
+        aggregate(zip_with($"emb", typedLit(cemb), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+          / (rowNrm * lit(nrm(cemb))) * 1e6 + lit(1.0 / 3)).cast("long"))
+    }: _*)
+    // materialize the 32-wide coverage array ONCE: inlining covArr
+    // (32 aggregate-lambda trees) into every per-round gain expression
+    // multiplied it ~200x by round 8 and Catalyst's canonicalization
+    // pass OOM'd the executor (measured: the inlined form never
+    // finished at sf0.1; this form runs the scan once and each round's
+    // agg reads plain element_at on the checkpointed column)
+    val withCov = Ckpt(e.select(covArr.as("cov")), eager = false)
+    def covAt(id: Long): Column = element_at($"cov", (id + 1).toInt)
+    var selected = Vector.empty[(Long, Long, Long)] // (cand_id, gain, obj)
+    var obj = 0L
+    for (_ <- 1 to k) {
+      val sel = selected.map(_._1).toSet
+      val best =
+        if (sel.isEmpty) lit(0L)
+        else greatest(lit(0L) +: cands.collect {
+          case (id, _) if sel(id) => covAt(id)
+        }.toSeq: _*)
+      val gains = cands.collect { case (id, _) if !sel(id) =>
+        sum(greatest(lit(0L), covAt(id) - best)).as(s"g$id")
+      }
+      val row = withCov.agg(gains.head, gains.tail: _*).collect()(0)
+      val winner = cands.collect { case (id, _) if !sel(id) => id }
+        .map(id => id -> row.getAs[Long](s"g$id"))
+        .maxBy { case (id, g) => (g, -id) }
+      obj += winner._2
+      selected :+= ((winner._1, winner._2, obj))
+    }
+    // the greedy chain is fully driver-side from here; the coverage
+    // checkpoint has no further reader
+    Ckpt.release(withCov)
+    selected.zipWithIndex
+      .map { case ((id, g, o), i) => (i + 1L, id, g, o) }
+      .toDF("rk", "cand_id", "gain_q", "obj_q")
+  }
+
+  /** q319: gap statistic (Tibshirani, Walther & Hastie 2001) — the
+    * "how many cells" companion to q315's "should there be cells at
+    * all": per k ∈ {2, 4, 8}, the within-cluster dispersion W_k of the
+    * data after one Lloyd step is compared against W_k of a UNIFORM
+    * reference sample in the data's bounding box (same md5 pseudo-point
+    * chain as q315, 256 points), gap_k = ln(W̄_ref) − ln(W̄_data). A k
+    * past the knee stops widening the gap — the codebook-budget
+    * answer q68/q38/q294 currently hard-code.
+    *
+    * Determinism: seeds are the k lowest ids on each side; assignment
+    * is min (L2², id) on doubles both engines derive identically;
+    * recomputed centroids use the q68 recipe (per-dim long sums of
+    * floor(x·10⁶), one double division chain); per-point dispersion is
+    * floor-quantized BEFORE the sum, so W_q is a long; the two ln of
+    * the mean-dispersion ratio quantize at milli with +1/3.
+    *
+    * Scale shape: the three k's FUSE — per side, one 8-seed collect,
+    * one scan whose per-k cell assignments ride a single projection
+    * into one Σk×d-bounded centroid collect, and one scan computing
+    * all three quantized dispersions as parallel aggs (stack-unpivoted
+    * from the 1-row result); the corpus never shuffles and the
+    * reference side is 256 rows. Output: 3 rows. */
+  def gapStatistic(spark: SparkSession, dir: String): DataFrame =
+    gapStatisticOn(Tables.rebalance(spark, dir, "embeddings",
+      Tables.embeddings(spark, dir),
+      org.apache.spark.sql.functions.col("vec_id")))
+
+  private[graft] def gapStatisticOn(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // map-only projection: re-read per k, no shuffle to truncate, so no
+    // checkpoint (the SCALE.md pays-iff-the-reused-subtree-shuffles rule)
+    val e = vecs.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("emb"))
+    val box = e.select(posexplode($"emb").as(Seq("dim", "v")))
+      .groupBy($"dim").agg(min($"v").as("lo"), max($"v").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref: Seq[(Long, Seq[Double])] = (0 until 256).map { i =>
+      (i.toLong, box.toSeq.map { case (j, lo, hi) =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"g$i:$j").substring(0, 8), 16)
+        lo + ((h % 10001L) / 10000.0) * (hi - lo)
+      })
+    }
+    val refDf = spark.createDataset(ref).toDF("vec_id", "emb")
+    // one Lloyd step + dispersion for ALL of k ∈ {2, 4, 8} fused into
+    // two scans per side (the per-k seed sets are prefixes of one
+    // 8-seed collect, so assignment for every k rides one projection;
+    // the first cut ran 2 jobs × 3 k × 2 sides = 4.6 s of job floor
+    // at sf0.1 — this shape is 1 collect + 2 jobs per side)
+    def wSide(pts: DataFrame): DataFrame = {
+      val ks = Seq(2, 4, 8)
+      val seeds8 = pts.orderBy($"vec_id".asc).limit(8)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      def d2(cemb: Seq[Double]): Column =
+        aggregate(zip_with($"emb", typedLit(cemb),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+      def assigned(cents: Seq[(Long, Seq[Double])]): Column =
+        // max of (−d², −id) == min of (d², id) — the lloydCentroids
+        // struct-argmax idiom (same tie-break as the oracle's
+        // ORDER BY d ASC, cid ASC)
+        -array_max(array(cents.map { case (id, cemb) =>
+          struct((-d2(cemb)).as("c"), lit(-id).as("nid"))
+        }: _*)).getField("nid")
+      // per-k cells materialize in their OWN projection: a generator
+      // (posexplode) in the same select re-analyzes the struct-argmax
+      // lambda and strips its field aliases (FIELD_NOT_FOUND col1/col2)
+      val kCells = array(ks.map { k =>
+        struct(lit(k.toLong).as("k"),
+          assigned(seeds8.take(k).toSeq).as("cell"))
+      }: _*)
+      val sums = pts
+        .select($"emb", kCells.as("kc"))
+        .select($"kc", posexplode($"emb").as(Seq("dim", "x")))
+        .select(explode($"kc").as("kc1"), $"dim", $"x")
+        .groupBy($"kc1.k".as("k"), $"kc1.cell".as("cell"), $"dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"x" * 1e6).cast("long")).as("xq"))
+        .collect() // Σk×d rows, codebook-bounded
+      val byK = sums.groupBy(_.getLong(0))
+      val dmins = ks.map { k =>
+        val byCell = byK.getOrElse(k.toLong, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1))
+        val cents1 = seeds8.take(k).map { case (id, old) =>
+          byCell.get(id) match {
+            case Some(rows) =>
+              val arr = new Array[Double](old.length)
+              rows.foreach { r =>
+                arr(r.getInt(2)) = r.getLong(4).toDouble / 1e6 / r.getLong(3)
+              }
+              (id, arr.toSeq)
+            case None => (id, old)
+          }
+        }
+        floor(array_min(array(cents1.map { case (_, cemb) => d2(cemb) }: _*))
+          * 1e6 + lit(1.0 / 3)).cast("long").as(s"dq$k")
+      }
+      pts.select(dmins: _*)
+        .agg(count(lit(1)).as("n"),
+          ks.map(k => sum(col(s"dq$k")).as(s"w$k")): _*)
+        // unpivot the 1-row agg (stack generator) so the scan runs
+        // ONCE — a 3-way union of selects would re-plan the agg
+        // subtree per branch
+        .select(expr(
+          "stack(3, 2L, w2, 4L, w4, 8L, w8) AS (k, w_q)"), $"n")
+        .select($"k", $"n", $"w_q")
+    }
+    val rows = wSide(e)
+      .withColumnRenamed("n", "n_data").withColumnRenamed("w_q", "w_data_q")
+      .join(wSide(refDf)
+        .select($"k", $"n".as("n_ref"), $"w_q".as("w_ref_q")), "k")
+    rows.select($"k", $"n_data", $"w_data_q", $"n_ref", $"w_ref_q",
+      floor((log($"w_ref_q".cast("double") / $"n_ref")
+        - log($"w_data_q".cast("double") / $"n_data"))
+        * 1000 + lit(1.0 / 3)).cast("long").as("gap_milli"))
   }
 }

@@ -79,6 +79,40 @@ object Spectral {
         floor($"power" + lit(0.3333333333333333)).cast("long").as("qpower"))
   }
 
+  /** q327: Fisher's g-test for hidden periodicity (Fisher 1929) on the
+    * q36 power spectrum — the SIGNIFICANCE answer the raw periodogram
+    * family (q36/q116/q268/q305) never gives: is this user's spectral
+    * peak real structure or what the maximum of m noise ordinates
+    * looks like anyway? g = max_k P_k / Σ P_k over the m = 3
+    * independent ordinates (k = 1..3 of n = 8: DC and Nyquist
+    * excluded), with the exact null tail p = m·(1−g)^(m−1) — for
+    * m = 3, p = 3(1−g)², a pure RATIONAL in the quantized powers.
+    *
+    * Determinism: rides q36's hash-gated qpower longs; g_ppm is one
+    * integer division and p_ppm = (3·10⁶·(Σ−max)²) div Σ² routes
+    * through decimal(38,0) ((Σ−max)²·10⁶ can pass 10¹⁸) — NO float
+    * enters after q36's quantizer.
+    *
+    * Scale shape: q36's plan plus a per-user 3-row agg — the spectrum
+    * never leaves the executors, output is one row per user. */
+  def fisherG(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fftPower(spark, dir)
+      .where($"bin" >= 1L && $"bin" <= 3L)
+      .groupBy($"user_id")
+      .agg(max(struct($"qpower".as("p"), (-$"bin").as("nb"))).as("mx"),
+        sum($"qpower").as("sumq"),
+        count(lit(1)).as("m"))
+      .where($"sumq" > 0L)
+      .select($"user_id", (-$"mx.nb").as("k_peak"),
+        $"mx.p".as("maxq"), $"sumq",
+        expr("(maxq * 1000000) div sumq").as("g_ppm"),
+        expr("""cast((3000000 * cast(sumq - maxq as decimal(38,0))
+                 * (sumq - maxq)) div
+                (cast(sumq as decimal(38,0)) * sumq) as bigint)""")
+          .as("p_ppm"))
+  }
+
   /** q116: spectrogram (short-time Fourier transform) — q36's power
     * spectrum per FRAME instead of per trace: each user's first 16
     * samples split into two non-overlapping 8-sample frames, FFT per

@@ -1825,4 +1825,129 @@ object TextAnalysis {
         $"kmv_a", $"kmv_b", $"kmv_union", $"rho", $"kmv_jac_ppm",
         $"kmv_inter")
   }
+
+  /** q317: Dunning log-likelihood (G², Dunning 1993) keyness — the
+    * corpus-linguistics keyword extractor that asks, per (source,
+    * token), "is this token's rate in the source surprising against
+    * the rest of the corpus?". Unlike raw frequency (dominated by
+    * stopwords) or PMI (q111, dominated by rare tokens), G² is the
+    * likelihood-ratio test on the 2×2 contingency
+    * (a = n in source, b = n elsewhere, c/d = other tokens), robust at
+    * both count extremes — the per-SOURCE signature vocabulary where
+    * q96's KL gives one aggregate number per source.
+    *
+    * Engine portability: all four cell counts and expectations are
+    * exact longs; each of the four ln terms is ln of ONE IEEE division
+    * of long products (cell·N over rowTot·colTot — the q96 recipe),
+    * offset-quantized to a long (×10⁴, +1/3) BEFORE the weighted sum,
+    * so g2_q = 2·Σ cell·lnq_cell is a sum of longs. Zero cells
+    * contribute 0 (the x·ln x → 0 limit). Positive keyness only
+    * (a·(b+d) > b·(a+c), an exact long inequality); top 10 per source
+    * by (g2_q desc, tok asc).
+    *
+    * Scale shape: ONE (source, token) partial-agged shuffle (shared
+    * shape with q96); token totals derive from that vocabulary-sized
+    * relation; source totals and the one-row N broadcast; the top-10
+    * cut is a window over per-source vocabularies (bounded per
+    * partition by the vocabulary, not the corpus). */
+  def keyness(spark: SparkSession, dir: String): DataFrame =
+    keynessOn(TextOps.docsParallel(spark, dir))
+
+  /** Testable core over any `(source, text)` relation. */
+  private[graft] def keynessOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val st = docs
+      .select($"source", explode(TextOps.toks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("a"))
+    val tokTot = st.groupBy($"tok").agg(sum($"a").as("n_t"))
+    val srcTot = st.groupBy($"source").agg(sum($"a").as("n_s"))
+    val total = tokTot.agg(sum($"n_t").as("nn"))
+    // cells: a | b = n_t - a; row totals: n_s | nn - n_s
+    val cells = st.join(tokTot, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(total))
+      .select($"source", $"tok", $"a", ($"n_t" - $"a").as("b"),
+        $"n_t", $"n_s", $"nn")
+    def lnq(cell: Column, rowTot: Column): Column =
+      when(cell > 0L,
+        cell * floor(
+          log((cell * $"nn").cast("double") / ($"n_t" * rowTot)
+            .cast("double")) * 10000 + lit(1.0 / 3)).cast("long"))
+        .otherwise(0L)
+    def lnqC(cell: Column, rowTot: Column): Column =
+      // complement cells: expectation = (nn - n_t) * rowTot / nn
+      when(cell > 0L,
+        cell * floor(
+          log((cell * $"nn").cast("double")
+            / (($"nn" - $"n_t") * rowTot).cast("double")) * 10000
+            + lit(1.0 / 3)).cast("long"))
+        .otherwise(0L)
+    val scored = cells
+      .withColumn("g2_q",
+        lit(2L) * (lnq($"a", $"n_s") + lnq($"b", $"nn" - $"n_s")
+          + lnqC($"n_s" - $"a", $"n_s")
+          + lnqC($"nn" - $"n_s" - $"b", $"nn" - $"n_s")))
+      .where($"a" * ($"nn" - $"n_s") > $"b" * $"n_s")
+    val w = Window.partitionBy($"source")
+      .orderBy($"g2_q".desc, $"tok".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 10)
+      .select($"source", $"rk".cast("long").as("rk"), $"tok", $"a",
+        $"b", $"g2_q")
+  }
+
+  /** q320: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    * PageRank over the corpus word co-occurrence graph (adjacent-token
+    * window, undirected, edge weight = adjacency count), the
+    * graph-based keyword scorer that rewards tokens CENTRAL to the
+    * co-occurrence structure rather than merely frequent (q53) or
+    * source-surprising (q317). 5 damped rounds, d = 0.85.
+    *
+    * Determinism: ranks live on an integer milli lattice — r₀ = 1000,
+    * r_{t+1}(v) = 150 + (850·Σ_u ((w_uv·r_t(u)) div W_u)) div 1000 —
+    * every operation is a long product or trunc-div on nonnegative
+    * longs, so both engines walk bit-identical lattices; no float
+    * enters at any round. (The per-edge trunc-div loses < 1 milli per
+    * neighbor — deterministic rounding, applied identically in the
+    * oracle's unrolled CTEs.)
+    *
+    * Scale shape: the bigram zip is map-side; the edge relation
+    * partial-aggs to the distinct-adjacency space (vocabulary², in
+    * practice vocab-linear) and is checkpointed once (5 join-agg
+    * consumers); each round is ONE join-agg over that bounded
+    * relation — corpus-scale work is the single tokenize scan, round
+    * work is graph-sized, exactly the q103 PageRank shape. */
+  def textrank(spark: SparkSession, dir: String): DataFrame =
+    textrankOn(TextOps.docsParallel(spark, dir))
+
+  /** Testable core over any `(text)` relation. */
+  private[graft] def textrankOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = TextOps.toks($"text")
+    val adj = docs
+      .select(explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .where($"bg.w1" =!= $"bg.w2")
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val edges0 = adj.select($"w1".as("u"), $"w2".as("v"))
+      .union(adj.select($"w2".as("u"), $"w1".as("v")))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+    val wdeg = edges0.groupBy($"u").agg(sum($"w").as("wu"))
+    val edges = Ckpt(edges0.join(wdeg, "u"), eager = false)
+    var ranks = edges.select($"u".as("tok")).distinct()
+      .withColumn("r", lit(1000L))
+    for (_ <- 1 to 5) {
+      ranks = edges.join(ranks, edges("u") === ranks("tok"))
+        .groupBy($"v")
+        .agg(sum(expr("(w * r) div wu")).as("contrib"))
+        .select($"v".as("tok"),
+          (lit(150L) + expr("(850 * contrib) div 1000")).as("r"))
+    }
+    ranks.join(wdeg, ranks("tok") === wdeg("u"))
+      .select($"tok", $"r".as("r_milli"), $"wu".as("strength"))
+      .orderBy($"r_milli".desc, $"tok".asc)
+      .limit(20)
+  }
 }

@@ -598,6 +598,42 @@ object Timeseries {
       .select($"event_type", $"lag_k", $"n", $"num", $"r_ppm")
   }
 
+  /** q318: Ljung–Box portmanteau test (Ljung & Box 1978) on the hourly
+    * event-count series per type — the whiteness test that turns
+    * q181's per-lag ACF table into ONE decision: Q = n(n+2)·Σ_{k≤6}
+    * ρ_k²/(n−k), compared to the χ²₆ 5% critical value. "Is this
+    * arrival series white noise, or does it carry structure the
+    * forecasting/burst monitors (q180, q221) should model?" — the
+    * screen run before fitting anything.
+    *
+    * Engine portability: each ρ_k enters as q181's r_ppm (already an
+    * offset-quantized long both engines agree on bit-for-bit), so
+    * every term after is integer: term_k = (r_ppm²·10³) div (n−k)
+    * (deterministic trunc-div on nonnegative operands), and
+    * Q_milli = n(n+2)·Σterm div 10¹² routed through decimal(38,0)
+    * (n·(n+2)·Σ can reach ~10¹⁸·n). The χ²₆ cut 12.592 is a fixed
+    * milli literal.
+    *
+    * Scale shape: everything after the one corpus scan runs on the
+    * bounded dense grid; output is |types| rows. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val acf = acfHourly(spark, dir)
+    val nSeries = denseHourly(spark, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_hours"))
+    acf
+      .withColumn("term",
+        expr("(r_ppm * r_ppm * 1000) div n"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_lags"), sum($"term").as("sum_term"))
+      .join(broadcast(nSeries), "event_type")
+      .select($"event_type", $"n_hours", $"n_lags",
+        expr("""cast((cast(n_hours as decimal(38,0)) * (n_hours + 2)
+                 * sum_term) div 1000000000000 as bigint)""")
+          .as("q_milli"))
+      .withColumn("reject_white", ($"q_milli" > 12592L).cast("long"))
+  }
+
   /** q203: exponential goodness-of-fit on inter-event gaps — "is this
     * stream Poisson?": per event_type, the MLE rate λ̂ = n/Σgap is
     * closed-form, and the KS distance between the empirical gap CDF
