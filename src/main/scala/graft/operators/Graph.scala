@@ -42,12 +42,31 @@ object Graph {
 
   /** Connected components of an undirected edge list.
     *
+    * Hybrid execution (the [[kCoreOn]] localCutoff discipline): the
+    * oriented, deduped edge set is counted once; at or under
+    * `spark.graft.cc.localCutoff` (default 4M edges ≈ 64 MB) the whole
+    * problem runs as a single-task union-find — bit-identical labels,
+    * one job instead of ~5 fixpoint rounds of fixed scheduler latency —
+    * and above it the distributed min-label/pointer-jump loop runs
+    * unchanged (the only path that can bind at 100 TB).
+    *
     * @param edges two integral columns, one row per edge (direction
     *              ignored, self-loops and duplicates fine)
     * @param nodes one integral column: the node universe (isolated nodes
     *              keep their own id as component)
     * @return (node, component) with component = min node id reachable
     */
+  /** Edge-count bound under which [[connectedComponents]] runs its
+    * single-task union-find tail instead of the distributed fixpoint —
+    * `spark.graft.cc.localCutoff` on the caller session, default 4M
+    * oriented edges (≈ 64 MB of (long, long) rows, the [[kCoreOn]]
+    * `localCutoff` rationale: one task peels/unions that in
+    * milliseconds, while every distributed round costs a fixed
+    * scheduler latency that dwarfs the data at that size). */
+  private def ccLocalCutoff(caller: SparkSession): Long =
+    caller.conf.getOption("spark.graft.cc.localCutoff")
+      .map(_.toLong).getOrElse(4L << 20)
+
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val caller = edges.sparkSession
@@ -73,12 +92,50 @@ object Graph {
     // reading the clone would silently ignore the user's knob (the
     // trianglesOn discipline; ScaleSmoke's ccparts axis measures it).
     val loopParts = ccLoopParts(caller)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // canonical oriented edge set, deduped ONCE (half the dedup input of
+    // the old both-directions distinct; self-loops carry no label
+    // information and are dropped — a self-loop-only node labels itself
+    // through the isolated-node fallback below). Its count routes the
+    // HYBRID decision, the kCoreOn discipline: the distributed fixpoint
+    // pays ~0.5 s of fixed per-round scheduler latency for stages that
+    // move kilobytes at candidate-pair scale, so when the whole oriented
+    // edge set fits one task a single-task union-find IS the right plan —
+    // at 100 TB the cutoff simply never binds and the loop below runs
+    // unchanged. The count is the action the old path paid anyway to
+    // materialize the closure cache in round 1.
+    val oriented = Ckpt(e
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .where($"u" =!= $"v" && $"u".isNotNull && $"v".isNotNull)
+      .distinct(), eager = false)
+    val m = oriented.count()
+    if (m <= ccLocalCutoff(caller)) {
+      // union-by-min with path compression: the root of every tree is the
+      // component's min node id, which is exactly the fixpoint label the
+      // distributed loop converges to — bit-identical output, one job.
+      // comp must come back in the label type the distributed branch
+      // produces: the common type of (src, dst) = oriented's u column
+      val nodeType = oriented.schema.fields(0).dataType
+      val labels = oriented
+        .select($"u".cast("long"), $"v".cast("long")).as[(Long, Long)]
+        .coalesce(1) // one task reading the checkpoint blocks, no shuffle
+        .mapPartitions(it => localUnionFind(it))
+        .toDF("node", "comp")
+        .select($"node".cast(nodeType).as("node"),
+          $"comp".cast(nodeType).as("comp"))
+      val out = rebind(nodes, spark).toDF("node").distinct()
+        .join(labels.withColumnRenamed("comp", "__c"), Seq("node"), "left")
+        .select($"node", coalesce($"__c", $"node").as("comp"))
+      return rebind(out, caller)
+    }
     // symmetric closure once, so each round is a single join direction;
     // pre-partitioned by dst (the loop's join key) so every round's edge
     // join reuses the cached partitioning instead of re-exchanging the
     // edge table — labels are the only relation that moves per round
-    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
+    val sym = oriented
+      .select($"u".as("src"), $"v".as("dst"))
+      .union(oriented.select($"v".as("src"), $"u".as("dst")))
       .repartition(loopParts, $"dst")
       .cache()
     // checkpoint (not cache) per round: caching alone leaves each
@@ -100,10 +157,6 @@ object Graph {
     var prevSum = BigDecimal(-1)
     var round = 0
     var converged = false
-    // loop confs live on the CLONED session only — the caller's session
-    // and any query it is concurrently planning are untouched
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
     while (!converged && round < maxRounds) {
       // min label over the closed neighborhood (own label U neighbors'),
@@ -157,8 +210,9 @@ object Graph {
     } finally {
       // the cached edge closure must not outlive the loop on ANY exit
       // path (normal, the non-convergence throw below, or a failure
-      // inside the loop)
+      // inside the loop); the oriented checkpoint's only consumer is sym
       sym.unpersist()
+      Ckpt.release(oriented)
     }
     // exiting via the cap means the labels are NOT a fixed point — wrong
     // components with no other signal. Practically unreachable with path
@@ -173,6 +227,34 @@ object Graph {
     // hand the result back on the CALLER's session: downstream planning
     // must see the caller's confs, not the loop clone's
     rebind(out, caller)
+  }
+
+  /** Single-task connected components of an oriented (u, v) edge
+    * iterator: union-find with path compression, union-by-MIN — the
+    * smaller root always stays root, so every tree's root IS the
+    * component's minimum node id, exactly the distributed fixpoint's
+    * label. Output: (node, min reachable id) for edge-incident nodes. */
+  private def localUnionFind(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    // materialize keys first: find() path-compresses (mutates) the map
+    val ks = parent.keys.toArray
+    ks.iterator.map(n => (n, find(n)))
   }
 
   /** Connected components by LARGE-STAR / SMALL-STAR contraction

@@ -1220,51 +1220,62 @@ object TextAnalysis {
         floor(log($"cnt".cast("double") / $"tot".cast("double")) * 1e6
           + lit(1.0 / 3)).cast("long").as("sq")), eager = false)
     // Viterbi DP, positions 1..8: dp(i) = max over piece lengths l of
-    // dp(i-l) + score(substr(i-l+1, l)); ties -> smaller l. Each dp(i)
-    // is checkpointed so later stages reference a LEAF (4 references per
-    // stage would otherwise grow the plan 4^8). A stride-2 variant
-    // (checkpoint even stages only, re-derive odd ones in their ≤4
-    // consumers) was tried in round 14 to halve the checkpoint-job
-    // floor and REVERTED: at sf0.1 the uncheckpointed stages' nested
-    // recomputation multiplies AQE's per-shuffle re-planning passes and
-    // the driver spun >15 min inside AdaptiveSparkPlanExec plan updates
-    // on a plan that runs in 4 s with per-stage leaves — like the
-    // all-cache variant before it (COVERAGE), the checkpoints are
-    // load-bearing; the job floor is the price of a bounded plan.
-    val dp = new Array[DataFrame](9)
-    dp(0) = Ckpt(w.select($"w", lit(0L).as("sc")), eager = false)
-    for (i <- 1 to 8) {
-      val branches = (1 to math.min(4, i)).map { l =>
-        dp(i - l).join(w.where($"len" >= i).select($"w"), Seq("w"))
-          .select($"w", expr(s"substr(w, ${i - l + 1}, $l)").as("piece"),
-            $"sc", lit(l).as("l"))
-          .join(sc, Seq("piece"))
-          .select($"w", ($"sc" + $"sq").as("nsc"), $"l")
-      }
-      val best = branches.reduce(_ unionByName _)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"w").orderBy($"nsc".desc, $"l".asc)))
-        .where($"rk" === 1)
-      dp(i) = Ckpt(best.select($"w", $"nsc".as("sc"), $"l".as("bl")),
-        eager = false)
-    }
-    val dpAll = (1 to 8).map(i =>
-      dp(i).select($"w", lit(i).as("pos"), $"bl")).reduce(_ unionByName _)
-    // backtrack: emit the chosen piece at each position, walk to pos-bl
-    var cur = w.select($"w", $"len".as("pos"), $"freq")
-    val emits = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to 8) {
-      // no per-step checkpoint: each cur is referenced ONCE by the next
-      // step and once by its emit, so the walk's plan grows linearly
-      // (unlike the 4-ary DP above) — and each dropped checkpoint is a
-      // whole job off the fixed floor (Overhead probe: the query was
-      // 100% job floor, 0% data)
-      val j = cur.where($"pos" > 0).join(dpAll, Seq("w", "pos"))
-      emits += j.select($"w", $"freq",
-        expr("substr(w, pos - bl + 1, bl)").as("piece"))
-      cur = j.select($"w", ($"pos" - $"bl").as("pos"), $"freq")
-    }
-    emits.reduce(_ unionByName _)
+    // dp(i-l) + score(substr(i-l+1, l)); ties -> smaller l.
+    //
+    // Round-14 history of this lattice: the original per-stage
+    // RELATIONAL formulation (8 DP stages x <=4 branch joins, each stage
+    // checkpointed, + 8 backtrack joins) was 100% job floor / 0% data by
+    // the Overhead probe, and both relaxations of its checkpoints
+    // (all-cache, stride-2) blew up the driver (COVERAGE/SCALE.md). The
+    // optimization round replaced the relational lattice with a MAP-SIDE
+    // one: each word type joins the scores of its own <=26 positioned
+    // substrings ONCE (map key = start*10 + piece length), and the whole
+    // 8-position DP plus its backtrack run as one codegen aggregate()
+    // expression per row — identical recurrence, identical (score desc,
+    // piece-length asc) tie-break (ascending-l scan replacing only on
+    // strictly-greater score), zero per-stage jobs. Scale shape: the
+    // piece-score relation is vocab-bounded (<=4-char strings with
+    // cnt >= 5) so its join stays small; word types never collect
+    // anywhere; per-row DP state is a <=9-element array.
+    val posPieces = w.select($"w", $"freq", $"len",
+      explode(expr("flatten(transform(sequence(1, len), i -> " +
+        "transform(sequence(1, least(4, len - i + 1)), " +
+        "l -> named_struct('k', i * 10 + l, 'piece', substr(w, i, l)))))"))
+        .as("pp"))
+      .select($"w", $"freq", $"len", $"pp.k".as("k"), $"pp.piece".as("piece"))
+    // inner join = the old per-branch inner join to sc: a piece below the
+    // cnt floor contributes no branch; single chars are always kept, so
+    // the DP stays total and every word type survives the groupBy
+    val scored = posPieces.join(sc, Seq("piece"))
+      .groupBy($"w", $"freq", $"len")
+      .agg(map_from_entries(collect_list(struct($"k", $"sq"))).as("m"))
+    // dp is 1-indexed: element_at(dp, pos + 1) = dp(pos); dp(0) = (0, 0)
+    val dpExpr =
+      "aggregate(sequence(1, len), " +
+        "array(named_struct('s', cast(0 as bigint), 'bl', 0)), " +
+        "(acc, i) -> array_append(acc, " +
+          "aggregate(sequence(1, least(4, i)), " +
+            "named_struct('s', cast(null as bigint), 'bl', 0), " +
+            "(b, l) -> if(try_element_at(m, (i - l + 1) * 10 + l) is null, b, " +
+              "if(b.s is null or element_at(acc, i - l + 1).s " +
+                  "+ try_element_at(m, (i - l + 1) * 10 + l) > b.s, " +
+                "named_struct('s', element_at(acc, i - l + 1).s " +
+                  "+ try_element_at(m, (i - l + 1) * 10 + l), 'bl', l), " +
+                "b)))))"
+    // backtrack: walk pos -> pos - bl(pos), emitting the chosen piece;
+    // 8 steps bound the walk exactly like the old 8 backtrack joins
+    val btExpr =
+      "aggregate(sequence(1, 8), " +
+        "named_struct('pos', len, 'ps', cast(array() as array<string>)), " +
+        "(st, x) -> if(st.pos <= 0, st, named_struct(" +
+          "'pos', st.pos - element_at(dp, st.pos + 1).bl, " +
+          "'ps', array_append(st.ps, " +
+            "substr(w, st.pos - element_at(dp, st.pos + 1).bl + 1, " +
+              "element_at(dp, st.pos + 1).bl)))), " +
+        "st -> st.ps)"
+    scored
+      .withColumn("dp", expr(dpExpr))
+      .select($"w", $"freq", explode(expr(btExpr)).as("piece"))
   }
 
   /** q303: compression rate of the q301-trained segmentation — the

@@ -24,6 +24,28 @@ class GraphCurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
   }
 
+  test("connectedComponents: single-task union-find tail is bit-identical to the distributed fixpoint") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 20L), (3L, 2L), (2L, 3L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 30L).toDF("node")
+    val pairs = Dedup.simhashPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val docs = graft.operators.TextOps.docsParallel(spark, sfDir)
+      .select($"doc_id")
+    def both(run: => Map[Long, Long]): (Map[Long, Long], Map[Long, Long]) = {
+      val local = run // default cutoff: the toy graphs take the local path
+      spark.conf.set("spark.graft.cc.localCutoff", "0") // force distributed
+      try (local, run)
+      finally spark.conf.unset("spark.graft.cc.localCutoff")
+    }
+    val (l1, d1) = both(Graph.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap)
+    assert(l1 === d1)
+    val (l2, d2) = both(Graph.connectedComponents(pairs, docs)
+      .as[(Long, Long)].collect().toMap)
+    assert(l2 === d2)
+  }
+
   test("connectedComponentsStar: bit-identical to label-prop CC on handcrafted, chain, and testdata pair graphs") {
     import spark.implicits._
     // handcrafted: chain + triangle + self-loop + isolated + dups
