@@ -512,7 +512,24 @@ object Graph {
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val pairs = rebind(pairs0, spark)
+    // materialize the PAIR relation once: the hybrid-size probe and the
+    // symmetrizing union both read it (the union's two branches would
+    // otherwise each re-run the upstream pair pipeline)
+    val pairs = Ckpt(rebind(pairs0, spark).toDF("doc_a", "doc_b"),
+      eager = false)
+    val m = pairs.count()
+    if (m <= ccLocalCutoff(caller)) {
+      // the connectedComponents hybrid discipline: the five integer
+      // rounds on a bounded pair relation are pure scheduler latency
+      // distributed — run them in one task, identical arithmetic
+      val nodeType = pairs.schema.fields(0).dataType
+      val out = pairs.select($"doc_a".cast("long"), $"doc_b".cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => localPageRank(it))
+        .toDF("doc_id", "rank_q")
+        .select($"doc_id".cast(nodeType).as("doc_id"), $"rank_q")
+      return rebind(out, caller)
+    }
     val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
       eager = false)
@@ -530,6 +547,32 @@ object Graph {
           expr("150000 + (85 * s) div 100").as("r"))
     }
     rebind(ranks.select($"node".as("doc_id"), $"r".as("rank_q")), caller)
+  }
+
+  /** Single-task q103 kernel: identical integer recurrence
+    * (`r' = 150000 + (85 * Σ r div deg) div 100` over the symmetric
+    * closure with multiplicity) — exact long arithmetic, so sum order
+    * is irrelevant and the output matches the distributed plan bit for
+    * bit. */
+  private def localPageRank(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val pairs = it.toArray
+    val deg = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    pairs.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    var ranks = mutable.HashMap.empty[Long, Long]
+    deg.keysIterator.foreach(n => ranks(n) = 1000000L)
+    for (_ <- 1 to 5) {
+      val s = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      pairs.foreach { case (a, b) =>
+        s(b) += ranks(a) / deg(a)
+        s(a) += ranks(b) / deg(b)
+      }
+      val next = mutable.HashMap.empty[Long, Long]
+      s.foreach { case (n, v) => next(n) = 150000L + (85L * v) / 100L }
+      ranks = next
+    }
+    ranks.iterator
   }
 
   /** q324: personalized PageRank (PPR) from the 3 lowest-id documents
@@ -566,29 +609,43 @@ object Graph {
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val pairs = rebind(pairs0, spark)
-    val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+    // pair relation materialized once (size probe + both union branches)
+    val pairs = Ckpt(rebind(pairs0, spark).toDF("doc_a", "doc_b"),
       eager = false)
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val withDeg = Ckpt(edges.join(deg, "src").repartition(loopParts, $"src"),
-      eager = false)
-    val seeds = deg.select($"src").orderBy($"src".asc).limit(3)
-      .as[Long].collect().sorted.toSeq
-    val seedDf = seeds.map(s => (s, s, 1000000L))
-      .toDF("seed", "node", "r")
-    val restart = seeds.map(s => (s, s, 150000L))
-      .toDF("seed", "node", "r")
-    var ranks = seedDf
-    for (_ <- 1 to 5) {
-      val prop = withDeg.join(ranks, $"node" === $"src")
-        .select($"seed", $"dst", expr("r div deg").as("contrib"))
-        .groupBy($"seed", $"dst")
-        .agg(sum($"contrib").as("s"))
-        .select($"seed", $"dst".as("node"),
-          expr("(85 * s) div 100").as("r"))
-      ranks = prop.unionByName(restart)
-        .groupBy($"seed", $"node").agg(sum($"r").as("r"))
+    val m = pairs.count()
+    val ranks: DataFrame = if (m <= ccLocalCutoff(caller)) {
+      // one-task kernel for the five (seed x frontier) integer rounds;
+      // the top-10 window below stays in Spark so every ordering /
+      // tie-break semantic is shared with the distributed branch
+      pairs.select($"doc_a".cast("long"), $"doc_b".cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => localPpr(it))
+        .toDF("seed", "node", "r")
+    } else {
+      val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+        eager = false)
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val withDeg = Ckpt(edges.join(deg, "src").repartition(loopParts, $"src"),
+        eager = false)
+      val seeds = deg.select($"src").orderBy($"src".asc).limit(3)
+        .as[Long].collect().sorted.toSeq
+      val seedDf = seeds.map(s => (s, s, 1000000L))
+        .toDF("seed", "node", "r")
+      val restart = seeds.map(s => (s, s, 150000L))
+        .toDF("seed", "node", "r")
+      var rk = seedDf
+      for (_ <- 1 to 5) {
+        val prop = withDeg.join(rk, $"node" === $"src")
+          .select($"seed", $"dst", expr("r div deg").as("contrib"))
+          .groupBy($"seed", $"dst")
+          .agg(sum($"contrib").as("s"))
+          .select($"seed", $"dst".as("node"),
+            expr("(85 * s) div 100").as("r"))
+        rk = prop.unionByName(restart)
+          .groupBy($"seed", $"node").agg(sum($"r").as("r"))
+      }
+      rk
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"seed").orderBy($"r".desc, $"node".asc)
@@ -597,6 +654,41 @@ object Graph {
       .where($"rk" <= 10)
       .select($"seed", $"rk".cast("long").as("rk"),
         $"node".as("doc_id"), $"r".as("rank_q")), caller)
+  }
+
+  /** Single-task q324 kernel: the identical per-(seed, node) integer
+    * recurrence — propagate `(85 · Σ r div deg) div 100`, re-inject
+    * 150000 at the seed, absent row = 0 — over the symmetric closure
+    * with multiplicity. Seeds = 3 lowest node ids, as the distributed
+    * branch's `orderBy(src).limit(3)`. Emits the full final (seed,
+    * node, r) relation; ranking stays in Spark. */
+  private def localPpr(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long, Long)] = {
+    import scala.collection.mutable
+    val pairs = it.toArray
+    val deg = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    pairs.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val seeds = deg.keys.toArray.sorted.take(3)
+    var ranks = mutable.HashMap.empty[(Long, Long), Long]
+    seeds.foreach(s => ranks((s, s)) = 1000000L)
+    for (_ <- 1 to 5) {
+      val s = mutable.HashMap.empty[(Long, Long), Long].withDefaultValue(0L)
+      pairs.foreach { case (a, b) =>
+        var i = 0
+        while (i < seeds.length) {
+          val sd = seeds(i)
+          ranks.get((sd, a)).foreach(r => s((sd, b)) += r / deg(a))
+          ranks.get((sd, b)).foreach(r => s((sd, a)) += r / deg(b))
+          i += 1
+        }
+      }
+      val next = mutable.HashMap.empty[(Long, Long), Long]
+      s.foreach { case (k, v) => next(k) = (85L * v) / 100L }
+      seeds.foreach { sd =>
+        next((sd, sd)) = next.getOrElse((sd, sd), 0L) + 150000L }
+      ranks = next
+    }
+    ranks.iterator.map { case ((sd, n), r) => (sd, n, r) }
   }
 
   /** q325: label-propagation community detection (Raghavan et al.
@@ -630,26 +722,70 @@ object Graph {
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val pairs = rebind(pairs0, spark)
-    val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+    // pair relation materialized once (size probe + both union branches)
+    val pairs = Ckpt(rebind(pairs0, spark).toDF("doc_a", "doc_b"),
       eager = false)
-    var labels = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("label"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"node").orderBy($"c".desc, $"lb".asc)
-    for (_ <- 1 to 4) {
-      labels = edges.join(labels, $"node" === $"src")
-        .groupBy($"dst", $"label")
-        .agg(count(lit(1)).as("c"))
-        .select($"dst".as("node"), $"label".as("lb"), $"c")
-        .withColumn("rk", row_number().over(w))
-        .where($"rk" === 1)
-        .select($"node", $"lb".as("label"))
+    val m = pairs.count()
+    val labelsOut: DataFrame = if (m <= ccLocalCutoff(caller)) {
+      // one-task kernel for the four synchronous plurality rounds; the
+      // census aggregation below stays in Spark
+      pairs.select($"doc_a".cast("long"), $"doc_b".cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => localLpa(it))
+        .toDF("node", "label")
+    } else {
+      val edges = Ckpt(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+        eager = false)
+      var labels = edges.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"node").orderBy($"c".desc, $"lb".asc)
+      for (_ <- 1 to 4) {
+        labels = edges.join(labels, $"node" === $"src")
+          .groupBy($"dst", $"label")
+          .agg(count(lit(1)).as("c"))
+          .select($"dst".as("node"), $"label".as("lb"), $"c")
+          .withColumn("rk", row_number().over(w))
+          .where($"rk" === 1)
+          .select($"node", $"lb".as("label"))
+      }
+      labels
     }
-    rebind(labels.groupBy($"label".as("community"))
+    rebind(labelsOut.groupBy($"label".as("community"))
       .agg(count(lit(1)).as("n_members"), min($"node").as("min_node")),
       caller)
+  }
+
+  /** Single-task q325 kernel: 4 synchronous plurality-label rounds
+    * over the symmetric closure with multiplicity, exact
+    * (count desc, label asc) argmax — identical label states to the
+    * distributed rounds. Emits the final (node, label) relation. */
+  private def localLpa(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val pairs = it.toArray
+    var labels = mutable.HashMap.empty[Long, Long]
+    pairs.foreach { case (a, b) => labels(a) = a; labels(b) = b }
+    for (_ <- 1 to 4) {
+      val c = mutable.HashMap.empty[(Long, Long), Long].withDefaultValue(0L)
+      pairs.foreach { case (a, b) =>
+        c((b, labels(a))) += 1
+        c((a, labels(b))) += 1
+      }
+      val best = mutable.HashMap.empty[Long, (Long, Long)] // node -> (c, label)
+      c.foreach { case ((n, lb), cnt) =>
+        best.get(n) match {
+          case Some((bc, bl)) =>
+            if (cnt > bc || (cnt == bc && lb < bl)) best(n) = (cnt, lb)
+          case None => best(n) = (cnt, lb)
+        }
+      }
+      val next = mutable.HashMap.empty[Long, Long]
+      best.foreach { case (n, (_, lb)) => next(n) = lb }
+      labels = next
+    }
+    labels.iterator
   }
 
   /** q127: triangle count per node over the supplier co-occurrence graph
@@ -828,23 +964,43 @@ object Graph {
       org.apache.spark.sql.graft.DatasetBridge.ofRows(to, df.queryExecution.analyzed)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val pairs = rebind(pairs0, spark)
-    val edgesByCust = Ckpt(pairs.repartition(loopParts, $"cust"), eager = false)
-    val edgesBySupp = Ckpt(pairs.repartition(loopParts, $"supp"), eager = false)
-    var hub = edgesByCust.select($"cust").distinct()
-      .select($"cust", lit(1000000L).as("h"))
-    var auth: DataFrame = null
-    for (_ <- 1 to 3) {
-      val a = Ckpt(edgesByCust.join(hub, "cust")
-        .groupBy($"supp").agg(sum($"h").as("a")), eager = false)
-      val amax = a.agg(max($"a").as("amax"))
-      auth = a.crossJoin(broadcast(amax))
-        .select($"supp", expr("(a * 1000000) div amax").as("a"))
-      val h = Ckpt(edgesBySupp.join(auth, "supp")
-        .groupBy($"cust").agg(sum($"a").as("h")), eager = false)
-      val hmax = h.agg(max($"h").as("hmax"))
-      hub = h.crossJoin(broadcast(hmax))
-        .select($"cust", expr("(h * 1000000) div hmax").as("h"))
+    // interaction relation materialized ONCE: the hybrid-size probe and
+    // (on the distributed path) BOTH per-key repartitions read it — the
+    // two Ckpts used to each re-run the upstream distinct pipeline
+    val pairs = Ckpt(rebind(pairs0, spark).toDF("cust", "supp"),
+      eager = false)
+    val m = pairs.count()
+    val (auth, hub) = if (m <= ccLocalCutoff(caller)) {
+      // one-task kernel for the 6 integer half-rounds (each half-round
+      // distributed costs a checkpoint job + a max-aggregate job on a
+      // KB-sized relation); the top-10 cuts stay in Spark
+      val scores = Ckpt(pairs.select($"cust".cast("long"), $"supp".cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions(it => localHits(it))
+        .toDF("role", "node", "score"), eager = false)
+      (scores.where($"role" === "authority")
+         .select($"node".as("supp"), $"score".as("a")),
+       scores.where($"role" === "hub")
+         .select($"node".as("cust"), $"score".as("h")))
+    } else {
+      val edgesByCust = Ckpt(pairs.repartition(loopParts, $"cust"), eager = false)
+      val edgesBySupp = Ckpt(pairs.repartition(loopParts, $"supp"), eager = false)
+      var hubD = edgesByCust.select($"cust").distinct()
+        .select($"cust", lit(1000000L).as("h"))
+      var authD: DataFrame = null
+      for (_ <- 1 to 3) {
+        val a = Ckpt(edgesByCust.join(hubD, "cust")
+          .groupBy($"supp").agg(sum($"h").as("a")), eager = false)
+        val amax = a.agg(max($"a").as("amax"))
+        authD = a.crossJoin(broadcast(amax))
+          .select($"supp", expr("(a * 1000000) div amax").as("a"))
+        val h = Ckpt(edgesBySupp.join(authD, "supp")
+          .groupBy($"cust").agg(sum($"a").as("h")), eager = false)
+        val hmax = h.agg(max($"h").as("hmax"))
+        hubD = h.crossJoin(broadcast(hmax))
+          .select($"cust", expr("(h * 1000000) div hmax").as("h"))
+      }
+      (authD, hubD)
     }
     val topAuth = auth.orderBy($"a".desc, $"supp".asc).limit(10)
       .select(lit("authority").as("role"), $"supp".as("node_id"),
@@ -853,6 +1009,33 @@ object Graph {
       .select(lit("hub").as("role"), $"cust".as("node_id"),
         $"h".as("score"))
     rebind(topAuth.unionByName(topHub), caller)
+  }
+
+  /** Single-task q184 kernel: the identical 3-round integer HITS —
+    * authority(s) = Σ hub over buyers, hub(c) = Σ authority over
+    * suppliers, each half-round max-renormalized `x·10⁶ div max` —
+    * exact longs, so sum order is irrelevant. Emits BOTH full score
+    * tables tagged by role; the top-10 cuts stay in Spark. */
+  private def localHits(it: Iterator[(Long, Long)])
+      : Iterator[(String, Long, Long)] = {
+    import scala.collection.mutable
+    val pairs = it.toArray
+    if (pairs.isEmpty) return Iterator.empty
+    var hub: mutable.Map[Long, Long] = mutable.HashMap.empty[Long, Long]
+    pairs.foreach { case (c, _) => hub(c) = 1000000L }
+    var auth: mutable.Map[Long, Long] = mutable.HashMap.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val a = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      pairs.foreach { case (c, s) => a(s) += hub(c) }
+      val amax = a.values.max
+      auth = a.map { case (k, v) => k -> (v * 1000000L) / amax }
+      val h = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      pairs.foreach { case (c, s) => h(c) += auth(s) }
+      val hmax = h.values.max
+      hub = h.map { case (k, v) => k -> (v * 1000000L) / hmax }
+    }
+    auth.iterator.map { case (s, v) => ("authority", s, v) } ++
+      hub.iterator.map { case (c, v) => ("hub", c, v) }
   }
 
   /** q202: item-item collaborative filtering over the purchase graph —

@@ -1942,23 +1942,64 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .where($"bg.w1" =!= $"bg.w2")
       .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
-    val edges0 = adj.select($"w1".as("u"), $"w2".as("v"))
+    // weighted edge relation materialized once: the hybrid-size probe
+    // and the loop (or kernel) read it
+    val edges0 = Ckpt(adj.select($"w1".as("u"), $"w2".as("v"))
       .union(adj.select($"w2".as("u"), $"w1".as("v")))
-      .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
-    val wdeg = edges0.groupBy($"u").agg(sum($"w").as("wu"))
-    val edges = Ckpt(edges0.join(wdeg, "u"), eager = false)
-    var ranks = edges.select($"u".as("tok")).distinct()
-      .withColumn("r", lit(1000L))
-    for (_ <- 1 to 5) {
-      ranks = edges.join(ranks, edges("u") === ranks("tok"))
-        .groupBy($"v")
-        .agg(sum(expr("(w * r) div wu")).as("contrib"))
-        .select($"v".as("tok"),
-          (lit(150L) + expr("(850 * contrib) div 1000")).as("r"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w")), eager = false)
+    val m = edges0.count()
+    val cutoff = docs.sparkSession.conf
+      .getOption("spark.graft.cc.localCutoff").map(_.toLong)
+      .getOrElse(4L << 20)
+    val scored: DataFrame = if (m <= cutoff) {
+      // the Graph-loop hybrid discipline (connectedComponents): the five
+      // weighted integer rounds on a bounded token graph are pure
+      // scheduler latency distributed — one-task kernel, identical
+      // arithmetic; the top-20 ordering stays in Spark
+      edges0.select($"u", $"v", $"w").as[(String, String, Long)]
+        .coalesce(1)
+        .mapPartitions(it => localTextrank(it))
+        .toDF("tok", "r_milli", "strength")
+    } else {
+      val wdeg = edges0.groupBy($"u").agg(sum($"w").as("wu"))
+      val edges = Ckpt(edges0.join(wdeg, "u"), eager = false)
+      var ranks = edges.select($"u".as("tok")).distinct()
+        .withColumn("r", lit(1000L))
+      for (_ <- 1 to 5) {
+        ranks = edges.join(ranks, edges("u") === ranks("tok"))
+          .groupBy($"v")
+          .agg(sum(expr("(w * r) div wu")).as("contrib"))
+          .select($"v".as("tok"),
+            (lit(150L) + expr("(850 * contrib) div 1000")).as("r"))
+      }
+      ranks.join(wdeg, ranks("tok") === wdeg("u"))
+        .select($"tok", $"r".as("r_milli"), $"wu".as("strength"))
     }
-    ranks.join(wdeg, ranks("tok") === wdeg("u"))
-      .select($"tok", $"r".as("r_milli"), $"wu".as("strength"))
+    scored
       .orderBy($"r_milli".desc, $"tok".asc)
       .limit(20)
+  }
+
+  /** Single-task q320 kernel: the identical weighted integer TextRank —
+    * contrib(v) = Σ over in-edges of (w · r(u)) div wu(u), then
+    * r' = 150 + (850 · contrib) div 1000 — exact longs, sum-order-free.
+    * Emits the full (tok, r, strength) relation; top-20 stays in Spark
+    * so string ordering semantics are Spark's. */
+  private def localTextrank(it: Iterator[(String, String, Long)])
+      : Iterator[(String, Long, Long)] = {
+    import scala.collection.mutable
+    val edges = it.toArray
+    val wu = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    edges.foreach { case (u, _, w) => wu(u) += w }
+    var ranks = mutable.HashMap.empty[String, Long]
+    wu.keysIterator.foreach(u => ranks(u) = 1000L)
+    for (_ <- 1 to 5) {
+      val contrib = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v, w) => contrib(v) += (w * ranks(u)) / wu(u) }
+      val next = mutable.HashMap.empty[String, Long]
+      contrib.foreach { case (v, c) => next(v) = 150L + (850L * c) / 1000L }
+      ranks = next
+    }
+    ranks.iterator.map { case (t, r) => (t, r, wu(t)) }
   }
 }

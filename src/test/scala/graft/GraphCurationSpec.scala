@@ -46,6 +46,23 @@ class GraphCurationSpec extends SparkSpec {
     assert(l2 === d2)
   }
 
+  test("graph loop kernels: single-task path is bit-identical to the distributed loops") {
+    import spark.implicits._
+    def withCutoff[T](v: String)(body: => T): T = {
+      spark.conf.set("spark.graft.cc.localCutoff", v)
+      try body finally spark.conf.unset("spark.graft.cc.localCutoff")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val qs = Seq("q103_pagerank", "q184_hits", "q320_textrank",
+      "q324_ppr_seeds", "q325_lpa_communities", "q62_dup_clusters")
+    qs.foreach { q =>
+      val local = rows(SparkEntry.queries(q)(spark, sfDir))
+      val dist = withCutoff("0")(rows(SparkEntry.queries(q)(spark, sfDir)))
+      assert(local === dist, s"$q local != distributed")
+    }
+  }
+
   test("connectedComponentsStar: bit-identical to label-prop CC on handcrafted, chain, and testdata pair graphs") {
     import spark.implicits._
     // handcrafted: chain + triangle + self-loop + isolated + dups
