@@ -48,7 +48,8 @@ final case class Machine(spark: SparkSession, catalog: SignalCatalog,
     * file-listing time — at 100 TB the hot path must never list other
     * shots' files), flat `<name>.parquet` as the fallback. */
   private[api] def table(meta: SignalMeta): DataFrame =
-    spark.read.parquet(graft.sources.Io.signalPath(dataDir, meta.qualifiedName))
+    graft.sources.Io.readParquet(spark,
+      graft.sources.Io.signalPath(dataDir, meta.qualifiedName))
 }
 
 final case class ShotView(machine: Machine, shotNo: Int) {

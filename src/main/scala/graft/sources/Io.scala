@@ -40,8 +40,18 @@ object Io {
   def writeSignal(df: DataFrame, dataDir: String, qualifiedName: String): Unit =
     writePartitioned(df, s"$dataDir/${qualifiedName.replace('.', '_')}", "shot")
 
-  def readParquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Inferred parquet schema per path, cached for the JVM lifetime —
+    * the Tables.load footer-inference cache, shared with the signal
+    * read path (same layout-immutability assumption: read-only testdata
+    * / write-once signal directories). Metadata only; scans, pruning
+    * and results are unchanged. */
+  private val schemas =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemas.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true")
