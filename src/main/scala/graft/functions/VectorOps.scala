@@ -128,10 +128,72 @@ case class NormExpr(child: Expression)
   override def prettyName: String = "graft_norm"
 }
 
+/** Left-to-right squared L2 distance of two float/double arrays (double
+  * result): acc += (a_i - b_i)·(a_i - b_i) in index order — the exact
+  * operation order of `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
+  * 0.0, (acc,x) -> acc+x)`, so swapping the interpreted lambda for this
+  * codegen loop is bit-identical (the round-14 optimization round
+  * measured the lambda form interpreted-eval-bound in the q315/q319/
+  * q321 centroid scans). Lengths may differ; iteration stops at the
+  * shorter one (call sites pair equal-dimension vectors). */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayDoubleInput {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkArrayOfFloatingPoint(left.dataType, "graft_sqdist")
+    if (l.isFailure) l else checkArrayOfFloatingPoint(right.dataType, "graft_sqdist")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val xv = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yv = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { final double $d = $xv - $yv; $acc += $d * $d; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sqdist"
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def l2norm(a: Column): Column =
     ColumnBridge.column(NormExpr(ColumnBridge.expression(a)))
+
+  def sqdist(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -729,11 +729,18 @@ object Dedup {
     val banded = docSh.select($"doc_id",
       posexplode(graft.functions.TextHash.minhashBands($"sh", 12, 3))
         .as(Seq("band", "sig_band")))
-    val cand = banded.as("a").join(banded.as("b"),
+    // both pair relations have TWO consumers each (their own count and
+    // the hit join) — without truncation the band join and the whole
+    // PPJoin truth pipeline each evaluate twice (the checkpoint-pays-
+    // iff-the-reused-subtree-shuffles rule; measured 1.8 -> 1.1 s at
+    // sf0.1)
+    val cand = Ckpt(banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.sig_band" === $"b.sig_band" &&
           $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    val truth = ngramJaccardOn(docs, 0.5).select($"doc_a", $"doc_b")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct(),
+      eager = false)
+    val truth = Ckpt(ngramJaccardOn(docs, 0.5).select($"doc_a", $"doc_b"),
+      eager = false)
     val nCand = cand.agg(count(lit(1)).as("n_cand"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nHit = cand.join(truth, Seq("doc_a", "doc_b"))
@@ -1743,6 +1750,9 @@ object Dedup {
       .where(expr("substring(text, pos, 1) <> ' '"))
       .select($"doc_id", expr(s"substring(text, pos, $cap)").as("sfx"))
       .distinct()
+      // two consumers (the rank pipeline and the per-doc suffix census)
+      // — without truncation the char-explode + distinct runs twice
+      .transform(df => Ckpt(df, eager = false))
     val ranked = segmentedRank(sfx, "sfx").select($"doc_id", $"sfx", $"rn")
     // LCP by 6-probe binary search on the monotone prefix-equality
     // predicate — 6 memcmp-style prefix compares per pair instead of

@@ -812,8 +812,9 @@ object Quantize {
     val e = vecs.select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("emb"))
     def d2(c: Seq[Double]): Column =
-      aggregate(zip_with($"emb", typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // codegen loop, bit-identical operation order to the interpreted
+      // aggregate(zip_with(...)) lambda it replaced (SqDistExpr scaladoc)
+      VectorOps.sqdist($"emb", typedLit(c))
     def dqCol(cents: Seq[(Long, Seq[Double])]): Column =
       floor(array_min(array(cents.map { case (_, c) => d2(c) }: _*))
         * 1e6 + lit(1.0 / 3)).cast("long")

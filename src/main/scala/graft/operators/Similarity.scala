@@ -1571,8 +1571,9 @@ object Similarity {
       e.select($"vec_id", $"emb", explode(array(panel: _*)).as("pr"))
         .where(if (excludeSelf) $"vec_id" =!= $"pr.pid" else lit(true))
         .select($"pr.pid".as("pid"),
-          aggregate(zip_with($"emb", $"pr.pv", (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x).as("d2"))
+          // codegen loop, bit-identical order to the aggregate(zip_with)
+          // lambda it replaced (SqDistExpr scaladoc)
+          VectorOps.sqdist($"emb", $"pr.pv").as("d2"))
         .groupBy($"pid")
         .agg(floor(min($"d2") * 1e6 + lit(1.0 / 3)).cast("long").as("dq"))
     }
@@ -1614,8 +1615,11 @@ object Similarity {
   /** Testable core over any 64-dim `(vec_id, embedding)` relation. */
   private[graft] def dbscanCoreOn(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    val pairs = cosineNearDupOn(vecs, minCos = 0.3)
-      .select($"vec_a", $"vec_b")
+    // four downstream subtrees (two union branches, degree census,
+    // near-core probe) — without truncation the banded cosine pipeline
+    // re-evaluates per consumer
+    val pairs = graft.operators.Ckpt(cosineNearDupOn(vecs, minCos = 0.3)
+      .select($"vec_a", $"vec_b"), eager = false)
     val sym = pairs.union(pairs.select($"vec_b", $"vec_a"))
       .toDF("vec_id", "nb")
     val deg = sym.groupBy($"vec_id").agg(count(lit(1)).as("n_nb"))
@@ -1665,13 +1669,14 @@ object Similarity {
     val cands = e.where($"vec_id" < nCand.toLong)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     def nrm(v: Seq[Double]): Double = math.sqrt(v.map(x => x * x).sum)
-    val rowNrm = sqrt(aggregate($"emb", lit(0.0), (a, x) => a + x * x))
+    // codegen norm/dot, bit-identical order to the interpreted lambdas
+    // they replaced (NormExpr/DotExpr are the same left-to-right loops)
+    val rowNrm = VectorOps.l2norm($"emb")
     // covq(c) = max(0, floor(cos·1e6 + 1/3)) — one array, reused by
     // best-so-far and every candidate gain in the same scan
     val covArr = array(cands.map { case (_, cemb) =>
       greatest(lit(0L), floor(
-        aggregate(zip_with($"emb", typedLit(cemb), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)
+        VectorOps.dot($"emb", typedLit(cemb))
           / (rowNrm * lit(nrm(cemb))) * 1e6 + lit(1.0 / 3)).cast("long"))
     }: _*)
     // materialize the 32-wide coverage array ONCE: inlining covArr
@@ -1768,8 +1773,9 @@ object Similarity {
       val seeds8 = pts.orderBy($"vec_id".asc).limit(8)
         .as[(Long, Seq[Double])].collect().sortBy(_._1)
       def d2(cemb: Seq[Double]): Column =
-        aggregate(zip_with($"emb", typedLit(cemb),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+        // codegen loop, bit-identical order to the aggregate(zip_with)
+        // lambda it replaced (SqDistExpr scaladoc)
+        VectorOps.sqdist($"emb", typedLit(cemb))
       def assigned(cents: Seq[(Long, Seq[Double])]): Column =
         // max of (−d², −id) == min of (d², id) — the lloydCentroids
         // struct-argmax idiom (same tie-break as the oracle's
