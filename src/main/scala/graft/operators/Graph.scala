@@ -809,8 +809,10 @@ object Graph {
     * orders), which is orders of magnitude smaller. */
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val li = Tables.rebalance(spark, dir, "lineitem",
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")), $"ok")
+      .distinct()
     trianglesOn(li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
       .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
       .agg(count(lit(1)).as("n_ord"))
@@ -947,7 +949,8 @@ object Graph {
     * TakeOrderedAndProject, never a global sort. */
   def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    hitsOn(Tables.lineitem(spark, dir)
+    hitsOn(Tables.rebalance(spark, dir, "lineitem",
+        Tables.lineitem(spark, dir), $"l_orderkey")
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
       .distinct())
@@ -1082,7 +1085,8 @@ object Graph {
   def itemCfOn(spark: SparkSession, dir: String,
       cap: Option[Long]): DataFrame = {
     import spark.implicits._
-    val inter = Ckpt(Tables.lineitem(spark, dir)
+    val inter = Ckpt(Tables.rebalance(spark, dir, "lineitem",
+        Tables.lineitem(spark, dir), $"l_orderkey")
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("custkey"), $"l_suppkey".as("suppkey"))
       .distinct()
