@@ -1772,8 +1772,12 @@ object TextAnalysis {
   }
 
   /** Testable core over any distinct `(src, tok)` relation. */
-  private[graft] def kmvIntersectOn(tokSrc: DataFrame): DataFrame = {
-    import tokSrc.sparkSession.implicits._
+  private[graft] def kmvIntersectOn(tokSrc0: DataFrame): DataFrame = {
+    import tokSrc0.sparkSession.implicits._
+    // four subtrees read the shingle relation (hash sketch, per-source
+    // census, both exact-audit self-join sides) and it contains the
+    // docsParallel rebalance shuffle — truncate once
+    val tokSrc = graft.operators.Ckpt(tokSrc0, eager = false)
     val k = 128
     val M = 1152921504606846976L // 16^15 = 2^60, the hash range
     val hashes = tokSrc
