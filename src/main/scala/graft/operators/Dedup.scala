@@ -802,6 +802,42 @@ object Dedup {
     * prefix offsets) does the rest. The shift matters: Spark's integer
     * div truncates toward zero, so negative raw keys would interleave
     * segments around 0. */
+  /** Grouped twin of [[segmentedRankLong]]: independent global ranks
+    * per `grpName` value from ONE pass — per-group min/max broadcast
+    * back, segments and windows keyed by (grp, seg), prefix offsets per
+    * grp. Rank within each group is bit-identical to running
+    * [[segmentedRankLong]] on that group alone ((key asc, doc_id asc)
+    * order, same ~256-segment bound per group). Callers that ranked k
+    * score columns in k sequential pipelines (q278) collapse to one. */
+  private[graft] def segmentedRankLongBy(rows: DataFrame, keyName: String,
+      grpName: String): DataFrame = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val g = col(grpName)
+    val mn = rows.groupBy(g.as("__g"))
+      .agg(min(col(keyName)).as("mn"), max(col(keyName)).as("mx"))
+    val shifted = rows.join(broadcast(mn), g === $"__g")
+      .withColumn("sk", col(keyName).cast(dec) - $"mn")
+      .withColumn("segw",
+        greatest(lit(1024L).cast(dec),
+          expr("((cast(mx as decimal(38,0)) - mn) div 256) + 1")))
+    val wSeg = Window.partitionBy(g, $"seg")
+      .orderBy($"sk".asc, $"doc_id".asc)
+    val ranked = shifted
+      .withColumn("seg", expr("cast(sk div segw as long)"))
+      .withColumn("rn_seg", row_number().over(wSeg).cast("long"))
+    val offs = ranked.groupBy(g.as("__og"), $"seg")
+      .agg(count(lit(1)).as("c"))
+      .select($"__og", $"seg",
+        coalesce(sum($"c").over(Window.partitionBy($"__og")
+          .orderBy($"seg".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    ranked.join(broadcast(offs), g === $"__og" && ranked("seg") === offs("seg"))
+      .withColumn("rn", $"rn_seg" + $"off")
+      .drop("seg", "rn_seg", "off", "sk", "mn", "mx", "segw", "__g", "__og")
+  }
+
   private[graft] def segmentedRankLong(rows: DataFrame, keyName: String)
       : DataFrame = {
     import rows.sparkSession.implicits._

@@ -1579,11 +1579,16 @@ object Evaluate {
     import scores.sparkSession.implicits._
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    def rk(c: String) = graft.operators.Dedup
-      .segmentedRankLong(scores.select($"doc_id", col(c)), c)
-      .select($"doc_id", $"rn".as(s"r_$c"))
-    val joined = rk("s1").join(rk("s2"), "doc_id").join(rk("s3"), "doc_id")
-      .select($"doc_id", ($"r_s1" + $"r_s2" + $"r_s3").as("rsum"))
+    // ONE grouped rank pass over the stacked (which, value) rows instead
+    // of three sequential rank pipelines + two doc_id joins — the ranks
+    // per `which` are bit-identical (segmentedRankLongBy scaladoc) and
+    // rsum needs no join at all (the Overhead probe read this query 96%
+    // fixed DAG floor; the floor was the three chained pipelines)
+    val stacked = scores.select($"doc_id",
+      expr("stack(3, 1L, s1, 2L, s2, 3L, s3)").as(Seq("which", "v")))
+    val joined = graft.operators.Dedup
+      .segmentedRankLongBy(stacked, "v", "which")
+      .groupBy($"doc_id").agg(sum($"rn").as("rsum"))
     val n1 = joined.agg(count(lit(1)).as("n"))
     joined.crossJoin(broadcast(n1))
       .select($"n",

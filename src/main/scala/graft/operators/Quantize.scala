@@ -666,7 +666,10 @@ object Quantize {
   private[graft] def opqPermuteVecs(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     val m = 8; val subDim = 8; val k = 8
-    val e = vecs.select($"vec_id", $"embedding")
+    // four consumers (moment collect, codebook collect, both encode
+    // variants) and the relation carries the rebalance shuffle —
+    // truncate once
+    val e = Ckpt(vecs.select($"vec_id", $"embedding"), eager = false)
     // per-dim second moments on q92's exact grid (its Gram diagonal)
     val moments: Array[(Int, Long)] = e
       .select(posexplode(transform($"embedding", x => x.cast("double")))
