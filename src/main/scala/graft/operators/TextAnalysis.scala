@@ -932,7 +932,11 @@ object TextAnalysis {
     import spark.implicits._
     val docs = TextOps.docsParallel(spark, dir)
       .select($"source".as("lang"), $"text")
-    val regs = hllRegisters(docs)
+    // the register relation feeds four subtrees (single estimate, both
+    // pair-universe distincts, the merge join) and ends in a groupBy —
+    // truncate once; same for the distinct token relation below (census
+    // + both exact-intersection sides)
+    val regs = graft.operators.Ckpt(hllRegisters(docs), eager = false)
     val single = hllEstimate(regs).select($"lang", $"hll_est")
     val pairs = regs.select($"lang").distinct().select($"lang".as("sa"))
       .crossJoin(regs.select($"lang").distinct().select($"lang".as("sb")))
@@ -944,9 +948,9 @@ object TextAnalysis {
       .select(split($"lang", "\\|").getItem(0).as("src_a"),
         split($"lang", "\\|").getItem(1).as("src_b"),
         $"hll_est".as("hll_union"))
-    val tokSrc = docs
+    val tokSrc = graft.operators.Ckpt(docs
       .select($"lang".as("src"), explode(TextOps.toks($"text")).as("tok"))
-      .distinct()
+      .distinct(), eager = false)
     val nSrc = tokSrc.groupBy($"src").agg(count(lit(1)).as("n"))
     val inter = tokSrc.as("x").join(tokSrc.as("y"),
         $"x.tok" === $"y.tok" && $"x.src" < $"y.src")
