@@ -1411,9 +1411,13 @@ object Dedup {
     * histogram is arithmetic on ≤6 rows × 4 configs. Output: ≤24 rows. */
   def lshOperatingCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    lshCurveOn(thresholdSweep(spark, dir)
+    // the ≤11-row histogram feeds FOUR union branches in lshCurveOn —
+    // without truncation each branch re-plans (and AQE re-executes) the
+    // entire PPJoin pipeline: 48 parquet scans / 48 exchanges in the
+    // before-plan vs 12 after (plans/r14/q252_lsh_curve_*.txt)
+    lshCurveOn(Ckpt(thresholdSweep(spark, dir)
       .select($"decile", $"n_pairs",
-        least($"decile" * 10L + 5L, lit(100L)).as("jc")))
+        least($"decile" * 10L + 5L, lit(100L)).as("jc")), eager = false))
   }
 
   /** Testable core over any `(decile, n_pairs, jc)` histogram, jc the
