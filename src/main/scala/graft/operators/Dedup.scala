@@ -1639,30 +1639,38 @@ object Dedup {
       .where(expr("substring(text, pos, 1) <> ' '"))
       .select($"doc_id", $"pos".cast("long").as("pos"),
         expr(s"substring(text, pos, $cap)").as("sfx"))
-    // three consumers (both adjacency sides + the row relation) — the
+    // two consumers (the two shifted sides of the boundary join) — the
     // checkpoint-pays-iff-the-reused-subtree-shuffles rule
     val ranked = Ckpt(segmentedRank(sfx, "sfx")
       .select($"doc_id", $"pos", $"sfx", $"rn"), eager = false)
-    val joined = ranked.select($"sfx".as("sa"), $"rn")
-      .join(ranked.select($"sfx".as("sb"), ($"rn" - 1L).as("rn")), "rn")
+    // carry BOTH rows' (doc_id, pos) on the boundary so each boundary can
+    // credit both sides directly — the old shape joined `ranked` back
+    // against the adjacency relation TWICE (two more shuffle joins and a
+    // full reshuffle of `ranked`); a boundary's lcp reaching row rn as
+    // lcp_next and row rn+1 as lcp_prev is the same association realized
+    // as one union + groupBy. A side a boundary never reaches (the global
+    // first/last row) stays at the -1 the union seeds, exactly the old
+    // left-join coalesce(-1).
+    val joined = ranked.select($"doc_id".as("da"), $"pos".as("pa"),
+        $"sfx".as("sa"), $"rn")
+      .join(ranked.select($"doc_id".as("db"), $"pos".as("pb"),
+        $"sfx".as("sb"), ($"rn" - 1L).as("rn")), "rn")
     val withL = Seq(32, 16, 8, 4, 2, 1)
       .foldLeft(joined.withColumn("l", lit(0))) { (df, s) =>
         df.withColumn("l", expr(
           s"CASE WHEN substring(sa, 1, l + $s) = substring(sb, 1, l + $s)" +
             s" THEN l + $s ELSE l END"))
       }
-    val adj = Ckpt(withL.select($"rn",
+    // two consumers (the two union directions below)
+    val bnd = Ckpt(withL.select($"rn", $"da", $"pa", $"db", $"pb",
       expr("CAST(least(l, length(sa), length(sb)) AS BIGINT)").as("lcp")),
       eager = false)
-    // adj is keyed at the boundary ABOVE row rn+1: lcp_prev(i) = adj(i-1
-    // boundary) arrives via rn+1; lcp_next(i) = that same boundary seen
-    // from the row above
-    val rows = ranked
-      .join(adj.select(($"rn" + 1L).as("rn"), $"lcp".as("lcp_prev")),
-        Seq("rn"), "left")
-      .join(adj.select($"rn", $"lcp".as("lcp_next")), Seq("rn"), "left")
-      .withColumn("lp", coalesce($"lcp_prev", lit(-1L)))
-      .withColumn("ln2", coalesce($"lcp_next", lit(-1L)))
+    val rows = bnd.select($"da".as("doc_id"), $"pa".as("pos"), $"rn",
+        lit(-1L).as("lp0"), $"lcp".as("ln0"))
+      .unionAll(bnd.select($"db".as("doc_id"), $"pb".as("pos"),
+        ($"rn" + 1L).as("rn"), $"lcp".as("lp0"), lit(-1L).as("ln0")))
+      .groupBy($"doc_id", $"pos", $"rn")
+      .agg(max($"lp0").as("lp"), max($"ln0").as("ln2"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"rn")
     val withRun = rows.withColumn("run",
       $"rn" - row_number().over(wDoc).cast("long"))
