@@ -1105,12 +1105,16 @@ object Graph {
         $"a.custkey" === $"b.custkey" && $"a.suppkey" < $"b.suppkey")
       .groupBy($"a.suppkey".as("s_a"), $"b.suppkey".as("s_b"))
       .agg(count(lit(1)).as("c_ab"))
-    val sims = co
+    // the directed union below reads sims TWICE — unmaterialized, each
+    // branch re-ran the full co-occurrence reduce + degree joins (the
+    // stage log showed the reduce reading 2x the pair shuffle at ~90 s
+    // CPU); |supplier-pair| rows checkpoint once instead
+    val sims = Ckpt(co
       .join(deg.select($"suppkey".as("s_a"), $"d".as("d_a")), "s_a")
       .join(deg.select($"suppkey".as("s_b"), $"d".as("d_b")), "s_b")
       .withColumn("sim_ppm", floor($"c_ab".cast("double")
         / sqrt($"d_a".cast("double") * $"d_b".cast("double"))
-        * 1e6 + lit(1.0 / 3)).cast("long"))
+        * 1e6 + lit(1.0 / 3)).cast("long")), eager = false)
     // symmetric neighbor lists: each pair feeds both directions
     val directed = sims.select($"s_a".as("item"), $"s_b".as("neighbor"),
         $"sim_ppm", $"c_ab")
