@@ -1689,7 +1689,66 @@ object Similarity {
     def covAt(id: Long): Column = element_at($"cov", (id + 1).toInt)
     var selected = Vector.empty[(Long, Long, Long)] // (cand_id, gain, obj)
     var obj = 0L
-    for (_ <- 1 to k) {
+    // hybrid (the Graph localCutoff discipline): the greedy loop is k
+    // sequential full-relation aggregations — pure scheduler latency on
+    // a relation this narrow (n × 32 longs). At or under the cutoff the
+    // k rounds run inside ONE single-task job over the checkpointed
+    // coverage blocks, with the identical long recurrence (gain sums are
+    // exact longs ⇒ order-free; winner tie-break (gain desc, id asc) is
+    // the distributed maxBy on (g, -id)). Above the cutoff — at real
+    // embedding volume — the per-round aggregation loop below is the
+    // right plan and runs unchanged.
+    val nCov = withCov.count()
+    val localCutoff = vecs.sparkSession.conf
+      .getOption("spark.graft.facility.localCutoff")
+      .map(_.toLong).getOrElse(1L << 20) // ~1M rows ≈ 300 MB of cov arrays
+    if (nCov <= localCutoff) {
+      val candIds = cands.map(_._1)
+      selected = withCov.as[Seq[Long]].coalesce(1)
+        .mapPartitions { it =>
+          val data = it.map(_.toArray).toArray
+          val nc = candIds.length
+          val selIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val res = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long)]
+          var objL = 0L
+          for (_ <- 1 to k) {
+            val gains = new Array[Long](nc)
+            var ri = 0
+            while (ri < data.length) {
+              val row = data(ri)
+              var best = 0L
+              var si = 0
+              while (si < selIdx.length) {
+                val v = row(selIdx(si)); if (v > best) best = v; si += 1
+              }
+              var ci = 0
+              while (ci < nc) {
+                if (!selIdx.contains(ci)) {
+                  val d = row(ci) - best
+                  if (d > 0L) gains(ci) += d
+                }
+                ci += 1
+              }
+              ri += 1
+            }
+            // ascending-id scan replacing on strictly-greater gain ==
+            // maxBy((g, -id)): equal gains keep the smaller id
+            var bestG = Long.MinValue; var bestCi = -1
+            var ci = 0
+            while (ci < nc) {
+              if (!selIdx.contains(ci) && gains(ci) > bestG) {
+                bestG = gains(ci); bestCi = ci
+              }
+              ci += 1
+            }
+            selIdx += bestCi
+            objL += bestG
+            res += ((candIds(bestCi), bestG, objL))
+          }
+          res.iterator
+        }.collect().toVector
+    } else for (_ <- 1 to k) {
       val sel = selected.map(_._1).toSet
       val best =
         if (sel.isEmpty) lit(0L)

@@ -305,4 +305,23 @@ class Round14cSpec extends SparkSpec {
     val gs = got.map(_._3)
     assert(gs.zip(gs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q323 one-task greedy kernel == distributed aggregation loop " +
+      "(localCutoff forced 0)") {
+    import spark.implicits._
+    val pts = (0 until 64).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (((i % 5) * 100 + (i * 7 + d * 3) % 13)).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val kernel = graft.operators.Similarity.facilitySelectOn(df)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    spark.conf.set("spark.graft.facility.localCutoff", "0")
+    try {
+      val dist = graft.operators.Similarity.facilitySelectOn(df)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(kernel === dist,
+        s"kernel ${kernel.mkString(",")} dist ${dist.mkString(",")}")
+    } finally spark.conf.unset("spark.graft.facility.localCutoff")
+  }
 }
