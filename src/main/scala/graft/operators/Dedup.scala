@@ -83,9 +83,15 @@ object Dedup {
     // side and streams the other, so exchange reuse can't fire — but
     // re-running the df agg + rank window costs less than the
     // materialization barrier a localCheckpoint inserts (1.9 s vs
-    // 2.9 s warm). At cluster scale the same trade holds: the subtree
-    // is two linear shuffles, while a checkpoint serializes the whole
-    // stage graph around one RDD.
+    // 2.9 s warm). Re-measured in the r14 optimization round: (a)
+    // Ckpt(prefix) q25 2.04 -> 2.75 s, (b) shuffle_hash hints on the
+    // candidate self-join (one shared exchange instead of a broadcast
+    // build) q25 2.04 -> 2.86 s. The broadcast shape wins because the
+    // two subtree evaluations run CONCURRENTLY on the exchange-build
+    // thread pool — wall = 1x subtree despite 2x CPU — and the stage
+    // is not CPU-bound; both rewrites trade that free parallelism for
+    // serial latency. On a CPU-saturated cluster the trade flips to
+    // (b), which halves the CPU without a barrier.
     val docSh = docs
       .select(col("doc_id"), TextOps.shingles(TextOps.toks(col("text")), 3).as("sh"))
       .where(size(col("sh")) > 0)
