@@ -334,9 +334,14 @@ object Evaluate {
     val rate = dt.groupBy($"tok")
       .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
       .select($"tok", expr("(pos * 1000000) div cnt").as("rate_ppm"))
-    val docScore = dt.join(rate, "tok")
+    // three consumers (the bin grid, the n_all broadcast, the scored
+    // join), each ending in its own shuffle/agg — without truncation
+    // each re-ran the token explode + rate join + doc groupBy (stage
+    // log: three 10-33 s-CPU token passes per execution)
+    val docScore = Ckpt(dt.join(rate, "tok")
       .groupBy($"doc_id", $"y")
-      .agg(expr("sum(rate_ppm) div count(1)").as("pred_ppm"))
+      .agg(expr("sum(rate_ppm) div count(1)").as("pred_ppm")),
+      eager = false)
     // equal-count decile off the distinct-score grid: bin = rank decile
     // of the doc's score (ties share a bin — same cum-below count)
     val wG = Window.partitionBy(graft.functions.Win.bounded).orderBy($"pred_ppm")
