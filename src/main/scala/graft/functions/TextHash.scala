@@ -385,6 +385,53 @@ object TextHash {
     override def prettyName: String = "graft_fingerprint"
   }
 
+  /** 1-based codepoint positions of word starts in a string: position 1
+    * plus every non-space char preceded by a space — EXACTLY the rows
+    * that survive `explode(sequence(1, length(text)))` filtered by
+    * `(pos = 1 OR substring(text, pos - 1, 1) = ' ') AND
+    * substring(text, pos, 1) <> ' '`, including the empty-string quirk
+    * of that pipeline (sequence(1, 0) = [1, 0] and substring('', 1, 1)
+    * = '' <> ' ', so empty text yields position 1). The suffix family
+    * (q306/q316) starts a suffix at every word start; generating the
+    * positions directly skips the ~5x per-character row blow-up and the
+    * two per-row substring filter evals. Positions are codepoint
+    * indices, matching SQL length()/substring() semantics. */
+  case class WordStartsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_word_starts needs STRING input, got ${other.catalogString}")
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (s.isEmpty) new GenericArrayData(Array[Any](1))
+      else {
+        val out = new java.util.ArrayList[Any]()
+        var i = 0
+        var pos = 1
+        var prevIsSpace = true // pos 1 passes the `pos = 1 OR prev = ' '` arm
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          if (prevIsSpace && cp != 0x20) out.add(pos)
+          prevIsSpace = cp == 0x20
+          i += Character.charCount(cp)
+          pos += 1
+        }
+        new GenericArrayData(out.toArray)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WordStartsExpr =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_word_starts"
+  }
+
   /** First 4 md5 digest bytes of a UTF-8 string as an unsigned long —
     * numerically identical to `CAST('0x' || substr(md5(s), 1, 8) AS
     * BIGINT)` (DuckDB) and `conv(substring(md5(s), 1, 8), 16, 10)`
@@ -417,6 +464,9 @@ object TextHash {
 
   def md5Int32(s: Column): Column =
     ColumnBridge.column(Md5Int32Expr(ColumnBridge.expression(s)))
+
+  def wordStarts(text: Column): Column =
+    ColumnBridge.column(WordStartsExpr(ColumnBridge.expression(text)))
 
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), n))

@@ -1638,11 +1638,13 @@ object Dedup {
       : DataFrame = {
     import docs.sparkSession.implicits._
     val cap = SuffixCap
+    // word-start positions come from the single-pass native generator —
+    // pinned row-identical (incl. the empty-string quirk) to the per-char
+    // explode(sequence) + two substring filters it replaced, which
+    // materialized ~5x more rows only to drop them (TextHashSpec)
     val sfx = docs
       .select($"doc_id", $"text",
-        explode(expr("sequence(1, length(text))")).as("pos"))
-      .where($"pos" === 1 || expr("substring(text, pos - 1, 1) = ' '"))
-      .where(expr("substring(text, pos, 1) <> ' '"))
+        explode(graft.functions.TextHash.wordStarts($"text")).as("pos"))
       .select($"doc_id", $"pos".cast("long").as("pos"),
         expr(s"substring(text, pos, $cap)").as("sfx"))
     // two consumers (the two shifted sides of the boundary join) — the
@@ -1797,11 +1799,11 @@ object Dedup {
   private[graft] def suffixDupOn(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val cap = SuffixCap
+    // same native word-start generator as dupCoverageOn (row-identity
+    // pinned in TextHashSpec against the explode+filter pipeline)
     val sfx = docs
       .select($"doc_id", $"text",
-        explode(expr("sequence(1, length(text))")).as("pos"))
-      .where($"pos" === 1 || expr("substring(text, pos - 1, 1) = ' '"))
-      .where(expr("substring(text, pos, 1) <> ' '"))
+        explode(graft.functions.TextHash.wordStarts($"text")).as("pos"))
       .select($"doc_id", expr(s"substring(text, pos, $cap)").as("sfx"))
       .distinct()
       // two consumers (the rank pipeline and the per-doc suffix census)

@@ -32,6 +32,30 @@ class TextHashSpec extends SparkSpec {
     assert(got(0) !== got(1))
   }
 
+  test("wordStarts is row-identical to the explode(sequence)+filter pipeline") {
+    import spark.implicits._
+    // edge inventory: empty string (the sequence(1,0)=[1,0] quirk), all
+    // spaces, leading/trailing/multiple spaces, single word, non-space
+    // whitespace (tab/newline do NOT break words — only ' ' does), and
+    // non-BMP codepoints (SQL positions are codepoint indices)
+    val docs = Seq(
+      "", " ", "   ", "a", "a b", " a  b ", "ab cd  ef",
+      "tab\there nl\nhere", "x", "  leading", "trailing  ",
+      "uni 𝕏ray c𝕏 d", "𝕏 starts").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val legacy = docs
+      .select($"doc_id", $"text",
+        explode(expr("sequence(1, length(text))")).as("pos"))
+      .where($"pos" === 1 || expr("substring(text, pos - 1, 1) = ' '"))
+      .where(expr("substring(text, pos, 1) <> ' '"))
+      .select($"doc_id", $"pos")
+    val native = docs
+      .select($"doc_id", explode(TextHash.wordStarts($"text")).as("pos"))
+    val l = legacy.as[(Long, Int)].collect().sorted.toSeq
+    val n = native.as[(Long, Int)].collect().sorted.toSeq
+    assert(n === l)
+  }
+
   test("kernels are callable from SQL after register()") {
     TextHash.register(spark)
     val r = spark.sql(
