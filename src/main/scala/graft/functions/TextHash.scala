@@ -385,6 +385,66 @@ object TextHash {
     override def prettyName: String = "graft_fingerprint"
   }
 
+  /** `size(array_intersect(a, b))` without materializing the
+    * intersection: |distinct(a) ∩ distinct(b)|, counted in one pass.
+    * ArrayIntersect's set semantics (distinct elements, null matches
+    * null once) make the size symmetric, so the kernel builds a hash
+    * set from the SMALLER array and counts successful removals while
+    * scanning the other — each common distinct element decrements the
+    * set exactly once regardless of duplicates. No intersection array,
+    * no per-element copy into a GenericArrayData, no size() pass over
+    * it. The dedup family's verify stages (PPJoin q25/q213/q252/q243,
+    * the minhash-LSH family, delta dedup, SNM) only ever consume the
+    * SIZE; the composition they replace was the measured top-CPU stage
+    * of q25 (16.6 s of its ~60 s total). Row-level identity with the
+    * built-in composition is pinned in TextHashSpec over duplicates,
+    * empties and null elements. */
+  case class IntersectCountExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_intersect_count expects (array<string>, array<string>), " +
+            s"got (${l.sql}, ${r.sql})")
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      val (small, large) =
+        if (aa.numElements() <= bb.numElements()) (aa, bb) else (bb, aa)
+      val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+      var hasNull = false
+      var i = 0
+      while (i < small.numElements()) {
+        if (small.isNullAt(i)) hasNull = true
+        else set.add(small.getUTF8String(i))
+        i += 1
+      }
+      var n = 0
+      var j = 0
+      while (j < large.numElements() && (set.size() > 0 || hasNull)) {
+        if (large.isNullAt(j)) {
+          if (hasNull) { n += 1; hasNull = false }
+        } else if (set.remove(large.getUTF8String(j))) n += 1
+        j += 1
+      }
+      n
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): IntersectCountExpr =
+      copy(left = newLeft, right = newRight)
+
+    override def prettyName: String = "graft_intersect_count"
+  }
+
   /** 1-based codepoint positions of word starts in a string: position 1
     * plus every non-space char preceded by a space — EXACTLY the rows
     * that survive `explode(sequence(1, length(text)))` filtered by
@@ -464,6 +524,10 @@ object TextHash {
 
   def md5Int32(s: Column): Column =
     ColumnBridge.column(Md5Int32Expr(ColumnBridge.expression(s)))
+
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(IntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def wordStarts(text: Column): Column =
     ColumnBridge.column(WordStartsExpr(ColumnBridge.expression(text)))

@@ -71,7 +71,9 @@ object Dedup {
     * rarest shingles) — the hot-shingle quadratic blowup of the naive join
     * cannot form. The df join and per-doc ranking window are linear
     * shuffles; candidate verification touches shingle SETS per surviving
-    * pair (array_intersect), never re-exploding the corpus. */
+    * pair (the count-only graft_intersect_count kernel — identical
+    * semantics to size(array_intersect), no intersection-array
+    * materialization), never re-exploding the corpus. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOn(TextOps.docsParallel(spark, dir), 0.6)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
@@ -121,7 +123,7 @@ object Dedup {
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_shared", graft.functions.TextHash.intersectCount(col("sh_a"), col("sh_b")).cast("long"))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("n_b", size(col("sh_b")).cast("long"))
       .withColumn("jaccard",
@@ -165,7 +167,7 @@ object Dedup {
     * Scale shape: signatures are q26's map-only native kernel; the
     * audit joins the k-element arrays per CANDIDATE pair only (zip_with
     * equality fold — no per-seed explode), exact sets via
-    * array_intersect as in q26. */
+    * the count-only intersect kernel as in q26. */
   def minhashEstAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // feeds the band join and both audit sides
@@ -188,7 +190,7 @@ object Dedup {
         aggregate(zip_with($"mh_a", $"mh_b",
             (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("est12"),
-        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("n_shared"),
+        graft.functions.TextHash.intersectCount($"sh_a", $"sh_b").cast("long").as("n_shared"),
         (size($"sh_a") + size($"sh_b")).cast("long").as("n_ab"))
       .select($"doc_a", $"doc_b", $"est12",
         expr("(est12 * 1000000) div 12").as("est_ppm"),
@@ -248,7 +250,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"))
+        graft.functions.TextHash.intersectCount(col("sh_a"), col("sh_b")).cast("long").as("n_shared"))
       .withColumn("cont_ppm", expr("(n_shared * 1000000) div n_a"))
       .where(col("cont_ppm") >= math.round(t * 1000000))
   }
@@ -289,7 +291,7 @@ object Dedup {
     * TextHash.minhash over the shingle set — no explode, no crossJoin
     * with seeds, no groupBy); the only shuffled relation is the tiny
     * (doc, band, sig) table, and the Jaccard verify touches shingle SETS
-    * (array_intersect per candidate pair) rather than re-joining an
+    * (count-only intersect kernel per candidate pair) rather than re-joining an
     * exploded shingle table. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -308,7 +310,7 @@ object Dedup {
     cand
       .join(docSh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(docSh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("n_shared", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("n_shared", graft.functions.TextHash.intersectCount($"sh_a", $"sh_b").cast("long"))
       .withColumn("jaccard",
         $"n_shared" / (size($"sh_a").cast("long") + size($"sh_b").cast("long") - $"n_shared"))
       .where($"jaccard" >= 0.5)
@@ -361,7 +363,7 @@ object Dedup {
     cand
       .join(delta.select($"doc_id".as("new_doc"), $"sh".as("sh_a")), "new_doc")
       .join(corpus.select($"doc_id".as("corpus_doc"), $"sh".as("sh_b")), "corpus_doc")
-      .withColumn("n_shared", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("n_shared", graft.functions.TextHash.intersectCount($"sh_a", $"sh_b").cast("long"))
       .withColumn("jaccard",
         $"n_shared" / (size($"sh_a").cast("long") + size($"sh_b").cast("long") - $"n_shared"))
       .where($"jaccard" >= 0.5)
@@ -898,7 +900,7 @@ object Dedup {
       .join(docSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(docSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .withColumn("n_shared",
-        size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        graft.functions.TextHash.intersectCount($"sh_a", $"sh_b").cast("long"))
       .withColumn("n_union",
         size($"sh_a").cast("long") + size($"sh_b") - $"n_shared")
       .where($"n_union" > 0)

@@ -56,6 +56,30 @@ class TextHashSpec extends SparkSpec {
     assert(n === l)
   }
 
+  test("intersectCount is row-identical to size(array_intersect(a, b))") {
+    import spark.implicits._
+    // duplicates (counted once), empties, asymmetric sizes, null
+    // elements (null matches null, once), disjoint and identical sets
+    val rows: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "a", "a")),
+      (Seq(), Seq("a")),
+      (Seq("a"), Seq()),
+      (Seq(), Seq()),
+      (Seq("x", null, "y", null), Seq(null, "y")),
+      (Seq(null), Seq("a", "b")),
+      (Seq("p", "q"), Seq("r", "s")),
+      (Seq("same", "set"), Seq("set", "same")),
+      ((1 to 200).map(i => s"t$i"), (100 to 300).map(i => s"t$i")))
+    val df = rows.toDF("a", "b")
+      .select(
+        size(array_intersect($"a", $"b")).as("builtin"),
+        TextHash.intersectCount($"a", $"b").as("kernel"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) === r.getInt(0), r.toString)
+    }
+  }
+
   test("kernels are callable from SQL after register()") {
     TextHash.register(spark)
     val r = spark.sql(
