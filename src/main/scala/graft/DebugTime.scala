@@ -44,11 +44,25 @@ object DebugTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc session confs for A/B runs: GRAFT_CONF="k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     if (sys.env.contains("GRAFT_STAGE_LOG"))
       spark.sparkContext.addSparkListener(new StageLog)
     names.foreach { n =>
       if (sys.env.contains("GRAFT_EXPLAIN"))
         SparkEntry.queries(n)(spark, dir).explain("formatted")
+      // final ADAPTIVE plan (isFinalPlan=true, with codegen ids): execute
+      // the Dataset's own QueryExecution once, then explain it
+      if (sys.env.contains("GRAFT_EXPLAIN_FINAL")) {
+        val df = SparkEntry.queries(n)(spark, dir)
+        df.collect()
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
       time(n)(SparkEntry.queries(n)(spark, dir))
     }
     spark.stop()

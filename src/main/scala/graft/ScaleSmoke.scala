@@ -258,6 +258,10 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     if (args.contains("megacust")) { megaCustSmoke(); return }
+    if (args.contains("hotpair")) {
+      hotPairSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(4096))
+      return
+    }
     if (args.contains("recsys")) {
       recsysSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
       return
@@ -793,6 +797,89 @@ object ScaleSmoke {
     * within the base corpus's Σ_{deg≤64} C(deg,2) bound, so its wall
     * time must track the no-mega baseline. Run:
     * runMain graft.ScaleSmoke megacust */
+  /** Planted-hot-PAIR skew axis for the q202 co-occurrence reduce: many
+    * degree-2 customers all buying the SAME two suppliers (each is under
+    * the q202 degree cap, so — unlike the megacust axis — they all enter
+    * pair generation and pile partial-count rows for one (s_a, s_b) key
+    * onto one reducer). The interactions are spread over many map
+    * partitions to model a wide cluster scan (the per-key partial-row
+    * pileup is proportional to the MAP TASK COUNT, which local[32]'s 32
+    * shuffle partitions would otherwise hide). Reports per-task
+    * shuffle-read row max/median for the phase-1 reduce stage under the
+    * single-phase (salts=1) and salted (salts=32) shapes, plus a count
+    * identity check, and dumps both formatted plans for plans/r15.
+    * Run: runMain graft.ScaleSmoke hotpair [mapParts] */
+  private def hotPairSmoke(mapParts: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      // AQE coalescing folds this toy-scale reduce to ONE partition and
+      // hides the per-key pileup the axis exists to show; at 100 TB the
+      // hot key's partial rows are ~map-task-count (10⁵-10⁶) and no
+      // coalescer helps a single oversized KEY (guide §2.5: skew-join
+      // splitting does not apply to aggregations)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // per-task shuffle-read records per stage
+    val taskRows = new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) {
+          taskRows.computeIfAbsent(t.stageId,
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
+            .add(t.taskMetrics.shuffleReadMetrics.recordsRead)
+        }
+      }
+    })
+    // 20k background customers with a spread pair + 300k hot customers
+    // all buying suppliers (7, 9)
+    val normal = spark.range(20000L)
+      .select($"id".as("custkey"),
+        explode(array(($"id" % 9973L + 100L), ($"id" % 9967L + 11000L))).as("suppkey"))
+    val hot = spark.range(300000L)
+      .select(($"id" + 1000000L).as("custkey"),
+        explode(array(lit(7L), lit(9L))).as("suppkey"))
+    val inter = graft.operators.Ckpt(
+      normal.unionByName(hot).repartition(mapParts, $"custkey"), eager = false)
+    def run(label: String, salts: Int, planFile: Option[String]): Long = {
+      taskRows.clear()
+      val co = graft.operators.Graph.itemCfCoCounts(inter, Some(salts))
+      planFile.foreach { f =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+          co.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      val n = co.agg(sum($"c_ab"), count(lit(1))).collect()(0)
+      val tot = n.getLong(0); val keys = n.getLong(1)
+      // the phase-1 reduce stage = the stage with the largest per-task
+      // row spread reading ~mapParts-sized shuffle output
+      import scala.jdk.CollectionConverters._
+      val interesting = taskRows.asScala.toSeq
+        .map { case (sid, l) =>
+          val xs = l.asScala.map(_.toLong).toSeq.sorted
+          (sid, xs.sum, xs.lastOption.getOrElse(0L), xs(xs.size / 2))
+        }
+        .filter(_._2 > 0)
+      println(f"$label%-22s sum(c_ab)=$tot%9d keys=$keys%8d")
+      interesting.sortBy(-_._2).take(3).foreach { case (sid, s, mx, md) =>
+        println(f"   stage $sid%4d shuffle-read rows: total=$s%9d max-task=$mx%8d median-task=$md%8d ratio=${mx.toDouble / math.max(1, md)}%6.1f")
+      }
+      tot
+    }
+    // warm (codegen)
+    run("warmup (salts=1)", 1, None)
+    val a = run("single-phase (salts=1)", 1,
+      Some("plans/r15/q202_co_single.txt"))
+    val b = run("salted (salts=32)", 32,
+      Some("plans/r15/q202_co_salted.txt"))
+    println(s"identity: ${if (a == b) "OK" else "MISMATCH"} (sum of c_ab equal)")
+    spark.stop()
+  }
+
   private def megaCustSmoke(): Unit = {
     val base = "/root/testdata/sf0.1"
     val big = "/tmp/graft_scale_megacust"

@@ -180,6 +180,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[TextHash.FingerprintExpr].getName, "graft_fingerprint"),
       (exprs: Seq[Expression]) => TextHash.FingerprintExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[TextHash.IntersectCountExpr].getName, "graft_intersect_count"),
+      (exprs: Seq[Expression]) => TextHash.IntersectCountExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_starts"),
+      new ExpressionInfo(classOf[TextHash.WordStartsExpr].getName, "graft_word_starts"),
+      (exprs: Seq[Expression]) => TextHash.WordStartsExpr(exprs.head)))
     // bucketed range-join rewrite (active only when
     // spark.graft.rangeJoin.bucketWidth > 0)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

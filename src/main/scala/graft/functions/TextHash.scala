@@ -5,7 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -400,8 +401,7 @@ object TextHash {
     * built-in composition is pinned in TextHashSpec over duplicates,
     * empties and null elements. */
   case class IntersectCountExpr(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
     override def dataType: DataType = IntegerType
 
@@ -414,35 +414,47 @@ object TextHash {
             s"got (${l.sql}, ${r.sql})")
       }
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val aa = a.asInstanceOf[ArrayData]
-      val bb = b.asInstanceOf[ArrayData]
-      val (small, large) =
-        if (aa.numElements() <= bb.numElements()) (aa, bb) else (bb, aa)
-      val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
-      var hasNull = false
-      var i = 0
-      while (i < small.numElements()) {
-        if (small.isNullAt(i)) hasNull = true
-        else set.add(small.getUTF8String(i))
-        i += 1
-      }
-      var n = 0
-      var j = 0
-      while (j < large.numElements() && (set.size() > 0 || hasNull)) {
-        if (large.isNullAt(j)) {
-          if (hasNull) { n += 1; hasNull = false }
-        } else if (set.remove(large.getUTF8String(j))) n += 1
-        j += 1
-      }
-      n
-    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      intersectCountData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    // real doGenCode (not CodegenFallback): a fallback expression knocks
+    // its whole operator out of WholeStageCodegen — the PPJoin verify
+    // stage was the suite's top-CPU stage running interpreted. The
+    // generated code calls the SAME static kernel nullSafeEval uses, so
+    // interpreted == codegen by construction.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.TextHash.intersectCountData($a, $b);")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): IntersectCountExpr =
       copy(left = newLeft, right = newRight)
 
     override def prettyName: String = "graft_intersect_count"
+  }
+
+  /** Shared kernel of [[IntersectCountExpr]] — called from both the
+    * interpreted eval and the generated code. */
+  def intersectCountData(aa: ArrayData, bb: ArrayData): Int = {
+    val (small, large) =
+      if (aa.numElements() <= bb.numElements()) (aa, bb) else (bb, aa)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var hasNull = false
+    var i = 0
+    while (i < small.numElements()) {
+      if (small.isNullAt(i)) hasNull = true
+      else set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var n = 0
+    var j = 0
+    while (j < large.numElements() && (set.size() > 0 || hasNull)) {
+      if (large.isNullAt(j)) {
+        if (hasNull) { n += 1; hasNull = false }
+      } else if (set.remove(large.getUTF8String(j))) n += 1
+      j += 1
+    }
+    n
   }
 
   /** 1-based codepoint positions of word starts in a string: position 1
@@ -457,7 +469,7 @@ object TextHash {
     * two per-row substring filter evals. Positions are codepoint
     * indices, matching SQL length()/substring() semantics. */
   case class WordStartsExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -467,29 +479,59 @@ object TextHash {
         s"graft_word_starts needs STRING input, got ${other.catalogString}")
     }
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      if (s.isEmpty) new GenericArrayData(Array[Any](1))
-      else {
-        val out = new java.util.ArrayList[Any]()
-        var i = 0
-        var pos = 1
-        var prevIsSpace = true // pos 1 passes the `pos = 1 OR prev = ' '` arm
-        while (i < s.length) {
-          val cp = s.codePointAt(i)
-          if (prevIsSpace && cp != 0x20) out.add(pos)
-          prevIsSpace = cp == 0x20
-          i += Character.charCount(cp)
-          pos += 1
-        }
-        new GenericArrayData(out.toArray)
-      }
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      wordStartsData(input.asInstanceOf[UTF8String])
+
+    // real doGenCode (not CodegenFallback) — see IntersectCountExpr: the
+    // suffix generate stage stays inside WholeStageCodegen, and the
+    // generated code calls the SAME static kernel as nullSafeEval.
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.TextHash.wordStartsData($s);")
 
     override protected def withNewChildInternal(newChild: Expression): WordStartsExpr =
       copy(child = newChild)
 
     override def prettyName: String = "graft_word_starts"
+  }
+
+  /** Shared kernel of [[WordStartsExpr]] — called from both the
+    * interpreted eval and the generated code. Iterates the UTF-8 bytes
+    * directly (no String materialization): a codepoint starts at every
+    * non-continuation byte, ' ' (0x20) only ever encodes as the single
+    * byte 0x20, and `pos` counts codepoints — identical positions to the
+    * previous String/codePointAt walk, pinned by TextHashSpec's edge
+    * inventory (empty, all-spaces, multi-space, tab/newline non-breaks,
+    * non-BMP codepoints). */
+  def wordStartsData(s: UTF8String): ArrayData = {
+    val nb = s.numBytes()
+    if (nb == 0) return UnsafeArrayData.fromPrimitiveArray(Array(1))
+    // pass 1: count word starts
+    var cnt = 0
+    var i = 0
+    var prevIsSpace = true // pos 1 passes the `pos = 1 OR prev = ' '` arm
+    while (i < nb) {
+      val b = s.getByte(i)
+      val isSpace = b == 0x20
+      if (prevIsSpace && !isSpace) cnt += 1
+      prevIsSpace = isSpace
+      i += UTF8String.numBytesForFirstByte(b)
+    }
+    // pass 2: fill positions (1-based codepoint indices)
+    val out = new Array[Int](cnt)
+    var k = 0
+    var pos = 1
+    i = 0
+    prevIsSpace = true
+    while (i < nb) {
+      val b = s.getByte(i)
+      val isSpace = b == 0x20
+      if (prevIsSpace && !isSpace) { out(k) = pos; k += 1 }
+      prevIsSpace = isSpace
+      i += UTF8String.numBytesForFirstByte(b)
+      pos += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** First 4 md5 digest bytes of a UTF-8 string as an unsigned long —
@@ -584,5 +626,15 @@ object TextHash {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FingerprintExpr].getName, "graft_fingerprint"),
       (exprs: Seq[Expression]) => FingerprintExpr(exprs.head))
+    reg.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[IntersectCountExpr].getName, "graft_intersect_count"),
+      (exprs: Seq[Expression]) => IntersectCountExpr(exprs.head, exprs(1)))
+    reg.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_word_starts"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordStartsExpr].getName, "graft_word_starts"),
+      (exprs: Seq[Expression]) => WordStartsExpr(exprs.head))
   }
 }

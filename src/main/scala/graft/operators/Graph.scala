@@ -1082,6 +1082,29 @@ object Graph {
   /** itemCf with an optional cap — `cap = None` is the UNCAPPED variant
     * kept only so ScaleSmoke's megacust mode can demonstrate what the
     * cap buys (never registered as a query). */
+  /** Co-occurrence counts `(s_a, s_b, c_ab)` from a `(custkey, suppkey)`
+    * interaction relation — the pair self-join + reduce at the heart of
+    * [[itemCfOn]], exposed for the salted-shape identity spec and the
+    * ScaleSmoke hot-pair axis (the reduce hides behind the `sims`
+    * checkpoint in the full query plan). `saltsOverride` bypasses the
+    * conf for A/B runs. Default (conf unset / 1) is the single-phase
+    * groupBy — see the measured rationale at the itemCfOn call site. */
+  private[graft] def itemCfCoCounts(capped: DataFrame,
+      saltsOverride: Option[Int] = None): DataFrame = {
+    val spark = capped.sparkSession
+    import spark.implicits._
+    val salts = saltsOverride.getOrElse(
+      spark.conf.get("spark.graft.itemcf.salts", "1").toInt)
+    val pairRows = capped.as("a").join(capped.as("b"),
+        $"a.custkey" === $"b.custkey" && $"a.suppkey" < $"b.suppkey")
+      .select($"a.suppkey".as("s_a"), $"b.suppkey".as("s_b"))
+    if (salts > 1)
+      Skew.saltedAgg(pairRows, Seq("s_a", "s_b"), salts, withCount = true)
+        .withColumnRenamed("n", "c_ab")
+    else
+      pairRows.groupBy($"s_a", $"s_b").agg(count(lit(1)).as("c_ab"))
+  }
+
   def itemCfOn(spark: SparkSession, dir: String,
       cap: Option[Long]): DataFrame = {
     import spark.implicits._
@@ -1101,10 +1124,21 @@ object Graph {
         inter.join(keep, "custkey")
       case None => inter
     }
-    val co = capped.as("a").join(capped.as("b"),
-        $"a.custkey" === $"b.custkey" && $"a.suppkey" < $"b.suppkey")
-      .groupBy($"a.suppkey".as("s_a"), $"b.suppkey".as("s_b"))
-      .agg(count(lit(1)).as("c_ab"))
+    // Co-occurrence reduce: single-phase groupBy + count, with a
+    // conf-gated two-phase SALTED shape (`spark.graft.itemcf.salts`,
+    // guide §2.5 / the q50 saltedAgg machinery) kept available and
+    // spec-pinned identical. The salted shape is NOT the default at any
+    // scale, because it was MEASURED WORSE on a planted hot pair
+    // (ScaleSmoke `hotpair`, 4096 map tasks, one pair shared by 300k
+    // customers): map-side partial aggregation already collapses a hot
+    // key to ≤1 row per map task, so the unsalted hot reducer reads
+    // ~M partial rows (M = map tasks; 16 MB even at M = 10⁶), while the
+    // salt DEFEATS that collapse — hotpair read max-task 4726 rows
+    // single-phase vs 12969 salted-32 (and q202 wall 2.84 → 3.74 s at
+    // sf0.1 under a forced 16-way salt). Two-phase salting is for
+    // aggregations whose partials cannot collapse (collect_list,
+    // distinct-agg, groupByKey); a count reduce is its own phase 1.
+    val co = itemCfCoCounts(capped)
     // the directed union below reads sims TWICE — unmaterialized, each
     // branch re-ran the full co-occurrence reduce + degree joins (the
     // stage log showed the reduce reading 2x the pair shuffle at ~90 s
