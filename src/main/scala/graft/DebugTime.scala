@@ -21,6 +21,22 @@ object DebugTime {
     }
   }
 
+  /** Bench's pinned self-calibration probe: the window's own speed
+    * constant, printed before and after the query list so cross-run
+    * comparisons can be normalized (host windows shift 1.3-1.5x). */
+  def calib(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 64L << 20, 1, 32)
+        .selectExpr("sum(xxhash64(id) % 1000000007) AS h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // codegen warm-up, untimed
+    val xs = Seq.fill(3)(once()).sorted
+    xs(1)
+  }
+
   def time(label: String)(f: => DataFrame): Unit = {
     // best-of-3 (Bench's policy): the cold first run is JIT + page-cache
     // warm-up, not plan cost
@@ -52,6 +68,7 @@ object DebugTime {
       })
     if (sys.env.contains("GRAFT_STAGE_LOG"))
       spark.sparkContext.addSparkListener(new StageLog)
+    println(f"== calib_pre  ${calib(spark)}%.4f s")
     names.foreach { n =>
       if (sys.env.contains("GRAFT_EXPLAIN"))
         SparkEntry.queries(n)(spark, dir).explain("formatted")
@@ -65,6 +82,7 @@ object DebugTime {
       }
       time(n)(SparkEntry.queries(n)(spark, dir))
     }
+    println(f"== calib_post ${calib(spark)}%.4f s")
     spark.stop()
   }
 }

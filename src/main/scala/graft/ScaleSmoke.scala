@@ -262,6 +262,10 @@ object ScaleSmoke {
       hotPairSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(4096))
       return
     }
+    if (args.contains("cores")) {
+      coresSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
+      return
+    }
     if (args.contains("recsys")) {
       recsysSmoke(args.flatMap(_.toIntOption).headOption.getOrElse(10))
       return
@@ -797,6 +801,55 @@ object ScaleSmoke {
     * within the base corpus's Σ_{deg≤64} C(deg,2) bound, so its wall
     * time must track the no-mega baseline. Run:
     * runMain graft.ScaleSmoke megacust */
+  /** Core-scaling axis (VERDICT r14 item 5): the sf0.1 bench cannot
+    * separate compute from the per-job scheduler floor (its c8/c32
+    * ratios all read ≈1 — every query is floor-bound at that scale), so
+    * 100 TB parallelism claims need a dataset where the compute term
+    * dominates. This mode runs the heaviest documents-only queries on
+    * the Nx replica corpus (built by the `docs` mode; near-dup replica
+    * families, the realistic dedup input) with the MASTER taken from
+    * `$SPARK_GRAFT_CPUS` — run it twice (8 and 32) and compare:
+    * a compute-bound plan should show c8/c32 well above 1, a
+    * floor-bound one ≈1. Results → SCALE.md round-15 section.
+    * Run: SPARK_GRAFT_CPUS=8|32 runMain graft.ScaleSmoke cores [n] */
+  private def coresSmoke(n: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val big = s"/tmp/graft_scale_docs_x$n"
+    require(new java.io.File(s"$big/documents.parquet").exists(),
+      s"replica corpus $big missing - run `ScaleSmoke docs $n` first")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the CPU-heaviest documents-only paths at sf0.1 (shingling + PPJoin
+    // verify, tf-cosine postings, suffix ranks, wedge/transitivity pair
+    // work, CC ensemble) — the queries whose 100 TB posture rests on
+    // "the compute parallelizes"
+    val qs = Seq("q25_ngram_jaccard", "q90_tf_cosine", "q178_sorted_nbhd",
+      "q230_dup_core", "q231_transitivity", "q270_local_cc",
+      "q306_suffix_dup", "q316_dup_coverage", "q312_ensemble_dedup",
+      "q313_kn_entropy")
+    def time(q: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, big).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    qs.foreach(time) // warm (codegen/JIT)
+    println(f"cores=$cpus%s corpus=${n}x")
+    var tot = 0.0
+    qs.foreach { q =>
+      val t = math.min(time(q), time(q))
+      tot += t
+      println(f"$q%-24s $t%8.2f s")
+    }
+    println(f"${"TOTAL"}%-24s $tot%8.2f s")
+    spark.stop()
+  }
+
   /** Planted-hot-PAIR skew axis for the q202 co-occurrence reduce: many
     * degree-2 customers all buying the SAME two suppliers (each is under
     * the q202 degree cap, so — unlike the megacust axis — they all enter

@@ -771,15 +771,28 @@ object Timeseries {
     * identical episode table from whatever grid they hold. */
   private[graft] def burstEpisodesOn(hourly: DataFrame): DataFrame = {
     import hourly.sparkSession.implicits._
+    // ONE event_type exchange for the whole episode pipeline (guide
+    // §2.4 "two operations keyed the same way share one exchange"): the
+    // median-rank windows and the post-join island window all partition
+    // by event_type, but the grid arrives hash(event_type, h) from the
+    // hourly agg, so each window branch re-exchanged it separately
+    // (r15 plan: Exchange(31) under the med windows + Exchange(44)
+    // under the island window). Repartitioning the BOUNDED grid (the
+    // corpus already collapsed to |types|x|hours| rows) by event_type
+    // right after the agg satisfies every downstream window and
+    // groupBy: both branches read one ReusedExchange and Exchange(44)
+    // disappears. Parallelism is |types| from here on either way —
+    // that is inherent to per-type windows, not a cost of this change.
+    val grid = hourly.repartition($"event_type")
     val wMed = Window.partitionBy($"event_type").orderBy($"c", $"h")
-    val med = hourly
+    val med = grid
       .withColumn("rk", row_number().over(wMed).cast("long"))
       .withColumn("nh", count(lit(1)).over(
         Window.partitionBy($"event_type")).cast("long"))
       .where(expr("rk = (nh + 1) div 2"))
       .select($"event_type", $"c".as("med"))
     val wIsl = Window.partitionBy($"event_type").orderBy($"h")
-    hourly
+    grid
       .join(broadcast(med), "event_type")
       .where($"c" > $"med"
         && ($"c" - $"med") * ($"c" - $"med") >= lit(4L) * $"med")
