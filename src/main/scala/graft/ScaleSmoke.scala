@@ -815,8 +815,6 @@ object ScaleSmoke {
   private def coresSmoke(n: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val big = s"/tmp/graft_scale_docs_x$n"
-    require(new java.io.File(s"$big/documents.parquet").exists(),
-      s"replica corpus $big missing - run `ScaleSmoke docs $n` first")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -825,6 +823,17 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$big/documents.parquet").exists()) {
+      // same replicator as the `docs` mode: near-dup replica families
+      import spark.implicits._
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .withColumn("r", explode(sequence(lit(0L), lit(n - 1L))))
+        .withColumn("doc_id", $"doc_id" * n + $"r")
+        .withColumn("text", concat($"text", lit(" rep"), $"r".cast("string")))
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
     // the CPU-heaviest documents-only paths at sf0.1 (shingling + PPJoin
     // verify, tf-cosine postings, suffix ranks, wedge/transitivity pair
     // work, CC ensemble) — the queries whose 100 TB posture rests on
